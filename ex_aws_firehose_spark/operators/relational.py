@@ -1,0 +1,859 @@
+"""Batch-relational operator surface (SURVEY.md §2.4, [EXT]).
+
+Every query here is pure DataFrame-API composition — zero Python in the
+hot path — so Catalyst gets full pushdown/pruning/join-selection and the
+whole plan runs in whole-stage codegen.  Each carries a DuckDB oracle.
+
+Determinism conventions (required for oracle hash-matching):
+
+- Every ORDER BY that feeds a LIMIT or a window-rank carries a unique
+  tie-break key.
+- Floating aggregates are rounded (2 dp for money sums, 4 dp for
+  avg/ratios, 6 dp for transcendental fns) so summation-order jitter
+  between engines can't flip the value hash.
+- Integer aggregates are CAST to BIGINT in the oracle (DuckDB widens
+  SUM(int) to HUGEINT; Spark uses long).
+- ``events.ts`` is nanosecond-precision parquet; Spark truncates to
+  microseconds on read, so oracles read through the EVENTS_US CTE which
+  applies the same truncation.
+
+At 100 TB these shapes hold: fact-fact joins shuffle on their join key
+with AQE skew-split; dim joins broadcast (see q_join_broadcast);
+aggregations use partial map-side combine automatically; windows
+partition by high-cardinality keys (user, segment) so no single
+partition explodes.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ex_aws_firehose_spark.registry import query
+from ex_aws_firehose_spark.tables import load_table
+
+# DuckDB reads the raw ns-precision timestamps; Spark reads µs. Truncate in
+# the oracle so both engines see identical event times.
+EVENTS_US = (
+    "WITH events_us AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Scan / filter
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scan_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+    FROM lineitem
+    """,
+    tags=("relational", "scan"),
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan + column projection — pruned at the parquet reader
+    (ReadSchema shows only 4 columns)."""
+    return load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+
+
+@query(
+    "q_filter_predicate",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size
+    FROM part
+    WHERE p_size BETWEEN 10 AND 40
+      AND (p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') OR p_type LIKE '%SMALL%')
+      AND p_name IS NOT NULL
+      AND p_retailprice > 500.0
+    """,
+    tags=("relational", "filter"),
+)
+def q_filter_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicate (AND/OR/IN/BETWEEN/LIKE/IS NOT NULL) — all
+    conjuncts reach the parquet scan as PushedFilters."""
+    p = load_table(spark, sf_dir, "part")
+    return p.filter(
+        F.col("p_size").between(10, 40)
+        & (
+            F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
+            | F.col("p_type").like("%SMALL%")
+        )
+        & F.col("p_name").isNotNull()
+        & (F.col("p_retailprice") > 500.0)
+    ).select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+def _cents(col: str) -> F.Column:
+    """Exact integer cents for a 2-dp money column.  Float-determinism
+    device: cross-engine comparisons of double arithmetic are only safe
+    when both engines compute bit-identical values, so money math is done
+    on exact int64 units with a single constant power-of-ten division at
+    the end (identical IEEE ops → identical bits → identical hash)."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+def _pct(col: str) -> F.Column:
+    """Exact integer percent units for a 2-dp rate column (0.08 → 8)."""
+    return F.round(F.col(col) * 100, 0).cast("long")
+
+
+@query(
+    "q_join_inner_equi",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey, o.o_orderstatus,
+           CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) / 10000.0 AS net_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+    tags=("relational", "join"),
+)
+def q_join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact inner equi-join (lineitem ⋈ orders). At scale: shuffle
+    hash/sort-merge on l_orderkey with AQE skew handling; the status
+    filter pushes below the join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    net = (_cents("l_extendedprice") * (100 - _pct("l_discount")) / 10000.0).alias(
+        "net_price"
+    )
+    return l.join(o, l.l_orderkey == o.o_orderkey, "inner").select(
+        "l_orderkey", "l_linenumber", "o_custkey", "o_orderstatus", net
+    )
+
+
+@query(
+    "q_join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           o.o_totalprice
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_totalprice > 200000.0
+    """,
+    tags=("relational", "join"),
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a join-side predicate (kept in the ON clause
+    — must NOT be pushed as a post-filter, which would drop null rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_totalprice > 200000.0)
+    return c.join(o, cond, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("relational", "join"),
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence join (left semi) — never duplicates the probe side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("relational", "join"),
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join — customers with no orders."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT r.r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("relational", "join"),
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join through two explicitly-broadcast dims — zero shuffles on
+    the fact side until the final small aggregation."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+@query(
+    "q_join_range_theta",
+    oracle=EVENTS_US
+    + """
+    SELECT a.event_id AS event_a, b.event_id AS event_b, a.user_id
+    FROM events_us a JOIN events_us b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+     AND a.event_type = 'error'
+    """,
+    tags=("relational", "join"),
+)
+def q_join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/theta join: events within 5 minutes after an error by the
+    same user. The equi conjunct (user_id) keeps this a hash join with a
+    range residual — never a full cartesian BNLJ."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    cond = (
+        (a.user_id == b.user_b)
+        & (b.ts_b > a.ts_a)
+        & (b.ts_b <= a.ts_a + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return a.join(b, cond, "inner").select("event_a", "event_b", "user_id")
+
+
+@query(
+    "q_join_asof",
+    oracle=EVENTS_US
+    + """
+    SELECT o.o_orderkey, last.event_id AS asof_event_id, last.ts AS asof_ts
+    FROM orders o
+    LEFT JOIN LATERAL (
+        SELECT e.event_id, e.ts
+        FROM events_us e
+        WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+        ORDER BY e.ts DESC, e.event_id DESC
+        LIMIT 1
+    ) last ON TRUE
+    """,
+    tags=("relational", "join"),
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the latest event of that user at or
+    before the order date.  Expressed as equi-join on the entity key +
+    max-of-struct aggregation — both shuffle-partitioned by the key, so
+    the pattern scales without a sort-merge over the whole time domain.
+    Tie-break: (ts, event_id) lexicographic max, matching the oracle's
+    ORDER BY ts DESC, event_id DESC LIMIT 1."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    joined = o.join(
+        e, (o.o_custkey == e.user_id) & (e.ts <= o.o_orderdate), "left"
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.max(F.struct(F.col("ts"), F.col("event_id"))).alias("last"))
+        .select(
+            "o_orderkey",
+            F.col("last.event_id").alias("asof_event_id"),
+            F.col("last.ts").alias("asof_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_agg_hash",
+    oracle="""
+    WITH l AS (
+        SELECT l_returnflag, l_linestatus, l_quantity,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(ROUND(l_discount * 100) AS BIGINT)      AS d2,
+               CAST(ROUND(l_tax * 100) AS BIGINT)           AS t2
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    )
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity)                                        AS sum_qty,
+           SUM(cents) / 100.0                                     AS sum_base_price,
+           SUM(cents * (100 - d2)) / 10000.0                      AS sum_disc_price,
+           SUM(cents * (100 - d2) * (100 + t2)) / 1000000.0       AS sum_charge,
+           SUM(l_quantity) / COUNT(*)                             AS avg_qty,
+           SUM(cents) / 100.0 / COUNT(*)                          AS avg_price,
+           SUM(d2) / 100.0 / COUNT(*)                             AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                               AS count_order
+    FROM l GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped grouped aggregation: 8 aggregates over 2 group
+    keys. Spark's hash aggregate does partial (map-side) combine before
+    the shuffle — the shuffle moves #groups rows, not #input rows.
+
+    Money math on exact int64 cent units (see _cents): the sums stay
+    exact (< 2^53 at oracle scale) so both engines produce bit-identical
+    doubles after the single constant division — no rounding games."""
+    l = load_table(spark, sf_dir, "lineitem")
+    cents, d2, t2 = _cents("l_extendedprice"), _pct("l_discount"), _pct("l_tax")
+    n = F.count("*")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_quantity",
+                cents.alias("cents"), d2.alias("d2"), t2.alias("t2"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum("cents") / 100.0).alias("sum_base_price"),
+            (F.sum(F.col("cents") * (100 - F.col("d2"))) / 10000.0).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(F.col("cents") * (100 - F.col("d2")) * (100 + F.col("t2")))
+                / 1000000.0
+            ).alias("sum_charge"),
+            (F.sum("l_quantity") / n).alias("avg_qty"),
+            (F.sum("cents") / 100.0 / n).alias("avg_price"),
+            (F.sum("d2") / 100.0 / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT(DISTINCT) — Spark expands to a partial-distinct
+    aggregate (expand + two-phase agg), no driver-side dedup."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+    )
+
+
+@query(
+    "q_agg_approx_distinct",
+    oracle=None,  # approximate → rows-only check (HLL estimates differ by impl)
+    tags=("relational", "agg", "approx"),
+)
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB answer to exact
+    COUNT(DISTINCT): mergeable sketches, no expand, fixed memory."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "agg"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicators (disambiguates subtotal NULLs
+    from data NULLs). Spark plans this as a single Expand + hash agg."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey) AS INTEGER) AS rnk
+        FROM customer) t
+    WHERE rnk <= 5
+    """,
+    tags=("relational", "window"),
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5-per-group via ranking window. The rank filter is pushed into
+    the window operator (WindowGroupLimit) so each partition only keeps 5
+    rows — no full sort materialization. Unique tie-break: c_custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("c_mktsegment", "c_custkey", "c_acctbal", "rnk")
+    )
+
+
+@query(
+    "q_window_frame",
+    oracle=EVENTS_US
+    + """
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER w / 100.0 AS moving_sum,
+           SUM(CAST(ROUND(value * 100) AS BIGINT))
+               OVER w / 100.0 / COUNT(*) OVER w AS moving_avg
+    FROM events_us
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("relational", "window"),
+)
+def q_window_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-frame analytics (4-row moving sum/avg per user). Partition
+    key = user_id (high cardinality at scale → balanced). Exact cent
+    units for cross-engine float determinism (see _cents)."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    cents_sum = F.sum(_cents("value")).over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        (cents_sum / 100.0).alias("moving_sum"),
+        (cents_sum / 100.0 / F.count("*").over(w)).alias("moving_avg"),
+    )
+
+
+@query(
+    "q_window_lead_lag",
+    oracle=EVENTS_US
+    + """
+    SELECT event_id, user_id, value,
+           ROUND(value - LAG(value) OVER w, 2)  AS delta_prev,
+           LEAD(event_type) OVER w              AS next_type,
+           FIRST_VALUE(event_id) OVER w         AS first_event
+    FROM events_us
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("relational", "window"),
+)
+def q_window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag/first_value over an ordered per-user window."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / set ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sort_limit_topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    tags=("relational", "sort"),
+)
+def q_sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: Spark plans TakeOrderedAndProject — each partition keeps a
+    k-element heap, only k rows reach the driver-side merge. Unique
+    tie-break (o_orderkey) makes the result set deterministic."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+    tags=("relational", "setop"),
+)
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) via unionByName + dropDuplicates."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), F.lit("customer").alias("side")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"), F.lit("supplier").alias("side")
+    )
+    return c.unionByName(s).dropDuplicates()
+
+
+@query(
+    "q_set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("relational", "setop"),
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT — nations having both customers and suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "q_set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000.0
+    """,
+    tags=("relational", "setop"),
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set semantics, via subtract) — nations with
+    customers but no high-balance suppliers."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000.0)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return c.subtract(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name)                         AS name_lower,
+           UPPER(p_brand)                        AS brand_upper,
+           SUBSTR(p_type, 1, 3)                  AS type_prefix,
+           CAST(LENGTH(p_name) AS INTEGER)       AS name_len,
+           CONCAT(p_brand, ':', p_type)          AS brand_type,
+           REPLACE(p_name, ' ', '_')             AS name_snake,
+           TRIM(CONCAT('  ', p_name, '  '))      AS name_trimmed,
+           LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded
+    FROM part
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family: lower/upper/substr/length/concat/replace/
+    trim/lpad — all JVM built-ins inside codegen."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_type", 1, 3).alias("type_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit("  "))).alias(
+            "name_trimmed"
+        ),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+@query(
+    "q_scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           DATE_TRUNC('month', o_orderdate)                       AS order_month,
+           CAST(YEAR(o_orderdate) AS INTEGER)                     AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER)                    AS order_mon,
+           CAST(DAYOFWEEK(o_orderdate) AS INTEGER)                AS order_dow,
+           CAST(DATEDIFF('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+                                                                  AS days_since_2024,
+           CAST(FLOOR(EPOCH(o_orderdate)) AS BIGINT)              AS epoch_sec
+    FROM orders
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: trunc, extract parts, datediff, epoch seconds.
+
+    Convention note: DuckDB DAYOFWEEK is 0=Sunday..6=Saturday while
+    Spark dayofweek is 1=Sunday..7, so the Spark side subtracts 1 and
+    both emit the 0-based convention."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_mon"),
+        (F.dayofweek("o_orderdate") - F.lit(1)).alias("order_dow"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_2024"
+        ),
+        F.unix_timestamp("o_orderdate").alias("epoch_sec"),
+    )
+
+
+@query(
+    "q_scalar_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05)                       AS disc_dev,
+           ROUND(l_extendedprice, 0)                    AS price_round,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT)       AS qty_ceil7,
+           CAST(FLOOR(l_quantity / 7.0) AS BIGINT)      AS qty_floor7,
+           ROUND(LN(l_extendedprice), 6)                AS price_ln,
+           ROUND(SQRT(l_quantity), 6)                   AS qty_sqrt,
+           ROUND(POWER(1.0 + l_tax, 2), 6)              AS tax_sq,
+           CAST(CAST(l_quantity AS BIGINT) % 5 AS BIGINT) AS qty_mod5
+    FROM lineitem
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/round/ceil/floor/ln/sqrt/power/mod. Transcendental
+    results rounded to 6 dp (libm vs JVM last-ulp differences)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round("l_extendedprice", 0).alias("price_round"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_ceil7"),
+        F.floor(F.col("l_quantity") / 7.0).alias("qty_floor7"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        (F.col("l_quantity").cast("long") % 5).alias("qty_mod5"),
+    )
+
+
+@query(
+    "q_scalar_array",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STR_SPLIT(text, ' ')) AS INTEGER)        AS n_tokens,
+           STR_SPLIT(text, ' ')[1]                           AS first_token,
+           LIST_SORT(STR_SPLIT(text, ' '))[1]                AS min_token,
+           CAST(LIST_CONTAINS(STR_SPLIT(text, ' '), 'the') AS BOOLEAN) AS has_the,
+           ARRAY_TO_STRING(STR_SPLIT(text, ' ')[1:3], '|')   AS first3
+    FROM documents
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: split/size/element_at/sort_array/array_contains/
+    slice+array_join — all native ArrayType expressions (no UDF)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(F.sort_array(toks), 1).alias("min_token"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_join(F.slice(toks, 1, 3), "|").alias("first3"),
+    )
+
+
+@query(
+    "q_scalar_json",
+    oracle=EVENTS_US
+    + """
+    SELECT event_id,
+           CAST(JSON_EXTRACT_STRING(props, '$.k') AS INTEGER) AS prop_k,
+           CAST(JSON_EXTRACT_STRING(props, '$.missing') AS VARCHAR) AS prop_missing
+    FROM events_us
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the events.props string column — Spark
+    get_json_object (codegen'd Jackson path eval), null for missing."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        F.get_json_object("props", "$.missing").alias("prop_missing"),
+    )
+
+
+@query(
+    "q_scalar_conditional",
+    oracle=EVENTS_US
+    + """
+    SELECT event_id,
+           CASE WHEN value > 400 THEN 'high'
+                WHEN value > 100 THEN 'mid'
+                ELSE 'low' END                          AS value_band,
+           COALESCE(NULLIF(event_type, 'error'), 'n/a') AS type_or_na,
+           CASE WHEN event_type = 'purchase' THEN ROUND(value, 2) ELSE 0.0 END AS purchase_value
+    FROM events_us
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / coalesce / nullif family."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.when(F.col("value") > 400, "high")
+        .when(F.col("value") > 100, "mid")
+        .otherwise("low")
+        .alias("value_band"),
+        F.coalesce(F.nullif(F.col("event_type"), F.lit("error")), F.lit("n/a")).alias(
+            "type_or_na"
+        ),
+        F.when(F.col("event_type") == "purchase", F.round("value", 2))
+        .otherwise(F.lit(0.0))
+        .alias("purchase_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# UDF / UDAF surface
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(T.IntegerType())
+def _token_count_udf(text: pd.Series) -> pd.Series:
+    """Vectorized token counter — the generalization of the reference's
+    per-record transformLogEvent hook (lambda/main.py:55-69): arbitrary
+    Python per-value logic, Arrow-batched."""
+    return (text.str.count(" ") + 1).astype("int32")
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT doc_id,
+           CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS INTEGER) AS n_tokens_udf
+    FROM documents
+    """,
+    tags=("relational", "udf"),
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF (Arrow-vectorized). Oracle expresses the same
+    token count in pure SQL to differentially verify the UDF path."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _token_count_udf(F.col("text")).alias("n_tokens_udf"))
+
+
+@query(
+    "q_udaf",
+    oracle=EVENTS_US
+    + """
+    SELECT event_type,
+           MEDIAN(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS median_value,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events_us GROUP BY event_type
+    """,
+    tags=("relational", "udf"),
+)
+def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregate via applyInPandas (exact median + count
+    per group). Each group is one pandas DataFrame on one executor —
+    group key cardinality must exceed parallelism at scale (event_type
+    is low-card here; at 100 TB you'd pre-aggregate or use
+    percentile_approx — see q_agg_approx_distinct for the sketch-based
+    pattern)."""
+    e = load_table(spark, sf_dir, "events")
+
+    def median_agg(pdf: pd.DataFrame) -> pd.DataFrame:
+        cents = (pdf["value"] * 100).round().astype("int64")
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "median_value": [float(cents.median()) / 100.0],
+                "n": [len(pdf)],
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        median_agg, schema="event_type string, median_value double, n long"
+    )

@@ -1,0 +1,60 @@
+"""Parquet table loaders for the synthetic star schema.
+
+Tables (see /root/repo/FIXTURES.md): region nation customer supplier part
+orders lineitem events documents embeddings — one parquet file per table
+under an ``sf`` directory.  All reads go through :func:`load_table` so
+predicate pushdown / column pruning applies uniformly and a future move
+to a real catalog (Iceberg/Delta/HMS) is a one-file change.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Small dimension tables that should always be broadcast in joins.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Plain parquet scan → Catalyst gets pushdown/pruning.
+
+    ``events.ts`` is nanosecond-precision parquet, which Spark 4 reads as
+    a long (``spark.sql.legacy.parquet.nanosAsLong``). Normalize it to a
+    microsecond TimestampType by truncation — identical to DuckDB's
+    TIMESTAMP_NS → TIMESTAMP cast, so oracles line up exactly.
+    """
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    # Defensive: the driver may hand us a vanilla session. These are
+    # runtime-settable SQL confs and required for correct reads/parity.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for the SQL API surface."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

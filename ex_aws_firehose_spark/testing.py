@@ -1,0 +1,102 @@
+"""Differential-test harness: run a registered query on Spark and its
+oracle SQL on DuckDB over the same parquet tables, and compare the way
+the driver does — row count, schema (column names), and an
+order-insensitive value comparison (exact, including floats — queries
+are required to round any float whose bit-pattern could differ between
+engines)."""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ex_aws_firehose_spark.tables import TABLE_NAMES
+
+
+def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Fresh DuckDB connection with every table registered as a view —
+    same contract as the driver's oracle runner."""
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+    return con
+
+
+def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Canonical form: columns sorted by name, datetimes at µs precision,
+    rows sorted by every column (nulls last), index dropped."""
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        s = pdf[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            pdf[c] = s.astype("datetime64[us]")
+        elif s.dtype == object:
+            # arrays / lists → tuple for sortability & equality
+            pdf[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+        elif pd.api.types.is_integer_dtype(s):
+            pdf[c] = s.astype("Int64")
+        elif pd.api.types.is_bool_dtype(s):
+            pdf[c] = s.astype("boolean")
+    pdf = pdf.sort_values(by=list(pdf.columns), na_position="last", kind="mergesort")
+    return pdf.reset_index(drop=True)
+
+
+@dataclass
+class CompareResult:
+    key: str
+    ok: bool
+    detail: str
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+
+def compare_frames(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
+    if len(spark_pdf) != len(oracle_pdf):
+        return CompareResult(key, False, f"row count {len(spark_pdf)} != {len(oracle_pdf)}")
+    if sorted(spark_pdf.columns) != sorted(oracle_pdf.columns):
+        return CompareResult(
+            key,
+            False,
+            f"columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}",
+        )
+    a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
+    for c in a.columns:
+        sa, sb = a[c], b[c]
+        if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
+            fa = sa.astype(float).to_numpy()
+            fb = sb.astype(float).to_numpy()
+            for i, (x, y) in enumerate(zip(fa, fb)):
+                both_nan = math.isnan(x) and math.isnan(y)
+                if not both_nan and x != y:
+                    return CompareResult(
+                        key, False, f"col {c} row {i}: {x!r} != {y!r} (float mismatch)"
+                    )
+        else:
+            neq = ~((sa == sb) | (sa.isna() & sb.isna()))
+            if bool(neq.any()):
+                i = int(neq.idxmax())
+                return CompareResult(
+                    key, False, f"col {c} row {i}: {sa[i]!r} != {sb[i]!r}"
+                )
+    return CompareResult(key, True, "match")
+
+
+def run_differential(
+    spark: SparkSession, sf_dir: str, key: str, fn, oracle: str
+) -> CompareResult:
+    sdf: DataFrame = fn(spark, sf_dir)
+    spark_pdf = sdf.toPandas()
+    con = duckdb_connection(sf_dir)
+    try:
+        oracle_pdf = con.execute(oracle).df()
+    finally:
+        con.close()
+    return compare_frames(key, spark_pdf, oracle_pdf)
