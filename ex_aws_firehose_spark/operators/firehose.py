@@ -1,1 +1,606 @@
-"""Placeholder — populated in a later milestone."""
+"""The reference pipeline, Spark-first (SURVEY.md §2.1–2.3, all [REF]).
+
+Reference semantics re-expressed declaratively (citations are to the
+reference repo ``doi-t/ex-aws-firehose``):
+
+- decode chain  — base64 → gunzip → utf-8 → JSON   (lambda/main.py:74)
+- 3-way routing — bare-string payload → Ok; non-DATA_MESSAGE →
+  ProcessingFailed; DATA_MESSAGE → transform      (lambda/main.py:80-98)
+- per-event transform — 'Hello' → 'Hell Yeah', append newline
+                                                   (lambda/main.py:55-69)
+- order-preserving reassembly — concat w/o extra delimiters
+                                                   (lambda/main.py:42-44,92-93)
+- sequential size-overflow split at a byte threshold
+                                                   (lambda/main.py:137-153)
+- bounded-retry re-ingestion self-loop             (lambda/main.py:101-128)
+
+Fixture synthesis: Firehose records are built *from the events table*
+(deterministic arithmetic on event_id — FIXTURES.md §B) so every
+pipeline stage has a DuckDB oracle that recomputes the expected output
+relationally from the same rows.
+
+Pipeline stages are standalone DataFrame→DataFrame functions; the
+streaming layer reuses them per micro-batch unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ex_aws_firehose_spark.functions.codec import gzip_compress, gzip_decompress
+from ex_aws_firehose_spark.registry import query
+from ex_aws_firehose_spark.tables import load_table
+
+# CloudWatch Logs envelope (reference lambda/main.py:5-28).
+LOG_EVENT_TYPE = "struct<id:string,timestamp:bigint,message:string>"
+ENVELOPE_SCHEMA = T.StructType(
+    [
+        T.StructField("messageType", T.StringType()),
+        T.StructField("owner", T.StringType()),
+        T.StructField("logGroup", T.StringType()),
+        T.StructField("logStream", T.StringType()),
+        T.StructField("subscriptionFilters", T.ArrayType(T.StringType())),
+        T.StructField(
+            "logEvents",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("id", T.StringType()),
+                        T.StructField("timestamp", T.LongType()),
+                        T.StructField("message", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+OWNER = "123456789012"
+LOG_GROUP = "/ex-aws-firehose"
+LOG_STREAM = "test"
+SUBSCRIPTION_FILTER = "ex-aws-firehose"
+
+EVENTS_PER_RECORD = 10
+# Fixture variant arithmetic (mirrored in ORACLE_CTE): bare-string
+# payloads model Firehose re-ingested data (reference lambda/main.py:78-85),
+# control messages model CloudWatch CONTROL_MESSAGEs (lambda/main.py:86-90).
+BARE_MOD, BARE_REM = 17, 3
+CTRL_MOD, CTRL_REM = 13, 5
+
+# Scaled-down analog of the reference's 4,000,000-byte re-ingest threshold
+# (lambda/main.py:145-147) so the split actually triggers at test SFs.
+OVERFLOW_THRESHOLD = 100_000
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB oracle CTE: recomputes record/event derivations from the
+# events table with the same deterministic arithmetic as synthesize_records.
+# ---------------------------------------------------------------------------
+ORACLE_CTE = f"""
+WITH ev AS (
+    SELECT event_id,
+           event_id // {EVENTS_PER_RECORD} AS rec_no,
+           lpad(CAST(event_id AS VARCHAR), 56, '0') AS event_id_str,
+           epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_millis,
+           CASE WHEN event_id % 7 = 0
+                THEN 'Hello ' || event_type || ' ' || props
+                ELSE event_type || ' ' || props END AS message
+    FROM events
+),
+recs AS (
+    SELECT rec_no,
+           'rec-' || lpad(CAST(rec_no AS VARCHAR), 8, '0') AS record_id,
+           CASE WHEN rec_no % {BARE_MOD} = {BARE_REM} THEN 'bare'
+                WHEN rec_no % {CTRL_MOD} = {CTRL_REM} THEN 'control'
+                ELSE 'data' END AS kind,
+           CAST(count(*) AS INTEGER) AS n_raw_events
+    FROM ev GROUP BY rec_no
+),
+data_events AS (
+    SELECT e.*, r.record_id,
+           replace(e.message, 'Hello', 'Hell Yeah') || chr(10) AS transformed
+    FROM ev e JOIN recs r USING (rec_no) WHERE r.kind = 'data'
+),
+payloads AS (
+    SELECT r.rec_no, r.record_id, r.kind,
+           CASE WHEN r.kind = 'bare' THEN 'reingested-' || CAST(r.rec_no AS VARCHAR)
+                WHEN r.kind = 'control' THEN NULL
+                ELSE (SELECT string_agg(d.transformed, '' ORDER BY d.event_id)
+                      FROM data_events d WHERE d.rec_no = r.rec_no)
+           END AS payload
+    FROM recs r
+),
+routed AS (
+    SELECT p.*,
+           CASE WHEN p.kind = 'control' THEN 'ProcessingFailed' ELSE 'Ok' END AS result
+    FROM payloads p
+),
+sized AS (
+    SELECT *,
+           SUM(CASE WHEN result = 'ProcessingFailed' THEN 0
+                    ELSE length(payload) + length(record_id) END)
+               OVER (ORDER BY rec_no) AS cum_size
+    FROM routed
+),
+split AS (
+    SELECT rec_no, record_id, kind, payload, cum_size,
+           CASE WHEN result = 'ProcessingFailed' THEN 'ProcessingFailed'
+                WHEN cum_size > {OVERFLOW_THRESHOLD} THEN 'Dropped'
+                ELSE 'Ok' END AS result
+    FROM sized
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fixture synthesis (FIXTURES.md §B) — pure DataFrame ops + gzip UDF.
+# ---------------------------------------------------------------------------
+
+
+def _message_col() -> Column:
+    base = F.concat(F.col("event_type"), F.lit(" "), F.col("props"))
+    return F.when(
+        F.col("event_id") % 7 == 0, F.concat(F.lit("Hello "), base)
+    ).otherwise(base)
+
+
+def synthesize_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events table → Firehose record batch
+    ``(idx BIGINT, record_id STRING, data STRING)`` where ``data`` is
+    base64(gzip(payload)) exactly as the delivery stream would hand it to
+    the processor (reference lambda/main.py:74 in reverse).
+
+    Scales: one shuffle (groupBy rec_no ≈ 10-row groups, high
+    cardinality), gzip UDF Arrow-batched, no driver materialization.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.expr(f"event_id div {EVENTS_PER_RECORD}").alias("rec_no"),
+        F.lpad(F.col("event_id").cast("string"), 56, "0").alias("event_id_str"),
+        F.unix_millis("ts").alias("ts_millis"),
+        _message_col().alias("message"),
+    )
+    recs = ev.groupBy("rec_no").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("event_id", "event_id_str", "ts_millis", "message")
+            )
+        ).alias("evs")
+    )
+    kind = (
+        F.when(F.col("rec_no") % BARE_MOD == BARE_REM, "bare")
+        .when(F.col("rec_no") % CTRL_MOD == CTRL_REM, "control")
+        .otherwise("data")
+    )
+    envelope = F.struct(
+        F.when(F.col("kind") == "control", "CONTROL_MESSAGE")
+        .otherwise("DATA_MESSAGE")
+        .alias("messageType"),
+        F.lit(OWNER).alias("owner"),
+        F.lit(LOG_GROUP).alias("logGroup"),
+        F.lit(LOG_STREAM).alias("logStream"),
+        F.array(F.lit(SUBSCRIPTION_FILTER)).alias("subscriptionFilters"),
+        F.when(
+            F.col("kind") == "control", F.array().cast(f"array<{LOG_EVENT_TYPE}>")
+        )
+        .otherwise(
+            F.transform(
+                F.col("evs"),
+                lambda x: F.struct(
+                    x.event_id_str.alias("id"),
+                    x.ts_millis.alias("timestamp"),
+                    x.message.alias("message"),
+                ),
+            )
+        )
+        .alias("logEvents"),
+    )
+    payload_json = F.when(
+        F.col("kind") == "bare",
+        F.concat(F.lit('"reingested-'), F.col("rec_no").cast("string"), F.lit('"')),
+    ).otherwise(F.to_json(envelope))
+    return (
+        recs.withColumn("kind", kind)
+        .withColumn("payload_json", payload_json)
+        .select(
+            F.col("rec_no").alias("idx"),
+            F.concat(
+                F.lit("rec-"), F.lpad(F.col("rec_no").cast("string"), 8, "0")
+            ).alias("record_id"),
+            F.base64(gzip_compress(F.col("payload_json").cast("binary"))).alias(
+                "data"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline stages (composable; streaming reuses them per micro-batch).
+# ---------------------------------------------------------------------------
+
+
+def decode_chain(records: DataFrame) -> DataFrame:
+    """base64 → gunzip → utf-8 → parse (reference lambda/main.py:74).
+
+    Adds ``payload`` (decoded string), ``envelope`` (parsed struct, null
+    for non-envelope payloads), ``kind`` ('data'|'control'|'bare' — the
+    3-way dispatch condition of lambda/main.py:80-91) and ``bare_value``
+    (the JSON string payload for the re-ingested-data branch)."""
+    # try_to_binary (not unbase64): invalid base64 yields null → the
+    # record dead-letters instead of throwing inside codegen.
+    df = records.withColumn(
+        "payload",
+        gzip_decompress(F.expr("try_to_binary(data, 'base64')")).cast("string"),
+    )
+    df = df.withColumn("envelope", F.from_json("payload", ENVELOPE_SCHEMA))
+    return df.withColumn(
+        "kind",
+        # 'error': undecodable record (bad b64/gzip/utf8) → dead-letter
+        # route; the reference's Lambda would crash the invocation here,
+        # Firehose would retry then error-log — we go straight to the
+        # error route (main.tf:21-25 semantics) without poisoning the batch.
+        F.when(F.col("payload").isNull(), "error")
+        .when(F.col("payload").startswith('"'), "bare")
+        .when(F.col("envelope.messageType") == "DATA_MESSAGE", "data")
+        .otherwise("control"),
+    ).withColumn(
+        "bare_value",
+        F.when(F.col("kind") == "bare", F.get_json_object("payload", "$")),
+    )
+
+
+def explode_events(decoded: DataFrame) -> DataFrame:
+    """Flat-map logEvents → one row per event with its ordinal
+    (posexplode keeps the in-record position so reassembly can restore
+    byte order after any shuffle — reference lambda/main.py:92)."""
+    return (
+        decoded.filter(F.col("kind") == "data")
+        .select(
+            "idx",
+            "record_id",
+            F.posexplode("envelope.logEvents").alias("pos", "ev"),
+        )
+        .select(
+            "idx",
+            "record_id",
+            "pos",
+            F.col("ev.id").alias("event_id_str"),
+            F.col("ev.timestamp").alias("ts_millis"),
+            F.col("ev.message").alias("message"),
+        )
+    )
+
+
+def transform_message(events: DataFrame) -> DataFrame:
+    """Per-event scalar transform (reference lambda/main.py:55-69):
+    'Hello' → 'Hell Yeah' (all occurrences), then append '\\n'."""
+    return events.withColumn(
+        "transformed",
+        F.concat(
+            F.regexp_replace("message", "Hello", "Hell Yeah"), F.lit("\n")
+        ),
+    )
+
+
+def reassemble(transformed: DataFrame) -> DataFrame:
+    """Concatenate transformed events back to one payload per record,
+    order-preserving, no extra delimiters (lambda/main.py:42-44,92-93).
+    The explicit ``pos`` ordinal survives the shuffle — collect_list
+    order alone is NOT guaranteed."""
+    return (
+        transformed.groupBy("idx", "record_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "transformed"))),
+                    lambda x: x.transformed,
+                ),
+                "",
+            ).alias("payload")
+        )
+        # Spark's base64 emits RFC-2045 MIME chunking (CRLF every 76
+        # chars); the Firehose contract (and DuckDB's to_base64) is the
+        # unchunked RFC-4648 form — strip the breaks.
+        .withColumn(
+            "data",
+            F.translate(F.base64(F.col("payload").cast("binary")), "\r\n", ""),
+        )
+    )
+
+
+def route(decoded: DataFrame) -> DataFrame:
+    """3-way dispatch (lambda/main.py:80-98): bare → Ok (pass-through,
+    'data that is re-ingested'), control → ProcessingFailed, data → Ok
+    with the transformed+reassembled payload."""
+    out = reassemble(transform_message(explode_events(decoded))).select(
+        "idx", F.col("payload").alias("out_payload")
+    )
+    return (
+        decoded.join(out, "idx", "left")
+        .select(
+            "idx",
+            "record_id",
+            "kind",
+            F.when(F.col("kind").isin("control", "error"), "ProcessingFailed")
+            .otherwise("Ok")
+            .alias("result"),
+            F.when(F.col("kind") == "bare", F.col("bare_value"))
+            .when(F.col("kind") == "data", F.col("out_payload"))
+            .alias("payload"),
+        )
+    )
+
+
+def overflow_split(routed: DataFrame, threshold: int = OVERFLOW_THRESHOLD) -> DataFrame:
+    """Sequential projected-size accounting (lambda/main.py:137-153):
+    accumulate len(payload)+len(recordId) in input (idx) order, skipping
+    failed records (lambda/main.py:141-142); once the running total
+    crosses ``threshold``, the remainder is 'Dropped' for re-ingestion.
+
+    Scale note: the reference's accounting is per Lambda invocation
+    (≤ a few MB of records), so the single-partition window here mirrors
+    a bounded unit of work — the streaming layer applies it per
+    micro-batch, never to an unbounded table. The batch query keeps the
+    reference's global-order semantics for oracle checkability."""
+    size = F.when(
+        F.col("result") == "ProcessingFailed", F.lit(0)
+    ).otherwise(F.length("payload") + F.length("record_id"))
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    return routed.withColumn("cum_size", F.sum(size).over(w)).withColumn(
+        "result",
+        F.when(F.col("result") == "ProcessingFailed", "ProcessingFailed")
+        .when(F.col("cum_size") > threshold, "Dropped")
+        .otherwise("Ok"),
+    )
+
+
+def reingest(
+    split_df: DataFrame, records: DataFrame, max_attempts: int = 20
+) -> DataFrame:
+    """Batch-mode self-loop (lambda/main.py:101-128,154-157): records
+    marked 'Dropped' re-enter the pipeline as a fresh batch with fresh
+    size accounting; records that fit now deliver on attempt 2, the rest
+    stay Dropped (a real system keeps looping up to the reference's
+    maxAttempts=20 — the streaming layer does this via foreachBatch
+    write-back; the batch query exposes one round)."""
+    first = split_df.select(
+        "idx",
+        "record_id",
+        F.col("result"),
+        F.lit(1).alias("attempts"),
+    )
+    retried = (
+        split_df.filter(F.col("result") == "Dropped")
+        .select("idx")
+        .join(records, "idx")
+    )
+    if max_attempts > 1:
+        second = overflow_split(route(decode_chain(retried))).select(
+            "idx",
+            "record_id",
+            F.col("result"),
+            F.lit(2).alias("attempts"),
+        )
+        first = first.filter(F.col("result") != "Dropped").unionByName(second)
+    return first.select(
+        "record_id", F.col("result").alias("final_result"), "attempts"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registered queries (driver-checkable, one per §2.1-2.3 key).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_decode_chain",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, kind,
+           CASE WHEN kind = 'bare' THEN NULL
+                WHEN kind = 'control' THEN 'CONTROL_MESSAGE'
+                ELSE 'DATA_MESSAGE' END AS message_type,
+           CASE WHEN kind = 'bare' THEN NULL
+                WHEN kind = 'control' THEN 0
+                ELSE n_raw_events END AS n_events,
+           CASE WHEN kind = 'bare'
+                THEN length('reingested-' || CAST(rec_no AS VARCHAR)) + 2
+                ELSE NULL END AS bare_payload_len
+    FROM recs
+    """,
+    tags=("firehose", "ref"),
+)
+def q_decode_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode chain (b64→gunzip→utf8→JSON-parse) over synthesized
+    Firehose records; projects parse results per record."""
+    decoded = decode_chain(synthesize_records(spark, sf_dir))
+    return decoded.select(
+        "record_id",
+        "kind",
+        F.col("envelope.messageType").alias("message_type"),
+        F.when(F.col("kind") == "bare", F.lit(None).cast("int"))
+        .otherwise(F.size("envelope.logEvents"))
+        .alias("n_events"),
+        F.when(F.col("kind") == "bare", F.length("payload"))
+        .otherwise(F.lit(None).cast("int"))
+        .alias("bare_payload_len"),
+    )
+
+
+@query(
+    "q_explode_events",
+    oracle=ORACLE_CTE
+    + """
+    SELECT d.record_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY d.rec_no ORDER BY d.event_id) - 1
+                AS INTEGER) AS pos,
+           d.event_id_str, d.ts_millis, d.message
+    FROM data_events d
+    """,
+    tags=("firehose", "ref"),
+)
+def q_explode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode of logEvents — one row per log event with its ordinal."""
+    decoded = decode_chain(synthesize_records(spark, sf_dir))
+    return explode_events(decoded).select(
+        "record_id", "pos", "event_id_str", "ts_millis", "message"
+    )
+
+
+@query(
+    "q_transform_message",
+    oracle=ORACLE_CTE
+    + """
+    SELECT d.record_id, d.event_id_str, d.transformed
+    FROM data_events d
+    """,
+    tags=("firehose", "ref"),
+)
+def q_transform_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's transformLogEvent: Hello→Hell Yeah + newline."""
+    decoded = decode_chain(synthesize_records(spark, sf_dir))
+    return transform_message(explode_events(decoded)).select(
+        "record_id", "event_id_str", "transformed"
+    )
+
+
+@query(
+    "q_reassemble_concat",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, payload,
+           to_base64(encode(payload)) AS data
+    FROM payloads WHERE kind = 'data'
+    """,
+    tags=("firehose", "ref"),
+)
+def q_reassemble_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-preserving per-record concat + re-encode."""
+    decoded = decode_chain(synthesize_records(spark, sf_dir))
+    return reassemble(transform_message(explode_events(decoded))).select(
+        "record_id", "payload", "data"
+    )
+
+
+@query(
+    "q_project_envelope",
+    oracle=ORACLE_CTE
+    + f"""
+    SELECT record_id,
+           CASE WHEN kind = 'control' THEN 'CONTROL_MESSAGE'
+                ELSE 'DATA_MESSAGE' END AS message_type,
+           '{OWNER}' AS owner, '{LOG_GROUP}' AS log_group,
+           '{LOG_STREAM}' AS log_stream,
+           '{SUBSCRIPTION_FILTER}' AS first_filter,
+           1 AS n_filters
+    FROM recs WHERE kind <> 'bare'
+    """,
+    tags=("firehose", "ref"),
+)
+def q_project_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Envelope field projection (messageType/owner/logGroup/logStream/
+    subscriptionFilters) for records that carry an envelope."""
+    decoded = decode_chain(synthesize_records(spark, sf_dir))
+    return decoded.filter(F.col("kind") != "bare").select(
+        "record_id",
+        F.col("envelope.messageType").alias("message_type"),
+        F.col("envelope.owner").alias("owner"),
+        F.col("envelope.logGroup").alias("log_group"),
+        F.col("envelope.logStream").alias("log_stream"),
+        F.element_at("envelope.subscriptionFilters", 1).alias("first_filter"),
+        F.size("envelope.subscriptionFilters").alias("n_filters"),
+    )
+
+
+@query(
+    "q_route_message_type",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, kind, result,
+           CASE WHEN result = 'ProcessingFailed' THEN NULL
+                ELSE length(payload) END AS payload_len
+    FROM routed
+    """,
+    tags=("firehose", "ref"),
+)
+def q_route_message_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way dispatch producing the Firehose processor result records."""
+    routed = route(decode_chain(synthesize_records(spark, sf_dir)))
+    return routed.select(
+        "record_id", "kind", "result", F.length("payload").alias("payload_len")
+    )
+
+
+@query(
+    "q_filter_failed",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, result FROM routed WHERE result <> 'ProcessingFailed'
+    """,
+    tags=("firehose", "ref"),
+)
+def q_filter_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop failed records from delivery accounting (lambda/main.py:141-142)."""
+    routed = route(decode_chain(synthesize_records(spark, sf_dir)))
+    return routed.filter(F.col("result") != "ProcessingFailed").select(
+        "record_id", "result"
+    )
+
+
+@query(
+    "q_size_overflow_split",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, result, CAST(cum_size AS BIGINT) AS cum_size
+    FROM split
+    """,
+    tags=("firehose", "ref"),
+)
+def q_size_overflow_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-size accounting + Dropped diversion past the threshold."""
+    split_df = overflow_split(route(decode_chain(synthesize_records(spark, sf_dir))))
+    return split_df.select(
+        "record_id", "result", F.col("cum_size").cast("long").alias("cum_size")
+    )
+
+
+@query(
+    "q_reingest_retry",
+    oracle=ORACLE_CTE
+    + f"""
+    , pass2 AS (
+        SELECT record_id,
+               SUM(length(payload) + length(record_id)) OVER (ORDER BY rec_no)
+                   AS cum2
+        FROM split WHERE result = 'Dropped'
+    )
+    SELECT s.record_id,
+           CASE WHEN s.result <> 'Dropped' THEN s.result
+                WHEN p.cum2 > {OVERFLOW_THRESHOLD} THEN 'Dropped'
+                ELSE 'Ok' END AS final_result,
+           CASE WHEN s.result = 'Dropped' THEN 2 ELSE 1 END AS attempts
+    FROM split s LEFT JOIN pass2 p USING (record_id)
+    """,
+    tags=("firehose", "ref"),
+)
+def q_reingest_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-loop re-ingestion: Dropped records re-enter the pipeline as a
+    fresh batch with fresh size accounting (attempt 2); anything still
+    over the threshold stays Dropped — attempts are bounded like the
+    reference's maxAttempts=20 (lambda/main.py:156), and a batch query
+    exposes exactly one retry round for oracle checkability."""
+    records = synthesize_records(spark, sf_dir)
+    split_df = overflow_split(route(decode_chain(records)))
+    return reingest(split_df, records)
+
+
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: whole reference data path in one plan — synthesize →
+    decode → route (explode/transform/reassemble inside) → overflow split
+    — aggregated to delivery stats per (kind, result)."""
+    split_df = overflow_split(route(decode_chain(synthesize_records(spark, sf_dir))))
+    return split_df.groupBy("kind", "result").agg(
+        F.count("*").alias("n_records"),
+        F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("total_payload_bytes"),
+    )
