@@ -1,0 +1,64 @@
+"""Text-analysis primitives shared by the dedup / text-quality operators.
+
+Everything here is a Catalyst expression builder (no UDFs): tokenize,
+shingle, and hash. The common hash is "first 8 hex digits of md5 as a
+64-bit int" — chosen because it is (a) stable across Spark versions and
+machines, (b) exactly reproducible in DuckDB
+(``CAST('0x' || substr(md5(x),1,8) AS BIGINT)``), unlike xxhash64/hash
+whose seeds/algorithms differ per engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Modulus for minhash permutations: smallest prime > 2^32, so a*h+b
+# stays well under 2^63 for 8-hex-digit hashes (< 2^32).
+MINHASH_PRIME = 4294967311
+
+# Tiny fixed stopword lists for the heuristic language scorer. These are
+# differential-test vocabularies over the synthetic corpus, not real
+# linguistics — the operator shape (per-lang token-overlap scoring +
+# argmax) is what carries to a real stopword/n-gram table at scale.
+STOPWORDS = {
+    "en": ["the", "a", "and", "order", "table"],
+    "fr": ["le", "la", "scan", "query", "batch"],
+    "de": ["der", "die", "hash", "join", "row"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def hex_hash(col: Column) -> Column:
+    """First 8 hex digits of md5 → BIGINT (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def duck_hex_hash(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def shingles(tok_col: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles (word k-grams) as strings; empty array
+    for docs shorter than k tokens (guarded — Spark's sequence() would
+    otherwise count *down* and fabricate shingles)."""
+    idx = F.sequence(F.lit(1), F.size(tok_col) - (k - 1))
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(tok_col, i + j) for j in range(k)]
+    )
+    return F.when(
+        F.size(tok_col) >= k, F.array_distinct(F.transform(idx, mk))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def duck_shingles(toks: str, k: int = 3) -> str:
+    parts = " || ' ' || ".join(f"{toks}[i + {j}]" for j in range(k))
+    return (
+        f"list_distinct(list_transform(range(1, len({toks}) - {k - 2}), "
+        f"i -> {parts}))"
+    )

@@ -145,6 +145,12 @@ def _message_col() -> Column:
     ).otherwise(base)
 
 
+# One materialization of the synthesized record batch per (session,
+# sf_dir): every §2.1-2.3 query starts from the same records, so without
+# this each query would re-run the groupBy+gzip synthesis from scratch.
+_RECORDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def synthesize_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table → Firehose record batch
     ``(idx BIGINT, record_id STRING, data STRING)`` where ``data`` is
@@ -153,7 +159,18 @@ def synthesize_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scales: one shuffle (groupBy rec_no ≈ 10-row groups, high
     cardinality), gzip UDF Arrow-batched, no driver materialization.
+    The result is persisted (MEMORY_AND_DISK) and shared across queries.
     """
+    key = (id(spark), sf_dir)
+    cached = _RECORDS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    records = _synthesize_records_uncached(spark, sf_dir).persist()
+    _RECORDS_CACHE[key] = records
+    return records
+
+
+def _synthesize_records_uncached(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.col("event_id"),
         F.expr(f"event_id div {EVENTS_PER_RECORD}").alias("rec_no"),

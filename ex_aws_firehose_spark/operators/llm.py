@@ -1,1 +1,712 @@
-"""Placeholder — populated in a later milestone."""
+"""Large-scale training-data-pipeline operators (SURVEY.md §2.6, [EXT]):
+deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding
+cosine), similarity search (brute-force top-k, bucketed pairwise join),
+and text analysis (stats, language-ID, quality, token counts,
+fingerprints, tf-idf).
+
+All hot paths are Catalyst expressions (no Python in the loop); the
+only "custom" machinery is deterministic hashing via md5-hex prefixes
+(functions/text.py) so every operator — including MinHash banding and
+SimHash signatures — has an exact DuckDB oracle.
+
+Scale notes (100 TB design):
+- Candidate generation never does an unbucketed crossJoin: MinHash
+  pairs come from band-bucket self-joins, SimHash pairs from
+  signature-prefix buckets, embedding pairs from coarse-cluster (IVF
+  label) buckets. Each is a shuffle on a high-cardinality key.
+- Exact-Jaccard joins on the shared-shingle key, which only generates
+  co-occurring pairs (worst case bounded by shingle frequency — salt or
+  drop ultra-hot shingles at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ex_aws_firehose_spark.functions.text import (
+    MINHASH_PRIME as P,
+    STOPWORDS,
+    duck_hex_hash,
+    duck_shingles,
+    hex_hash,
+    shingles,
+    tokens,
+)
+from ex_aws_firehose_spark.functions.vector import cosine, duck_cosine
+from ex_aws_firehose_spark.registry import query
+from ex_aws_firehose_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Dedup: exact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT sha256(text) AS text_hash,
+           MIN(doc_id)  AS rep_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY sha256(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy keeping the smallest doc_id as
+    representative. One shuffle on the hash — the 100 TB-safe pattern
+    (never collects, never sorts globally)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.sha2("text", 256).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+NUM_HASHES = 12
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+# Deterministic permutation seeds (documented, reproducible).
+_SEEDS = [(2 * j + 3, (104729 * (j + 1)) % P) for j in range(NUM_HASHES)]
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS m{j}" for j, (a, b) in enumerate(_SEEDS)
+    )
+    bands = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS bsig FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({duck_shingles('t')}) AS s FROM toks
+    ),
+    hs AS (
+        SELECT doc_id, {duck_hex_hash('s')} AS h FROM sh
+    ),
+    sig AS (
+        SELECT doc_id,
+           {mins}
+        FROM hs GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash + LSH banding: 3-token shingles →
+    12 minhash permutations → 4 bands × 3 rows → candidate pair iff any
+    band signature collides.
+
+    Scale shape: explode-shingles (map), one groupBy(doc_id) for the
+    signature, then a self-join on (band, band_signature) — the bucket
+    key is high-cardinality so the join shuffles evenly; no crossJoin
+    anywhere. Permutations use deterministic seeds over md5-prefix
+    hashes so the DuckDB oracle reproduces signatures bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles(tokens("text"))).alias("s")
+    ).withColumn("h", hex_hash(F.col("s")))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{j}")
+            for j, (a, b) in enumerate(_SEEDS)
+        ]
+    )
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "-", *[f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+            ).alias("bsig"),
+        )
+        for b in range(BANDS)
+    ]
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.bsig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_PREFIX_SHIFT = 20  # bucket on the high 12 bits
+SIMHASH_MAX_HAMMING = 4
+
+
+def _simhash_oracle() -> str:
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    hs AS (SELECT doc_id, {duck_hex_hash('tok')} AS h FROM tk),
+    bits AS (
+        SELECT doc_id,
+           {sums}
+        FROM hs GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {sig} AS simhash FROM bits)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash >> {SIMHASH_PREFIX_SHIFT}) = (b.simhash >> {SIMHASH_PREFIX_SHIFT})
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    """
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature (per-bit majority vote over
+    token hashes, with multiplicity), candidate pairs bucketed by the
+    signature's high 12 bits, confirmed at Hamming distance ≤ 4.
+
+    Scale shape: one groupBy(doc_id) for signatures, self-join on the
+    prefix bucket. Prefix bucketing trades recall for the absence of a
+    crossJoin — production systems join on several rotated prefixes; the
+    operator keeps one for oracle clarity."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.explode(tokens("text")).alias("tok")).withColumn(
+        "h", hex_hash(F.col("tok"))
+    )
+    bits = tk.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    sig = bits.select("doc_id", F.expr(sig_expr).alias("simhash"))
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(
+            b,
+            (
+                F.expr(f"shiftright(a.simhash, {SIMHASH_PREFIX_SHIFT})")
+                == F.expr(f"shiftright(b.simhash, {SIMHASH_PREFIX_SHIFT})")
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.5
+
+
+def _jaccard_oracle() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (SELECT doc_id, unnest({duck_shingles('t')}) AS s FROM toks),
+    card AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.shared AS DOUBLE) / (ca.n + cb.n - s.shared) AS jaccard
+    FROM shared s
+    JOIN card ca ON ca.doc_id = s.doc_a
+    JOIN card cb ON cb.doc_id = s.doc_b
+    WHERE CAST(s.shared AS DOUBLE) / (ca.n + cb.n - s.shared) >= {JACCARD_THRESHOLD}
+    """
+
+
+@query("q_dedup_ngram_jaccard", oracle=_jaccard_oracle(), tags=("llm", "dedup"))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard similarity ≥ 0.5. Pair generation joins on
+    the shared shingle (only co-occurring pairs materialize — the join
+    key is the shingle, bounded by shingle document-frequency; at scale,
+    drop stop-shingles above a DF cap first)."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("shared").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("shared")
+    )
+    return (
+        shared.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity over embeddings
+# ---------------------------------------------------------------------------
+
+# Thresholds are operator parameters; these values are tuned to the
+# synthetic embedding distribution (intra-label cosine tops out ≈ 0.47)
+# so the differential tests exercise non-empty match sets. Production
+# near-dup filtering would sit at ≥ 0.95 on real embeddings.
+EMB_NEAR_DUP_COS = 0.40
+PAIRWISE_COS = 0.25
+TOPK = 20
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {EMB_NEAR_DUP_COS}
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicates (cos ≥ 0.99), candidate pairs
+    bucketed by the coarse cluster label (IVF-style: at 100 TB the label
+    comes from a trained k-means codebook; here it ships with the data).
+    Cosine is a pure Catalyst fold — no UDF."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= EMB_NEAR_DUP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "q_sim_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round({duck_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY round({duck_cosine('e.embedding', 'q.qv')}, 6) DESC, e.vec_id
+    LIMIT {TOPK}
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k for one query vector — the exact
+    baseline every ANN variant is measured against. The query vector is
+    broadcast (1 row); ranking is TakeOrderedAndProject, so only k rows
+    per partition survive. Deterministic: ties broken by vec_id on the
+    6-dp-rounded score."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            "vec_id", "label", F.round(cos, 6).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
+@query(
+    "q_sim_pairwise_join",
+    oracle=f"""
+    SELECT a.label, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(MIN({duck_cosine('a.embedding', 'b.embedding')}), 6) AS min_cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {PAIRWISE_COS}
+    GROUP BY a.label
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_pairwise_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed pairwise similarity join (cos ≥ 0.9) summarized per
+    cluster. The label equi-join keeps the pair space to Σ n_c² instead
+    of N² — the scale path for all-pairs similarity."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= PAIRWISE_COS)
+        .groupBy(F.col("a.label").alias("label"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.min(cos), 6).alias("min_cos"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(LEAST(n_chars // 100, 9) AS INTEGER) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
+           SUM(n_chars) / COUNT(*) AS avg_chars
+    FROM documents
+    GROUP BY lang, LEAST(n_chars // 100, 9)
+    """,
+    tags=("llm", "text"),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus stats per (lang, length-bucket): doc counts, token totals,
+    mean length — one partial-aggregated groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.expr("n_chars div 100"), F.lit(9)).cast("int")
+    return (
+        d.groupBy("lang", bucket.alias("len_bucket"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+            (F.sum("n_chars") / F.count("*")).alias("avg_chars"),
+        )
+    )
+
+
+def _duck_stoplist(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+@query(
+    "q_text_lang_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {", ".join(
+               f"len(list_intersect(list_distinct(str_split(lower(text), ' ')), "
+               f"{_duck_stoplist(words)})) AS s_{lang}"
+               for lang, words in STOPWORDS.items()
+           )}
+        FROM documents
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+                WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'und' END AS pred_lang
+    FROM scored
+    """,
+    tags=("llm", "text"),
+)
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: distinct-token overlap against per-lang
+    stopword lists, argmax with fixed precedence (en > fr > de > und).
+    Differential harness for the operator shape — a production system
+    swaps in real stopword/char-n-gram tables, same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"s_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") > 0), "fr")
+        .when(F.col("s_de") > 0, "de")
+        .otherwise("und")
+    )
+    return scored.select("doc_id", "actual_lang", pred.alias("pred_lang"))
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, text, str_split(lower(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           len(list_distinct(toks)) / len(toks) AS uniq_ratio,
+           len(regexp_extract_all(text, '[^a-z0-9 ]')) / length(text) AS punct_ratio,
+           len(list_filter(toks, x -> list_contains(['the', 'a', 'and', 'order', 'table'], x)))
+               / len(toks) AS stop_ratio,
+           length(replace(text, ' ', '')) / len(toks) AS avg_token_len
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals per doc: token count, type/token ratio,
+    punctuation density, stopword density, mean token length — the
+    standard cheap filters before expensive model-based scoring. All
+    integer-ratio doubles (deterministic cross-engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+        (
+            F.regexp_count("text", F.lit("[^a-z0-9 ]")) / F.length("text")
+        ).alias("punct_ratio"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+            / F.size(toks)
+        ).alias("stop_ratio"),
+        (
+            F.length(F.regexp_replace("text", " ", "")) / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(str_split(text, ' ')) AS INTEGER) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER)
+               AS subword_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_computed
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish regex
+    (alpha runs + digit runs) — the cheap proxy pair used for data
+    budgeting before a real tokenizer pass."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+")).alias("subword_tokens"),
+        F.length("text").alias("n_chars_computed"),
+    )
+
+
+FP_MOD = 1_000_000_007
+
+
+@query(
+    "q_text_fingerprint",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_transform(str_split(lower(text), ' '),
+                              x -> {duck_hex_hash('x')}) AS hs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+                       (acc, x) -> (acc * 31 + x) % {FP_MOD}) AS fingerprint
+    FROM t
+    """,
+    tags=("llm", "text"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash
+    over token hashes (mod 1e9+7) — a content signature that, unlike
+    sha256(text), survives re-tokenization and supports incremental
+    update. Pure Catalyst fold, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = F.transform(tokens("text"), lambda x: hex_hash(x))
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + x) % FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_text_tfidf_topterms",
+    oracle="""
+    WITH tk AS (
+        SELECT source, doc_id, unnest(str_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tk GROUP BY source, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tk GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term,
+               tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT source, term, round(tfidf, 6) AS tfidf, rnk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                       ORDER BY tfidf DESC, term) AS INTEGER) AS rnk
+        FROM scored) s
+    WHERE rnk <= 5
+    """,
+    tags=("llm", "text"),
+)
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 tf-idf terms per source: explode → tf groupBy → doc-freq
+    join → window rank. df is computed once and broadcast (vocabulary ≪
+    corpus at any scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("source", "doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tk.groupBy("source", "term").agg(F.count("*").alias("tf"))
+    df = tk.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar query parameter (a count, not a collect loop)
+    scored = tf.join(F.broadcast(df), "term").select(
+        "source",
+        "term",
+        (
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", F.round("tfidf", 6).alias("tfidf"), "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal struct round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_multimodal_struct",
+    oracle=f"""
+    SELECT d.doc_id,
+           d.lang AS meta_lang, d.source AS meta_source,
+           CAST(d.n_chars AS BIGINT) AS meta_n_chars,
+           CAST(len(e.embedding) AS INTEGER) AS emb_dim,
+           round(CAST(e.embedding[1] AS DOUBLE), 6) AS emb_head
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row assembly: struct{text, embedding, meta{...}} built
+    as a nested column and projected back out — exercises Parquet-style
+    nested struct round-tripping (schema evolution surface for
+    image/audio payloads)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    doc = d.join(e, d.doc_id == e.vec_id).select(
+        "doc_id",
+        F.struct(
+            F.col("text").alias("text"),
+            F.col("embedding").alias("embedding"),
+            F.struct(
+                F.col("lang").alias("lang"),
+                F.col("source").alias("source"),
+                F.col("n_chars").alias("n_chars"),
+            ).alias("meta"),
+        ).alias("mm"),
+    )
+    return doc.select(
+        "doc_id",
+        F.col("mm.meta.lang").alias("meta_lang"),
+        F.col("mm.meta.source").alias("meta_source"),
+        F.col("mm.meta.n_chars").alias("meta_n_chars"),
+        F.size("mm.embedding").alias("emb_dim"),
+        F.round(F.element_at("mm.embedding", 1).cast("double"), 6).alias(
+            "emb_head"
+        ),
+    )

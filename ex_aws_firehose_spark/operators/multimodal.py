@@ -1,1 +1,162 @@
-"""Placeholder — populated in a later milestone."""
+"""Multimodal columns (SURVEY.md §2.6, [EXT]): image/audio/video as
+opaque ``binary`` columns + typed metadata structs, with decode /
+feature-extraction / resize / frame-sampling as Arrow-batched
+``mapInPandas`` operators.
+
+The Spark-side plumbing is real and tested — schema, partition-safe UDF
+signature, per-batch iteration, nested metadata — but the *codec* step
+is a clearly-marked deterministic stub (`_fake_decode`): the container
+has no image/audio libraries. Swapping in a real decoder is a one
+function change behind `try: import PIL`.
+
+Scale notes: binary payloads ride in the same parquet row-group as
+their metadata, so predicate pushdown on metadata (e.g. format, width)
+prunes payload IO *before* any decode; mapInPandas streams
+Arrow batches, never materializing a partition of raw bytes in one
+Python object.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_aws_firehose_spark.registry import query
+from ex_aws_firehose_spark.tables import load_table
+
+try:  # real codecs are absent in this environment; plumbing is library-agnostic
+    import PIL.Image  # noqa: F401
+
+    HAVE_IMAGE_CODEC = True
+except ImportError:
+    HAVE_IMAGE_CODEC = False
+
+
+def synth_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media table: ``media BINARY`` (deterministic fake
+    payload: the utf-8 text bytes) + typed metadata struct — the schema
+    a real ingest would produce from image/audio files."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("media"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            (F.col("n_chars") % 64 + 16).cast("int").alias("width"),
+            ((F.col("doc_id") * 7) % 64 + 16).cast("int").alias("height"),
+            (F.col("doc_id") % 5 + 1).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(media: pd.Series) -> pd.DataFrame:
+    """STUB decoder (deterministic): real image/audio libraries are not
+    installed here. Emits byte-level statistics shaped like decoded
+    features. Replace with PIL/torchaudio behind HAVE_IMAGE_CODEC."""
+    lengths = media.map(len)
+    sums = media.map(lambda b: sum(b))
+    return pd.DataFrame(
+        {
+            "n_bytes": lengths.astype("int64"),
+            "mean_byte": (sums / lengths.replace(0, 1)).astype("float64"),
+        }
+    )
+
+
+def decode_features(media_df: DataFrame) -> DataFrame:
+    """Per-batch decode + feature extraction via mapInPandas. Output
+    schema is fixed and typed; batches stream through Arrow."""
+    schema = (
+        "doc_id long, width int, height int, n_frames int, "
+        "n_bytes long, mean_byte double"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = _fake_decode(pdf["media"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pdf["width"].values,
+                    "height": pdf["height"].values,
+                    "n_frames": pdf["n_frames"].values,
+                    "n_bytes": feats["n_bytes"].values,
+                    "mean_byte": feats["mean_byte"].values,
+                }
+            )
+
+    flat = media_df.select(
+        "doc_id", "media", "meta.width", "meta.height", "meta.n_frames"
+    )
+    return flat.mapInPandas(op, schema)
+
+
+def sample_frames(media_df: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame-sampling plan surface: one output row per sampled frame
+    index (every ``stride``-th frame). Pure Catalyst — the per-frame
+    payload decode would plug into decode_features downstream."""
+    return media_df.select(
+        "doc_id",
+        F.col("meta.n_frames").alias("n_frames"),
+        F.explode(
+            F.filter(
+                F.sequence(F.lit(0), F.col("meta.n_frames") - 1),
+                lambda i: i % stride == 0,
+            )
+        ).alias("frame_idx"),
+    )
+
+
+@query(
+    "q_multimodal_binary",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           'fake/raw' AS format,
+           CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+           CAST((doc_id * 7) % 64 + 16 AS INTEGER) AS height
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media column round-trip: payload byte length + metadata
+    projection (the pushdown-able columns a scan would filter on)."""
+    m = synth_media(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.octet_length("media").alias("n_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+
+
+@query(
+    "q_multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames,
+           CAST(unnest(list_filter(range(0, CAST(doc_id % 5 + 1 AS INTEGER)),
+                                   i -> i % 2 = 0)) AS INTEGER) AS frame_idx
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: explode every 2nd frame index from
+    the metadata frame count."""
+    return sample_frames(synth_media(spark, sf_dir), stride=2).select(
+        "doc_id", "n_frames", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+@query("q_multimodal_decode", oracle=None, tags=("llm", "multimodal"))
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature extraction through mapInPandas (rows-only check:
+    the decode internals are a stub — see _fake_decode — but the
+    dataflow, schema and batching are the real scale path)."""
+    return decode_features(synth_media(spark, sf_dir))

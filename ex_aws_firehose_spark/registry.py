@@ -64,4 +64,6 @@ def load_all_operators() -> None:
         multimodal,
         relational,
     )
-    from ex_aws_firehose_spark.streaming import queries as streaming_queries  # noqa: F401
+    from ex_aws_firehose_spark.streaming import (  # noqa: F401
+        queries as streaming_queries,
+    )

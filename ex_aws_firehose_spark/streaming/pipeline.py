@@ -1,0 +1,144 @@
+"""Structured-Streaming delivery pipeline (SURVEY.md §2.5 + §2.1 sinks).
+
+Mirrors the reference topology (main.tf:11-62):
+
+    source (record files)  ≈ Firehose delivery stream
+      └─ foreachBatch                      [Lambda transform invocation]
+           ├─ primary sink (parquet)       ≈ extended_s3, 60 s buffer
+           │                                 (main.tf:15-19)
+           ├─ backup sink (raw records)    ≈ s3_backup_mode Enabled
+           │                                 (main.tf:27-34)
+           └─ error sink (failed records)  ≈ error log stream
+                                             (main.tf:21-25, 301-304)
+
+The per-batch transform is the *batch* pipeline (operators/firehose.py)
+applied unchanged to each micro-batch — exactly the reference's model
+of one Lambda invocation per record batch.  Checkpointing gives
+at-least-once per sink upgraded to effectively-exactly-once for the
+parquet sinks on replay (idempotent file commits per epoch).
+
+At scale: the trigger interval plays the role of buffer_interval
+(main.tf:18); each sink write is append-only partitioned parquet; no
+state is kept on the driver.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ex_aws_firehose_spark.operators.firehose import (
+    decode_chain,
+    route,
+    synthesize_records,
+)
+
+RECORDS_SCHEMA = T.StructType(
+    [
+        T.StructField("idx", T.LongType()),
+        T.StructField("record_id", T.StringType()),
+        T.StructField("data", T.StringType()),
+    ]
+)
+
+N_SOURCE_FILES = 4
+
+
+@dataclass(frozen=True)
+class SinkPaths:
+    source: str
+    primary: str
+    backup: str
+    errors: str
+    checkpoint: str
+
+
+def prepare_source_files(
+    spark: SparkSession, sf_dir: str, root: str
+) -> SinkPaths:
+    """Write the synthesized record batch as N deterministic files so a
+    file-source stream sees N micro-batches (maxFilesPerTrigger=1).
+    Files are split by idx % N — stable across runs, unlike
+    repartition's hash placement."""
+    paths = SinkPaths(
+        source=os.path.join(root, "source"),
+        primary=os.path.join(root, "primary"),
+        backup=os.path.join(root, "backup"),
+        errors=os.path.join(root, "errors"),
+        checkpoint=os.path.join(root, "checkpoint"),
+    )
+    records = synthesize_records(spark, sf_dir)
+    for i in range(N_SOURCE_FILES):
+        records.filter(F.col("idx") % N_SOURCE_FILES == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(paths.source)
+    return paths
+
+
+def tri_sink_batch(batch_df: DataFrame, batch_id: int, paths: SinkPaths) -> None:
+    """One micro-batch = one reference Lambda invocation: decode, route,
+    and fan out to the three sinks. The batch is cached for the duration
+    of the fan-out so decode/gzip runs once, not three times."""
+    routed = route(decode_chain(batch_df)).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    routed.persist()
+    try:
+        # backup: raw source records verbatim (main.tf:27-34 semantics)
+        batch_df.write.mode("append").parquet(paths.backup)
+        routed.filter(F.col("result") == "Ok").select(
+            "idx", "record_id", "payload", "batch_id"
+        ).write.mode("append").parquet(paths.primary)
+        routed.filter(F.col("result") == "ProcessingFailed").select(
+            "idx", "record_id", "kind", "batch_id"
+        ).write.mode("append").parquet(paths.errors)
+    finally:
+        routed.unpersist()
+
+
+def run_stream(
+    spark: SparkSession,
+    paths: SinkPaths,
+    trigger_seconds: int | None = None,
+) -> int:
+    """Run the delivery stream to completion over the prepared source
+    files; returns the number of micro-batches executed. ``trigger``
+    defaults to availableNow-style draining for tests; a production
+    deployment passes 60 (≈ the reference's buffer_interval)."""
+    reader = (
+        spark.readStream.schema(RECORDS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(paths.source)
+    )
+    writer = reader.writeStream.foreachBatch(
+        lambda df, bid: tri_sink_batch(df, bid, paths)
+    ).option("checkpointLocation", paths.checkpoint)
+    if trigger_seconds:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    q = writer.start()
+    q.processAllAvailable()
+    n_batches = len(
+        [p for p in q.recentProgress if p and p["numInputRows"] > 0]
+    )
+    q.stop()
+    return n_batches
+
+
+# Cache of completed tri-sink runs: the §2.1 sink queries all read from
+# the same run's output directories.
+_TRI_SINK_CACHE: dict[tuple[int, str], SinkPaths] = {}
+
+
+def tri_sink_output(spark: SparkSession, sf_dir: str) -> SinkPaths:
+    key = (id(spark), sf_dir)
+    if key not in _TRI_SINK_CACHE:
+        root = tempfile.mkdtemp(prefix="firehose_stream_")
+        paths = prepare_source_files(spark, sf_dir, root)
+        run_stream(spark, paths)
+        _TRI_SINK_CACHE[key] = paths
+    return _TRI_SINK_CACHE[key]

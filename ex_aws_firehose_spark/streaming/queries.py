@@ -1,1 +1,500 @@
-"""Placeholder — populated in a later milestone."""
+"""Registered streaming-surface queries (SURVEY.md §2.5) and the §2.1
+source/sink contract queries.
+
+Each query actually drives Structured Streaming machinery — file
+sources with maxFilesPerTrigger, foreachBatch fan-out, checkpointed
+restart, stateful dropDuplicates, windowed aggregation in complete
+mode — then returns the materialized result as a DataFrame so the
+driver's DuckDB oracle can diff it. Streaming constructs whose full
+output is unreachable deterministically under append semantics
+(session windows without a terminal watermark advance) use the same
+operator in batch mode here and have their streaming mechanics
+exercised in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import itertools
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_aws_firehose_spark.operators.firehose import ORACLE_CTE
+from ex_aws_firehose_spark.registry import query
+from ex_aws_firehose_spark.streaming.pipeline import (
+    RECORDS_SCHEMA,
+    run_stream,
+    tri_sink_output,
+)
+from ex_aws_firehose_spark.tables import load_table
+
+_MEM_SINK_COUNTER = itertools.count()
+
+# Schema of the RAW events parquet (ns timestamps surface as long).
+EVENTS_STREAM_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+# Schema of events re-staged by our own writers (ts already normalized).
+EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+_EVENTS_DIR_CACHE: dict[str, str] = {}
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a file-source stream. File sources need a *directory*,
+    so the single events.parquet is staged into a temp dir once per
+    sf_dir. The raw parquet carries ns-long timestamps (see
+    tables.load_table); normalize identically here."""
+    import os
+    import shutil
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if sf_dir not in _EVENTS_DIR_CACHE:
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+        _EVENTS_DIR_CACHE[sf_dir] = d
+    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(
+        _EVENTS_DIR_CACHE[sf_dir]
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a streaming aggregation into a memory sink and return the
+    final table."""
+    name = f"mem_sink_{next(_MEM_SINK_COUNTER)}"
+    q = (
+        stream_df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    out = stream_df.sparkSession.table(name)
+    q.stop()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# §2.5 streaming queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stream_microbatch",
+    oracle=ORACLE_CTE
+    + """
+    SELECT CAST(rec_no % 4 AS INTEGER) AS source_file,
+           CAST(COUNT(*) AS BIGINT) AS n_delivered
+    FROM routed WHERE result = 'Ok'
+    GROUP BY rec_no % 4
+    """,
+    tags=("streaming", "ref"),
+)
+def q_stream_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time/size-based micro-batching (reference buffer_interval,
+    main.tf:18): the record stream is consumed one file per trigger
+    (4 micro-batches), each batch transformed and delivered by
+    foreachBatch. Delivered counts per source file prove per-batch
+    processing; batch ids are execution detail and excluded from the
+    comparison."""
+    paths = tri_sink_output(spark, sf_dir)
+    primary = spark.read.parquet(paths.primary)
+    return primary.groupBy(
+        (F.col("idx") % 4).cast("int").alias("source_file")
+    ).agg(F.count("*").alias("n_delivered"))
+
+
+@query(
+    "q_stream_dual_sink",
+    oracle=ORACLE_CTE
+    + """
+    SELECT 'primary' AS sink, CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM routed WHERE result = 'Ok'
+    UNION ALL
+    SELECT 'backup' AS sink, CAST(COUNT(*) AS BIGINT) AS n_records FROM recs
+    UNION ALL
+    SELECT 'errors' AS sink, CAST(COUNT(*) AS BIGINT) AS n_records
+    FROM routed WHERE result = 'ProcessingFailed'
+    """,
+    tags=("streaming", "ref"),
+)
+def q_stream_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tri-sink fan-out from one source (primary transformed + full raw
+    backup + error records), mirroring main.tf:15-41."""
+    paths = tri_sink_output(spark, sf_dir)
+    rows = []
+    for sink in ("primary", "backup", "errors"):
+        df = spark.read.parquet(getattr(paths, sink))
+        rows.append((sink, df))
+    out = None
+    for sink, df in rows:
+        part = df.select(
+            F.lit(sink).alias("sink"), F.lit(1).alias("one")
+        ).groupBy("sink").agg(F.count("*").alias("n_records"))
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+@query(
+    "q_stream_exactly_once",
+    oracle=ORACLE_CTE
+    + """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT record_id) AS BIGINT) AS n_distinct
+    FROM routed WHERE result = 'Ok'
+    """,
+    tags=("streaming", "ref"),
+)
+def q_stream_exactly_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed restart idempotence: the delivery stream is started
+    a second time over the same source + checkpoint; the checkpoint
+    shows everything committed, so no batch re-executes and the primary
+    sink holds each record exactly once (n_rows == n_distinct)."""
+    paths = tri_sink_output(spark, sf_dir)
+    run_stream(spark, paths)  # restart; must be a no-op
+    primary = spark.read.parquet(paths.primary)
+    return primary.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("record_id").alias("n_distinct"),
+    )
+
+
+@query(
+    "q_stream_tumbling_agg",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(cents) / 100.0 AS total_value
+    FROM e GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregation, run as a real streaming
+    query (file source → complete-mode memory sink)."""
+    e = _events_stream(spark, sf_dir)
+    agg = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        (F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0).alias(
+            "total_value"
+        ),
+    )
+    out = _run_to_memory(agg)
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    assigned AS (
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type FROM e
+        UNION ALL
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR, event_type FROM e
+    )
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM assigned GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2 h width, 1 h slide) as a streaming query —
+    every event lands in two windows; the oracle assigns the same two
+    shifted buckets relationally."""
+    e = _events_stream(spark, sf_dir)
+    agg = e.groupBy(
+        F.window("ts", "2 hours", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    out = _run_to_memory(agg)
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+               LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
+                    ELSE 0 END AS is_new
+        FROM e
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    tags=("streaming",),
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user via the native
+    session_window operator — the same operator Structured Streaming
+    uses for stateful sessionization (streaming emission semantics are
+    exercised in tests/test_streaming.py; full output requires batch
+    mode because append-mode sessions only finalize behind the
+    watermark)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n_events"
+        )
+    )
+
+
+@query(
+    "q_stream_watermark_late",
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS cutoff
+        FROM events WHERE event_id % 4 <> 3
+    )
+    SELECT e.event_id,
+           CAST(e.event_id % 4 = 3
+                AND CAST(e.ts AS TIMESTAMP) < wm.cutoff AS BOOLEAN) AS is_late
+    FROM events e CROSS JOIN wm
+    """,
+    tags=("streaming", "ref"),
+)
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-data routing (the reference routes rejects to an error
+    output instead of silently dropping, lambda/main.py:86-90): the
+    event stream arrives as two micro-batches — on-time traffic, then a
+    replayed slice (event_id % 4 == 3). Events older than the
+    watermark established by batch 1 (max ts − 1 h) are flagged late
+    for the dead-letter path. foreachBatch maintains the watermark in
+    sink state, so the flag is deterministic given the batch order."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="late_stream_")
+    src, out = os.path.join(root, "src"), os.path.join(root, "out")
+    e = load_table(spark, sf_dir, "events")
+    # batch 1: on-time traffic; batch 2: the replayed (late) slice
+    e.filter(F.col("event_id") % 4 != 3).coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("event_id") % 4 == 3).coalesce(1).write.mode("append").parquet(src)
+
+    state = {"cutoff": None}
+
+    def classify(batch_df: DataFrame, batch_id: int) -> None:
+        cutoff = state["cutoff"]
+        flagged = batch_df.withColumn(
+            "is_late",
+            F.lit(False)
+            if cutoff is None
+            else F.col("ts") < F.lit(cutoff) - F.expr("INTERVAL 1 HOUR"),
+        )
+        flagged.select("event_id", "is_late").write.mode("append").parquet(out)
+        batch_max = batch_df.agg(F.max("ts")).collect()[0][0]
+        if batch_max is not None and (cutoff is None or batch_max > cutoff):
+            state["cutoff"] = batch_max
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(classify)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(out)
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "ref"),
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful exact dedup on event id across micro-batches (the
+    reference's log-event ids are content-addressed and re-delivered on
+    retry — lambda/main.py:17-24): the stream carries the full event
+    set, then a replayed duplicate slice; dropDuplicates state absorbs
+    the replay. Production streams bound the state with
+    dropDuplicatesWithinWatermark."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="dedup_stream_")
+    src, out = os.path.join(root, "src"), os.path.join(root, "out")
+    e = load_table(spark, sf_dir, "events")
+    e.coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .dropDuplicates(["event_id"])
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: df.select("event_id", "event_type")
+            .write.mode("append")
+            .parquet(out)
+        )
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    deduped = spark.read.parquet(out)
+    return deduped.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_unique")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 source / sink contract queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "src_stream_ingest",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, rec_no AS idx FROM recs
+    """,
+    tags=("firehose", "source"),
+)
+def src_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion contract (reference lambda/main.py:131-136): the
+    delivery stream hands the processor a batch of (recordId, data)
+    rows; this query materializes that batch from the source."""
+    from ex_aws_firehose_spark.operators.firehose import synthesize_records
+
+    return synthesize_records(spark, sf_dir).select("record_id", "idx")
+
+
+@query(
+    "src_subscription_filter",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, event_id_str, message FROM data_events
+    WHERE message LIKE 'error %'
+    """,
+    tags=("firehose", "source"),
+)
+def src_subscription_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subscription-filter semantics (main.tf:284-290): the reference
+    deploys filter_pattern = "" (match-all); this query exercises the
+    non-trivial pattern path — a source-side predicate on the log
+    message ('error %') applied before the stream."""
+    from ex_aws_firehose_spark.operators.firehose import (
+        decode_chain,
+        explode_events,
+        synthesize_records,
+    )
+
+    ev = explode_events(decode_chain(synthesize_records(spark, sf_dir)))
+    return ev.filter(F.col("message").like("error %")).select(
+        "record_id", "event_id_str", "message"
+    )
+
+
+@query(
+    "src_test_producer",
+    oracle="""
+    SELECT 'Hello Firehose! 1704067200000' AS message,
+           'Hell Yeah Firehose! 1704067200000' || chr(10) AS transformed,
+           CAST(1704067200000 AS BIGINT) AS ts_millis
+    """,
+    tags=("firehose", "source"),
+)
+def src_test_producer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's test producer (put_test_log_to_log_stream.sh:14-21)
+    injects one log event 'Hello Firehose! <epoch-ms>' — reproduced
+    here with a pinned timestamp and pushed through the transform to
+    show the golden Hello→Hell Yeah rewrite end-to-end."""
+    one = spark.createDataFrame(
+        [("Hello Firehose! 1704067200000", 1704067200000)],
+        "message string, ts_millis long",
+    )
+    return one.select(
+        "message",
+        F.concat(
+            F.regexp_replace("message", "Hello", "Hell Yeah"), F.lit("\n")
+        ).alias("transformed"),
+        "ts_millis",
+    )
+
+
+@query(
+    "sink_s3_buffered",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, payload FROM routed WHERE result = 'Ok'
+    """,
+    tags=("firehose", "sink"),
+)
+def sink_s3_buffered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary buffered sink (main.tf:15-19): transformed payloads of
+    delivered records, read back from the stream's parquet output."""
+    paths = tri_sink_output(spark, sf_dir)
+    return spark.read.parquet(paths.primary).select("record_id", "payload")
+
+
+@query(
+    "sink_backup_raw",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, rec_no AS idx FROM recs
+    """,
+    tags=("firehose", "sink"),
+)
+def sink_backup_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backup sink (main.tf:27-34): every *source* record lands raw in
+    backup/ regardless of processing outcome."""
+    paths = tri_sink_output(spark, sf_dir)
+    return spark.read.parquet(paths.backup).select("record_id", "idx")
+
+
+@query(
+    "sink_error_log",
+    oracle=ORACLE_CTE
+    + """
+    SELECT record_id, kind FROM routed WHERE result = 'ProcessingFailed'
+    """,
+    tags=("firehose", "sink"),
+)
+def sink_error_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error sink (main.tf:21-25, README 'Check the error log'):
+    ProcessingFailed records with their failure kind."""
+    paths = tri_sink_output(spark, sf_dir)
+    return spark.read.parquet(paths.errors).select("record_id", "kind")
