@@ -45,15 +45,22 @@ def duck_hex_hash(expr: str) -> str:
 
 def shingles(tok_col: Column, k: int = 3) -> Column:
     """Distinct k-token shingles (word k-grams) as strings; empty array
-    for docs shorter than k tokens (guarded — Spark's sequence() would
-    otherwise count *down* and fabricate shingles)."""
-    idx = F.sequence(F.lit(1), F.size(tok_col) - (k - 1))
-    mk = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(tok_col, i + j) for j in range(k)]
+    for docs shorter than k tokens.
+
+    Formulated as slice + zip_with, NOT element_at over an index
+    sequence: element_at(tok_col, i) re-evaluates the (usually
+    unmaterialized split()) token expression per element, which turns
+    O(tokens) into O(tokens²) whenever the expression lands in an
+    interpreted context — e.g. the size>0 filter Spark pushes below an
+    explode. The slice form touches tok_col k times per ROW."""
+    n = F.size(tok_col)
+    parts = [F.slice(tok_col, j + 1, n - (k - 1)) for j in range(k)]
+    z = parts[0]
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(n >= k, F.array_distinct(z)).otherwise(
+        F.array().cast("array<string>")
     )
-    return F.when(
-        F.size(tok_col) >= k, F.array_distinct(F.transform(idx, mk))
-    ).otherwise(F.array().cast("array<string>"))
 
 
 def duck_shingles(toks: str, k: int = 3) -> str:

@@ -33,7 +33,7 @@ from ex_aws_firehose_spark.functions.text import (
     shingles,
     tokens,
 )
-from ex_aws_firehose_spark.functions.vector import cosine, duck_cosine
+from ex_aws_firehose_spark.functions.vector import cosine, dot, duck_cosine, norm
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
 
@@ -126,14 +126,27 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere. Permutations use deterministic seeds over md5-prefix
     hashes so the DuckDB oracle reproduces signatures bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(shingles(tokens("text"))).alias("s")
-    ).withColumn("h", hex_hash(F.col("s")))
-    sig = sh.groupBy("doc_id").agg(
+    # Signature is computed per-row with array folds (no explode, no
+    # groupBy): hash each shingle once, then take the min of each
+    # permutation over the array. Zero shuffles until the band join —
+    # at 100 TB the signature stage is a pure map.
+    # Docs shorter than the shingle width have no signature (matches the
+    # oracle's GROUP BY over exploded shingles). The filter is on the
+    # cheap token count so it is NOT the hash expression — filtering on
+    # size(hs) would make Catalyst push the whole inlined hash pipeline
+    # into an interpreted Filter (measured 30× slower).
+    hs = d.filter(F.size(tokens("text")) >= 3).select(
+        "doc_id",
+        F.transform(shingles(tokens("text")), lambda s: hex_hash(s)).alias("hs"),
+    )
+    sig = hs.select(
+        "doc_id",
         *[
-            F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{j}")
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % P)
+            ).alias(f"m{j}")
             for j, (a, b) in enumerate(_SEEDS)
-        ]
+        ],
     )
     band_cols = [
         F.struct(
@@ -144,9 +157,16 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(BANDS)
     ]
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
-    ).select("doc_id", "bs.band", "bs.bsig")
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bs"))
+        .select("doc_id", "bs.band", "bs.bsig")
+        # One explicit exchange on the join key: both sides of the
+        # self-join are the identical subtree, so Catalyst reuses this
+        # shuffle (ReusedExchange) instead of recomputing the whole
+        # hash+signature stage twice — signatures are computed exactly
+        # once, the scale-out analog of materializing them.
+        .repartition("band", "bsig")
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -212,17 +232,22 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin — production systems join on several rotated prefixes; the
     operator keeps one for oracle clarity."""
     d = load_table(spark, sf_dir, "documents")
-    tk = d.select("doc_id", F.explode(tokens("text")).alias("tok")).withColumn(
-        "h", hex_hash(F.col("tok"))
+    # Per-row signature via array folds — hash each token once, then one
+    # fold per bit position. No explode, no groupBy: the signature stage
+    # is shuffle-free (a pure map) at any scale.
+    hs = d.select(
+        "doc_id", F.transform(tokens("text"), lambda t: hex_hash(t)).alias("hs")
     )
-    bits = tk.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.expr(f"(shiftright(h, {i}) & 1) = 1"), 1).otherwise(-1)
-            ).alias(f"s{i}")
-            for i in range(SIMHASH_BITS)
-        ]
-    )
+    def _bit_fold(i: int):
+        mask = 1 << i
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
+        ).alias(f"s{i}")
+
+    bits = hs.select("doc_id", *[_bit_fold(i) for i in range(SIMHASH_BITS)])
     sig_expr = " + ".join(
         f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(SIMHASH_BITS)
@@ -339,10 +364,16 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicates (cos ≥ 0.99), candidate pairs
     bucketed by the coarse cluster label (IVF-style: at 100 TB the label
     comes from a trained k-means codebook; here it ships with the data).
-    Cosine is a pure Catalyst fold — no UDF."""
-    e = load_table(spark, sf_dir, "embeddings")
+    Cosine is a pure Catalyst fold — no UDF. Norms are precomputed per
+    vector before the join (one fold per pair, not three; same IEEE-754
+    bits as the per-pair form since the fold is identical)."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,
@@ -408,10 +439,15 @@ def q_sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_pairwise_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed pairwise similarity join (cos ≥ 0.9) summarized per
     cluster. The label equi-join keeps the pair space to Σ n_c² instead
-    of N² — the scale path for all-pairs similarity."""
-    e = load_table(spark, sf_dir, "embeddings")
+    of N² — the scale path for all-pairs similarity. Norms precomputed
+    per vector (see q_dedup_embedding)."""
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "nrm", norm(F.col("embedding"))
+    )
     a, b = e.alias("a"), e.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
     return (
         a.join(
             b,
