@@ -463,6 +463,72 @@ def q_sim_pairwise_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANN_NPROBE = 3
+
+
+@query(
+    "q_sim_ann_ivf",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    reps AS (
+        SELECT label, embedding FROM embeddings e
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings r
+                        WHERE r.label = e.label)
+    ),
+    probed AS (
+        SELECT reps.label
+        FROM reps CROSS JOIN q
+        ORDER BY round({duck_cosine('reps.embedding', 'q.qv')}, 6) DESC,
+                 reps.label
+        LIMIT {ANN_NPROBE}
+    )
+    SELECT e.vec_id, e.label,
+           round({duck_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label IN (SELECT label FROM probed) AND e.vec_id <> 0
+    ORDER BY round({duck_cosine('e.embedding', 'q.qv')}, 6) DESC, e.vec_id
+    LIMIT {TOPK}
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: probe only the ``ANN_NPROBE`` coarse
+    cells whose representative vector scores highest against the query,
+    then brute-force rank inside the probed cells.
+
+    Scale shape: the codebook (one representative per cell — here the
+    min-vec_id member; a trained k-means centroid in production) is tiny
+    and broadcast both times it is used, so the only large-table work is
+    a scan of the probed cells — which partition-prunes when the table
+    is written partitioned by cell label. This is the standard IVF
+    trade: scan nprobe/ncells of the data for approximate results."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    min_ids = e.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
+    reps = e.join(F.broadcast(min_ids), ["label", "vec_id"]).select(
+        "label", "embedding"
+    )
+    rep_cos = cosine(F.col("embedding"), F.col("qv"))
+    probed = (
+        reps.crossJoin(qv)
+        .select("label", F.round(rep_cos, 6).alias("rep_cos"))
+        .orderBy(F.col("rep_cos").desc(), F.col("label"))
+        .limit(ANN_NPROBE)
+        .select("label")
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        e.join(F.broadcast(probed), "label", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
