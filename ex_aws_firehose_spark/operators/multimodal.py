@@ -154,6 +154,71 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 32
+
+
+def resize_media(media_df: DataFrame, target: int = RESIZE_TARGET) -> DataFrame:
+    """Resize plan surface via mapInPandas: scale every media payload to
+    ``target``×``target``. The pixel resample is the stubbed step (the
+    fake payload is truncated/padded to the scaled byte budget —
+    deterministic); the Arrow batching, typed output schema, and
+    metadata recompute are the real scale path a PIL/ffmpeg resampler
+    would plug into."""
+    schema = (
+        "doc_id long, width int, height int, out_width int, out_height int, "
+        "out_bytes binary, out_n_bytes long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # STUB resample: byte budget scales with target area vs
+            # source area; real codec would decode → resample → encode.
+            budget = (
+                pdf["media"].map(len) * (target * target)
+                // (pdf["width"] * pdf["height"])
+            ).astype("int64")
+            out = [
+                (m * (b // max(len(m), 1) + 1))[:b] if len(m) else b""
+                for m, b in zip(pdf["media"], budget)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "width": pdf["width"].values,
+                    "height": pdf["height"].values,
+                    "out_width": target,
+                    "out_height": target,
+                    "out_bytes": out,
+                    "out_n_bytes": [len(o) for o in out],
+                }
+            )
+
+    flat = media_df.select("doc_id", "media", "meta.width", "meta.height")
+    return flat.mapInPandas(op, schema)
+
+
+@query(
+    "q_multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+           CAST((doc_id * 7) % 64 + 16 AS INTEGER) AS height,
+           {RESIZE_TARGET} AS out_width, {RESIZE_TARGET} AS out_height,
+           CAST(octet_length(encode(text)) * {RESIZE_TARGET * RESIZE_TARGET}
+                // ((n_chars % 64 + 16) * ((doc_id * 7) % 64 + 16))
+                AS BIGINT) AS out_n_bytes
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize through mapInPandas: output dims pinned to the target,
+    byte budget scaled by target/source area. The metadata math is
+    oracle-checked; the payload itself is exercised by the rows-only
+    decode query."""
+    return resize_media(synth_media(spark, sf_dir)).drop("out_bytes")
+
+
 @query("q_multimodal_decode", oracle=None, tags=("llm", "multimodal"))
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature extraction through mapInPandas (rows-only check:

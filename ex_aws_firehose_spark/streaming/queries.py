@@ -380,6 +380,63 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_stream_stateful_count",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a per-user
+    running event counter whose state survives across micro-batches (the
+    stream arrives as two batches split by event_id parity). Each batch
+    emits the updated running count per user seen in that batch; the
+    final state — the maximum emitted count, since the counter is
+    monotone — must equal the batch-relational COUNT(*).
+
+    This is the harness for arbitrary keyed state machines (sessions
+    with custom expiry, CEP patterns, dedup-with-TTL): swap the fold in
+    ``update_fn``, keep the plumbing. State lives in the state store
+    (per-key, partitioned by the groupBy), never on the driver."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    root = tempfile.mkdtemp(prefix="stateful_stream_")
+    src = os.path.join(root, "src")
+    e = load_table(spark, sf_dir, "events")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    def update_fn(key, pdfs, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    counted = stream.groupBy("user_id").applyInPandasWithState(
+        update_fn,
+        outputStructType="user_id long, n_events long",
+        stateStructType="n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_memory(counted, mode="update")
+    # Update-mode sink holds one row per (user, batch); the final state
+    # is the monotone maximum.
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 # ---------------------------------------------------------------------------
 # §2.1 source / sink contract queries
 # ---------------------------------------------------------------------------
