@@ -1,0 +1,62 @@
+"""Plan-quality gates: pin the physical-plan properties that matter at
+100 TB so a refactor that silently de-optimizes a query fails CI."""
+
+from __future__ import annotations
+
+import pytest
+
+from ex_aws_firehose_spark.plans.audit import (
+    pushed_filters,
+    python_eval_operators,
+    read_schemas,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
+
+load_all_operators()
+
+# Queries whose plans must stay Python-free (everything except the
+# explicitly Arrow-batched multimodal/UDF surfaces and the streaming
+# keys, which materialize through sinks).
+_PYTHON_OK = {
+    "q_multimodal_decode",
+    "q_multimodal_resize",
+    "q_udf_scalar",
+    "q_udaf",
+}
+_PLAN_CHECKED = sorted(
+    k
+    for k in REGISTRY
+    if not k.startswith(("q_stream_", "sink_", "src_stream", "src_test"))
+)
+
+
+def test_broadcast_dim_join(spark, sf_dir):
+    assert uses_broadcast_join(REGISTRY["q_join_broadcast"].fn(spark, sf_dir))
+
+
+def test_scan_projection_prunes_columns(spark, sf_dir):
+    schemas = read_schemas(REGISTRY["q_scan_project"].fn(spark, sf_dir))
+    assert schemas, "no file scan found"
+    # lineitem has 16 columns; the projection needs 4.
+    assert all(s.count(":") <= 4 for s in schemas), schemas
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    fs = pushed_filters(REGISTRY["q_filter_predicate"].fn(spark, sf_dir))
+    assert any("GreaterThan" in f or "LessThan" in f for f in fs), fs
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    assert uses_take_ordered(REGISTRY["q_sort_limit_topk"].fn(spark, sf_dir))
+
+
+@pytest.mark.parametrize("key", _PLAN_CHECKED)
+def test_no_row_at_a_time_python(spark, sf_dir, key):
+    ops = python_eval_operators(REGISTRY[key].fn(spark, sf_dir))
+    if key in _PYTHON_OK:
+        assert "BatchEvalPython" not in ops, ops
+    else:
+        # gzip codec UDFs are Arrow-batched pandas UDFs (ArrowEvalPython)
+        assert all(op != "BatchEvalPython" for op in ops), (key, ops)
