@@ -857,3 +857,78 @@ def q_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("event_type").applyInPandas(
         median_agg, schema="event_type string, median_value double, n long"
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-API surface + skew-mitigated join
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_SQL = """
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS revenue_micros
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n   ON c.c_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE o.o_orderstatus <> 'F'
+GROUP BY r.r_name, n.n_name
+"""
+
+
+@query("q_sql_flagship", oracle=_FLAGSHIP_SQL, tags=("relational", "sql"))
+def q_sql_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface: the revenue-by-nation rollup (TPC-H
+    Q5-shaped, five-table join) submitted as raw ANSI SQL over the
+    registered temp views — the oracle is the *identical* SQL text, so
+    this key proves dialect-compatible SQL in, not just DataFrames.
+
+    Money is exact-integer micros (cents × discount-complement-percent)
+    so the cross-engine hash can't be flipped by double summation order.
+    Plan shape at scale: lineitem⋈orders shuffles on orderkey (AQE
+    skew-split), the three dimension joins broadcast."""
+    from ex_aws_firehose_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_FLAGSHIP_SQL)
+
+
+SALT_BUCKETS = 8
+
+
+@query(
+    "q_join_skew_salted",
+    oracle=EVENTS_US
+    + """
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events_us e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("relational", "join", "skew"),
+)
+def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated fact-to-dim join via explicit salting: the fact
+    side appends a random-free deterministic salt (event_id % B) to the
+    join key; the dim side explodes each row into all B salt values.
+    Every (key, salt) shuffle bucket then holds ≤ 1/B of any hot key's
+    rows. This is the manual fallback for engines/paths where AQE
+    skew-join can't kick in (e.g. broadcast-ineligible dims, streaming
+    joins); with AQE on, Spark does the equivalent split at runtime.
+    Results are identical to the unsalted join — which is exactly what
+    the oracle checks."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "salt", (F.col("event_id") % SALT_BUCKETS).cast("int")
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT_BUCKETS - 1)))
+    )
+    joined = e.join(c, (e.user_id == c.c_custkey) & (e.salt == c.salt))
+    return joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
