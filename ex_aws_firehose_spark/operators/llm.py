@@ -77,7 +77,9 @@ ROWS_PER_BAND = NUM_HASHES // BANDS
 _SEEDS = [(2 * j + 3, (104729 * (j + 1)) % P) for j in range(NUM_HASHES)]
 
 
-def _minhash_oracle() -> str:
+def _minhash_cte() -> str:
+    """CTE prefix shared by the pair and cluster oracles: shingle →
+    hash → signature → LSH bands."""
     mins = ",\n           ".join(
         f"MIN(({a} * h + {b}) % {P}) AS m{j}" for j, (a, b) in enumerate(_SEEDS)
     )
@@ -108,10 +110,18 @@ def _minhash_oracle() -> str:
     bands AS (
         {bands}
     )
+    """
+
+
+def _minhash_oracle() -> str:
+    return (
+        _minhash_cte()
+        + """
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
     WHERE a.doc_id < b.doc_id
     """
+    )
 
 
 @query("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
@@ -461,6 +471,94 @@ def q_sim_pairwise_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min(cos), 6).alias("min_cos"),
         )
     )
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    members AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    )
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM members GROUP BY cluster_id
+    """,
+    tags=("llm", "dedup", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *clusters*: connected components over the MinHash
+    candidate-pair graph (pairs alone aren't actionable — keeping one
+    representative per component is what a dedup pipeline actually
+    does). Iterative min-label propagation: every doc starts labeled
+    with its own id; each round every doc takes the min label in its
+    neighborhood; fixpoint in O(diameter) rounds.
+
+    This is the engine's iterative-algorithm pattern: a driver-side
+    loop over DataFrame ops with the label frame persisted per round
+    and convergence tested by an aggregate — no collect of the data
+    itself. (DuckDB oracle: WITH RECURSIVE transitive closure — fine at
+    test SF, quadratic in general, which is why the engine side
+    iterates instead.) At 100 TB: each round is one self-join shuffle
+    on doc_id; large-diameter graphs switch to alternating
+    large-star/small-star (same loop shape)."""
+    pairs = q_dedup_minhash(spark, sf_dir)
+    edges = (
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst")
+        .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .persist()
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(15):  # bound: component diameter at test SF ≪ 15
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .persist()
+        )
+        # Convergence: per-node labels only ever decrease, so an
+        # unchanged sum ⇔ fixpoint — one aggregate instead of a join.
+        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    out = labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
+    edges.unpersist()
+    return out
 
 
 ANN_NPROBE = 3
