@@ -932,3 +932,51 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "q_pivot",
+    oracle=EVENTS_US
+    + """
+    SELECT user_id % 10 AS user_bucket,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'view'  THEN 1 END), 0) AS BIGINT) AS view,
+           CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase
+    FROM events_us GROUP BY user_id % 10
+    """,
+    tags=("relational", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide): event counts per user bucket spread across
+    one column per event type. The pivot values are DECLARED, not
+    discovered — at scale an undeclared pivot triggers an extra
+    distinct-scan job over the fact table just to learn the columns."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy((F.col("user_id") % 10).alias("user_bucket"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase"])
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+        SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+        UNION ALL
+        SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+    tags=("relational", "pivot"),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long) via the native unpivot/melt operator —
+    a pure map (no shuffle), each row fans out to one row per column."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("acctbal"),
+        F.col("c_nationkey").cast("double").alias("nationkey"),
+    ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
