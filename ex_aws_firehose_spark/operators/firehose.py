@@ -358,7 +358,9 @@ def route(decoded: DataFrame) -> DataFrame:
             .otherwise("Ok")
             .alias("result"),
             F.when(F.col("kind") == "bare", F.col("bare_value"))
-            .when(F.col("kind") == "data", F.col("out_payload"))
+            # empty logEvents → empty payload, not null: the reference
+            # joins an empty list to b'' (lambda/main.py:92).
+            .when(F.col("kind") == "data", F.coalesce("out_payload", F.lit("")))
             .alias("payload"),
         )
     )
