@@ -384,15 +384,32 @@ def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_agg_approx_distinct",
-    oracle=None,  # approximate → rows-only check (HLL estimates differ by impl)
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS approx_within_5pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
     tags=("relational", "agg", "approx"),
 )
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB answer to exact
-    COUNT(DISTINCT): mergeable sketches, no expand, fixed memory."""
+    COUNT(DISTINCT): mergeable sketches, no expand, fixed memory.
+
+    The sketch estimate itself is implementation-defined, so the
+    oracle-checked contract is the accuracy property: the HLL++ estimate
+    (rsd=0.02) must land within 5% of the exact count — Spark computes
+    both and emits the verdict; DuckDB recomputes the exact side."""
     l = load_table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts")
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_partkey", 0.02)
+                - F.countDistinct("l_partkey")
+            )
+            <= F.countDistinct("l_partkey") * 0.05
+        ).alias("approx_within_5pct"),
     )
 
 

@@ -155,3 +155,21 @@ def test_roundtrip_b64_gzip(spark, crafted):
     pure-Python encoder produced (b64+gzip round-trip fidelity)."""
     decoded = decode_chain(crafted).filter(F.col("record_id") == "rec-0").collect()[0]
     assert json.loads(decoded["payload"])["logEvents"][0]["message"] == "Hello Firehose!"
+
+
+def test_corrupt_records_dead_letter(spark):
+    """Undecodable records (bad base64 / bad gzip) take the error kind →
+    ProcessingFailed route instead of poisoning the batch (the Spark
+    upgrade of the reference's crash-the-invocation behavior)."""
+    rows = [
+        (0, "rec-ok", _encode("fine")),
+        (1, "rec-badb64", "!!!not-base64!!!"),
+        (2, "rec-badgzip", base64.b64encode(b"not gzip bytes").decode()),
+    ]
+    df = spark.createDataFrame(rows, RECORDS_SCHEMA)
+    routed = {r["record_id"]: r for r in route(decode_chain(df)).collect()}
+    assert routed["rec-ok"]["result"] == "Ok"
+    assert routed["rec-badb64"]["result"] == "ProcessingFailed"
+    assert routed["rec-badb64"]["kind"] == "error"
+    assert routed["rec-badgzip"]["result"] == "ProcessingFailed"
+    assert routed["rec-badgzip"]["kind"] == "error"
