@@ -3,9 +3,12 @@
 JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {key: sec, ...}, "sf": ...}
 
-Each query is timed as a full materialization (count of the result —
-forces the whole plan without driver-side row transfer). A warm-up pass
-primes the JVM/code-cache before the timed pass.
+Each query is timed as a full materialization through the ``noop``
+batch sink — unlike ``count()``, which lets Catalyst prune every
+projected expression and would time map-only queries as bare row
+counts, the noop write evaluates every output column and row without
+driver-side transfer. A warm-up pass primes the JVM/code-cache before
+the timed pass.
 """
 
 from __future__ import annotations
@@ -28,9 +31,12 @@ def main() -> None:
     spark = get_spark(app_name="ex-aws-firehose-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    def materialize(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     # Warm up the JVM / whole-stage-codegen compiler on a cheap query.
     try:
-        REGISTRY["q_scan_project"].fn(spark, sf_dir).count()
+        materialize(REGISTRY["q_scan_project"].fn(spark, sf_dir))
     except Exception as exc:
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
@@ -39,7 +45,7 @@ def main() -> None:
         fn = REGISTRY[key].fn
         t0 = time.perf_counter()
         try:
-            fn(spark, sf_dir).count()
+            materialize(fn(spark, sf_dir))
             timings[key] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # never let one query sink the bench
             timings[key] = -1.0
