@@ -166,6 +166,22 @@ def decoded_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
+_SPLIT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def split_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route → overflow_split, persisted per (session, sf_dir): the
+    split frame feeds several consumers inside reingest (pass-1 results,
+    the Dropped selection, the union), so the route join + ordered
+    window would otherwise run three times."""
+    key = (id(spark), sf_dir)
+    cached = _SPLIT_CACHE.get(key)
+    if cached is None:
+        cached = overflow_split(route(decoded_records(spark, sf_dir))).persist()
+        _SPLIT_CACHE[key] = cached
+    return cached
+
+
 def synthesize_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table → Firehose record batch
     ``(idx BIGINT, record_id STRING, data STRING)`` where ``data`` is
@@ -593,7 +609,7 @@ def q_filter_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_size_overflow_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running-size accounting + Dropped diversion past the threshold."""
-    split_df = overflow_split(route(decoded_records(spark, sf_dir)))
+    split_df = split_records(spark, sf_dir)
     return split_df.select(
         "record_id", "result", F.col("cum_size").cast("long").alias("cum_size")
     )
@@ -625,15 +641,14 @@ def q_reingest_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's maxAttempts=20 (lambda/main.py:156), and a batch query
     exposes exactly one retry round for oracle checkability."""
     records = synthesize_records(spark, sf_dir)
-    split_df = overflow_split(route(decoded_records(spark, sf_dir)))
-    return reingest(split_df, records)
+    return reingest(split_records(spark, sf_dir), records)
 
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: whole reference data path in one plan — synthesize →
     decode → route (explode/transform/reassemble inside) → overflow split
     — aggregated to delivery stats per (kind, result)."""
-    split_df = overflow_split(route(decoded_records(spark, sf_dir)))
+    split_df = split_records(spark, sf_dir)
     return split_df.groupBy("kind", "result").agg(
         F.count("*").alias("n_records"),
         F.sum(F.coalesce(F.length("payload"), F.lit(0))).alias("total_payload_bytes"),
