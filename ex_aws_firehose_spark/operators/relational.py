@@ -997,3 +997,50 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("acctbal"),
         F.col("c_nationkey").cast("double").alias("nationkey"),
     ).unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+
+
+@query(
+    "q_join_full_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name
+    FROM customer c FULL OUTER JOIN supplier s
+      ON c.c_custkey = s.s_suppkey
+    """,
+    tags=("relational", "join"),
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join — both unmatched sides survive with nulls. At
+    scale: shuffle join only (full outer can't broadcast either side)."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.join(s, c.c_custkey == s.s_suppkey, "full_outer").select(
+        "c_custkey", "c_name", "s_suppkey", "s_name"
+    )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT o_orderpriority,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5) / 100.0
+               AS median_price,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9) / 100.0
+               AS p90_price,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median, p90) over integer cents —
+    linear interpolation on exact int64 units is bit-identical across
+    engines. At 100 TB exact percentile requires a sort per group;
+    the sketch alternative is percentile_approx (see
+    q_agg_approx_distinct for the sketch-accuracy contract pattern)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return o.groupBy("o_orderpriority").agg(
+        (F.percentile(cents, F.lit(0.5)) / 100.0).alias("median_price"),
+        (F.percentile(cents, F.lit(0.9)) / 100.0).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
