@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,30 @@ RECORDS_SCHEMA = T.StructType(
 )
 
 N_SOURCE_FILES = 4
+
+# Stateful streaming plans don't get AQE partition coalescing — every
+# micro-batch runs (and, for stateful ops, checkpoints a state store
+# for) exactly spark.sql.shuffle.partitions tasks. Size this to the
+# stream's key cardinality, not the batch-side default: per-batch state
+# here is tiny, and 32 partitions × N batches of state-store commit I/O
+# dominates wall-clock. A production deployment raises it via env.
+STREAM_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+)
+
+
+@contextmanager
+def stream_shuffle(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
+    """Scope spark.sql.shuffle.partitions to a streaming run. The value
+    is captured when the streaming query *starts*, so the override must
+    wrap start()..processAllAvailable(); restored afterwards so batch
+    plans keep the session default (where AQE coalesces instead)."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @dataclass(frozen=True)
@@ -120,6 +145,9 @@ def run_stream(
     ).option("checkpointLocation", paths.checkpoint)
     if trigger_seconds:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    # No stream_shuffle override here: this pipeline is stateless (the
+    # checkpoint holds only source offsets), and the per-batch transform
+    # wants full parallelism for the gunzip UDF.
     q = writer.start()
     q.processAllAvailable()
     n_batches = len(

@@ -25,6 +25,7 @@ from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.streaming.pipeline import (
     RECORDS_SCHEMA,
     run_stream,
+    stream_shuffle,
     tri_sink_output,
 )
 from ex_aws_firehose_spark.tables import load_table
@@ -70,13 +71,14 @@ def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a streaming aggregation into a memory sink and return the
     final table."""
     name = f"mem_sink_{next(_MEM_SINK_COUNTER)}"
-    q = (
-        stream_df.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    q.processAllAvailable()
+    with stream_shuffle(stream_df.sparkSession):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        q.processAllAvailable()
     out = stream_df.sparkSession.table(name)
     q.stop()
     return out
@@ -324,13 +326,14 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(classify)
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(classify)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.read.parquet(out)
 
 
@@ -363,17 +366,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
         .dropDuplicates(["event_id"])
     )
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: df.select("event_id", "event_type")
-            .write.mode("append")
-            .parquet(out)
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.select("event_id", "event_type")
+                .write.mode("append")
+                .parquet(out)
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
         )
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+        q.processAllAvailable()
+        q.stop()
     deduped = spark.read.parquet(out)
     return deduped.groupBy("event_type").agg(
         F.countDistinct("event_id").alias("n_unique")
