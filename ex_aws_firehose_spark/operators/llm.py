@@ -910,3 +910,177 @@ def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             "emb_head"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline hygiene: PII redaction, sequence packing, centroids
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+@query(
+    "q_text_pii_redact",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id ||
+               '@example.com or 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+               || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g') AS redacted,
+           CAST(length(text)
+                - length(regexp_replace(text, '{_EMAIL_RE}', '', 'g'))
+                AS BIGINT) AS email_chars,
+           CAST((length(regexp_replace(text, '{_PHONE_RE}', '##', 'g'))
+                - length(text)) / 2 + 1 AS BIGINT) AS n_phone_hits
+    FROM enriched
+    """,
+    tags=("llm", "text"),
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: scrub email addresses and phone numbers to typed
+    placeholder tokens — the standard pre-training hygiene pass. The
+    corpus is synthetic word-soup, so deterministic PII is injected per
+    doc (same construction in the oracle) and then redacted; counters
+    prove the regexes actually fired. Pure regexp_replace — map-only,
+    whole-stage codegen, zero shuffle; at 100 TB this runs at scan
+    speed with the redaction fused into the first projection."""
+    d = load_table(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id"),
+            F.lit("@example.com or 555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    no_email = F.regexp_replace("text", _EMAIL_RE, "")
+    two_mark = F.regexp_replace("text", _PHONE_RE, "##")
+    return enriched.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ).alias("redacted"),
+        (F.length("text") - F.length(no_email)).alias("email_chars"),
+        ((F.length(two_mark) - F.length("text")) / F.lit(2) + 1)
+        .cast("long")
+        .alias("n_phone_hits"),
+    )
+
+
+@query(
+    "q_pack_sequences",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / 512.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT source, pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           SUM(n_tokens) AS pack_tokens,
+           MIN(doc_id) AS first_doc
+    FROM packed GROUP BY source, pack_id
+    """,
+    tags=("llm", "text"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: docs are packed in
+    doc_id order into ~512-token quota bins per source (pack_id =
+    exclusive-prefix-sum div budget — the same running-sum split the
+    reference uses for its 4 MB overflow accounting, lambda/main.py:
+    140-151). One window shuffle on source, then a hash agg; at 100 TB
+    the partition key is (source, day-shard) so each window partition
+    is bounded and packs stream out without a global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = d.select(
+        "source", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "pack_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / 512.0),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@query(
+    "q_embed_centroid",
+    oracle="""
+    WITH pos AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, pos,
+               SUM(CAST(ROUND(v * 1000) AS BIGINT)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pos GROUP BY label, pos
+    )
+    SELECT label,
+           array_agg(CAST(s AS DOUBLE) / (1000.0 * n) ORDER BY pos) AS centroid,
+           MIN(n) AS n_vectors
+    FROM sums GROUP BY label
+    """,
+    tags=("llm", "vector"),
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column — the E-step of
+    k-means / IVF codebook training. Elements are quantized to exact
+    int64 milli-units before summation so the cross-engine sum is
+    order-independent and exact; the centroid is one identical IEEE
+    division at the end. Shape: posexplode (×64 fan-out, map-side) →
+    hash agg on (label, pos) → re-assemble ordered arrays via
+    sort_array(collect_list(struct(pos, v))). At 100 TB with k labels
+    this shuffles only k×dim partial sums per executor (map-side
+    combine), never raw vectors."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pos = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("pos"),
+        F.round(F.col("v").cast("double") * 1000, 0).cast("long").alias("sv"),
+    )
+    sums = pos.groupBy("label", "pos").agg(
+        F.sum("sv").alias("s"), F.count("*").alias("n")
+    )
+    return sums.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
+            lambda x: x["s"].cast("double") / (1000.0 * x["n"]),
+        ).alias("centroid"),
+        F.min("n").alias("n_vectors"),
+    )

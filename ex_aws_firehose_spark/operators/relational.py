@@ -1044,3 +1044,261 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.percentile(cents, F.lit(0.9)) / 100.0).alias("p90_price"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / analytic extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+    FROM orders o
+    WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) >
+          (SELECT AVG(CAST(ROUND(i.o_totalprice * 100) AS BIGINT))
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+    """,
+    tags=("relational", "subquery"),
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: orders priced above their customer's
+    average. Expressed as a window aggregate (AVG OVER customer) instead
+    of a per-row subquery — one shuffle on o_custkey, no join, no
+    re-scan of orders; at 100 TB this is the canonical decorrelation
+    Catalyst itself would have to discover from the subquery form.
+    Comparison on exact cents; the avg itself is a ratio of exact int
+    sums so the > predicate is bit-deterministic in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("price_cents", _cents("o_totalprice"))
+        .withColumn("cust_avg", F.avg("price_cents").over(w))
+        .filter(F.col("price_cents") > F.col("cust_avg"))
+        .select("o_orderkey", "o_custkey", "price_cents")
+    )
+
+
+@query(
+    "q_window_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cum_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY CAST(ROUND(o_totalprice * 100) AS BIGINT), o_orderkey)
+    """,
+    tags=("relational", "window"),
+)
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window family (ntile / percent_rank /
+    cume_dist) per priority class. percent_rank and cume_dist are exact
+    integer ratios ((rank-1)/(n-1), rank/n) so the doubles are
+    bit-identical across engines; the ORDER BY carries o_orderkey as a
+    unique tie-break. Window partitions by priority (low cardinality) —
+    at 100 TB the partition key would be a compound high-cardinality key
+    or the ntile replaced by approx quantile cutpoints."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        _cents("o_totalprice"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+               AS statuses,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): distinct
+    statuses per priority, comma-joined in lexical order.
+    collect_set + array_sort + array_join keeps the order deterministic
+    regardless of shuffle placement — never rely on collect_list
+    arrival order. Map-side partial collect_set keeps the shuffled
+    payload at most |distinct values| per group."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderstatus")), ","
+        ).alias("statuses"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(9, GREATEST(0,
+                   CAST(FLOOR((o_totalprice - 0.0) / 60000.0) AS INTEGER)))
+                   AS bucket,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(cents) / 100.0 AS total_price
+    FROM b GROUP BY bucket
+    """,
+    tags=("relational", "agg"),
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (10 buckets of 60k over order totals) via
+    explicit floor arithmetic — the portable width_bucket. The bucket
+    expression is a single identical double division in both engines
+    (deterministic), clamped to [0, 9]. One hash aggregation, map-side
+    combined; at 100 TB this is the standard first pass for range
+    partitioning decisions and data profiling."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.lit(9),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("o_totalprice") - 0.0) / 60000.0).cast("int"),
+        ),
+    )
+    return (
+        o.withColumn("bucket", bucket)
+        .withColumn("cents", _cents("o_totalprice"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum("cents") / 100.0).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "q_sample_stratified",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_orderdate
+    FROM (
+        SELECT o_orderpriority, o_orderkey, o_orderdate,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_orderdate, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("relational", "sample"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: earliest 3 orders per priority
+    stratum (row_number with a unique tie-break, then filter). At
+    100 TB: rank-based stratified sampling shuffles once on the stratum
+    key; for heavy strata, pre-aggregate with a per-partition top-k
+    before the shuffle (Spark's TakeOrdered does this automatically for
+    global top-k; per-group requires the window form shown here)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_orderdate")
+    )
+
+
+@query(
+    "q_sample_hash",
+    oracle="""
+    SELECT doc_id, source
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(text), 1, 6)) AS BIGINT) % 20 = 0
+    """,
+    tags=("relational", "sample"),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash sampling: a deterministic ~5% sample selected by
+    md5(text) — stable across runs, engines, and partitionings (unlike
+    TABLESAMPLE's RNG), and content-addressed so replicated docs sample
+    identically. This is the sampling primitive a training-data pipeline
+    uses for held-out splits. md5 is computed once per row, map-only —
+    the filter runs before any shuffle and prunes at the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5("text"), 1, 6), 16, 10).cast("long")
+    return d.filter(bucket % 20 == 0).select("doc_id", "source")
+
+
+# Bucketed-table cache: (session id, sf_dir) -> True once the bucketed
+# copies of orders/lineitem exist in the session catalog.
+_BUCKETED_READY: set[tuple[int, str]] = set()
+_BUCKETS = 8
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders and lineitem as bucketed tables (8 buckets on the
+    join key) under a temp warehouse path, once per session+sf. Bucketed
+    storage is the at-rest analog of a co-partitioned shuffle: both
+    sides land pre-hashed on the join key, so every later equi-join on
+    that key skips its Exchange entirely."""
+    import hashlib
+    import tempfile
+
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED_READY:
+        root = tempfile.mkdtemp(prefix="bucketed_")
+        for name, table, bucket_col in (
+            (o_name, "orders", "o_orderkey"),
+            (l_name, "lineitem", "l_orderkey"),
+        ):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                load_table(spark, sf_dir, table)
+                .write.bucketBy(_BUCKETS, bucket_col)
+                .sortBy(bucket_col)
+                .option("path", f"{root}/{name}")
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        _BUCKETED_READY.add(key)
+    return o_name, l_name
+
+
+@query(
+    "q_join_bucketed",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderpriority
+    """,
+    tags=("relational", "join"),
+)
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) fact-fact join: orders ⋈ lineitem where
+    both sides are stored bucketed+sorted on the join key, so the join
+    AND the following per-order aggregation run with zero Exchange —
+    the physical plan is scan→scan→SortMergeJoin→agg with no shuffle
+    node (asserted in tests/test_plans.py). At 100 TB this is THE
+    technique for repeated fact-fact joins: pay the bucketing shuffle
+    once at write time, amortize it over every downstream join/agg on
+    that key."""
+    o_name, l_name = _bucketed_tables(spark, sf_dir)
+    o = spark.table(o_name)
+    l = spark.table(l_name)
+    # hint("merge"): at test SF the stats would pick broadcast (which
+    # ignores bucketing); force the sort-merge path — the one a 100 TB
+    # fact-fact join takes — to exercise bucket-aligned, sort-free SMJ.
+    joined = l.join(o.hint("merge"), l.l_orderkey == o.o_orderkey)
+    return joined.groupBy("o_orderkey", "o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        (F.sum(_cents("l_extendedprice")) / 100.0).alias("total_price"),
+    )

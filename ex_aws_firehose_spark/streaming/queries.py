@@ -559,3 +559,45 @@ def sink_error_log(spark: SparkSession, sf_dir: str) -> DataFrame:
     ProcessingFailed records with their failure kind."""
     paths = tri_sink_output(spark, sf_dir)
     return spark.read.parquet(paths.errors).select("record_id", "kind")
+
+
+@query(
+    "q_stream_join_static",
+    oracle="""
+    WITH tiers(event_type, tier) AS (
+        VALUES ('click', 'interactive'), ('view', 'interactive'),
+               ('purchase', 'transactional'), ('signup', 'transactional'),
+               ('error', 'operational')
+    )
+    SELECT e.event_id, e.event_type,
+           COALESCE(t.tier, 'other') AS tier,
+           CAST(ROUND(e.value * 100) AS BIGINT) AS value_cents
+    FROM events e LEFT JOIN tiers t USING (event_type)
+    """,
+    tags=("streaming",),
+)
+def q_stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: each micro-batch of the event
+    stream is joined to a small static dimension (event-type → tier).
+    The static side is broadcast once and reused by every micro-batch —
+    the canonical pattern for enriching a 100 TB/day stream against
+    reference data without shuffling the stream side. Run as a real
+    streaming query into an append-mode memory sink."""
+    tiers = spark.createDataFrame(
+        [
+            ("click", "interactive"),
+            ("view", "interactive"),
+            ("purchase", "transactional"),
+            ("signup", "transactional"),
+            ("error", "operational"),
+        ],
+        "event_type string, tier string",
+    )
+    e = _events_stream(spark, sf_dir)
+    enriched = e.join(F.broadcast(tiers), "event_type", "left").select(
+        "event_id",
+        "event_type",
+        F.coalesce("tier", F.lit("other")).alias("tier"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+    )
+    return _run_to_memory(enriched, mode="append")

@@ -11,6 +11,7 @@ import math
 from dataclasses import dataclass
 
 import duckdb
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
@@ -38,8 +39,13 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(s):
             pdf[c] = s.astype("datetime64[us]")
         elif s.dtype == object:
-            # arrays / lists → tuple for sortability & equality
-            pdf[c] = s.map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            # arrays / lists (incl. DuckDB's numpy arrays) → tuple for
+            # sortability & equality
+            pdf[c] = s.map(
+                lambda v: tuple(v)
+                if isinstance(v, (list, tuple, np.ndarray))
+                else v
+            )
         elif pd.api.types.is_integer_dtype(s):
             pdf[c] = s.astype("Int64")
         elif pd.api.types.is_bool_dtype(s):

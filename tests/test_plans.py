@@ -60,3 +60,18 @@ def test_no_row_at_a_time_python(spark, sf_dir, key):
     else:
         # gzip codec UDFs are Arrow-batched pandas UDFs (ArrowEvalPython)
         assert all(op != "BatchEvalPython" for op in ops), (key, ops)
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    # Both the SMJ and the per-order aggregation ride the at-rest
+    # bucketing: zero shuffle exchanges in the whole plan.
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    df = REGISTRY["q_join_bucketed"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hash_sample_filter_is_map_only(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    assert shuffle_count(REGISTRY["q_sample_hash"].fn(spark, sf_dir)) == 0
