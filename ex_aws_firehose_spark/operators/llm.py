@@ -1084,3 +1084,80 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.min("n").alias("n_vectors"),
     )
+
+
+@query(
+    "q_curate_corpus",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, source, lang, md5(text) AS h,
+               str_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    filtered AS (
+        SELECT doc_id, source, h, len(toks) AS n_tokens
+        FROM scored
+        WHERE lang = 'en'
+          AND len(toks) BETWEEN 20 AND 400
+          AND len(list_filter(toks, x -> list_contains(
+                  ['the', 'a', 'and', 'order', 'table'], x))) / len(toks)
+              BETWEEN 0.05 AND 0.6
+    ),
+    deduped AS (
+        SELECT * FROM (
+            SELECT doc_id, source, n_tokens,
+                   row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+            FROM filtered
+        ) WHERE rn = 1
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           SUM(CAST(n_tokens AS BIGINT)) AS kept_tokens,
+           MIN(doc_id) AS first_doc
+    FROM deduped GROUP BY source
+    """,
+    tags=("llm", "text"),
+)
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pass — the composition a real training-data
+    pipeline runs nightly: language filter → token-length band →
+    stopword-density band → exact near-dup removal (first doc per
+    content hash wins) → per-source yield accounting. Everything
+    upstream of the dedup shuffle is map-only Catalyst expressions
+    fused into the scan; the only shuffles are the content-hash
+    dedup window and the final per-source agg. At 100 TB: the filters
+    drop the bulk of the corpus before any shuffle (order matters:
+    cheap predicates first), and the dedup key (md5) is uniform so no
+    skew handling is needed."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.col("lang"),
+        F.md5("text").alias("h"),
+        F.size(toks).alias("n_tokens"),
+        (
+            F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+            / F.size(toks)
+        ).alias("stop_ratio"),
+    )
+    filtered = scored.filter(
+        (F.col("lang") == "en")
+        & F.col("n_tokens").between(20, 400)
+        & F.col("stop_ratio").between(0.05, 0.6)
+    )
+    deduped = (
+        filtered.withColumn(
+            "rn", F.row_number().over(W.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return deduped.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("kept_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )

@@ -1302,3 +1302,191 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_items"),
         (F.sum(_cents("l_extendedprice")) / 100.0).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytic extensions II
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_range_time",
+    oracle=EVENTS_US
+    + """
+    SELECT event_id, user_id,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS rolling_1h,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS n_1h
+    FROM events_us
+    """,
+    tags=("relational", "window"),
+)
+def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range window frame (RANGE BETWEEN INTERVAL 1 HOUR
+    PRECEDING): per-user rolling 1-hour sum/count over event time — the
+    batch analog of a sliding stream aggregation. Spark's rangeBetween
+    needs a numeric ordering key, so the frame runs over epoch
+    MICROseconds (events carry sub-second precision) with a ±3.6e9
+    bound — identical closed-interval semantics in both engines. One shuffle on user_id; at 100 TB the partition key
+    would be (user_id) with day-level pre-bucketing so frames never
+    span executors."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.sum(cents).over(w) / 100.0).alias("rolling_1h"),
+        F.count("*").over(w).alias("n_1h"),
+    )
+
+
+@query(
+    "q_agg_stats_moments",
+    oracle="""
+    WITH s AS (
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS sq,
+               SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sd,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                   * CAST(ROUND(l_quantity) AS BIGINT)) AS sqq,
+               SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                   * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sdd,
+               SUM(CAST(ROUND(l_quantity) AS BIGINT)
+                   * CAST(ROUND(l_discount * 100) AS BIGINT)) AS sqd
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           CAST(sq AS DOUBLE) / n AS mean_qty,
+           CAST(n * sqq - sq * sq AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))
+               AS var_qty,
+           CAST(n * sqd - sq * sd AS DOUBLE) /
+               (sqrt(CAST(n * sqq - sq * sq AS DOUBLE))
+                * sqrt(CAST(n * sdd - sd * sd AS DOUBLE))) AS corr_qty_disc
+    FROM s
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass moment statistics (mean / sample variance / Pearson
+    correlation) per return flag, computed from exact int64 power sums
+    (Σx, Σx², Σxy on quantized units) with the float math deferred to a
+    final deterministic expression — the distributed-safe form of
+    corr()/var_samp(), whose native implementations are
+    summation-order-dependent and can't cross-engine hash-match.
+    Map-side partial sums make the shuffle k rows; at 100 TB the int64
+    power sums bound the per-group row count at ~2^63/max(x²) — beyond
+    that, promote to decimal(38) sums."""
+    l = load_table(spark, sf_dir, "lineitem")
+    q = F.round("l_quantity", 0).cast("long")
+    d = F.round(F.col("l_discount") * 100, 0).cast("long")
+    s = l.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(d).alias("sd"),
+        F.sum(q * q).alias("sqq"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(q * d).alias("sqd"),
+    )
+    nd = F.col("n").cast("double")
+    var_num = (F.col("n") * F.col("sqq") - F.col("sq") * F.col("sq")).cast(
+        "double"
+    )
+    cov_num = (F.col("n") * F.col("sqd") - F.col("sq") * F.col("sd")).cast(
+        "double"
+    )
+    dd_num = (F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")).cast(
+        "double"
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        (F.col("sq").cast("double") / F.col("n")).alias("mean_qty"),
+        (var_num / (nd * (F.col("n") - 1))).alias("var_qty"),
+        (cov_num / (F.sqrt(var_num) * F.sqrt(dd_num))).alias("corr_qty_disc"),
+    )
+
+
+@query(
+    "q_join_lateral",
+    oracle="""
+    SELECT o.o_orderkey, t.top_part, t.top_price_cents
+    FROM orders o, LATERAL (
+        SELECT l.l_partkey AS top_part,
+               CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS top_price_cents
+        FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+        ORDER BY l.l_extendedprice DESC, l.l_partkey LIMIT 1
+    ) t
+    """,
+    tags=("relational", "join", "sql"),
+)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL join (top-1 line item per order), via the SQL
+    surface. Catalyst decorrelates the per-row subquery into a window
+    rank over the join key — the same plan the hand-written
+    row_number() form produces, so the lateral syntax costs nothing at
+    scale: one shuffle on l_orderkey, no nested-loop re-execution."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.top_part, t.top_price_cents
+        FROM orders_v o, LATERAL (
+            SELECT l.l_partkey AS top_part,
+                   CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)
+                       AS top_price_cents
+            FROM lineitem_v l WHERE l.l_orderkey = o.o_orderkey
+            ORDER BY l.l_extendedprice DESC, l.l_partkey LIMIT 1
+        ) t
+        """
+    )
+
+
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    WITH exact AS (
+        SELECT o_orderpriority,
+               quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
+                   AS exact_median_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, CAST(TRUE AS BOOLEAN) AS within_tolerance
+    FROM exact
+    """,
+    tags=("relational", "agg", "sketch"),
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched percentile with an accuracy contract (the
+    q_agg_approx_distinct pattern): percentile_approx's KLL-style
+    sketch at accuracy 10000 must land within 2% relative error of the
+    exact median — the oracle checks the *property* (verdict column),
+    not the sketch value, since sketch internals are engine-specific.
+    At 100 TB the sketch is the only viable form: fixed-size state,
+    map-side mergeable, no per-group sort."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.percentile_approx(cents, 0.5, 10000).alias("approx"),
+        F.percentile(cents, F.lit(0.5)).alias("exact"),
+        F.count("*").alias("n"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        (
+            F.abs(F.col("approx") - F.col("exact"))
+            <= 0.02 * F.abs(F.col("exact")) + 100
+        ).alias("within_tolerance"),
+    )
