@@ -225,3 +225,43 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the decode internals are a stub — see _fake_decode — but the
     dataflow, schema and batching are the real scale path)."""
     return decode_features(synth_media(spark, sf_dir))
+
+
+@query(
+    "q_multimodal_dedup",
+    oracle="""
+    WITH hashed AS (
+        -- media bytes are the utf-8 encoding of text (synth_media);
+        -- DuckDB's sha256 hashes the same utf-8 bytes from VARCHAR
+        SELECT doc_id, source, sha256(text) AS h,
+               octet_length(encode(text)) AS n_bytes
+        FROM documents
+    )
+    SELECT h AS content_sha, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           MIN(doc_id) AS keeper_doc, SUM(CAST(n_bytes AS BIGINT)) AS total_bytes
+    FROM hashed GROUP BY h HAVING COUNT(*) > 1
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-content dedup by checksum — the first pass every media
+    corpus runs (identical bytes → one keeper, count the copies).
+    sha2 runs JVM-side over the binary column at scan speed; the only
+    shuffle carries (hash, doc_id, n_bytes) — never the payload bytes —
+    which at 100 TB of media is the difference between shuffling
+    32-byte digests and shuffling the corpus itself."""
+    m = synth_media(spark, sf_dir)
+    hashed = m.select(
+        "doc_id",
+        F.sha2("media", 256).alias("content_sha"),
+        F.length("media").alias("n_bytes"),
+    )
+    return (
+        hashed.groupBy("content_sha")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

@@ -59,6 +59,7 @@ def load_all_operators() -> None:
     # Imports are deferred so `import ex_aws_firehose_spark` stays cheap
     # and circular imports are impossible.
     from ex_aws_firehose_spark.operators import (  # noqa: F401
+        analytics,
         firehose,
         llm,
         multimodal,

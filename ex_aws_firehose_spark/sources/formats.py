@@ -91,3 +91,102 @@ def src_format_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("value_cents"),
         F.max("ts").alias("max_ts"),
     )
+
+
+_CSV_CACHE: dict[tuple[int, str], str] = {}
+_PARTITIONED_CACHE: dict[tuple[int, str], str] = {}
+
+ORDERS_CSV_SCHEMA = (
+    "o_orderkey long, o_custkey long, o_orderstatus string, "
+    "o_totalprice double, o_orderdate timestamp_ntz, o_orderpriority string"
+)
+
+# o_orderdate is TIMESTAMP_NTZ (tz-naive parquet ms) — the CSV codec
+# keys its format off the NTZ option, not timestampFormat.
+TS_NTZ_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+@query(
+    "src_format_csv",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+               AS total_price,
+           MIN(o_orderdate) AS first_order
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("source", "format"),
+)
+def src_format_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round-trip: orders written as quoted CSV (header, pinned µs
+    timestamp format) and read back schema-first, then aggregated — the
+    values must survive the text round-trip bit-exactly. Doubles are
+    serialized by Java's shortest-repr (Ryū) and re-parsed to the
+    identical bit pattern; tz-naive timestamps carry an explicit
+    timestampNTZFormat (µs) so no precision is lost. At 100 TB: CSV is splittable (unlike gzip text)
+    but schema-on-read with no pushdown — the scan reads every byte, so
+    this format is an ingest boundary only, converted to parquet in the
+    first pass."""
+    key = (id(spark), sf_dir)
+    if key not in _CSV_CACHE:
+        path = tempfile.mkdtemp(prefix="orders_csv_") + "/data"
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.option("header", True)
+            .option("timestampNTZFormat", TS_NTZ_FORMAT)
+            .csv(path)
+        )
+        _CSV_CACHE[key] = path
+    o = (
+        spark.read.schema(ORDERS_CSV_SCHEMA)
+        .option("header", True)
+        .option("timestampNTZFormat", TS_NTZ_FORMAT)
+        .csv(_CSV_CACHE[key])
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents) / 100.0).alias("total_price"),
+        F.min("o_orderdate").alias("first_order"),
+    )
+
+
+@query(
+    "src_partitioned_pruning",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+               AS total_price
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderstatus
+    """,
+    tags=("source", "format"),
+)
+def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition pruning: orders are
+    written partitioned by o_orderpriority (directory per value); the
+    priority predicate then prunes whole directories at planning time —
+    the scan never opens the other partitions' files (asserted via
+    PartitionFilters in tests/test_plans.py). At 100 TB this is the
+    first-order I/O lever: partition by the dominant filter column
+    (date, tenant), keep per-partition file counts bounded, and let
+    pruning turn a full-table scan into a touched-partition scan."""
+    key = (id(spark), sf_dir)
+    if key not in _PARTITIONED_CACHE:
+        path = tempfile.mkdtemp(prefix="orders_part_") + "/data"
+        (
+            load_table(spark, sf_dir, "orders")
+            .write.partitionBy("o_orderpriority")
+            .parquet(path)
+        )
+        _PARTITIONED_CACHE[key] = path
+    o = spark.read.parquet(_PARTITIONED_CACHE[key])
+    pruned = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return pruned.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents) / 100.0).alias("total_price"),
+    )

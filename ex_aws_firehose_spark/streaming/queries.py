@@ -601,3 +601,56 @@ def q_stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
     )
     return _run_to_memory(enriched, mode="append")
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type FROM events)
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id
+    FROM e v JOIN e c
+      ON v.user_id = c.user_id
+     AND v.event_type = 'view' AND c.event_type = 'click'
+     AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming",),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: the view stream joined to the click
+    stream on user within a 30-minute event-time band, with watermarks
+    on both sides so the join state is bounded (Spark evicts buffered
+    rows once they age past watermark + band). Run as a real streaming
+    query into an append-mode memory sink; with a full drain the output
+    equals the batch interval join, which is the oracle. At 100 TB/day
+    the state bound is (watermark + 30 min) of traffic per side,
+    partitioned by user_id across the cluster."""
+    views = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id"
+    )
+    return _run_to_memory(joined, mode="append")

@@ -75,3 +75,13 @@ def test_hash_sample_filter_is_map_only(spark, sf_dir):
     from ex_aws_firehose_spark.plans.audit import shuffle_count
 
     assert shuffle_count(REGISTRY["q_sample_hash"].fn(spark, sf_dir)) == 0
+
+
+def test_partitioned_read_prunes_partitions(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    df = REGISTRY["src_partitioned_pruning"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters: ["
+    )[1].split("]")[0], plan
