@@ -1253,13 +1253,18 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = (id(spark), sf_dir)
     if key not in _BUCKETED_READY:
         root = tempfile.mkdtemp(prefix="bucketed_")
-        for name, table, bucket_col in (
-            (o_name, "orders", "o_orderkey"),
-            (l_name, "lineitem", "l_orderkey"),
+        # Column-pruned at write time: a bucketed layout is built FOR the
+        # repeated join/agg on its key, so it stores the key + the columns
+        # those downstream plans read — not the full fact width (at 100 TB
+        # the unused-column write cost dominates; prune there too).
+        for name, table, bucket_col, cols in (
+            (o_name, "orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+            (l_name, "lineitem", "l_orderkey", ["l_orderkey", "l_extendedprice"]),
         ):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
             (
                 load_table(spark, sf_dir, table)
+                .select(*cols)
                 .write.bucketBy(_BUCKETS, bucket_col)
                 .sortBy(bucket_col)
                 .option("path", f"{root}/{name}")
