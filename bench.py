@@ -3,6 +3,16 @@
 JSON line:  {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {key: sec, ...}, "sf": ...}
 
+The round driver captures only the LAST 2000 CHARACTERS of stdout and
+parses the JSON out of that tail — a per-query dict over the full
+100+-key registry serializes to ~3 KB and overflows it (round 1's bench
+recorded ``parsed: null`` for exactly this reason). So stdout carries a
+compact line: the total, registry size, and per-query seconds for a
+fixed HEADLINE subset covering every SURVEY §2 family; the full
+per-query map is written to BENCH_DETAIL.json (committed per round,
+referenced from BASELINE.md). The line length is enforced (<1900 chars)
+by trimming trailing headline entries if it ever grows past the budget.
+
 Each query is timed as a full materialization through the ``noop``
 batch sink — unlike ``count()``, which lets Catalyst prune every
 projected expression and would time map-only queries as bare row
@@ -23,10 +33,59 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
 from ex_aws_firehose_spark.session import get_spark
 
+# One representative (and every historically slow) key per §2 family.
+HEADLINE = [
+    "q_sql_flagship",
+    "q_decode_chain",
+    "q_reassemble_concat",
+    "q_route_message_type",
+    "q_reingest_retry",
+    "q_size_overflow_split",
+    "q_join_inner_equi",
+    "q_join_bucketed",
+    "q_join_asof",
+    "q_join_skew_salted",
+    "q_agg_hash",
+    "q_agg_percentile",
+    "q_window_rank",
+    "q_window_range_time",
+    "q_sort_limit_topk",
+    "q_pivot",
+    "q_grouping_sets",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_dedup_clusters",
+    "q_sim_cosine_topk",
+    "q_sim_ann_ivf",
+    "q_sim_pairwise_join",
+    "q_text_stats",
+    "q_text_tfidf_topterms",
+    "q_pack_sequences",
+    "q_curate_corpus",
+    "q_embed_centroid",
+    "q_multimodal_decode",
+    "q_multimodal_dedup",
+    "q_stream_dual_sink",
+    "q_stream_stateful_count",
+    "q_stream_stream_join",
+    "q_stream_dedup",
+    "src_format_jsonl_gz",
+    "src_partitioned_pruning",
+]
+
+MAX_LINE = 1900  # hard budget: driver tail is 2000 chars
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_str = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf: float | str = float(sf_str)
+    except ValueError:
+        sf = sf_str
     load_all_operators()
     spark = get_spark(app_name="ex-aws-firehose-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -52,17 +111,45 @@ def main() -> None:
             print(f"bench: {key} failed: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    n_failed = sum(1 for t in timings.values() if t < 0)
+
+    detail = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": n_failed,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        print(f"bench: full per-query detail -> {detail_path}", file=sys.stderr)
+    except OSError as exc:
+        print(f"bench: could not write detail file: {exc}", file=sys.stderr)
+
+    headline = {
+        k: round(timings[k], 2) for k in HEADLINE if k in timings
+    }
+    summary = {
+        "metric": "total_query_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": headline,
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_failed": n_failed,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(summary, separators=(",", ":"))
+    while len(line) > MAX_LINE and summary["queries"]:
+        summary["queries"].popitem()
+        line = json.dumps(summary, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

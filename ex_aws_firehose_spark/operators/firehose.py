@@ -117,9 +117,15 @@ routed AS (
     FROM payloads p
 ),
 sized AS (
+    -- size accounting measures the wire-format 'data' field
+    -- (lambda/main.py:143): base64 of the payload for data records,
+    -- the raw pass-through string for bare records
     SELECT *,
            SUM(CASE WHEN result = 'ProcessingFailed' THEN 0
-                    ELSE length(payload) + length(record_id) END)
+                    ELSE length(CASE WHEN kind = 'data'
+                                     THEN to_base64(encode(payload))
+                                     ELSE payload END)
+                         + length(record_id) END)
                OVER (ORDER BY rec_no) AS cum_size
     FROM routed
 ),
@@ -362,7 +368,9 @@ def route(decoded: DataFrame) -> DataFrame:
     'data that is re-ingested'), control → ProcessingFailed, data → Ok
     with the transformed+reassembled payload."""
     out = reassemble(transform_message(explode_events(decoded))).select(
-        "idx", F.col("payload").alias("out_payload")
+        "idx",
+        F.col("payload").alias("out_payload"),
+        F.col("data").alias("out_data"),
     )
     return (
         decoded.join(out, "idx", "left")
@@ -378,15 +386,27 @@ def route(decoded: DataFrame) -> DataFrame:
             # joins an empty list to b'' (lambda/main.py:92).
             .when(F.col("kind") == "data", F.coalesce("out_payload", F.lit("")))
             .alias("payload"),
+            # the wire-format 'data' field of the processor result record:
+            # bare records pass the decoded string through unmodified
+            # (lambda/main.py:80-85 yields the str, not a re-encoding),
+            # data records carry the base64 of the reassembled payload
+            # (lambda/main.py:93), failed records carry none.
+            F.when(F.col("kind") == "bare", F.col("bare_value"))
+            .when(F.col("kind") == "data", F.coalesce("out_data", F.lit("")))
+            .alias("data"),
         )
     )
 
 
 def overflow_split(routed: DataFrame, threshold: int = OVERFLOW_THRESHOLD) -> DataFrame:
     """Sequential projected-size accounting (lambda/main.py:137-153):
-    accumulate len(payload)+len(recordId) in input (idx) order, skipping
-    failed records (lambda/main.py:141-142); once the running total
-    crosses ``threshold``, the remainder is 'Dropped' for re-ingestion.
+    accumulate len(data)+len(recordId) in input (idx) order — `data` is
+    the wire-format field the reference measures (the base64-encoded
+    transformed payload for data records, lambda/main.py:93,143; the
+    raw pass-through string for bare records, lambda/main.py:81) —
+    skipping failed records (lambda/main.py:141-142); once the running
+    total crosses ``threshold``, the remainder is 'Dropped' for
+    re-ingestion.
 
     Scale note: the reference's accounting is per Lambda invocation
     (≤ a few MB of records), so the single-partition window here mirrors
@@ -395,7 +415,7 @@ def overflow_split(routed: DataFrame, threshold: int = OVERFLOW_THRESHOLD) -> Da
     reference's global-order semantics for oracle checkability."""
     size = F.when(
         F.col("result") == "ProcessingFailed", F.lit(0)
-    ).otherwise(F.length("payload") + F.length("record_id"))
+    ).otherwise(F.length("data") + F.length("record_id"))
     w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
     return routed.withColumn("cum_size", F.sum(size).over(w)).withColumn(
         "result",
@@ -621,8 +641,10 @@ def q_size_overflow_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
     , pass2 AS (
         SELECT record_id,
-               SUM(length(payload) + length(record_id)) OVER (ORDER BY rec_no)
-                   AS cum2
+               SUM(length(CASE WHEN kind = 'data'
+                               THEN to_base64(encode(payload))
+                               ELSE payload END)
+                   + length(record_id)) OVER (ORDER BY rec_no) AS cum2
         FROM split WHERE result = 'Dropped'
     )
     SELECT s.record_id,

@@ -1011,7 +1011,7 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source, pack_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           SUM(n_tokens) AS pack_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            MIN(doc_id) AS first_doc
     FROM packed GROUP BY source, pack_id
     """,
@@ -1063,10 +1063,10 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(COUNT(*) AS BIGINT) AS n
         FROM pos GROUP BY label, pos
     )
-    SELECT label,
-           array_agg(CAST(s AS DOUBLE) / (1000.0 * n) ORDER BY pos) AS centroid,
-           MIN(n) AS n_vectors
-    FROM sums GROUP BY label
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(s AS DOUBLE) / (1000.0 * n) AS centroid_v,
+           n AS n_vectors
+    FROM sums
     """,
     tags=("llm", "vector"),
 )
@@ -1074,29 +1074,31 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding column — the E-step of
     k-means / IVF codebook training. Elements are quantized to exact
     int64 milli-units before summation so the cross-engine sum is
-    order-independent and exact; the centroid is one identical IEEE
-    division at the end. Shape: posexplode (×64 fan-out, map-side) →
-    hash agg on (label, pos) → re-assemble ordered arrays via
-    sort_array(collect_list(struct(pos, v))). At 100 TB with k labels
-    this shuffles only k×dim partial sums per executor (map-side
-    combine), never raw vectors."""
+    order-independent and exact; each centroid component is one
+    identical IEEE division at the end. Emitted as scalar rows
+    (label, pos, centroid_v, n_vectors) — one row per vector
+    component — so the differential harness hashes plain scalars.
+    Shape: posexplode (×64 fan-out, map-side) → hash agg on
+    (label, pos). At 100 TB with k labels this shuffles only k×dim
+    partial sums per executor (map-side combine), never raw vectors."""
     e = load_table(spark, sf_dir, "embeddings")
     pos = e.select(
         "label", F.posexplode("embedding").alias("pos", "v")
     ).select(
         "label",
-        (F.col("pos") + 1).alias("pos"),
+        (F.col("pos") + 1).cast("long").alias("pos"),
         F.round(F.col("v").cast("double") * 1000, 0).cast("long").alias("sv"),
     )
     sums = pos.groupBy("label", "pos").agg(
         F.sum("sv").alias("s"), F.count("*").alias("n")
     )
-    return sums.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "s", "n"))),
-            lambda x: x["s"].cast("double") / (1000.0 * x["n"]),
-        ).alias("centroid"),
-        F.min("n").alias("n_vectors"),
+    return sums.select(
+        "label",
+        "pos",
+        (F.col("s").cast("double") / (F.lit(1000.0) * F.col("n"))).alias(
+            "centroid_v"
+        ),
+        F.col("n").alias("n_vectors"),
     )
 
 
@@ -1126,7 +1128,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(COUNT(*) AS BIGINT) AS n_kept,
-           SUM(CAST(n_tokens AS BIGINT)) AS kept_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens,
            MIN(doc_id) AS first_doc
     FROM deduped GROUP BY source
     """,

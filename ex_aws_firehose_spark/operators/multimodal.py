@@ -238,7 +238,8 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT h AS content_sha, CAST(COUNT(*) AS BIGINT) AS n_copies,
-           MIN(doc_id) AS keeper_doc, SUM(CAST(n_bytes AS BIGINT)) AS total_bytes
+           MIN(doc_id) AS keeper_doc,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
     FROM hashed GROUP BY h HAVING COUNT(*) > 1
     """,
     tags=("multimodal",),

@@ -72,7 +72,7 @@ def read_events_jsonl_gz(spark: SparkSession, path: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n,
            CAST(MIN(event_id) AS BIGINT) AS min_id,
            CAST(MAX(event_id) AS BIGINT) AS max_id,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_cents,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
            MAX(CAST(ts AS TIMESTAMP)) AS max_ts
     FROM events GROUP BY event_type
     """,

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import itertools
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -302,9 +303,19 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="late_stream_")
     src, out = os.path.join(root, "src"), os.path.join(root, "out")
     e = load_table(spark, sf_dir, "events")
-    # batch 1: on-time traffic; batch 2: the replayed (late) slice
+    # batch 1: on-time traffic; batch 2: the replayed (late) slice.
+    # The file source orders batches by modification time, so force a
+    # strictly earlier mtime on the batch-1 files — two writes landing
+    # within the filesystem's mtime resolution could otherwise flip
+    # the batch order and invert the watermark state.
     e.filter(F.col("event_id") % 4 != 3).coalesce(1).write.mode("append").parquet(src)
+    first_files = {
+        os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+    }
     e.filter(F.col("event_id") % 4 == 3).coalesce(1).write.mode("append").parquet(src)
+    earlier = time.time() - 60
+    for f in first_files:
+        os.utime(f, (earlier, earlier))
 
     state = {"cutoff": None}
 

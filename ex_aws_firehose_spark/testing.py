@@ -64,6 +64,14 @@ class CompareResult:
         return self.ok
 
 
+def _has_unhashable(s: pd.Series) -> bool:
+    if s.dtype != object:
+        return False
+    return bool(
+        s.map(lambda v: isinstance(v, (list, tuple, np.ndarray, dict))).any()
+    )
+
+
 def compare_frames(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> CompareResult:
     if len(spark_pdf) != len(oracle_pdf):
         return CompareResult(key, False, f"row count {len(spark_pdf)} != {len(oracle_pdf)}")
@@ -73,10 +81,39 @@ def compare_frames(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) 
             False,
             f"columns {sorted(spark_pdf.columns)} != {sorted(oracle_pdf.columns)}",
         )
+    # The external driver's canonicalizer sort_values the raw frame and
+    # hashes it — list/array/struct cells crash it ("unhashable type"),
+    # so an oracle-checked query must emit only scalar columns.
+    for side, pdf in (("spark", spark_pdf), ("oracle", oracle_pdf)):
+        for c in pdf.columns:
+            if _has_unhashable(pdf[c]):
+                return CompareResult(
+                    key,
+                    False,
+                    f"col {c} ({side}) carries array/struct values — the "
+                    "driver canonicalizer cannot hash lists; emit scalars",
+                )
     a, b = _normalize(spark_pdf), _normalize(oracle_pdf)
     for c in a.columns:
         sa, sb = a[c], b[c]
-        if pd.api.types.is_float_dtype(sa) or pd.api.types.is_float_dtype(sb):
+        fa_f, fb_f = (
+            pd.api.types.is_float_dtype(sa),
+            pd.api.types.is_float_dtype(sb),
+        )
+        # The driver's value hash is dtype-sensitive: DuckDB widening
+        # SUM(BIGINT)→HUGEINT lands as float64 while Spark emits int64,
+        # and the hashes differ even when values are equal. Treat any
+        # float-vs-integer split as a failure so the local gate predicts
+        # the driver's gate.
+        if fa_f != fb_f:
+            return CompareResult(
+                key,
+                False,
+                f"col {c}: dtype mismatch spark={sa.dtype} oracle={sb.dtype} "
+                "(driver hash is type-sensitive — CAST the oracle, e.g. "
+                "CAST(SUM(...) AS BIGINT))",
+            )
+        if fa_f:
             fa = sa.astype(float).to_numpy()
             fb = sb.astype(float).to_numpy()
             for i, (x, y) in enumerate(zip(fa, fb)):

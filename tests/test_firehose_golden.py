@@ -118,9 +118,11 @@ def test_overflow_split_sequential(spark, crafted):
     # Threshold chosen so the running size crosses inside rec-3: rec-0 and
     # rec-2 fit, rec-1 contributes 0 (failed records are skipped in the
     # accounting, lambda/main.py:141-142), rec-3 crosses, rec-4 is past it.
+    # Sizes measure the wire-format 'data' field (base64 for data records),
+    # matching the reference's len(rec['data']) at lambda/main.py:143.
     routed = route(decode_chain(crafted))
     sizes = {
-        r["record_id"]: (len(r["payload"]) + len(r["record_id"]) if r["payload"] else 0)
+        r["record_id"]: (len(r["data"]) + len(r["record_id"]) if r["data"] else 0)
         for r in routed.collect()
     }
     threshold = sizes["rec-0"] + sizes["rec-2"] + 10
@@ -137,7 +139,7 @@ def test_overflow_split_sequential(spark, crafted):
 def test_reingest_second_pass(spark, crafted):
     routed = route(decode_chain(crafted))
     sizes = {
-        r["record_id"]: (len(r["payload"]) + len(r["record_id"]) if r["payload"] else 0)
+        r["record_id"]: (len(r["data"]) + len(r["record_id"]) if r["data"] else 0)
         for r in routed.collect()
     }
     threshold = sizes["rec-0"] + sizes["rec-2"] + 10
