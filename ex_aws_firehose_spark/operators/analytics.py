@@ -189,3 +189,63 @@ def q_sessionize_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+@query(
+    "q_timeseries_gapfill",
+    oracle=EVENTS_US
+    + """
+    , b AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hr,
+               COUNT(*) AS n,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+        FROM events_us GROUP BY 1, 2
+    ),
+    rng AS (SELECT event_type, MIN(hr) AS lo, MAX(hr) AS hi FROM b GROUP BY 1),
+    spine AS (
+        SELECT event_type,
+               unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM rng
+    )
+    SELECT s.event_type, s.hr AS hour,
+           CAST(COALESCE(b.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(b.cents, 0) AS BIGINT) AS value_cents
+    FROM spine s LEFT JOIN b USING (event_type, hr)
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style downsample + gap-fill: events roll up to an
+    hourly grain per type, then a dense hourly spine (generated from
+    each type's min/max hour — no calendar table needed) left-joins the
+    rollup and zero-fills silent hours. The shape behind every
+    monitoring/continuous-aggregate view over the delivered stream.
+
+    Scale: the rollup is one hash agg on (type, hour) — low cardinality,
+    map-side combined; the spine is sequence+explode off the tiny
+    per-type range frame and broadcast back against the rollup, so
+    nothing large ever shuffles twice. Values aggregate as exact integer
+    cents (float parity convention, relational.py:13)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    rng = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("lo"), F.max("hour").alias("hi")
+    )
+    spine = rng.select(
+        "event_type",
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    return spine.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+        F.coalesce("cents", F.lit(0)).alias("value_cents"),
+    )

@@ -1177,3 +1177,366 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("kept_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline curation: contamination, mixture, sharding
+# ---------------------------------------------------------------------------
+
+CONTAM_K = 8  # shingle width for benchmark-contamination detection
+EVAL_MOD = 19  # docs with doc_id % EVAL_MOD == 0 model the held-out eval set
+
+
+@query(
+    "q_contamination_ngram",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, str_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, source,
+               {duck_hex_hash('unnest(' + duck_shingles('t', 8) + ')')} AS s
+        FROM toks
+    ),
+    eval_sh AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % {EVAL_MOD} = 0
+    ),
+    cont AS (
+        SELECT DISTINCT doc_id, source FROM sh
+        WHERE doc_id % {EVAL_MOD} <> 0 AND s IN (SELECT s FROM eval_sh)
+    ),
+    base AS (
+        SELECT source, COUNT(*) AS n FROM documents
+        WHERE doc_id % {EVAL_MOD} <> 0 GROUP BY source
+    )
+    SELECT b.source,
+           CAST(b.n AS BIGINT) AS n_train_docs,
+           CAST(COALESCE(c.n, 0) AS BIGINT) AS n_contaminated,
+           CAST(COALESCE(c.n, 0) AS DOUBLE) / b.n AS contamination_rate
+    FROM base b
+    LEFT JOIN (SELECT source, COUNT(*) AS n FROM cont GROUP BY source) c
+        USING (source)
+    """,
+    tags=("llm", "curation"),
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check — the pass every training corpus
+    runs before release: find training documents that share an 8-token
+    shingle with any held-out eval document (eval set modeled as
+    doc_id % 19 == 0) and report per-source contamination counts/rates.
+
+    Scale shape: the eval set is small by construction, so its distinct
+    shingle set is collected into a broadcast hash join — the 100 TB
+    corpus streams map-side through a semi-join against an in-memory
+    eval dictionary, no shuffle of the training shingles. (If the eval
+    dictionary ever outgrew broadcast, the fallback is a shuffle
+    semi-join on the shingle key — same plan DuckDB's IN executes.)
+    Shingles are reduced to int64 md5-prefix hashes before the
+    distinct/broadcast/join, so the hot path moves 8-byte keys instead
+    of ~50-byte strings; the oracle applies the identical hash, so even
+    a collision (false-positive match) is mirrored exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                shingles(tokens("text"), CONTAM_K), lambda s: hex_hash(s)
+            )
+        ).alias("s"),
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    eval_sh = sh.filter(is_eval).select("s").distinct()
+    contaminated = (
+        sh.filter(~is_eval)
+        .join(F.broadcast(eval_sh), "s", "left_semi")
+        .select("doc_id", "source")
+        .distinct()
+        .groupBy("source")
+        .agg(F.count("*").alias("n_cont"))
+    )
+    base = (
+        d.filter(~is_eval)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_train_docs"))
+    )
+    return base.join(contaminated, "source", "left").select(
+        "source",
+        "n_train_docs",
+        F.coalesce("n_cont", F.lit(0)).alias("n_contaminated"),
+        (
+            F.coalesce("n_cont", F.lit(0)).cast("double")
+            / F.col("n_train_docs")
+        ).alias("contamination_rate"),
+    )
+
+
+@query(
+    "q_interleave_sources",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               1 + CAST(substr(source, 4) AS INTEGER) % 3 AS keep_mod,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    kept AS (SELECT * FROM ranked WHERE rn % keep_mod = 0)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM kept GROUP BY source
+    """,
+    tags=("llm", "curation"),
+)
+def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-mixture sampling: each source keeps every
+    k-th document in doc_id order (k = 1 + source_number % 3 — a stand-in
+    for per-source mixture weights), the RNG-free way a training mixture
+    is drawn reproducibly. One window shuffle partitioned by source
+    (at 100 TB the per-source rank comes from the ingest layer's
+    monotonic ids instead, making this map-only); the mod filter and
+    per-source yield agg reuse the same partitioning — Catalyst plans a
+    single Exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    keep_mod = 1 + F.substring("source", 4, 10).cast("int") % 3
+    w = Window.partitionBy("source").orderBy("doc_id")
+    kept = d.select(
+        "doc_id", "source", "n_chars", keep_mod.alias("keep_mod")
+    ).withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") % F.col("keep_mod") == 0
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+N_SHARDS = 16
+
+
+@query(
+    "q_shard_balanced",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, n_chars,
+               (ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) - 1)
+                   % {N_SHARDS} AS shard
+        FROM documents
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc
+    FROM ranked GROUP BY shard
+    """,
+    tags=("llm", "curation"),
+)
+def q_shard_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-balanced shard assignment for training-data files: documents
+    are dealt round-robin across 16 shards in descending-size order (the
+    classic LPT-style greedy that keeps shard byte totals within one
+    max-doc of each other), then per-shard totals prove the balance.
+    The global rank is a range-partitioned sort in Spark (sampled range
+    exchange, no single-node bottleneck); at 100 TB shard assignment
+    normally folds into the writer via rank carried from the previous
+    stage — the same plan with the sort reused."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy(F.desc("n_chars"), "doc_id")
+    ranked = d.select("doc_id", "n_chars").withColumn(
+        "shard", ((F.row_number().over(w) - 1) % N_SHARDS).cast("long")
+    )
+    return ranked.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity: nearest-centroid assignment + random-hyperplane LSH
+# ---------------------------------------------------------------------------
+
+_CENTROID_CTE = """
+    WITH pos AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    sums AS (
+        SELECT label, pos,
+               SUM(CAST(ROUND(v * 1000) AS BIGINT)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pos GROUP BY label, pos
+    ),
+    cents AS (
+        SELECT label AS clabel,
+               array_agg(CAST(s AS DOUBLE) / (1000.0 * n) ORDER BY pos)
+                   AS centroid
+        FROM sums GROUP BY label
+    )
+"""
+
+
+@query(
+    "q_sim_centroid_assign",
+    oracle=_CENTROID_CTE
+    + """
+    , dists AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+                   t -> (CAST(t[1] AS DOUBLE) - t[2])
+                        * (CAST(t[1] AS DOUBLE) - t[2])),
+                   (x, y) -> x + y) AS d2
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+        SELECT vec_id, label, clabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel)
+                   AS rn
+        FROM dists
+    )
+    SELECT label, clabel AS assigned_label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM best WHERE rn = 1 GROUP BY label, clabel
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment — the full k-means E-step: train the
+    codebook (per-label centroid via exact int64-quantized sums, same
+    math as q_embed_centroid), broadcast it, assign every vector to its
+    closest centroid by squared-L2, and emit the label-vs-assigned
+    confusion counts.
+
+    Scale shape: the codebook is k rows (k ≪ data), so assignment is a
+    broadcast nested loop — a map-only ×k fan-out with a map-side
+    min(struct) combine; the only shuffles are the k×dim centroid sums
+    and the final k×k confusion agg. Distance is one Catalyst fold per
+    (vector, centroid) with the identical left-fold DuckDB mirrors, so
+    the argmin is bit-deterministic cross-engine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("p"),
+        F.round(F.col("v").cast("double") * 1000, 0).cast("long").alias("sv"),
+    )
+    sums = comp.groupBy("label", "p").agg(
+        F.sum("sv").alias("s"), F.count("*").alias("n")
+    )
+    cents = sums.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s", "n"))),
+            lambda x: x["s"].cast("double") / (1000.0 * x["n"]),
+        ).alias("centroid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    best = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
+            F.struct(d2.alias("d2"), F.col("clabel").alias("clabel")).alias(
+                "cand"
+            ),
+        )
+        .groupBy("vec_id", "label")
+        .agg(F.min("cand").alias("best"))
+    )
+    return best.groupBy(
+        "label", F.col("best.clabel").alias("assigned_label")
+    ).agg(F.count("*").alias("n_vectors"))
+
+
+RP_PLANES = 8
+EMB_DIM = 64
+RP_COS = 0.15
+
+
+def _rp_plane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane j — reproducible in both
+    engines from the same closed-form constants (no RNG state)."""
+    return [((131 * j + 17 * k) % 997 - 498) / 498.0 for k in range(EMB_DIM)]
+
+
+def _rp_oracle() -> str:
+    from ex_aws_firehose_spark.functions.vector import duck_dot
+
+    terms = []
+    for j in range(RP_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in _rp_plane(j)) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN {duck_dot('embedding', lit)} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(a.bucket AS BIGINT) AS bucket,
+           round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {RP_COS}
+    """
+
+
+@query("q_sim_rp_lsh", oracle=_rp_oracle(), tags=("llm", "similarity"))
+def q_sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH for embeddings (the vector analog of
+    SimHash): 8 deterministic hyperplanes → 8 sign bits → 256 buckets;
+    candidate pairs are same-bucket vectors, verified with exact cosine.
+    Data-independent bucketing — unlike q_dedup_embedding's IVF labels,
+    no trained codebook is needed.
+
+    Scale shape: the signature is a pure map (8 Catalyst dot-folds per
+    row, planes are inline literals — nothing broadcast, nothing
+    shuffled); candidates come from a self-equi-join on the bucket key.
+    More planes → smaller buckets → fewer candidates: the knob that
+    keeps the pair space linear at 100 TB."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for j in range(RP_PLANES):
+        plane = F.array(*[F.lit(v) for v in _rp_plane(j)])
+        bit = F.when(dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        bucket.cast("long").alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= RP_COS)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )

@@ -1495,3 +1495,25 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.02 * F.abs(F.col("exact")) + 100
         ).alias("within_tolerance"),
     )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r.r_name, s.o_orderstatus
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tags=("relational", "join"),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join — the dense-grid primitive (every region ×
+    every order status) that dimension scaffolds, calendar spines and
+    report matrices build on. Cross joins are only ever sane when one
+    side is provably tiny: here the distinct-status frame is a few rows
+    and broadcast, so the product is a BroadcastNestedLoopJoin that
+    never shuffles the other side — the same discipline applies at
+    100 TB (grid side broadcast, fact side streamed)."""
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return r.crossJoin(F.broadcast(s))

@@ -190,3 +190,142 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         (F.sum(cents) / 100.0).alias("total_price"),
     )
+
+
+_ORC_CACHE: dict[tuple[int, str], str] = {}
+_EVOLVED_CACHE: dict[tuple[int, str], str] = {}
+_SINK_PART_CACHE: dict[tuple[int, str], str] = {}
+
+
+@query(
+    "src_format_orc",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           MAX(CAST(ts AS TIMESTAMP)) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "format"),
+)
+def src_format_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip: events written as ORC and read back, then
+    aggregated — the aggregate matches the oracle computed on the
+    original parquet iff the columnar round-trip is value-faithful
+    (timestamps at µs, doubles bit-exact). ORC is the second pushdown-
+    capable columnar boundary the engine speaks natively (predicate
+    pushdown + column pruning work the same as parquet via the
+    vectorized reader); at 100 TB it exists for interop with
+    Hive-lineage warehouses, not as the preferred sink."""
+    key = (id(spark), sf_dir)
+    if key not in _ORC_CACHE:
+        path = tempfile.mkdtemp(prefix="events_orc_") + "/data"
+        load_table(spark, sf_dir, "events").write.orc(path)
+        _ORC_CACHE[key] = path
+    e = spark.read.orc(_ORC_CACHE[key])
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@query(
+    "src_schema_evolution",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(o_comment_len) AS BIGINT) AS n_with_comment,
+           CAST(SUM(COALESCE(o_comment_len, 0)) AS BIGINT) AS comment_chars
+    FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 1
+                    THEN length(o_orderpriority) END AS o_comment_len
+        FROM orders
+    ) GROUP BY o_orderstatus
+    """,
+    tags=("source", "format"),
+)
+def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution at the source: generation 1 files lack a column
+    that generation 2 adds (o_comment_len); a mergeSchema read unions
+    the file schemas and back-fills NULL for old files — the standard
+    additive-evolution contract of a long-lived ingest directory.
+    At 100 TB, mergeSchema's footer sampling is an extra planning cost,
+    so production pins the merged schema in a catalog and reads
+    schema-first; the NULL back-fill semantics are identical."""
+    key = (id(spark), sf_dir)
+    if key not in _EVOLVED_CACHE:
+        path = tempfile.mkdtemp(prefix="orders_evo_") + "/data"
+        o = load_table(spark, sf_dir, "orders")
+        # generation 1: even orderkeys, original columns only
+        o.filter(F.col("o_orderkey") % 2 == 0).select(
+            "o_orderkey", "o_orderstatus"
+        ).write.mode("append").parquet(path)
+        # generation 2: odd orderkeys ship an additional column
+        o.filter(F.col("o_orderkey") % 2 == 1).select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.length("o_orderpriority").alias("o_comment_len"),
+        ).write.mode("append").parquet(path)
+        _EVOLVED_CACHE[key] = path
+    merged = spark.read.option("mergeSchema", True).parquet(
+        _EVOLVED_CACHE[key]
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count("o_comment_len").alias("n_with_comment"),
+        F.sum(F.coalesce("o_comment_len", F.lit(0)))
+        .cast("long")
+        .alias("comment_chars"),
+    )
+
+
+@query(
+    "sink_partitioned_write",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_type = 'click'
+                         THEN CAST(ROUND(value * 200) AS BIGINT)
+                         ELSE CAST(ROUND(value * 100) AS BIGINT) END)
+                AS BIGINT) AS value_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("sink", "format"),
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned sink with dynamic partition overwrite: the full
+    event stream lands partitioned by event_type, then one partition
+    ('click') is reprocessed (values doubled) and overwritten IN PLACE —
+    dynamic mode replaces only the partitions present in the incoming
+    frame, leaving the others' files untouched. This is the idempotent
+    reprocess/backfill primitive of a partitioned lake at 100 TB:
+    rewrite one day/tenant without rewriting the table.
+
+    The read-back aggregate proves both halves: 'click' shows doubled
+    cents, every other partition shows the original bytes."""
+    key = (id(spark), sf_dir)
+    if key not in _SINK_PART_CACHE:
+        path = tempfile.mkdtemp(prefix="events_sink_") + "/data"
+        e = load_table(spark, sf_dir, "events")
+        e.write.partitionBy("event_type").parquet(path)
+        reprocessed = e.filter(F.col("event_type") == "click").withColumn(
+            "value", F.col("value") * 2
+        )
+        (
+            reprocessed.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("event_type")
+            .parquet(path)
+        )
+        _SINK_PART_CACHE[key] = path
+    back = spark.read.parquet(_SINK_PART_CACHE[key])
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "value_cents"
+        ),
+    )
