@@ -1517,3 +1517,222 @@ def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region").select("r_name")
     s = load_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
     return r.crossJoin(F.broadcast(s))
+
+
+@query(
+    "q_agg_argmax",
+    oracle=EVENTS_US
+    + """
+    , cents AS (
+        SELECT user_id, event_type,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events_us GROUP BY user_id, event_type
+    ),
+    ranked AS (
+        SELECT user_id, event_type, total_cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY total_cents DESC, event_type DESC)
+                   AS rn
+        FROM cents
+    )
+    SELECT user_id, event_type AS top_type, total_cents AS top_cents
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARGMAX / mode-style aggregate: per user, the event type carrying
+    the highest spend — via max_by over a composite (value, tie-break)
+    struct, so the answer is deterministic even on exact-cents ties
+    (unlike a bare mode()/max_by(), whose tie choice is engine-defined).
+    Two hash aggs, both map-side combined; no window, no sort — the
+    max_by form is the scale-friendly rewrite of the row_number()-over-
+    partition idiom the oracle uses."""
+    e = load_table(spark, sf_dir, "events")
+    cents = e.groupBy("user_id", "event_type").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "total_cents"
+        )
+    )
+    best = F.max_by(
+        F.struct(
+            F.col("event_type").alias("top_type"),
+            F.col("total_cents").alias("top_cents"),
+        ),
+        F.struct("total_cents", "event_type"),
+    )
+    return cents.groupBy("user_id").agg(best.alias("b")).select(
+        "user_id", "b.top_type", "b.top_cents"
+    )
+
+
+@query(
+    "q_agg_bitwise_bool",
+    oracle=EVENTS_US
+    + """
+    SELECT event_type,
+           CAST(BIT_AND(event_id) AS BIGINT) AS ids_and,
+           CAST(BIT_OR(event_id) AS BIGINT) AS ids_or,
+           CAST(BIT_XOR(event_id) AS BIGINT) AS ids_xor,
+           BOOL_AND(value > 0.5) AS all_above,
+           BOOL_OR(value > 9.5) AS any_high
+    FROM events_us GROUP BY event_type
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise + boolean aggregates (BIT_AND/OR/XOR, BOOL_AND/OR) — the
+    checksum/flag-rollup surface: XOR-folding id sets is the classic
+    membership checksum, BOOL_* the predicate rollup. All five are
+    single-pass commutative aggregates with map-side partials — the
+    cheapest aggregate family at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("ids_and"),
+        F.bit_or("event_id").alias("ids_or"),
+        F.bit_xor("event_id").alias("ids_xor"),
+        F.bool_and(F.col("value") > 0.5).alias("all_above"),
+        F.bool_or(F.col("value") > 9.5).alias("any_high"),
+    )
+
+
+@query(
+    "q_join_anti_null_aware",
+    oracle="""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS min_key
+    FROM orders
+    WHERE (CASE WHEN o_orderkey % 100 = 0 THEN NULL ELSE o_custkey END)
+          NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0)
+    GROUP BY o_orderstatus
+    """,
+    tags=("relational", "join"),
+)
+def q_join_anti_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-aware anti join — NOT IN under SQL's three-valued logic: a
+    NULL probe key can never satisfy NOT IN (the comparison is UNKNOWN),
+    so rows with NULL keys vanish, which an ordinary left-anti join gets
+    WRONG (it would keep them). Spark plans this as a null-aware
+    BroadcastHashJoin when the build side fits; at scale the build side
+    must broadcast (null-aware anti cannot shuffle-partition, since a
+    single build NULL poisons every probe partition) — keep the NOT IN
+    list small or pre-filter its NULLs to fall back to plain anti."""
+    register = load_table(spark, sf_dir, "orders").createOrReplaceTempView
+    register("v_orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_customer"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+        FROM v_orders
+        WHERE (CASE WHEN o_orderkey % 100 = 0 THEN NULL
+                    ELSE o_custkey END)
+              NOT IN (SELECT c_custkey FROM v_customer
+                      WHERE c_custkey % 3 = 0)
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q_upsert_compact",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 1 AS version
+        FROM orders
+    ),
+    updates AS (
+        SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice, 2 AS version
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    unioned AS (SELECT * FROM base UNION ALL SELECT * FROM updates),
+    latest AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC) AS rn
+        FROM unioned
+    )
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0
+               AS total_price
+    FROM latest WHERE rn = 1 GROUP BY o_orderstatus
+    """,
+    tags=("relational", "cdc"),
+)
+def q_upsert_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert compaction — last-writer-wins MERGE semantics without
+    a table format: base snapshot UNION ALL change feed, keep the
+    highest-version row per key. The complement of q_scd2_intervals
+    (which keeps history; this keeps only the current image). One
+    shuffle on the key; at 100 TB the window becomes a per-key max_by
+    and the compaction runs per ingest partition, which is exactly how
+    Delta/Iceberg MERGE compaction behaves under the hood."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("version")
+    )
+    updates = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderkey",
+        F.lit("X").alias("o_orderstatus"),
+        "o_totalprice",
+        F.lit(2).alias("version"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    latest = (
+        base.unionByName(updates)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return latest.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        (F.sum(cents) / 100.0).alias("total_price"),
+    )
+
+
+@query(
+    "q_udtf_lateral",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(pos AS INTEGER) AS pos,
+           t[pos] AS token,
+           CAST(length(t[pos]) AS INTEGER) AS token_len
+    FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS pos)
+    WHERE len(t) >= pos
+    """,
+    tags=("relational", "udtf"),
+)
+def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (table function + LATERAL correlation): a
+    user-defined table function expands each document into up to three
+    (pos, token, token_len) rows — the generalization of the
+    reference's per-record fan-out (lambda/main.py:92) to arbitrary
+    user logic that explode() cannot express. Row-at-a-time Python is
+    the slow path (same caveat as q_udf_scalar): anything expressible
+    as explode/transform should never be a UDTF — this key exists to
+    prove the escape hatch works end-to-end with LATERAL."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string, token_len int")
+    class FirstTokens:
+        def eval(self, text: str):
+            if text is None:
+                return
+            toks = text.lower().split(" ")
+            for i, tok in enumerate(toks[:3], start=1):
+                yield i, tok, len(tok)
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "v_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token, t.token_len
+        FROM v_documents d, LATERAL first_tokens(d.text) t
+        """
+    )

@@ -329,3 +329,54 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_cents"
         ),
     )
+
+
+_BINARYFILE_CACHE: dict[tuple[int, str], str] = {}
+N_BINARY_FILES = 100
+
+
+@query(
+    "src_format_binaryfile",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha
+    FROM documents WHERE doc_id < {N_BINARY_FILES}
+    """,
+    tags=("source", "format", "multimodal"),
+)
+def src_format_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingest boundary: one file per media object on disk,
+    read with Spark's binaryFile source (path, length, content BINARY),
+    identity recovered from the filename and content checksummed — the
+    first stage of every image/audio corpus before blobs are packed
+    into parquet. The oracle recomputes length+sha from the text the
+    blobs were written from, so the round-trip is proven byte-faithful.
+    At 100 TB the per-file pattern is the INGEST shape only (listing
+    cost scales with file count); the first pass repacks blobs into
+    few-GB parquet files with the binary column + metadata, which every
+    q_multimodal_* key then operates on."""
+    import os
+
+    key = (id(spark), sf_dir)
+    if key not in _BINARYFILE_CACHE:
+        root = tempfile.mkdtemp(prefix="blobs_") + "/data"
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < N_BINARY_FILES)
+            .select("doc_id", "text")
+            .collect()
+        )
+        for r in rows:
+            with open(os.path.join(root, f"{r['doc_id']:08d}.bin"), "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+        _BINARYFILE_CACHE[key] = root
+    blobs = spark.read.format("binaryFile").load(_BINARYFILE_CACHE[key])
+    return blobs.select(
+        F.regexp_extract(
+            F.col("path"), r"(\d{8})\.bin$", 1
+        ).cast("long").alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        F.sha2("content", 256).alias("content_sha"),
+    )
