@@ -1736,3 +1736,196 @@ def q_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_documents d, LATERAL first_tokens(d.text) t
         """
     )
+
+
+@query(
+    "q_explode_outer",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(str_split(lower(text), ' '),
+                           x -> length(x) > 9) AS arr
+        FROM documents
+    ),
+    ex AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(arr, 1) - 1 AS INTEGER) AS pos,
+               unnest(arr) AS tok
+        FROM t WHERE len(arr) > 0
+    )
+    SELECT t.doc_id, ex.pos, ex.tok
+    FROM t LEFT JOIN ex USING (doc_id)
+    """,
+    tags=("relational", "scalar"),
+)
+def q_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-preserving generator (posexplode_outer): rows whose array is
+    empty survive the fan-out with NULL position/element — plain explode
+    silently drops them, which corrupts any per-parent accounting joined
+    downstream (the outer generate is the row-preserving flat-map). Pure
+    map-side at any scale (Generate has no shuffle)."""
+    from ex_aws_firehose_spark.functions.text import tokens as _toks
+
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.filter(_toks("text"), lambda x: F.length(x) > 9)
+    return d.select(
+        "doc_id", F.posexplode_outer(arr).alias("pos", "tok")
+    )
+
+
+@query(
+    "q_scalar_higher_order",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(toks, x -> length(x) > 9)) AS INTEGER)
+               AS n_long,
+           CAST(list_reduce(list_transform(toks, x -> length(x)),
+                            (a, b) -> a + b) AS BIGINT) AS sum_token_len,
+           len(list_filter(toks, x -> x LIKE 'z%')) > 0 AS any_z
+    FROM t
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as a first-class surface: transform
+    (map), filter, aggregate (fold), exists — lambda expressions
+    compiled into Catalyst, NOT Python (the whole point: per-element
+    logic at codegen speed, no serialization boundary). The fold runs
+    left-to-right with an int64 init so the oracle's list_reduce is
+    value-identical."""
+    from ex_aws_firehose_spark.functions.text import tokens as _toks
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 9)).alias("n_long"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        ).alias("sum_token_len"),
+        F.exists(toks, lambda x: x.startswith("z")).alias("any_z"),
+    )
+
+
+@query(
+    "q_window_fill_forward",
+    oracle=EVENTS_US
+    + """
+    , sparse AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_id % 7 < 2
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END AS cents
+        FROM events_us
+    )
+    SELECT event_id, user_id,
+           LAST_VALUE(cents IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_cents
+    FROM sparse
+    """,
+    tags=("relational", "window", "timeseries"),
+)
+def q_window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF — last observation carried forward): sparse
+    measurements propagate to the gap rows via last_value(IGNORE NULLS)
+    over an ordered per-user frame — the canonical sensor/price-series
+    repair. One window shuffle on the entity key; the frame is
+    running (UNBOUNDED PRECEDING..CURRENT ROW) so state is O(1) per
+    partition regardless of gap length."""
+    e = load_table(spark, sf_dir, "events")
+    sparse = e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(
+            F.col("event_id") % 7 < 2,
+            F.round(F.col("value") * 100, 0).cast("long"),
+        ).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.last("cents", ignorenulls=True).over(w).alias("filled_cents"),
+    )
+
+
+@query(
+    "q_scalar_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+           CAST(NULL AS BIGINT) AS missing,
+           json_extract(props, '$.k') IS NOT NULL AS has_k
+    FROM events
+    """,
+    tags=("relational", "scalar", "json"),
+)
+def q_scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT surface (Spark 4): parse_json into the
+    binary variant encoding once, then typed try_variant_get paths —
+    the modern replacement for per-access get_json_object re-parsing
+    (the variant parse happens once per row; every extraction is a
+    binary probe, which at 100 TB of JSON is the difference between one
+    parse and N parses per row). Missing paths yield NULL, not errors."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "long").alias("k"),
+        F.try_variant_get(v, "$.missing", "long").alias("missing"),
+        F.try_variant_get(v, "$.k", "long").isNotNull().alias("has_k"),
+    )
+
+
+@query(
+    "q_scalar_try",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                           ELSE 1 END) AS BIGINT) AS n_div_ok,
+           CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                         ELSE CAST(FLOOR(CAST(ROUND(o_totalprice * 100)
+                                              AS BIGINT)
+                                         / (o_orderkey % 3)) AS BIGINT)
+                    END) AS BIGINT) AS div_cents,
+           CAST(COUNT(TRY_CAST(o_orderpriority AS INTEGER)) AS BIGINT)
+               AS n_cast_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe (try_) expression surface: try_divide turns
+    division-by-zero into NULL instead of an ANSI runtime error that
+    would kill a 1000-executor job hours in; try_cast does the same for
+    malformed casts ('1-URGENT' is not an INTEGER). The NULL-on-error
+    contract is what makes dirty-data pipelines restartable — rows fail
+    individually, the job never does."""
+    o = load_table(spark, sf_dir, "orders")
+    # FLOOR, not ROUND, after the division: cents/2 lands on exact
+    # binary halves, where HALF_UP (Spark) and binary rounding (DuckDB)
+    # disagree — floor is deterministic on exact halves.
+    div = F.try_divide(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+        F.col("o_orderkey") % 3,
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.count(div).alias("n_div_ok"),
+        F.sum(F.floor(div)).alias("div_cents"),
+        F.count(F.col("o_orderpriority").try_cast("int")).alias("n_cast_ok"),
+    )

@@ -85,3 +85,42 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir):
     assert "PartitionFilters: [" in plan and "o_orderpriority" in plan.split(
         "PartitionFilters: ["
     )[1].split("]")[0], plan
+
+
+def test_contamination_eval_set_broadcasts(spark, sf_dir):
+    # The eval shingle dictionary must broadcast so the training corpus
+    # streams map-side (no shuffle of the big side's shingles).
+    assert uses_broadcast_join(
+        REGISTRY["q_contamination_ngram"].fn(spark, sf_dir)
+    )
+
+
+def test_cross_join_broadcasts_grid_side(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_join_cross"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_anti_join_is_null_aware(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_join_anti_null_aware"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan, plan
+
+
+def test_centroid_codebook_broadcasts(spark, sf_dir):
+    # The k-row codebook meets the vectors via a broadcast nested loop
+    # (cross join — there is no equi-key); the big side never shuffles.
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sim_centroid_assign"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_gapfill_spine_joins_broadcast(spark, sf_dir):
+    # The per-type spine is tiny; the rollup side must not be
+    # re-shuffled to meet it.
+    assert uses_broadcast_join(
+        REGISTRY["q_timeseries_gapfill"].fn(spark, sf_dir)
+    )
