@@ -36,6 +36,24 @@ PICKS = {
         "Query vector broadcast; cosine is a whole-stage-codegen fold; "
         "ranking keeps k rows per partition."
     ),
+    "q_contamination_ngram": (
+        "Eval shingle dictionary (int64 hashes) broadcast — the training "
+        "corpus streams map-side through a LeftSemi broadcast join; no "
+        "shuffle of the big side's shingles."
+    ),
+    "q_sim_centroid_assign": (
+        "k-row codebook meets the vectors via BroadcastNestedLoopJoin; "
+        "argmin is a map-side min(struct) combine, so only (vec_id, best) "
+        "pairs shuffle."
+    ),
+    "q_join_anti_null_aware": (
+        "NOT IN plans as a null-aware BroadcastHashJoin (LeftAnti) — the "
+        "three-valued-logic case an ordinary anti join gets wrong."
+    ),
+    "q_join_bucketed": (
+        "Fact-fact SMJ over bucketed+sorted tables: zero Exchange in the "
+        "whole plan — the at-rest layout carries the co-location."
+    ),
 }
 
 
