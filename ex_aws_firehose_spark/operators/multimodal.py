@@ -266,3 +266,76 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_copies") > 1)
     )
+
+
+AUDIO_CHUNK_BYTES = 256
+
+
+@query(
+    "q_multimodal_audio_chunk",
+    oracle=f"""
+    WITH media AS (
+        -- documents text is pure ASCII (verified octet_length==length),
+        -- so VARCHAR slicing is byte slicing; encode() after the slice
+        SELECT doc_id, text AS m, octet_length(encode(text)) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, n,
+               unnest(range(0, CAST(CEIL(n / {AUDIO_CHUNK_BYTES}.0)
+                                    AS BIGINT))) AS chunk_id
+        FROM media
+    )
+    SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+           CAST(c.chunk_id * {AUDIO_CHUNK_BYTES} AS BIGINT) AS byte_off,
+           CAST(LEAST(CAST({AUDIO_CHUNK_BYTES} AS BIGINT),
+                      c.n - c.chunk_id * {AUDIO_CHUNK_BYTES}) AS INTEGER)
+               AS chunk_len,
+           sha256(substring(m.m,
+                            CAST(c.chunk_id * {AUDIO_CHUNK_BYTES} + 1
+                                 AS INTEGER),
+                            {AUDIO_CHUNK_BYTES})) AS chunk_sha
+    FROM chunks c JOIN media m USING (doc_id)
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Waveform-style chunking: opaque media bytes split into fixed
+    256-byte windows (one row per chunk with offset/length/sha-256) —
+    the segmentation pass an audio pipeline runs before feature
+    extraction, with per-chunk checksums proving the byte slicing is
+    faithful. Pure Catalyst: sequence+explode fans out chunk ids,
+    substring slices the binary JVM-side — no Python touches the
+    payload. At 100 TB the chunk rows carry (doc_id, offset, sha),
+    32-byte digests, while the original blob column stays unexploded —
+    slicing is recomputed where needed rather than shuffling N copies
+    of the corpus."""
+    m = synth_media(spark, sf_dir).select(
+        "doc_id", "media", F.length("media").alias("n")
+    )
+    n_chunks = F.ceil(F.col("n") / float(AUDIO_CHUNK_BYTES)).cast("long")
+    chunks = m.select(
+        "doc_id",
+        "media",
+        "n",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    off = F.col("chunk_id") * AUDIO_CHUNK_BYTES
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        off.alias("byte_off"),
+        F.least(
+            F.lit(AUDIO_CHUNK_BYTES).cast("long"), F.col("n") - off
+        ).cast("int").alias("chunk_len"),
+        F.sha2(
+            F.expr(
+                f"substring(media, CAST(chunk_id * {AUDIO_CHUNK_BYTES} + 1"
+                " AS INT), "
+                f"{AUDIO_CHUNK_BYTES})"
+            ),
+            256,
+        ).alias("chunk_sha"),
+    )

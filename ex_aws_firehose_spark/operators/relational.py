@@ -1929,3 +1929,62 @@ def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(div)).alias("div_cents"),
         F.count(F.col("o_orderpriority").try_cast("int")).alias("n_cast_ok"),
     )
+
+
+@query(
+    "q_grouped_map_streak",
+    oracle=EVENTS_US
+    + """
+    , days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events_us
+    ),
+    grp AS (
+        SELECT user_id, day,
+               day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY day) AS INTEGER)
+                   AS anchor
+        FROM days
+    ),
+    islands AS (
+        SELECT user_id, anchor, COUNT(*) AS len
+        FROM grp GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT) AS n_active_days,
+           CAST(MAX(len) AS BIGINT) AS longest_streak
+    FROM islands GROUP BY user_id
+    """,
+    tags=("relational", "udf"),
+)
+def q_grouped_map_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas transform: per-user longest
+    consecutive-active-day streak, computed imperatively in pandas (one
+    linear scan per group) — the escape hatch for per-group logic that
+    is painful declaratively. The DuckDB oracle proves the same answer
+    via the gaps-and-islands SQL idiom (day minus dense rank anchors
+    each run), which is also what you'd ship at 100 TB if the group
+    cardinality is low: applyInPandas requires each group to fit one
+    executor's memory, fine for per-user days, fatal for per-tenant
+    events — know the group-size bound before reaching for it."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+
+    def streak(pdf: pd.DataFrame) -> pd.DataFrame:
+        ds = sorted(pdf["day"])
+        best = cur = 1
+        for a, b in zip(ds, ds[1:]):
+            cur = cur + 1 if (b - a).days == 1 else 1
+            best = max(best, cur)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_active_days": [len(ds)],
+                "longest_streak": [best],
+            }
+        )
+
+    return days.groupBy("user_id").applyInPandas(
+        streak, schema="user_id long, n_active_days long, longest_streak long"
+    )
