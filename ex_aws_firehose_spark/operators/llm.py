@@ -1058,8 +1058,11 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings
     ),
     sums AS (
+        -- FLOOR, not ROUND: v*1000 can land exactly on .5 where the
+        -- engines' rounding modes disagree; floor of the identical
+        -- double product is bit-deterministic
         SELECT label, pos,
-               SUM(CAST(ROUND(v * 1000) AS BIGINT)) AS s,
+               SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS s,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM pos GROUP BY label, pos
     )
@@ -1087,7 +1090,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("pos") + 1).cast("long").alias("pos"),
-        F.round(F.col("v").cast("double") * 1000, 0).cast("long").alias("sv"),
+        F.floor(F.col("v").cast("double") * 1000).alias("sv"),
     )
     sums = pos.groupBy("label", "pos").agg(
         F.sum("sv").alias("s"), F.count("*").alias("n")
@@ -1370,7 +1373,7 @@ _CENTROID_CTE = """
     ),
     sums AS (
         SELECT label, pos,
-               SUM(CAST(ROUND(v * 1000) AS BIGINT)) AS s,
+               SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS s,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM pos GROUP BY label, pos
     ),
@@ -1426,7 +1429,7 @@ def q_sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         (F.col("p") + 1).alias("p"),
-        F.round(F.col("v").cast("double") * 1000, 0).cast("long").alias("sv"),
+        F.floor(F.col("v").cast("double") * 1000).alias("sv"),
     )
     sums = comp.groupBy("label", "p").agg(
         F.sum("sv").alias("s"), F.count("*").alias("n")
