@@ -1988,3 +1988,46 @@ def q_grouped_map_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.groupBy("user_id").applyInPandas(
         streak, schema="user_id long, n_active_days long, longest_streak long"
     )
+
+
+@query(
+    "q_sketch_hll_union",
+    oracle=EVENTS_US
+    + """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS union_within_5pct
+    FROM events_us GROUP BY event_type
+    """,
+    tags=("relational", "agg", "approx"),
+)
+def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the re-aggregation pattern that makes
+    distinct counting tractable at 100 TB: per-(type, day) HLL sketches
+    are built once (hll_sketch_agg over user_id), then UNIONED up to
+    per-type totals (hll_union_agg) without touching raw data again —
+    a day's sketch is bytes, so the rollup shuffle carries KB per
+    partition key instead of the user universe. This is how a daily
+    pipeline serves 'distinct users any date range' from materialized
+    sketches. Contract: the union estimate must land within 5% of the
+    exact per-type distinct count (sketch bits are implementation-
+    defined, so the oracle checks the accuracy property, same as
+    q_agg_approx_distinct)."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    unioned = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_users")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(unioned, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.col("exact_users") * 0.05
+        ).alias("union_within_5pct"),
+    )
