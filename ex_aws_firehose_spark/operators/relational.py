@@ -2031,3 +2031,62 @@ def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.col("exact_users") * 0.05
         ).alias("union_within_5pct"),
     )
+
+
+@query(
+    "q_profile_table",
+    oracle=EVENTS_US
+    + """
+    , stats AS (
+        SELECT
+            COUNT(*) AS n_rows,
+            COUNT(event_id) AS nn_event_id,
+            COUNT(DISTINCT event_id) AS nd_event_id,
+            COUNT(user_id) AS nn_user_id,
+            COUNT(DISTINCT user_id) AS nd_user_id,
+            COUNT(event_type) AS nn_event_type,
+            COUNT(DISTINCT event_type) AS nd_event_type,
+            COUNT(props) AS nn_props,
+            COUNT(DISTINCT props) AS nd_props
+        FROM events_us
+    )
+    SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_nonnull AS BIGINT) AS n_nonnull,
+           CAST(n_distinct AS BIGINT) AS n_distinct
+    FROM stats, LATERAL (
+        VALUES ('event_id', nn_event_id, nd_event_id),
+               ('user_id', nn_user_id, nd_user_id),
+               ('event_type', nn_event_type, nd_event_type),
+               ('props', nn_props, nd_props)
+    ) AS v(col, n_nonnull, n_distinct)
+    """,
+    tags=("relational", "profiling"),
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling — the data-quality pass every lake runs on
+    landing: per-column row/non-null/distinct counts in ONE scan (all
+    statistics are aggregates of the same pass; the long format comes
+    from unpivoting the single stats row, not from per-column jobs).
+    At 100 TB the exact distincts become HLL sketches
+    (q_sketch_hll_union) and the scan piggybacks on the ingest write —
+    the shape (one pass, wide agg, unpivot) is unchanged."""
+    e = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "props"]
+    aggs = [F.count("*").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.countDistinct(c).alias(f"nd_{c}"))
+    stats = e.agg(*aggs)
+    profile = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col(f"nn_{c}").alias("n_nonnull"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return stats.select(
+        "n_rows", F.explode(profile).alias("p")
+    ).select("p.col", "n_rows", "p.n_nonnull", "p.n_distinct")
