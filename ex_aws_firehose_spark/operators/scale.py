@@ -1,0 +1,528 @@
+"""Scale-pattern operator surface ([EXT], SURVEY.md §2.4 extension):
+the composite shapes that only matter once a table stops fitting on one
+machine — CDC snapshot reconciliation, mergeable exact/approximate
+sketch rollups, data-layout (zone-map) auditing, fixed-point iterative
+graph analytics, and an explicit bloom-prefiltered join.
+
+Mandated by ``repo:BASELINE.json`` ("design every operator for 100 TB
+scale") rather than the reference (which has no relational surface —
+see SURVEY.md §2.4 preamble). Every operator is a pure DataFrame
+composition except the Misra–Gries sketch, which is the canonical
+"mergeable summary" shape: per-partition ``mapInPandas`` sketches merged
+once — the raw data is never shuffled.
+
+Cross-engine determinism rules (see operators/relational.py:13): money
+in exact int64 cents, iterative math in scaled *integer* arithmetic
+(``div``), aggregate oracles wrapped ``CAST(... AS BIGINT)`` so DuckDB's
+HUGEINT widening never leaks into the driver's dtype-sensitive hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ex_aws_firehose_spark.operators.relational import _cents
+from ex_aws_firehose_spark.registry import query
+from ex_aws_firehose_spark.tables import load_table
+
+# DuckDB reads the raw ns-precision event timestamps; Spark reads µs
+# (see operators/relational.py EVENTS_US).
+EVENTS_US = (
+    "WITH events_us AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, "
+    "event_type, value, props FROM events)"
+)
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot reconciliation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cdc_snapshot_diff",
+    oracle="""
+    WITH old_snap AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 7 <> 0
+    ),
+    new_snap AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+               + CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           o.cents AS old_cents,
+           n.cents AS new_cents
+    FROM old_snap o FULL OUTER JOIN new_snap n ON o.o_orderkey = n.o_orderkey
+    WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.cents <> n.cents
+    """,
+    tags=("scale", "cdc"),
+)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC: reconcile two point-in-time table images into
+    an insert/update/delete changelog — the standard way to bootstrap
+    CDC when the source has no log (and the inverse of
+    q_upsert_compact, which folds a changelog back into an image).
+
+    Two deterministic snapshots are derived from `orders` (key-modulo
+    membership simulates deletes/inserts; a price nudge on key%3
+    simulates updates), then reconciled with one full-outer join on the
+    primary key and a three-way CASE. Unchanged rows are dropped
+    *after* the join by a cheap column compare.
+
+    100 TB shape: a full-outer join cannot broadcast — both snapshots
+    hash-shuffle on the key once, and that is the entire cost. With
+    both snapshots bucketed by key at write time (q_join_bucketed
+    pattern) the diff is exchange-free. State never accumulates — this
+    is the restartable batch alternative to streaming CDC."""
+    o = load_table(spark, sf_dir, "orders")
+    old_snap = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .select("o_orderkey", _cents("o_totalprice").alias("old_cents"))
+    )
+    new_snap = (
+        o.filter(F.col("o_orderkey") % 5 != 0)
+        .select(
+            "o_orderkey",
+            (
+                _cents("o_totalprice")
+                + F.when(F.col("o_orderkey") % 3 == 0, F.lit(100)).otherwise(0)
+            ).alias("new_cents"),
+        )
+    )
+    joined = old_snap.withColumnRenamed("o_orderkey", "old_key").join(
+        new_snap.withColumnRenamed("o_orderkey", "new_key"),
+        F.col("old_key") == F.col("new_key"),
+        "full_outer",
+    )
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(F.col("old_key").isNull(), "insert")
+            .when(F.col("new_key").isNull(), "delete")
+            .otherwise("update"),
+        )
+        .filter(
+            F.col("old_key").isNull()
+            | F.col("new_key").isNull()
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+        .select(
+            F.coalesce("old_key", "new_key").alias("o_orderkey"),
+            "change_type",
+            "old_cents",
+            "new_cents",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable sketch rollups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sketch_bitmap_rollup",
+    oracle=EVENTS_US
+    + """
+    SELECT date_trunc('day', ts) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events_us GROUP BY 1
+    UNION ALL
+    SELECT CAST(NULL AS TIMESTAMP) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events_us
+    """,
+    tags=("scale", "sketch"),
+)
+def q_sketch_bitmap_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact mergeable distinct-count rollup via roaring-style bitmaps —
+    the precise counterpart of q_sketch_hll_union: per-day user bitmaps
+    (`bitmap_construct_agg` over `bitmap_bit_position`, bucketed every
+    32 Ki ids) are OR-merged (`bitmap_or_agg`) into an all-days total
+    *without touching raw events again*. Emitted as per-day rows plus a
+    NULL-day grand-total row, so the oracle can recompute both grains
+    from scratch — proving the merge loses nothing.
+
+    100 TB shape: raw events aggregate once into |days|×|id-buckets|
+    bitmap rows (a few KB each); every coarser grain (week / month /
+    lifetime) re-aggregates those sketches, shuffling kilobytes instead
+    of terabytes. This is the materialized-rollup pattern for exact
+    COUNT(DISTINCT) over dense integer keys; HLL (q_sketch_hll_union)
+    is the fallback when keys aren't dense integers."""
+    e = load_table(spark, sf_dir, "events")
+    sketch = (
+        e.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy("day", F.expr("bitmap_bucket_number(user_id)").alias("bkt"))
+        .agg(
+            F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+                "bm"
+            )
+        )
+    )
+    daily = sketch.groupBy("day").agg(
+        F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users")
+    )
+    total = (
+        sketch.groupBy("bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .agg(F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users"))
+        .select(F.lit(None).cast("timestamp").alias("day"), "n_users")
+    )
+    return daily.unionByName(total)
+
+
+_MG_CAPACITY = 64
+
+
+def _mg_compress(counters: dict[int, int]) -> dict[int, int]:
+    """Misra–Gries compression: decrement all counters by the (k+1)-th
+    largest so at most k stay positive. Total undercount across all
+    merges is bounded by N/(k+1) (Agarwal et al., "Mergeable
+    Summaries", PODS'12)."""
+    if len(counters) <= _MG_CAPACITY:
+        return counters
+    cut = sorted(counters.values(), reverse=True)[_MG_CAPACITY]
+    return {k: v - cut for k, v in counters.items() if v > cut}
+
+
+def _mg_partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    counters: dict[int, int] = {}
+    for pdf in batches:
+        for hk, c in pdf["hk"].value_counts().items():
+            counters[int(hk)] = counters.get(int(hk), 0) + int(c)
+        counters = _mg_compress(counters)
+    yield pd.DataFrame(
+        {
+            "hk": pd.Series(list(counters), dtype="int64"),
+            "cnt": pd.Series(list(counters.values()), dtype="int64"),
+        }
+    )
+
+
+def _mg_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+    agg = pdf.groupby("hk")["cnt"].sum().to_dict()
+    agg = _mg_compress({int(k): int(v) for k, v in agg.items()})
+    return pd.DataFrame({"hk": pd.Series(sorted(agg), dtype="int64")})
+
+
+@query(
+    "q_sketch_heavy_hitters",
+    oracle="""
+    WITH keyed AS (
+        SELECT CAST(FLOOR(SQRT(CAST(event_id % 10000 AS DOUBLE))) AS BIGINT)
+               AS hk
+        FROM events
+    ),
+    exact AS (
+        SELECT hk, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM keyed GROUP BY hk
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM keyed)
+    SELECT hk, exact_cnt, TRUE AS found
+    FROM exact, tot WHERE exact_cnt * 65 > n_total
+    """,
+    tags=("scale", "sketch", "udf"),
+)
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra–Gries heavy hitters as a mergeable per-partition sketch:
+    each partition streams its rows through a capacity-64 counter map
+    (`mapInPandas`, constant memory), the ≤64-row partials are merged
+    once (`applyInPandas` on a single group), and the survivors form
+    the candidate set. The MG guarantee — every key with true frequency
+    > N/(k+1) survives any merge order — is the oracle-checked
+    contract: Spark joins the candidates against exact counts and emits
+    (key, exact_cnt, found) for every key above N/65; DuckDB recomputes
+    that set with found=TRUE. A missed hitter would surface as
+    found=false and fail the hash gate.
+
+    The synthetic key floor(sqrt(event_id % 10000)) gives a linear-
+    density 100-key domain (count(j) ∝ 2j+1) so evictions actually
+    fire; real corpora (token frequencies at 100 TB) are Zipfian and
+    favor this sketch even more.
+
+    100 TB shape: the raw table never shuffles — each executor emits 64
+    rows regardless of input size, the merge handles |partitions|×64
+    rows on one task, and the exact-count verification (here part of
+    the contract) is exactly the expensive full groupBy the sketch
+    replaces in production."""
+    e = load_table(spark, sf_dir, "events")
+    keyed = e.select(
+        F.floor(F.sqrt((F.col("event_id") % 10000).cast("double")))
+        .cast("long")
+        .alias("hk")
+    )
+    partials = keyed.mapInPandas(_mg_partial, schema="hk long, cnt long")
+    cands = (
+        partials.groupBy(F.lit(1).alias("g"))
+        .applyInPandas(_mg_merge, schema="hk long")
+        .withColumn("found", F.lit(True))
+    )
+    exact = keyed.groupBy("hk").agg(F.count("*").alias("exact_cnt"))
+    tot = keyed.agg(F.count("*").alias("n_total"))
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("exact_cnt") * 65 > F.col("n_total"))
+        .join(F.broadcast(cands), "hk", "left")
+        .select(
+            "hk",
+            "exact_cnt",
+            F.coalesce("found", F.lit(False)).alias("found"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-layout (zone-map) audit
+# ---------------------------------------------------------------------------
+
+_ZM_DATE_LO, _ZM_DATE_HI = "1997-01-01 00:00:00", "1997-03-31 00:00:00"
+_ZM_KEY_LO, _ZM_KEY_HI = 1000, 2000
+
+
+@query(
+    "q_layout_zonemap_audit",
+    oracle=f"""
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           (MAX(o_orderdate) < TIMESTAMP '{_ZM_DATE_LO}'
+            OR MIN(o_orderdate) > TIMESTAMP '{_ZM_DATE_HI}')
+               AS prunable_by_date,
+           (MAX(o_orderkey) < {_ZM_KEY_LO}
+            OR MIN(o_orderkey) > {_ZM_KEY_HI}) AS prunable_by_key
+    FROM orders GROUP BY 1
+    """,
+    tags=("scale", "layout"),
+)
+def q_layout_zonemap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map / clustering-layout audit: partition the table into its
+    physical-layout buckets (month of o_orderdate — the natural
+    ingestion partitioning) and compute each bucket's min/max
+    statistics, then evaluate which buckets a given predicate could
+    skip. Two probe predicates demonstrate the payoff asymmetry: a
+    3-month date range prunes every bucket outside it (date is the
+    clustering key — zone maps are tight), while an o_orderkey range
+    prunes ~nothing (orderkey is uncorrelated with layout — every
+    bucket's [min,max] straddles the probe).
+
+    This is exactly the min/max footer pruning parquet / Iceberg / Delta
+    do per file; run as a query it audits whether the *current* layout
+    serves the workload, and quantifies what re-clustering (Z-order /
+    range-sort by the hot predicate column) would buy.
+
+    100 TB shape: one hash aggregate over the scan at |buckets|
+    cardinality — the audit itself is a map-side-combinable pass that
+    never moves row data, so it's safe to run on the full table."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        (
+            (F.max("o_orderdate") < F.lit(_ZM_DATE_LO).cast("timestamp"))
+            | (F.min("o_orderdate") > F.lit(_ZM_DATE_HI).cast("timestamp"))
+        ).alias("prunable_by_date"),
+        (
+            (F.max("o_orderkey") < F.lit(_ZM_KEY_LO))
+            | (F.min("o_orderkey") > F.lit(_ZM_KEY_HI))
+        ).alias("prunable_by_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-point iterative graph analytics
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000_000
+_PR_ITERS = 5
+
+
+def _pagerank_step_sql(prev: str) -> str:
+    return f"""
+    SELECT nd.node,
+           ({_PR_SCALE} * 15) // (100 * nn.n)
+           + (85 * COALESCE(c.s, 0)) // 100 AS rank
+    FROM nodes nd CROSS JOIN nn
+    LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM((p.rank * e.w) // o.ow) AS BIGINT) AS s
+        FROM {prev} p
+        JOIN edges e ON p.node = e.src
+        JOIN outw o ON o.src = e.src
+        GROUP BY e.dst
+    ) c ON c.node = nd.node
+    """
+
+
+_PR_ORACLE = (
+    """
+    WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow FROM edges GROUP BY src),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, """
+    + f"{_PR_SCALE} // nn.n AS rank FROM nodes, nn),"
+    + ",".join(
+        f"r{i + 1} AS ({_pagerank_step_sql(f'r{i}')})" for i in range(_PR_ITERS)
+    )
+    + f" SELECT node, rank FROM r{_PR_ITERS}"
+)
+
+
+@query("q_graph_pagerank", oracle=_PR_ORACLE, tags=("scale", "graph"))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank over the trade graph (customer-nation →
+    supplier-nation edges, weight = co-occurring lineitems), 5 damped
+    power iterations. All rank math is scaled *integer* arithmetic
+    (`div` floor-division on 1e-12 rank units) so Spark and DuckDB's
+    unrolled-CTE oracle agree bit-for-bit — float summation order can
+    never flip a result. Dangling mass (nodes with no out-edges) is
+    dropped, documented and mirrored on both sides.
+
+    Structure: the edge list is built once with three joins (dims
+    broadcast), localCheckpointed so the driver loop doesn't replay the
+    build, and each iteration is one broadcast join (ranks ⋈ edges) +
+    one hash aggregate on dst.
+
+    100 TB shape: rank state is |nodes| rows and edges are |nodes|²
+    max — both tiny relative to the fact table that *built* them; the
+    expensive part (edge extraction) runs exactly once. For web-scale
+    graphs the same loop holds with edges hash-partitioned by src and
+    ranks co-partitioned, checkpointing every few iterations to cut
+    lineage (here localCheckpoint demonstrates the mechanism)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    ew = edges.join(outw, "src").localCheckpoint()
+
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    nodes_n = nodes.crossJoin(F.broadcast(nodes.agg(F.count("*").alias("n"))))
+    ranks = nodes_n.select("node", F.expr(f"{_PR_SCALE} div n").alias("rank"))
+    for _ in range(_PR_ITERS):
+        contrib = ranks.join(F.broadcast(ew), ranks.node == ew.src).select(
+            F.col("dst").alias("node"),
+            F.expr("(rank * w) div ow").alias("contrib"),
+        )
+        sums = contrib.groupBy("node").agg(F.sum("contrib").alias("s"))
+        ranks = nodes_n.join(sums, "node", "left").select(
+            "node",
+            (
+                F.expr(f"({_PR_SCALE} * 15) div (100 * n)")
+                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).alias("rank"),
+        )
+    return ranks
+
+
+# ---------------------------------------------------------------------------
+# Explicit bloom-prefiltered join
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 8192
+_BLOOM_HASHES = ((2654435761, 7, 1000003), (40503, 11, 999983), (97, 101, 1000033))
+
+
+def _bloom_pos(col: F.Column, a: int, b: int, p: int) -> F.Column:
+    return ((col * a + b) % p) % _BLOOM_M
+
+
+@query(
+    "q_join_bloom_prefilter",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+    GROUP BY 1
+    """,
+    tags=("scale", "join"),
+)
+def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered selective join: revenue by European supplier
+    nation, where the fact scan is prefiltered through an explicit
+    3-hash bloom filter (m=8192, deterministic multiply-mod hashes)
+    built from the ~1/5-selective dim key set before the real join
+    runs. Each hash's occupied-position set is a tiny broadcast
+    left-semi join, so fact rows missing from the dim are dropped at
+    the scan with zero shuffle; blooms admit false positives but never
+    false negatives, so the exact broadcast join after the prefilter
+    yields the identical result the oracle computes with plain joins.
+
+    This is a portable, engine-visible version of what Spark's runtime
+    row-group/shuffle bloom filters (spark.sql.optimizer.runtime.
+    bloomFilter, applied above ~10 GB creation thresholds — covered in
+    tests/test_plans.py) inject automatically on real clusters.
+
+    100 TB shape: the win is shuffle avoidance — with a 20%-selective
+    dim, 80% of fact bytes never leave the scan stage. The position
+    sets are O(m) regardless of fact size and ride the broadcast path;
+    at larger dim cardinalities you'd raise m or switch to the built-in
+    bloom_filter_agg sketch, same plan shape."""
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    nation = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey")
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", _cents("l_extendedprice").alias("cents")
+    )
+    pref = fact
+    for i, (a, b, p) in enumerate(_BLOOM_HASHES):
+        pos = dim.select(
+            _bloom_pos(F.col("s_suppkey"), a, b, p).alias(f"pos{i}")
+        ).distinct()
+        pref = pref.withColumn(
+            f"h{i}", _bloom_pos(F.col("l_suppkey"), a, b, p)
+        ).join(
+            F.broadcast(pos), F.col(f"h{i}") == F.col(f"pos{i}"), "left_semi"
+        )
+    return (
+        pref.join(F.broadcast(dim), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_nationkey")
+        .agg(
+            F.sum("cents").alias("revenue_cents"),
+            F.count("*").alias("n_items"),
+        )
+    )

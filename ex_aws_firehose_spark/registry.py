@@ -64,6 +64,7 @@ def load_all_operators() -> None:
         llm,
         multimodal,
         relational,
+        scale,
     )
     from ex_aws_firehose_spark.sources import formats  # noqa: F401
     from ex_aws_firehose_spark.streaming import (  # noqa: F401
