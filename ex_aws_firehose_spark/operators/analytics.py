@@ -249,3 +249,122 @@ def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n", F.lit(0)).alias("n_events"),
         F.coalesce("cents", F.lit(0)).alias("value_cents"),
     )
+
+
+@query(
+    "q_sessionize_gap",
+    oracle=EVENTS_US
+    + """
+    , ordered AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events_us
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts > INTERVAL 12 HOUR
+                    THEN 1 ELSE 0 END AS brk
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("analytics", "session"),
+)
+def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization — the classic counterpart of the
+    streaming `session_window` (q_stream_session): a new session starts
+    whenever a user's inter-event gap exceeds 12 h, sessions numbered
+    by a running sum of break flags, then rolled up to (start, end,
+    n_events) intervals. Deterministic tie-break on (ts, event_id) in
+    every window spec so both engines number identically.
+
+    100 TB shape: lag, running sum, and the final rollup all share one
+    (user_id) hash partitioning and one (ts, event_id) sort — Catalyst
+    plans a single Exchange + single Sort for the whole chain; the
+    session agg is map-side combinable after that. This is the
+    bounded-memory alternative to collect_list-per-user sessionizers,
+    which break at whale users."""
+    e = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w_lag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 12 * 3600 * 1_000_000
+    flagged = e.withColumn(
+        "brk",
+        F.when(
+            F.lag("ts").over(w_lag).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w_lag))
+                > gap_us
+            ),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn("session_id", F.sum("brk").over(w_run))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_incremental_agg",
+    oracle=EVENTS_US
+    + """
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events_us GROUP BY 1, 2
+    """,
+    tags=("analytics", "incremental"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a distributive aggregate: the
+    materialized daily rollup (rows before a cutoff) is refreshed by
+    aggregating ONLY the delta (rows at/after the cutoff) and merging
+    partials — COUNTs and SUMs add; the base is never rescanned. The
+    oracle recomputes the rollup from scratch over all rows, proving
+    merge(base_agg, delta_agg) ≡ full recompute. (Here the "stored"
+    base aggregate is derived in-query for the harness; in production
+    it's the previously materialized table — the merge is the operator.)
+
+    100 TB shape: this is THE pattern that turns a daily 100 TB rescan
+    into a per-batch aggregation of just new data. Works for any
+    commutative-monoid aggregate (count/sum/min/max, and the mergeable
+    sketches: q_sketch_hll_union, q_sketch_bitmap_rollup); avg/variance
+    derive from merged power sums (q_agg_stats_moments)."""
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count("*").alias("n_events"), F.sum("cents").alias("value_cents")
+        )
+
+    base_agg = rollup(e.filter(F.col("ts") < cutoff))
+    delta_agg = rollup(e.filter(F.col("ts") >= cutoff))
+    return (
+        base_agg.unionByName(delta_agg)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("value_cents").alias("value_cents"),
+        )
+    )

@@ -65,6 +65,7 @@ def load_all_operators() -> None:
         multimodal,
         relational,
         scale,
+        tpch,
     )
     from ex_aws_firehose_spark.sources import formats  # noqa: F401
     from ex_aws_firehose_spark.streaming import (  # noqa: F401
