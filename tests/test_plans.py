@@ -124,3 +124,55 @@ def test_gapfill_spine_joins_broadcast(spark, sf_dir):
     assert uses_broadcast_join(
         REGISTRY["q_timeseries_gapfill"].fn(spark, sf_dir)
     )
+
+
+def test_tpch_q3_topk_and_pushdown(spark, sf_dir):
+    df = REGISTRY["q_tpch_q3"].fn(spark, sf_dir)
+    assert uses_take_ordered(df)
+    fs = pushed_filters(df)
+    # both date filters and the segment filter must reach the scans
+    assert any("l_shipdate" in f for f in fs), fs
+    assert any("c_mktsegment" in f for f in fs), fs
+
+
+def test_tpch_q18_qualifying_keys_broadcast(spark, sf_dir):
+    assert uses_broadcast_join(REGISTRY["q_tpch_q18"].fn(spark, sf_dir))
+
+
+def test_bloom_prefilter_broadcasts_and_prunes(spark, sf_dir):
+    df = REGISTRY["q_join_bloom_prefilter"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    # the fact scan must read only the join key + revenue column
+    schemas = read_schemas(df)
+    assert any(
+        "l_suppkey" in s and s.count(":") <= 2 for s in schemas
+    ), schemas
+
+
+def test_zonemap_audit_single_aggregation_pass(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    # one hash agg at bucket grain -> exactly one exchange
+    assert shuffle_count(REGISTRY["q_layout_zonemap_audit"].fn(spark, sf_dir)) == 1
+
+
+def test_sessionize_gap_single_exchange_and_sort(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan, shuffle_count
+
+    df = REGISTRY["q_sessionize_gap"].fn(spark, sf_dir)
+    # lag + running sum + rollup all share one (user_id) partitioning:
+    # one shuffle for the window chain, one for the final agg at most
+    assert shuffle_count(df) <= 2, physical_plan(df)
+    # and a single sort serves both window functions
+    assert physical_plan(df).count("Sort ") <= 1, physical_plan(df)
+
+
+def test_pagerank_iterations_broadcast_edges(spark, sf_dir):
+    assert uses_broadcast_join(REGISTRY["q_graph_pagerank"].fn(spark, sf_dir))
+
+
+def test_cdc_snapshot_diff_single_join_no_extra_exchange(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    # full-outer join on the PK: one exchange per side, nothing after
+    assert shuffle_count(REGISTRY["q_cdc_snapshot_diff"].fn(spark, sf_dir)) <= 2
