@@ -1543,3 +1543,122 @@ def q_sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cos_sim"),
         )
     )
+
+
+@query(
+    "q_text_chunk_windows",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks, len(toks) AS n_toks,
+               unnest(range(1, greatest(len(toks), 1) + 1, 8)) AS start
+        FROM d
+    )
+    SELECT doc_id,
+           CAST((start - 1) // 8 AS BIGINT) AS chunk_idx,
+           array_to_string(list_slice(toks, start, start + 15), ' ')
+               AS chunk_text,
+           CAST(LEAST(16, n_toks - start + 1) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window 16 tokens, stride 8) —
+    the standard RAG / long-context preprocessing step: each document
+    fans out to overlapping token-window chunks with a stable
+    (doc_id, chunk_idx) identity and an exact per-chunk token count.
+
+    Implementation stays entirely in Catalyst array expressions:
+    `sequence` generates start offsets, `posexplode` fans out, `slice`
+    + `array_join` materialize each chunk — no Python, no quadratic
+    element_at (see functions/text.py shingles() for why slice-based
+    windows matter). 100 TB shape: pure map-side fan-out (×~n/stride),
+    no shuffle at all; chunk rows inherit the input partitioning, so a
+    downstream embed/dedup stage starts from well-sized partitions.
+    Follows the reference's record-expansion pattern (one input row →
+    many output rows, lambda/main.py:55-69) applied to text windows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    s = d.select(
+        "doc_id",
+        "toks",
+        F.size("toks").alias("n_toks"),
+        F.posexplode(
+            F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(8))
+        ).alias("ix", "start"),
+    )
+    return s.select(
+        "doc_id",
+        F.expr("(start - 1) div 8").cast("long").alias("chunk_idx"),
+        F.array_join(F.slice("toks", F.col("start"), F.lit(16)), " ").alias(
+            "chunk_text"
+        ),
+        F.least(F.lit(16), F.col("n_toks") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+    )
+
+
+@query(
+    "q_embed_quantize_int8",
+    oracle="""
+    WITH base AS (
+        SELECT vec_id,
+               list_aggregate(list_transform(embedding, x -> abs(x)), 'max')
+                   AS scale,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(pos AS BIGINT) AS pos,
+           CASE WHEN scale = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(FLOOR((CAST(v AS DOUBLE) / CAST(scale AS DOUBLE))
+                                * 127) AS BIGINT) END AS q,
+           CAST(FLOOR(CAST(scale AS DOUBLE) * 1000000) AS BIGINT)
+               AS scale_micro
+    FROM base
+    """,
+    tags=("llm", "vector"),
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (per-vector absmax scale,
+    q = floor(v/scale·127)) — the standard 4× compression before
+    shipping vectors to an ANN index; the dequantized dot product
+    approximates cosine within quantization error. Emitted as exploded
+    scalar rows (vec_id, pos, q, scale_micro) per the harness's
+    no-list-cells rule.
+
+    Float parity: abs and max are exact in float32; the float→double
+    promotion is exact; the final (v/scale)·127 is the same IEEE
+    double expression on both engines, and FLOOR of identical doubles
+    is deterministic (never ROUND — relational.py:13). The absmax
+    element itself divides to exactly ±1.0 → q=±127.
+
+    100 TB shape: pure map-side expression work inside whole-stage
+    codegen — the per-vector fold (`aggregate`) and the fan-out
+    (`posexplode`) never shuffle; in production you'd keep the packed
+    array form and write (vec_id, scale, int8[]) — the exploded form
+    here exists for the differential gate."""
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> greatest(a, CAST(abs(x) AS DOUBLE)))"
+        ).alias("scale"),
+        F.posexplode("embedding").alias("p", "v"),
+    )
+    return base.select(
+        "vec_id",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        F.when(F.col("scale") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor((F.col("v").cast("double") / F.col("scale")) * 127)
+        )
+        .alias("q"),
+        F.floor(F.col("scale") * 1_000_000).cast("long").alias("scale_micro"),
+    )

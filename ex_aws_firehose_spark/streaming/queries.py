@@ -665,3 +665,100 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"), "view_id", "click_id"
     )
     return _run_to_memory(joined, mode="append")
+
+
+@query(
+    "q_stream_upsert",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type, value FROM events),
+    ranked AS (
+        SELECT user_id, ts, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           cents AS last_cents
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("streaming",),
+)
+def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert via foreachBatch — the MERGE-INTO pattern on
+    a plain-parquet keyed state table: each micro-batch unions the
+    current state image with the batch's rows and keeps the
+    last-writer-wins row per key (greatest (ts, event_id) — the same
+    current-image semantics as the batch q_upsert_compact). State
+    versions are written to fresh directories (copy-on-write commit,
+    the way Delta/Iceberg snapshot under MERGE) so a failed batch never
+    corrupts the readable image. Arrival order cannot change the
+    result: last-writer-wins resolves by event time, not batch order —
+    which is what makes the final image oracle-checkable.
+
+    100 TB shape: with a transactional table format this foreachBatch
+    body becomes one MERGE INTO keyed on user_id; state stays
+    partitioned by key hash so each batch shuffles only batch-rows +
+    touched-state, not the full image. The rewrite-the-image variant
+    here is the correct shape only while |keys| is bounded (it is:
+    state is one row per user)."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="upsert_stream_")
+    src = os.path.join(root, "src")
+    e = load_table(spark, sf_dir, "events")
+    # Two source files -> two micro-batches with interleaved keys.
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    state: dict[str, str | None] = {"dir": None}
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        cur = (
+            spark.read.parquet(state["dir"])
+            if state["dir"] is not None
+            else spark.createDataFrame(
+                [],
+                "user_id long, last_ts timestamp, last_event_type string, "
+                "last_cents long, event_id long",
+            )
+        )
+        incoming = batch_df.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("last_cents"),
+            "event_id",
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("last_ts"), F.desc("event_id")
+        )
+        merged = (
+            cur.unionByName(incoming)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_dir = os.path.join(root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.read.parquet(state["dir"]).select(
+        "user_id", "last_ts", "last_event_type", "last_cents"
+    )
