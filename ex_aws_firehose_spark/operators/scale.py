@@ -526,3 +526,117 @@ def q_join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_items"),
         )
     )
+
+
+@query(
+    "q_sketch_histogram_quantile",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        FROM events
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    daily AS (
+        SELECT day, LEAST(cents // 1024, 63) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM e GROUP BY 1, 2
+    ),
+    hist AS (SELECT bin, CAST(SUM(c) AS BIGINT) AS nb FROM daily GROUP BY 1),
+    cumh AS (
+        SELECT bin, SUM(nb) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    pcts AS (SELECT * FROM (VALUES (50), (90)) AS t(p)),
+    est AS (
+        SELECT p, CAST(MIN(bin) * 1024 AS BIGINT) AS est_cents
+        FROM pcts, cumh, tot WHERE cum * 100 >= p * n GROUP BY p
+    ),
+    vals AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1),
+    cumv AS (
+        SELECT cents,
+               SUM(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum
+        FROM vals
+    ),
+    exact AS (
+        SELECT p, CAST(MIN(cents) AS BIGINT) AS exact_cents
+        FROM pcts, cumv, tot WHERE cum * 100 >= p * n GROUP BY p
+    )
+    SELECT CAST(e1.p AS BIGINT) AS pct, e1.est_cents, e2.exact_cents,
+           ((e2.exact_cents - e1.est_cents) BETWEEN 0 AND 1023) AS within_bin
+    FROM est e1 JOIN exact e2 USING (p)
+    """,
+    tags=("scale", "sketch"),
+)
+def q_sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-percentile rollup via fixed-bin histograms — the
+    re-aggregatable answer to quantiles over pre-aggregated data:
+    per-day 64-bin histograms (integer counts) sum into a range
+    histogram, whose cumulative walk yields the p50/p90 bin lower edge
+    as the estimate. The oracle-checked contract is the histogram
+    error bound: the true order statistic (computed exactly from a
+    domain-bounded value-count cumsum, same integer math both engines)
+    must land inside the estimate's bin — within one 1024-cent bin
+    width, by construction.
+
+    Completes the mergeable-sketch family: HLL (q_sketch_hll_union)
+    and bitmap (q_sketch_bitmap_rollup) for distincts, Misra–Gries
+    (q_sketch_heavy_hitters) for frequencies, histograms for
+    quantiles. Unlike percentile_approx's opaque sketch, histogram
+    partials are plain (bin, count) rows — storable in any table and
+    mergeable by SUM, which is what a 100 TB continuous-aggregate
+    pipeline needs (percentile_approx cannot re-aggregate from stored
+    state).
+
+    100 TB shape: level-1 is one map-side-combinable agg at
+    |days|×64 cardinality; every coarser range merges by SUM over
+    kilobytes. The exact side's window runs at |distinct cents| ≤
+    domain-bound rows (not |rows|) — and exists only to verify the
+    contract; production reads the estimate."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    tot = e.agg(F.count("*").alias("n"))
+    daily = e.groupBy(
+        "day", F.least(F.expr("cents div 1024"), F.lit(63)).alias("bin")
+    ).agg(F.count("*").alias("c"))
+    hist = daily.groupBy("bin").agg(F.sum("c").alias("nb"))
+
+    from pyspark.sql import Window
+
+    w_bin = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumh = hist.withColumn("cum", F.sum("nb").over(w_bin))
+    pcts = spark.createDataFrame([(50,), (90,)], "p int")
+    est = (
+        pcts.crossJoin(cumh)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg((F.min("bin") * 1024).cast("long").alias("est_cents"))
+    )
+    vals = e.groupBy("cents").agg(F.count("*").alias("c"))
+    w_val = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cumv = vals.withColumn("cum", F.sum("c").over(w_val))
+    exact = (
+        pcts.crossJoin(cumv)
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("cents").cast("long").alias("exact_cents"))
+    )
+    return (
+        est.join(exact, "p")
+        .select(
+            F.col("p").cast("long").alias("pct"),
+            "est_cents",
+            "exact_cents",
+            (F.col("exact_cents") - F.col("est_cents")).between(0, 1023).alias(
+                "within_bin"
+            ),
+        )
+    )
