@@ -640,3 +640,107 @@ def q_sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_dq_constraints",
+    oracle="""
+    WITH checks AS (
+        SELECT 'orderkey_not_null' AS constraint_name,
+               CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT)
+                   AS violations
+        FROM orders
+        UNION ALL
+        SELECT 'orderkey_unique',
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'custkey_references_customer',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_custkey IS NULL
+        UNION ALL
+        SELECT 'totalprice_positive_bounded',
+               CAST(COUNT(*) FILTER (
+                   WHERE o_totalprice <= 0 OR o_totalprice > 1000000
+               ) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orderstatus_in_domain',
+               CAST(COUNT(*) FILTER (
+                   WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+               ) AS BIGINT)
+        FROM orders
+    )
+    SELECT constraint_name, violations, violations = 0 AS passed
+    FROM checks
+    """,
+    tags=("scale", "quality"),
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint validation (the Deequ /
+    dbt-test shape): one audit emits a row per constraint — not-null,
+    uniqueness, referential integrity against a dimension, numeric
+    range, and categorical domain — with exact violation counts and a
+    pass verdict. This is the admission gate a training-data pipeline
+    runs on every landed partition before downstream jobs trust it.
+
+    100 TB shape: the four single-table checks fuse into scans +
+    map-side-combinable aggregates (conditional counts); uniqueness is
+    one groupBy-free COUNT vs COUNT(DISTINCT) agg; referential
+    integrity is a left-anti join that broadcasts the dimension's key
+    column. Total cost ≈ one pass over the fact table. Violation ROWS
+    (not just counts) route to a dead-letter table in production — the
+    same pattern as q_decode_dead_letter."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def check(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("constraint_name"),
+            F.coalesce(F.col("violations"), F.lit(0))
+            .cast("long")
+            .alias("violations"),
+        )
+
+    not_null = check(
+        "orderkey_not_null",
+        o.agg(
+            F.count_if(F.col("o_orderkey").isNull()).alias("violations")
+        ),
+    )
+    unique = check(
+        "orderkey_unique",
+        o.agg(
+            (F.count("*") - F.countDistinct("o_orderkey")).alias("violations")
+        ),
+    )
+    referential = check(
+        "custkey_references_customer",
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti").agg(
+            F.count("*").alias("violations")
+        ),
+    )
+    in_range = check(
+        "totalprice_positive_bounded",
+        o.agg(
+            F.count_if(
+                (F.col("o_totalprice") <= 0) | (F.col("o_totalprice") > 1_000_000)
+            ).alias("violations")
+        ),
+    )
+    domain = check(
+        "orderstatus_in_domain",
+        o.agg(
+            F.count_if(~F.col("o_orderstatus").isin("O", "F", "P")).alias(
+                "violations"
+            )
+        ),
+    )
+    return (
+        not_null.unionByName(unique)
+        .unionByName(referential)
+        .unionByName(in_range)
+        .unionByName(domain)
+        .withColumn("passed", F.col("violations") == 0)
+    )

@@ -257,3 +257,76 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+@query(
+    "q_tpch_q21",
+    oracle="""
+    SELECT l1.l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON l1.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_returnflag = 'R'
+      )
+    GROUP BY l1.l_suppkey
+    """,
+    tags=("tpch", "join", "subquery"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers-who-kept-orders-waiting, adapted to
+    the synthetic schema (no commit/receipt dates): for finalized
+    orders, count per supplier the returned lines where ANOTHER
+    supplier participated in the order (EXISTS) but NO other supplier's
+    line was returned (NOT EXISTS) — the sole-blame attribution query.
+
+    The correlated EXISTS decorrelates to a left-semi join and the NOT
+    EXISTS to a left-anti join, both on (orderkey, ≠suppkey); Spark
+    expresses them directly as join types rather than per-row
+    subqueries.
+
+    100 TB shape: all three lineitem legs hash-partition on
+    l_orderkey — one co-partitioned exchange feeds the semi, the anti,
+    and the orders join (AQE reuses it); the status/returnflag filters
+    cut each leg at its scan. Nothing is ever nested-loop
+    re-executed per outer row, which is what makes the EXISTS pair
+    viable at fact-table scale."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = li.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return waiting.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))

@@ -762,3 +762,63 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state["dir"]).select(
         "user_id", "last_ts", "last_event_type", "last_cents"
     )
+
+
+@query(
+    "q_stream_available_now",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id % 3) AS BIGINT) AS n_source_slices
+    FROM e GROUP BY event_type
+    """,
+    tags=("streaming",),
+)
+def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigger.AvailableNow batch catch-up: the stream drains everything
+    available in bounded micro-batches (maxFilesPerTrigger still
+    applies, unlike the legacy Trigger.Once) and then terminates on its
+    own — the scheduled-backfill mode that lets one streaming codebase
+    serve both 24/7 and run-every-hour deployments with the same
+    checkpoint. Three staged source files force three catch-up batches;
+    the drained union must equal the batch view of the same data
+    (counts per type + slice coverage proves every file landed exactly
+    once).
+
+    100 TB shape: AvailableNow is how you replay a large backlog
+    without an unbounded first batch — the file source paces batches by
+    maxFilesPerTrigger/maxBytesPerTrigger, so executor memory and
+    shuffle sizing hold during catch-up, and the checkpoint advances
+    incrementally (a crash mid-backfill resumes, not restarts)."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="availnow_stream_")
+    src, out = os.path.join(root, "src"), os.path.join(root, "out")
+    e = load_table(spark, sf_dir, "events")
+    for slice_id in range(3):
+        e.filter(F.col("event_id") % 3 == slice_id).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.select("event_id", "event_type")
+                .write.mode("append")
+                .parquet(out)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    drained = spark.read.parquet(out)
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.col("event_id") % 3).alias("n_source_slices"),
+    )
