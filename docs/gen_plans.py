@@ -54,6 +54,28 @@ PICKS = {
         "Fact-fact SMJ over bucketed+sorted tables: zero Exchange in the "
         "whole plan — the at-rest layout carries the co-location."
     ),
+    "q_tpch_q3": (
+        "Both date filters and the segment filter are PushedFilters; the "
+        "top-10 is TakeOrderedAndProject, never a global sort."
+    ),
+    "q_join_bloom_prefilter": (
+        "Three broadcast left-semi joins on bloom position sets prefilter "
+        "the fact scan before the exact broadcast join — fact rows that "
+        "miss the dim never reach a shuffle."
+    ),
+    "q_sketch_heavy_hitters": (
+        "Misra–Gries partials via MapInPandas (64 rows per partition "
+        "regardless of input), merged on a single-group ApplyInPandas — "
+        "the raw table never shuffles."
+    ),
+    "q_sessionize_gap": (
+        "lag + running-sum + session rollup share one (user_id) Exchange "
+        "and a single Sort — the whole chain is one shuffle."
+    ),
+    "q_tpch_q21": (
+        "EXISTS/NOT EXISTS decorrelated to left-semi + left-anti SMJs, "
+        "all legs co-partitioned on l_orderkey."
+    ),
 }
 
 
