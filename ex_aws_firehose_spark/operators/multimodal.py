@@ -314,7 +314,10 @@ def q_multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "media", F.length("media").alias("n")
     )
     n_chunks = F.ceil(F.col("n") / float(AUDIO_CHUNK_BYTES)).cast("long")
-    chunks = m.select(
+    # Zero-length media must yield zero chunks. Without the guard,
+    # sequence(0, -1) defaults to step -1 and emits [0, -1] — two
+    # spurious rows the DuckDB oracle's empty range(0, 0) never has.
+    chunks = m.filter(n_chunks > 0).select(
         "doc_id",
         "media",
         "n",

@@ -1,9 +1,11 @@
 """Canonical TPC-H query shapes ([EXT], SURVEY.md §2.4 extension):
-Q3 (shipping-priority top-k), Q7 (volume shipping between two nations),
-Q10 (returned-item reporting), Q18 (large-volume customers). Q1 and Q5
-shapes already exist as q_agg_hash and q_sql_flagship; together these
-cover the classic join-agg-topk plan space every warehouse engine is
-judged on.
+Q1 (pricing summary), Q3 (shipping-priority top-k), Q4 (EXISTS priority
+check), Q7 (volume shipping between two nations), Q10 (returned-item
+reporting), Q12 (priority CASE-pivot), Q14 (promo revenue ratio),
+Q18 (large-volume customers), Q19 (disjunctive mixed predicate),
+Q22 (scalar-subquery + NOT EXISTS). The Q5 shape exists as
+q_sql_flagship; together these cover the classic join-agg-topk plan
+space every warehouse engine is judged on.
 
 Not in the reference (no relational surface — SURVEY.md §2.4 preamble);
 mandated by ``repo:BASELINE.json``'s "same query capabilities at 100 TB"
@@ -330,3 +332,314 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return waiting.groupBy("l_suppkey").agg(F.count("*").alias("numwait"))
+
+
+@query(
+    "q_tpch_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS sum_base_price,
+           CAST(SUM({_REV_CD}) AS BIGINT) / 10000.0 AS sum_disc_price,
+           CAST(SUM({_REV_CD}
+                    * (100 + CAST(ROUND(l_tax * 100) AS BIGINT)))
+                AS BIGINT) / 1000000.0 AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_qty,
+           (SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_price,
+           (SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0)
+               / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 — the pricing-summary report: one pass over lineitem,
+    eight aggregates per (returnflag, linestatus). The canonical
+    map-side-combine benchmark: partial aggregation collapses each scan
+    partition to ≤|groups| rows (6 here) before the one tiny shuffle,
+    so the exchange carries kilobytes regardless of fact size.
+
+    Money math: every sum accumulates exact int64 cent/pct units
+    (charge = cents × (100−disc) × (100+tax), scale 10⁶); averages are
+    exact-int sums divided once at the end — both engines perform the
+    same two exact-int→double divisions, so doubles are bit-identical.
+
+    100 TB shape: whole-stage codegen keeps the eight aggregates in one
+    operator over the scan; the shipdate predicate pushes to parquet
+    row-group pruning. This plan IS the upper bound for scan-bound agg
+    throughput — anything slower than Q1 per byte is leaving scan
+    efficiency on the table."""
+    tax_cd = _revenue_cd() * (100 + _pct("l_tax"))
+    qty = F.col("l_quantity").cast("long")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp")
+    )
+    cnt = F.count("*")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("sum_qty"),
+        (F.sum(_cents("l_extendedprice")) / 100.0).alias("sum_base_price"),
+        (F.sum(_revenue_cd()) / 10000.0).alias("sum_disc_price"),
+        (F.sum(tax_cd) / 1000000.0).alias("sum_charge"),
+        (F.sum(qty) / cnt.cast("double")).alias("avg_qty"),
+        ((F.sum(_cents("l_extendedprice")) / 100.0) / cnt.cast("double")).alias(
+            "avg_price"
+        ),
+        ((F.sum(_pct("l_discount")) / 100.0) / cnt.cast("double")).alias(
+            "avg_disc"
+        ),
+        cnt.alias("count_order"),
+    )
+
+
+@query(
+    "q_tpch_q4",
+    oracle="""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: how many orders of a
+    quarter had at least one problem line, per priority class. The
+    synthetic schema has no commit/receipt dates, so "late line"
+    becomes "returned line" (l_returnflag = 'R') — the EXISTS shape is
+    unchanged. Decorrelation: the correlated EXISTS is a left-semi join
+    on o_orderkey; each qualifying order counts once no matter how many
+    lines match.
+
+    100 TB shape: the quarter filter prunes orders to ~1/28 at the
+    scan; the semi join probes only the returned lines (~1/3 of
+    lineitem, filter pushed to its scan). AQE turns the semi join
+    broadcast when the pruned orders side is small; the final agg is
+    5 groups — the whole query is one effective fact pass."""
+    lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-04-01 00:00:00").cast("timestamp")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — shipping-mode priority audit: for lines
+    shipped in one year, count urgent-priority vs normal-priority
+    orders per class. The synthetic schema has no l_shipmode, so the
+    grouping class is l_returnflag; the CASE-pivot on o_orderpriority
+    is the Q12 signature and is unchanged.
+
+    100 TB shape: the year filter prunes lineitem at the scan; the join
+    carries only (l_orderkey, l_returnflag) against (o_orderkey,
+    o_orderpriority) — two-column shuffles. The conditional counts are
+    a pivot-free CASE aggregation, so no second pass: one join, one
+    3-group agg."""
+    lo = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .select("l_orderkey", "l_returnflag")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=f"""
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                                 THEN {_REV_CD} ELSE 0 END) AS BIGINT)
+                 / CAST(SUM({_REV_CD}) AS BIGINT) AS promo_revenue_pct,
+           CAST(SUM({_REV_CD}) AS BIGINT) / 10000.0 AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion effect: what fraction of one month's
+    revenue came from promo parts. Single-row global aggregate over a
+    broadcast fact⋈dim join; the promo test rides as a CASE inside the
+    sum, so one pass computes both numerator and denominator.
+
+    Float determinism: both engines reduce to two exact int64 sums and
+    perform the identical 100·a/b double division — no accumulation-
+    order sensitivity survives to the output.
+
+    100 TB shape: part broadcasts (it is the small dim); the month
+    filter prunes lineitem to ~1/80 at the scan; the global agg's
+    partial pass collapses everything executor-side, shuffling one row
+    per partition."""
+    lo = F.lit("1997-06-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-07-01 00:00:00").cast("timestamp")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _revenue_cd()
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+    total = F.sum(rev)
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * promo / total).alias("promo_revenue_pct"),
+            (total / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=f"""
+    SELECT CAST(SUM({_REV_CD}) AS BIGINT) / 10000.0 AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 20)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 50
+           AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    tags=("tpch", "join", "predicate"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 — discounted revenue under a 3-arm disjunctive
+    predicate mixing dim attributes (brand, size) with fact attributes
+    (quantity). The classic pushdown-splitting test: the per-table
+    halves of the OR ARE derivable (brand ∈ {1,2,3} on part; quantity
+    ∈ [1,50] on lineitem) and Catalyst extracts them below the join,
+    while the cross-table arms evaluate after.
+
+    100 TB shape: part broadcasts; the derived brand IN-list prunes the
+    dim before broadcast, and the residual OR evaluates inside
+    whole-stage codegen — no fact shuffle at all (global agg partials
+    collapse per partition). The plan-evidence test asserts the pushed
+    IN-list actually reaches the part scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    qty = F.col("l_quantity")
+    arm = lambda b, smax, qlo, qhi: (
+        (F.col("p_brand") == b)
+        & F.col("p_size").between(1, smax)
+        & qty.between(qlo, qhi)
+    )
+    cond = arm("Brand#1", 15, 1, 20) | arm("Brand#2", 25, 10, 30) | arm(
+        "Brand#3", 50, 20, 50
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            (F.sum(_revenue_cd()) / 10000.0).alias("revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q22",
+    oracle="""
+    WITH pos AS (
+        SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               c_custkey, c_mktsegment
+        FROM customer WHERE c_acctbal > 0.0
+    ),
+    stats AS (
+        SELECT CAST(SUM(bal_cents) AS BIGINT) AS tot,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pos
+    )
+    SELECT p.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(p.bal_cents) AS BIGINT) / 100.0 AS totacctbal
+    FROM pos p, stats
+    WHERE p.bal_cents * stats.n > stats.tot
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+      )
+    GROUP BY p.c_mktsegment
+    """,
+    tags=("tpch", "subquery", "join"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global-sales-opportunity: customers with
+    above-average positive balances who never ordered, grouped by
+    segment (the synthetic schema has no phone column, so the
+    country-code grouping becomes c_mktsegment; both subquery shapes —
+    scalar-aggregate comparison and NOT EXISTS — are intact).
+
+    The above-average test avoids float comparison entirely:
+    bal·n > Σbal in exact int64 (cross-multiplied), so both engines
+    make the identical integer decision. The NOT EXISTS is a left-anti
+    join against the orders custkey set.
+
+    100 TB shape: the scalar stats aggregate is one tiny broadcast row
+    (crossJoin of a 1-row agg); the anti join shuffles only custkeys.
+    Neither subquery re-executes per row — both decorrelate to joins,
+    the only viable shape at fact scale."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 0.0)
+    pos = c.select(
+        _cents("c_acctbal").alias("bal_cents"), "c_custkey", "c_mktsegment"
+    )
+    stats = pos.agg(
+        F.sum("bal_cents").alias("tot"), F.count("*").alias("n")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        pos.crossJoin(F.broadcast(stats))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("tot"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_cents") / 100.0).alias("totacctbal"),
+        )
+    )

@@ -15,6 +15,8 @@ remains the analytics path.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -23,6 +25,29 @@ from pyspark.sql import functions as F
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
 
+_TMP_DIRS: list[str] = []
+
+
+def _tracked_mkdtemp(prefix: str) -> str:
+    """mkdtemp whose directory is removed at interpreter exit — the
+    side-effect caches below otherwise leak one dir per (session, sf)."""
+    path = tempfile.mkdtemp(prefix=prefix)
+    _TMP_DIRS.append(path)
+    return path
+
+
+@atexit.register
+def _cleanup_tmp_dirs() -> None:
+    for d in _TMP_DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _session_key(spark: SparkSession) -> str:
+    """Cache key for per-session side-effect writes. applicationId is
+    stable for the session's lifetime and never recycled the way id()
+    can be after an old session object is garbage-collected."""
+    return spark.sparkContext.applicationId
+
 EVENTS_JSON_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
@@ -30,17 +55,19 @@ EVENTS_JSON_SCHEMA = (
 
 # Spark's default JSON timestamp pattern truncates to milliseconds;
 # the events table carries microseconds — pin the format on both sides.
+# (load_table normalizes events.ts to tz-aware TimestampType, so the
+# tz-offset-carrying pattern applies on both write and read.)
 TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
-_JSONL_CACHE: dict[tuple[int, str], str] = {}
+_JSONL_CACHE: dict[tuple[str, str], str] = {}
 
 
 def write_events_jsonl_gz(spark: SparkSession, sf_dir: str) -> str:
     """events → gzip'd JSON-lines directory (one object per partition),
     the reference's delivered-object format. Cached per (session, sf)."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _JSONL_CACHE:
-        path = tempfile.mkdtemp(prefix="events_jsonl_") + "/data"
+        path = _tracked_mkdtemp(prefix="events_jsonl_") + "/data"
         e = load_table(spark, sf_dir, "events")
         (
             e.select(
@@ -93,8 +120,8 @@ def src_format_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CSV_CACHE: dict[tuple[int, str], str] = {}
-_PARTITIONED_CACHE: dict[tuple[int, str], str] = {}
+_CSV_CACHE: dict[tuple[str, str], str] = {}
+_PARTITIONED_CACHE: dict[tuple[str, str], str] = {}
 
 ORDERS_CSV_SCHEMA = (
     "o_orderkey long, o_custkey long, o_orderstatus string, "
@@ -128,9 +155,9 @@ def src_format_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     but schema-on-read with no pushdown — the scan reads every byte, so
     this format is an ingest boundary only, converted to parquet in the
     first pass."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _CSV_CACHE:
-        path = tempfile.mkdtemp(prefix="orders_csv_") + "/data"
+        path = _tracked_mkdtemp(prefix="orders_csv_") + "/data"
         (
             load_table(spark, sf_dir, "orders")
             .write.option("header", True)
@@ -172,9 +199,9 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-order I/O lever: partition by the dominant filter column
     (date, tenant), keep per-partition file counts bounded, and let
     pruning turn a full-table scan into a touched-partition scan."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _PARTITIONED_CACHE:
-        path = tempfile.mkdtemp(prefix="orders_part_") + "/data"
+        path = _tracked_mkdtemp(prefix="orders_part_") + "/data"
         (
             load_table(spark, sf_dir, "orders")
             .write.partitionBy("o_orderpriority")
@@ -192,9 +219,9 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORC_CACHE: dict[tuple[int, str], str] = {}
-_EVOLVED_CACHE: dict[tuple[int, str], str] = {}
-_SINK_PART_CACHE: dict[tuple[int, str], str] = {}
+_ORC_CACHE: dict[tuple[str, str], str] = {}
+_EVOLVED_CACHE: dict[tuple[str, str], str] = {}
+_SINK_PART_CACHE: dict[tuple[str, str], str] = {}
 
 
 @query(
@@ -218,9 +245,9 @@ def src_format_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown + column pruning work the same as parquet via the
     vectorized reader); at 100 TB it exists for interop with
     Hive-lineage warehouses, not as the preferred sink."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _ORC_CACHE:
-        path = tempfile.mkdtemp(prefix="events_orc_") + "/data"
+        path = _tracked_mkdtemp(prefix="events_orc_") + "/data"
         load_table(spark, sf_dir, "events").write.orc(path)
         _ORC_CACHE[key] = path
     e = spark.read.orc(_ORC_CACHE[key])
@@ -257,9 +284,9 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, mergeSchema's footer sampling is an extra planning cost,
     so production pins the merged schema in a catalog and reads
     schema-first; the NULL back-fill semantics are identical."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _EVOLVED_CACHE:
-        path = tempfile.mkdtemp(prefix="orders_evo_") + "/data"
+        path = _tracked_mkdtemp(prefix="orders_evo_") + "/data"
         o = load_table(spark, sf_dir, "orders")
         # generation 1: even orderkeys, original columns only
         o.filter(F.col("o_orderkey") % 2 == 0).select(
@@ -307,9 +334,9 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The read-back aggregate proves both halves: 'click' shows doubled
     cents, every other partition shows the original bytes."""
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _SINK_PART_CACHE:
-        path = tempfile.mkdtemp(prefix="events_sink_") + "/data"
+        path = _tracked_mkdtemp(prefix="events_sink_") + "/data"
         e = load_table(spark, sf_dir, "events")
         e.write.partitionBy("event_type").parquet(path)
         reprocessed = e.filter(F.col("event_type") == "click").withColumn(
@@ -331,7 +358,7 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BINARYFILE_CACHE: dict[tuple[int, str], str] = {}
+_BINARYFILE_CACHE: dict[tuple[str, str], str] = {}
 N_BINARY_FILES = 100
 
 
@@ -358,9 +385,9 @@ def src_format_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_multimodal_* key then operates on."""
     import os
 
-    key = (id(spark), sf_dir)
+    key = (_session_key(spark), sf_dir)
     if key not in _BINARYFILE_CACHE:
-        root = tempfile.mkdtemp(prefix="blobs_") + "/data"
+        root = _tracked_mkdtemp(prefix="blobs_") + "/data"
         os.makedirs(root, exist_ok=True)
         rows = (
             load_table(spark, sf_dir, "documents")

@@ -51,10 +51,15 @@ _EVENTS_DIR_CACHE: dict[str, str] = {}
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file-source stream. File sources need a *directory*,
     so the single events.parquet is staged into a temp dir once per
-    sf_dir. The raw parquet carries ns-long timestamps (see
-    tables.load_table); normalize identically here."""
+    sf_dir. The on-disk ``ts`` physical type varies by testdata
+    generation (ns → long under nanosAsLong, or µs timestamp);
+    detect it from the parquet footer and normalize to the same
+    tz-aware TimestampType ``tables.load_table`` produces."""
     import os
     import shutil
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as patypes
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -62,6 +67,15 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = tempfile.mkdtemp(prefix="events_stream_")
         shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
         _EVENTS_DIR_CACHE[sf_dir] = d
+    staged = os.path.join(_EVENTS_DIR_CACHE[sf_dir], "events.parquet")
+    ts_type = pq.read_schema(staged).field("ts").type
+    if patypes.is_timestamp(ts_type):
+        # µs (or ms) parquet timestamp: read directly as TimestampType —
+        # under the pinned UTC session zone the NTZ wall clocks become
+        # the same UTC instants load_table's cast produces.
+        return spark.readStream.schema(EVENTS_TS_SCHEMA).parquet(
+            _EVENTS_DIR_CACHE[sf_dir]
+        )
     raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(
         _EVENTS_DIR_CACHE[sf_dir]
     )
@@ -806,18 +820,23 @@ def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     with stream_shuffle(spark):
+        # Idempotent landing: each micro-batch overwrites its own
+        # batch-id-named subdirectory, so a replayed batch (failure
+        # after write, before checkpoint commit) rewrites the same
+        # files instead of appending duplicates — the "landed exactly
+        # once" contract the count-sensitive oracle asserts.
         q = (
             stream.writeStream.foreachBatch(
                 lambda df, bid: df.select("event_id", "event_type")
-                .write.mode("append")
-                .parquet(out)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, f"batch-{bid}"))
             )
             .trigger(availableNow=True)
             .option("checkpointLocation", os.path.join(root, "ckpt"))
             .start()
         )
         q.awaitTermination()
-    drained = spark.read.parquet(out)
+    drained = spark.read.option("recursiveFileLookup", "true").parquet(out)
     return drained.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct(F.col("event_id") % 3).alias("n_source_slices"),

@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 TABLE_NAMES = (
     "region",
@@ -49,8 +49,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # Nanosecond parquet read as long (nanosAsLong) → truncate.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, TimestampNTZType):
+            # µs parquet without isAdjustedToUTC reads as TIMESTAMP_NTZ;
+            # the engine-wide invariant is tz-aware TimestampType under
+            # the UTC session zone (same instants — NTZ values are UTC
+            # wall clocks here), so every consumer (unix_millis, window
+            # rangeBetween, streaming restage schemas) sees one type
+            # regardless of which testdata generation is on disk.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
