@@ -176,3 +176,76 @@ def test_cdc_snapshot_diff_single_join_no_extra_exchange(spark, sf_dir):
 
     # full-outer join on the PK: one exchange per side, nothing after
     assert shuffle_count(REGISTRY["q_cdc_snapshot_diff"].fn(spark, sf_dir)) <= 2
+
+
+def test_tpch_q1_pushdown_and_single_exchange(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    df = REGISTRY["q_tpch_q1"].fn(spark, sf_dir)
+    # the shipdate predicate reaches the parquet scan...
+    assert any("l_shipdate" in f for f in pushed_filters(df)), pushed_filters(df)
+    # ...and the whole query is one partial-agg + one tiny exchange
+    assert shuffle_count(df) == 1
+
+
+def test_tpch_q6_all_filters_pushed_no_join(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan, shuffle_count
+
+    df = REGISTRY["q_tpch_q6"].fn(spark, sf_dir)
+    fs = pushed_filters(df)
+    assert any("l_shipdate" in f for f in fs), fs
+    assert any("l_quantity" in f for f in fs), fs
+    assert "Join" not in physical_plan(df)
+    assert shuffle_count(df) == 1  # global-agg partials only
+
+
+def test_tpch_q14_broadcast_and_month_pushdown(spark, sf_dir):
+    df = REGISTRY["q_tpch_q14"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_tpch_q19_brand_inlist_pushed_below_join(spark, sf_dir):
+    df = REGISTRY["q_tpch_q19"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    # Catalyst must derive the per-table OR-halves: the brand IN-list
+    # prunes the part scan, the quantity range prunes lineitem
+    fs = pushed_filters(df)
+    assert any("p_brand" in f for f in fs), fs
+    assert any("l_quantity" in f for f in fs), fs
+
+
+def test_tpch_q2_topk_and_broadcast_dims(spark, sf_dir):
+    df = REGISTRY["q_tpch_q2"].fn(spark, sf_dir)
+    assert uses_take_ordered(df)
+    assert uses_broadcast_join(df)
+
+
+def test_tpch_q8_dims_broadcast_type_filter_pushed(spark, sf_dir):
+    df = REGISTRY["q_tpch_q8"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    assert any("p_type" in f for f in pushed_filters(df))
+
+
+def test_tpch_q9_name_pattern_pushed(spark, sf_dir):
+    df = REGISTRY["q_tpch_q9"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    # LIKE '%widget%' pushes as StringContains
+    assert any("p_name" in f for f in pushed_filters(df))
+
+
+def test_tpch_q17_stats_join_reuses_partitioning(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    df = REGISTRY["q_tpch_q17"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    # fact->stats agg and the re-join share the l_partkey partitioning:
+    # at most the agg exchange + the re-join's second side + global agg
+    assert shuffle_count(df) <= 3
+
+
+def test_tpch_q20_small_parts_prefix_pushed(spark, sf_dir):
+    df = REGISTRY["q_tpch_q20"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    # LIKE 'small%' pushes as StringStartsWith
+    assert any("p_name" in f for f in pushed_filters(df))
