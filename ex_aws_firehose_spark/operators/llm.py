@@ -1662,3 +1662,325 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("q"),
         F.floor(F.col("scale") * 1_000_000).cast("long").alias("scale_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: containment dedup, vocabulary/OOV audit, log-frequency
+# quality scoring, k-NN graph, intra-doc repetition — the quality-filter
+# family a real pretraining pipeline runs alongside dedup.
+# ---------------------------------------------------------------------------
+
+CONTAIN_NUM, CONTAIN_DEN = 4, 5  # containment threshold 4/5 = 0.8
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, unnest({duck_shingles('t')}) AS s FROM toks
+        WHERE len(t) >= 3
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, c.n_common,
+           sa.n_sh AS n_a, sb.n_sh AS n_b,
+           c.n_common * 1.0 / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM common c
+    JOIN sizes sa ON c.doc_a = sa.doc_id
+    JOIN sizes sb ON c.doc_b = sb.doc_id
+    WHERE c.n_common * {CONTAIN_DEN} >= LEAST(sa.n_sh, sb.n_sh) * {CONTAIN_NUM}
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: pairs where ≥80% of the SMALLER
+    document's 3-token shingles appear in the other — the
+    quote/subset/boilerplate duplication that symmetric Jaccard misses
+    (a doc fully contained in a 10× larger one has Jaccard ≈ 0.1 but
+    containment 1.0).
+
+    The threshold test cross-multiplies exact int64 shingle counts
+    (5·common ≥ 4·min) — no float compare; the reported containment
+    ratio is one exact-int division at the end.
+
+    100 TB shape: identical join geometry to q_dedup_ngram_jaccard —
+    pairs generate only through the shared-shingle equi-join (never a
+    crossJoin), the per-doc size table re-joins at pair grain (already
+    collapsed), and hot shingles are the documented salt-or-drop knob.
+    One pipeline serves both metrics; containment is a second
+    HAVING-style predicate over the same pair counts."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("sa_id"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("sb_id"), F.col("n_sh").alias("n_b")
+    )
+    least = F.least("n_a", "n_b")
+    return (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb_id"))
+        .filter(F.col("n_common") * CONTAIN_DEN >= least * CONTAIN_NUM)
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            "n_a",
+            "n_b",
+            (F.col("n_common") * 1.0 / least).alias("containment"),
+        )
+    )
+
+
+VOCAB_K = 50
+
+
+@query(
+    "q_text_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+        SELECT d.source, unnest(str_split(lower(d.text), ' ')) AS tok
+        FROM documents d
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok FROM freq
+        QUALIFY row_number() OVER (ORDER BY freq DESC, tok) <= {VOCAB_K}
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (WHERE v.tok IS NULL) AS BIGINT) AS n_oov,
+           COUNT(*) FILTER (WHERE v.tok IS NULL) * 1.0 / COUNT(*) AS oov_rate
+    FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.source
+    """,
+    tags=("llm", "text"),
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + out-of-vocabulary audit: the top-50 corpus
+    tokens by frequency (deterministic tie-break on the token string)
+    become the vocabulary; each source is scored by the fraction of its
+    token stream falling outside it — the coverage check run before
+    committing to a tokenizer/vocab on a new corpus mix.
+
+    100 TB shape: the frequency table is a fact-scale token aggregate
+    (map-side combine collapses repeats); the top-K is a TakeOrdered
+    over the already-small distinct-token frame; the vocab (K rows)
+    broadcasts back over the token stream, so the per-source audit is
+    one more map-side-combined aggregate — no fact-fact shuffle
+    anywhere. Counts stay int64; the rate is one exact-int division."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("freq"))
+    vocab = (
+        freq.orderBy(F.desc("freq"), "tok")
+        .limit(VOCAB_K)
+        .select(F.col("tok").alias("vtok"))
+    )
+    joined = tok.join(
+        F.broadcast(vocab), tok.tok == F.col("vtok"), "left"
+    )
+    n_oov = F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        (n_oov * 1.0 / F.count("*")).alias("oov_rate"),
+    )
+
+
+@query(
+    "q_text_logfreq_score",
+    oracle="""
+    WITH tok AS (
+        SELECT d.doc_id, unnest(str_split(lower(d.text), ' ')) AS tok
+        FROM documents d
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok GROUP BY tok
+    ),
+    bucketed AS (
+        SELECT t.doc_id,
+               CAST(length(printf('%b', f.freq)) - 1 AS BIGINT) AS bucket
+        FROM tok t JOIN freq f ON t.tok = f.tok
+    )
+    SELECT doc_id,
+           CAST(SUM(bucket) AS BIGINT) AS sum_log2f,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           SUM(bucket) * 1.0 / COUNT(*) AS mean_log2f
+    FROM bucketed GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q_text_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-frequency quality score — the cheap perplexity proxy
+    (a doc of vanishingly rare tokens scores low; a doc of corpus-
+    common tokens scores high; outliers on either end are filter
+    candidates). Per token: ⌊log₂(corpus frequency)⌋, computed
+    INTEGER-exactly as bit-length − 1 (binary-string length, mirrored
+    by DuckDB's printf('%b')) — no float log whose last bit could
+    differ at exact powers of two.
+
+    100 TB shape: the frequency table aggregates once (map-side
+    combine), then the per-doc scoring is a token-stream ⋈ frequency
+    join; at real scale the frequency table's head (Zipf: a few
+    thousand tokens cover >90% of the stream) broadcasts and the long
+    tail shuffles — here the whole table is small enough that AQE picks
+    the broadcast side automatically. Scores accumulate as exact int64
+    sums with one final division."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("freq"))
+    bucket = (
+        F.length(F.conv(F.col("freq").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    joined = tok.join(
+        freq.select("tok", bucket.alias("bucket")), "tok"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.sum("bucket").alias("sum_log2f"),
+        F.count("*").alias("n_tokens"),
+        (F.sum("bucket") * 1.0 / F.count("*")).alias("mean_log2f"),
+    )
+
+
+KNN_K = 3
+
+
+@query(
+    "q_sim_knn_graph",
+    oracle=f"""
+    SELECT vec_id, nbr_id, rank, cos_sim FROM (
+        SELECT a.vec_id, b.vec_id AS nbr_id,
+               CAST(row_number() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY round({duck_cosine('a.embedding', 'b.embedding')}, 6) DESC,
+                            b.vec_id
+               ) AS BIGINT) AS rank,
+               round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ) WHERE rank <= {KNN_K}
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN graph construction: each vector's top-3 neighbors by exact
+    cosine within its coarse (IVF label) bucket — the adjacency input
+    for graph-based dedup, semantic clustering, and HNSW-style index
+    seeding. Ties break on the 6-dp score then neighbor id, both
+    engines identically.
+
+    100 TB shape: neighbor candidates generate ONLY through the
+    label-bucket self-join (the IVF coarse quantizer bounds each
+    bucket), never a global crossJoin; the per-vector top-k is a
+    bounded window over the bucket partitioning — the same exchange
+    serves join and rank. Finer buckets (more labels) are the knob that
+    keeps per-bucket pair counts flat as the corpus grows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = e.alias("a")
+    b = e.alias("b")
+    cos = F.round(
+        cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos_sim"), F.col("nbr_id")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "nbr_id", "rank", "cos_sim")
+    )
+
+
+@query(
+    "q_text_repetition",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, str_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT source,
+               CAST(len(t) - 2 AS BIGINT) AS total_3grams,
+               CAST(len(list_distinct(list_transform(
+                   range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+               ))) AS BIGINT) AS distinct_3grams
+        FROM toks WHERE len(t) >= 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(total_3grams) AS BIGINT) AS total_3grams,
+           CAST(SUM(distinct_3grams) AS BIGINT) AS distinct_3grams,
+           (SUM(total_3grams) - SUM(distinct_3grams)) * 1.0
+               / SUM(total_3grams) AS dup_rate
+    FROM per_doc GROUP BY source
+    """,
+    tags=("llm", "text"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition audit (the Gopher/MassiveText-style
+    quality filter): per source, the fraction of 3-gram occurrences
+    that are repeats within their document — templated/boilerplate/
+    looping text scores high and gets filtered before training.
+
+    Pure map-only per doc (token count vs distinct-shingle count — no
+    explode, no join, no shuffle until the per-source agg), so it runs
+    at scan speed over 100 TB. Rates aggregate as exact int64 counts
+    with one final division — never an average of per-doc floats, whose
+    accumulation order would differ across engines and partitionings."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    per_doc = d.filter(F.size(t) >= 3).select(
+        "source",
+        (F.size(t) - 2).cast("long").alias("total_3grams"),
+        F.size(shingles(t)).cast("long").alias("distinct_3grams"),
+    )
+    tot = F.sum("total_3grams")
+    dis = F.sum("distinct_3grams")
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        tot.alias("total_3grams"),
+        dis.alias("distinct_3grams"),
+        ((tot - dis) * 1.0 / tot).alias("dup_rate"),
+    )
