@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ex_aws_firehose_spark.operators.relational import _cents
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
 
@@ -406,4 +407,127 @@ def src_format_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("doc_id"),
         F.col("length").alias("n_bytes"),
         F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+_XML_CACHE: dict[tuple[str, str], str] = {}
+
+
+@query(
+    "src_format_xml",
+    oracle="""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events WHERE event_id < 200
+    """,
+    tags=("source", "format"),
+)
+def src_format_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest boundary (Spark 4 built-in spark-xml): write an
+    events slice as <event> rows under a root tag, read back
+    schema-first with rowTag — the interchange format B2B/feed
+    pipelines still deliver. Value survives as exact integer cents so
+    the float never round-trips through decimal text.
+
+    At 100 TB: like CSV, XML is schema-on-read with NO pushdown,
+    row-group stats, or column pruning — every byte is parsed. It is
+    an ingest boundary only; first pass converts to parquet. rowTag
+    splitting is line-agnostic, so files stay splittable for parallel
+    parse."""
+    key = (_session_key(spark), sf_dir)
+    if key not in _XML_CACHE:
+        path = _tracked_mkdtemp(prefix="events_xml_") + "/data"
+        (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < 200)
+            .select(
+                "event_id",
+                "event_type",
+                _cents("value").alias("value_cents"),
+            )
+            .write.option("rowTag", "event")
+            .format("xml")
+            .save(path)
+        )
+        _XML_CACHE[key] = path
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema("event_id long, event_type string, value_cents long")
+        .load(_XML_CACHE[key])
+    )
+
+
+_COMPACT_CACHE: dict[tuple[str, str], tuple[str, int, str, int]] = {}
+COMPACT_FRAGMENTS = 64
+COMPACT_TARGET_FILES = 4
+
+
+@query(
+    "q_maintenance_compact",
+    oracle=f"""
+    SELECT CAST({COMPACT_FRAGMENTS} AS BIGINT) AS files_before,
+           CAST({COMPACT_TARGET_FILES} AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS rows_before,
+           CAST(COUNT(*) AS BIGINT) AS rows_after,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS checksum_cents
+    FROM orders
+    """,
+    tags=("maintenance", "sink"),
+)
+def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (OPTIMIZE-style lake maintenance): a
+    deliberately fragmented orders landing dir (64 files — the shape a
+    per-minute streaming sink leaves behind) is rewritten into 4
+    size-targeted files. The audit row proves the rewrite is lossless:
+    file counts from the real filesystem listing, row count and an
+    exact int64 money checksum compared before/after.
+
+    At 100 TB this is THE table-maintenance primitive: listing/open
+    cost scales with file count, parquet row-group stats only help at
+    ≥ ~100 MB files, and compaction is an embarrassingly parallel
+    rewrite (repartition by target count or maxRecordsPerFile —
+    never coalesce(1)). Run it continuously behind streaming sinks;
+    pair with partition-grain dynamic overwrite (sink_partitioned_
+    write) for idempotence."""
+    import os
+
+    def _count_parquet(path: str) -> int:
+        return sum(
+            1
+            for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _COMPACT_CACHE:
+        frag = _tracked_mkdtemp(prefix="orders_frag_") + "/data"
+        o = load_table(spark, sf_dir, "orders")
+        o.repartition(COMPACT_FRAGMENTS).write.parquet(frag)
+        compacted = _tracked_mkdtemp(prefix="orders_compact_") + "/data"
+        spark.read.parquet(frag).repartition(
+            COMPACT_TARGET_FILES
+        ).write.parquet(compacted)
+        _COMPACT_CACHE[key] = (
+            frag,
+            _count_parquet(frag),
+            compacted,
+            _count_parquet(compacted),
+        )
+    frag, n_before, compacted, n_after = _COMPACT_CACHE[key]
+    before = spark.read.parquet(frag).agg(
+        F.count("*").alias("rows_before"),
+        F.sum(_cents("o_totalprice")).alias("cents_before"),
+    )
+    after = spark.read.parquet(compacted).agg(
+        F.count("*").alias("rows_after"),
+        F.sum(_cents("o_totalprice")).alias("checksum_cents"),
+    )
+    return before.crossJoin(after).select(
+        F.lit(n_before).cast("long").alias("files_before"),
+        F.lit(n_after).cast("long").alias("files_after"),
+        "rows_before",
+        "rows_after",
+        "checksum_cents",
     )
