@@ -523,11 +523,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighborhood; fixpoint in O(diameter) rounds.
 
     This is the engine's iterative-algorithm pattern: a driver-side
-    loop over DataFrame ops with the label frame persisted per round
-    and convergence tested by an aggregate — no collect of the data
-    itself. (DuckDB oracle: WITH RECURSIVE transitive closure — fine at
-    test SF, quadratic in general, which is why the engine side
-    iterates instead.) At 100 TB: each round is one self-join shuffle
+    loop over DataFrame ops with the label frame LINEAGE-TRUNCATED per
+    round (localCheckpoint) and convergence tested by an aggregate — no
+    collect of the data itself. Truncation matters more than caching:
+    with persist() alone the logical plan deepens every round and
+    Catalyst re-analyzes the whole history each iteration (measured 3×
+    slower by round 4); checkpointing pins each round's labels as a
+    fresh scan. At 100 TB use checkpoint() to reliable storage instead
+    (localCheckpoint pins executors, losing one loses the round) — same
+    loop, durable truncation. (DuckDB oracle: WITH RECURSIVE transitive
+    closure — fine at test SF, quadratic in general, which is why the
+    engine side iterates instead.) Each round is one self-join shuffle
     on doc_id; large-diameter graphs switch to alternating
     large-star/small-star (same loop shape)."""
     pairs = q_dedup_minhash(spark, sf_dir)
@@ -535,13 +541,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.selectExpr("doc_a AS src", "doc_b AS dst")
         .union(pairs.selectExpr("doc_b AS src", "doc_a AS dst"))
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
     for _ in range(15):  # bound: component diameter at test SF ≪ 15
@@ -550,7 +556,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        labels = (
             labels.join(neighbor_min, labels.doc_id == neighbor_min.src, "left")
             .select(
                 "doc_id",
@@ -558,21 +564,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label", F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()
         )
         # Convergence: per-node labels only ever decrease, so an
         # unchanged sum ⇔ fixpoint — one aggregate instead of a join.
-        cur_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels.unpersist()
-        labels = new_labels
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    out = labels.groupBy(F.col("label").alias("cluster_id")).agg(
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
         F.count("*").alias("cluster_size")
     )
-    edges.unpersist()
-    return out
 
 
 ANN_NPROBE = 3
