@@ -368,3 +368,96 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("value_cents").alias("value_cents"),
         )
     )
+
+
+INTERVAL_SPAN_US = 30 * 60 * 1_000_000  # each event opens a 30-min interval
+
+
+@query(
+    "q_interval_merge",
+    oracle=EVENTS_US
+    + f"""
+    , iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s_us,
+               epoch_us(ts) + {INTERVAL_SPAN_US} AS e_us
+        FROM events_us
+    ),
+    flagged AS (
+        SELECT user_id, s_us, e_us,
+               CASE WHEN s_us > COALESCE(MAX(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, e_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        -1)
+                    THEN 1 ELSE 0 END AS is_new
+        FROM iv
+    ),
+    islands AS (
+        SELECT user_id, s_us, e_us,
+               SUM(is_new) OVER (PARTITION BY user_id
+                                 ORDER BY s_us, e_us
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS span_id
+        FROM flagged
+    ),
+    spans AS (
+        SELECT user_id, span_id,
+               MIN(s_us) AS span_start_us, MAX(e_us) AS span_end_us
+        FROM islands GROUP BY user_id, span_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(span_end_us - span_start_us) AS BIGINT) AS covered_us,
+           CAST(MAX(span_end_us - span_start_us) AS BIGINT) AS longest_us
+    FROM spans GROUP BY user_id
+    """,
+    tags=("analytics", "window"),
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-algebra flattening: each event opens a 30-minute
+    activity interval; overlapping intervals per user merge into
+    maximal spans (the gaps-and-islands dual of q_sessionize_gap, which
+    breaks on POINT gaps — this merges RANGES, the primitive behind
+    coverage/SLA/uptime math). A span starts where an interval's start
+    exceeds the running max of all previous ends; span ids are the
+    running sum of those starts.
+
+    All arithmetic in exact int64 epoch-µs — coverage durations sum
+    distributively, no float time anywhere.
+
+    100 TB shape: one Exchange on user_id serves both windows (running
+    max and running sum share the same (s,e)-sorted frame) and the span
+    aggregate; the per-user output is bounded by spans, not events.
+    The running-max-over-preceding frame is the one window shape that
+    cannot use rangeBetween — it is ROWS-framed by construction, and
+    Spark evaluates it in one pass over the sorted partition."""
+    e = load_table(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + F.lit(INTERVAL_SPAN_US)).alias("e_us"),
+    )
+    w_ord = Window.partitionBy("user_id").orderBy("s_us", "e_us")
+    prev_max_end = F.max("e_us").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(F.col("s_us") > F.coalesce(prev_max_end, F.lit(-1)), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "span_id",
+        F.sum("is_new").over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = islands.groupBy("user_id", "span_id").agg(
+        F.min("s_us").alias("span_start_us"),
+        F.max("e_us").alias("span_end_us"),
+    )
+    dur = F.col("span_end_us") - F.col("span_start_us")
+    return spans.groupBy("user_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum(dur).alias("covered_us"),
+        F.max(dur).alias("longest_us"),
+    )
