@@ -58,6 +58,10 @@ HEADLINE = [
     "q_dedup_ngram_jaccard",
     "q_dedup_embedding",
     "q_dedup_clusters",
+    "q_dedup_prefix_filter",
+    "q_tpch_q1",
+    "q_tpch_q6",
+    "q_sim_knn_graph",
     "q_sim_cosine_topk",
     "q_sim_ann_ivf",
     "q_sim_pairwise_join",

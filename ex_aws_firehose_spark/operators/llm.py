@@ -131,31 +131,12 @@ def _minhash_oracle() -> str:
 _MINHASH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
-@query("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup candidates via MinHash + LSH banding: 3-token shingles →
-    12 minhash permutations → 4 bands × 3 rows → candidate pair iff any
-    band signature collides.
-
-    Scale shape: explode-shingles (map), one groupBy(doc_id) for the
-    signature, then a self-join on (band, band_signature) — the bucket
-    key is high-cardinality so the join shuffles evenly; no crossJoin
-    anywhere. Permutations use deterministic seeds over md5-prefix
-    hashes so the DuckDB oracle reproduces signatures bit-for-bit."""
-    key = (id(spark), sf_dir)
-    cached = _MINHASH_PAIRS_CACHE.get(key)
-    if cached is not None:
-        return cached
-    d = load_table(spark, sf_dir, "documents")
-    # Signature is computed per-row with array folds (no explode, no
-    # groupBy): hash each shingle once, then take the min of each
-    # permutation over the array. Zero shuffles until the band join —
-    # at 100 TB the signature stage is a pure map.
-    # Docs shorter than the shingle width have no signature (matches the
-    # oracle's GROUP BY over exploded shingles). The filter is on the
-    # cheap token count so it is NOT the hash expression — filtering on
-    # size(hs) would make Catalyst push the whole inlined hash pipeline
-    # into an interpreted Filter (measured 30× slower).
+def minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) LSH band signatures for a (doc_id, text)
+    frame — the shared signature pipeline of q_dedup_minhash and the
+    streaming incremental dedup (q_stream_dedup_minhash). Pure per-row
+    array folds (zero shuffles); docs shorter than the shingle width
+    produce no rows. Expressions mirror _minhash_cte() bit-for-bit."""
     hs = d.filter(F.size(tokens("text")) >= 3).select(
         "doc_id",
         F.transform(shingles(tokens("text")), lambda s: hex_hash(s)).alias("hs"),
@@ -178,16 +159,43 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(BANDS)
     ]
-    bands = (
-        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bs"))
-        .select("doc_id", "bs.band", "bs.bsig")
-        # One explicit exchange on the join key: both sides of the
-        # self-join are the identical subtree, so Catalyst reuses this
-        # shuffle (ReusedExchange) instead of recomputing the whole
-        # hash+signature stage twice — signatures are computed exactly
-        # once, the scale-out analog of materializing them.
-        .repartition("band", "bsig")
-    )
+    return sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", "bs.band", "bs.bsig")
+
+
+@query("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidates via MinHash + LSH banding: 3-token shingles →
+    12 minhash permutations → 4 bands × 3 rows → candidate pair iff any
+    band signature collides.
+
+    Scale shape: explode-shingles (map), one groupBy(doc_id) for the
+    signature, then a self-join on (band, band_signature) — the bucket
+    key is high-cardinality so the join shuffles evenly; no crossJoin
+    anywhere. Permutations use deterministic seeds over md5-prefix
+    hashes so the DuckDB oracle reproduces signatures bit-for-bit."""
+    key = (id(spark), sf_dir)
+    cached = _MINHASH_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load_table(spark, sf_dir, "documents")
+    # Signature is computed per-row with array folds (no explode, no
+    # groupBy): hash each shingle once, then take the min of each
+    # permutation over the array (minhash_bands). Zero shuffles until
+    # the band join — at 100 TB the signature stage is a pure map.
+    # Docs shorter than the shingle width have no signature (matches the
+    # oracle's GROUP BY over exploded shingles); the filter is on the
+    # cheap token count, NOT the hash expression — filtering on
+    # size(hs) would make Catalyst push the whole inlined hash pipeline
+    # into an interpreted Filter (measured 30× slower).
+    #
+    # One explicit exchange on the join key: both sides of the
+    # self-join are the identical subtree, so Catalyst reuses this
+    # shuffle (ReusedExchange) instead of recomputing the whole
+    # hash+signature stage twice — signatures are computed exactly
+    # once, the scale-out analog of materializing them.
+    bands = minhash_bands(d).repartition("band", "bsig")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_aws_firehose_spark.operators.firehose import ORACLE_CTE
+from ex_aws_firehose_spark.operators.llm import _minhash_cte
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.streaming.pipeline import (
     RECORDS_SCHEMA,
@@ -32,6 +33,11 @@ from ex_aws_firehose_spark.streaming.pipeline import (
 from ex_aws_firehose_spark.tables import load_table
 
 _MEM_SINK_COUNTER = itertools.count()
+
+# Shared LSH band CTE (shingle → hash → signature → bands) for the
+# streaming incremental-dedup oracle — same SQL the batch MinHash
+# oracles build on, so signatures match bit-for-bit.
+_MINHASH_BANDS_CTE = _minhash_cte()
 
 # Schema of the RAW events parquet (ns timestamps surface as long).
 EVENTS_STREAM_SCHEMA = (
@@ -841,3 +847,126 @@ def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.countDistinct(F.col("event_id") % 3).alias("n_source_slices"),
     )
+
+
+@query(
+    "q_stream_dedup_minhash",
+    oracle=_MINHASH_BANDS_CTE
+    + """
+    , dups AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bsig = b.bsig AND b.doc_id < a.doc_id
+    )
+    SELECT d.doc_id,
+           d.doc_id IN (SELECT doc_id FROM dups) AS is_dup
+    FROM documents d
+    """,
+    tags=("streaming", "llm", "dedup"),
+)
+def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental near-dup dedup — the crawl-ingest shape:
+    each micro-batch of documents is checked against the accumulated
+    MinHash band index of everything seen BEFORE it (plus earlier docs
+    of its own batch), then its own bands are appended to the index.
+    A doc is a duplicate iff any of its 4 LSH band signatures collides
+    with a lower-doc_id doc. Batches are staged as three doc_id-range
+    files drained in arrival order, so "seen before" ≡ "lower doc_id"
+    and the batch oracle (one self-join over all bands) reproduces the
+    incremental verdicts exactly.
+
+    100 TB shape: the band index is the only state — 4 rows of
+    (band, bsig, doc_id) per doc, parquet-partitioned by band at scale
+    so each batch's probe join touches matching buckets; the batch side
+    is micro-batch-sized. The probe is the same bucketed equi-join as
+    the batch LSH (never crossJoin); appends are blind (no rewrite).
+    With a transactional table format, probe+append become one
+    transaction; here the index dir is append-only so a replayed batch
+    re-appends identical bands — dedup verdicts are unchanged
+    (collisions are set-membership, duplicates in the index are
+    harmless)."""
+    import os
+
+    from ex_aws_firehose_spark.operators.llm import minhash_bands
+
+    root = tempfile.mkdtemp(prefix="dedup_stream_")
+    src = os.path.join(root, "src")
+    idx_dir = os.path.join(root, "band_index")
+    out_dir = os.path.join(root, "verdicts")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    # Three arrival-ordered batches by doc_id range; strictly increasing
+    # mtimes pin the file-source drain order to arrival order.
+    cuts = (n // 3, 2 * (n // 3))
+    os.makedirs(src, exist_ok=True)
+    for i, cond in enumerate(
+        (
+            F.col("doc_id") < cuts[0],
+            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
+            F.col("doc_id") >= cuts[1],
+        )
+    ):
+        scratch = os.path.join(root, f"scratch-{i}")
+        d.filter(cond).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f
+            for f in os.listdir(scratch)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        staged = os.path.join(src, f"batch-{i}.parquet")
+        os.rename(os.path.join(scratch, part), staged)
+        t = 1_700_000_000 + i * 10
+        os.utime(staged, (t, t))
+
+    def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
+        bands_b = minhash_bands(batch_df).persist()
+        try:
+            if os.path.isdir(idx_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(idx_dir)
+            ):
+                index = spark.read.parquet(idx_dir)
+                all_bands = index.unionByName(bands_b)
+            else:
+                all_bands = bands_b
+            probe = all_bands.select(
+                F.col("band").alias("p_band"),
+                F.col("bsig").alias("p_bsig"),
+                F.col("doc_id").alias("p_doc"),
+            )
+            dups = (
+                bands_b.join(
+                    probe,
+                    (F.col("band") == F.col("p_band"))
+                    & (F.col("bsig") == F.col("p_bsig"))
+                    & (F.col("p_doc") < F.col("doc_id")),
+                )
+                .select("doc_id")
+                .distinct()
+                .withColumn("is_dup", F.lit(True))
+            )
+            verdicts = (
+                batch_df.select("doc_id")
+                .join(dups, "doc_id", "left")
+                .select(
+                    "doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
+                )
+            )
+            verdicts.write.mode("append").parquet(out_dir)
+            bands_b.write.mode("append").parquet(idx_dir)
+        finally:
+            bands_b.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
