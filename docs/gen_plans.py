@@ -76,6 +76,35 @@ PICKS = {
         "EXISTS/NOT EXISTS decorrelated to left-semi + left-anti SMJs, "
         "all legs co-partitioned on l_orderkey."
     ),
+    "q_tpch_q1": (
+        "Eight aggregates in ONE partial+final HashAggregate pair over the "
+        "pushed-filter scan; the exchange carries ≤6 rows per partition."
+    ),
+    "q_tpch_q19": (
+        "Catalyst splits the 3-arm OR: the brand IN-list reaches the part "
+        "scan, the quantity range reaches lineitem — both below the "
+        "broadcast join."
+    ),
+    "q_tpch_q17": (
+        "Correlated AVG decorrelated: per-part (sum, cnt) aggregate joined "
+        "back on the same l_partkey partitioning; the 20%% test is exact "
+        "int64 cross-multiplication."
+    ),
+    "q_dedup_prefix_filter": (
+        "Rarest-first ranking and the per-doc window share one doc_id "
+        "Exchange; only prefix shingles enter the candidate join; "
+        "verification joins candidate pairs to token ARRAYS — one "
+        "array_intersect per pair, no re-explosion."
+    ),
+    "q_sim_knn_graph": (
+        "Norms projected per row BEFORE the label-bucket self-join (one "
+        "dot fold per pair); join and per-vector top-k rank share the "
+        "bucket exchange."
+    ),
+    "q_interval_merge": (
+        "Running-max-of-ends, island running-sum, and the span aggregate "
+        "all ride one (user_id) Exchange and one Sort."
+    ),
 }
 
 
