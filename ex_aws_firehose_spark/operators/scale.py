@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ex_aws_firehose_spark.operators.relational import _cents
@@ -743,4 +743,65 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(in_range)
         .unionByName(domain)
         .withColumn("passed", F.col("violations") == 0)
+    )
+
+
+@query(
+    "q_sketch_sliding_distinct",
+    oracle=EVENTS_US
+    + """
+    , days AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events_us)
+    SELECT d.day,
+           (SELECT CAST(COUNT(DISTINCT e.user_id) AS BIGINT)
+            FROM events_us e
+            WHERE date_trunc('day', e.ts)
+                  BETWEEN d.day - INTERVAL 6 DAY AND d.day) AS users_7d
+    FROM days d
+    """,
+    tags=("scale", "sketch", "window"),
+)
+def q_sketch_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window EXACT distinct count — trailing-7-day active
+    users per day — via windowed bitmap OR-merge: the one distinct-
+    count shape neither plain COUNT(DISTINCT) nor HLL rollups serve
+    well (a naive per-window recount re-reads 7× the data; HLL loses
+    exactness). Raw events aggregate ONCE into per-(day, id-bucket)
+    bitmaps; each day's trailing window OR-merges ≤7 bitmap rows per
+    bucket (RANGE-framed on day number, so calendar gaps stay
+    correct); counts sum over buckets.
+
+    The (day × bucket) spine is densified before the window — a bucket
+    with no NEW users on day D must still contribute its D−3 bitmap to
+    D's window, which a row-less (D, bkt) would silently drop.
+
+    100 TB shape: the only fact-scale operation is the one bitmap
+    aggregate (map-side combined); the window runs over |days|×|buckets|
+    kilobyte rows. Every trailing-window width reuses the SAME stored
+    sketches — this is the materialized continuous-aggregate pattern
+    for sliding distincts."""
+    e = load_table(spark, sf_dir, "events")
+    by_day = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")).alias(
+            "day_num"
+        ),
+        "user_id",
+    )
+    sketch = by_day.groupBy(
+        "day", "day_num", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias("bm")
+    )
+    days = by_day.select("day", "day_num").distinct()
+    bkts = sketch.select("bkt").distinct()
+    spine = days.crossJoin(F.broadcast(bkts))
+    full = spine.join(sketch, ["day", "day_num", "bkt"], "left")
+    w = (
+        Window.partitionBy("bkt")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    merged = full.withColumn("bm7", F.expr("bitmap_or_agg(bm)").over(w))
+    return merged.groupBy("day").agg(
+        F.sum(F.expr("bitmap_count(bm7)")).cast("long").alias("users_7d")
     )
