@@ -461,3 +461,79 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(dur).alias("covered_us"),
         F.max(dur).alias("longest_us"),
     )
+
+
+@query(
+    "q_join_temporal",
+    oracle=EVENTS_US
+    + """
+    , ordered AS (
+        SELECT user_id, event_type, ts,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events_us
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts FROM ordered
+        WHERE prev_type IS DISTINCT FROM event_type
+    ),
+    dim AS (
+        SELECT user_id, event_type AS state, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+        FROM changes
+    )
+    SELECT d.state, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events_us e
+    JOIN dim d ON e.user_id = d.user_id
+              AND e.ts >= d.valid_from
+              AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "join"),
+)
+def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-interval) join — "dimension as of event
+    time": every event is enriched with the SCD2 state valid at its
+    timestamp (the interval build is q_scd2_intervals inline). The
+    standard bi-temporal warehouse shape, distinct from q_join_asof:
+    as-of picks the latest row ≤ t, temporal asserts containment in
+    [valid_from, valid_to) — a half-open partition of each key's
+    timeline, so exactly one dim row matches per event.
+
+    100 TB shape: the join is EQUI on user_id — the range condition
+    rides as a post-join filter inside the same sort-merge/hash join,
+    never a BNLJ, because the equi key carries all the selectivity.
+    Fact and dim share the user_id partitioning the dim build already
+    produced (one Exchange serves the SCD2 windows AND the join probe).
+    Since intervals partition the timeline, the filter keeps exactly
+    one of the ~|changes per user| candidates — join fan-out equals
+    fact cardinality, no blow-up."""
+    e = load_table(spark, sf_dir, "events")
+    w_lag = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w_lag))
+        .filter(~F.col("prev_type").eqNullSafe(F.col("event_type")))
+        .select("user_id", "event_type", "ts")
+    )
+    w_lead = Window.partitionBy("user_id").orderBy("ts")
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_lead).alias("valid_to"),
+    )
+    return (
+        e.join(
+            dim,
+            (e.user_id == dim.d_user)
+            & (e.ts >= dim.valid_from)
+            & (dim.valid_to.isNull() | (e.ts < dim.valid_to)),
+        )
+        .groupBy("state", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
