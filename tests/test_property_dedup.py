@@ -123,3 +123,37 @@ def test_jaccard_matches_python_model(spark, texts):
         if a and b and len(a & b) / len(a | b) >= 0.5:
             expected.add((i, j))
     assert got == expected
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=_corpus)
+def test_prefix_filter_equals_bruteforce_jaccard(spark, texts):
+    """Zero-false-negative guarantee: the prefix-filtered join's pair
+    set EQUALS the brute-force shingle-Jaccard ≥ 0.5 pair set — the
+    prefix pruning may only skip pairs that cannot reach the threshold,
+    and the verify step removes any candidate that doesn't."""
+    from ex_aws_firehose_spark.operators.llm import q_dedup_prefix_filter
+
+    sf = _stage(spark, texts)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_prefix_filter(spark, sf).collect()
+    }
+    docs = list(texts) + list(texts)
+
+    def sh(t: str) -> set[str]:
+        toks = t.lower().split(" ")
+        return {
+            " ".join(toks[k : k + 3]) for k in range(len(toks) - 2)
+        }
+
+    expected = set()
+    for i, j in itertools.combinations(range(len(docs)), 2):
+        a, b = sh(docs[i]), sh(docs[j])
+        if a and b and len(a & b) / len(a | b) >= 0.5:
+            expected.add((i, j))
+    assert got == expected
