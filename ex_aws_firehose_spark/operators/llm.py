@@ -2081,8 +2081,15 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     that kills the skew LSH band-joins have to salt away); verification
     is candidate-grain, proportional to output."""
     d = load_table(spark, sf_dir, "documents")
-    dtok = d.filter(F.size(tokens("text")) >= 3).select(
-        "doc_id", shingles(tokens("text")).alias("toks")
+    # The shingle-array frame feeds FOUR subtrees (token explode for
+    # ranking, the two array sides of verification) — materialize it
+    # once (localCheckpoint) instead of re-deriving the split+zip_with
+    # pipeline per consumer; at cluster scale this is the "stage the
+    # tokenized corpus once" step every multi-pass text job does.
+    dtok = (
+        d.filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", shingles(tokens("text")).alias("toks"))
+        .localCheckpoint()
     )
     tok = dtok.select("doc_id", F.explode("toks").alias("tok"))
     freq = tok.groupBy("tok").agg(F.count("*").alias("df"))
