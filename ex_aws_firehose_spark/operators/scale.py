@@ -805,3 +805,69 @@ def q_sketch_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("day").agg(
         F.sum(F.expr("bitmap_count(bm7)")).cast("long").alias("users_7d")
     )
+
+
+ANOMALY_PCT = 50  # flag days deviating >50% from trailing-7-day median
+
+
+@query(
+    "q_dq_volume_anomaly",
+    oracle=EVENTS_US
+    + """
+    , daily AS (
+        SELECT date_trunc('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events_us GROUP BY 1
+    ),
+    scored AS (
+        SELECT day, n,
+               list_sort(list(n) OVER (ORDER BY day
+                    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS win
+        FROM daily
+    )
+    SELECT day, n,
+           CAST(win[(len(win) + 1) // 2] AS BIGINT) AS med7,
+           CAST(ABS(n - win[(len(win) + 1) // 2]) * 100
+                > 50 * win[(len(win) + 1) // 2] AS BOOLEAN) AS is_anomaly
+    FROM scored WHERE len(win) > 0
+    """,
+    tags=("scale", "dq", "window"),
+)
+def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline volume-anomaly audit: each day's event count compared
+    to the trailing-7-day MEDIAN; days deviating more than 50% are
+    flagged — the drop/spike detector every ingest pipeline runs
+    before letting a day's partition promote to "published". Median
+    (not mean) so a single bad day doesn't poison the baseline that
+    judges the next ones.
+
+    The median is the exact LOWER order statistic — element
+    ⌈k/2⌉ of the sorted ≤7-count window, computed identically in both
+    engines as a sorted-list pick (Spark bans median() with a window
+    frame, and interpolated medians would reintroduce float math); the
+    anomaly test cross-multiplies exact int64 (|n − med|·100 > 50·med),
+    so no float threshold anywhere.
+
+    100 TB shape: the only fact-scale work is the per-day count
+    (map-side combined to |days| rows); the window runs over the tiny
+    daily frame. This composes with q_sketch_sliding_distinct's spine:
+    one daily-stats table serves volume, distinct, and anomaly audits
+    without re-touching raw data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count("*").alias("n")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    scored = daily.withColumn(
+        "win", F.sort_array(F.collect_list("n").over(w))
+    )
+    med7 = F.element_at("win", ((F.size("win") + 1) / 2).cast("int")).cast(
+        "long"
+    )
+    dev = F.abs(F.col("n") - med7)
+    return scored.filter(F.size("win") > 0).select(
+        "day",
+        "n",
+        med7.alias("med7"),
+        (dev * 100 > ANOMALY_PCT * med7).alias("is_anomaly"),
+    )
