@@ -33,7 +33,13 @@ from ex_aws_firehose_spark.functions.text import (
     shingles,
     tokens,
 )
-from ex_aws_firehose_spark.functions.vector import cosine, dot, duck_cosine, norm
+from ex_aws_firehose_spark.functions.vector import (
+    cosine,
+    dot,
+    duck_cosine,
+    duck_dot,
+    norm,
+)
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
 
@@ -2137,4 +2143,51 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             nb.alias("n_b"),
             (common * 1.0 / (na + nb - common)).alias("jaccard"),
         )
+    )
+
+
+MRL_DIMS = 16  # truncation prefix (Matryoshka-style), of 64 full dims
+
+
+@query(
+    "q_embed_truncate_mrl",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST({MRL_DIMS} AS INTEGER) AS n_dims,
+           round(sqrt({duck_dot('e.embedding[1:' + str(MRL_DIMS) + ']',
+                                'e.embedding[1:' + str(MRL_DIMS) + ']')}), 6)
+               AS norm_trunc,
+           round(sqrt({duck_dot('e.embedding', 'e.embedding')}), 6)
+               AS norm_full,
+           round(sqrt({duck_dot('e.embedding[1:' + str(MRL_DIMS) + ']',
+                                'e.embedding[1:' + str(MRL_DIMS) + ']')})
+                 / sqrt({duck_dot('e.embedding', 'e.embedding')}), 6)
+               AS retained
+    FROM embeddings e
+    """,
+    tags=("llm", "similarity"),
+)
+def q_embed_truncate_mrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit: how much of each vector's
+    norm survives keeping only the first 16 of 64 dims — the
+    measurement run before switching ANN serving to truncated
+    embeddings (MRL-trained models concentrate signal in the prefix;
+    rate ≈ 1 means the cheap index loses little). `retained` is exactly
+    the cosine between the full vector and its zero-padded truncation,
+    so this IS the per-vector recall proxy.
+
+    Pure map at scan speed (two sequential-fold dots per row, same
+    fold order both engines → identical doubles); at 100 TB this audit
+    and the truncated-index build share one pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    trunc = F.slice("embedding", 1, MRL_DIMS)
+    n_t = norm(trunc)
+    n_f = norm(F.col("embedding"))
+    return e.select(
+        "vec_id",
+        "label",
+        F.lit(MRL_DIMS).cast("int").alias("n_dims"),
+        F.round(n_t, 6).alias("norm_trunc"),
+        F.round(n_f, 6).alias("norm_full"),
+        F.round(n_t / n_f, 6).alias("retained"),
     )

@@ -342,3 +342,107 @@ def q_multimodal_audio_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
             256,
         ).alias("chunk_sha"),
     )
+
+
+PATCH_PX = 8  # patch geometry (pixels)
+PATCH_BYTES = 64  # fake-raster bytes per patch (stub payload mapping)
+
+
+@query(
+    "q_multimodal_image_patch",
+    oracle=f"""
+    WITH media AS (
+        SELECT doc_id, text AS m, octet_length(encode(text)) AS n,
+               CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+               CAST((doc_id * 7) % 64 + 16 AS INTEGER) AS height
+        FROM documents
+    ),
+    rows_ AS (
+        SELECT doc_id, m, n, width, height,
+               unnest(range(0, CAST(CEIL(height / {PATCH_PX}.0) AS BIGINT)))
+                   AS prow
+        FROM media
+    ),
+    grid AS (
+        SELECT doc_id, m, n, width, height, prow,
+               unnest(range(0, CAST(CEIL(width / {PATCH_PX}.0) AS BIGINT)))
+                   AS pcol,
+               CAST(CEIL(width / {PATCH_PX}.0) AS BIGINT) AS pcols
+        FROM rows_
+    )
+    SELECT doc_id, CAST(prow AS BIGINT) AS prow, CAST(pcol AS BIGINT) AS pcol,
+           CAST(pcol * {PATCH_PX} AS INTEGER) AS x0,
+           CAST(prow * {PATCH_PX} AS INTEGER) AS y0,
+           CAST(LEAST({PATCH_PX}, width - pcol * {PATCH_PX}) AS INTEGER) AS pw,
+           CAST(LEAST({PATCH_PX}, height - prow * {PATCH_PX}) AS INTEGER) AS ph,
+           CASE WHEN (prow * pcols + pcol) * {PATCH_BYTES} < n
+                THEN sha256(substring(m,
+                        CAST((prow * pcols + pcol) * {PATCH_BYTES} + 1 AS INTEGER),
+                        {PATCH_BYTES}))
+                ELSE NULL END AS patch_sha
+    FROM grid
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_image_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-transformer-style patch grid: each media object fans out
+    to a 2-D grid of 8×8-pixel patches from its metadata geometry
+    (row × col double explode), with edge patches clamped to the image
+    bounds — the patch-sequence layout every ViT-style preprocessor
+    emits. Patch payloads map into the (stub) fake raster at
+    64 bytes/patch with per-patch sha-256 where the byte window exists;
+    a real decoder would slice the decoded raster instead — the
+    Spark-side plumbing (nested 2-D fan-out, clamped geometry, keyed
+    byte windows) is what carries.
+
+    100 TB shape: geometry explodes from metadata only — the media
+    column itself never fans out (each patch row carries doc_id +
+    coordinates + a 32-byte digest, not payload copies); the double
+    sequence/explode is whole-stage codegen, zero Python, zero
+    shuffle."""
+    m = synth_media(spark, sf_dir).select(
+        "doc_id",
+        "media",
+        F.length("media").alias("n"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    pr = F.ceil(F.col("height") / float(PATCH_PX)).cast("long")
+    pc = F.ceil(F.col("width") / float(PATCH_PX)).cast("long")
+    grid = m.withColumn("pcols", pc).select(
+        "doc_id",
+        "media",
+        "n",
+        "width",
+        "height",
+        "pcols",
+        F.explode(F.sequence(F.lit(0).cast("long"), pr - 1)).alias("prow"),
+    ).select(
+        "*",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("pcols") - 1)).alias(
+            "pcol"
+        ),
+    )
+    off = (F.col("prow") * F.col("pcols") + F.col("pcol")) * PATCH_BYTES
+    return grid.select(
+        "doc_id",
+        "prow",
+        "pcol",
+        (F.col("pcol") * PATCH_PX).cast("int").alias("x0"),
+        (F.col("prow") * PATCH_PX).cast("int").alias("y0"),
+        F.least(F.lit(PATCH_PX), F.col("width") - F.col("pcol") * PATCH_PX)
+        .cast("int")
+        .alias("pw"),
+        F.least(F.lit(PATCH_PX), F.col("height") - F.col("prow") * PATCH_PX)
+        .cast("int")
+        .alias("ph"),
+        F.when(
+            off < F.col("n"),
+            F.sha2(
+                F.expr(
+                    f"substring(media, CAST((prow * pcols + pcol) * {PATCH_BYTES} + 1 AS INT), {PATCH_BYTES})"
+                ),
+                256,
+            ),
+        ).alias("patch_sha"),
+    )
