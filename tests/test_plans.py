@@ -249,3 +249,67 @@ def test_tpch_q20_small_parts_prefix_pushed(spark, sf_dir):
     assert uses_broadcast_join(df)
     # LIKE 'small%' pushes as StringStartsWith
     assert any("p_name" in f for f in pushed_filters(df))
+
+
+def test_temporal_join_is_equi_not_bnlj(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_join_temporal"].fn(spark, sf_dir))
+    # the range condition must ride inside an equi join on user_id,
+    # never a nested-loop join
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan or (
+        "ShuffledHashJoin" in plan
+    ), plan
+
+
+def test_interval_merge_single_exchange_and_sort(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan, shuffle_count
+
+    df = REGISTRY["q_interval_merge"].fn(spark, sf_dir)
+    # running-max, island sum, span agg, and final agg share the
+    # user_id partitioning: one window exchange + at most one agg
+    assert shuffle_count(df) <= 2, physical_plan(df)
+    assert physical_plan(df).count("Sort ") <= 1, physical_plan(df)
+
+
+def test_image_patch_no_python_no_shuffle(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import (
+        physical_plan,
+        python_eval_operators,
+        shuffle_count,
+    )
+
+    df = REGISTRY["q_multimodal_image_patch"].fn(spark, sf_dir)
+    assert not python_eval_operators(df), physical_plan(df)
+    assert shuffle_count(df) == 0, physical_plan(df)
+
+
+def test_embed_truncate_is_map_only(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    assert shuffle_count(REGISTRY["q_embed_truncate_mrl"].fn(spark, sf_dir)) == 0
+
+
+def test_sliding_distinct_one_fact_aggregate(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sketch_sliding_distinct"].fn(spark, sf_dir))
+    # the events scan must feed exactly one aggregate (the bitmap
+    # build); the window runs over sketch rows, not raw events
+    assert plan.count("bitmap_construct_agg") <= 4, plan  # partial+final pairs
+    assert "bitmap_or_agg" in plan, plan
+
+
+def test_knn_graph_norms_not_recomputed_per_pair(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sim_knn_graph"].fn(spark, sf_dir))
+    # norms are projected below the join: the join output should carry
+    # nrm columns rather than evaluating sqrt(aggregate(...)) per pair.
+    # Count the expensive fold expressions ABOVE the join: the cosine
+    # should reference exactly one aggregate( fold (the dot product).
+    join_pos = plan.find("Join")
+    assert join_pos != -1
+    above = plan[:join_pos]
+    assert above.count("SQRT(aggregate") == 0, above
