@@ -28,3 +28,14 @@ def test_every_survey_key_is_registered():
 def test_every_registered_query_is_surveyed():
     undocumented = set(REGISTRY) - _survey_keys()
     assert not undocumented, f"registered but absent from SURVEY §2: {sorted(undocumented)}"
+
+
+def test_cli_list_covers_registry(capsys):
+    from ex_aws_firehose_spark.__main__ import main
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    from ex_aws_firehose_spark.registry import REGISTRY
+
+    for key in REGISTRY:
+        assert key in out
