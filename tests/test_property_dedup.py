@@ -24,11 +24,13 @@ from ex_aws_firehose_spark.operators.llm import (
 
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
-# Word-soup text: enough tokens that 3-token shingles exist.
+# Word-soup text; min_size=1 deliberately includes docs SHORTER than
+# the 3-token shingle width — the empty-shingle edge every dedup op
+# must drop (not crash on, not pair).
 _word = st.sampled_from(
     ["alpha", "beta", "gamma", "delta", "omega", "sigma", "kappa", "zeta"]
 )
-_text = st.lists(_word, min_size=4, max_size=12).map(" ".join)
+_text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
 
 _corpus = st.lists(_text, min_size=2, max_size=6)
 
