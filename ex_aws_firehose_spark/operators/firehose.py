@@ -154,17 +154,17 @@ def _message_col() -> Column:
 # One materialization of the synthesized record batch per (session,
 # sf_dir): every §2.1-2.3 query starts from the same records, so without
 # this each query would re-run the groupBy+gzip synthesis from scratch.
-_RECORDS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_RECORDS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # Same for the decoded batch: the gzip-decompress UDF is the single most
 # expensive stage of the pipeline, and every downstream query
 # (explode/transform/reassemble/route/split/reingest) starts from it.
-_DECODED_CACHE: dict[tuple[int, str], DataFrame] = {}
+_DECODED_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def decoded_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """synthesize_records → decode_chain, persisted once per (session,
     sf_dir) so the gunzip UDF runs a single time across all queries."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _DECODED_CACHE.get(key)
     if cached is None:
         cached = decode_chain(synthesize_records(spark, sf_dir)).persist()
@@ -172,7 +172,7 @@ def decoded_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
-_SPLIT_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SPLIT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def split_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +180,7 @@ def split_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     split frame feeds several consumers inside reingest (pass-1 results,
     the Dropped selection, the union), so the route join + ordered
     window would otherwise run three times."""
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _SPLIT_CACHE.get(key)
     if cached is None:
         cached = overflow_split(route(decoded_records(spark, sf_dir))).persist()
@@ -198,7 +198,7 @@ def synthesize_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality), gzip UDF Arrow-batched, no driver materialization.
     The result is persisted (MEMORY_AND_DISK) and shared across queries.
     """
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     cached = _RECORDS_CACHE.get(key)
     if cached is not None:
         return cached

@@ -1235,7 +1235,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Bucketed-table cache: (session id, sf_dir) -> True once the bucketed
 # copies of orders/lineitem exist in the session catalog.
-_BUCKETED_READY: set[tuple[int, str]] = set()
+_BUCKETED_READY: set[tuple[str, str]] = set()
 _BUCKETS = 8
 
 
@@ -1250,7 +1250,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _BUCKETED_READY:
         root = tempfile.mkdtemp(prefix="bucketed_")
         # Column-pruned at write time: a bucketed layout is built FOR the

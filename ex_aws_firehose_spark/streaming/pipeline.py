@@ -159,11 +159,11 @@ def run_stream(
 
 # Cache of completed tri-sink runs: the §2.1 sink queries all read from
 # the same run's output directories.
-_TRI_SINK_CACHE: dict[tuple[int, str], SinkPaths] = {}
+_TRI_SINK_CACHE: dict[tuple[str, str], SinkPaths] = {}
 
 
 def tri_sink_output(spark: SparkSession, sf_dir: str) -> SinkPaths:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TRI_SINK_CACHE:
         root = tempfile.mkdtemp(prefix="firehose_stream_")
         paths = prepare_source_files(spark, sf_dir, root)
