@@ -279,20 +279,42 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (30 min gap) per user via the native
-    session_window operator — the same operator Structured Streaming
-    uses for stateful sessionization (streaming emission semantics are
-    exercised in tests/test_streaming.py; full output requires batch
-    mode because append-mode sessions only finalize behind the
-    watermark)."""
+    session_window operator, run as a REAL streaming query: the event
+    stream arrives as two micro-batches (event_id parity split), so
+    sessions opened by batch 1 MERGE with batch 2's adjacent events in
+    the state store — the stateful gap-merge that distinguishes
+    session windows from fixed windows. Complete output mode emits the
+    final merged state (append mode would finalize sessions only
+    behind a watermark; the append-mode mechanics are exercised in
+    tests/test_streaming.py).
+
+    100 TB shape: session state is per (user, open-session) in the
+    state store, partitioned by the groupBy key; the gap parameter
+    bounds merge lookups to adjacent windows. Complete mode here is
+    test harness, not the scale path — production uses append +
+    watermark so state drains."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="session_stream_")
+    src = os.path.join(root, "src")
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.session_window("ts", "30 minutes").alias("w"), "user_id"
-        )
-        .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id", F.col("w.start").alias("session_start"), "n_events"
-        )
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes").alias("w"), "user_id"
+    ).agg(F.count("*").alias("n_events"))
+    out = _run_to_memory(agg)
+    return out.select(
+        "user_id", F.col("w.start").alias("session_start"), "n_events"
     )
 
 
