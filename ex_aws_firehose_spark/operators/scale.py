@@ -871,3 +871,108 @@ def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         med7.alias("med7"),
         (dev * 100 > ANOMALY_PCT * med7).alias("is_anomaly"),
     )
+
+
+DRIFT_PERMILLE = 50  # flag columns whose null rate moved > 5 percentage points
+
+
+@query(
+    "q_dq_schema_drift",
+    oracle=f"""
+    WITH gen_a AS (
+        SELECT o_totalprice, o_orderpriority FROM orders
+        WHERE o_orderkey % 2 = 0
+    ),
+    gen_b AS (
+        SELECT CASE WHEN o_orderstatus = 'F' THEN NULL
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+    ),
+    stats AS (
+        SELECT 'o_totalprice' AS col,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM gen_a) AS n_a,
+               (SELECT CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT)
+                FROM gen_a) AS nulls_a,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM gen_b) AS n_b,
+               (SELECT CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT)
+                FROM gen_b) AS nulls_b
+        UNION ALL
+        SELECT 'o_orderpriority',
+               (SELECT COUNT(*) FROM gen_a),
+               (SELECT COUNT(*) - COUNT(o_orderpriority) FROM gen_a),
+               (SELECT COUNT(*) FROM gen_b),
+               (SELECT COUNT(*) - COUNT(o_orderpriority) FROM gen_b)
+    )
+    SELECT col, n_a, nulls_a, n_b, nulls_b,
+           CAST(ABS(nulls_a * n_b - nulls_b * n_a) * 1000
+                > {DRIFT_PERMILLE} * n_a * n_b AS BOOLEAN) AS drifted
+    FROM stats
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-zone drift audit: per-column null rates compared across
+    two table generations (here: the even-key image vs an odd-key image
+    whose o_totalprice nulls out for finished orders — the silent
+    upstream change this audit exists to catch before it poisons
+    downstream aggregates). A column drifts when its null rate moves
+    more than 5 points.
+
+    The rate comparison never divides: |nulls_a·n_b − nulls_b·n_a|·1000
+    > 50·n_a·n_b cross-multiplies exact int64 counts, so both engines
+    flag identically.
+
+    100 TB shape: each generation contributes ONE wide aggregate
+    (count + per-column null counts fused in a single pass — the same
+    shape as q_profile_table); the drift compare runs on a
+    columns-count-sized frame. Composes with src_schema_evolution
+    (added columns back-fill NULL, which this audit surfaces as 100%
+    null rate on the old generation)."""
+    o = load_table(spark, sf_dir, "orders")
+    gen_a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_totalprice", "o_orderpriority"
+    )
+    gen_b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.when(F.col("o_orderstatus") == "F", F.lit(None))
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+    def profile(g: DataFrame, suffix: str) -> DataFrame:
+        agg = g.agg(
+            F.count("*").alias("n"),
+            (F.count("*") - F.count("o_totalprice")).alias("nulls_tp"),
+            (F.count("*") - F.count("o_orderpriority")).alias("nulls_op"),
+        )
+        return agg.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("o_totalprice").alias("col"),
+                        F.col("n").alias(f"n_{suffix}"),
+                        F.col("nulls_tp").alias(f"nulls_{suffix}"),
+                    ),
+                    F.struct(
+                        F.lit("o_orderpriority").alias("col"),
+                        F.col("n").alias(f"n_{suffix}"),
+                        F.col("nulls_op").alias(f"nulls_{suffix}"),
+                    ),
+                )
+            ).alias("s")
+        ).select("s.*")
+
+    a = profile(gen_a, "a")
+    b = profile(gen_b, "b")
+    joined = a.join(b, "col")
+    drift = (
+        F.abs(
+            F.col("nulls_a") * F.col("n_b") - F.col("nulls_b") * F.col("n_a")
+        )
+        * 1000
+        > DRIFT_PERMILLE * F.col("n_a") * F.col("n_b")
+    )
+    return joined.select(
+        "col", "n_a", "nulls_a", "n_b", "nulls_b", drift.alias("drifted")
+    )
