@@ -2090,3 +2090,54 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select(
         "n_rows", F.explode(profile).alias("p")
     ).select("p.col", "n_rows", "p.n_nonnull", "p.n_distinct")
+
+
+P95_WINDOW = 20  # trailing events per user for the rolling percentile
+
+
+@query(
+    "q_window_rolling_p95",
+    oracle=EVENTS_US
+    + f"""
+    , w AS (
+        SELECT event_id, user_id,
+               list_sort(list(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {P95_WINDOW - 1} PRECEDING AND CURRENT ROW
+               )) AS win
+        FROM events_us
+    )
+    SELECT event_id, user_id,
+           CAST(len(win) AS INTEGER) AS n_window,
+           win[CAST(CEIL(len(win) * 0.95) AS BIGINT)] / 100.0 AS p95_value
+    FROM w
+    """,
+    tags=("relational", "window"),
+)
+def q_window_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling p95 per user over the trailing 20 events — the
+    observability shape (tail latency over a sliding request window)
+    that plain rolling sums can't answer. The percentile is the exact
+    NEAREST-RANK order statistic: element ⌈0.95·k⌉ of the sorted
+    window, picked from a sorted collect_list — identical integer-cent
+    selection in both engines, no interpolation, no float rank math
+    (percentile()/median() cannot take a window frame in Spark).
+
+    100 TB shape: one Exchange on user_id + one (ts, id) sort serves
+    the window; the sorted-list pick is O(k log k) per row with k
+    bounded by the frame (20). For large frames this becomes the
+    histogram-sketch shape (q_sketch_histogram_quantile) — nearest-rank
+    over bins instead of a materialized list."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        -(P95_WINDOW - 1), Window.currentRow
+    )
+    win = F.sort_array(F.collect_list(_cents("value")).over(w))
+    k = F.size(win)
+    rank = F.ceil(k * 0.95).cast("int")
+    return e.select(
+        "event_id",
+        "user_id",
+        k.alias("n_window"),
+        (F.element_at(win, rank) / 100.0).alias("p95_value"),
+    )
