@@ -25,7 +25,6 @@ from ex_aws_firehose_spark.operators.firehose import ORACLE_CTE
 from ex_aws_firehose_spark.operators.llm import _minhash_cte
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.streaming.pipeline import (
-    RECORDS_SCHEMA,
     run_stream,
     stream_shuffle,
     tri_sink_output,
