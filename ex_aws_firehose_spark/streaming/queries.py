@@ -5,11 +5,10 @@ Each query actually drives Structured Streaming machinery — file
 sources with maxFilesPerTrigger, foreachBatch fan-out, checkpointed
 restart, stateful dropDuplicates, windowed aggregation in complete
 mode — then returns the materialized result as a DataFrame so the
-driver's DuckDB oracle can diff it. Streaming constructs whose full
-output is unreachable deterministically under append semantics
-(session windows without a terminal watermark advance) use the same
-operator in batch mode here and have their streaming mechanics
-exercised in tests/test_streaming.py.
+driver's DuckDB oracle can diff it. Session windows run as a real
+two-batch streaming query in COMPLETE mode (cross-batch gap merge in
+the state store); their append-mode finalize-behind-watermark
+mechanics are exercised separately in tests/test_streaming.py.
 """
 
 from __future__ import annotations
