@@ -313,3 +313,28 @@ def test_knn_graph_norms_not_recomputed_per_pair(spark, sf_dir):
     assert join_pos != -1
     above = plan[:join_pos]
     assert above.count("SQRT(aggregate") == 0, above
+
+
+def test_fuzzy_edit_blocks_before_distance(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_dedup_fuzzy_edit"].fn(spark, sf_dir))
+    # candidates come from the bucket equi-join, never a cross join
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_schema_drift_two_fused_aggregates(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    # one wide agg per generation + the tiny col-grain join
+    df = REGISTRY["q_dq_schema_drift"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2
+
+
+def test_rolling_p95_single_window_exchange(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan, shuffle_count
+
+    df = REGISTRY["q_window_rolling_p95"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, physical_plan(df)
+    assert physical_plan(df).count("Sort ") <= 1, physical_plan(df)
