@@ -3,11 +3,14 @@
     python -m ex_aws_firehose_spark list [--tag TAG]
     python -m ex_aws_firehose_spark run KEY [--sf-dir DIR] [--limit N]
     python -m ex_aws_firehose_spark explain KEY [--sf-dir DIR]
+    python -m ex_aws_firehose_spark verify KEY [--sf-dir DIR]
 
 `list` prints every registered query key (optionally filtered by tag),
 `run` executes one and shows the result, `explain` prints the formatted
 physical plan — the same plan surface the plan gates in
-tests/test_plans.py assert on.
+tests/test_plans.py assert on — and `verify` diffs one query against
+its DuckDB oracle (the same comparison the driver's correctness gate
+performs), exiting non-zero on mismatch.
 """
 
 from __future__ import annotations
@@ -35,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("key")
     p_exp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
 
+    p_ver = sub.add_parser("verify", help="diff one query vs its DuckDB oracle")
+    p_ver.add_argument("key")
+    p_ver.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+
     args = p.parse_args(argv)
 
     from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
@@ -58,6 +65,20 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name=f"ex-aws-firehose-spark-{args.cmd}")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.cmd == "verify":
+        q = REGISTRY[args.key]
+        if not q.oracle:
+            print(f"{args.key}: rows-only query (no oracle); running it")
+            n = q.fn(spark, args.sf_dir).count()
+            print(f"{args.key}: OK ({n} rows)")
+            spark.stop()
+            return 0
+        from ex_aws_firehose_spark.testing import run_differential
+
+        res = run_differential(spark, args.sf_dir, args.key, q.fn, q.oracle)
+        print(f"{args.key}: {'OK' if res.ok else 'MISMATCH'} — {res.detail}")
+        spark.stop()
+        return 0 if res.ok else 1
     df = REGISTRY[args.key].fn(spark, args.sf_dir)
     if args.cmd == "explain":
         df.explain("formatted")
