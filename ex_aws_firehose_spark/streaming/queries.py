@@ -990,3 +990,67 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "q_stream_dedup_watermarked",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique,
+           CAST(COUNT(*) AS BIGINT) AS n_emitted
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "ref"),
+)
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """State-BOUNDED streaming dedup via dropDuplicatesWithinWatermark —
+    the production form of q_stream_dedup: plain dropDuplicates keeps
+    every id ever seen (state grows with the stream's lifetime);
+    the watermarked variant evicts ids older than the watermark delay,
+    bounding state to one delay-window of traffic. The guarantee
+    weakens accordingly: only duplicates arriving WITHIN the delay of
+    each other are merged — exactly the reference's retry profile
+    (re-deliveries are near-immediate, lambda/main.py:101-128).
+
+    Here the delay (30 days) exceeds the fixture's whole event-time
+    span, so no state expires before the replayed slice lands and the
+    drained output equals global dedup (n_emitted == n_unique) — which
+    is what makes the run oracle-checkable while still exercising the
+    watermark-eviction operator and its event-time plumbing.
+
+    100 TB/day shape: state = delay-window × arrival rate per
+    partition, evicted by the state store as the watermark advances —
+    the knob that makes infinite-retention dedup finite."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="dedup_wm_stream_")
+    src, out = os.path.join(root, "src"), os.path.join(root, "out")
+    e = load_table(spark, sf_dir, "events")
+    e.coalesce(1).write.mode("append").parquet(src)
+    e.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "30 days")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: df.select("event_id", "event_type")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, f"batch-{bid}"))
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    deduped = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    return deduped.groupBy("event_type").agg(
+        F.countDistinct("event_id").alias("n_unique"),
+        F.count("*").alias("n_emitted"),
+    )
