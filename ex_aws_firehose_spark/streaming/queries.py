@@ -1054,3 +1054,70 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("event_id").alias("n_unique"),
         F.count("*").alias("n_emitted"),
     )
+
+
+@query(
+    "q_stream_window_append",
+    oracle="""
+    WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    wm AS (SELECT MAX(ts) - INTERVAL 2 HOUR AS cutoff FROM e)
+    SELECT time_bucket(INTERVAL 1 HOUR, e.ts) AS window_start, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM e CROSS JOIN wm
+    GROUP BY 1, 2, wm.cutoff
+    -- append mode emits a window once the watermark EXCEEDS its end
+    HAVING time_bucket(INTERVAL 1 HOUR, MIN(e.ts)) + INTERVAL 1 HOUR
+           < wm.cutoff
+    """,
+    tags=("streaming",),
+)
+def q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-mode windowed aggregation with watermark finalization —
+    the production streaming-aggregation contract: a window row is
+    emitted exactly once, only after the watermark (max event time −
+    2 h) passes its end, so downstream consumers see immutable
+    finalized rows (complete mode, used by the other window keys for
+    oracle-ability, re-emits everything every batch — fine for a
+    dashboard sink, wrong for a ledger). Windows newer than the final
+    watermark stay open and are NOT in the output; the oracle derives
+    the same cutoff relationally. The fixture's max event time carries
+    µs precision, so the cutoff never lands exactly on a window
+    boundary and the emit-on-strictly-exceeds rule is unambiguous.
+
+    100 TB/day shape: state = open windows only (watermark evicts the
+    rest); emission latency = watermark delay — the knob trading late
+    tolerance against result availability. Two micro-batches force the
+    watermark to advance across batches, proving cross-batch
+    finalization rather than a single-batch flush."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="append_win_stream_")
+    src = os.path.join(root, "src")
+    e = load_table(spark, sf_dir, "events")
+    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    name = f"mem_sink_{next(_MEM_SINK_COUNTER)}"
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    )
