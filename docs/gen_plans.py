@@ -24,8 +24,10 @@ PICKS = {
     ),
     "q_dedup_minhash": (
         "Signature stage is a pure map (array folds, no explode/groupBy); "
-        "one explicit exchange on the band key is reused by both sides of "
-        "the LSH self-join."
+        "candidates come from the (band, bsig) bucket equi-join — at test "
+        "SF AQE broadcasts the small side, at scale both sides shuffle on "
+        "the band key and the explicit exchange is reused (plan-gated: "
+        "test_minhash_band_join_is_bucketed_equi)."
     ),
     "q_filter_predicate": (
         "Every conjunct reaches the parquet scan as a PushedFilter; scan "

@@ -468,18 +468,22 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=EVENTS_US
     + """
     , ordered AS (
-        SELECT user_id, event_type, ts,
+        SELECT user_id, event_type, ts, event_id,
                LAG(event_type) OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS prev_type
         FROM events_us
     ),
     changes AS (
-        SELECT user_id, event_type, ts FROM ordered
+        SELECT user_id, event_type, ts, event_id FROM ordered
         WHERE prev_type IS DISTINCT FROM event_type
     ),
     dim AS (
+        -- event_id tie-breaker mirrors the change-detection lag order:
+        -- two state changes at one identical ts stay deterministic and
+        -- identical between engines.
         SELECT user_id, event_type AS state, ts AS valid_from,
-               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to
         FROM changes
     )
     SELECT d.state, e.event_type,
@@ -515,9 +519,11 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes = (
         e.withColumn("prev_type", F.lag("event_type").over(w_lag))
         .filter(~F.col("prev_type").eqNullSafe(F.col("event_type")))
-        .select("user_id", "event_type", "ts")
+        .select("user_id", "event_type", "ts", "event_id")
     )
-    w_lead = Window.partitionBy("user_id").orderBy("ts")
+    # event_id tie-breaker matches the change-detection lag order, so
+    # same-ts state changes assign intervals deterministically.
+    w_lead = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dim = changes.select(
         F.col("user_id").alias("d_user"),
         F.col("event_type").alias("state"),

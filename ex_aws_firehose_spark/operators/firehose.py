@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ex_aws_firehose_spark.functions.codec import gzip_compress, gzip_decompress
+from ex_aws_firehose_spark.caching import SessionCache
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
 
@@ -154,17 +155,17 @@ def _message_col() -> Column:
 # One materialization of the synthesized record batch per (session,
 # sf_dir): every §2.1-2.3 query starts from the same records, so without
 # this each query would re-run the groupBy+gzip synthesis from scratch.
-_RECORDS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_RECORDS_CACHE: SessionCache = SessionCache()
 # Same for the decoded batch: the gzip-decompress UDF is the single most
 # expensive stage of the pipeline, and every downstream query
 # (explode/transform/reassemble/route/split/reingest) starts from it.
-_DECODED_CACHE: dict[tuple[str, str], DataFrame] = {}
+_DECODED_CACHE: SessionCache = SessionCache()
 
 
 def decoded_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """synthesize_records → decode_chain, persisted once per (session,
     sf_dir) so the gunzip UDF runs a single time across all queries."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _DECODED_CACHE.scoped_key(spark, sf_dir)
     cached = _DECODED_CACHE.get(key)
     if cached is None:
         cached = decode_chain(synthesize_records(spark, sf_dir)).persist()
@@ -172,7 +173,7 @@ def decoded_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cached
 
 
-_SPLIT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SPLIT_CACHE: SessionCache = SessionCache()
 
 
 def split_records(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -180,7 +181,7 @@ def split_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     split frame feeds several consumers inside reingest (pass-1 results,
     the Dropped selection, the union), so the route join + ordered
     window would otherwise run three times."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _SPLIT_CACHE.scoped_key(spark, sf_dir)
     cached = _SPLIT_CACHE.get(key)
     if cached is None:
         cached = overflow_split(route(decoded_records(spark, sf_dir))).persist()
@@ -198,7 +199,7 @@ def synthesize_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality), gzip UDF Arrow-batched, no driver materialization.
     The result is persisted (MEMORY_AND_DISK) and shared across queries.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _RECORDS_CACHE.scoped_key(spark, sf_dir)
     cached = _RECORDS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -426,34 +427,69 @@ def overflow_split(routed: DataFrame, threshold: int = OVERFLOW_THRESHOLD) -> Da
 
 
 def reingest(
-    split_df: DataFrame, records: DataFrame, max_attempts: int = 20
+    split_df: DataFrame,
+    max_attempts: int = 20,
+    threshold: int = OVERFLOW_THRESHOLD,
 ) -> DataFrame:
-    """Batch-mode self-loop (lambda/main.py:101-128,154-157): records
-    marked 'Dropped' re-enter the pipeline as a fresh batch with fresh
-    size accounting; records that fit now deliver on attempt 2, the rest
-    stay Dropped (a real system keeps looping up to the reference's
-    maxAttempts=20 — the streaming layer does this via foreachBatch
-    write-back; the batch query exposes one round)."""
-    first = split_df.select(
-        "idx",
-        "record_id",
-        F.col("result"),
-        F.lit(1).alias("attempts"),
+    """Batch-mode self-loop to the reference's attempt bound
+    (lambda/main.py:101-128,154-157 — maxAttempts=20): records marked
+    'Dropped' re-enter with FRESH size accounting each round; each
+    round delivers the prefix (input order) whose running size fits the
+    threshold, the remainder loops; whatever survives round
+    ``max_attempts`` stays Dropped at that attempt count, exactly like
+    the reference's give-up path.
+
+    The transform is deterministic, so a record's wire size is
+    identical on every attempt — each round therefore needs only one
+    running-sum window over the shrinking (idx, size) frame, never a
+    decode/route re-run (the reference re-invokes its Lambda per
+    attempt because it must; a relational engine reuses the routed
+    frame). Loop mechanics follow the iterative-algorithm pattern:
+    localCheckpoint per round to truncate lineage, a driver-side
+    scalar count as the early-exit, rounds after drain never run.
+    Per-round state is micro-batch-sized (the Dropped tail), so the
+    single-partition window stays the same bounded unit of work as
+    overflow_split itself."""
+    sz = F.when(F.col("result") == "ProcessingFailed", F.lit(0)).otherwise(
+        F.length("data") + F.length("record_id")
     )
-    retried = (
-        split_df.filter(F.col("result") == "Dropped")
-        .select("idx")
-        .join(records, "idx")
-    )
-    if max_attempts > 1:
-        second = overflow_split(route(decode_chain(retried))).select(
-            "idx",
-            "record_id",
-            F.col("result"),
-            F.lit(2).alias("attempts"),
+    base = split_df.select("idx", "record_id", "result", sz.alias("sz"))
+    settled = [
+        base.filter(F.col("result") != "Dropped").select(
+            "record_id", F.col("result"), F.lit(1).alias("attempts")
         )
-        first = first.filter(F.col("result") != "Dropped").unionByName(second)
-    return first.select(
+    ]
+    pending = (
+        base.filter(F.col("result") == "Dropped")
+        .select("idx", "record_id", "sz")
+        .localCheckpoint()
+    )
+    attempt = 1
+    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    while attempt < max_attempts and pending.count() > 0:
+        attempt += 1
+        cum = pending.withColumn("cum", F.sum("sz").over(w))
+        settled.append(
+            cum.filter(F.col("cum") <= threshold).select(
+                "record_id",
+                F.lit("Ok").alias("result"),
+                F.lit(attempt).alias("attempts"),
+            )
+        )
+        pending = (
+            cum.filter(F.col("cum") > threshold)
+            .select("idx", "record_id", "sz")
+            .localCheckpoint()
+        )
+    leftover = pending.select(
+        "record_id",
+        F.lit("Dropped").alias("result"),
+        F.lit(attempt).alias("attempts"),
+    )
+    out = settled[0]
+    for frame in settled[1:] + [leftover]:
+        out = out.unionByName(frame)
+    return out.select(
         "record_id", F.col("result").alias("final_result"), "attempts"
     )
 
@@ -635,35 +671,69 @@ def q_size_overflow_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_reingest_retry",
-    oracle=ORACLE_CTE
-    + f"""
-    , pass2 AS (
-        SELECT record_id,
-               SUM(length(CASE WHEN kind = 'data'
-                               THEN to_base64(encode(payload))
-                               ELSE payload END)
-                   + length(record_id)) OVER (ORDER BY rec_no) AS cum2
+REINGEST_MAX_ATTEMPTS = 20  # the reference's bound, lambda/main.py:156
+
+
+def _reingest_oracle(max_attempts: int = REINGEST_MAX_ATTEMPTS) -> str:
+    """Iterated-CTE mirror of the multi-round reingest loop: one
+    (cum, delivered, pending) CTE triple per retry round, statically
+    unrolled to the attempt bound — rounds after the Dropped tail
+    drains are empty and contribute nothing, exactly like the engine's
+    early-exit."""
+    ctes = [
+        """p1 AS (
+        SELECT rec_no, record_id,
+               length(CASE WHEN kind = 'data'
+                           THEN to_base64(encode(payload))
+                           ELSE payload END)
+                   + length(record_id) AS sz
         FROM split WHERE result = 'Dropped'
+    )"""
+    ]
+    for k in range(2, max_attempts + 1):
+        ctes.append(
+            f"c{k} AS (SELECT rec_no, record_id, sz,"
+            f" SUM(sz) OVER (ORDER BY rec_no) AS cum FROM p{k - 1})"
+        )
+        ctes.append(
+            f"d{k} AS (SELECT record_id, {k} AS attempts FROM c{k}"
+            f" WHERE cum <= {OVERFLOW_THRESHOLD})"
+        )
+        ctes.append(
+            f"p{k} AS (SELECT rec_no, record_id, sz FROM c{k}"
+            f" WHERE cum > {OVERFLOW_THRESHOLD})"
+        )
+    delivered = " UNION ALL ".join(
+        f"SELECT * FROM d{k}" for k in range(2, max_attempts + 1)
     )
+    ctes.append(f"delivered AS ({delivered})")
+    return (
+        ORACLE_CTE
+        + ", "
+        + ",\n    ".join(ctes)
+        + f"""
     SELECT s.record_id,
            CASE WHEN s.result <> 'Dropped' THEN s.result
-                WHEN p.cum2 > {OVERFLOW_THRESHOLD} THEN 'Dropped'
-                ELSE 'Ok' END AS final_result,
-           CASE WHEN s.result = 'Dropped' THEN 2 ELSE 1 END AS attempts
-    FROM split s LEFT JOIN pass2 p USING (record_id)
-    """,
-    tags=("firehose", "ref"),
-)
+                WHEN del.record_id IS NOT NULL THEN 'Ok'
+                ELSE 'Dropped' END AS final_result,
+           CASE WHEN s.result <> 'Dropped' THEN 1
+                WHEN del.record_id IS NOT NULL THEN del.attempts
+                ELSE {max_attempts} END AS attempts
+    FROM split s LEFT JOIN delivered del ON s.record_id = del.record_id
+    """
+    )
+
+
+@query("q_reingest_retry", oracle=_reingest_oracle(), tags=("firehose", "ref"))
 def q_reingest_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Self-loop re-ingestion: Dropped records re-enter the pipeline as a
-    fresh batch with fresh size accounting (attempt 2); anything still
-    over the threshold stays Dropped — attempts are bounded like the
-    reference's maxAttempts=20 (lambda/main.py:156), and a batch query
-    exposes exactly one retry round for oracle checkability."""
-    records = synthesize_records(spark, sf_dir)
-    return reingest(split_records(spark, sf_dir), records)
+    """Self-loop re-ingestion to the reference's full attempt bound:
+    Dropped records re-enter with fresh size accounting every round
+    until they deliver or round maxAttempts=20 gives up on them
+    (lambda/main.py:123-126,156). At sf0.01 the Dropped tail drains on
+    attempt 3 (two real retry rounds); at sf0.1 it outlasts the bound
+    and the give-up path itself is exercised — both hash-verified
+    against the statically unrolled oracle."""
+    return reingest(split_records(spark, sf_dir))
 
 
 def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,6 +40,7 @@ from ex_aws_firehose_spark.functions.vector import (
     duck_dot,
     norm,
 )
+from ex_aws_firehose_spark.caching import SessionCache
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
 
@@ -134,7 +135,7 @@ def _minhash_oracle() -> str:
 # consumes the same pair graph, so the LSH pipeline runs once — the
 # in-session analog of materializing the candidate table once and
 # running every downstream dedup consumer off it.
-_MINHASH_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_MINHASH_PAIRS_CACHE: SessionCache = SessionCache()
 
 
 def minhash_bands(d: DataFrame) -> DataFrame:
@@ -181,7 +182,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     key is high-cardinality so the join shuffles evenly; no crossJoin
     anywhere. Permutations use deterministic seeds over md5-prefix
     hashes so the DuckDB oracle reproduces signatures bit-for-bit."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _MINHASH_PAIRS_CACHE.scoped_key(spark, sf_dir)
     cached = _MINHASH_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
@@ -339,7 +340,7 @@ def _jaccard_oracle() -> str:
     """
 
 
-_SHINGLE_FRAME_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_FRAME_CACHE: SessionCache = SessionCache()
 
 
 def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -349,7 +350,7 @@ def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-deriving the split→slice→zip_with pipeline. The
     in-session analog of staging the shingle table to parquet, which
     is what a 100 TB pipeline does before its dedup passes."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _SHINGLE_FRAME_CACHE.scoped_key(spark, sf_dir)
     cached = _SHINGLE_FRAME_CACHE.get(key)
     if cached is not None:
         return cached
@@ -522,9 +523,11 @@ def q_sim_pairwise_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dedup_clusters",
-    oracle=_minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+# Transitive-closure clusters oracle, shared by both connected-components
+# implementations (label propagation and large-star/small-star): fine at
+# test SF, quadratic in general — which is why the engine side iterates.
+_CLUSTERS_ORACLE = (
+    _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
     + """
     , pairs AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -546,7 +549,13 @@ def q_sim_pairwise_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
     FROM members GROUP BY cluster_id
-    """,
+    """
+)
+
+
+@query(
+    "q_dedup_clusters",
+    oracle=_CLUSTERS_ORACLE,
     tags=("llm", "dedup", "iterative"),
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -612,67 +621,279 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_NPROBE = 3
+STAR_MAX_ROUNDS = 12
+
+
+def star_components(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
+    """Alternating large-star/small-star connected components (Kiveris
+    et al., "Connected Components in MapReduce and Beyond") over the
+    MinHash candidate-pair graph. Returns (labels, n_rounds) where
+    labels = (doc_id, label=component min).
+
+    One round = large-star (attach every strictly-larger neighbor of u
+    to m = min(Γ(u) ∪ {u})) then small-star (attach every smaller
+    neighbor and u itself to m). Both are one groupBy + one join over
+    the edge frame; the edge set contracts toward stars rooted at each
+    component's min in O(log n) rounds REGARDLESS of graph diameter —
+    the production-scale form of q_dedup_clusters, whose min-label
+    propagation needs O(diameter) rounds and loses on path-shaped
+    near-dup chains. Same loop mechanics: localCheckpoint per round
+    (lineage truncation), aggregate-only convergence (edge count +
+    endpoint sum — each star op only ever lowers endpoints, so an
+    unchanged pair ⇔ fixpoint), no data collect."""
+    pairs = q_dedup_minhash(spark, sf_dir)
+    und = (
+        pairs.selectExpr("doc_a AS a", "doc_b AS b").distinct().localCheckpoint()
+    )
+    prev = None
+    rounds = 0
+    for _ in range(STAR_MAX_ROUNDS):
+        for large in (True, False):
+            adj = und.union(
+                und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            ).select(F.col("a").alias("u"), F.col("b").alias("v"))
+            m = adj.groupBy("u").agg(
+                F.least(F.min("v"), F.first("u")).alias("m")
+            )
+            j = adj.join(m, "u")
+            if large:
+                new = j.filter(F.col("v") > F.col("u")).select(
+                    F.col("v").alias("a"), F.col("m").alias("b")
+                )
+            else:
+                new = (
+                    j.filter(F.col("v") < F.col("u"))
+                    .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                    .union(
+                        m.select(F.col("u").alias("a"), F.col("m").alias("b"))
+                    )
+                )
+            und = (
+                new.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
+            )
+        rounds += 1
+        cur = und.agg(
+            F.count("*").alias("n"), F.sum(F.col("a") + F.col("b")).alias("s")
+        ).collect()[0]
+        if prev is not None and cur == prev:
+            break
+        prev = cur
+    # At fixpoint edges are stars (v, root): larger side → component min.
+    stars = und.select(
+        F.greatest("a", "b").alias("doc_id"), F.least("a", "b").alias("root")
+    ).groupBy("doc_id").agg(F.min("root").alias("root"))
+    nodes = (
+        und.select(F.col("a").alias("doc_id"))
+        .union(und.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    labels = nodes.join(stars, "doc_id", "left").select(
+        "doc_id", F.coalesce("root", F.col("doc_id")).alias("label")
+    )
+    return labels, rounds
 
 
 @query(
-    "q_sim_ann_ivf",
-    oracle=f"""
-    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-    reps AS (
-        SELECT label, embedding FROM embeddings e
-        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings r
-                        WHERE r.label = e.label)
-    ),
-    probed AS (
-        SELECT reps.label
-        FROM reps CROSS JOIN q
-        ORDER BY round({duck_cosine('reps.embedding', 'q.qv')}, 6) DESC,
-                 reps.label
-        LIMIT {ANN_NPROBE}
-    )
-    SELECT e.vec_id, e.label,
-           round({duck_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
-    FROM embeddings e CROSS JOIN q
-    WHERE e.label IN (SELECT label FROM probed) AND e.vec_id <> 0
-    ORDER BY round({duck_cosine('e.embedding', 'q.qv')}, 6) DESC, e.vec_id
-    LIMIT {TOPK}
-    """,
-    tags=("llm", "similarity"),
+    "q_dedup_clusters_star",
+    oracle=_CLUSTERS_ORACLE,
+    tags=("llm", "dedup", "iterative"),
 )
-def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style approximate top-k: probe only the ``ANN_NPROBE`` coarse
-    cells whose representative vector scores highest against the query,
-    then brute-force rank inside the probed cells.
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters via alternating large-star/small-star — the
+    O(log n)-round, diameter-independent connected components (see
+    star_components). Same output contract and oracle as
+    q_dedup_clusters; tests/test_ann_recall.py::test_star_components_*
+    pin cross-implementation agreement and the round bound."""
+    labels, _ = star_components(spark, sf_dir)
+    return labels.groupBy(F.col("label").alias("cluster_id")).agg(
+        F.count("*").alias("cluster_size")
+    )
 
-    Scale shape: the codebook (one representative per cell — here the
-    min-vec_id member; a trained k-means centroid in production) is tiny
-    and broadcast both times it is used, so the only large-table work is
-    a scan of the probed cells — which partition-prunes when the table
-    is written partitioned by cell label. This is the standard IVF
-    trade: scan nprobe/ncells of the data for approximate results."""
+
+ANN_NPROBE = 3
+IVF_ITERS = 2  # Lloyd iterations after the label-seeded init
+
+
+def _ivf_m_step(assigned: DataFrame) -> DataFrame:
+    """k-means M-step, exact across engines: per-cell means via int64
+    milli-quantization (FLOOR(v*1000) — same trick as q_embed_centroid,
+    order-independent integer sums, one IEEE division per component),
+    reassembled into a pos-sorted double array per cell. Input carries
+    (vec_id, cell, embedding); shape is posexplode → hash agg on
+    (cell, pos) → k-row collect. At 100 TB only k×dim partial sums
+    shuffle (map-side combine), never raw vectors."""
+    pos = assigned.select(
+        "cell", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "cell", "pos", F.floor(F.col("v").cast("double") * 1000).alias("sv")
+    )
+    comp = (
+        pos.groupBy("cell", "pos")
+        .agg(F.sum("sv").alias("s"), F.count("*").alias("n"))
+        .select(
+            "cell",
+            "pos",
+            (F.col("s").cast("double") / (F.lit(1000.0) * F.col("n"))).alias(
+                "cv"
+            ),
+        )
+    )
+    return comp.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("cvec")
+    )
+
+
+def _ivf_e_step(e: DataFrame, cb: DataFrame) -> DataFrame:
+    """k-means E-step: nearest centroid by 6-dp-rounded cosine, ties to
+    the lowest cell id — deterministic, so Spark's max-of-struct agg and
+    the oracle's row_number pick identical cells. The codebook (k×dim)
+    is broadcast; the argmax is one map-side-combinable hash agg (the
+    embedding rides through F.first, every duplicate carries the same
+    value), so no second shuffle joins the assignment back to its
+    vector."""
+    c = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
+    scored = e.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "cell", c.alias("c"), "embedding"
+    )
+    pick = F.max(
+        F.struct(
+            F.col("c"),
+            (-F.col("cell")).alias("neg_cell"),
+            F.col("cell").alias("cell"),
+        )
+    )
+    return scored.groupBy("vec_id").agg(
+        pick.getField("cell").alias("cell"),
+        F.first("embedding").alias("embedding"),
+    )
+
+
+def ivf_train(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Train the IVF coarse quantizer: label-seeded init, ``IVF_ITERS``
+    Lloyd rounds, then a final E-step that builds the inverted lists
+    against the final codebook. Returns (codebook, members) where
+    codebook = (cell, cvec double array) and members = (vec_id, cell,
+    embedding). Fixed iteration count — the driver loop makes no
+    .collect() calls; each k-row codebook is localCheckpoint'd so plan
+    lineage stays flat across rounds (the q_dedup_clusters pattern)."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    assigned = e.select(
+        "vec_id", F.col("label").cast("long").alias("cell"), "embedding"
+    )
+    cb = _ivf_m_step(assigned).localCheckpoint()
+    for _ in range(IVF_ITERS):
+        assigned = _ivf_e_step(e, cb)
+        cb = _ivf_m_step(assigned).localCheckpoint()
+    return cb, _ivf_e_step(e, cb)
+
+
+def _ivf_oracle() -> str:
+    """DuckDB mirror of ivf_train + the probe/rank: the same quantized
+    M-step and rounded-argmax E-step, unrolled as one CTE chain per
+    Lloyd round."""
+    ctes = [
+        "pos AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,"
+        " unnest(embedding) AS v FROM embeddings)",
+        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        "asg0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cell"
+        " FROM embeddings)",
+    ]
+    for i in range(IVF_ITERS + 1):
+        ctes.append(
+            f"""cent{i} AS (
+        SELECT a.cell, p.pos,
+               SUM(CAST(FLOOR(CAST(p.v AS DOUBLE) * 1000) AS BIGINT)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pos p JOIN asg{i} a USING (vec_id)
+        GROUP BY a.cell, p.pos
+    )"""
+        )
+        ctes.append(
+            f"""cb{i} AS (
+        SELECT cell, list(CAST(s AS DOUBLE) / (1000.0 * n) ORDER BY pos)
+            AS cvec
+        FROM cent{i} GROUP BY cell
+    )"""
+        )
+        ctes.append(
+            f"""asg{i + 1} AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({duck_cosine("e.embedding", "c.cvec")},
+                                      6) DESC,
+                                c.cell
+                   ) AS rn
+            FROM embeddings e CROSS JOIN cb{i} c
+        ) WHERE rn = 1
+    )"""
+        )
+    last_cb, last_asg = f"cb{IVF_ITERS}", f"asg{IVF_ITERS + 1}"
+    ctes.append(
+        f"""probed AS (
+        SELECT cell FROM {last_cb} CROSS JOIN q
+        ORDER BY round({duck_cosine(f"{last_cb}.cvec", "q.qv")}, 6) DESC,
+                 cell
+        LIMIT {ANN_NPROBE}
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.vec_id, a.cell,
+           round({duck_cosine("e.embedding", "q.qv")}, 6) AS cos_sim
+    FROM embeddings e JOIN {last_asg} a USING (vec_id) CROSS JOIN q
+    WHERE a.cell IN (SELECT cell FROM probed) AND e.vec_id <> 0
+    ORDER BY round({duck_cosine("e.embedding", "q.qv")}, 6) DESC, e.vec_id
+    LIMIT {TOPK}
+    """
+    )
+
+
+@query("q_sim_ann_ivf", oracle=_ivf_oracle(), tags=("llm", "similarity"))
+def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k with a TRAINED coarse quantizer: k-means
+    codebook (label-seeded, 2 Lloyd rounds — exact-arithmetic E/M steps
+    so DuckDB reproduces the training bit-for-bit), probe the
+    ``ANN_NPROBE`` cells whose centroid scores highest against the
+    query, then brute-force rank inside the probed inverted lists.
+    Recall vs the brute-force baseline (q_sim_cosine_topk) is pinned by
+    tests/test_llm.py::test_ivf_recall.
+
+    Scale shape: the codebook is k×dim and broadcast everywhere it is
+    used; training shuffles only k×dim quantized partial sums per round;
+    the probe scans nprobe/ncells of the data — which partition-prunes
+    when the table is written partitioned by cell. This is the standard
+    IVF trade, now with the production codebook rather than a
+    representative-member stand-in."""
+    cb, members = ivf_train(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     qv = F.broadcast(
         e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     )
-    min_ids = e.groupBy("label").agg(F.min("vec_id").alias("vec_id"))
-    reps = e.join(F.broadcast(min_ids), ["label", "vec_id"]).select(
-        "label", "embedding"
-    )
-    rep_cos = cosine(F.col("embedding"), F.col("qv"))
+    probe_cos = cosine(F.col("cvec"), F.col("qv"))
     probed = (
-        reps.crossJoin(qv)
-        .select("label", F.round(rep_cos, 6).alias("rep_cos"))
-        .orderBy(F.col("rep_cos").desc(), F.col("label"))
+        cb.crossJoin(qv)
+        .select("cell", F.round(probe_cos, 6).alias("pc"))
+        .orderBy(F.col("pc").desc(), F.col("cell"))
         .limit(ANN_NPROBE)
-        .select("label")
+        .select("cell")
     )
     cos = cosine(F.col("embedding"), F.col("qv"))
     return (
-        e.join(F.broadcast(probed), "label", "left_semi")
+        members.join(F.broadcast(probed), "cell", "left_semi")
         .filter(F.col("vec_id") != 0)
         .crossJoin(qv)
-        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .select("vec_id", "cell", F.round(cos, 6).alias("cos_sim"))
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOPK)
     )
@@ -1353,6 +1574,145 @@ def q_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("kept_chars"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+@query(
+    "q_curate_dedup_cascade",
+    oracle="""
+    WITH flags AS (
+        SELECT doc_id, source, text,
+               doc_id = MIN(doc_id) OVER (PARTITION BY sha256(text)) AS keep1
+        FROM documents
+    ),
+    surv AS (SELECT doc_id, text FROM flags WHERE keep1),
+    """
+    + _minhash_cte()
+    .replace("WITH ", "", 1)
+    .replace("FROM documents", "FROM surv")
+    + """
+    , dups AS (
+        SELECT DISTINCT a.doc_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bsig = b.bsig AND b.doc_id < a.doc_id
+    )
+    SELECT f.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f.keep1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_after_exact,
+           CAST(SUM(CASE WHEN f.keep1 AND d.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_near
+    FROM flags f LEFT JOIN dups d USING (doc_id)
+    GROUP BY f.source
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def q_curate_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged dedup cascade with per-stage yield accounting — the order
+    every corpus pipeline runs: exact dedup first (cheap hash shuffle
+    kills the bulk), MinHash-LSH near-dup only over the exact
+    survivors. A survivor is near-dropped iff any of its LSH band
+    signatures collides with a lower-doc_id survivor (the same verdict
+    rule as the streaming incremental dedup). Per-source in/after-exact/
+    after-near counts are the curation report a data team actually
+    reads.
+
+    100 TB shape: stage ordering IS the optimization — the expensive
+    shingle/signature pipeline runs only on exact-unique docs (typically
+    30-50% fewer at web scale); the exact stage is one hash-partitioned
+    window, the near stage reuses the bucketed LSH self-join shape of
+    q_dedup_minhash, and the final report is one groupBy over flags —
+    no join carries text."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.sha2("text", 256))
+    flags = d.select(
+        "doc_id",
+        "source",
+        "text",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep1"),
+    )
+    survivors = flags.filter("keep1").select("doc_id", "text")
+    bands = minhash_bands(survivors)
+    probe = bands.select(
+        F.col("band").alias("p_band"),
+        F.col("bsig").alias("p_bsig"),
+        F.col("doc_id").alias("p_doc"),
+    )
+    dups = (
+        bands.join(
+            probe,
+            (F.col("band") == F.col("p_band"))
+            & (F.col("bsig") == F.col("p_bsig"))
+            & (F.col("p_doc") < F.col("doc_id")),
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    return (
+        flags.join(dups, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("keep1").cast("long")).alias("n_after_exact"),
+            F.sum(
+                (F.col("keep1") & F.col("is_dup").isNull()).cast("long")
+            ).alias("n_after_near"),
+        )
+    )
+
+
+BPE_TOP_PAIRS = 50
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle=f"""
+    WITH toks AS (
+        SELECT str_split(lower(text), ' ') AS t FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM toks WHERE len(t) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("llm", "text"),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-pair frequency scan — the inner loop of BPE tokenizer
+    training (count all adjacent symbol pairs, merge the most frequent,
+    repeat): one corpus-wide pass emitting the top merge candidates,
+    deterministically tie-broken. Pair generation is a pure map
+    (zip_with over two slices of the token array — no explode until the
+    pair grain, no Python); the count is one hash agg with map-side
+    combine and the top-k is TakeOrderedAndProject, so at 100 TB the
+    shuffle carries (pair, partial count), bounded by vocabulary² not
+    corpus size. Iterating merges = re-running this scan over re-paired
+    tokens; each iteration is the same plan."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.split(F.lower("text"), " ").alias("t"))
+        .filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(t, 1, size(t) - 1),"
+                    " slice(t, 2, size(t) - 1),"
+                    " (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(BPE_TOP_PAIRS)
     )
 
 
@@ -2252,7 +2612,12 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (measured: 346 candidates from 12.5M possible pairs at sf0.1),
     and the length-band prunes before the expensive distance evaluates
     (Catalyst orders the cheap conjunct first). Finer blocks (more
-    prefix tokens, sorted-neighborhood on length) are the scale knob."""
+    prefix tokens, sorted-neighborhood on length) are the scale knob.
+    The distance itself uses the THRESHOLD form of levenshtein
+    (Spark ≥3.5): the DP early-exits (returns -1) once the running
+    distance exceeds the 10% band, turning the O(n·m) worst case into
+    O(n·threshold) on every rejected pair — and rejected pairs dominate
+    the survivors by orders of magnitude."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
@@ -2261,7 +2626,11 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a, b = d.alias("a"), d.alias("b")
     least_n = F.least(F.col("a.n"), F.col("b.n"))
-    dist = F.levenshtein(F.col("a.text"), F.col("b.text"))
+    # dist*10 <= least_n  ⇔  dist <= floor(least_n/10): bound the DP at
+    # the band and accept any non-(-1) result.
+    bdist = F.expr(
+        "levenshtein(a.text, b.text, CAST(least(a.n, b.n) DIV 10 AS INT))"
+    )
     return (
         a.join(
             b,
@@ -2269,11 +2638,12 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.abs(F.col("a.n") - F.col("b.n")) * 5 <= least_n),
         )
-        .filter(dist * 10 <= least_n)
+        .withColumn("edit_dist", bdist.cast("long"))
+        .filter(F.col("edit_dist") >= 0)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            dist.cast("long").alias("edit_dist"),
+            "edit_dist",
             F.col("a.n").alias("n_a"),
             F.col("b.n").alias("n_b"),
         )

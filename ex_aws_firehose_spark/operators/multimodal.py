@@ -219,11 +219,31 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_media(synth_media(spark, sf_dir)).drop("out_bytes")
 
 
-@query("q_multimodal_decode", oracle=None, tags=("llm", "multimodal"))
+@query(
+    "q_multimodal_decode",
+    oracle="""
+    -- _fake_decode is deterministic over the utf-8 text bytes: the
+    -- media payload IS encode(text) (synth_media), text is pure ASCII
+    -- (octet_length==length over all SFs), so per-byte sum == sum of
+    -- per-char codepoints. mean_byte recomputed as the same int64/int64
+    -- double division (correctly rounded in both engines → bit-equal).
+    SELECT doc_id,
+           CAST(n_chars % 64 + 16 AS INTEGER) AS width,
+           CAST((doc_id * 7) % 64 + 16 AS INTEGER) AS height,
+           CAST(doc_id % 5 + 1 AS INTEGER) AS n_frames,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(list_sum(list_transform(string_split(text, ''),
+                                        c -> ascii(c))) AS DOUBLE)
+             / GREATEST(octet_length(encode(text)), 1) AS mean_byte
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode + feature extraction through mapInPandas (rows-only check:
-    the decode internals are a stub — see _fake_decode — but the
-    dataflow, schema and batching are the real scale path)."""
+    """Decode + feature extraction through mapInPandas. The decode
+    internals are a stub (`_fake_decode` — byte-level statistics), but
+    deterministic, so the features are oracle-hash-verified end to end;
+    the dataflow, schema and Arrow batching are the real scale path."""
     return decode_features(synth_media(spark, sf_dir))
 
 

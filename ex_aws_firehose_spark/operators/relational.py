@@ -32,6 +32,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ex_aws_firehose_spark.caching import SessionCache
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
 
@@ -1235,7 +1236,7 @@ def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Bucketed-table cache: (session id, sf_dir) -> True once the bucketed
 # copies of orders/lineitem exist in the session catalog.
-_BUCKETED_READY: set[tuple[str, str]] = set()
+_BUCKETED_READY: SessionCache = SessionCache()
 _BUCKETS = 8
 
 
@@ -1250,7 +1251,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     o_name, l_name = f"orders_b_{suffix}", f"lineitem_b_{suffix}"
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _BUCKETED_READY.scoped_key(spark, sf_dir)
     if key not in _BUCKETED_READY:
         root = tempfile.mkdtemp(prefix="bucketed_")
         # Column-pruned at write time: a bucketed layout is built FOR the
@@ -1271,7 +1272,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
                 .mode("overwrite")
                 .saveAsTable(name)
             )
-        _BUCKETED_READY.add(key)
+        _BUCKETED_READY[key] = True
     return o_name, l_name
 
 

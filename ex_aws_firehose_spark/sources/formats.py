@@ -22,6 +22,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ex_aws_firehose_spark.caching import SessionCache
 from ex_aws_firehose_spark.operators.relational import _cents
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
@@ -43,12 +44,6 @@ def _cleanup_tmp_dirs() -> None:
         shutil.rmtree(d, ignore_errors=True)
 
 
-def _session_key(spark: SparkSession) -> str:
-    """Cache key for per-session side-effect writes. applicationId is
-    stable for the session's lifetime and never recycled the way id()
-    can be after an old session object is garbage-collected."""
-    return spark.sparkContext.applicationId
-
 EVENTS_JSON_SCHEMA = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
@@ -60,13 +55,13 @@ EVENTS_JSON_SCHEMA = (
 # tz-offset-carrying pattern applies on both write and read.)
 TS_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
 
-_JSONL_CACHE: dict[tuple[str, str], str] = {}
+_JSONL_CACHE: SessionCache = SessionCache()
 
 
 def write_events_jsonl_gz(spark: SparkSession, sf_dir: str) -> str:
     """events → gzip'd JSON-lines directory (one object per partition),
     the reference's delivered-object format. Cached per (session, sf)."""
-    key = (_session_key(spark), sf_dir)
+    key = _JSONL_CACHE.scoped_key(spark, sf_dir)
     if key not in _JSONL_CACHE:
         path = _tracked_mkdtemp(prefix="events_jsonl_") + "/data"
         e = load_table(spark, sf_dir, "events")
@@ -121,8 +116,8 @@ def src_format_jsonl_gz(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CSV_CACHE: dict[tuple[str, str], str] = {}
-_PARTITIONED_CACHE: dict[tuple[str, str], str] = {}
+_CSV_CACHE: SessionCache = SessionCache()
+_PARTITIONED_CACHE: SessionCache = SessionCache()
 
 ORDERS_CSV_SCHEMA = (
     "o_orderkey long, o_custkey long, o_orderstatus string, "
@@ -156,7 +151,7 @@ def src_format_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     but schema-on-read with no pushdown — the scan reads every byte, so
     this format is an ingest boundary only, converted to parquet in the
     first pass."""
-    key = (_session_key(spark), sf_dir)
+    key = _CSV_CACHE.scoped_key(spark, sf_dir)
     if key not in _CSV_CACHE:
         path = _tracked_mkdtemp(prefix="orders_csv_") + "/data"
         (
@@ -200,7 +195,7 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-order I/O lever: partition by the dominant filter column
     (date, tenant), keep per-partition file counts bounded, and let
     pruning turn a full-table scan into a touched-partition scan."""
-    key = (_session_key(spark), sf_dir)
+    key = _PARTITIONED_CACHE.scoped_key(spark, sf_dir)
     if key not in _PARTITIONED_CACHE:
         path = _tracked_mkdtemp(prefix="orders_part_") + "/data"
         (
@@ -220,9 +215,9 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORC_CACHE: dict[tuple[str, str], str] = {}
-_EVOLVED_CACHE: dict[tuple[str, str], str] = {}
-_SINK_PART_CACHE: dict[tuple[str, str], str] = {}
+_ORC_CACHE: SessionCache = SessionCache()
+_EVOLVED_CACHE: SessionCache = SessionCache()
+_SINK_PART_CACHE: SessionCache = SessionCache()
 
 
 @query(
@@ -246,7 +241,7 @@ def src_format_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushdown + column pruning work the same as parquet via the
     vectorized reader); at 100 TB it exists for interop with
     Hive-lineage warehouses, not as the preferred sink."""
-    key = (_session_key(spark), sf_dir)
+    key = _ORC_CACHE.scoped_key(spark, sf_dir)
     if key not in _ORC_CACHE:
         path = _tracked_mkdtemp(prefix="events_orc_") + "/data"
         load_table(spark, sf_dir, "events").write.orc(path)
@@ -285,7 +280,7 @@ def src_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB, mergeSchema's footer sampling is an extra planning cost,
     so production pins the merged schema in a catalog and reads
     schema-first; the NULL back-fill semantics are identical."""
-    key = (_session_key(spark), sf_dir)
+    key = _EVOLVED_CACHE.scoped_key(spark, sf_dir)
     if key not in _EVOLVED_CACHE:
         path = _tracked_mkdtemp(prefix="orders_evo_") + "/data"
         o = load_table(spark, sf_dir, "orders")
@@ -335,7 +330,7 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The read-back aggregate proves both halves: 'click' shows doubled
     cents, every other partition shows the original bytes."""
-    key = (_session_key(spark), sf_dir)
+    key = _SINK_PART_CACHE.scoped_key(spark, sf_dir)
     if key not in _SINK_PART_CACHE:
         path = _tracked_mkdtemp(prefix="events_sink_") + "/data"
         e = load_table(spark, sf_dir, "events")
@@ -359,7 +354,7 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BINARYFILE_CACHE: dict[tuple[str, str], str] = {}
+_BINARYFILE_CACHE: SessionCache = SessionCache()
 N_BINARY_FILES = 100
 
 
@@ -386,7 +381,7 @@ def src_format_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_multimodal_* key then operates on."""
     import os
 
-    key = (_session_key(spark), sf_dir)
+    key = _BINARYFILE_CACHE.scoped_key(spark, sf_dir)
     if key not in _BINARYFILE_CACHE:
         root = _tracked_mkdtemp(prefix="blobs_") + "/data"
         os.makedirs(root, exist_ok=True)
@@ -410,7 +405,7 @@ def src_format_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_XML_CACHE: dict[tuple[str, str], str] = {}
+_XML_CACHE: SessionCache = SessionCache()
 
 
 @query(
@@ -434,7 +429,7 @@ def src_format_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     an ingest boundary only; first pass converts to parquet. rowTag
     splitting is line-agnostic, so files stay splittable for parallel
     parse."""
-    key = (_session_key(spark), sf_dir)
+    key = _XML_CACHE.scoped_key(spark, sf_dir)
     if key not in _XML_CACHE:
         path = _tracked_mkdtemp(prefix="events_xml_") + "/data"
         (
@@ -458,7 +453,7 @@ def src_format_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_COMPACT_CACHE: dict[tuple[str, str], tuple[str, int, str, int]] = {}
+_COMPACT_CACHE: SessionCache = SessionCache()
 COMPACT_FRAGMENTS = 64
 COMPACT_TARGET_FILES = 4
 
@@ -466,8 +461,11 @@ COMPACT_TARGET_FILES = 4
 @query(
     "q_maintenance_compact",
     oracle=f"""
-    SELECT CAST({COMPACT_FRAGMENTS} AS BIGINT) AS files_before,
-           CAST({COMPACT_TARGET_FILES} AS BIGINT) AS files_after,
+    -- LEAST(..., COUNT(*)): round-robin repartition(n) writes one file
+    -- per NON-EMPTY partition, so a table smaller than the fragment
+    -- count yields row_count files, not n — mirror the real listing.
+    SELECT CAST(LEAST({COMPACT_FRAGMENTS}, COUNT(*)) AS BIGINT) AS files_before,
+           CAST(LEAST({COMPACT_TARGET_FILES}, COUNT(*)) AS BIGINT) AS files_after,
            CAST(COUNT(*) AS BIGINT) AS rows_before,
            CAST(COUNT(*) AS BIGINT) AS rows_after,
            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -500,7 +498,7 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             if f.endswith(".parquet") and not f.startswith(".")
         )
 
-    key = (_session_key(spark), sf_dir)
+    key = _COMPACT_CACHE.scoped_key(spark, sf_dir)
     if key not in _COMPACT_CACHE:
         frag = _tracked_mkdtemp(prefix="orders_frag_") + "/data"
         o = load_table(spark, sf_dir, "orders")

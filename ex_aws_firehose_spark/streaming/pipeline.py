@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ex_aws_firehose_spark.caching import SessionCache
 from ex_aws_firehose_spark.operators.firehose import (
     decode_chain,
     route,
@@ -159,11 +160,11 @@ def run_stream(
 
 # Cache of completed tri-sink runs: the §2.1 sink queries all read from
 # the same run's output directories.
-_TRI_SINK_CACHE: dict[tuple[str, str], SinkPaths] = {}
+_TRI_SINK_CACHE: SessionCache = SessionCache()
 
 
 def tri_sink_output(spark: SparkSession, sf_dir: str) -> SinkPaths:
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = _TRI_SINK_CACHE.scoped_key(spark, sf_dir)
     if key not in _TRI_SINK_CACHE:
         root = tempfile.mkdtemp(prefix="firehose_stream_")
         paths = prepare_source_files(spark, sf_dir, root)

@@ -86,6 +86,39 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+
+_PARITY_DIR_CACHE = None  # set lazily to a SessionCache
+
+
+def _parity_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events staged once per (session, sf) as two parity-split parquet
+    files (even event_ids, then odd — write order pins mtime order, so
+    the file source drains them as two micro-batches in that order).
+    Shared by every stream key that replays events as a 2-batch stream
+    (session windows, stateful count, upsert, append windows): one
+    staging write instead of one per key. Read-only to consumers; each
+    query keeps its own checkpoint, so sharing the source dir is safe."""
+    global _PARITY_DIR_CACHE
+    if _PARITY_DIR_CACHE is None:
+        from ex_aws_firehose_spark.caching import SessionCache
+
+        _PARITY_DIR_CACHE = SessionCache()
+    key = _PARITY_DIR_CACHE.scoped_key(spark, sf_dir)
+    if key not in _PARITY_DIR_CACHE:
+        import os
+
+        src = os.path.join(tempfile.mkdtemp(prefix="events_parity_"), "src")
+        e = load_table(spark, sf_dir, "events")
+        e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _PARITY_DIR_CACHE[key] = src
+    return _PARITY_DIR_CACHE[key]
+
+
 def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a streaming aggregation into a memory sink and return the
     final table."""
@@ -293,15 +326,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark so state drains."""
     import os
 
-    root = tempfile.mkdtemp(prefix="session_stream_")
-    src = os.path.join(root, "src")
-    e = load_table(spark, sf_dir, "events")
-    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    src = _parity_events_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(EVENTS_TS_SCHEMA)
         .option("maxFilesPerTrigger", "1")
@@ -459,11 +484,7 @@ def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    root = tempfile.mkdtemp(prefix="stateful_stream_")
-    src = os.path.join(root, "src")
-    e = load_table(spark, sf_dir, "events")
-    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
-    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+    src = _parity_events_dir(spark, sf_dir)
 
     def update_fn(key, pdfs, state):
         import pandas as pd
@@ -745,12 +766,10 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is one row per user)."""
     import os
 
+    # Two source files -> two micro-batches with interleaved keys
+    # (shared staged source; state/checkpoint dirs stay per-query).
+    src = _parity_events_dir(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="upsert_stream_")
-    src = os.path.join(root, "src")
-    e = load_table(spark, sf_dir, "events")
-    # Two source files -> two micro-batches with interleaved keys.
-    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
-    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
 
     state: dict[str, str | None] = {"dir": None}
 
@@ -904,7 +923,8 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     transaction; here the index dir is append-only so a replayed batch
     re-appends identical bands — dedup verdicts are unchanged
     (collisions are set-membership, duplicates in the index are
-    harmless)."""
+    harmless) — and verdicts land in an overwrite-mode batch-{id}
+    subdir, so replay rewrites rather than duplicates them."""
     import os
 
     from ex_aws_firehose_spark.operators.llm import minhash_bands
@@ -971,7 +991,14 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id", F.coalesce("is_dup", F.lit(False)).alias("is_dup")
                 )
             )
-            verdicts.write.mode("append").parquet(out_dir)
+            # Idempotent verdict sink: overwrite a batch-keyed subdir so a
+            # replayed micro-batch (failure after write, before checkpoint
+            # commit) rewrites rather than duplicates its verdicts — same
+            # pattern as q_stream_available_now. The band index stays
+            # blind-append: re-appended bands are harmless (set-membership).
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch-{batch_id}")
+            )
             bands_b.write.mode("append").parquet(idx_dir)
         finally:
             bands_b.unpersist()
@@ -989,7 +1016,7 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
 
 
 @query(
@@ -1065,9 +1092,11 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n
     FROM e CROSS JOIN wm
     GROUP BY 1, 2, wm.cutoff
-    -- append mode emits a window once the watermark EXCEEDS its end
+    -- Spark's exact finalization predicate (probed empirically): append
+    -- mode emits a window once window_end <= watermark. (Watermark ms
+    -- truncation can't flip a whole-second window boundary.)
     HAVING time_bucket(INTERVAL 1 HOUR, MIN(e.ts)) + INTERVAL 1 HOUR
-           < wm.cutoff
+           <= wm.cutoff
     """,
     tags=("streaming",),
 )
@@ -1080,9 +1109,10 @@ def q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-ability, re-emits everything every batch — fine for a
     dashboard sink, wrong for a ledger). Windows newer than the final
     watermark stay open and are NOT in the output; the oracle derives
-    the same cutoff relationally. The fixture's max event time carries
-    µs precision, so the cutoff never lands exactly on a window
-    boundary and the emit-on-strictly-exceeds rule is unambiguous.
+    the same cutoff relationally and applies Spark's exact finalization
+    predicate (window_end <= watermark — probed empirically: a window
+    whose end equals the watermark IS emitted), so the comparison holds
+    even if a testdata generation aligns max event time to an hour.
 
     100 TB/day shape: state = open windows only (watermark evicts the
     rest); emission latency = watermark delay — the knob trading late
@@ -1091,15 +1121,7 @@ def q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     finalization rather than a single-batch flush."""
     import os
 
-    root = tempfile.mkdtemp(prefix="append_win_stream_")
-    src = os.path.join(root, "src")
-    e = load_table(spark, sf_dir, "events")
-    e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
-    e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    src = _parity_events_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(EVENTS_TS_SCHEMA)
         .option("maxFilesPerTrigger", "1")

@@ -144,12 +144,42 @@ def test_reingest_second_pass(spark, crafted):
     }
     threshold = sizes["rec-0"] + sizes["rec-2"] + 10
     split_df = overflow_split(routed, threshold)
-    final = {r["record_id"]: r for r in reingest(split_df, crafted).collect()}
+    final = {r["record_id"]: r for r in reingest(split_df).collect()}
     assert final["rec-0"]["final_result"] == "Ok" and final["rec-0"]["attempts"] == 1
     assert final["rec-1"]["final_result"] == "ProcessingFailed"
     # dropped records re-enter and (fitting now) deliver on attempt 2
     assert final["rec-3"]["attempts"] == 2
     assert final["rec-4"]["attempts"] == 2
+
+
+def test_reingest_multi_round_and_bound(spark, crafted):
+    """The self-loop iterates per-round accounting: with a threshold that
+    admits one record per round, the two dropped records drain on
+    attempts 2 and 3; with max_attempts=2 the second one hits the
+    reference's give-up path (still Dropped, attempts=2)."""
+    routed = route(decode_chain(crafted))
+    sizes = {
+        r["record_id"]: (len(r["data"]) + len(r["record_id"]) if r["data"] else 0)
+        for r in routed.collect()
+    }
+    threshold = sizes["rec-0"] + sizes["rec-2"] + 10
+    split_df = overflow_split(routed, threshold)
+    per_round = max(sizes["rec-3"], sizes["rec-4"]) + 1
+    final = {
+        r["record_id"]: r
+        for r in reingest(split_df, threshold=per_round).collect()
+    }
+    assert final["rec-3"]["final_result"] == "Ok"
+    assert final["rec-3"]["attempts"] == 2
+    assert final["rec-4"]["final_result"] == "Ok"
+    assert final["rec-4"]["attempts"] == 3
+    bounded = {
+        r["record_id"]: r
+        for r in reingest(split_df, max_attempts=2, threshold=per_round).collect()
+    }
+    assert bounded["rec-3"]["final_result"] == "Ok"
+    assert bounded["rec-4"]["final_result"] == "Dropped"
+    assert bounded["rec-4"]["attempts"] == 2
 
 
 def test_roundtrip_b64_gzip(spark, crafted):

@@ -315,6 +315,41 @@ def test_knn_graph_norms_not_recomputed_per_pair(spark, sf_dir):
     assert above.count("SQRT(aggregate") == 0, above
 
 
+def test_minhash_band_join_is_bucketed_equi(spark, sf_dir):
+    import re
+
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_dedup_minhash"].fn(spark, sf_dir))
+    # LSH candidates must come from the (band, bsig) bucket equi-join —
+    # never an all-pairs product. (The bucket key IS the scale knob;
+    # at test SF AQE may broadcast the small side, at 100 TB the same
+    # logical plan shuffles both sides on the band key.)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[band", plan
+    ), plan
+
+
+def test_simhash_join_prefix_bucketed(spark, sf_dir):
+    import re
+
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_dedup_simhash"].fn(spark, sf_dir))
+    # Hamming-ball candidates must be generated inside the high-bit
+    # prefix bucket (equi-join on shiftright(simhash, 20)), with the
+    # bit_count distance as a post-join filter — never a product.
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) "
+        r"\[shiftright\(simhash",
+        plan,
+    ), plan
+
+
 def test_fuzzy_edit_blocks_before_distance(spark, sf_dir):
     from ex_aws_firehose_spark.plans.audit import physical_plan
 
