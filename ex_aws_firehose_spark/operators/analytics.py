@@ -543,3 +543,63 @@ def q_join_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+
+
+@query(
+    "q_funnel_transition_matrix",
+    oracle=EVENTS_US
+    + """
+    , seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events_us
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    ),
+    tot AS (
+        SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+        FROM pairs GROUP BY prev_type
+    )
+    SELECT p.prev_type, p.next_type, p.n,
+           CAST(p.n * 1000000 // t.row_total AS BIGINT) AS prob_ppm
+    FROM pairs p JOIN tot t ON p.prev_type = t.prev_type
+    """,
+    tags=("analytics", "sequence"),
+)
+def q_funnel_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence transition matrix: per-user event bigrams
+    (lag over the (ts, event_id) order) counted into a type→type
+    matrix with exact integer transition probabilities (ppm) — the
+    Markov-chain view of user journeys that funnel analysis, next-step
+    prediction features, and anomaly scoring all start from.
+
+    100 TB shape: ONE exchange on user_id for the lag window (same
+    partitioning every sessionize op reuses), then a tiny
+    |types|² aggregate; the row-total join broadcasts. Probabilities
+    are floor-divided ppm so the matrix hashes identically
+    cross-engine."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.expr("n * 1000000 div row_total").alias("prob_ppm"),
+        )
+    )

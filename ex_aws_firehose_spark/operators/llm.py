@@ -2648,3 +2648,272 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.n").alias("n_b"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality: Gopher-style rule battery
+# ---------------------------------------------------------------------------
+
+# Rule bounds (adapted to the synthetic token-soup corpus; the shape —
+# a battery of cheap integer-exact structural filters evaluated in one
+# map-only pass — is the Gopher/MassiveText rule set, Rae et al. 2021).
+GOPHER_MIN_TOKENS = 5
+GOPHER_MAX_TOKENS = 1000
+GOPHER_MIN_MEAN_LEN = 3    # mean token length bounds
+GOPHER_MAX_MEAN_LEN = 10
+GOPHER_MAX_SYMBOL_X10 = 1  # symbol-to-token ratio < 0.1  (10*sym < 1*tok)
+GOPHER_MIN_ALPHA_X5 = 4    # >= 80% tokens contain a letter (5*alpha >= 4*tok)
+GOPHER_MIN_STOPWORDS = 2   # at least 2 stopword hits
+
+_GOPHER_STOP_SQL = "['the', 'a', 'and', 'order', 'table']"
+
+
+@query(
+    "q_quality_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               str_split(lower(text), ' ') AS toks,
+               length(replace(text, ' ', '')) AS n_chars_ns,
+               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_sym
+        FROM documents
+    ), r AS (
+        SELECT source,
+               (len(toks) BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+                   AS ok_count,
+               (n_chars_ns >= {GOPHER_MIN_MEAN_LEN} * len(toks)
+                AND n_chars_ns <= {GOPHER_MAX_MEAN_LEN} * len(toks))
+                   AS ok_mean_len,
+               (10 * n_sym < len(toks)) AS ok_symbol,
+               (5 * len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                >= 4 * len(toks)) AS ok_alpha,
+               (len(list_filter(toks,
+                    x -> list_contains({_GOPHER_STOP_SQL}, x)))
+                >= {GOPHER_MIN_STOPWORDS}) AS ok_stop
+        FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ok_count AND ok_mean_len AND ok_symbol
+                          AND ok_alpha AND ok_stop THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN NOT ok_count THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_count,
+           CAST(SUM(CASE WHEN NOT ok_mean_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_mean_len,
+           CAST(SUM(CASE WHEN NOT ok_symbol THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_symbol,
+           CAST(SUM(CASE WHEN NOT ok_alpha THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_alpha,
+           CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_stop
+    FROM r GROUP BY source
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style structural quality battery (Rae et al. 2021 §A1.1
+    shape): token-count bounds, mean-token-length band, symbol-to-token
+    ratio, alphabetic-token fraction, minimum stopword hits — evaluated
+    per doc and rolled up to per-source pass/fail counts, one row per
+    source with a per-rule failure breakdown (the report a curation run
+    uses to tune thresholds before committing a filter pass).
+
+    Every rule is an integer cross-multiplied comparison (no float
+    ratios), so keep/drop decisions are bit-identical cross-engine.
+
+    100 TB shape: rule evaluation is map-only whole-stage codegen over
+    the documents scan (text never shuffles); the only exchange carries
+    |sources| × 8 counters via partial aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    n_chars_ns = F.length(F.regexp_replace("text", " ", ""))
+    n_sym = F.regexp_count("text", F.lit("[^a-z0-9 ]"))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    r = d.select(
+        "source",
+        n_tok.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS).alias("ok_count"),
+        (
+            (n_chars_ns >= GOPHER_MIN_MEAN_LEN * n_tok)
+            & (n_chars_ns <= GOPHER_MAX_MEAN_LEN * n_tok)
+        ).alias("ok_mean_len"),
+        (10 * n_sym < n_tok).alias("ok_symbol"),
+        (5 * n_alpha >= 4 * n_tok).alias("ok_alpha"),
+        (n_stop >= GOPHER_MIN_STOPWORDS).alias("ok_stop"),
+    )
+    fails = [
+        F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(a)
+        for c, a in [
+            ("ok_count", "fail_count"),
+            ("ok_mean_len", "fail_mean_len"),
+            ("ok_symbol", "fail_symbol"),
+            ("ok_alpha", "fail_alpha"),
+            ("ok_stop", "fail_stop"),
+        ]
+    ]
+    all_ok = (
+        F.col("ok_count")
+        & F.col("ok_mean_len")
+        & F.col("ok_symbol")
+        & F.col("ok_alpha")
+        & F.col("ok_stop")
+    )
+    return r.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(all_ok, 1).otherwise(0)).alias("n_pass"),
+        *fails,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity: range search (all neighbors above a similarity floor)
+# ---------------------------------------------------------------------------
+
+RANGE_SEARCH_COS = 0.6
+
+
+@query(
+    "q_sim_range_search",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           round({duck_cosine('e.embedding', 'q.qv')}, 6) AS cos_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+      AND round({duck_cosine('e.embedding', 'q.qv')}, 6) >= {RANGE_SEARCH_COS}
+    ORDER BY cos_sim DESC, e.vec_id
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity RANGE query — every vector with cosine ≥ τ of the
+    query vector (the dual of top-k: threshold instead of count; the
+    primitive behind "find all near-duplicates of this document" and
+    radius-bounded retrieval). The query vector broadcasts (1 row), the
+    scan stays map-only, and only survivors reach the final sort — at
+    100 TB this is a full scan but zero shuffle until the (tiny)
+    result-ordering exchange. Threshold compares the 6-dp-rounded score
+    (same value both engines) so the boundary set is deterministic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    cos = F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select("vec_id", "label", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= RANGE_SEARCH_COS)
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator-accuracy audit
+# ---------------------------------------------------------------------------
+
+# |est − exact| ≤ 0.35 per candidate pair (12 permutations ⇒ σ ≈ 0.14
+# at J = 0.5; 0.35 ≈ 2.5σ). The bound check is itself part of the
+# deterministic output — both engines compute the identical booleans.
+MINHASH_EST_TOL_X100 = 35
+
+
+def _minhash_est_oracle() -> str:
+    match12 = " + ".join(
+        f"(CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END)" for j in range(12)
+    )
+    return (
+        _minhash_cte()
+        + f"""
+    , pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+        WHERE a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, {duck_shingles('t')} AS sh FROM toks)
+    SELECT p.doc_a, p.doc_b,
+           CAST({match12} AS BIGINT) AS match_x12,
+           CAST(len(list_intersect(xa.sh, xb.sh)) AS BIGINT) AS jac_num,
+           CAST(len(xa.sh) + len(xb.sh)
+                - len(list_intersect(xa.sh, xb.sh)) AS BIGINT) AS jac_den,
+           abs(({match12}) * jac_den * 100 - 1200 * jac_num)
+               <= {MINHASH_EST_TOL_X100} * 12 * jac_den AS within_tol
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    JOIN sets xa ON xa.doc_id = p.doc_a
+    JOIN sets xb ON xb.doc_id = p.doc_b
+    """
+    )
+
+
+@query(
+    "q_dedup_minhash_estimate",
+    oracle=_minhash_est_oracle(),
+    tags=("llm", "dedup", "contract"),
+)
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR audit: for every LSH candidate pair, the
+    signature-agreement Jaccard estimate (matching permutations out of
+    12) side-by-side with the exact shingle Jaccard, plus a
+    |est − exact| ≤ 0.35 tolerance verdict — the calibration report
+    that justifies trusting band collisions as a dedup signal (and the
+    guard that catches a broken permutation family, which silently
+    degrades LSH recall long before pair counts look wrong).
+
+    All-integer output: match count ×12, exact Jaccard as num/den,
+    tolerance via cross-multiplication — bit-identical cross-engine.
+
+    100 TB shape: candidates come from the same band-bucket self-join
+    as q_dedup_minhash (never all-pairs); the exact-Jaccard check adds
+    one hash join back to the per-doc shingle arrays, touching only
+    candidate rows — the audit costs O(candidates), not O(corpus²)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.size(tokens("text")) >= 3).select(
+        "doc_id", shingles(tokens("text")).alias("sh")
+    )
+    hs = base.select(
+        "doc_id", F.transform("sh", lambda s: hex_hash(s)).alias("hs"), "sh"
+    )
+    sig = hs.select(
+        "doc_id",
+        "sh",
+        *[
+            F.array_min(
+                F.transform(F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % P)
+            ).alias(f"m{j}")
+            for j, (a, b) in enumerate(_SEEDS)
+        ],
+    ).persist()
+    pairs = q_dedup_minhash(spark, sf_dir)
+    sa = sig.alias("sa")
+    sb = sig.alias("sb")
+    match12 = sum(
+        F.when(F.col(f"sa.m{j}") == F.col(f"sb.m{j}"), 1).otherwise(0)
+        for j in range(12)
+    )
+    jac_num = F.size(F.array_intersect("sa.sh", "sb.sh")).cast("long")
+    jac_den = (
+        F.size("sa.sh") + F.size("sb.sh")
+        - F.size(F.array_intersect("sa.sh", "sb.sh"))
+    ).cast("long")
+    return (
+        pairs.join(sa, pairs.doc_a == F.col("sa.doc_id"))
+        .join(sb, pairs.doc_b == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            match12.cast("long").alias("match_x12"),
+            jac_num.alias("jac_num"),
+            jac_den.alias("jac_den"),
+            (
+                F.abs(
+                    match12.cast("long") * jac_den * 100 - 1200 * jac_num
+                )
+                <= MINHASH_EST_TOL_X100 * 12 * jac_den
+            ).alias("within_tol"),
+        )
+    )

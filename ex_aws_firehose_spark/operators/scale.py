@@ -976,3 +976,499 @@ def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "col", "n_a", "nulls_a", "n_b", "nulls_b", drift.alias("drifted")
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew profiler
+# ---------------------------------------------------------------------------
+
+SKEW_TOP_K = 10
+
+
+@query(
+    "q_dq_key_skew",
+    oracle=EVENTS_US
+    + f"""
+    , per_key AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events_us GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM per_key
+    )
+    SELECT p.user_id, p.cnt,
+           CAST(p.cnt * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST(p.cnt * t.n_keys * 100 // t.total AS BIGINT)
+               AS x_mean_pct,
+           t.total, t.n_keys
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.cnt DESC, p.user_id
+    LIMIT {SKEW_TOP_K}
+    """,
+    tags=("scale", "dq", "skew"),
+)
+def q_dq_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profiler: the top-K hottest join keys with their
+    exact row share (ppm) and hotness as a percent of the mean key load
+    — the report that decides whether a join needs salting
+    (q_join_skew_salted), AQE skew splitting, or a broadcast rewrite.
+    A key at x_mean_pct ≈ 100 is uniform; thousands of percent means one
+    shuffle partition stalls the stage at scale.
+
+    All-integer math (floor div) so shares hash identically cross-engine.
+
+    100 TB shape: one map-side-combined count per key (the same shuffle
+    the join itself would do, but carrying only counters), a 1-row total
+    broadcast, and TakeOrdered for the top-K — the profile costs a scan,
+    not a sort."""
+    per_key = (
+        load_table(spark, sf_dir, "events").groupBy("user_id").count()
+    ).select("user_id", F.col("count").alias("cnt"))
+    tot = F.broadcast(
+        per_key.agg(
+            F.sum("cnt").alias("total"), F.count("*").alias("n_keys")
+        )
+    )
+    return (
+        per_key.crossJoin(tot)
+        .select(
+            "user_id",
+            "cnt",
+            F.expr("cnt * 1000000 div total").alias("share_ppm"),
+            F.expr("cnt * n_keys * 100 div total").alias("x_mean_pct"),
+            "total",
+            "n_keys",
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(SKEW_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch as a relational aggregate
+# ---------------------------------------------------------------------------
+
+CMS_W = 64                      # counters per hash row
+CMS_A = (3, 5, 7)               # per-row multipliers (d = 3 pairwise hashes)
+CMS_B = (11, 17, 23)
+CMS_P = 4294967311              # prime > 2^32 (functions/text.py)
+CMS_TRACKED = 20                # query the estimate for user_id < 20
+
+
+@query(
+    "q_sketch_count_min",
+    oracle=EVENTS_US
+    + f"""
+    , h AS (
+        SELECT user_id,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) AS kh
+        FROM events_us
+    ),
+    cells AS (
+        SELECT i.i, (a.a * h.kh + b.b) % {CMS_P} % {CMS_W} AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM h
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+        JOIN (VALUES (0, 3), (1, 5), (2, 7)) a(i, a) ON a.i = i.i
+        JOIN (VALUES (0, 11), (1, 17), (2, 23)) b(i, b) ON b.i = i.i
+        GROUP BY 1, 2
+    ),
+    tracked AS (
+        SELECT DISTINCT user_id, kh FROM h WHERE user_id < {CMS_TRACKED}
+    ),
+    est AS (
+        SELECT t.user_id, MIN(c.cnt) AS est_cnt
+        FROM tracked t
+        CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) i
+        JOIN (VALUES (0, 3), (1, 5), (2, 7)) a(i, a) ON a.i = i.i
+        JOIN (VALUES (0, 11), (1, 17), (2, 23)) b(i, b) ON b.i = i.i
+        JOIN cells c ON c.i = i.i
+                    AND c.bucket = (a.a * t.kh + b.b) % {CMS_P} % {CMS_W}
+        GROUP BY t.user_id
+    ),
+    exact AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+        FROM events_us WHERE user_id < {CMS_TRACKED} GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events_us)
+    SELECT e.user_id, e.exact_cnt, s.est_cnt,
+           s.est_cnt >= e.exact_cnt AS never_under,
+           (s.est_cnt - e.exact_cnt) * {CMS_W} <= 2 * t.n AS within_eps
+    FROM exact e JOIN est s ON e.user_id = s.user_id CROSS JOIN tot t
+    """,
+    tags=("scale", "sketch"),
+)
+def q_sketch_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch built as a RELATIONAL aggregate: d=3 pairwise
+    hash rows × w=64 counters, populated by one groupBy over (row,
+    bucket) — the mergeable-summary shape (Cormode & Muthukrishnan
+    2005). Point queries take min over the d cells; the output audits
+    the two CMS guarantees per tracked key: never-underestimate, and
+    overestimate ≤ 2N/w. Because the "sketch" is rows in a DataFrame,
+    sketches from different days/partitions merge by SUM — the same
+    re-aggregation story as q_sketch_hll_union but exact-arithmetic
+    and oracle-mirrorable.
+
+    100 TB shape: the sketch build is one map-side-combined agg to
+    d×w = 192 cells regardless of input size; point queries broadcast
+    the tiny cell table. No full per-key count ever materializes —
+    that is the point of CMS when keys are too many to count exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    from ex_aws_firehose_spark.functions.text import hex_hash
+
+    h = ev.select(
+        "user_id", hex_hash(F.col("user_id").cast("string")).alias("kh")
+    )
+    a_lit = F.array(*[F.lit(a) for a in CMS_A])
+    b_lit = F.array(*[F.lit(b) for b in CMS_B])
+    with_i = h.withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(2))))
+    bucket = (
+        F.element_at(a_lit, F.col("i") + 1) * F.col("kh")
+        + F.element_at(b_lit, F.col("i") + 1)
+    ) % CMS_P % CMS_W
+    cells = (
+        with_i.select("i", bucket.alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tracked = (
+        h.filter(F.col("user_id") < CMS_TRACKED)
+        .distinct()
+        .withColumn("i", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .select("user_id", "i", bucket.alias("bucket"))
+    )
+    est = (
+        tracked.join(F.broadcast(cells), ["i", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    exact = (
+        ev.filter(F.col("user_id") < CMS_TRACKED)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("exact_cnt"))
+    )
+    tot = F.broadcast(ev.agg(F.count("*").alias("n")))
+    return (
+        exact.join(est, "user_id")
+        .crossJoin(tot)
+        .select(
+            "user_id",
+            "exact_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_under"),
+            (
+                (F.col("est_cnt") - F.col("exact_cnt")) * CMS_W
+                <= 2 * F.col("n")
+            ).alias("within_eps"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) layout audit
+# ---------------------------------------------------------------------------
+
+Z_BUCKETS = 32
+Z_USER_BITS = 12
+Z_DAY_BITS = 5
+# probe rectangle: user_id in [4, 12), day in [8, 16)
+Z_PROBE = (4, 12, 8, 16)
+
+
+def _morton_sql(user: str, day: str, divop: str = "//") -> str:
+    """Bit-interleave expression in integer arithmetic (div/%/× only —
+    no bit operators). Same structure both engines; only the integer-
+    division spelling differs (`div` in Spark SQL, `//` in DuckDB)."""
+    terms = [
+        f"(({user}) {divop} {1 << i} % 2) * {1 << (2 * i)}"
+        for i in range(Z_USER_BITS)
+    ] + [
+        f"(({day}) {divop} {1 << i} % 2) * {1 << (2 * i + 1)}"
+        for i in range(Z_DAY_BITS)
+    ]
+    return " + ".join(terms)
+
+
+@query(
+    "q_layout_zorder",
+    oracle=EVENTS_US
+    + f"""
+    , base AS (
+        SELECT event_id, user_id,
+               date_diff('day', TIMESTAMP '2024-01-01', ts) AS day
+        FROM events_us
+    ),
+    laid AS (
+        SELECT 'time_linear' AS layout, user_id, day,
+               ntile({Z_BUCKETS}) OVER (ORDER BY day, event_id) AS bucket
+        FROM base
+        UNION ALL
+        SELECT 'zorder' AS layout, user_id, day,
+               ntile({Z_BUCKETS}) OVER (
+                   ORDER BY {_morton_sql('user_id', 'day')}, event_id
+               ) AS bucket
+        FROM base
+    ),
+    stats AS (
+        SELECT layout, bucket,
+               MIN(user_id) AS min_u, MAX(user_id) AS max_u,
+               MIN(day) AS min_d, MAX(day) AS max_d,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN user_id >= {Z_PROBE[0]}
+                              AND user_id < {Z_PROBE[1]}
+                              AND day >= {Z_PROBE[2]}
+                              AND day < {Z_PROBE[3]}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS matched
+        FROM laid GROUP BY layout, bucket
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN min_u < {Z_PROBE[1]} AND max_u >= {Z_PROBE[0]}
+                          AND min_d < {Z_PROBE[3]} AND max_d >= {Z_PROBE[2]}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+           CAST(SUM(CASE WHEN min_u < {Z_PROBE[1]} AND max_u >= {Z_PROBE[0]}
+                          AND min_d < {Z_PROBE[3]} AND max_d >= {Z_PROBE[2]}
+                    THEN cnt ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(matched) AS BIGINT) AS rows_matched
+    FROM stats GROUP BY layout ORDER BY layout
+    """,
+    tags=("scale", "layout"),
+)
+def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering audit: lay the events table
+    out two ways — time-linear (the default ingest order) and Morton-
+    interleaved over (user_id, day) — cut each into {Z_BUCKETS} equal
+    files, and measure how many files a 2-D probe rectangle must scan
+    under each layout's zone maps. Z-order keeps BOTH dimensions' spans
+    tight per file, so the multi-dimensional probe prunes files that
+    the single-dimension sort cannot (the Delta/Iceberg OPTIMIZE
+    ZORDER BY rationale, expressed as a measurable audit).
+
+    The Morton code is pure div/mod/× integer arithmetic — the same
+    expression TEXT evaluates in Spark SQL and DuckDB, and the bucket
+    assignment (ntile over the z order, event_id tie-break) is a total
+    order, so the audit is bit-deterministic cross-engine.
+
+    100 TB shape: writing z-ordered files is repartitionByRange on the
+    z-code (one range shuffle, same cost as any sorted write); the
+    audit itself is one hash agg at bucket grain. The payoff column is
+    rows_scanned: zonemap pruning is the difference between scanning
+    the probe's ~1/32 of files and scanning them all."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(
+            F.to_date("ts"), F.to_date(F.lit("2024-01-01"))
+        ).alias("day"),
+    )
+    z = F.expr(_morton_sql("user_id", "day", divop="div"))
+    lin = base.select(
+        F.lit("time_linear").alias("layout"),
+        "user_id",
+        "day",
+        F.ntile(Z_BUCKETS)
+        .over(Window.orderBy("day", "event_id"))
+        .alias("bucket"),
+    )
+    zord = base.withColumn("z", z).select(
+        F.lit("zorder").alias("layout"),
+        "user_id",
+        "day",
+        F.ntile(Z_BUCKETS)
+        .over(Window.orderBy("z", "event_id"))
+        .alias("bucket"),
+    )
+    lo_u, hi_u, lo_d, hi_d = Z_PROBE
+    in_probe = (
+        (F.col("user_id") >= lo_u)
+        & (F.col("user_id") < hi_u)
+        & (F.col("day") >= lo_d)
+        & (F.col("day") < hi_d)
+    )
+    stats = (
+        lin.unionByName(zord)
+        .groupBy("layout", "bucket")
+        .agg(
+            F.min("user_id").alias("min_u"),
+            F.max("user_id").alias("max_u"),
+            F.min("day").alias("min_d"),
+            F.max("day").alias("max_d"),
+            F.count("*").alias("cnt"),
+            F.sum(F.when(in_probe, 1).otherwise(0)).alias("matched"),
+        )
+    )
+    overlaps = (
+        (F.col("min_u") < hi_u)
+        & (F.col("max_u") >= lo_u)
+        & (F.col("min_d") < hi_d)
+        & (F.col("max_d") >= lo_d)
+    )
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(overlaps, 1).otherwise(0)).alias("n_overlap"),
+            F.sum(F.when(overlaps, F.col("cnt")).otherwise(0)).alias(
+                "rows_scanned"
+            ),
+            F.sum("matched").alias("rows_matched"),
+        )
+        .orderBy("layout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting over a thresholded co-occurrence graph
+# ---------------------------------------------------------------------------
+
+TRI_MIN_COOCCUR = 3  # edge iff users co-occur in >= 3 (type, hour) buckets
+
+
+@query(
+    "q_graph_triangles",
+    oracle=EVENTS_US
+    + f"""
+    , e AS (
+        SELECT user_id, event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr
+        FROM events_us
+    ),
+    pairs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e a JOIN e b
+          ON a.hr = b.hr AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (SELECT ua, ub FROM pairs WHERE w >= {TRI_MIN_COOCCUR}),
+    wedges AS (
+        SELECT e1.ua AS a, e1.ub AS b, e2.ub AS c
+        FROM edges e1 JOIN edges e2 ON e1.ub = e2.ua
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n
+        FROM wedges w JOIN edges e3 ON e3.ua = w.a AND e3.ub = w.c
+    )
+    SELECT CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges,
+           CAST((SELECT n FROM tri) AS BIGINT) AS n_triangles,
+           CAST((SELECT n FROM tri) * 1000000
+                // GREATEST((SELECT COUNT(*) FROM wedges), 1) AS BIGINT)
+               AS closure_ppm
+    """,
+    tags=("scale", "graph"),
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global closure coefficient over a thresholded
+    user co-occurrence graph (edge iff two users share ≥ 3 (event-type,
+    hour) buckets — the weight threshold is what keeps a co-occurrence
+    projection sparse enough to be a graph, not a clique soup). The
+    count uses the ordered-wedge method: every edge is oriented
+    ua < ub, wedges enumerate 2-paths a<b<c, and a hash join against
+    the edge set closes them — no BNLJ, no driver-side graph.
+
+    100 TB shape: pair generation joins inside (hour, type) buckets
+    (bounded fan-out per bucket); the wedge join's skew lever is the
+    SAME degree cap every production triangle counter uses — orient
+    edges low-degree → high-degree so hot vertices never expand on the
+    build side (here the ua<ub orientation plus the weight threshold
+    bounds it at the tested scales; a degree-ordered orientation is the
+    drop-in upgrade). Output is one exact-integer summary row."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.filter(F.col("w") >= TRI_MIN_COOCCUR).select("ua", "ub")
+    edges = edges.persist()
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    wedges = e1.join(e2, F.col("e1.ub") == F.col("e2.ua")).select(
+        F.col("e1.ua").alias("a"),
+        F.col("e1.ub").alias("b"),
+        F.col("e2.ub").alias("c"),
+    )
+    e3 = edges.alias("e3")
+    tri = wedges.join(
+        e3,
+        (F.col("e3.ua") == F.col("a")) & (F.col("e3.ub") == F.col("c")),
+        "left_semi",
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
+    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    out = (
+        n_edges.crossJoin(n_wedges)
+        .crossJoin(n_tri)
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr(
+                "n_triangles * 1000000 div greatest(n_wedges, 1)"
+            ).alias("closure_ppm"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+@query(
+    "q_anon_kanonymity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size,
+           group_size >= {K_ANON} AS is_k_anon
+    FROM g
+    """,
+    tags=("scale", "dq", "privacy"),
+)
+def q_anon_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation ×
+    market segment): every QI equivalence class with its size and a
+    k ≥ {K_ANON} verdict — the release gate for sharing keyed data
+    (classes below k re-identify individuals and must be suppressed or
+    generalized before export). This is the measurement half of a
+    privacy pipeline; the enforcement half is a filter on the flag.
+
+    100 TB shape: one map-side-combined hash agg at QI grain — the
+    audit costs a scan regardless of table size; generalization
+    ladders (re-binning a QI column and re-auditing) just re-run the
+    same agg on coarser keys."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count("*").alias("group_size"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            (F.col("group_size") >= K_ANON).alias("is_k_anon"),
+        )
+    )

@@ -1318,3 +1318,68 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+@query(
+    "q_tpch_q5",
+    oracle=f"""
+    SELECT n.n_name,
+           CAST(SUM({_REV_CD}) AS BIGINT) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                   AND s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n.n_name
+    """,
+    tags=("tpch", "join"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 — local supplier volume: revenue from orders where the
+    customer and the supplier share a nation inside one region, over one
+    order year. This is the DataFrame-API twin of q_sql_flagship (which
+    submits the Q5 *shape* as raw SQL); here the distinguishing feature
+    is the double-keyed nation join (customer AND supplier nationkey),
+    which the original expresses as an extra equality predicate.
+
+    100 TB shape: region→nation prune broadcasts (5→~5 nations), then
+    both customer and supplier shrink via broadcast semi-pruned dims
+    before touching the fact; the year filter pushes to the orders scan
+    (partition prune under date layout). The only fact-scale shuffle is
+    lineitem⋈orders on orderkey; the c_nationkey = s_nationkey equality
+    is evaluated as a post-join filter on already-joined dims, never a
+    BNLJ. Money math: exact int64 cent·pct units, one final division."""
+    lo = F.lit("1996-01-01 00:00:00").cast("timestamp")
+    hi = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+        .select("o_orderkey", "o_custkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((F.sum(_revenue_cd()) / 10000.0).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )

@@ -1143,3 +1143,87 @@ def q_stream_window_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         F.col("w.start").alias("window_start"), "event_type", "n"
     )
+
+
+@query(
+    "q_stream_incremental_agg",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      CAST(ROUND(value * 100) AS BIGINT) AS cents
+               FROM events)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           MAX(ts) AS last_ts
+    FROM e GROUP BY user_id
+    """,
+    tags=("streaming", "incremental"),
+)
+def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental VIEW MAINTENANCE via foreachBatch: a keyed
+    aggregate table (per-user count / sum / max) is maintained across
+    micro-batches by merging the batch's PARTIAL aggregate into the
+    stored image — merge(state, agg(batch)) per distributive-aggregate
+    algebra (count: +, sum: +, max: greatest) — with copy-on-write
+    versioned commits like q_stream_upsert. The final image must equal
+    the one-shot batch GROUP BY, which is exactly what the oracle
+    checks (the streaming twin of q_incremental_agg).
+
+    100 TB/day shape: each batch shuffles only |batch keys| partial
+    rows, never the accumulated history (contrast recomputing the
+    GROUP BY over all arrivals per batch); with a transactional table
+    this body is MERGE INTO agg_table USING batch_agg. State size =
+    |distinct keys|, independent of stream length."""
+    import os
+
+    src = _parity_events_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="incr_agg_stream_")
+    state: dict[str, str | None] = {"dir": None}
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+                "sum_cents"
+            ),
+            F.max("ts").alias("last_ts"),
+        )
+        cur = (
+            spark.read.parquet(state["dir"])
+            if state["dir"] is not None
+            else spark.createDataFrame(
+                [],
+                "user_id long, n_events long, sum_cents long, "
+                "last_ts timestamp",
+            )
+        )
+        merged = (
+            cur.unionByName(part)
+            .groupBy("user_id")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_cents").alias("sum_cents"),
+                F.max("last_ts").alias("last_ts"),
+            )
+        )
+        new_dir = os.path.join(root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="incr_agg_ckpt_"),
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return spark.read.parquet(state["dir"])
