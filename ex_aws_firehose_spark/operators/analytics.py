@@ -603,3 +603,95 @@ def q_funnel_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n * 1000000 div row_total").alias("prob_ppm"),
         )
     )
+
+
+ATTRIB_WINDOW_HOURS = 24
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle=EVENTS_US
+    + f"""
+    , pu AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events_us WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts AS t_ts, event_id AS t_id,
+               event_type AS t_type
+        FROM events_us WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+        SELECT pu.p_id, pu.cents, t.t_type, t.t_ts, t.t_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pu.p_id
+                   ORDER BY t.t_ts DESC NULLS LAST, t.t_id DESC NULLS LAST
+               ) AS rn
+        FROM pu LEFT JOIN t
+          ON pu.user_id = t.user_id
+         AND t.t_ts < pu.p_ts
+         AND t.t_ts >= pu.p_ts - INTERVAL {ATTRIB_WINDOW_HOURS} HOUR
+    )
+    SELECT COALESCE(t_type, 'direct') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(cents) AS BIGINT) AS attributed_cents
+    FROM j WHERE rn = 1 GROUP BY COALESCE(t_type, 'direct')
+    """,
+    tags=("analytics", "attribution"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click/view inside a 24 h lookback window
+    (latest (ts, event_id) wins — deterministic), unmatched purchases
+    fall to 'direct'; revenue rolls up per touch type in exact cents.
+
+    100 TB shape: the touch join is an EQUI join on user_id carrying
+    the time band as an in-join filter (the q_join_temporal pattern —
+    never a BNLJ); per-purchase argmax is max(struct(ts, id, type)),
+    which partial-aggregates map-side, so the shuffle carries one row
+    per purchase, not one per candidate touch."""
+    e = load_table(spark, sf_dir, "events")
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+    )
+    j = pu.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_HOURS} HOURS")
+        ),
+        "left",
+    )
+    best = j.groupBy("p_id", "cents").agg(
+        F.max(
+            F.when(
+                F.col("t_ts").isNotNull(),
+                F.struct("t_ts", "t_id", "t_type"),
+            )
+        ).alias("b")
+    )
+    return (
+        best.select(
+            F.coalesce(F.col("b.t_type"), F.lit("direct")).alias(
+                "touch_type"
+            ),
+            "cents",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("cents").alias("attributed_cents"),
+        )
+    )

@@ -2917,3 +2917,91 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_tol"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM scoring (conditional perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_bigram_lm",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    big AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks WHERE len(t) >= 2
+    ),
+    uni AS (
+        SELECT doc_id, unnest(t) AS tok FROM toks
+    ),
+    c12 AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM big GROUP BY bg),
+    c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(length(printf('%b', c12.c))
+                    - length(printf('%b', c1.c)) AS BIGINT) AS lp
+        FROM big b
+        JOIN c12 ON c12.bg = b.bg
+        JOIN c1 ON c1.tok = str_split(b.bg, ' ')[1]
+    )
+    SELECT doc_id,
+           CAST(SUM(lp) AS BIGINT) AS sum_log2p,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(lp) * 1.0 / COUNT(*) AS mean_log2p
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("llm", "text"),
+)
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model score — the conditional upgrade of
+    q_text_logfreq_score: per bigram (w₁ w₂),
+    ⌊log₂ c(w₁w₂)⌋ − ⌊log₂ c(w₁)⌋ ≈ log₂ P(w₂|w₁), summed per doc.
+    Docs whose token TRANSITIONS are corpus-improbable (scrambled or
+    boilerplate-spliced text) score low even when every individual
+    token is common — the failure mode unigram scoring can't see.
+    Both logs are integer-exact bit-lengths (conv-to-binary length,
+    mirrored by DuckDB printf('%b')), so scores are int64 sums with
+    one final division.
+
+    100 TB shape: two corpus count tables (bigram, unigram), each one
+    map-side-combined agg; scoring joins the bigram stream to both —
+    Zipf head broadcasts under AQE, tail shuffles on the bigram key.
+    Bigram generation is a per-row zip_with (ordered, NOT the distinct
+    shingle set) — zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    big = (
+        d.filter(F.size(t) >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+    )
+    uni = d.select("doc_id", F.explode(t).alias("tok"))
+    c12 = big.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = uni.groupBy("tok").agg(F.count("*").alias("c1"))
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    scored = (
+        big.join(c12, "bg")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(c1, F.col("w1") == c1.tok)
+        .select(
+            "doc_id",
+            (bitlen(F.col("c12")) - bitlen(F.col("c1")))
+            .cast("long")
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("lp").alias("sum_log2p"),
+        F.count("*").alias("n_bigrams"),
+        (F.sum("lp") * 1.0 / F.count("*")).alias("mean_log2p"),
+    )

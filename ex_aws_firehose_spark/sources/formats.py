@@ -529,3 +529,69 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_after",
         "checksum_cents",
     )
+
+
+_TEXT_CACHE: SessionCache = SessionCache()
+
+
+@query(
+    "src_format_text",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           MAX(CAST(ts AS TIMESTAMP)) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "format"),
+)
+def src_format_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw line-delimited TEXT ingestion (syslog/app-log shape): events
+    serialized as key=value log lines, read back with ``spark.read.text``
+    and parsed by regexp into typed columns, then aggregated — the
+    round-trip must be value-exact, which is why the line carries epoch
+    MICROS and integer cents (text floats would re-parse inexactly).
+
+    100 TB shape: uncompressed text is splittable, so the parse is an
+    embarrassingly parallel map (regexp_extract stays in whole-stage
+    codegen — never a Python UDF); there is no pushdown or pruning in a
+    text scan, so like CSV this is an ingest boundary format — first
+    pass converts to parquet. Malformed lines regexp-extract to '' and
+    cast to NULL rather than failing the job (the permissive-mode
+    contract a log-ingest path needs)."""
+    key = _TEXT_CACHE.scoped_key(spark, sf_dir)
+    if key not in _TEXT_CACHE:
+        path = _tracked_mkdtemp(prefix="events_text_") + "/data"
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                F.concat_ws(
+                    " ",
+                    F.concat(F.lit("ts_us="), F.unix_micros("ts")),
+                    F.concat(F.lit("type="), F.col("event_type")),
+                    F.concat(F.lit("user="), F.col("user_id")),
+                    F.concat(F.lit("id="), F.col("event_id")),
+                    F.concat(
+                        F.lit("cents="),
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                    ),
+                ).alias("value")
+            )
+            .write.text(path)
+        )
+        _TEXT_CACHE[key] = path
+    lines = spark.read.text(_TEXT_CACHE[key])
+    ex = lambda pat: F.regexp_extract("value", pat, 1)  # noqa: E731
+    parsed = lines.select(
+        F.timestamp_micros(
+            ex(r"ts_us=(-?\d+)").cast("long")
+        ).alias("ts"),
+        ex(r"type=(\w+)").alias("event_type"),
+        ex(r"cents=(-?\d+)").cast("long").alias("cents"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("value_cents"),
+        F.max("ts").alias("max_ts"),
+    )

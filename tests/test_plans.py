@@ -373,3 +373,95 @@ def test_rolling_p95_single_window_exchange(spark, sf_dir):
     df = REGISTRY["q_window_rolling_p95"].fn(spark, sf_dir)
     assert shuffle_count(df) == 1, physical_plan(df)
     assert physical_plan(df).count("Sort ") <= 1, physical_plan(df)
+
+
+def test_tpch_q5_dims_broadcast_year_pushed(spark, sf_dir):
+    df = REGISTRY["q_tpch_q5"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+    fs = " ".join(pushed_filters(df))
+    assert "o_orderdate" in fs, fs
+
+
+def test_gopher_rules_map_only_before_agg(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    # One exchange: the per-source counter aggregation. Rule evaluation
+    # itself must never shuffle the text.
+    df = REGISTRY["q_quality_gopher_rules"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+def test_range_search_scan_is_map_only(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan, shuffle_count
+
+    df = REGISTRY["q_sim_range_search"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    # Query vector joined as a 1-row broadcast; the only exchange is
+    # the final result ordering (tiny survivor set).
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert shuffle_count(df) <= 1, plan
+
+
+def test_count_min_cells_broadcast_to_point_queries(spark, sf_dir):
+    df = REGISTRY["q_sketch_count_min"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_key_skew_topk_avoids_global_sort(spark, sf_dir):
+    df = REGISTRY["q_dq_key_skew"].fn(spark, sf_dir)
+    assert uses_take_ordered(df)
+
+
+def test_triangles_all_joins_are_hash_equi(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_graph_triangles"].fn(spark, sf_dir))
+    # Pair-gen, wedge, and closure joins must all be hash/merge equi
+    # joins on bucket / vertex keys — never a nested-loop product.
+    # (The final 1-row summary crossJoins are BNLJ over single rows.)
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_transition_matrix_single_user_exchange(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        REGISTRY["q_funnel_transition_matrix"].fn(spark, sf_dir)
+    )
+    # The row-total join must broadcast (tiny |types| side).
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_estimate_reuses_candidates_no_product(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        REGISTRY["q_dedup_minhash_estimate"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_attribution_touch_join_is_equi_not_bnlj(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_attribution_last_touch"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bigram_lm_generation_is_map_side(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import python_eval_operators
+
+    # Bigram generation + scoring must stay JVM-side.
+    assert not python_eval_operators(
+        REGISTRY["q_text_bigram_lm"].fn(spark, sf_dir)
+    )
+
+
+def test_text_source_parse_stays_jvm_side(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import python_eval_operators
+
+    assert not python_eval_operators(
+        REGISTRY["src_format_text"].fn(spark, sf_dir)
+    )
