@@ -107,6 +107,35 @@ PICKS = {
         "Running-max-of-ends, island running-sum, and the span aggregate "
         "all ride one (user_id) Exchange and one Sort."
     ),
+    "q_tpch_q5": (
+        "Region→nation prune and supplier broadcast; the year filter is a "
+        "PushedFilter on the orders scan; the only fact-scale shuffle is "
+        "lineitem⋈orders, and the nationkey equality is a post-join "
+        "filter, never a BNLJ."
+    ),
+    "q_layout_zorder": (
+        "Engine-neutral integer Morton code feeds two ntile bucketings; "
+        "the audit is one bucket-grain HashAggregate — the z-write at "
+        "scale is repartitionByRange on the same code."
+    ),
+    "q_graph_triangles": (
+        "Pair-gen joins inside (hour, type) buckets; wedge + closure are "
+        "hash equi-joins on vertex keys (left-semi closure) — no "
+        "CartesianProduct anywhere (plan-gated)."
+    ),
+    "q_sketch_count_min": (
+        "Sketch build collapses to 192 cells in one partial+final "
+        "HashAggregate; point queries broadcast the cell table."
+    ),
+    "q_attribution_last_touch": (
+        "Touch join is a user_id equi join with the 24 h band as an "
+        "in-join filter; per-purchase argmax is a map-side max(struct) "
+        "partial aggregate."
+    ),
+    "q_text_bigram_lm": (
+        "Bigram stream generated per-row (zip_with, zero shuffle); "
+        "scoring joins two count tables — AQE broadcasts the Zipf head."
+    ),
 }
 
 
