@@ -2142,3 +2142,56 @@ def q_window_rolling_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("n_window"),
         (F.element_at(win, rank) / 100.0).alias("p95_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE)
+# ---------------------------------------------------------------------------
+
+
+def _hierarchy_sql(divop: str) -> str:
+    """Ancestor-chain walk over the synthetic custkey hierarchy
+    (parent(k) = k div 10, root 0) — identical text both engines except
+    the integer-division spelling."""
+    return f"""
+    WITH RECURSIVE up AS (
+        SELECT c_custkey AS origin, c_custkey AS cur,
+               CAST(0 AS BIGINT) AS depth,
+               c_custkey AS path_sum
+        FROM customer
+        UNION ALL
+        SELECT origin, cur {divop} 10, depth + 1,
+               path_sum + (cur {divop} 10)
+        FROM up WHERE cur > 0
+    )
+    SELECT origin,
+           CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(MAX(path_sum) AS BIGINT) AS ancestor_sum
+    FROM up GROUP BY origin
+    """
+
+
+@query(
+    "q_recursive_cte",
+    oracle=_hierarchy_sql("//"),
+    tags=("relational", "sql", "recursive"),
+)
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): walk every
+    customer's ancestor chain in a synthetic decimal hierarchy
+    (parent(k) = k div 10) up to the root, reporting depth and the
+    exact sum over the ancestor path — the hierarchy-traversal /
+    transitive-closure query class (org charts, BOM explosion,
+    category trees) expressed declaratively instead of as a driver
+    loop (contrast q_dedup_clusters / q_graph_pagerank, which
+    hand-roll iteration for convergence-dependent math).
+
+    100 TB shape: each recursion step is one self-join + filter; total
+    work is rows × hierarchy depth (bounded ≤ 6 here), and the engine
+    terminates on the empty-step fixpoint. Deep or cyclic graphs still
+    belong to the driver-loop form with localCheckpoint — a recursive
+    CTE has no cycle guard beyond the step filter."""
+    from ex_aws_firehose_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(_hierarchy_sql("div"))

@@ -465,3 +465,16 @@ def test_text_source_parse_stays_jvm_side(spark, sf_dir):
     assert not python_eval_operators(
         REGISTRY["src_format_text"].fn(spark, sf_dir)
     )
+
+
+def test_recursive_cte_stays_jvm_side(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import (
+        physical_plan,
+        python_eval_operators,
+    )
+
+    df = REGISTRY["q_recursive_cte"].fn(spark, sf_dir)
+    assert not python_eval_operators(df)
+    # The recursion must plan as the native loop operator, not a
+    # driver-side unrolling.
+    assert "UnionLoop" in physical_plan(df), physical_plan(df)
