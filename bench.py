@@ -60,7 +60,12 @@ HEADLINE = [
     "q_dedup_clusters",
     "q_dedup_prefix_filter",
     "q_tpch_q1",
+    "q_tpch_q5",
     "q_tpch_q6",
+    "q_layout_zorder",
+    "q_graph_triangles",
+    "q_quality_gopher_rules",
+    "q_recursive_cte",
     "q_sim_knn_graph",
     "q_sim_cosine_topk",
     "q_sim_ann_ivf",

@@ -2195,3 +2195,51 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_temp_views(spark, sf_dir)
     return spark.sql(_hierarchy_sql("div"))
+
+
+@query(
+    "q_udf_sql_body",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS net_micros
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "udf", "sql"),
+)
+def q_udf_sql_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-body scalar UDF (Spark 4 ``CREATE FUNCTION … RETURN expr``):
+    the exact-cents revenue expression packaged as a reusable SQL
+    function and applied per row — the THIRD user-function surface next
+    to Python UDFs (q_udf_scalar, Arrow path) and pandas UDAFs
+    (q_udaf). Unlike those, a SQL UDF inlines into the Catalyst plan at
+    analysis time: it whole-stage-codegens, pushes through filters, and
+    costs nothing at the Python boundary — the form every
+    "wrap this business formula" request should take before reaching
+    for Python.
+
+    100 TB shape: indistinguishable from writing the expression inline
+    (that is the point) — one map-side-combined aggregate over the
+    scan; the oracle IS the inlined expression."""
+    from ex_aws_firehose_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_micros(
+            price DOUBLE, disc DOUBLE
+        ) RETURNS BIGINT
+        RETURN CAST(ROUND(price * 100) AS BIGINT)
+               * (100 - CAST(ROUND(disc * 100) AS BIGINT))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(net_micros(l_extendedprice, l_discount)) AS net_micros
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )

@@ -595,3 +595,82 @@ def src_format_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("value_cents"),
         F.max("ts").alias("max_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python DataSource API (custom connector surface)
+# ---------------------------------------------------------------------------
+
+PYDS_PARTITIONS = 4
+PYDS_ROWS_PER_PART = 5000
+_PYDS_LEVELS = ("debug", "info", "warn", "error")
+
+
+@query(
+    "src_python_datasource",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(range AS BIGINT) AS id
+        FROM range(0, {PYDS_PARTITIONS * PYDS_ROWS_PER_PART})
+    )
+    SELECT (['debug', 'info', 'warn', 'error'])[CAST(id % 4 AS INTEGER) + 1]
+               AS level,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(id * 37 % 10000) AS BIGINT) AS cents,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM g GROUP BY 1
+    """,
+    tags=("source", "format", "python"),
+)
+def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via the Spark 4 PYTHON DATASOURCE API
+    (``spark.dataSource.register``): a deterministic synthetic
+    log-record source exposing ``partitions()`` (4 input splits → 4
+    parallel tasks) and a per-partition ``read()`` generator — the
+    extension point for ingest boundaries with no JVM connector (REST
+    APIs, vendor SDKs, bespoke queues). Rows are pure arithmetic in the
+    record id, so the DuckDB oracle regenerates the identical stream
+    from range().
+
+    100 TB shape: a Python data source is the SLOW path (rows cross the
+    Python→JVM boundary at read; no pushdown, no pruning) — correct for
+    control-plane-scale feeds; bulk data belongs in parquet/ORC the
+    moment it lands. Parallelism comes solely from partitions(), so a
+    real connector must split by shard/offset range — the generator
+    here models exactly that contract."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    rows_per_part = PYDS_ROWS_PER_PART
+
+    class _SynthReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(PYDS_PARTITIONS)]
+
+        def read(self, partition):
+            base = partition.value * rows_per_part
+            for i in range(rows_per_part):
+                rid = base + i
+                yield (rid, _PYDS_LEVELS[rid % 4], (rid * 37) % 10000)
+
+    class SynthLogSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "synth_log"
+
+        def schema(self) -> str:
+            return "id long, level string, cents long"
+
+        def reader(self, schema):
+            return _SynthReader()
+
+    spark.dataSource.register(SynthLogSource)
+    df = spark.read.format("synth_log").load()
+    return df.groupBy("level").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("cents"),
+        F.max("id").alias("max_id"),
+    )
