@@ -1227,3 +1227,56 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
         q.stop()
     return spark.read.parquet(state["dir"])
+
+
+@query(
+    "q_stream_state_inspect",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "observability"),
+)
+def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE-STORE INTROSPECTION via the Spark 4 state data source:
+    run a checkpointed per-user streaming count over two micro-batches,
+    then read the aggregation's state store back as a DataFrame
+    (``spark.read.format("statestore").load(checkpoint)``) and project
+    (key, value) — the observability surface for debugging stuck
+    stateful queries, auditing state growth, and seeding state
+    migrations, without touching the running stream. The inspected
+    state must equal the batch GROUP BY, which is what the oracle
+    checks.
+
+    100 TB/day shape: the state source reads the checkpoint's latest
+    snapshot per shuffle partition in parallel — cost scales with
+    |state|, not stream history; pair with state TTL/watermark eviction
+    so |state| stays bounded (see q_stream_dedup_watermarked)."""
+    import os
+
+    src = _parity_events_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="state_inspect_")
+    ckpt = os.path.join(root, "ckpt")
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    name = f"mem_sink_{next(_MEM_SINK_COUNTER)}"
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").alias("n_events"),
+    )
