@@ -1,0 +1,115 @@
+"""Property-based tests for the round-4 sketch/layout/graph operators
+(SURVEY.md §5.2(3)): crafted event tables verified against independent
+pure-Python models of each operator's guarantee.
+
+Each example writes a crafted ``events`` table to a temp dir and runs
+the registered query unmodified — the exact code path the driver
+checks.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from ex_aws_firehose_spark.operators.scale import (
+    CMS_TRACKED,
+    CMS_W,
+    q_dq_key_skew,
+    q_sketch_count_min,
+)
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_DIRS: list[str] = []
+
+
+def _stage_events(spark, user_ids: list[int]) -> str:
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            base + dt.timedelta(minutes=i),
+            uid,
+            ["click", "view", "purchase"][i % 3],
+            float(i % 7),
+            "{}",
+        )
+        for i, uid in enumerate(user_ids)
+    ]
+    d = tempfile.mkdtemp(prefix="prop_events_")
+    _DIRS.append(d)
+    spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/events.parquet")
+    return d
+
+
+def teardown_module(module) -> None:
+    for d in _DIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+_user_ids = st.lists(
+    st.integers(min_value=0, max_value=30), min_size=1, max_size=60
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_ids=_user_ids)
+def test_count_min_never_underestimates(spark, user_ids):
+    """CMS guarantee 1 (structural): est >= exact for every tracked
+    key, on arbitrary key distributions — including heavy collisions
+    when many distinct keys fold into w=64 buckets."""
+    sf = _stage_events(spark, user_ids)
+    out = {
+        r["user_id"]: r
+        for r in q_sketch_count_min(spark, sf).collect()
+    }
+    from collections import Counter
+
+    exact = Counter(u for u in user_ids if u < CMS_TRACKED)
+    assert set(out) == set(exact)
+    for uid, cnt in exact.items():
+        row = out[uid]
+        assert row["exact_cnt"] == cnt
+        assert row["est_cnt"] >= cnt, (uid, row)
+        assert row["never_under"] is True
+        # eps bound as reported must agree with its own definition
+        assert row["within_eps"] == (
+            (row["est_cnt"] - cnt) * CMS_W <= 2 * len(user_ids)
+        )
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_ids=_user_ids)
+def test_key_skew_profile_matches_model(spark, user_ids):
+    """Skew profile: top-K keys by count (ties → smaller key), exact
+    integer shares."""
+    sf = _stage_events(spark, user_ids)
+    rows = q_dq_key_skew(spark, sf).collect()
+    from collections import Counter
+
+    exact = Counter(user_ids)
+    expect = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(r["user_id"], r["cnt"]) for r in rows]
+    assert got == expect
+    total, n_keys = len(user_ids), len(exact)
+    for r in rows:
+        assert r["share_ppm"] == r["cnt"] * 1_000_000 // total
+        assert r["x_mean_pct"] == r["cnt"] * n_keys * 100 // total
