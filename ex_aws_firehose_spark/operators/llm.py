@@ -3014,3 +3014,74 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         (F.sum("lp") * 1.0 / F.count("*")).alias("mean_log2p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-QA: norm-outlier audit
+# ---------------------------------------------------------------------------
+
+NORM_OUTLIER_Z2 = 9  # flag |z| > 3, tested as z² > 9 in exact integers
+
+
+@query(
+    "q_embed_norm_outliers",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id, CAST(label AS INTEGER) AS label,
+               CAST(FLOOR({duck_dot('embedding', 'embedding')} * 1000)
+                    AS BIGINT) AS qn
+        FROM embeddings
+    ),
+    s AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qn) AS BIGINT) AS s_qn,
+               CAST(SUM(qn * qn) AS BIGINT) AS q_qn
+        FROM q GROUP BY label
+    )
+    SELECT s.label, s.n, s.s_qn,
+           CAST(SUM(CASE WHEN (s.n * q.qn - s.s_qn)
+                              * (s.n * q.qn - s.s_qn)
+                              > {NORM_OUTLIER_Z2}
+                                * (s.n * s.q_qn - s.s_qn * s.s_qn)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM q JOIN s USING (label)
+    GROUP BY s.label, s.n, s.s_qn
+    """,
+    tags=("llm", "embedding", "dq"),
+)
+def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-QA norm audit: per cluster label, how many vectors'
+    squared norms sit more than 3σ from the label mean — the cheap
+    screen for dead (≈0-norm) and exploded vectors that poison cosine
+    ANN indexes and centroid training, run before any index build.
+
+    The z-test is EXACT integer arithmetic end-to-end: squared norms
+    milli-quantized (FLOOR(‖e‖²·1000), the q_embed_centroid trick),
+    then (n·qn − S)² > 9·(n·Q − S²) by cross-multiplication — no
+    float mean/std whose last bit could differ cross-engine.
+
+    100 TB shape: one map pass computes qn per vector (fold, no
+    shuffle); label stats are a tiny agg joined back broadcast; the
+    flag pass is map-side again — two scans, zero fact-scale
+    shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.floor(dot("embedding", "embedding") * 1000)
+        .cast("long")
+        .alias("qn"),
+    )
+    s = q.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("qn").alias("s_qn"),
+        F.sum(F.col("qn") * F.col("qn")).alias("q_qn"),
+    )
+    j = q.join(F.broadcast(s), "label")
+    dev = F.col("n") * F.col("qn") - F.col("s_qn")
+    is_out = dev * dev > NORM_OUTLIER_Z2 * (
+        F.col("n") * F.col("q_qn") - F.col("s_qn") * F.col("s_qn")
+    )
+    return j.groupBy("label", "n", "s_qn").agg(
+        F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers")
+    )

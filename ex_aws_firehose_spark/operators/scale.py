@@ -1254,7 +1254,11 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: writing z-ordered files is repartitionByRange on the
     z-code (one range shuffle, same cost as any sorted write); the
-    audit itself is one hash agg at bucket grain. The payoff column is
+    audit itself is one hash agg at bucket grain. The global ntile
+    window here exists to make bucket boundaries bit-deterministic for
+    the oracle diff — a production audit derives buckets from the
+    actual file boundaries (one row per file from the parquet footer),
+    which needs no global sort at all. The payoff column is
     rows_scanned: zonemap pruning is the difference between scanning
     the probe's ~1/32 of files and scanning them all."""
     base = load_table(spark, sf_dir, "events").select(
