@@ -1280,3 +1280,59 @@ def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").alias("n_events"),
     )
+
+
+@query(
+    "q_stream_rocksdb_state",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "stateful", "rocksdb"),
+)
+def q_stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming on the PRODUCTION state backend: the same
+    exact-dedup + per-type count pipeline as q_stream_dedup, but with
+    the RocksDB state-store provider and CHANGELOG CHECKPOINTING —
+    state lives off-heap/on-disk per shuffle partition (bounded
+    executor memory however many keys accumulate) and each commit
+    uploads only the batch's delta instead of a full snapshot. This is
+    the configuration a 100 TB/day deployment runs; the default
+    HDFS-backed in-memory provider (every other stream key here) is
+    the dev/small-state path. Results must be provider-independent —
+    exactly what the oracle checks.
+
+    State sizing at scale: |state| = |distinct ids inside the
+    watermark|; RocksDB spills to local SSD, so the bound is disk, not
+    heap — pair with dropDuplicatesWithinWatermark for eviction
+    (q_stream_dedup_watermarked)."""
+    src = _parity_events_dir(spark, sf_dir)
+    confs = {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": "true",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_TS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count("*").alias("n_unique"))
+        )
+        out = _run_to_memory(stream, mode="complete")
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+            else:
+                spark.conf.unset(k)
+    return out
