@@ -136,6 +136,21 @@ PICKS = {
         "Bigram stream generated per-row (zip_with, zero shuffle); "
         "scoring joins two count tables — AQE broadcasts the Zipf head."
     ),
+    "q_recursive_cte": (
+        "WITH RECURSIVE plans as the native UnionLoop operator "
+        "(plan-gated) — per-step self-join to the empty-step fixpoint, "
+        "no driver-side unrolling."
+    ),
+    "q_embed_norm_outliers": (
+        "Milli-quantized ||e||^2 is a map-only fold; label stats join "
+        "back broadcast; the 3-sigma flag is exact-integer "
+        "cross-multiplication — zero fact-scale shuffles."
+    ),
+    "q_udf_sql_body": (
+        "The SQL-body function inlines at analysis time: the plan is "
+        "identical to writing the expression inline — one partial+final "
+        "HashAggregate over the scan, no Python operator."
+    ),
 }
 
 

@@ -2243,3 +2243,75 @@ def q_udf_sql_body(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+# Band width for the keyless range join: 2 minutes, in microseconds.
+RANGE_BUCKET_US = 120_000_000
+
+
+@query(
+    "q_join_range_bucketed",
+    oracle=EVENTS_US
+    + """
+    SELECT a.event_id,
+           CAST(COUNT(*) AS BIGINT) AS n_following,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_users
+    FROM events_us a JOIN events_us b
+      ON b.ts > a.ts AND b.ts <= a.ts + INTERVAL 2 MINUTE
+    WHERE a.event_type = 'error'
+    GROUP BY a.event_id
+    """,
+    tags=("relational", "join", "range"),
+)
+def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYLESS range join made scalable by time bucketing: every error
+    event joined to ALL events (any user) in the 2 minutes after it —
+    the error-burst correlation query. With no equi key, Spark plans a
+    naive band join as a BroadcastNestedLoopJoin (O(n·m) compares);
+    the fix is the bucketed-range pattern every interval-join engine
+    uses under the hood: quantize time into band-width buckets, explode
+    the probe side to its two overlapping buckets {b, b+1}, equi-join
+    on bucket, and apply the exact band as a post-join filter. Compares
+    drop from |A|·|B| to Σ per-bucket products — and it scales by
+    shuffling on a high-cardinality key instead of broadcasting a
+    table. Plan-gated: the join must be a hash/merge equi join.
+
+    100 TB shape: bucket width = band width keeps the probe fan-out at
+    exactly 2 and each event's candidates to two buckets' worth of
+    rows; skewed (bursty) buckets split under AQE like any hot hash
+    key. q_join_range_theta is the KEYED variant (user_id carries the
+    band); this is the fallback when no key exists."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    w = F.lit(RANGE_BUCKET_US).cast("long")
+    err = (
+        e.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("a_id"),
+            F.col("us").alias("a_us"),
+            F.explode(
+                F.array(
+                    F.expr(f"us div {RANGE_BUCKET_US}"),
+                    F.expr(f"us div {RANGE_BUCKET_US}") + 1,
+                )
+            ).alias("bucket"),
+        )
+    )
+    oth = e.select(
+        F.col("user_id").alias("b_user"),
+        F.col("us").alias("b_us"),
+        F.expr(f"us div {RANGE_BUCKET_US}").alias("bucket"),
+    )
+    return (
+        err.join(oth, "bucket")
+        .filter(
+            (F.col("b_us") > F.col("a_us"))
+            & (F.col("b_us") <= F.col("a_us") + w)
+        )
+        .groupBy(F.col("a_id").alias("event_id"))
+        .agg(
+            F.count("*").alias("n_following"),
+            F.countDistinct("b_user").alias("n_users"),
+        )
+    )

@@ -478,3 +478,11 @@ def test_recursive_cte_stays_jvm_side(spark, sf_dir):
     # The recursion must plan as the native loop operator, not a
     # driver-side unrolling.
     assert "UnionLoop" in physical_plan(df), physical_plan(df)
+
+
+def test_range_bucketed_join_is_equi_not_bnlj(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_join_range_bucketed"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
