@@ -113,3 +113,48 @@ def test_key_skew_profile_matches_model(spark, user_ids):
     for r in rows:
         assert r["share_ppm"] == r["cnt"] * 1_000_000 // total
         assert r["x_mean_pct"] == r["cnt"] * n_keys * 100 // total
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(user_ids=_user_ids)
+def test_transition_matrix_rows_sum_to_bigram_total(spark, user_ids):
+    """Transition counts partition the bigram stream: summing n over
+    the matrix equals (rows - distinct users), and per-row ppm never
+    exceeds 1e6."""
+    from ex_aws_firehose_spark.operators.analytics import (
+        q_funnel_transition_matrix,
+    )
+
+    sf = _stage_events(spark, user_ids)
+    rows = q_funnel_transition_matrix(spark, sf).collect()
+    n_bigrams = len(user_ids) - len(set(user_ids))
+    assert sum(r["n"] for r in rows) == n_bigrams
+    for r in rows:
+        assert 0 <= r["prob_ppm"] <= 1_000_000
+
+
+def test_morton_code_is_injective_on_domain(spark):
+    """The z-code must be a bijection on the (12-bit user, 5-bit day)
+    domain — a collision would silently merge zone-map cells."""
+    from ex_aws_firehose_spark.operators.scale import (
+        Z_DAY_BITS,
+        Z_USER_BITS,
+        _morton_sql,
+    )
+
+    expr = _morton_sql("u", "d", divop="div")
+    df = spark.sql(
+        f"""
+        SELECT COUNT(*) AS n, COUNT(DISTINCT z) AS nz FROM (
+            SELECT explode(sequence(0, {(1 << 10) - 1})) AS u
+        ) CROSS JOIN LATERAL (
+            SELECT explode(sequence(0, {(1 << Z_DAY_BITS) - 1})) AS d
+        ) LATERAL VIEW explode(array({expr})) t AS z
+        """
+    )
+    r = df.collect()[0]
+    assert r["n"] == r["nz"], "Morton code collided"
