@@ -602,7 +602,7 @@ def src_format_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 PYDS_PARTITIONS = 4
-PYDS_ROWS_PER_PART = 5000
+PYDS_ROWS_PER_PART = 1000
 _PYDS_LEVELS = ("debug", "info", "warn", "error")
 
 
