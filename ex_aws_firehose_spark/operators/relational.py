@@ -2315,3 +2315,78 @@ def q_join_range_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("b_user").alias("n_users"),
         )
     )
+
+
+# Nearest-direction as-of tolerance: 12 hours, in microseconds.
+ASOF_NEAREST_TOL_US = 43_200_000_000
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle=EVENTS_US
+    + f"""
+    SELECT o.o_orderkey, near.event_id AS nearest_event_id,
+           near.dist_us
+    FROM orders o
+    LEFT JOIN LATERAL (
+        SELECT e.event_id,
+               CAST(abs(epoch_us(e.ts) - epoch_us(o.o_orderdate))
+                    AS BIGINT) AS dist_us
+        FROM events_us e
+        WHERE e.user_id = o.o_custkey
+          AND abs(epoch_us(e.ts) - epoch_us(o.o_orderdate))
+              <= {ASOF_NEAREST_TOL_US}
+        ORDER BY dist_us, e.event_id
+        LIMIT 1
+    ) near ON TRUE
+    """,
+    tags=("relational", "join", "asof"),
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, NEAREST direction with tolerance (the pandas
+    merge_asof direction='nearest' semantic): each order matched to
+    the temporally closest event of its customer within ±12 h, in
+    either direction — NULL when nothing falls inside the band. Ties
+    at equal distance break on event_id, so the match is total-order
+    deterministic. The backward-only form is q_join_asof; nearest is
+    what sensor alignment and price-mark matching actually want.
+
+    Plan: equi join on the user key with the tolerance band as an
+    in-join filter (never BNLJ), then one min(struct(dist, id, …))
+    map-side argmin per order — candidates shuffle once, one row per
+    order survives. 100 TB: identical shape to q_attribution_last_touch;
+    the tolerance bounds candidate fan-out per probe row."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        # o_orderdate is TIMESTAMP_NTZ (UTC wall clock); cast under the
+        # pinned UTC session zone = same instant, unix_micros-able.
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("o_us"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("e_user"),
+        F.col("event_id"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    dist = F.abs(F.col("e_us") - F.col("o_us"))
+    j = o.join(
+        e,
+        (F.col("o_custkey") == F.col("e_user"))
+        & (dist <= ASOF_NEAREST_TOL_US),
+        "left",
+    )
+    best = j.groupBy("o_orderkey").agg(
+        F.min(
+            F.when(
+                F.col("event_id").isNotNull(),
+                F.struct(
+                    dist.alias("dist_us"), F.col("event_id").alias("event_id")
+                ),
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "o_orderkey",
+        F.col("b.event_id").alias("nearest_event_id"),
+        F.col("b.dist_us").alias("dist_us"),
+    )
