@@ -3085,3 +3085,134 @@ def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("label", "n", "s_qn").agg(
         F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-QA: per-dimension variance (dead-dimension audit)
+# ---------------------------------------------------------------------------
+
+DIM_DEAD_VAR_MICRO = 10_000  # flag dims with variance < 0.01 (micro units)
+
+
+@query(
+    "q_embed_dim_variance",
+    oracle=f"""
+    WITH p AS (
+        SELECT generate_subscripts(embedding, 1) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS qv
+        FROM embeddings
+    ),
+    s AS (
+        SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(qv) AS BIGINT) AS s1,
+               CAST(SUM(qv * qv) AS BIGINT) AS s2
+        FROM p GROUP BY pos
+    )
+    SELECT CAST(pos AS INTEGER) AS pos, n,
+           CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_micro,
+           (n * s2 - s1 * s1) // (n * n) < {DIM_DEAD_VAR_MICRO}
+               AS is_dead
+    FROM s
+    """,
+    tags=("llm", "embedding", "dq"),
+)
+def q_embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-QA per-DIMENSION variance audit: milli-quantized
+    variance of every embedding coordinate across the corpus, flagging
+    near-constant ("dead") dimensions — the complement of the per-
+    vector norm audit (q_embed_norm_outliers). Dead dims waste index
+    space and shrink effective dimensionality (a truncated-training or
+    zero-padded-export bug shows up here first, before recall drops).
+    Variance is the exact integer (n·Σx² − (Σx)²) / n² in milli-unit²
+    (micro) — floor division, engine-identical.
+
+    100 TB shape: posexplode is the one fan-out (rows × dims), feeding
+    a map-side-combined agg to |dims| rows — the same shape as
+    q_embed_centroid; nothing else shuffles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    p = e.select(
+        F.posexplode("embedding").alias("pos0", "v")
+    ).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.floor(F.col("v").cast("double") * 1000).cast("long").alias("qv"),
+    )
+    s = p.groupBy("pos").agg(
+        F.count("*").alias("n"),
+        F.sum("qv").alias("s1"),
+        F.sum(F.col("qv") * F.col("qv")).alias("s2"),
+    )
+    var_micro = F.expr("(n * s2 - s1 * s1) div (n * n)")
+    return s.select(
+        F.col("pos").cast("int").alias("pos"),
+        "n",
+        var_micro.alias("var_micro"),
+        (var_micro < DIM_DEAD_VAR_MICRO).alias("is_dead"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram novelty (within-corpus memorization signal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(t) - 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+               ))) AS s
+        FROM toks WHERE len(t) >= 3
+    ),
+    df AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS docs FROM sh GROUP BY s
+    )
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN df.docs = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel,
+           CAST(SUM(CASE WHEN df.docs = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN df ON df.s = sh.s
+    GROUP BY sh.doc_id
+    """,
+    tags=("llm", "text", "dedup"),
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-corpus 3-gram NOVELTY per doc: the fraction of a doc's
+    distinct shingles that appear in NO other document — the
+    memorization/boilerplate axis (novelty ≈ 0 means the doc is
+    assembled from corpus-common phrasing: template spam or a near-dup
+    that slipped every pair-based dedup; novelty ≈ 1 means unique
+    content). The inverse view of q_contamination_ngram, turned inward
+    and made per-document.
+
+    100 TB shape: shingle document-frequency is one map-side-combined
+    agg; scoring joins the per-doc shingle stream back to it (Zipf
+    head broadcasts under AQE). Shingles live once in the df table —
+    the same shared-frame economics as the dedup family."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.filter(F.size(tokens("text")) >= 3)
+        .select("doc_id", F.explode(shingles(tokens("text"))).alias("s"))
+    )
+    df_tbl = sh.groupBy("s").agg(F.count("*").alias("docs"))
+    novel = F.when(F.col("docs") == 1, 1).otherwise(0)
+    return (
+        sh.join(df_tbl, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.expr(
+                "sum(case when docs = 1 then 1 else 0 end) * 1000000 "
+                "div count(*)"
+            ).alias("novelty_ppm"),
+        )
+    )

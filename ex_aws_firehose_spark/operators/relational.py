@@ -2390,3 +2390,187 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.event_id").alias("nearest_event_id"),
         F.col("b.dist_us").alias("dist_us"),
     )
+
+
+@query(
+    "q_agg_mode",
+    oracle=EVENTS_US
+    + """
+    , c AS (
+        SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events_us GROUP BY user_id, event_type
+    ),
+    r AS (
+        SELECT user_id, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY n DESC, event_type) AS rn
+        FROM c
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_n
+    FROM r WHERE rn = 1
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent event type per
+    user, ties broken by the smaller type string. Spark's built-in
+    ``mode()`` is tie-NONDETERMINISTIC (hash-order dependent), which a
+    differential gate can never accept — so the operator is built as
+    count + max(struct(n, type)) argmax, the same two-level-aggregate
+    shape the engine would run anyway, with the tie-break explicit.
+
+    100 TB shape: two hash aggregates ((user, type) then user), both
+    map-side combined; nothing sorts."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    # argmax with min-string tie-break: order on (n, negated-ordering
+    # trick unavailable for strings) — use max of (n, reversed rank) via
+    # struct with the type compared DESCENDING is wrong; instead take
+    # min over (-n, type).
+    best = c.groupBy("user_id").agg(
+        F.min(
+            F.struct(
+                (-F.col("n")).alias("neg_n"), F.col("event_type").alias("t")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "user_id",
+        F.col("b.t").alias("mode_type"),
+        (-F.col("b.neg_n")).alias("mode_n"),
+    )
+
+
+@query(
+    "q_window_percent_change",
+    oracle=EVENTS_US
+    + """
+    , daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events_us GROUP BY event_type, CAST(ts AS DATE)
+    )
+    SELECT event_type, day, cents,
+           LAG(cents) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev_cents,
+           CASE WHEN LAG(cents) OVER (PARTITION BY event_type
+                                      ORDER BY day) > 0
+                THEN (cents - LAG(cents) OVER (PARTITION BY event_type
+                                               ORDER BY day)) * 10000
+                     // LAG(cents) OVER (PARTITION BY event_type
+                                         ORDER BY day)
+           END AS change_bps
+    FROM daily
+    """,
+    tags=("relational", "window", "timeseries"),
+)
+def q_window_percent_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period change: daily revenue per event type with
+    the previous day's value and the day-over-day change in BASIS
+    POINTS — floor-divided exact integers, so the BI-dashboard number
+    is bit-identical cross-engine (a float percent here would hash-
+    diverge on ties). NULL change on the first day and on zero bases
+    (three-valued logic preserved).
+
+    100 TB shape: the daily rollup is a map-side-combined agg to
+    |types|×|days| rows; the lag window then runs on that TINY frame —
+    the window never touches fact-scale data."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("cents").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "cents",
+        prev.alias("prev_cents"),
+        F.when(
+            prev > 0,
+            F.expr(
+                "(cents - lag(cents) over (partition by event_type "
+                "order by day)) * 10000 div lag(cents) over "
+                "(partition by event_type order by day)"
+            ),
+        ).alias("change_bps"),
+    )
+
+
+# Benford expected first-digit frequencies in ppm (log10(1+1/d)).
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+@query(
+    "q_dq_benford",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM orders
+        WHERE o_totalprice > 0
+    ),
+    c AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+    exp AS (
+        SELECT unnest([1,2,3,4,5,6,7,8,9]) AS digit,
+               unnest({list(BENFORD_PPM)}) AS expected_ppm
+    )
+    SELECT e.digit,
+           COALESCE(c.n, 0) AS n,
+           COALESCE(c.n, 0) * 1000000 // t.total AS observed_ppm,
+           CAST(e.expected_ppm AS BIGINT) AS expected_ppm,
+           abs(COALESCE(c.n, 0) * 1000000 // t.total - e.expected_ppm)
+               AS abs_dev_ppm
+    FROM exp e LEFT JOIN c ON c.digit = e.digit CROSS JOIN tot t
+    """,
+    tags=("relational", "dq"),
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals: observed vs
+    expected leading-digit frequencies (log₁₀(1+1/d), the public
+    constants), deviation in exact ppm — the classic fraud /
+    synthetic-data / unit-mixup tripwire (a uniform generator or a
+    currency mixed at 100× shifts the digit histogram far beyond
+    Benford deviation). First digits are taken from exact integer
+    cents, so binary float formatting can never flip a digit.
+
+    100 TB shape: one map-side-combined agg to ≤9 rows + a 9-row
+    broadcast of the expected table — the audit costs a scan."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").cast("string"),
+        1,
+        1,
+    ).cast("long")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    tot = F.broadcast(c.agg(F.sum("n").alias("total")))
+    exp = F.broadcast(
+        spark.createDataFrame(
+            [(i + 1, p) for i, p in enumerate(BENFORD_PPM)],
+            "digit long, expected_ppm long",
+        )
+    )
+    return (
+        exp.join(c, "digit", "left")
+        .crossJoin(tot)
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.expr(
+                "coalesce(n, 0) * 1000000 div total"
+            ).alias("observed_ppm"),
+            "expected_ppm",
+            F.abs(
+                F.expr("coalesce(n, 0) * 1000000 div total")
+                - F.col("expected_ppm")
+            ).alias("abs_dev_ppm"),
+        )
+    )
