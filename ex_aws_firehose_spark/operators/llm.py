@@ -3216,3 +3216,95 @@ def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D grid proximity join (spatial-join pattern)
+# ---------------------------------------------------------------------------
+
+GRID_EPS_MILLI = 50  # ε = 0.05 in milli-quantized units; cell width = ε
+
+
+@query(
+    "q_sim_grid_join_2d",
+    oracle=f"""
+    WITH p AS (
+        SELECT vec_id,
+               CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+                   AS x,
+               CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+                   AS y
+        FROM embeddings
+    )
+    SELECT a.vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_neighbors
+    FROM p a JOIN p b
+      ON b.vec_id <> a.vec_id
+     AND abs(a.x - b.x) <= {GRID_EPS_MILLI}
+     AND abs(a.y - b.y) <= {GRID_EPS_MILLI}
+    GROUP BY a.vec_id
+    """,
+    tags=("llm", "similarity", "spatial"),
+)
+def q_sim_grid_join_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D GRID proximity join — the spatial-join pattern on the first
+    two embedding coordinates: neighbors within an ε-box, found by
+    quantizing the plane into ε-wide grid cells, exploding the probe
+    side to its 3×3 neighbor cells, equi-joining on cell id, and
+    applying the exact box as a post-join filter. Each candidate pair
+    is generated exactly once (the build point's own cell is unique).
+    This is how every distributed spatial engine (and DBSCAN's
+    neighbor search) avoids the O(n²) distance join; the 1-D version
+    is q_join_range_bucketed. Output: per-point neighbor count (the
+    DBSCAN core-point signal).
+
+    100 TB shape: shuffles on the (cx, cy) cell key — high-cardinality
+    and AQE-splittable where density clusters; probe fan-out is a
+    constant 9. Coordinates are milli-quantized integers end-to-end,
+    so cell assignment and the box test are engine-exact."""
+    e = load_table(spark, sf_dir, "embeddings")
+    p = e.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    eps = GRID_EPS_MILLI
+    cell = lambda c: F.expr(f"{c} div {eps}")  # noqa: E731
+    probe = p.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cell("x") + dx).alias("cx"),
+                        (cell("y") + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("c"),
+    ).select("a_id", "ax", "ay", "c.cx", "c.cy")
+    build = p.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+    )
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(
+            (F.col("b_id") != F.col("a_id"))
+            & (F.abs(F.col("ax") - F.col("bx")) <= eps)
+            & (F.abs(F.col("ay") - F.col("by")) <= eps)
+        )
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_neighbors"))
+    )

@@ -486,3 +486,36 @@ def test_range_bucketed_join_is_equi_not_bnlj(spark, sf_dir):
     plan = physical_plan(REGISTRY["q_join_range_bucketed"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_benford_expected_table_broadcasts(spark, sf_dir):
+    df = REGISTRY["q_dq_benford"].fn(spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_percent_change_window_not_on_fact(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_window_percent_change"].fn(spark, sf_dir))
+    # The lag window must consume the daily aggregate, never the raw
+    # fact scan. Printed top-down, the correct plan shows Window ABOVE
+    # HashAggregate; a window pushed onto the fact side would print the
+    # final aggregate above the window.
+    assert "Window" in plan and "HashAggregate" in plan
+    assert plan.index("Window") < plan.index("HashAggregate"), plan
+
+
+def test_ngram_novelty_no_cartesian(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_text_ngram_novelty"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_grid_join_2d_is_cell_equi_not_product(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sim_grid_join_2d"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
