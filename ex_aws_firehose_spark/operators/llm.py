@@ -642,9 +642,34 @@ def star_components(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     endpoint sum — each star op only ever lowers endpoints, so an
     unchanged pair ⇔ fixpoint), no data collect."""
     pairs = q_dedup_minhash(spark, sf_dir)
-    und = (
-        pairs.selectExpr("doc_a AS a", "doc_b AS b").distinct().localCheckpoint()
+    return star_components_from_edges(
+        pairs.selectExpr("doc_a AS a", "doc_b AS b")
     )
+
+
+def star_components_from_edges(und_pairs: DataFrame) -> tuple[DataFrame, int]:
+    """Generic alternating large-star/small-star loop over an
+    undirected (a, b) pair frame — the graph-agnostic core of
+    star_components, reused by q_dbscan_clusters for core-point
+    clustering. Returns (labels(doc_id, label), n_rounds); nodes with
+    no edges are absent (callers union isolated nodes back).
+
+    The candidate-edge frame is micro-batch-sized by construction
+    (LSH candidates / core ε-edges, not the corpus), so the loop runs
+    under a scoped shuffle-partition count of 8 — per-round task
+    overhead, not data volume, dominates this stage's wall-clock. At
+    true scale raise it with the edge count (the knob is one conf)."""
+    spark = und_pairs.sparkSession
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _star_loop(und_pairs)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _star_loop(und_pairs: DataFrame) -> tuple[DataFrame, int]:
+    und = und_pairs.selectExpr("a", "b").distinct().localCheckpoint()
     prev = None
     rounds = 0
     for _ in range(STAR_MAX_ROUNDS):
@@ -668,9 +693,13 @@ def star_components(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
                         m.select(F.col("u").alias("a"), F.col("m").alias("b"))
                     )
                 )
-            und = (
-                new.filter(F.col("a") != F.col("b")).distinct().localCheckpoint()
-            )
+            # Truncate lineage once per ROUND (after small-star): the
+            # large-star intermediate stays lazy, halving per-round
+            # materializations; two star ops of lineage is shallow
+            # enough for Catalyst.
+            und = new.filter(F.col("a") != F.col("b")).distinct()
+            if not large:
+                und = und.localCheckpoint()
         rounds += 1
         cur = und.agg(
             F.count("*").alias("n"), F.sum(F.col("a") + F.col("b")).alias("s")
@@ -3307,4 +3336,201 @@ def q_sim_grid_join_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a_id").alias("vec_id"))
         .agg(F.count("*").alias("n_neighbors"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN (grid neighbors → core points → star-CC clusters → borders)
+# ---------------------------------------------------------------------------
+
+DBSCAN_EPS_MILLI = 25
+DBSCAN_MINPTS = 4
+
+
+@query(
+    "q_dbscan_clusters",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+        SELECT vec_id,
+               CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)
+                   AS x,
+               CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)
+                   AS y
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM p a JOIN p b
+          ON a.vec_id < b.vec_id
+         AND abs(a.x - b.x) <= {DBSCAN_EPS_MILLI}
+         AND abs(a.y - b.y) <= {DBSCAN_EPS_MILLI}
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM (
+            SELECT va AS v FROM pairs UNION ALL SELECT vb FROM pairs
+        ) GROUP BY v
+    ),
+    core AS (SELECT v FROM deg WHERE n >= {DBSCAN_MINPTS}),
+    ce AS (
+        SELECT va, vb FROM pairs
+        WHERE va IN (SELECT v FROM core) AND vb IN (SELECT v FROM core)
+    ),
+    edges AS (SELECT va AS src, vb AS dst FROM ce
+              UNION SELECT vb, va FROM ce),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    linked AS (
+        SELECT src AS v, LEAST(src, MIN(dst)) AS cid
+        FROM reach GROUP BY src
+    ),
+    members AS (
+        SELECT v, cid FROM linked
+        UNION ALL
+        SELECT v, v AS cid FROM core
+        WHERE v NOT IN (SELECT v FROM linked)
+    ),
+    border_cand AS (
+        SELECT pr.va AS nc, m.cid FROM pairs pr
+        JOIN members m ON m.v = pr.vb
+        WHERE pr.va NOT IN (SELECT v FROM core)
+        UNION ALL
+        SELECT pr.vb AS nc, m.cid FROM pairs pr
+        JOIN members m ON m.v = pr.va
+        WHERE pr.vb NOT IN (SELECT v FROM core)
+    ),
+    border AS (
+        SELECT nc, MIN(cid) AS cid FROM border_cand GROUP BY nc
+    )
+    SELECT m.cid AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_core,
+           CAST(COALESCE(MAX(b.n_border), 0) AS BIGINT) AS n_border
+    FROM members m
+    LEFT JOIN (
+        SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_border
+        FROM border GROUP BY cid
+    ) b ON b.cid = m.cid
+    GROUP BY m.cid, b.n_border
+    """,
+    tags=("llm", "similarity", "clustering", "iterative"),
+)
+def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density clustering over the 2-D embedding projection,
+    composed ENTIRELY from this engine's proven scale pieces: ε-grid
+    cell join for neighbor counts (the q_sim_grid_join_2d pattern) →
+    core points (≥ {DBSCAN_MINPTS} neighbors) → connected components
+    over core-core ε-edges via the diameter-independent large-star/
+    small-star loop (star_components_from_edges) → border points
+    assigned to their MIN core-neighbor's cluster (deterministic, where
+    textbook DBSCAN says "arbitrary"). Output: one row per cluster
+    with core and border counts.
+
+    100 TB shape: every stage is a bucketed equi-join or hash agg —
+    neighbor search never goes O(n²), and the component loop converges
+    in O(log n) rounds regardless of cluster diameter (density-chained
+    clusters are exactly the long-diameter case label propagation
+    loses). The DuckDB oracle is the quadratic recursive closure —
+    viable only at test SF, which is precisely why the engine side
+    iterates. Isolated cores (no core neighbor) form singleton
+    clusters on both sides."""
+    e = load_table(spark, sf_dir, "embeddings")
+    p = e.select(
+        "vec_id",
+        F.floor(F.element_at("embedding", 1).cast("double") * 1000)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.element_at("embedding", 2).cast("double") * 1000)
+        .cast("long")
+        .alias("y"),
+    )
+    eps = DBSCAN_EPS_MILLI
+    cell = lambda c: F.expr(f"{c} div {eps}")  # noqa: E731
+    probe = p.select(
+        F.col("vec_id").alias("va"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (cell("x") + dx).alias("cx"),
+                        (cell("y") + dy).alias("cy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ]
+            )
+        ).alias("c"),
+    ).select("va", "ax", "ay", "c.cx", "c.cy")
+    build = p.select(
+        F.col("vec_id").alias("vb"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        cell("x").alias("cx"),
+        cell("y").alias("cy"),
+    )
+    pairs = (
+        probe.join(build, ["cx", "cy"])
+        .filter(
+            (F.col("va") < F.col("vb"))
+            & (F.abs(F.col("ax") - F.col("bx")) <= eps)
+            & (F.abs(F.col("ay") - F.col("by")) <= eps)
+        )
+        .select("va", "vb")
+        .localCheckpoint()
+    )
+    deg = (
+        pairs.select(F.col("va").alias("v"))
+        .unionAll(pairs.select(F.col("vb").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n"))
+    )
+    core = deg.filter(F.col("n") >= DBSCAN_MINPTS).select("v").localCheckpoint()
+    ce = (
+        pairs.join(core.withColumnRenamed("v", "va"), "va", "left_semi")
+        .join(core.withColumnRenamed("v", "vb"), "vb", "left_semi")
+        .select("va", "vb")
+    )
+    labels, _ = star_components_from_edges(
+        ce.selectExpr("va AS a", "vb AS b")
+    )
+    linked = labels.select(
+        F.col("doc_id").alias("v"), F.col("label").alias("cid")
+    )
+    members = linked.unionByName(
+        core.join(linked, core.v == linked.v, "left_anti").select(
+            F.col("v"), F.col("v").alias("cid")
+        )
+    ).localCheckpoint()
+    # Border: non-core point with >= 1 core neighbor, assigned to the
+    # MIN neighboring cluster id (deterministic).
+    bc1 = (
+        pairs.join(members.withColumnRenamed("v", "vb"), "vb")
+        .join(core.withColumnRenamed("v", "va"), "va", "left_anti")
+        .select(F.col("va").alias("nc"), "cid")
+    )
+    bc2 = (
+        pairs.join(members.withColumnRenamed("v", "va"), "va")
+        .join(core.withColumnRenamed("v", "vb"), "vb", "left_anti")
+        .select(F.col("vb").alias("nc"), "cid")
+    )
+    border = (
+        bc1.unionByName(bc2).groupBy("nc").agg(F.min("cid").alias("cid"))
+    )
+    n_border = border.groupBy("cid").agg(F.count("*").alias("n_border"))
+    return (
+        members.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(F.count("*").alias("n_core"))
+        .join(
+            n_border.withColumnRenamed("cid", "cluster_id"),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "cluster_id",
+            "n_core",
+            F.coalesce("n_border", F.lit(0)).alias("n_border"),
+        )
     )
