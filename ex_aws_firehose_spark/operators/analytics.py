@@ -695,3 +695,240 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("attributed_cents"),
         )
     )
+
+
+# EWMA kernel: dyadic weights 2^(K-1-j) for lag j — α=1/2 smoothing
+# truncated to K terms, exact in 64-bit integers in both engines.
+EWMA_K = 8
+EWMA_W = [1 << (EWMA_K - 1 - j) for j in range(EWMA_K)]
+
+
+def _ewma_terms(col: str, j: int) -> str:
+    """SQL for one weighted lag term (oracle side)."""
+    w = EWMA_W[j]
+    lag = col if j == 0 else f"LAG({col}, {j}) OVER uw"
+    return (
+        f"COALESCE({lag} * {w}, 0)",
+        f"CASE WHEN {lag} IS NOT NULL THEN {w} ELSE 0 END",
+    )
+
+
+_EWMA_NUM = " + ".join(_ewma_terms("cents", j)[0] for j in range(EWMA_K))
+_EWMA_DEN = " + ".join(_ewma_terms("cents", j)[1] for j in range(EWMA_K))
+
+
+@query(
+    "q_window_ewma",
+    oracle=EVENTS_US
+    + f"""
+    , c AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events_us
+    )
+    SELECT user_id, event_id, cents,
+           CAST({_EWMA_NUM} AS BIGINT) AS ewma_num,
+           CAST({_EWMA_DEN} AS BIGINT) AS ewma_den,
+           CAST(({_EWMA_NUM}) // ({_EWMA_DEN}) AS BIGINT) AS ewma_cents
+    FROM c
+    WINDOW uw AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user — the smoothing
+    primitive behind alerting baselines and trend dashboards. The
+    kernel is α=1/2 truncated to 8 lags with dyadic integer weights
+    (128,64,…,1), so numerator/denominator stay exact 64-bit integers
+    and the ramp-up at each series head renormalizes over the weights
+    actually present (no fabricated zeros before the first sample).
+
+    100 TB shape: one hash partition on user_id + one (ts, event_id)
+    sort serves all 8 lag expressions — Catalyst collapses them into a
+    single Window operator, so the cost is exactly one shuffle of the
+    events table regardless of kernel width. The division is integer
+    `div` (exact, engine-portable), computed map-side after the
+    window."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j, w in enumerate(EWMA_W):
+        lag = F.col("cents") if j == 0 else F.lag("cents", j).over(uw)
+        t = F.coalesce(lag * w, F.lit(0))
+        d = F.when(lag.isNotNull(), F.lit(w)).otherwise(F.lit(0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return e.select(
+        "user_id",
+        "event_id",
+        "cents",
+        num.cast("long").alias("ewma_num"),
+        den.cast("long").alias("ewma_den"),
+    ).withColumn("ewma_cents", F.expr("ewma_num div ewma_den"))
+
+
+@query(
+    "q_timeseries_mad_outliers",
+    oracle=EVENTS_US
+    + """
+    , c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events_us
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2
+        FROM c GROUP BY event_type
+    ),
+    dev AS (
+        SELECT c.event_type, c.cents,
+               abs(2 * c.cents - m.med2) AS dev2, m.med2
+        FROM c JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type,
+               CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        FROM dev GROUP BY event_type
+    )
+    SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           MIN(d.med2) AS med2,
+           MIN(m.mad4) AS mad4
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    """,
+    tags=("analytics", "timeseries", "dq"),
+)
+def q_timeseries_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via median absolute deviation: per
+    event type, flag values with |x − median| > 3·MAD — the standard
+    robust alternative to z-scores (immune to the outliers it hunts).
+    All comparisons run on doubled integers (med2 = 2·median,
+    mad4 = 4·MAD are integral even when interpolation lands on .5), so
+    the verdict `2·dev2 > 3·mad4` is exact integer arithmetic — no
+    float epsilon can flip a flag between engines.
+
+    100 TB shape: two grouped exact-percentile passes over events (the
+    group key has ~5 distinct values, so each agg reduces to a handful
+    of rows) with the tiny medians broadcast back — events itself never
+    shuffles; both joins are map-side. Exact percentile at this group
+    cardinality is a partial-agg of per-partition sorted runs, not a
+    global sort."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    med = e.groupBy("event_type").agg(
+        (F.percentile("cents", 0.5) * 2).cast("long").alias("med2")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(2 * F.col("cents") - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        (F.percentile("dev2", 0.5) * 2).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.min("med2").alias("med2"),
+            F.min("mad4").alias("mad4"),
+        )
+    )
+
+
+# CUSUM alarm threshold: 20 global means of cumulative drift.
+CUSUM_THRESHOLD_MEANS = 20
+
+
+@query(
+    "q_timeseries_cusum",
+    oracle=EVENTS_US
+    + f"""
+    , c AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events_us
+    ),
+    g AS (
+        SELECT CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT) AS mean_ppm
+        FROM c
+    ),
+    cu AS (
+        SELECT c.user_id,
+               SUM(c.cents * 1000000 - g.mean_ppm) OVER (
+                   PARTITION BY c.user_id ORDER BY c.ts, c.event_id
+               ) AS cusum
+        FROM c CROSS JOIN g
+    )
+    SELECT cu.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(abs(cusum)) AS BIGINT) AS max_abs_cusum,
+           CAST(SUM(CASE WHEN abs(cusum) >
+                         {CUSUM_THRESHOLD_MEANS} * g2.mean_ppm
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_over
+    FROM cu CROSS JOIN g g2
+    GROUP BY cu.user_id
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint screen: per user, the running sum of
+    deviations from the global mean (exact ppm integers — cents×10⁶
+    minus the integer-ppm mean), reporting the peak |CUSUM| and how
+    many points exceed a drift alarm of 20 global means. A user whose
+    spend level shifts mid-series accumulates drift linearly and trips
+    the alarm; white noise mean-reverts. This is the classic
+    sequential-detection shape (Page 1954) expressed as one window.
+
+    100 TB shape: the global mean is a 1-row aggregate broadcast via
+    crossJoin (the sanctioned scalar pattern); the cumulative sum is
+    one hash partition on user_id + one (ts, event_id) sort — a single
+    shuffle of events; the final per-user rollup reuses the same
+    partitioning, so AQE coalesces it without a second exchange."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    g = F.broadcast(
+        e.agg(
+            F.expr("CAST(sum(cents) * 1000000 div count(*) AS LONG)").alias(
+                "mean_ppm"
+            )
+        )
+    )
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cu = (
+        e.crossJoin(g)
+        .withColumn(
+            "cusum",
+            F.sum(
+                F.col("cents") * F.lit(1000000) - F.col("mean_ppm")
+            ).over(uw),
+        )
+    )
+    return cu.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max(F.abs("cusum")).alias("max_abs_cusum"),
+        F.sum(
+            F.when(
+                F.abs("cusum")
+                > F.lit(CUSUM_THRESHOLD_MEANS) * F.col("mean_ppm"),
+                1,
+            ).otherwise(0)
+        ).alias("n_over"),
+    )
