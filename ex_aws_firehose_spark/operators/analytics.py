@@ -932,3 +932,72 @@ def q_timeseries_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).alias("n_over"),
     )
+
+
+MIN_PAIR_SUPPORT = 5
+
+
+@query(
+    "q_assoc_brand_pairs",
+    oracle=f"""
+    WITH ob AS (
+        SELECT DISTINCT l.l_orderkey AS okey, p.p_brand AS brand
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM ob a JOIN ob b
+          ON a.okey = b.okey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    ),
+    tot AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n_orders FROM ob)
+    SELECT p.brand_a, p.brand_b, p.support,
+           CAST(p.support * 1000000 // t.n_orders AS BIGINT) AS support_ppm
+    FROM pairs p CROSS JOIN tot t
+    WHERE p.support >= {MIN_PAIR_SUPPORT}
+    """,
+    tags=("analytics", "mining"),
+)
+def q_assoc_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence mining (the Apriori support-count
+    step): brand pairs that appear together in the same order, with
+    absolute support and support-ppm over all orders, thresholded.
+    Brands (25 values) keep the output dense at every scale factor
+    while the join amplification stays bounded by basket width.
+
+    100 TB shape: the part dimension broadcasts into the lineitem scan;
+    the (order, brand) distinct and the pair self-join both hash on
+    l_orderkey, so Catalyst reuses ONE exchange for both sides of the
+    self-join (ReusedExchange) and the pair blow-up is per-basket
+    (≤ C(width,2) rows), never cross-order. The final agg shrinks to
+    ≤ C(25,2) rows — a map-side-combine-dominated reduction."""
+    l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.okey") == F.col("b.okey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= MIN_PAIR_SUPPORT)
+    )
+    tot = F.broadcast(ob.agg(F.countDistinct("okey").alias("n_orders")))
+    return pairs.crossJoin(tot).select(
+        "brand_a",
+        "brand_b",
+        "support",
+        F.expr("support * 1000000 div n_orders").alias("support_ppm"),
+    )

@@ -3534,3 +3534,156 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_border", F.lit(0)).alias("n_border"),
         )
     )
+
+
+# Boilerplate screen: a normalized sentence must recur in this many
+# distinct documents before it is flagged.
+BOILERPLATE_MIN_DOCS = 3
+BOILERPLATE_MIN_CHARS = 20
+
+
+@query(
+    "q_text_boilerplate_lines",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               trim(unnest(str_split(lower(text), '. '))) AS sent
+        FROM documents
+    ),
+    f AS (
+        SELECT DISTINCT doc_id, sent FROM s
+        WHERE length(sent) >= {BOILERPLATE_MIN_CHARS}
+    )
+    SELECT sent,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM f GROUP BY sent
+    HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+    """,
+    tags=("llm", "text"),
+)
+def q_text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: sentences (normalized,
+    ≥20 chars) that recur in ≥3 distinct documents — the repeated
+    header/footer/cookie-banner screen every web-corpus pipeline
+    (C4, RefinedWeb) runs before training, at sentence grain rather
+    than document grain so partial-page duplication is visible.
+
+    100 TB shape: sentence explode is a map; the per-doc DISTINCT and
+    the recurrence count hash on the sentence string — one shuffle
+    whose width is |distinct sentences|, with map-side combine eating
+    the heavy hitters (exactly the rows we are hunting). The HAVING
+    prunes the long tail before any further join; feeding the flagged
+    set back as a broadcast anti-join filter is the removal step
+    (q_contamination_ngram pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    f = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\. ")).alias("raw"),
+        )
+        .select("doc_id", F.trim("raw").alias("sent"))
+        .filter(F.length("sent") >= BOILERPLATE_MIN_CHARS)
+        .distinct()
+    )
+    return (
+        f.groupBy("sent")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
+@query(
+    "q_bpe_merge_round",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source, str_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    pairs AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM toks WHERE len(t) >= 2
+    ),
+    best AS (
+        SELECT pair, COUNT(*) AS n FROM pairs
+        WHERE str_split(pair, ' ')[1] <> str_split(pair, ' ')[2]
+        GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 1
+    ),
+    per_doc AS (
+        SELECT toks.source,
+               len(t) AS tok_before,
+               CASE WHEN len(t) >= 2 THEN
+                   len(list_filter(list_transform(range(1, len(t)),
+                                                  i -> t[i] || ' ' || t[i + 1]),
+                                   p -> p = best.pair))
+               ELSE 0 END AS n_merged
+        FROM toks CROSS JOIN best
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(tok_before) AS BIGINT) AS tokens_before,
+           CAST(SUM(tok_before - n_merged) AS BIGINT) AS tokens_after,
+           CAST(SUM(n_merged) AS BIGINT) AS n_merges
+    FROM per_doc GROUP BY source
+    """,
+    tags=("llm", "text"),
+)
+def q_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One complete BPE training round, fully distributed: count all
+    adjacent token pairs (q_bpe_pair_counts), pick the most frequent
+    merge candidate (deterministic tie-break; self-pairs excluded so
+    occurrence count equals greedy non-overlapping merge count), and
+    apply it — reporting per-source token totals before/after and the
+    number of merges performed. Iterating this operator IS tokenizer
+    training; each round is the same plan over the re-paired corpus.
+
+    100 TB shape: the winning pair is a 1-row TakeOrderedAndProject
+    broadcast back over the corpus via crossJoin (the sanctioned scalar
+    pattern — no driver collect), so the apply step is a pure map:
+    per-doc merge counting is an array filter over the already-built
+    pair array, and the rollup is a tiny per-source hash agg. Nothing
+    but (pair, count) partials and 5 rollup rows ever shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.split(F.lower("text"), " ").alias("t")
+    ).withColumn(
+        "pairs_arr",
+        F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1),"
+                " slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            ),
+        ).otherwise(F.expr("array()")),
+    )
+    best = (
+        toks.select(F.explode("pairs_arr").alias("pair"))
+        .filter(
+            F.expr("split(pair, ' ')[0] <> split(pair, ' ')[1]")
+        )
+        .groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("best_pair"))
+    )
+    per_doc = toks.crossJoin(F.broadcast(best)).select(
+        "source",
+        F.size("t").alias("tok_before"),
+        F.expr(
+            "size(filter(pairs_arr, p -> p = best_pair))"
+        ).alias("n_merged"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tok_before").alias("tokens_before"),
+        F.sum(F.col("tok_before") - F.col("n_merged")).alias("tokens_after"),
+        F.sum("n_merged").alias("n_merges"),
+    )

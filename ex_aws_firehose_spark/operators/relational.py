@@ -2574,3 +2574,122 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_dev_ppm"),
         )
     )
+
+
+@query(
+    "q_pivot_dynamic",
+    oracle="""
+    SELECT CAST(o_custkey % 10 AS BIGINT) AS cust_bucket,
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1 END), 0) AS BIGINT) AS "1-URGENT",
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN 1 END), 0) AS BIGINT) AS "2-HIGH",
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                    THEN 1 END), 0) AS BIGINT) AS "3-MEDIUM",
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                    THEN 1 END), 0) AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(COALESCE(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                    THEN 1 END), 0) AS BIGINT) AS "5-LOW"
+    FROM orders GROUP BY o_custkey % 10
+    """,
+    tags=("relational", "pivot"),
+)
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCOVERED pivot (the q_pivot docstring's "don't do this blind"
+    case done right): when the spread column's domain is unknown, run
+    an explicit distinct-scan FIRST, collect the (small, asserted-
+    bounded) value list to the driver, then declare it to pivot() — two
+    jobs by design, versus the hidden third job Spark schedules when
+    pivot values are omitted. The guard raises rather than pivot an
+    unbounded domain into a million columns.
+
+    100 TB shape: the discovery scan prunes to the single pivot column
+    (columnar scan + partial distinct per partition → tiny shuffle);
+    the pivot itself is one hash agg keyed on the group column with a
+    fixed-width struct of counters — identical plan to the declared
+    q_pivot once the values are known. The driver collect is bounded
+    by the assert (≤ 50 values), the sanctioned scalar-result
+    pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    vals = [
+        r[0]
+        for r in o.select("o_orderpriority").distinct().collect()
+    ]
+    assert len(vals) <= 50, f"pivot domain too wide: {len(vals)}"
+    vals = sorted(vals)
+    return (
+        o.groupBy((F.col("o_custkey") % 10).alias("cust_bucket"))
+        .pivot("o_orderpriority", vals)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, vals)
+        .select(
+            "cust_bucket", *[F.col(f"`{v}`").cast("long").alias(v) for v in vals]
+        )
+    )
+
+
+# Weighted sampling: deterministic priority = hash-bucket scaled by
+# 1/weight (integer A-ES); the K smallest priorities per stratum win.
+WSAMPLE_K = 10
+WSAMPLE_SPACE = 1 << 30
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    WITH pri AS (
+        SELECT doc_id, source, n_chars,
+               (CAST(concat('0x', substr(md5(text), 1, 7)) AS BIGINT)
+                % {WSAMPLE_SPACE}) * 1000 // n_chars AS priority
+        FROM documents
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY priority, doc_id) AS rn
+        FROM pri
+    )
+    SELECT doc_id, source, n_chars, CAST(priority AS BIGINT) AS priority
+    FROM r WHERE rn <= {WSAMPLE_K}
+    """,
+    tags=("relational", "sampling"),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, deterministically: the
+    integer A-ES scheme (Efraimidis–Spirakis with the random draw
+    replaced by a content hash) — priority = hash(text)/weight scaled
+    to integers, keep the K lowest priorities per stratum, so longer
+    documents (weight = n_chars) win proportionally more often and the
+    SAME K docs win on every engine, run, and partitioning. This is
+    the reproducible counterpart of `rand()`-weighted sampling, which
+    can never pass a differential oracle.
+
+    100 TB shape: priority is a map-side expression; per-stratum top-K
+    is a rank window over a handful of strata — with many strata this
+    is the classic partial TakeOrdered-per-key; no global sort and the
+    full table never shuffles (only (stratum, priority) survivors
+    do)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5("text"), 1, 7), 16, 10).cast("long")
+        % WSAMPLE_SPACE
+    )
+    pri = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        h.alias("h"),
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        # Integer div, NOT float division: a double quotient that lands
+        # epsilon under an integer would truncate differently than
+        # DuckDB's exact `//`.
+        F.expr("h * 1000 div n_chars").alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy("priority", "doc_id")
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WSAMPLE_K)
+        .drop("rn")
+    )

@@ -1476,3 +1476,251 @@ def q_anon_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("group_size") >= K_ANON).alias("is_k_anon"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit & KMV distinct sketch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dq_referential_orphans",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'lineitem->orders' AS relation,
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT) AS n_orphans
+        UNION ALL
+        SELECT 'lineitem->part',
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM part p
+                                       WHERE p.p_partkey = l.l_partkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'orders->customer',
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey))
+                    AS BIGINT)
+        UNION ALL
+        SELECT 'customer->nation',
+               CAST((SELECT COUNT(*) FROM customer) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM customer c
+                     WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                       WHERE n.n_nationkey = c.c_nationkey))
+                    AS BIGINT)
+    ) ORDER BY relation
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema: for each child→
+    parent edge, the child row count and how many children reference a
+    missing parent — the first integrity check a lake pipeline runs
+    after every load (a non-zero count means a partial upsert or a
+    late-arriving dimension).
+
+    100 TB shape: each relation is a LEFT ANTI join projected to the
+    key column only before joining, so the scan prunes to one int64
+    column; small parents (nation, part, customer) broadcast — only
+    lineitem→orders shuffles, and that join co-partitions with the
+    bucketed-table layout (q_join_bucketed) when present. The four
+    audits are independent and union cheaply (each is ≤1 row)."""
+
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+              name: str, bcast: bool) -> DataFrame:
+        ch = child.select(F.col(ckey).alias("k"))
+        pa = parent.select(F.col(pkey).alias("k"))
+        if bcast:
+            pa = F.broadcast(pa)
+        orphans = ch.join(pa, "k", "left_anti")
+        return (
+            ch.agg(F.count("*").alias("n_rows"))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphans")))
+            .select(
+                F.lit(name).alias("relation"), "n_rows", "n_orphans"
+            )
+        )
+
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        audit(l, "l_orderkey", o, "o_orderkey", "lineitem->orders", False)
+        .unionByName(audit(l, "l_partkey", p, "p_partkey", "lineitem->part", True))
+        .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders->customer", True))
+        .unionByName(audit(c, "c_nationkey", n, "n_nationkey", "customer->nation", True))
+    )
+
+
+# KMV (k-minimum-values) sketch: keep the K smallest *distinct* hash
+# values; estimate distinct count as (K-1) * SPACE / h_(K).  The hash is
+# a shared LCG so both engines compute bit-identical sketches.
+KMV_K = 64
+KMV_SPACE = 1 << 40
+KMV_A = 1103515245
+KMV_B = 12345
+
+
+def _kmv_hash_sql(col: str) -> str:
+    return f"(({col} * {KMV_A} + {KMV_B}) % {KMV_SPACE})"
+
+
+@query(
+    "q_sketch_kmv_distinct",
+    oracle=f"""
+    WITH h AS (
+        SELECT DISTINCT o_custkey AS k,
+               {_kmv_hash_sql('o_custkey')} AS h
+        FROM orders
+    ),
+    r AS (
+        SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM h
+    ),
+    kth AS (SELECT h AS hk FROM r WHERE rn = {KMV_K}),
+    exact AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+        FROM orders
+    )
+    SELECT CAST({KMV_K} AS BIGINT) AS k,
+           CAST(kth.hk AS BIGINT) AS kth_hash,
+           CAST(({KMV_K} - 1) * {KMV_SPACE} // kth.hk AS BIGINT)
+               AS est_distinct,
+           exact.exact_distinct,
+           CAST(abs(({KMV_K} - 1) * {KMV_SPACE} // kth.hk
+                    - exact.exact_distinct) * 100
+                // exact.exact_distinct AS BIGINT) AS err_pct
+    FROM kth CROSS JOIN exact
+    """,
+    tags=("scale", "sketch"),
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch — the mergeable
+    order-statistics estimator (Bar-Yossef et al. 2002): hash every key
+    with a shared LCG into a 2⁴⁰ space, keep the K=64 smallest distinct
+    hashes, estimate |D| ≈ (K−1)·SPACE/h₍K₎. Reported next to the exact
+    count with an integer error percentage, so the accuracy contract is
+    part of the result (same pattern as q_agg_approx_distinct).
+
+    100 TB shape: the sketch is an order statistic, so it computes as a
+    partial top-K per partition (TakeOrderedAndProject — no full
+    shuffle, no global sort: only K rows per partition cross the wire)
+    and a driver-side K-merge; union-merging two sketches is
+    concatenate + re-take-K, which is how a partitioned table rolls up
+    without re-scanning. The LCG (not xxhash/md5) keeps the hash
+    bit-identical across engines at zero cost."""
+    o = load_table(spark, sf_dir, "orders")
+    h = (
+        o.select(
+            ((F.col("o_custkey") * KMV_A + KMV_B) % KMV_SPACE).alias("h")
+        )
+        .distinct()
+    )
+    kth = (
+        h.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth_hash"))
+    )
+    exact = o.agg(
+        F.countDistinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        F.broadcast(kth)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(KMV_K).cast("long").alias("k"),
+            F.col("kth_hash").cast("long"),
+            F.expr(f"({KMV_K} - 1) * CAST({KMV_SPACE} AS LONG) div kth_hash")
+            .alias("est_distinct"),
+            F.col("exact_distinct").cast("long"),
+            F.expr(
+                f"abs(({KMV_K} - 1) * CAST({KMV_SPACE} AS LONG) div kth_hash"
+                " - exact_distinct) * 100 div exact_distinct"
+            ).alias("err_pct"),
+        )
+    )
+
+
+@query(
+    "q_graph_degree_hist",
+    oracle=EVENTS_US
+    + f"""
+    , e AS (
+        SELECT user_id, event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr
+        FROM events_us
+    ),
+    pairs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e a JOIN e b
+          ON a.hr = b.hr AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (SELECT ua, ub FROM pairs WHERE w >= {TRI_MIN_COOCCUR}),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT ua AS v FROM edges
+            UNION ALL
+            SELECT ub AS v FROM edges
+        ) GROUP BY v
+    )
+    SELECT degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           MIN(v) AS min_vertex
+    FROM deg GROUP BY degree
+    """,
+    tags=("scale", "graph"),
+)
+def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the thresholded co-occurrence graph (the
+    same edge set as q_graph_triangles): per-vertex degree, then the
+    degree histogram — the first thing you compute on any production
+    graph, because the tail of this histogram IS the skew you must
+    plan around (a power-law hub breaks naive wedge joins; the cap/
+    salting decision reads off this exact output).
+
+    100 TB shape: edges → one explode-both-endpoints union (map-only)
+    → hash agg on vertex → hash agg on degree. Each agg shrinks the
+    data by orders of magnitude and partial-aggregates map-side; the
+    edge build reuses the bucketed co-occurrence join (bounded
+    per-bucket fan-out, never a crossJoin)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COOCCUR)
+    )
+    deg = (
+        edges.select(F.col("ua").alias("v"))
+        .unionByName(edges.select(F.col("ub").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_vertices"),
+        F.min("v").alias("min_vertex"),
+    )
