@@ -967,11 +967,12 @@ def q_assoc_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the join amplification stays bounded by basket width.
 
     100 TB shape: the part dimension broadcasts into the lineitem scan;
-    the (order, brand) distinct and the pair self-join both hash on
-    l_orderkey, so Catalyst reuses ONE exchange for both sides of the
-    self-join (ReusedExchange) and the pair blow-up is per-basket
-    (≤ C(width,2) rows), never cross-order. The final agg shrinks to
-    ≤ C(25,2) rows — a map-side-combine-dominated reduction."""
+    the pair self-join is an EQUI join on okey (plan-gated — never a
+    product), so the blow-up is per-basket (≤ C(width,2) rows), never
+    cross-order. The final agg shrinks to ≤ C(25,2) rows — a
+    map-side-combine-dominated reduction. The skew lever is basket
+    width: a degenerate mega-order salts on (okey, brand-range) the
+    same way q_join_skew_salted does."""
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (

@@ -519,3 +519,47 @@ def test_grid_join_2d_is_cell_equi_not_product(spark, sf_dir):
     plan = physical_plan(REGISTRY["q_sim_grid_join_2d"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_all_lags_share_one_window(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_window_ewma"].fn(spark, sf_dir))
+    # All 8 lag expressions must collapse into ONE Window operator
+    # (one user_id shuffle + one sort), not a stack of windows.
+    assert plan.count("Window") == 1, plan
+
+
+def test_kmv_sketch_is_partial_topk(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sketch_kmv_distinct"].fn(spark, sf_dir))
+    # The K smallest hashes must come from TakeOrderedAndProject (K rows
+    # per partition cross the wire), never a global Sort.
+    assert "TakeOrdered" in plan, plan
+
+
+def test_brand_pairs_join_is_equi_on_order(spark, sf_dir):
+    import re
+
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_assoc_brand_pairs"].fn(spark, sf_dir))
+    # Basket self-join must be an equi join on the order key (bounded
+    # per-basket fan-out), never a cross-order product.
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[okey", plan
+    ), plan
+
+
+def test_mad_outliers_medians_broadcast_back(spark, sf_dir):
+    assert uses_broadcast_join(
+        REGISTRY["q_timeseries_mad_outliers"].fn(spark, sf_dir)
+    )
+
+
+def test_referential_orphans_small_dims_broadcast(spark, sf_dir):
+    assert uses_broadcast_join(
+        REGISTRY["q_dq_referential_orphans"].fn(spark, sf_dir)
+    )

@@ -91,3 +91,96 @@ def test_route_matches_python_model(spark, batch):
         for r in route(decode_chain(df)).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Greedy-merge identity backing q_bpe_merge_round's oracle shortcut
+# ---------------------------------------------------------------------------
+
+
+def _greedy_merge_count(toks: list[str], a: str, b: str) -> int:
+    """Reference model: left-to-right greedy non-overlapping merges."""
+    n = 0
+    i = 0
+    while i < len(toks) - 1:
+        if toks[i] == a and toks[i + 1] == b:
+            n += 1
+            i += 2
+        else:
+            i += 1
+    return n
+
+
+@given(
+    st.lists(st.sampled_from(["x", "y", "z", "w"]), max_size=30),
+)
+@settings(deadline=None)
+def test_adjacent_count_equals_greedy_merges_when_pair_differs(toks):
+    """q_bpe_merge_round counts occurrences of the winning pair (a,b)
+    with a != b as plain adjacent matches; that equals the greedy
+    non-overlapping merge count BECAUSE a != b forbids overlap (an
+    occurrence at i and i+1 would need t[i+1] = b = a). Self-pairs are
+    excluded from the winner for exactly this reason."""
+    for a in ("x", "y", "z", "w"):
+        for b in ("x", "y", "z", "w"):
+            if a == b:
+                continue
+            naive = sum(
+                1
+                for i in range(len(toks) - 1)
+                if toks[i] == a and toks[i + 1] == b
+            )
+            assert naive == _greedy_merge_count(toks, a, b)
+
+
+@given(st.lists(st.sampled_from(["x", "y"]), min_size=2, max_size=30))
+@settings(deadline=None)
+def test_self_pair_adjacent_count_can_exceed_greedy(toks):
+    """Documents WHY self-pairs are excluded: for a == b the naive
+    adjacent count over-counts runs (floor(run/2) merges vs run-1
+    adjacencies) — the two models agree iff no run of length ≥ 3."""
+    a = "x"
+    naive = sum(
+        1 for i in range(len(toks) - 1) if toks[i] == a and toks[i + 1] == a
+    )
+    greedy = _greedy_merge_count(toks, a, a)
+    assert greedy <= naive
+    runs = []
+    run = 0
+    for t in toks + ["!"]:
+        if t == a:
+            run += 1
+        else:
+            if run:
+                runs.append(run)
+            run = 0
+    assert greedy == sum(r // 2 for r in runs)
+    assert naive == sum(r - 1 for r in runs)
+
+
+# ---------------------------------------------------------------------------
+# Integer A-ES weighted sampling: scale-free priority model
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 30) - 1),
+            st.integers(min_value=1, max_value=10_000),
+        ),
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(deadline=None)
+def test_weighted_priority_monotone_in_weight(items):
+    """q_sample_weighted's integer priority h*1000 div w is strictly
+    non-increasing in weight for a fixed hash — heavier docs can only
+    move TOWARD selection — and deterministic (no RNG to flip order
+    between engines)."""
+    for h, w in items:
+        p1 = h * 1000 // w
+        p2 = h * 1000 // (w + 1)
+        assert p2 <= p1

@@ -158,3 +158,16 @@ def test_morton_code_is_injective_on_domain(spark):
     )
     r = df.collect()[0]
     assert r["n"] == r["nz"], "Morton code collided"
+
+
+def test_kmv_estimate_within_published_bound(spark, sf_dir):
+    """KMV with K=64 has relative standard error ~ 1/sqrt(K-2) ≈ 12.7%;
+    with the fixed LCG and the sf0.01 custkey domain the estimate is
+    deterministic — pin it inside 3 RSE (38%) so a hash or estimator
+    regression trips loudly while legitimate K changes stay green."""
+    from ex_aws_firehose_spark.registry import REGISTRY
+
+    row = REGISTRY["q_sketch_kmv_distinct"].fn(spark, sf_dir).collect()[0]
+    assert row["err_pct"] <= 38, dict(row.asDict())
+    assert row["est_distinct"] > 0
+    assert row["k"] == 64
