@@ -1002,3 +1002,66 @@ def q_assoc_brand_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "support",
         F.expr("support * 1000000 div n_orders").alias("support_ppm"),
     )
+
+
+# CEP pattern: the literal stage sequence view→click→purchase, matched
+# greedily left-to-right over each user's ordered event-initial string.
+CEP_PATTERN = "vcp"
+
+
+@query(
+    "q_cep_sequence_match",
+    oracle=EVENTS_US
+    + f"""
+    , seq AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS s
+        FROM events_us GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(s) AS BIGINT) AS n_events,
+           CAST((length(s) - length(replace(s, '{CEP_PATTERN}', '')))
+                // {len(CEP_PATTERN)} AS BIGINT) AS n_matches
+    FROM seq
+    WHERE length(s) - length(replace(s, '{CEP_PATTERN}', '')) > 0
+    """,
+    tags=("analytics", "cep"),
+)
+def q_cep_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern match (the MATCH_RECOGNIZE /
+    Flink-CEP shape, batch form): per user, the ordered event stream is
+    collapsed to an initials string and the exact stage sequence
+    view→click→purchase is counted as greedy non-overlapping substring
+    matches — replace() deletes occurrences left-to-right identically
+    in both engines, and the pattern's distinct letters make greedy
+    equal naive counting (same identity q_bpe_merge_round relies on).
+
+    100 TB shape: one hash partition + sort per user builds the
+    sequence string (bounded by per-user event count — the same bound
+    any CEP state store holds); the match itself is a map-side string
+    expression. This is the batch mirror of a streaming NFA: the
+    sequence string IS the serialized automaton input, and the
+    windowed variant just bounds the string per session."""
+    e = load_table(spark, sf_dir, "events")
+    seq = (
+        e.withColumn("ini", F.substring("event_type", 1, 1))
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "ini"))
+                ).getField("ini"),
+            ).alias("s")
+        )
+    )
+    matched = seq.select(
+        "user_id",
+        F.length("s").alias("n_events"),
+        F.expr(
+            f"(length(s) - length(replace(s, '{CEP_PATTERN}', '')))"
+            f" div {len(CEP_PATTERN)}"
+        ).alias("n_matches"),
+    )
+    return matched.filter(F.col("n_matches") > 0)

@@ -1724,3 +1724,122 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vertices"),
         F.min("v").alias("min_vertex"),
     )
+
+
+FRESHNESS_SLA_SECONDS = 6 * 3600
+
+
+@query(
+    "q_dq_freshness",
+    oracle=EVENTS_US
+    + f"""
+    , per AS (
+        SELECT event_type, MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events_us GROUP BY event_type
+    ),
+    g AS (SELECT MAX(ts) AS global_ts FROM events_us)
+    SELECT per.event_type, per.last_ts, per.n_rows,
+           CAST((epoch_us(g.global_ts) - epoch_us(per.last_ts)) // 1000000
+               AS BIGINT) AS lag_seconds,
+           CAST((epoch_us(g.global_ts) - epoch_us(per.last_ts)) // 1000000
+                > {FRESHNESS_SLA_SECONDS} AS BOOLEAN) AS is_stale
+    FROM per CROSS JOIN g
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness audit: each event type's high-water mark,
+    its lag behind the global high-water mark in whole seconds, and an
+    SLA verdict (stale if > 6 h behind) — the first alarm a delivery
+    pipeline wires up, because a silently-stuck upstream shows up as
+    freshness lag long before volume anomalies trip.
+
+    100 TB shape: two MAX aggregations — per-type (map-side combined
+    to ~5 rows) and global (1 row, broadcast via crossJoin). With a
+    date/hour-partitioned layout the scan prunes to the newest
+    partitions only; the lag arithmetic is integer epoch seconds, so
+    the SLA verdict is engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count("*").alias("n_rows")
+    )
+    g = F.broadcast(e.agg(F.max("ts").alias("global_ts")))
+    # Exact µs difference floored to whole seconds — identical to the
+    # oracle's epoch_us // 1e6 (per-side second truncation would skew
+    # by one when the two timestamps' sub-second fractions straddle).
+    lag = F.expr(
+        "(unix_micros(global_ts) - unix_micros(last_ts)) div 1000000"
+    )
+    return per.crossJoin(g).select(
+        "event_type",
+        "last_ts",
+        "n_rows",
+        lag.cast("long").alias("lag_seconds"),
+        (lag > FRESHNESS_SLA_SECONDS).alias("is_stale"),
+    )
+
+
+# Bin-packing target: contiguous manifest chunks of ~this many proxy
+# bytes (64 bytes/row on the monthly file model below).
+BINPACK_TARGET_BYTES = 1 << 21
+
+
+@query(
+    "q_maintenance_bin_packing",
+    oracle=f"""
+    WITH files AS (
+        SELECT date_trunc('month', o_orderdate) AS part,
+               CAST(COUNT(*) * 64 AS BIGINT) AS f_bytes
+        FROM orders GROUP BY date_trunc('month', o_orderdate)
+    ),
+    planned AS (
+        SELECT part, f_bytes,
+               CAST((SUM(f_bytes) OVER (ORDER BY part) - f_bytes)
+                    // {BINPACK_TARGET_BYTES} AS BIGINT) AS bin
+        FROM files
+    )
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(f_bytes) AS BIGINT) AS bin_bytes,
+           MIN(part) AS first_part,
+           MAX(part) AS last_part
+    FROM planned GROUP BY bin
+    """,
+    tags=("maintenance", "scale"),
+)
+def q_maintenance_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction/scan-task bin-packing planner (the manifest-splitting
+    step of an OPTIMIZE or a scan scheduler): the table's file listing
+    — modeled deterministically as one file per order-month with
+    64 B/row — is split into contiguous target-size chunks by an
+    exclusive running sum over the sorted manifest: a file starting
+    inside chunk k belongs to bin k. Each bin reports file count,
+    bytes, and its partition range (contiguity preserved, so bins map
+    to partition-range rewrites).
+
+    100 TB shape: planning runs over the MANIFEST (files/partitions),
+    not the data — orders of magnitude smaller than the table; the
+    cumsum is one global-ordered window over that manifest, which is
+    exactly how Iceberg/Delta plan rewrites (driver-side over
+    metadata; here it stays distributed). The rewrite each bin implies
+    is embarrassingly parallel (q_maintenance_compact)."""
+    o = load_table(spark, sf_dir, "orders")
+    files = o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("part")
+    ).agg((F.count("*") * 64).alias("f_bytes"))
+    w = Window.orderBy("part").rowsBetween(Window.unboundedPreceding, 0)
+    planned = files.withColumn(
+        "bin",
+        F.expr(
+            f"(sum(f_bytes) OVER (ORDER BY part ROWS BETWEEN UNBOUNDED"
+            f" PRECEDING AND CURRENT ROW) - f_bytes)"
+            f" div {BINPACK_TARGET_BYTES}"
+        ),
+    )
+    return planned.groupBy("bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("f_bytes").alias("bin_bytes"),
+        F.min("part").alias("first_part"),
+        F.max("part").alias("last_part"),
+    )
