@@ -1065,3 +1065,70 @@ def q_cep_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_matches"),
     )
     return matched.filter(F.col("n_matches") > 0)
+
+
+RFM_BUCKETS = 5
+
+
+@query(
+    "q_rfm_scores",
+    oracle=EVENTS_US
+    + f"""
+    , base AS (
+        SELECT user_id,
+               MAX(ts) AS last_ts,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM events_us GROUP BY user_id
+    )
+    SELECT user_id, frequency, monetary_cents,
+           CAST(NTILE({RFM_BUCKETS}) OVER (ORDER BY last_ts, user_id)
+                AS BIGINT) AS r_score,
+           CAST(NTILE({RFM_BUCKETS}) OVER (ORDER BY frequency, user_id)
+                AS BIGINT) AS f_score,
+           CAST(NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary_cents, user_id)
+                AS BIGINT) AS m_score
+    FROM base
+    """,
+    tags=("analytics",),
+)
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer scoring: per user recency (last activity), frequency
+    (event count), monetary (exact cents), each quintiled 1–5 by NTILE
+    over a deterministic total order (metric, user_id) — the standard
+    segmentation input for retention/churn targeting. NTILE's
+    equal-division semantics are identical across engines once the
+    order is total, so scores are engine-exact.
+
+    100 TB shape: one hash agg on user_id reduces events to |users|
+    rows; the three NTILEs are global-order windows over that reduced
+    frame — at extreme |users| each becomes a range-partitioned sort
+    (Spark's Window already range-partitions a global ORDER BY), and
+    an approximate-quantile bucketing is the documented fallback if
+    even |users| won't sort globally."""
+    e = load_table(spark, sf_dir, "events")
+    base = e.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    return base.select(
+        "user_id",
+        "frequency",
+        "monetary_cents",
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy("last_ts", "user_id"))
+        .cast("long")
+        .alias("r_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy("frequency", "user_id"))
+        .cast("long")
+        .alias("f_score"),
+        F.ntile(RFM_BUCKETS)
+        .over(Window.orderBy("monetary_cents", "user_id"))
+        .cast("long")
+        .alias("m_score"),
+    )

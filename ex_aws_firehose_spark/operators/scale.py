@@ -1843,3 +1843,68 @@ def q_maintenance_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("part").alias("first_part"),
         F.max("part").alias("last_part"),
     )
+
+
+@query(
+    "q_dq_uniqueness",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'orders.o_orderkey' AS key_col,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+                   AS n_dup_rows
+        FROM orders
+        UNION ALL
+        SELECT 'lineitem.(l_orderkey,l_linenumber)',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+                    AS BIGINT),
+               CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 100
+                                     + l_linenumber) AS BIGINT)
+        FROM lineitem
+        UNION ALL
+        SELECT 'events.event_id',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT event_id) AS BIGINT),
+               CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+        FROM events
+    ) ORDER BY key_col
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit — the remaining classic of the DQ
+    suite (constraints, drift, volume, skew, freshness, referential,
+    Benford are siblings): per declared key, total rows vs distinct
+    keys vs duplicate-row count. The composite lineitem key packs into
+    one int64 (linenumber < 100 by spec) so the distinct is a single
+    hash agg, not a multi-column one.
+
+    100 TB shape: COUNT(DISTINCT key) over a near-unique key is the
+    worst-case distinct (no reduction until the final agg) — Spark
+    expands it to a two-stage partial/final on the key hash, which is
+    exactly the right plan; the three audits run independently and
+    each emits one row."""
+
+    def audit(df: DataFrame, key: F.Column, name: str) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_distinct"),
+            (F.count("*") - F.countDistinct(key)).alias("n_dup_rows"),
+        ).select(F.lit(name).alias("key_col"), "n_rows", "n_distinct", "n_dup_rows")
+
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = load_table(spark, sf_dir, "events")
+    return (
+        audit(o, F.col("o_orderkey"), "orders.o_orderkey")
+        .unionByName(
+            audit(
+                li,
+                F.col("l_orderkey") * 100 + F.col("l_linenumber"),
+                "lineitem.(l_orderkey,l_linenumber)",
+            )
+        )
+        .unionByName(audit(e, F.col("event_id"), "events.event_id"))
+    )
