@@ -3687,3 +3687,217 @@ def q_bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("tok_before") - F.col("n_merged")).alias("tokens_after"),
         F.sum("n_merged").alias("n_merges"),
     )
+
+
+# Top-principal-component power iteration: dimensions, iterations, and
+# the fixed-point scale of the eigenvector components.
+PC_DIM = 64
+PC_ITERS = 3
+PC_SCALE = 1_000_000
+
+
+def _duck_trunc_div(a: str, b: str) -> str:
+    """DuckDB `//` floors; Spark `div` truncates toward zero. For b > 0
+    emulate truncation: floor the magnitude, restore the sign."""
+    return f"(CASE WHEN ({a}) >= 0 THEN ({a}) // ({b}) ELSE -((-({a})) // ({b})) END)"
+
+
+@query(
+    "q_embed_top_pc",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_aggregate(list_transform(embedding, x -> abs(x)), 'max')
+                   AS amax,
+               embedding
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id,
+               CASE WHEN amax = 0
+                    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                    ELSE list_transform(embedding, x ->
+                        CAST(FLOOR((CAST(x AS DOUBLE) / CAST(amax AS DOUBLE))
+                                   * 127) AS BIGINT))
+               END AS qv
+        FROM base
+    ),
+    idx AS (SELECT unnest(range(1, {PC_DIM + 1})) AS i),
+    s_tri AS (
+        SELECT i.i AS i, j.i AS j,
+               CAST(SUM(q.qv[i.i] * q.qv[j.i]) AS BIGINT) AS s
+        FROM q, idx i, idx j
+        WHERE j.i >= i.i
+        GROUP BY i.i, j.i
+    ),
+    s_full AS (
+        SELECT i, j, s FROM s_tri
+        UNION ALL
+        SELECT j AS i, i AS j, s FROM s_tri WHERE i < j
+    ),
+    m AS (
+        SELECT i.i AS i, CAST(SUM(q.qv[i.i]) AS BIGINT) AS m
+        FROM q, idx i GROUP BY i.i
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+    c AS (
+        SELECT s.i, s.j,
+               {_duck_trunc_div('nn.n * s.s - mi.m * mj.m', 'nn.n * nn.n')}
+                   AS c
+        FROM s_full s
+        JOIN m mi ON mi.i = s.i
+        JOIN m mj ON mj.i = s.j
+        CROSS JOIN nn
+    ),
+    v0 AS (SELECT i AS j, CAST({PC_SCALE} AS BIGINT) AS v FROM idx),
+    w1 AS (SELECT c.i, CAST(SUM(c.c * v.v) AS BIGINT) AS w
+           FROM c JOIN v0 v ON v.j = c.j GROUP BY c.i),
+    x1 AS (SELECT GREATEST(MAX(abs(w)), 1) AS mx FROM w1),
+    v1 AS (SELECT w1.i AS j,
+                  {_duck_trunc_div(f'w1.w * {PC_SCALE}', 'x1.mx')} AS v
+           FROM w1 CROSS JOIN x1),
+    w2 AS (SELECT c.i, CAST(SUM(c.c * v.v) AS BIGINT) AS w
+           FROM c JOIN v1 v ON v.j = c.j GROUP BY c.i),
+    x2 AS (SELECT GREATEST(MAX(abs(w)), 1) AS mx FROM w2),
+    v2 AS (SELECT w2.i AS j,
+                  {_duck_trunc_div(f'w2.w * {PC_SCALE}', 'x2.mx')} AS v
+           FROM w2 CROSS JOIN x2),
+    w3 AS (SELECT c.i, CAST(SUM(c.c * v.v) AS BIGINT) AS w
+           FROM c JOIN v2 v ON v.j = c.j GROUP BY c.i),
+    x3 AS (SELECT GREATEST(MAX(abs(w)), 1) AS mx FROM w3),
+    v3 AS (SELECT w3.i AS j,
+                  {_duck_trunc_div(f'w3.w * {PC_SCALE}', 'x3.mx')} AS v
+           FROM w3 CROSS JOIN x3)
+    SELECT CAST(j AS BIGINT) AS pos, CAST(v AS BIGINT) AS v_scaled
+    FROM v3
+    """,
+    tags=("llm", "vector"),
+)
+def q_embed_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding matrix — distributed
+    PCA's first step (drift monitoring, whitening, the IVF/OPQ rotation
+    seed), computed as: int8-quantize (q_embed_quantize_int8 formula) →
+    exact integer second-moment matrix via per-vector outer products →
+    centered covariance Ĉ = (n·S − m·mᵀ) div n² → 3 power iterations in
+    1e6-fixed-point with per-step max-abs renormalization. Every step
+    is exact 64-bit integer arithmetic (sign-aware truncating division
+    matched between engines), so a 3-iteration eigenvector is
+    bit-reproducible — no float summation order anywhere.
+
+    100 TB shape: the only pass over the data computes S = QᵀQ, m, n —
+    emitted as PER-PARTITION partials by an Arrow-batched mapInPandas
+    doing one exact numpy int64 matmul per batch (dense linear algebra
+    is the one place Python belongs: BLAS beats a 2080-way explode
+    through codegen by an order of magnitude, and int64 matmul is
+    bit-exact). Each partition ships d²+d+1 ≈ 4 k partial rows — the
+    mergeable-summary shape of the Misra–Gries sketch — so the shuffle
+    is O(partitions·d²), independent of row count. The power iteration
+    then runs on a d×d = 4096-row frame (broadcast joins,
+    localCheckpoint per step — the q_dedup_clusters loop pattern)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            "aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> greatest(a, CAST(abs(x) AS DOUBLE)))"
+        ).alias("amax"),
+    )
+    # Repartition first: the embeddings table often lands as one file →
+    # one partition, which would serialize the Gram-matrix pass.
+    qv = base.repartition(
+        spark.sparkContext.defaultParallelism, "vec_id"
+    ).select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN amax = 0"
+            " THEN transform(embedding, x -> CAST(0 AS BIGINT))"
+            " ELSE transform(embedding, x ->"
+            "   CAST(FLOOR((CAST(x AS DOUBLE) / amax) * 127) AS BIGINT))"
+            " END"
+        ).alias("q"),
+    )
+
+    def gram_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Per-batch exact int64 partials: S (i,j≥1), m (j=0), n (0,0)."""
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            s = q.T @ q  # exact: |q| ≤ 127 ⇒ entries ≤ n·127² ≪ 2⁶³
+            i_idx, j_idx = np.indices(s.shape)
+            out = pd.DataFrame(
+                {
+                    "i": i_idx.ravel() + 1,
+                    "j": j_idx.ravel() + 1,
+                    "v": s.ravel(),
+                }
+            )
+            mrow = pd.DataFrame(
+                {
+                    "i": np.arange(1, q.shape[1] + 1),
+                    "j": np.zeros(q.shape[1], dtype=np.int64),
+                    "v": q.sum(axis=0),
+                }
+            )
+            nrow = pd.DataFrame({"i": [0], "j": [0], "v": [len(q)]})
+            yield pd.concat([out, mrow, nrow], ignore_index=True)
+
+    partials = qv.mapInPandas(
+        gram_partials, schema="i int, j int, v long"
+    )
+    merged = partials.groupBy("i", "j").agg(F.sum("v").alias("v"))
+    merged = merged.localCheckpoint()
+    s_full = merged.filter((F.col("i") >= 1) & (F.col("j") >= 1)).select(
+        "i", "j", F.col("v").alias("s")
+    )
+    m = merged.filter((F.col("i") >= 1) & (F.col("j") == 0)).select(
+        "i", F.col("v").alias("m")
+    )
+    nn = merged.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("v").alias("n")
+    )
+    c = (
+        s_full.join(
+            F.broadcast(m.select(F.col("i"), F.col("m").alias("mi"))), "i"
+        )
+        .join(
+            F.broadcast(
+                m.select(F.col("i").alias("j"), F.col("m").alias("mj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i", "j", F.expr("(n * s - mi * mj) div (n * n)").alias("c")
+        )
+        .localCheckpoint()
+    )
+    v = spark.range(1, PC_DIM + 1).select(
+        F.col("id").alias("j"), F.lit(PC_SCALE).cast("long").alias("v")
+    )
+    for _ in range(PC_ITERS):
+        w = (
+            c.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr("c * v")).alias("w"))
+        )
+        mx = w.agg(F.greatest(F.max(F.abs("w")), F.lit(1)).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                F.expr(f"w * {PC_SCALE} div mx").alias("v"),
+            )
+            .localCheckpoint()
+        )
+    return v.select(
+        F.col("j").cast("long").alias("pos"),
+        F.col("v").cast("long").alias("v_scaled"),
+    )

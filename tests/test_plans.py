@@ -20,6 +20,7 @@ load_all_operators()
 # explicitly Arrow-batched multimodal/UDF surfaces and the streaming
 # keys, which materialize through sinks).
 _PYTHON_OK = {
+    "q_embed_top_pc",  # Arrow-batched numpy Gram matrix (BLAS domain)
     "q_multimodal_decode",
     "q_multimodal_resize",
     "q_udf_scalar",
