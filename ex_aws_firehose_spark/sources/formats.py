@@ -674,3 +674,72 @@ def src_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents"),
         F.max("id").alias("max_id"),
     )
+
+
+_DPP_CACHE: SessionCache = SessionCache()
+
+
+@query(
+    "q_join_dpp",
+    oracle="""
+    WITH dim AS (
+        SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
+        FROM orders WHERE year(o_orderdate) = 1994
+    )
+    SELECT l.ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+                 l_extendedprice
+          FROM lineitem) l
+    JOIN dim USING (ship_month)
+    GROUP BY l.ship_month
+    """,
+    tags=("source", "join", "scale"),
+)
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: lineitem is laid out partitioned by
+    ship month (the dominant time filter), then joined to a month
+    "dimension" whose filter (order year = 1994) is only knowable at
+    runtime through the join — Spark plants a dynamicpruning subquery
+    on the fact scan (plan-gated in tests/test_plans.py), so only the
+    ~12 matching month directories are ever opened, even though no
+    static predicate mentions them.
+
+    100 TB shape: DPP is THE mechanism that makes star-schema joins
+    partition-aware — static pruning (src_partitioned_pruning) handles
+    literal predicates, DPP handles predicates that arrive via a dim
+    filter; together they turn a full fact scan into a touched-
+    partition scan. The dim subquery reuses the join's own broadcast
+    (no extra fact-side work), and the layout write is the same
+    one-time repartitionByRange investment as q_layout_zorder."""
+    key = _DPP_CACHE.scoped_key(spark, sf_dir)
+    if key not in _DPP_CACHE:
+        path = _tracked_mkdtemp(prefix="lineitem_bymonth_") + "/data"
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .withColumn(
+                "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+            )
+            .write.partitionBy("ship_month")
+            .parquet(path)
+        )
+        _DPP_CACHE[key] = path
+    fact = spark.read.parquet(_DPP_CACHE[key])
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1994)
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
+        .distinct()
+    )
+    return (
+        fact.join(dim, "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )

@@ -564,3 +564,12 @@ def test_referential_orphans_small_dims_broadcast(spark, sf_dir):
     assert uses_broadcast_join(
         REGISTRY["q_dq_referential_orphans"].fn(spark, sf_dir)
     )
+
+
+def test_dpp_subquery_on_fact_scan(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_join_dpp"].fn(spark, sf_dir))
+    # The fact scan must carry a dynamicpruning PartitionFilter fed by
+    # the dim-side subquery — the whole point of the operator.
+    assert "dynamicpruning" in plan.lower(), plan
