@@ -1336,3 +1336,192 @@ def q_stream_rocksdb_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.unset(k)
     return out
+
+
+# Gap for the timer-closed sessionizer — mirrors q_sessionize_gap.
+SESSION_TIMEOUT_GAP_HOURS = 12
+
+# DuckDB reads the raw ns-precision event timestamps; normalize to µs
+# (same convention as operators/relational.py EVENTS_US).
+ORACLE_EVENTS_US = (
+    "WITH events_us AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
+    "user_id, event_type, value, props FROM events)"
+)
+
+_TIME_SPLIT_DIR_CACHE = None  # lazy SessionCache
+
+
+def _time_split_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events staged as THREE time-ordered micro-batch files: first
+    half by timestamp, second half, then a single watermark-driver row
+    (reserved user −1, max ts + 100 h) whose only job is to push the
+    watermark past every real user's last-event + gap so their timers
+    fire. Sequential coalesce(1) writes pin mtime order, which is the
+    file source's drain order."""
+    global _TIME_SPLIT_DIR_CACHE
+    if _TIME_SPLIT_DIR_CACHE is None:
+        from ex_aws_firehose_spark.caching import SessionCache
+
+        _TIME_SPLIT_DIR_CACHE = SessionCache()
+    key = _TIME_SPLIT_DIR_CACHE.scoped_key(spark, sf_dir)
+    if key not in _TIME_SPLIT_DIR_CACHE:
+        import os
+
+        src = os.path.join(tempfile.mkdtemp(prefix="events_tsplit_"), "src")
+        e = load_table(spark, sf_dir, "events")
+        split = e.agg(
+            F.timestamp_micros(
+                (
+                    (F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts")))
+                    / 2
+                ).cast("long")
+            ).alias("s")
+        )
+        e1 = e.crossJoin(F.broadcast(split)).filter(F.col("ts") <= F.col("s"))
+        e2 = e.crossJoin(F.broadcast(split)).filter(F.col("ts") > F.col("s"))
+        cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        e1.select(cols).coalesce(1).write.mode("append").parquet(src)
+        e2.select(cols).coalesce(1).write.mode("append").parquet(src)
+        flush = e.agg(F.max("ts").alias("m")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.expr("m + INTERVAL 100 HOURS").alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("flush").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("").alias("props"),
+        )
+        flush.coalesce(1).write.mode("append").parquet(src)
+        _TIME_SPLIT_DIR_CACHE[key] = src
+    return _TIME_SPLIT_DIR_CACHE[key]
+
+
+@query(
+    "q_stream_session_timeout",
+    oracle=ORACLE_EVENTS_US
+    + f"""
+    , ordered AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events_us
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts
+                            > INTERVAL {SESSION_TIMEOUT_GAP_HOURS} HOUR
+                    THEN 1 ELSE 0 END AS brk
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    ),
+    rolled AS (
+        SELECT user_id, session_id,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events,
+           CASE WHEN session_id = MAX(session_id)
+                     OVER (PARTITION BY user_id)
+                THEN 'timeout' ELSE 'gap' END AS closed_by
+    FROM rolled
+    """,
+    tags=("streaming", "session"),
+)
+def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization with TIMER-based expiry — the event-time-
+    timeout surface of applyInPandasWithState (the piece
+    q_stream_session's built-in session_window hides): each user's
+    open session lives in keyed state with a timer at last_event +
+    12 h; a later event inside the gap extends it, an event beyond the
+    gap closes it (closed_by='gap'), and when the WATERMARK passes the
+    timer with no new data the state store fires hasTimedOut and the
+    session closes from the timer path (closed_by='timeout') — which
+    is how a production sessionizer emits trailing sessions without
+    waiting for traffic. The differential oracle covers BOTH paths:
+    a user's last session must close by timeout, every earlier one by
+    gap.
+
+    Mechanics: 3 time-ordered micro-batches (first/second half by ts,
+    then a reserved user −1 row at max+100 h that only advances the
+    watermark); state per key is one (start, last, n) triple — the
+    same O(1)-per-user bound as the batch window chain, but incremental.
+
+    100 TB shape: state is hash-partitioned by user across the state
+    store (RocksDB-backed in production, q_stream_rocksdb_state);
+    timers are per-key entries the store scans once per batch — the
+    1-row flush batch costs O(|timed-out keys|), not O(events)."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = SESSION_TIMEOUT_GAP_HOURS * 3600 * 1_000_000
+    gap_ms = gap_us // 1000
+    src = _time_split_events_dir(spark, sf_dir)
+
+    def sess_fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.hasTimedOut:
+            start, last, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [start],
+                    "end_us": [last],
+                    "n_events": [n],
+                    "closed_by": ["timeout"],
+                }
+            )
+            return
+        cur = list(state.get) if state.exists else None
+        out = []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+        for us in rows["ts"].astype("datetime64[us]").astype("int64"):
+            us = int(us)
+            if cur is None:
+                cur = [us, us, 1]
+            elif us - cur[1] > gap_us:
+                out.append((key[0], cur[0], cur[1], cur[2], "gap"))
+                cur = [us, us, 1]
+            else:
+                cur[1] = us
+                cur[2] += 1
+        state.update(tuple(cur))
+        state.setTimeoutTimestamp(cur[1] // 1000 + gap_ms)
+        yield pd.DataFrame(
+            out,
+            columns=["user_id", "start_us", "end_us", "n_events", "closed_by"],
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 second")
+    )
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        sess_fn,
+        outputStructType=(
+            "user_id long, start_us long, end_us long,"
+            " n_events long, closed_by string"
+        ),
+        stateStructType="start long, last long, n long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    out = _run_to_memory(sessions, mode="append")
+    return out.filter(F.col("user_id") >= 0).select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("end_us")).alias("session_end"),
+        "n_events",
+        "closed_by",
+    )
