@@ -2693,3 +2693,58 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= WSAMPLE_K)
         .drop("rn")
     )
+
+
+@query(
+    "q_subquery_decorrelated",
+    oracle="""
+    WITH c AS (
+        SELECT c_custkey, c_nationkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents
+        FROM customer
+    )
+    SELECT c.c_custkey, c.c_nationkey, c.bal_cents
+    FROM c
+    WHERE c.bal_cents * (SELECT COUNT(*) FROM c c2
+                         WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT SUM(c3.bal_cents) FROM c c3
+             WHERE c3.c_nationkey = c.c_nationkey)
+    """,
+    tags=("relational", "subquery"),
+)
+def q_subquery_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries LEFT AS SUBQUERIES — the
+    complement of q_subquery_scalar (which hand-decorrelates to a
+    window): customers above their nation's average balance, written
+    with two correlated aggregating subqueries and handed to Catalyst,
+    whose decorrelation rewrite turns them into ONE grouped aggregate
+    joined back (plan-gated: the executed plan contains an Aggregate +
+    join on c_nationkey and no per-row subquery execution). The
+    comparison cross-multiplies by the (positive) group count so the
+    average never materializes as a float — subquery form and oracle
+    stay bit-identical.
+
+    100 TB shape: post-rewrite this is exactly the q_subquery_scalar
+    plan family — one shuffle at nation grain + a broadcast of the
+    25-row aggregate back onto the scan; the lesson the operator pins
+    is that the ENGINE, not the query author, owns decorrelation (the
+    reference's consumers write subqueries, not windows)."""
+    import hashlib
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        _cents("c_acctbal").alias("bal_cents"),
+    )
+    view = "cust_cents_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    c.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT c.c_custkey, c.c_nationkey, c.bal_cents
+        FROM {view} c
+        WHERE c.bal_cents * (SELECT COUNT(*) FROM {view} c2
+                             WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT SUM(c3.bal_cents) FROM {view} c3
+                 WHERE c3.c_nationkey = c.c_nationkey)
+        """
+    )

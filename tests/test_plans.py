@@ -573,3 +573,20 @@ def test_dpp_subquery_on_fact_scan(spark, sf_dir):
     # The fact scan must carry a dynamicpruning PartitionFilter fed by
     # the dim-side subquery — the whole point of the operator.
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_correlated_subqueries_decorrelate_to_joins(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        REGISTRY["q_subquery_decorrelated"].fn(spark, sf_dir)
+    )
+    # Catalyst must rewrite both correlated aggregates into grouped
+    # aggregate + join — never execute a subquery per row.
+    assert "Subquery" not in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert (
+        "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+    ), plan
