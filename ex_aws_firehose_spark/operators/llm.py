@@ -3901,3 +3901,70 @@ def q_embed_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("long").alias("pos"),
         F.col("v").cast("long").alias("v_scaled"),
     )
+
+
+_LANGID_SCORED_CTE = f"""
+    WITH scored AS (
+        SELECT doc_id, lang,
+           {", ".join(
+               f"len(list_intersect(list_distinct(str_split(lower(text), ' ')), "
+               f"{_duck_stoplist(words)})) AS s_{lang}"
+               for lang, words in STOPWORDS.items()
+           )}
+        FROM documents
+    ),
+    pred AS (
+        SELECT doc_id, lang AS actual_lang,
+               CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en > 0 THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr > 0 THEN 'fr'
+                    WHEN s_de > 0 THEN 'de'
+                    ELSE 'und' END AS pred_lang
+        FROM scored
+    )
+"""
+
+
+@query(
+    "q_eval_langid_confusion",
+    oracle=_LANGID_SCORED_CTE
+    + """
+    , cells AS (
+        SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY actual_lang, pred_lang
+    )
+    SELECT actual_lang, pred_lang, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY actual_lang)
+                AS BIGINT) AS recall_ppm,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY pred_lang)
+                AS BIGINT) AS precision_ppm
+    FROM cells
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a data pipeline: the language-ID
+    confusion matrix against the labeled `lang` column, each cell
+    carrying exact-ppm recall (cell / actual-class total) and
+    precision (cell / predicted-class total) — the eval harness every
+    heuristic filter in a curation pipeline needs before its verdicts
+    gate training data. Reuses q_text_lang_id's classifier verbatim,
+    so the eval measures exactly what the pipeline runs.
+
+    100 TB shape: per-doc classification is map-only (the stopword
+    lists are literals in the expression); the confusion matrix is a
+    hash agg to |langs|² ≤ 16 cells, and the marginals are windows
+    over those 16 rows — the scan dominates, evaluation is free. The
+    same shape scores ANY per-row classifier against ANY label
+    column."""
+    cells = (
+        q_text_lang_id(spark, sf_dir)
+        .groupBy("actual_lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+    return cells.withColumn(
+        "recall_ppm",
+        F.expr("n * 1000000 div sum(n) OVER (PARTITION BY actual_lang)"),
+    ).withColumn(
+        "precision_ppm",
+        F.expr("n * 1000000 div sum(n) OVER (PARTITION BY pred_lang)"),
+    )

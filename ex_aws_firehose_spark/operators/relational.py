@@ -2748,3 +2748,114 @@ def q_subquery_decorrelated(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHERE c3.c_nationkey = c.c_nationkey)
         """
     )
+
+
+def _time_travel_snapshot_sql(k: int) -> str:
+    """Snapshot-at-version-k summary over the modeled change log."""
+    return f"""
+        SELECT CAST({k} AS BIGINT) AS version,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS checksum_cents,
+               CAST(SUM(CASE WHEN status = 'X' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated_rows
+        FROM (
+            SELECT key, status, cents,
+                   ROW_NUMBER() OVER (PARTITION BY key
+                                      ORDER BY version DESC) AS rn,
+                   op
+            FROM log WHERE version <= {k}
+        ) WHERE rn = 1 AND op <> 'D'
+    """
+
+
+@query(
+    "q_time_travel_read",
+    oracle="""
+    WITH log AS (
+        SELECT o_orderkey AS key, o_orderstatus AS status,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               1 AS version, 'U' AS op
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'X',
+               CAST(ROUND(o_totalprice * 100) AS BIGINT), 2, 'U'
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT), 3, 'D'
+        FROM orders WHERE o_orderkey % 7 = 0
+    )
+    """
+    + " UNION ALL ".join(_time_travel_snapshot_sql(k) for k in (1, 2, 3)),
+    tags=("relational", "lake"),
+)
+def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over a log-structured table (SELECT … AS OF version
+    — the Delta/Iceberg snapshot-read semantic, reconstructed from
+    first principles): a 3-version change log (v1 full load, v2
+    updates to every 5th key, v3 deletes of every 7th) is replayed to
+    the snapshot AS OF each version — last writer wins per key,
+    delete tombstones drop rows — and each snapshot reports row count,
+    exact money checksum, and surviving-update count. v1→v2→v3
+    checksums pin both directions of drift (update overwrite, delete
+    shrink).
+
+    100 TB shape: a snapshot read is one window (or max_by) per key
+    over the log RESTRICTED to versions ≤ k — table formats do this
+    file-granular with manifests so unchanged files replay for free;
+    the relational core is identical. The three snapshots here share
+    one log scan each and shuffle on the key once per snapshot; a
+    production reader materializes the newest snapshot and reads old
+    ones rarely (the checkpoint-vs-log trade)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    log = (
+        o.select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderstatus").alias("status"),
+            cents.alias("cents"),
+            F.lit(1).alias("version"),
+            F.lit("U").alias("op"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.col("o_orderkey").alias("key"),
+                F.lit("X").alias("status"),
+                cents.alias("cents"),
+                F.lit(2).alias("version"),
+                F.lit("U").alias("op"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("key"),
+                F.col("o_orderstatus").alias("status"),
+                cents.alias("cents"),
+                F.lit(3).alias("version"),
+                F.lit("D").alias("op"),
+            )
+        )
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("version"))
+    out = None
+    for k in (1, 2, 3):
+        snap = (
+            log.filter(F.col("version") <= k)
+            .withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("checksum_cents"),
+                F.sum(
+                    F.when(F.col("status") == "X", 1).otherwise(0)
+                ).alias("n_updated_rows"),
+            )
+            .select(
+                F.lit(k).cast("long").alias("version"),
+                "n_rows",
+                "checksum_cents",
+                "n_updated_rows",
+            )
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out
