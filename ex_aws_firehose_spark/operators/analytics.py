@@ -1132,3 +1132,115 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("m_score"),
     )
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    WITH pts AS (
+        SELECT datediff('day', DATE '1992-01-01', o_orderdate) AS day_nr,
+               MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY o_orderdate
+    ),
+    sky AS (
+        SELECT day_nr, cents,
+               MAX(cents) OVER (ORDER BY day_nr
+                                RANGE BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS best_earlier
+        FROM pts
+    )
+    SELECT CAST(day_nr AS BIGINT) AS day_nr, cents
+    FROM sky
+    WHERE best_earlier IS NULL OR cents > best_earlier
+    """,
+    tags=("analytics", "mining"),
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) — the multi-objective
+    non-dominated-set operator (Börzsönyi 2001; the shape behind
+    loss-vs-size model frontiers and price-vs-freshness offer
+    selection): a (day, price) point survives iff no strictly-earlier
+    day achieved ≥ its price. In 2-D the skyline collapses to ONE
+    running max over the sort order — no pairwise dominance join at
+    all: reduce to per-day maxima (only the day's best can survive),
+    then keep points beating every earlier day's best via a
+    strictly-preceding RANGE frame.
+
+    100 TB shape: the per-day pre-aggregation is a map-side-combined
+    hash agg that shrinks the input to |days| rows; the running max is
+    one window over that tiny frame. Higher-D skylines lose the
+    sort-order trick and need the grid-prune + dominance-join pattern
+    (q_sim_grid_join_2d's bucketing is the building block) — the 2-D
+    collapse is the documented special case worth exploiting whenever
+    one dimension has a total order."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day_nr")
+    ).agg(
+        F.max(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    w = (
+        Window.orderBy("day_nr")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    sky = pts.withColumn("best_earlier", F.max("cents").over(w))
+    return sky.filter(
+        F.col("best_earlier").isNull()
+        | (F.col("cents") > F.col("best_earlier"))
+    ).select(F.col("day_nr").cast("long"), "cents")
+
+
+# Bot screen: flag any user hitting this many events inside one minute.
+BOT_RATE_PER_MINUTE = 5
+
+
+@query(
+    "q_sessionize_bot_detect",
+    oracle=EVENTS_US
+    + f"""
+    , r AS (
+        SELECT user_id, event_id,
+               COUNT(*) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(ts)
+                              RANGE BETWEEN 59999999 PRECEDING
+                                        AND CURRENT ROW) AS n_in_minute
+        FROM events_us
+    )
+    SELECT user_id,
+           CAST(MAX(n_in_minute) AS BIGINT) AS peak_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(n_in_minute) >= {BOT_RATE_PER_MINUTE} AS BOOLEAN)
+               AS is_bot
+    FROM r GROUP BY user_id
+    """,
+    tags=("analytics", "dq"),
+)
+def q_sessionize_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-rate abuse screen: each user's peak events-per-sliding-
+    minute (event-time RANGE frame over epoch µs — exact, no bucket
+    aliasing: a burst straddling a minute boundary still counts) and a
+    bot verdict at ≥5/min — the rate-limiter's offline twin, and the
+    pre-filter a curation pipeline runs before trusting engagement
+    signals.
+
+    100 TB shape: one (user_id) hash partition + one event-time sort
+    serves the sliding count AND the per-user rollup; the RANGE frame
+    is streaming-friendly (Spark evaluates it with a two-pointer scan
+    per partition, state = one minute of rows — the same bound the
+    streaming sliding window holds). Skew lever: a single abusive user
+    is by definition the hot key — cap with per-(user, hour) pre-split
+    if one bot floods a partition."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-59_999_999, Window.currentRow)
+    )
+    r = e.withColumn("n_in_minute", F.count("*").over(w))
+    return r.groupBy("user_id").agg(
+        F.max("n_in_minute").alias("peak_rate"),
+        F.count("*").alias("n_events"),
+        (F.max("n_in_minute") >= BOT_RATE_PER_MINUTE).alias("is_bot"),
+    )
