@@ -2859,3 +2859,45 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = snap if out is None else out.unionByName(snap)
     return out
+
+
+@query(
+    "q_join_hint_shuffle_hash",
+    oracle="""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("relational", "join"),
+)
+def q_join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy HINT surface: the orders⋈customer join forced to
+    SHUFFLE_HASH (plan-gated ShuffledHashJoin) — the right call when
+    the build side fits per-task memory but exceeds the broadcast
+    threshold: both sides still shuffle, but neither SORTS, which
+    beats sort-merge whenever the sort would dominate (mid-size dim,
+    wide rows). The hint is advisory Spark metadata, not a semantic
+    change — the oracle is the same plain join.
+
+    100 TB shape: strategy choice is a per-join cost decision —
+    broadcast (≤ ~100 MB dim) > shuffle-hash (build side fits a task)
+    > sort-merge (both huge; spills gracefully); AQE re-picks at
+    runtime from real sizes, and the hint is the manual override for
+    the cases AQE's estimates miss. Pinning it in a plan gate keeps
+    the strategy an explicit, tested property instead of an optimizer
+    accident."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )

@@ -590,3 +590,12 @@ def test_correlated_subqueries_decorrelate_to_joins(spark, sf_dir):
         or "SortMergeJoin" in plan
         or "ShuffledHashJoin" in plan
     ), plan
+
+
+def test_shuffle_hash_hint_is_honored(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        REGISTRY["q_join_hint_shuffle_hash"].fn(spark, sf_dir)
+    )
+    assert "ShuffledHashJoin" in plan, plan
