@@ -3968,3 +3968,65 @@ def q_eval_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "precision_ppm",
         F.expr("n * 1000000 div sum(n) OVER (PARTITION BY pred_lang)"),
     )
+
+
+@query(
+    "q_dataset_card",
+    oracle="""
+    WITH t AS (
+        SELECT source, lang, n_chars,
+               len(str_split(lower(text), ' ')) AS n_tokens,
+               CAST(md5(text) AS VARCHAR) AS h
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(2 * quantile_cont(n_tokens, 0.5) AS BIGINT) AS median2_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS en_ppm
+    FROM t GROUP BY source
+    """,
+    tags=("llm", "curation"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card generator: the per-source summary table a corpus
+    release ships (HuggingFace dataset-card / Datasheets-for-Datasets
+    statistics section) — doc counts, exact-dup distinct count
+    (md5 grain), token totals, doubled-integer median token length,
+    char-length range, language spread, and exact-ppm English share.
+    One operator = one card refresh; diffing two cards across corpus
+    versions is the release gate.
+
+    100 TB shape: everything is ONE pass — a single hash agg at source
+    grain (~5 groups) carrying two COUNT(DISTINCT)s (expanded by Spark
+    into partial/final on the distinct key) and an exact percentile;
+    the md5 and token count are map-side expressions. The card costs a
+    scan, which is why it can run per release candidate."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split(F.lower("text"), " ")).alias("n_tokens"),
+        F.md5("text").alias("h"),
+    )
+    return t.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.percentile("n_tokens", 0.5) * 2)
+        .cast("long")
+        .alias("median2_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.expr(
+            "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000"
+            " div count(*)"
+        ).alias("en_ppm"),
+    )
