@@ -184,3 +184,73 @@ def test_weighted_priority_monotone_in_weight(items):
         p1 = h * 1000 // w
         p2 = h * 1000 // (w + 1)
         assert p2 <= p1
+
+
+# ---------------------------------------------------------------------------
+# 2-D skyline: total-order collapse == brute-force dominance
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=20),   # day
+            st.integers(min_value=0, max_value=100),  # price
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(deadline=None)
+def test_skyline_window_collapse_equals_dominance(points):
+    """q_skyline_pareto's formula (per-day max → keep if price beats
+    every strictly-earlier day's best) must equal the brute-force
+    non-dominated set under (day minimized, price maximized) dominance
+    restricted to per-day maxima."""
+    per_day: dict[int, int] = {}
+    for d, p in points:
+        per_day[d] = max(p, per_day.get(d, -1))
+    pts = sorted(per_day.items())
+    # window formula
+    best = None
+    window_result = set()
+    for d, p in pts:
+        if best is None or p > best:
+            window_result.add((d, p))
+        best = p if best is None else max(best, p)
+    # brute force: q dominates p iff q.day <= p.day and q.price >= p.price
+    # and strict in at least one coordinate
+    brute = {
+        (d, p)
+        for d, p in pts
+        if not any(
+            (d2 <= d and p2 >= p and (d2 < d or p2 > p))
+            for d2, p2 in pts
+        )
+    }
+    assert window_result == brute
+
+
+# ---------------------------------------------------------------------------
+# CEP: replace-count identity for distinct-letter patterns
+# ---------------------------------------------------------------------------
+
+
+@given(st.text(alphabet="vcpx", max_size=40))
+@settings(deadline=None)
+def test_cep_replace_count_equals_greedy_scan(s):
+    """q_cep_sequence_match counts matches as
+    (len(s) - len(replace(s, pat, ''))) / len(pat); for a pattern with
+    all-distinct characters this equals the greedy left-to-right
+    non-overlapping scan (replace() IS that scan)."""
+    pat = "vcp"
+    by_replace = (len(s) - len(s.replace(pat, ""))) // len(pat)
+    n = 0
+    i = 0
+    while i <= len(s) - len(pat):
+        if s[i : i + len(pat)] == pat:
+            n += 1
+            i += len(pat)
+        else:
+            i += 1
+    assert by_replace == n
