@@ -4030,3 +4030,62 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(*)"
         ).alias("en_ppm"),
     )
+
+
+@query(
+    "q_sample_balance_classes",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents
+        GROUP BY lang
+    ),
+    floor_n AS (SELECT MIN(n) AS quota FROM counts),
+    ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {duck_hex_hash('text')}, doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT r.lang, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           MIN(r.doc_id) AS min_doc, MAX(r.doc_id) AS max_doc
+    FROM ranked r CROSS JOIN floor_n q
+    WHERE r.rn <= q.quota
+    GROUP BY r.lang
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class rebalancing by majority downsampling: every language is
+    cut to the minority class's count, members chosen by content-hash
+    rank (deterministic, content-addressed — the same doc wins on
+    every engine and partitioning, unlike rand()). This is the
+    standard imbalance fix before training a classifier on skewed
+    labels, and the hash ranking makes the split reproducible and
+    versionable.
+
+    100 TB shape: the quota is a 1-row MIN over a ~|classes| agg
+    (broadcast via crossJoin); ranking is one hash partition per
+    class — with huge classes the rank window is the bottleneck and
+    the documented upgrade is threshold-by-quantile on the hash
+    (computed from the class counts, no global sort), which this
+    formulation reduces to directly: rn ≤ quota ⟺ hash below the
+    class's quota-th order statistic."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    quota = F.broadcast(counts.agg(F.min("n").alias("quota")))
+    w = Window.partitionBy("lang").orderBy(hex_hash(F.col("text")), "doc_id")
+    ranked = d.select(
+        "doc_id", "lang", F.row_number().over(w).alias("rn")
+    )
+    return (
+        ranked.crossJoin(quota)
+        .filter(F.col("rn") <= F.col("quota"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+    )
