@@ -1525,3 +1525,62 @@ def q_stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "closed_by",
     )
+
+
+@query(
+    "q_stream_observe_metrics",
+    oracle=ORACLE_EVENTS_US
+    + """
+    SELECT CAST(event_id % 2 AS BIGINT) AS batch_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_sum
+    FROM events_us GROUP BY event_id % 2
+    """,
+    tags=("streaming", "observability"),
+)
+def q_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming observability via Dataset.observe: per-micro-batch
+    row count and exact money sum accumulate as OBSERVED METRICS on
+    the stream itself (no second aggregation query, no sink coupling)
+    and surface through each batch's QueryProgress — the mechanism a
+    production pipeline feeds its metrics/alerting bus from, here
+    pinned by the differential oracle (batch 0 = even event_ids,
+    batch 1 = odd, from the shared parity staging).
+
+    100 TB shape: observe() metrics are accumulator-style partial
+    aggregates merged on the driver per batch — zero extra shuffle,
+    zero extra pass; cost is O(metrics), not O(rows). This is the
+    cheap end of the observability spectrum (the expensive end — full
+    state introspection — is q_stream_state_inspect)."""
+    src = _parity_events_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .observe(
+            "audit",
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("long")
+            ).alias("cents_sum"),
+        )
+    )
+    with stream_shuffle(spark):
+        q = stream.writeStream.format("noop").start()
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+        q.stop()
+    rows = []
+    idx = 0
+    for p in progress:
+        num = p["numInputRows"] if isinstance(p, dict) else p.numInputRows
+        if not num:
+            continue  # trailing empty batch
+        om = p["observedMetrics"] if isinstance(p, dict) else p.observedMetrics
+        audit = om["audit"]
+        rows.append((idx, audit["n_rows"], audit["cents_sum"]))
+        idx += 1
+    return spark.createDataFrame(
+        rows, "batch_idx long, n_rows long, cents_sum long"
+    )
