@@ -151,6 +151,37 @@ PICKS = {
         "identical to writing the expression inline — one partial+final "
         "HashAggregate over the scan, no Python operator."
     ),
+    "q_window_ewma": (
+        "All 8 lag terms collapse into ONE Window operator — a single "
+        "user_id Exchange and a single (ts, event_id) Sort serve the "
+        "whole kernel (plan-gated: test_ewma_all_lags_share_one_window)."
+    ),
+    "q_sketch_kmv_distinct": (
+        "The K smallest hashes compile to TakeOrderedAndProject — K rows "
+        "per partition cross the wire, never a global Sort; sketch union "
+        "is concat + re-take-K."
+    ),
+    "q_join_dpp": (
+        "The fact scan carries a dynamicpruning PartitionFilter fed by "
+        "the dim subquery (reusing the join's broadcast): only the ~12 "
+        "matching month directories open, with no static predicate on "
+        "the fact side."
+    ),
+    "q_subquery_decorrelated": (
+        "Both correlated scalar subqueries decorrelate to one grouped "
+        "aggregate joined back (no per-row Subquery node) — the engine, "
+        "not the author, owns decorrelation."
+    ),
+    "q_embed_top_pc": (
+        "One Arrow-batched MapInPandas computes per-partition int64 Gram "
+        "partials (numpy matmul); everything after runs on d x d frames "
+        "via broadcast joins — the data is scanned exactly once."
+    ),
+    "q_skyline_pareto": (
+        "No dominance join: per-day max (map-side-combined agg) then one "
+        "RANGE-frame running max over |days| rows — the 2-D total-order "
+        "collapse of the skyline operator."
+    ),
 }
 
 
