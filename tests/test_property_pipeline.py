@@ -254,3 +254,56 @@ def test_cep_replace_count_equals_greedy_scan(s):
         else:
             i += 1
     assert by_replace == n
+
+
+# ---------------------------------------------------------------------------
+# Time travel: window replay == dict fold
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10),      # key
+            st.integers(min_value=1, max_value=3),       # version
+            st.sampled_from(["U", "D"]),                 # op
+            st.integers(min_value=0, max_value=1000),    # cents
+        ),
+        max_size=40,
+    )
+)
+@settings(deadline=None)
+def test_time_travel_window_replay_equals_fold(log):
+    """q_time_travel_read reconstructs snapshot-at-k as 'latest
+    version <= k wins, D drops the row'. The window formulation must
+    equal a straight dict fold of the log. Ties on (key, version) are
+    excluded — the operator's modeled log has at most one op per
+    (key, version) by construction."""
+    seen = set()
+    clean = []
+    for key, ver, op, cents in log:
+        if (key, ver) in seen:
+            continue
+        seen.add((key, ver))
+        clean.append((key, ver, op, cents))
+    for k in (1, 2, 3):
+        # fold model
+        latest: dict[int, tuple[int, str, int]] = {}
+        for key, ver, op, cents in clean:
+            if ver <= k and (key not in latest or ver > latest[key][0]):
+                latest[key] = (ver, op, cents)
+        fold_rows = {
+            (key, cents)
+            for key, (ver, op, cents) in latest.items()
+            if op != "D"
+        }
+        # window model: rank by version desc within key, rn=1, op != D
+        window_rows = set()
+        for key in {c[0] for c in clean}:
+            versions = [c for c in clean if c[0] == key and c[1] <= k]
+            if not versions:
+                continue
+            top = max(versions, key=lambda c: c[1])
+            if top[2] != "D":
+                window_rows.add((key, top[3]))
+        assert fold_rows == window_rows
