@@ -171,3 +171,58 @@ def test_kmv_estimate_within_published_bound(spark, sf_dir):
     assert row["err_pct"] <= 38, dict(row.asDict())
     assert row["est_distinct"] > 0
     assert row["k"] == 64
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=9),
+            st.integers(min_value=0, max_value=9),
+        ),
+        max_size=30,
+    )
+)
+@settings(deadline=None)
+def test_degree_ordered_wedge_closure_counts_each_triangle_once(raw):
+    """The q_graph_triangles rewrite relies on: orient each edge toward
+    its higher-(degree, id) endpoint, count wedges (out-edge pairs)
+    whose endpoints are connected — every triangle is counted exactly
+    once (the triangle's unique minimum vertex under the total order
+    has both out-edges). Check against brute-force enumeration."""
+    edges = {(min(a, b), max(a, b)) for a, b in raw if a != b}
+    if not edges:
+        return
+    deg: dict[int, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+
+    def key(v):
+        return (deg[v], v)
+
+    out: dict[int, list[int]] = {}
+    for a, b in edges:
+        src, dst = (a, b) if key(a) <= key(b) else (b, a)
+        out.setdefault(src, []).append(dst)
+    closed = 0
+    for src, dsts in out.items():
+        ds = sorted(dsts)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                if (min(ds[i], ds[j]), max(ds[i], ds[j])) in edges:
+                    closed += 1
+    verts = sorted(deg)
+    brute = sum(
+        1
+        for i in range(len(verts))
+        for j in range(i + 1, len(verts))
+        for k in range(j + 1, len(verts))
+        if (verts[i], verts[j]) in edges
+        and (verts[j], verts[k]) in edges
+        and (verts[i], verts[k]) in edges
+    )
+    assert closed == brute
