@@ -1957,3 +1957,125 @@ def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(audit(e, F.col("event_id"), "events.event_id"))
     )
+
+
+# Link-prediction degree cap: hub centers contribute O(D²) wedges and
+# the weakest common-neighbor evidence; cap them out deterministically.
+LINKPRED_MAX_DEGREE = 64
+LINKPRED_TOP = 20
+
+
+@query(
+    "q_graph_link_prediction",
+    oracle=EVENTS_US
+    + f"""
+    , e AS (
+        SELECT user_id, event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr
+        FROM events_us
+    ),
+    pairs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e a JOIN e b
+          ON a.hr = b.hr AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (SELECT ua, ub FROM pairs WHERE w >= {TRI_MIN_COOCCUR}),
+    adj AS (
+        SELECT ua AS src, ub AS dst FROM edges
+        UNION ALL
+        SELECT ub AS src, ua AS dst FROM edges
+    ),
+    deg AS (SELECT src AS v, COUNT(*) AS d FROM adj GROUP BY src),
+    centers AS (
+        SELECT a.src, a.dst FROM adj a JOIN deg ON deg.v = a.src
+        WHERE deg.d <= {LINKPRED_MAX_DEGREE}
+    ),
+    cand AS (
+        SELECT c1.dst AS b, c2.dst AS c,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors
+        FROM centers c1 JOIN centers c2
+          ON c1.src = c2.src AND c1.dst < c2.dst
+        GROUP BY c1.dst, c2.dst
+    )
+    SELECT b AS user_a, c AS user_b, common_neighbors
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM edges
+                      WHERE edges.ua = cand.b AND edges.ub = cand.c)
+    ORDER BY common_neighbors DESC, user_a, user_b
+    LIMIT {LINKPRED_TOP}
+    """,
+    tags=("scale", "graph"),
+)
+def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction over the co-occurrence graph —
+    the "people you may know" / co-purchase recommendation primitive:
+    non-adjacent user pairs ranked by shared neighbors, top-20. The
+    complement of q_graph_triangles: wedges whose closing edge is
+    ABSENT (left-anti) instead of present.
+
+    100 TB shape: common-neighbor counting is inherently quadratic at
+    hubs — and unlike triangle counting there is NO orientation trick
+    (every center must be enumerated, not just the minimal one). The
+    scalable form is therefore an explicit DEGREE CAP on wedge centers
+    (≤ 64 here, deterministic and part of the operator's definition):
+    exactly what docs/SCALE.md §13's densification probe mandates, and
+    standard practice in production recommenders — a hub's
+    common-neighbor evidence is weakest anyway (TF-IDF-style degree
+    discounting is the refinement). Candidates then anti-join the edge
+    set and TakeOrdered picks the top-20."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COOCCUR)
+        .select("ua", "ub")
+        .persist()
+    )
+    adj = edges.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst")
+    ).unionByName(
+        edges.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+    )
+    deg = adj.groupBy("src").agg(F.count("*").alias("d"))
+    centers = (
+        adj.join(deg, "src")
+        .filter(F.col("d") <= LINKPRED_MAX_DEGREE)
+        .select("src", "dst")
+        .persist()
+    )
+    c1, c2 = centers.alias("c1"), centers.alias("c2")
+    cand = (
+        c1.join(
+            c2,
+            (F.col("c1.src") == F.col("c2.src"))
+            & (F.col("c1.dst") < F.col("c2.dst")),
+        )
+        .groupBy(
+            F.col("c1.dst").alias("user_a"), F.col("c2.dst").alias("user_b")
+        )
+        .agg(F.count("*").alias("common_neighbors"))
+    )
+    new_links = cand.join(
+        edges,
+        (cand.user_a == edges.ua) & (cand.user_b == edges.ub),
+        "left_anti",
+    )
+    return new_links.orderBy(
+        F.desc("common_neighbors"), "user_a", "user_b"
+    ).limit(LINKPRED_TOP)
