@@ -4089,3 +4089,74 @@ def q_sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# Token budget for the greedy quality-ranked curation fill.
+CURATE_TOKEN_BUDGET = 20_000
+
+
+@query(
+    "q_curate_token_budget",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               len(str_split(lower(text), ' ')) AS n_tokens,
+               len(list_distinct(str_split(lower(text), ' '))) * 1000000
+                   // len(str_split(lower(text), ' ')) AS quality_ppm
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               SUM(n_tokens) OVER (
+                   ORDER BY quality_ppm DESC, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS cum_tokens
+        FROM scored
+    ),
+    picked AS (SELECT * FROM ranked WHERE cum_tokens <= {CURATE_TOKEN_BUDGET})
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(MIN(quality_ppm) AS BIGINT) AS min_quality_ppm
+    FROM picked GROUP BY source
+    """,
+    tags=("llm", "curation"),
+)
+def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation fill: rank the corpus by a quality score
+    (type/token ratio in exact ppm), take documents greedily until the
+    token budget is exhausted (window cumsum over the quality order),
+    report the per-source composition and the marginal quality of the
+    cut — "fill a 1B-token training mix with the best data first", the
+    last step of every curation cascade, deterministic to the document.
+
+    100 TB shape: scoring is map-only; the global quality order is the
+    one genuinely global sort in the pipeline (range-partitioned by
+    Spark), and its cost is bounded by pre-filtering to plausible
+    survivors (the cascade's earlier stages). The budget cut is a
+    cumsum predicate, not a collect; the alternative at extreme scale
+    — quality-quantile bucketing then exact sort of the boundary
+    bucket only — is the documented refinement."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower("text"), " ")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000000"
+            " div size(split(lower(text), ' '))"
+        ).alias("quality_ppm"),
+    )
+    w = (
+        Window.orderBy(F.desc("quality_ppm"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    picked = scored.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    ).filter(F.col("cum_tokens") <= CURATE_TOKEN_BUDGET)
+    return picked.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("quality_ppm").alias("min_quality_ppm"),
+    )

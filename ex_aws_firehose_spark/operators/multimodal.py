@@ -466,3 +466,68 @@ def q_multimodal_image_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("patch_sha"),
     )
+
+
+@query(
+    "q_multimodal_pair_audit",
+    oracle="""
+    WITH d AS (SELECT doc_id, source FROM documents),
+    e AS (SELECT vec_id FROM embeddings),
+    j AS (
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_paired
+        FROM d LEFT JOIN e ON e.vec_id = d.doc_id
+        GROUP BY d.source
+    ),
+    orphan_vecs AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM e WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id)
+    )
+    SELECT j.source, j.n_docs, j.n_paired,
+           CAST(j.n_paired * 1000000 // j.n_docs AS BIGINT)
+               AS coverage_ppm,
+           o.n AS n_orphan_vectors
+    FROM j CROSS JOIN orphan_vecs o
+    """,
+    tags=("multimodal", "dq"),
+)
+def q_multimodal_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-table integrity audit for multimodal training data (the
+    check a CLIP-style contrastive pipeline runs before building
+    batches): per source, how many documents have a paired embedding
+    (vec_id = doc_id), exact-ppm coverage, plus the global count of
+    orphan vectors pointing at no document. Broken pairing silently
+    poisons contrastive batches — this is the gate.
+
+    100 TB shape: one LEFT join on the id (both sides pruned to the
+    key column; the smaller side broadcasts or co-partitions), one
+    ~|sources| agg, and an anti-join count for orphans — the same
+    q_dq_referential_orphans shape specialized to the pair table. At
+    scale the pair table is maintained incrementally, and this audit
+    runs per delta partition."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    j = (
+        d.join(e, d.doc_id == e.vec_id, "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_paired"),
+        )
+    )
+    orphans = F.broadcast(
+        e.join(d, e.vec_id == d.doc_id, "left_anti").agg(
+            F.count("*").alias("n_orphan_vectors")
+        )
+    )
+    return j.crossJoin(orphans).select(
+        "source",
+        "n_docs",
+        "n_paired",
+        F.expr("n_paired * 1000000 div n_docs").alias("coverage_ppm"),
+        "n_orphan_vectors",
+    )
