@@ -1244,3 +1244,163 @@ def q_sessionize_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.max("n_in_minute") >= BOT_RATE_PER_MINUTE).alias("is_bot"),
     )
+
+
+@query(
+    "q_events_interarrival",
+    oracle=EVENTS_US
+    + """
+    , d AS (
+        SELECT event_type,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events_us
+    ),
+    r AS (
+        SELECT event_type, gap_us,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us, event_type) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM d WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_gaps,
+           CAST(MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END)
+                AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN gap_us END)
+                AS BIGINT) AS p95_us,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM r GROUP BY event_type
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival profile per stream: nearest-rank p50/p95 and max
+    of the gaps between consecutive events (µs integers; ORDER
+    STATISTICS, not interpolated quantiles — a 0.95-weighted
+    interpolation differs by 1 ulp between engines, an element of the
+    dataset cannot) — the operational fingerprint that sizes stream
+    buffers, chooses watermark delays, and exposes upstream batching
+    (a p50 near zero with a fat p95 = bursty producer; the reference's
+    60 s buffering shows up as a 60 s spike in exactly this
+    histogram).
+
+    100 TB shape: one (event_type) partition + (ts, event_id) sort for
+    the lag, a second rank window on the gap within the same ~5-key
+    partitioning, then a tiny agg — the gap column never leaves the
+    partition that computed it."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    d = e.select(
+        "event_type",
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "event_type")
+    wn = Window.partitionBy("event_type")
+    r = d.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.max(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("gap_us"))
+        ).alias("_p50_raw"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(n * 95 + 99) div 100"),
+                F.col("gap_us"),
+            )
+        ).alias("p95_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    ).select(
+        "event_type",
+        "n_gaps",
+        F.col("_p50_raw").alias("p50_us"),
+        "p95_us",
+        "max_gap_us",
+    )
+
+
+# ABC revenue classification thresholds (ppm of cumulative share).
+ABC_A_PPM = 800_000
+ABC_B_PPM = 950_000
+
+
+@query(
+    "q_abc_analysis",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM per_cust),
+    ranked AS (
+        SELECT p.o_custkey, p.cents,
+               SUM(p.cents) OVER (ORDER BY p.cents DESC, p.o_custkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM per_cust p
+    ),
+    classed AS (
+        SELECT r.o_custkey, r.cents,
+               CASE WHEN r.cum * 1000000 <= {ABC_A_PPM} * t.total THEN 'A'
+                    WHEN r.cum * 1000000 <= {ABC_B_PPM} * t.total THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked r CROSS JOIN tot t
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(cents) AS BIGINT) AS class_cents
+    FROM classed GROUP BY abc_class
+    """,
+    tags=("analytics",),
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification: customers sorted by spend,
+    class A = the head covering 80% of cumulative revenue, B = next
+    15%, C = the tail — the inventory-management classic, and the
+    cross-multiplied integer thresholds (cum·10⁶ ≤ ppm·total) make the
+    class boundary exact on both engines (no float share).
+
+    100 TB shape: the per-customer rollup shrinks orders to |customers|
+    rows before the one global cumulative sort (range-partitioned);
+    the threshold test needs only the 1-row total broadcast alongside.
+    Same global-sort caveat and quantile-bucket refinement as
+    q_curate_token_budget."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    tot = F.broadcast(per_cust.agg(F.sum("cents").alias("total")))
+    w = (
+        Window.orderBy(F.desc("cents"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    classed = (
+        per_cust.withColumn("cum", F.sum("cents").over(w))
+        .crossJoin(tot)
+        .select(
+            "cents",
+            F.when(
+                F.col("cum") * 1000000 <= ABC_A_PPM * F.col("total"), "A"
+            )
+            .when(
+                F.col("cum") * 1000000 <= ABC_B_PPM * F.col("total"), "B"
+            )
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("class_cents"),
+    )
