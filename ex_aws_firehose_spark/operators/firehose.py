@@ -789,3 +789,54 @@ def q_decode_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_records"),
         F.min("record_id").alias("first_record"),
     )
+
+
+@query(
+    "q_record_size_histogram",
+    oracle=ORACLE_CTE
+    + """
+    , wire AS (
+        SELECT record_id,
+               length(CASE WHEN kind = 'data'
+                           THEN to_base64(encode(payload))
+                           ELSE payload END)
+                   + length(record_id) AS sz
+        FROM routed WHERE result <> 'ProcessingFailed'
+    )
+    SELECT CAST(length(bin(sz)) AS BIGINT) AS size_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(sz) AS BIGINT) AS total_bytes,
+           CAST(MIN(sz) AS BIGINT) AS min_bytes,
+           CAST(MAX(sz) AS BIGINT) AS max_bytes
+    FROM wire GROUP BY length(bin(sz))
+    """,
+    tags=("firehose", "dq"),
+)
+def q_record_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-size histogram of delivered records in power-of-two buckets
+    (bucket = bit-width of the size — length(bin(sz)) in both engines,
+    exactly floor(log2)+1 with no float log): count, total, min/max
+    bytes per bucket over the same size accounting the reference bills
+    by (payload wire field + record id, lambda/main.py:143). This is
+    the buffer-sizing / billing-profile view: Firehose's 5 MB delivery
+    buffer and the overflow threshold (q_size_overflow_split) are
+    chosen off exactly this distribution.
+
+    100 TB shape: size is a map-side expression over the shared
+    persisted split frame (one staging pass serves the whole firehose
+    family); the histogram agg has ≤ 64 possible buckets, so map-side
+    combine reduces each partition to a handful of rows."""
+    split_df = split_records(spark, sf_dir)
+    wire = split_df.filter(F.col("result") != "ProcessingFailed").select(
+        (F.length("data") + F.length("record_id")).alias("sz")
+    )
+    return (
+        wire.select("sz", F.length(F.bin("sz")).cast("long").alias("size_bucket"))
+        .groupBy("size_bucket")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.sum("sz").alias("total_bytes"),
+            F.min("sz").cast("long").alias("min_bytes"),
+            F.max("sz").cast("long").alias("max_bytes"),
+        )
+    )
