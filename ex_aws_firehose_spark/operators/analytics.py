@@ -1327,9 +1327,9 @@ def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ABC revenue classification thresholds (ppm of cumulative share).
-ABC_A_PPM = 800_000
-ABC_B_PPM = 950_000
+# ABC revenue classification thresholds (percent of cumulative share).
+ABC_A_PCT = 80
+ABC_B_PCT = 95
 
 
 @query(
@@ -1348,12 +1348,17 @@ ABC_B_PPM = 950_000
                                   ROWS UNBOUNDED PRECEDING) AS cum
         FROM per_cust p
     ),
+    thr AS (
+        SELECT ({ABC_A_PCT} * total) // 100 AS thr_a,
+               ({ABC_B_PCT} * total) // 100 AS thr_b
+        FROM tot
+    ),
     classed AS (
         SELECT r.o_custkey, r.cents,
-               CASE WHEN r.cum * 1000000 <= {ABC_A_PPM} * t.total THEN 'A'
-                    WHEN r.cum * 1000000 <= {ABC_B_PPM} * t.total THEN 'B'
+               CASE WHEN r.cum <= t.thr_a THEN 'A'
+                    WHEN r.cum <= t.thr_b THEN 'B'
                     ELSE 'C' END AS abc_class
-        FROM ranked r CROSS JOIN tot t
+        FROM ranked r CROSS JOIN thr t
     )
     SELECT abc_class,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
@@ -1365,9 +1370,14 @@ ABC_B_PPM = 950_000
 def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto revenue classification: customers sorted by spend,
     class A = the head covering 80% of cumulative revenue, B = next
-    15%, C = the tail — the inventory-management classic, and the
-    cross-multiplied integer thresholds (cum·10⁶ ≤ ppm·total) make the
-    class boundary exact on both engines (no float share).
+    15%, C = the tail — the inventory-management classic. Boundaries
+    compare the cumulative sum against PRE-DIVIDED integer thresholds
+    ((pct·total) div 100, exact for integer cum) rather than
+    cross-multiplying the cumulative side — cum·10⁶ overflows int64
+    once total revenue passes ~9·10¹² cents, which the 4× scale probe
+    actually hit (docs/SCALE.md §13 methodology); the threshold form
+    is safe to total ≈ 9·10¹⁶ cents and DECIMAL(38) is the documented
+    step beyond.
 
     100 TB shape: the per-customer rollup shrinks orders to |customers|
     rows before the one global cumulative sort (range-partitioned);
@@ -1380,22 +1390,23 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents"
         )
     )
-    tot = F.broadcast(per_cust.agg(F.sum("cents").alias("total")))
+    thr = F.broadcast(
+        per_cust.agg(F.sum("cents").alias("total")).select(
+            F.expr(f"({ABC_A_PCT} * total) div 100").alias("thr_a"),
+            F.expr(f"({ABC_B_PCT} * total) div 100").alias("thr_b"),
+        )
+    )
     w = (
         Window.orderBy(F.desc("cents"), "o_custkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     classed = (
         per_cust.withColumn("cum", F.sum("cents").over(w))
-        .crossJoin(tot)
+        .crossJoin(thr)
         .select(
             "cents",
-            F.when(
-                F.col("cum") * 1000000 <= ABC_A_PPM * F.col("total"), "A"
-            )
-            .when(
-                F.col("cum") * 1000000 <= ABC_B_PPM * F.col("total"), "B"
-            )
+            F.when(F.col("cum") <= F.col("thr_a"), "A")
+            .when(F.col("cum") <= F.col("thr_b"), "B")
             .otherwise("C")
             .alias("abc_class"),
         )
