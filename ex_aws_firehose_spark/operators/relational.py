@@ -2901,3 +2901,156 @@ def q_join_hint_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "q_join_null_skew_split",
+    oracle="""
+    WITH e AS (
+        SELECT event_id,
+               CASE WHEN user_id % 10 = 0 THEN NULL ELSE user_id END
+                   AS fk_user,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    matched AS (
+        SELECT e.event_id, e.cents, c.c_mktsegment AS segment
+        FROM e JOIN customer c ON c.c_custkey = e.fk_user % 10000
+        WHERE e.fk_user IS NOT NULL
+    ),
+    nulls AS (
+        SELECT event_id, cents, 'UNATTRIBUTED' AS segment
+        FROM e WHERE fk_user IS NULL
+    ),
+    unmatched AS (
+        SELECT e.event_id, e.cents, 'UNKNOWN' AS segment
+        FROM e WHERE e.fk_user IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = e.fk_user % 10000)
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM (SELECT * FROM matched UNION ALL SELECT * FROM nulls
+          UNION ALL SELECT * FROM unmatched)
+    GROUP BY segment
+    """,
+    tags=("relational", "join", "scale"),
+)
+def q_join_null_skew_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-key join-skew mitigation — the most common skew in real
+    enrichment joins: a fact table where a large slice has a NULL
+    foreign key (here: every 10th event unattributed). A plain outer
+    join hashes EVERY null to one partition — the null partition
+    becomes the straggler. The fix is the split-union: route null-key
+    rows around the join entirely (map-only tag), join only non-null
+    rows, and union; unmatched non-null keys keep their own bucket so
+    the result is an exact outer-join equivalent.
+
+    100 TB shape: the null slice never enters the exchange, so the
+    join's partitions stay balanced no matter how null-heavy the feed
+    gets; the anti-join for 'UNKNOWN' shares the non-null slice's
+    partitioning. This is the deterministic cousin of salting
+    (q_join_skew_salted handles hot NON-null keys; this handles the
+    null key, which salting cannot — a salted null is still
+    unjoinable)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("user_id") % 10 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("fk_user"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    nn = e.filter(F.col("fk_user").isNotNull()).withColumn(
+        "join_key", F.col("fk_user") % 10000
+    )
+    matched = nn.join(c, nn.join_key == c.c_custkey).select(
+        "event_id", "cents", F.col("c_mktsegment").alias("segment")
+    )
+    unmatched = nn.join(
+        c, nn.join_key == c.c_custkey, "left_anti"
+    ).select("event_id", "cents", F.lit("UNKNOWN").alias("segment"))
+    nulls = e.filter(F.col("fk_user").isNull()).select(
+        "event_id", "cents", F.lit("UNATTRIBUTED").alias("segment")
+    )
+    return (
+        matched.unionByName(nulls)
+        .unionByName(unmatched)
+        .groupBy("segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+
+
+# Trimmed-mean cut: drop this many ppm from each tail (5%).
+TRIM_PPM = 50_000
+
+
+@query(
+    "q_agg_trimmed_mean",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY cents, event_type) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ),
+    kept AS (
+        SELECT event_type, cents, n FROM r
+        WHERE rn > (n * {TRIM_PPM}) // 1000000
+          AND rn <= n - (n * {TRIM_PPM}) // 1000000
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(cents) AS BIGINT) AS kept_cents,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS trimmed_mean_cents
+    FROM kept GROUP BY event_type
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% trimmed mean per group — the robust average used wherever a
+    few whale values would swamp a plain mean (payment amounts, session
+    lengths): drop exactly floor(5%·n) rows from each tail by rank,
+    average the middle in exact integers (sum + integer div — the
+    mean's floor is deterministic; no float accumulation order).
+
+    100 TB shape: one (group) partition + one in-partition sort serves
+    the rank, the count, and the final agg (same single-exchange chain
+    as q_sessionize_gap); the trim predicate is a map-side comparison
+    of rank against the group count. Contrast with winsorized/
+    percentile approaches that need two passes — rank-trim is
+    one-pass because the cut is defined by position, not value."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("cents", "event_type")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "cents",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rn") > F.expr(f"(n * {TRIM_PPM}) div 1000000"))
+        & (F.col("rn") <= F.col("n") - F.expr(f"(n * {TRIM_PPM}) div 1000000"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.max("n").alias("n_total"),
+        F.count("*").alias("n_kept"),
+        F.sum("cents").alias("kept_cents"),
+        F.expr("sum(cents) div count(*)").alias("trimmed_mean_cents"),
+    )
