@@ -4160,3 +4160,82 @@ def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.min("quality_ppm").alias("min_quality_ppm"),
     )
+
+
+# OOD screen: k-th-neighbor similarity rank and how many lowest-density
+# vectors to surface.
+OOD_K = 3
+OOD_TOP = 20
+
+
+@query(
+    "q_embed_ood_knn_distance",
+    oracle=f"""
+    WITH sims AS (
+        SELECT a.vec_id, a.label,
+               ROUND({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos,
+               b.vec_id AS nbr
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT vec_id, label, cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, nbr) AS rn
+        FROM sims
+    )
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           cos AS knn{OOD_K}_sim
+    FROM ranked WHERE rn = {OOD_K}
+    ORDER BY cos, vec_id
+    LIMIT {OOD_TOP}
+    """,
+    tags=("llm", "vector", "dq"),
+)
+def q_embed_ood_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-distribution screen by k-NN density: each vector's
+    similarity to its 3rd-nearest in-bucket neighbor is its local
+    density score; the 20 LOWEST-density vectors are the OOD / junk /
+    mislabeled-cluster candidates a curation pipeline routes to review
+    before they poison contrastive training. (kth-neighbor distance is
+    the classic non-parametric outlier score — LOF's cheaper cousin.)
+
+    100 TB shape: identical candidate generation to q_sim_knn_graph
+    (IVF-label bucket self-join, never a crossJoin; norms pre-projected
+    per row by the shared cosine helper), one bounded rank window per
+    vector, then a global TakeOrdered of 20 — the OOD tail, unlike the
+    kNN graph, never materializes the full adjacency. Vectors whose
+    bucket has < k peers simply don't rank — at scale that itself is
+    the strongest OOD signal and surfaces via q_dq_key_skew on the
+    label column."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm("embedding").alias("nrm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    sims = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.vec_id") != F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_id"),
+        F.col("a.label").alias("label"),
+        cos.alias("cos"),
+        F.col("b.vec_id").alias("nbr"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "nbr")
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == OOD_K)
+        .select(
+            "vec_id",
+            F.col("label").cast("long"),
+            F.col("cos").alias(f"knn{OOD_K}_sim"),
+        )
+        .orderBy(f"knn{OOD_K}_sim", "vec_id")
+        .limit(OOD_TOP)
+    )
