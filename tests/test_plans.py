@@ -599,3 +599,33 @@ def test_shuffle_hash_hint_is_honored(spark, sf_dir):
         REGISTRY["q_join_hint_shuffle_hash"].fn(spark, sf_dir)
     )
     assert "ShuffledHashJoin" in plan, plan
+
+
+def test_skyline_has_no_dominance_join(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_skyline_pareto"].fn(spark, sf_dir))
+    # 2-D collapse: per-day agg + running max — NO pairwise join at all.
+    assert "Join" not in plan, plan
+
+
+def test_trimmed_mean_single_exchange(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    # rank window, group count window, and final agg all share one
+    # (event_type) partitioning.
+    assert (
+        shuffle_count(REGISTRY["q_agg_trimmed_mean"].fn(spark, sf_dir)) == 1
+    )
+
+
+def test_null_skew_split_joins_are_equi_only(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        REGISTRY["q_join_null_skew_split"].fn(spark, sf_dir)
+    )
+    # The null slice bypasses both joins (matched + anti); neither may
+    # degrade to a product.
+    assert "CartesianProduct" not in plan, plan
+    assert "LeftAnti" in plan, plan
