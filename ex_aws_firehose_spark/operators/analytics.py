@@ -1415,3 +1415,121 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_customers"),
         F.sum("cents").alias("class_cents"),
     )
+
+
+@query(
+    "q_window_ohlc",
+    oracle=EVENTS_US
+    + """
+    , c AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events_us
+    )
+    SELECT event_type, hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           first(cents ORDER BY ts, event_id) AS open_cents,
+           CAST(MAX(cents) AS BIGINT) AS high_cents,
+           CAST(MIN(cents) AS BIGINT) AS low_cents,
+           last(cents ORDER BY ts, event_id) AS close_cents
+    FROM c GROUP BY event_type, hr
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_window_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) hourly candlesticks per stream — the
+    canonical time-series-database downsample (TimescaleDB/InfluxDB
+    continuous aggregate): first and last value by (ts, event_id)
+    within the hour via min_by/max_by argmin aggregates, extremes via
+    MIN/MAX, all in exact cents.
+
+    100 TB shape: ONE map-side-combined hash agg at (type, hour) grain
+    — min_by/max_by carry a (key, value) pair through the partial
+    aggregation, so open/close need no sort and no window; the
+    candlestick table is the mergeable rollup (§3): day candles
+    re-aggregate from hour candles by the same argmin/argmax merge,
+    never from raw events."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    order_key = F.struct("ts", "event_id")
+    return c.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.min_by("cents", order_key).alias("open_cents"),
+        F.max("cents").alias("high_cents"),
+        F.min("cents").alias("low_cents"),
+        F.max_by("cents", order_key).alias("close_cents"),
+    )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT cents,
+               ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(cents) OVER () AS total
+        FROM per_cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(MAX(total) AS BIGINT) AS total_cents,
+           CAST(CAST(2 * SUM(CAST(i AS HUGEINT) * cents)
+                     - (MAX(n) + 1) * CAST(MAX(total) AS HUGEINT)
+                     AS HUGEINT) * 1000000
+                // (CAST(MAX(n) AS HUGEINT) * MAX(total)) AS BIGINT)
+               AS gini_ppm
+    FROM ranked
+    """,
+    tags=("analytics", "agg"),
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration in exact ppm — the
+    inequality scalar that pairs with q_abc_analysis's classes
+    (G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over ascending-sorted spend):
+    one number that tracks whale-dependence across releases. The rank
+    products accumulate in int64, but the final ×10⁶ scalar step runs
+    in DECIMAL(38)/HUGEINT on BOTH engines — the documented escape
+    hatch once a cross-multiplication can't keep its bounded side
+    under 2⁶³ (it overflowed int64 at sf0.1 in development, same
+    failure mode the ABC 4× probe caught).
+
+    100 TB shape: |customers| rollup first, then one global ascending
+    sort for ranks (range-partitioned — the same one-sort budget as
+    ABC/token-budget, shareable with them in a combined report) and a
+    single scalar agg."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    wr = Window.orderBy("cents", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "cents",
+        F.row_number().over(wr).alias("i"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("cents").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        F.max("total").alias("total_cents"),
+        F.expr(
+            "CAST(CAST(2 * sum(i * cents) - (max(n) + 1) * max(total)"
+            "          AS DECIMAL(38, 0)) * 1000000"
+            " div (CAST(max(n) AS DECIMAL(38, 0)) * max(total))"
+            " AS LONG)"
+        ).alias("gini_ppm"),
+    )
