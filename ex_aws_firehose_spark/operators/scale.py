@@ -2079,3 +2079,89 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_links.orderBy(
         F.desc("common_neighbors"), "user_a", "user_b"
     ).limit(LINKPRED_TOP)
+
+
+# Chi-square drift split point: orders up to 1994 vs after.
+CHISQ_SPLIT_YEAR = 1994
+
+
+@query(
+    "q_dq_chisq_drift",
+    oracle=f"""
+    WITH cells AS (
+        SELECT o_orderpriority AS cat,
+               CASE WHEN year(o_orderdate) <= {CHISQ_SPLIT_YEAR}
+                    THEN 'before' ELSE 'after' END AS period,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM orders GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT c.cat, c.period, c.o,
+               SUM(c.o) OVER (PARTITION BY c.cat) AS row_total,
+               SUM(c.o) OVER (PARTITION BY c.period) AS col_total,
+               SUM(c.o) OVER () AS grand
+        FROM cells c
+    ),
+    contrib AS (
+        SELECT cat, period, o,
+               CAST(CAST(o * grand - row_total * col_total AS HUGEINT)
+                    * (o * grand - row_total * col_total) * 1000000
+                    // (CAST(grand AS HUGEINT) * row_total * col_total)
+                    AS BIGINT) AS chi2_contrib_ppm
+        FROM m
+    )
+    SELECT cat, period, o, chi2_contrib_ppm,
+           CAST(SUM(chi2_contrib_ppm) OVER () AS BIGINT)
+               AS chi2_total_ppm
+    FROM contrib
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-distribution drift via the chi-square statistic:
+    the order-priority mix before vs after {CHISQ_SPLIT_YEAR}, each
+    contingency cell contributing ((O·N − R·C)²·10⁶) div (N·R·C) —
+    the χ²·ppm decomposition in exact integer arithmetic (squares run
+    in DECIMAL(38)/HUGEINT: (O·N)² passes 2⁶³ at sf0.1 already — the
+    bounded-side rule's escape hatch, same as q_agg_gini). A drifted
+    category mix (new upstream release, enum addition) shows up as a
+    fat cell contribution long before volumes move; this is the
+    categorical sibling of q_dq_volume_anomaly and the null-rate drift
+    audit.
+
+    100 TB shape: one hash agg to |categories|×2 cells, then windows
+    over those ≤10 rows — the audit costs a scan, invariant to table
+    width; the marginals are window sums, not re-scans."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.year("o_orderdate") <= CHISQ_SPLIT_YEAR, "before")
+        .otherwise("after")
+        .alias("period"),
+    ).agg(F.count("*").alias("o"))
+    w_row = Window.partitionBy("cat")
+    w_col = Window.partitionBy("period")
+    w_all = Window.partitionBy()
+    m = cells.select(
+        "cat",
+        "period",
+        "o",
+        F.sum("o").over(w_row).alias("row_total"),
+        F.sum("o").over(w_col).alias("col_total"),
+        F.sum("o").over(w_all).alias("grand"),
+    )
+    contrib = m.select(
+        "cat",
+        "period",
+        "o",
+        F.expr(
+            "CAST(CAST(o * grand - row_total * col_total AS DECIMAL(38,0))"
+            " * (o * grand - row_total * col_total) * 1000000"
+            " div (CAST(grand AS DECIMAL(38,0)) * row_total * col_total)"
+            " AS LONG)"
+        ).alias("chi2_contrib_ppm"),
+    )
+    return contrib.withColumn(
+        "chi2_total_ppm",
+        F.sum("chi2_contrib_ppm").over(Window.partitionBy()),
+    )
