@@ -2119,7 +2119,7 @@ CHISQ_SPLIT_YEAR = 1994
 )
 def q_dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical-distribution drift via the chi-square statistic:
-    the order-priority mix before vs after {CHISQ_SPLIT_YEAR}, each
+    the order-priority mix before vs after the split year, each
     contingency cell contributing ((O·N − R·C)²·10⁶) div (N·R·C) —
     the χ²·ppm decomposition in exact integer arithmetic (squares run
     in DECIMAL(38)/HUGEINT: (O·N)² passes 2⁶³ at sf0.1 already — the
