@@ -840,3 +840,52 @@ def q_record_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sz").cast("long").alias("max_bytes"),
         )
     )
+
+
+@query(
+    "q_log_template_mining",
+    oracle="""
+    WITH msgs AS (
+        SELECT event_type || ' ' || props AS msg FROM events
+    ),
+    t AS (
+        SELECT regexp_replace(msg, '[0-9]+', '<N>', 'g') AS template,
+               length(msg) AS msg_len
+        FROM msgs
+    )
+    SELECT template,
+           CAST(COUNT(*) AS BIGINT) AS n_messages,
+           CAST(MIN(msg_len) AS BIGINT) AS min_len,
+           CAST(MAX(msg_len) AS BIGINT) AS max_len
+    FROM t GROUP BY template
+    """,
+    tags=("firehose", "text"),
+)
+def q_log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-template mining (Drain-lite): collapse each log message to
+    its template by masking numeric literals (`[0-9]+` → `<N>`), then
+    count instances per template — the first thing a log-delivery
+    pipeline's consumers do with the delivered stream (template
+    cardinality ≈ distinct code paths; a template count spike = a new
+    error path; an exploding template set = an unmasked id leaking
+    into messages). Production systems add wildcard learning (Drain's
+    fixed-depth parse tree); the masking step here is its first layer
+    and the operator shape is identical.
+
+    100 TB shape: masking is a map-side regexp inside codegen; the
+    template agg's cardinality is |code paths| (thousands), so
+    map-side combine collapses each partition to the template set —
+    the shuffle is independent of log volume. The length min/max per
+    template double as a zone-map-style sanity band for the mask."""
+    e = load_table(spark, sf_dir, "events")
+    t = e.select(
+        F.regexp_replace(
+            F.concat_ws(" ", "event_type", "props"), "[0-9]+", "<N>"
+        ).alias("template"),
+        F.length(F.concat_ws(" ", "event_type", "props")).alias("msg_len"),
+    )
+    return t.groupBy("template").agg(
+        F.count("*").alias("n_messages"),
+        F.min("msg_len").cast("long").alias("min_len"),
+        F.max("msg_len").cast("long").alias("max_len"),
+    )
