@@ -629,3 +629,22 @@ def test_null_skew_split_joins_are_equi_only(spark, sf_dir):
     # degrade to a product.
     assert "CartesianProduct" not in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_ohlc_needs_no_window_operator(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import physical_plan, shuffle_count
+
+    df = REGISTRY["q_window_ohlc"].fn(spark, sf_dir)
+    # open/close come from min_by/max_by INSIDE the hash agg — no sort,
+    # no Window operator, one exchange.
+    assert "Window" not in physical_plan(df)
+    assert shuffle_count(df) == 1
+
+
+def test_template_mining_single_exchange(spark, sf_dir):
+    from ex_aws_firehose_spark.plans.audit import shuffle_count
+
+    assert (
+        shuffle_count(REGISTRY["q_log_template_mining"].fn(spark, sf_dir))
+        == 1
+    )
