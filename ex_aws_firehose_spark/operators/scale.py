@@ -2165,3 +2165,66 @@ def q_dq_chisq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chi2_total_ppm",
         F.sum("chi2_contrib_ppm").over(Window.partitionBy()),
     )
+
+
+@query(
+    "q_sketch_hll_intersection",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                    THEN user_id END) AS BIGINT) AS exact_a,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                    THEN user_id END) AS BIGINT) AS exact_b,
+           CAST(COUNT(DISTINCT CASE WHEN event_type IN ('view', 'click')
+                                    THEN user_id END) AS BIGINT)
+               AS exact_union,
+           CAST(COUNT(DISTINCT CASE WHEN event_type = 'view'
+                                    THEN user_id END)
+                + COUNT(DISTINCT CASE WHEN event_type = 'click'
+                                      THEN user_id END)
+                - COUNT(DISTINCT CASE WHEN event_type IN ('view', 'click')
+                                      THEN user_id END) AS BIGINT)
+               AS exact_intersection,
+           TRUE AS hll_within_15pct
+    FROM events
+    """,
+    tags=("scale", "sketch", "approx"),
+)
+def q_sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation — |A∩B| by inclusion–exclusion over
+    HLL sketches (viewers ∩ clickers here; ad-tech's daily bread): the
+    sketches give |A|, |B|, |A∪B| mergeably, the intersection falls
+    out as A+B−U. The oracle-checked contract follows
+    q_agg_approx_distinct: exact values plus a verdict that the
+    HLL-derived intersection lands within 15% of exact (looser than
+    the single-set 5% — inclusion–exclusion compounds three sketch
+    errors, and THAT compounding is the documented caveat: for small
+    intersections of huge sets the estimate degrades and a minhash
+    Jaccard sketch (q_dedup_minhash_estimate) is the right tool).
+
+    100 TB shape: one pass, one agg row — three conditional
+    COUNT(DISTINCT)s expand to partial/final on the user key; the HLL
+    variants are fixed-memory mergeable sketches, which is the whole
+    point at this scale."""
+    e = load_table(spark, sf_dir, "events")
+    a = F.when(F.col("event_type") == "view", F.col("user_id"))
+    b = F.when(F.col("event_type") == "click", F.col("user_id"))
+    u = F.when(
+        F.col("event_type").isin("view", "click"), F.col("user_id")
+    )
+    est_i = (
+        F.approx_count_distinct(a, 0.02)
+        + F.approx_count_distinct(b, 0.02)
+        - F.approx_count_distinct(u, 0.02)
+    )
+    exact_i = (
+        F.countDistinct(a) + F.countDistinct(b) - F.countDistinct(u)
+    )
+    return e.agg(
+        F.countDistinct(a).alias("exact_a"),
+        F.countDistinct(b).alias("exact_b"),
+        F.countDistinct(u).alias("exact_union"),
+        exact_i.alias("exact_intersection"),
+        (F.abs(est_i - exact_i) <= exact_i * 0.15).alias(
+            "hll_within_15pct"
+        ),
+    )
