@@ -3054,3 +3054,71 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("kept_cents"),
         F.expr("sum(cents) div count(*)").alias("trimmed_mean_cents"),
     )
+
+
+@query(
+    "q_window_ratio_to_report",
+    oracle="""
+    WITH per_nation AS (
+        SELECT n.n_regionkey AS region, c.c_nationkey AS nation,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_regionkey, c.c_nationkey
+    )
+    SELECT region, nation, cents,
+           CAST(cents * 1000000 // SUM(cents) OVER (PARTITION BY region)
+                AS BIGINT) AS region_share_ppm,
+           CAST(cents * 1000000 // SUM(cents) OVER ()
+                AS BIGINT) AS global_share_ppm
+    FROM per_nation
+    """,
+    tags=("relational", "window"),
+)
+def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RATIO_TO_REPORT — the named share-of-total analytic
+    (Oracle/Snowflake): each nation's revenue as an exact-ppm share of
+    its region and of the world, in one pass over the pre-aggregated
+    frame. The share numerator is the BOUNDED side of the
+    cross-multiplication (cents ≤ its own group total — never a
+    running sum), so int64 holds to ~9·10¹² total cents per group and
+    the DECIMAL(38) hatch is the documented step beyond.
+
+    100 TB shape: the heavy work is the rollup (orders joins broadcast
+    dims, aggregates to |nations| rows); both share windows evaluate
+    over that tiny frame — the report costs the rollup, the analytics
+    are free. This is the general rule for share-of-total reporting:
+    aggregate FIRST, window the aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_regionkey").alias("region"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("cents")
+        )
+    )
+    return per_nation.select(
+        "region",
+        "nation",
+        "cents",
+        F.expr(
+            "cents * 1000000 div sum(cents) OVER (PARTITION BY region)"
+        ).alias("region_share_ppm"),
+        F.expr("cents * 1000000 div sum(cents) OVER ()").alias(
+            "global_share_ppm"
+        ),
+    )
