@@ -1526,9 +1526,13 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.agg(
         F.max("n").alias("n_customers"),
         F.max("total").alias("total_cents"),
+        # The rank-product sum itself must accumulate in DECIMAL(38):
+        # 2·Σ i·xᵢ brushes 2⁶³ at 16× sf0.1 already (caught by the 16×
+        # sweep; the DuckDB side always summed in HUGEINT).
         F.expr(
-            "CAST(CAST(2 * sum(i * cents) - (max(n) + 1) * max(total)"
-            "          AS DECIMAL(38, 0)) * 1000000"
+            "CAST((2 * sum(CAST(i AS DECIMAL(38, 0)) * cents)"
+            "      - (max(n) + 1) * CAST(max(total) AS DECIMAL(38, 0)))"
+            " * 1000000"
             " div (CAST(max(n) AS DECIMAL(38, 0)) * max(total))"
             " AS LONG)"
         ).alias("gini_ppm"),
