@@ -2187,13 +2187,26 @@ def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-roll iteration for convergence-dependent math).
 
     100 TB shape: each recursion step is one self-join + filter; total
-    work is rows × hierarchy depth (bounded ≤ 6 here), and the engine
-    terminates on the empty-step fixpoint. Deep or cyclic graphs still
-    belong to the driver-loop form with localCheckpoint — a recursive
-    CTE has no cycle guard beyond the step filter."""
+    work is rows × hierarchy depth (≤ ~10 decimal digits), and the
+    engine terminates on the empty-step fixpoint. Spark guards
+    runaway recursion with `spark.sql.cteRecursionRowLimit`
+    (default 10⁶ rows — the 16× scale sweep tripped it at
+    240 k customers × depth ~10), so the operator sizes the limit to
+    rows × max-depth explicitly; the level limit (100) stays as the
+    cycle backstop. Deep or cyclic graphs still belong to the
+    driver-loop form with localCheckpoint — a recursive CTE has no
+    cycle guard beyond these limits."""
     from ex_aws_firehose_spark.tables import register_temp_views
 
     register_temp_views(spark, sf_dir)
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    # Rows accumulate ≈ n × (depth+1); size the guard with headroom.
+    # Set-and-leave (no restore): the returned frame is lazy, so the
+    # conf must still hold when the caller materializes it; raising a
+    # runaway guard session-wide is safe, shrinking it is not.
+    limit = max(1_000_000, n_customers * 24)
+    if int(spark.conf.get("spark.sql.cteRecursionRowLimit")) < limit:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(limit))
     return spark.sql(_hierarchy_sql("div"))
 
 
