@@ -307,3 +307,44 @@ def test_time_travel_window_replay_equals_fold(log):
             if top[2] != "D":
                 window_rows.add((key, top[3]))
         assert fold_rows == window_rows
+
+
+# ---------------------------------------------------------------------------
+# Gini formula sanity: known distributions
+# ---------------------------------------------------------------------------
+
+
+def _gini_ppm(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    total = sum(xs)
+    s = sum((i + 1) * x for i, x in enumerate(xs))
+    return (2 * s - (n + 1) * total) * 1_000_000 // (n * total)
+
+
+def test_gini_uniform_is_zero():
+    assert _gini_ppm([100] * 50) == 0
+
+
+def test_gini_single_whale_approaches_one():
+    n = 100
+    g = _gini_ppm([0] * 0 + [1] * (n - 1) + [10_000_000])
+    # single dominant holder → G ≈ (n-1)/n
+    assert abs(g - (n - 1) * 1_000_000 // n) < 20_000
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=2, max_size=60)
+)
+@settings(deadline=None)
+def test_gini_bounds_and_transfer_monotonicity(xs):
+    """0 ≤ G < 1, and a rich-to-poor transfer (Pigou–Dalton) never
+    increases G — the two defining properties of the index
+    q_agg_gini computes."""
+    g = _gini_ppm(xs)
+    assert 0 <= g < 1_000_000
+    ys = sorted(xs)
+    if ys[0] + 2 <= ys[-1]:  # transfer 1 unit from richest to poorest
+        ys[0] += 1
+        ys[-1] -= 1
+        assert _gini_ppm(ys) <= g
