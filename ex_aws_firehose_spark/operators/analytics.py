@@ -1537,3 +1537,81 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS LONG)"
         ).alias("gini_ppm"),
     )
+
+
+LORENZ_BUCKETS = 10
+
+
+@query(
+    "q_lorenz_curve",
+    oracle=f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    deciled AS (
+        SELECT cents,
+               NTILE({LORENZ_BUCKETS}) OVER (ORDER BY cents, o_custkey)
+                   AS decile
+        FROM per_cust
+    ),
+    per_decile AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(cents) AS BIGINT) AS decile_cents
+        FROM deciled GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers, decile_cents,
+           CAST(CAST(SUM(decile_cents) OVER (ORDER BY decile
+                         ROWS UNBOUNDED PRECEDING) AS HUGEINT)
+                * 1000000 // SUM(decile_cents) OVER ()
+                AS BIGINT) AS cum_share_ppm
+    FROM per_decile
+    """,
+    tags=("analytics",),
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in deciles — the distribution picture behind
+    q_agg_gini's scalar and q_abc_analysis's classes (the reporting
+    trio): customers deciled by spend, each decile's cumulative share
+    of total revenue in exact ppm. The cumulative×10⁶ runs in
+    DECIMAL(38)/HUGEINT on both engines (the running sum is the
+    UNBOUNDED side — the exact overflow the 4×/16× probes taught us to
+    pre-empt).
+
+    100 TB shape: same budget as Gini — |customers| rollup, one global
+    sort (NTILE), then windows over 10 rows. All three inequality
+    reports share the rollup and the sort when run together."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "cents"
+        )
+    )
+    deciled = per_cust.select(
+        "cents",
+        F.ntile(LORENZ_BUCKETS)
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("decile"),
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("decile_cents"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return per_decile.select(
+        F.col("decile").cast("long"),
+        "n_customers",
+        "decile_cents",
+        F.expr(
+            "CAST(CAST(sum(decile_cents) OVER (ORDER BY decile"
+            "           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "      AS DECIMAL(38,0)) * 1000000"
+            " div sum(decile_cents) OVER () AS LONG)"
+        ).alias("cum_share_ppm"),
+    )
