@@ -1584,3 +1584,78 @@ def q_stream_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "batch_idx long, n_rows long, cents_sum long"
     )
+
+
+@query(
+    "q_stream_stream_left_join",
+    oracle=ORACLE_EVENTS_US
+    + """
+    , v AS (
+        SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+        FROM events_us WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+        FROM events_us WHERE event_type = 'click'
+    )
+    SELECT v.v_user AS user_id, v.view_id, c.click_id
+    FROM v LEFT JOIN c
+      ON v.v_user = c.c_user
+     AND c.c_ts > v.v_ts
+     AND c.c_ts <= v.v_ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — the semantic the inner
+    variant (q_stream_stream_join) cannot express: views with NO click
+    in the 30-minute band must still emit, with a NULL click, and in a
+    stream they can only do so once the watermark PROVES no matching
+    click can still arrive (state eviction = null emission). The
+    mechanics that make the drain complete: a flush row (reserved user
+    −1, max+100 h, in the staged final micro-batch) rides BOTH streams
+    past their type filters so both watermarks jump and every buffered
+    unmatched view evicts; flush rows join nothing (band excludes
+    equal timestamps) and are filtered from the result. With the full
+    drain, output equals the batch LEFT join — the oracle.
+
+    100 TB shape: identical state bound to the inner join (watermark +
+    band of traffic per side, hash-partitioned by user) PLUS the
+    outer-emission rule every production pipeline must plan for:
+    unmatched results are DELAYED by up to the watermark delay, and a
+    quiet stream emits its tail only when something advances event
+    time — the flush row here is the test-harness form of the
+    heartbeat messages real deployments inject."""
+    src = _time_split_events_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    views = (
+        raw.filter(F.col("event_type").isin("view", "flush"))
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 second")
+    )
+    clicks = (
+        raw.filter(F.col("event_type").isin("click", "flush"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 second")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
+    out = _run_to_memory(joined, mode="append")
+    return out.filter(F.col("user_id") >= 0)
