@@ -135,3 +135,186 @@ def test_checkpoint_restart_no_duplicates(spark, smoke_dir):
         spark.read.parquet(paths.primary).select("record_id").distinct().count()
     )
     assert distinct == count1
+
+
+# ---------------------------------------------------------------------------
+# Crash-replay fault injection (SURVEY §2.1 delivery semantics; reference
+# retry contract lambda/main.py:101-128). The batch-{id} overwrite sinks
+# (q_stream_available_now, q_stream_dedup_minhash verdict sink) and the
+# copy-on-write upsert state (q_stream_upsert) claim replay idempotence:
+# a failure between the sink write and the checkpoint commit replays the
+# batch, and the rewrite must leave output identical to a no-crash run.
+# These tests actually inject that failure and restart from the same
+# checkpoint.
+# ---------------------------------------------------------------------------
+
+
+def _stage_slices(spark, src, n_files=3, rows_per=5):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    for i in range(n_files):
+        _write_batch(
+            spark,
+            src,
+            [
+                (
+                    i * rows_per + j,
+                    t0 + dt.timedelta(minutes=i * rows_per + j),
+                    i,
+                    float(j),
+                )
+                for j in range(rows_per)
+            ],
+        )
+
+
+def test_crash_replay_batch_id_sink(spark):
+    """Kill the query AFTER a micro-batch's sink write but BEFORE its
+    checkpoint commit; restart from the same checkpoint. Spark replays
+    the uncommitted batch, the overwrite-mode batch-{id} subdir is
+    rewritten in place, and the drained output equals the no-crash run
+    (row count, key set, no duplicates) — the exactly-once contract the
+    streaming keys' docstrings claim."""
+    root = tempfile.mkdtemp(prefix="crash_sink_")
+    src, out = os.path.join(root, "src"), os.path.join(root, "out")
+    crash_flag = os.path.join(root, "crash_armed")
+    open(crash_flag, "w").close()
+    _stage_slices(spark, src)
+
+    def sink(batch_df, batch_id):
+        # The sink write lands FIRST ...
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch-{batch_id}")
+        )
+        # ... then the injected fault fires before foreachBatch returns,
+        # i.e. before Spark commits this batch to the checkpoint log.
+        if batch_id == 1 and os.path.exists(crash_flag):
+            os.remove(crash_flag)
+            raise RuntimeError("injected crash: sink written, commit pending")
+
+    def start():
+        return (
+            spark.readStream.schema(TS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash|Query .* terminated"):
+        q.awaitTermination()
+    # batch-1's sink output exists on disk even though the batch never
+    # committed — the dangerous half-written window the replay must heal.
+    assert os.path.isdir(os.path.join(out, "batch-1"))
+
+    q2 = start()  # same checkpoint → replays batch 1, then drains batch 2
+    q2.awaitTermination()
+
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    assert got.count() == 15  # every staged row landed
+    assert got.select("event_id").distinct().count() == 15  # exactly once
+    ids = {r["event_id"] for r in got.select("event_id").collect()}
+    assert ids == set(range(15))
+
+
+@pytest.mark.parametrize("crash_point", ["before_commit", "after_commit"])
+def test_crash_replay_upsert_state(spark, crash_point):
+    """q_stream_upsert's copy-on-write state pattern under fault
+    injection, at BOTH crash windows: (a) after the state_v{id} write
+    but before the in-driver pointer swap, (b) after the pointer swap
+    but before the checkpoint commit. In both cases the replayed merge
+    is idempotent (last-writer-wins by (ts, event_id) absorbs re-merged
+    rows) and the final image equals the batch-computed truth."""
+    import datetime as dt
+
+    root = tempfile.mkdtemp(prefix="crash_upsert_")
+    src = os.path.join(root, "src")
+    crash_flag = os.path.join(root, "crash_armed")
+    open(crash_flag, "w").close()
+    t0 = dt.datetime(2024, 1, 1)
+
+    # Two files -> two micro-batches; keys 1..3 update across batches.
+    _write_batch(
+        spark,
+        src,
+        [(1, t0, 1, 10.0), (2, t0 + dt.timedelta(minutes=1), 2, 20.0),
+         (3, t0 + dt.timedelta(minutes=2), 3, 30.0)],
+    )
+    _write_batch(
+        spark,
+        src,
+        [(4, t0 + dt.timedelta(minutes=3), 1, 40.0),
+         (5, t0 + dt.timedelta(minutes=4), 2, 50.0)],
+    )
+
+    state = {"dir": None}
+
+    def upsert(batch_df, batch_id):
+        cur = (
+            spark.read.parquet(state["dir"])
+            if state["dir"] is not None
+            else spark.createDataFrame(
+                [], "user_id long, last_ts timestamp, value double, event_id long"
+            )
+        )
+        incoming = batch_df.select(
+            "user_id", F.col("ts").alias("last_ts"), "value", "event_id"
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("last_ts"), F.desc("event_id")
+        )
+        merged = (
+            cur.unionByName(incoming)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_dir = os.path.join(root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        if (
+            crash_point == "before_commit"
+            and batch_id == 1
+            and os.path.exists(crash_flag)
+        ):
+            os.remove(crash_flag)
+            raise RuntimeError("injected crash: state written, pointer pending")
+        state["dir"] = new_dir
+        if (
+            crash_point == "after_commit"
+            and batch_id == 1
+            and os.path.exists(crash_flag)
+        ):
+            os.remove(crash_flag)
+            raise RuntimeError("injected crash: pointer swapped, commit pending")
+
+    def start():
+        return (
+            spark.readStream.schema(TS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .option(
+                "checkpointLocation", os.path.join(root, f"ckpt_{crash_point}")
+            )
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash|Query .* terminated"):
+        q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+
+    image = {
+        r["user_id"]: r["value"]
+        for r in spark.read.parquet(state["dir"]).collect()
+    }
+    # Batch truth: last writer per key by event time.
+    assert image == {1: 40.0, 2: 50.0, 3: 30.0}
