@@ -1192,6 +1192,133 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("day_nr").cast("long"), "cents")
 
 
+SKYLINE_GRID = 8  # ε-grid resolution per dimension for the 3-D skyline
+
+
+@query(
+    "q_skyline_pareto_3d",
+    oracle="""
+    WITH pts AS (
+        SELECT datediff('day', DATE '1992-01-01', o_orderdate) AS day_nr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS max_cents,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM orders GROUP BY o_orderdate
+    )
+    SELECT CAST(p.day_nr AS BIGINT) AS day_nr,
+           p.n_orders, p.max_cents, p.sum_cents
+    FROM pts p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts q
+        WHERE q.n_orders >= p.n_orders
+          AND q.max_cents >= p.max_cents
+          AND q.sum_cents >= p.sum_cents
+          AND (q.n_orders > p.n_orders OR q.max_cents > p.max_cents
+               OR q.sum_cents > p.sum_cents)
+    )
+    """,
+    tags=("analytics", "mining"),
+)
+def q_skyline_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D skyline via ε-grid prune + cell-bucketed dominance join — the
+    general-D form q_skyline_pareto's docstring points at (the 2-D
+    running-max collapse needs a totally-ordered dimension; with three
+    maximize-objectives per day — order count, best order, total volume
+    — no sort order exists). Pipeline: (1) reduce to day grain (hash
+    agg), (2) broadcast the 1-row per-dim bounds and cut each dim into
+    G=8 grid cells, (3) CELL-level prune: a cell is dead if some
+    non-empty cell strictly dominates it componentwise (+1 on every
+    axis — any point there beats any point here), at ≤G³-row grain;
+    (4) point-level dominance join only among survivors, routed through
+    the (cell, dominating-cell) pair relation so the point-grain joins
+    stay EQUI-joins on cell ids — the inequality predicates live only
+    at cell grain. Candidates-vs-candidates is exact: a maximal point's
+    cell can never be strictly dominated by a non-empty cell, and
+    dominance is transitive, so every dominated candidate is dominated
+    by some surviving candidate.
+
+    100 TB shape: the day-grain reduction is the scale step (map-side
+    combine to |days| rows); everything after runs at cell/candidate
+    grain, where the grid bounds candidate volume to the frontier
+    band's cells instead of n². The cell frames (≤ G³ rows) broadcast;
+    the only point-grain shuffles hash on cell_id."""
+    G = SKYLINE_GRID
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    pts = o.groupBy(
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("day_nr")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.max(cents).alias("max_cents"),
+        F.sum(cents).alias("sum_cents"),
+    )
+    DIMS = ("n_orders", "max_cents", "sum_cents")
+    bounds = pts.agg(
+        *[F.min(d).alias(f"lo_{d}") for d in DIMS],
+        *[F.max(d).alias(f"hi_{d}") for d in DIMS],
+    )
+    withb = pts.crossJoin(F.broadcast(bounds))
+    cell_cols = [
+        F.least(
+            F.lit(G - 1),
+            F.floor(
+                (F.col(d) - F.col(f"lo_{d}"))
+                * G
+                / (F.col(f"hi_{d}") - F.col(f"lo_{d}") + 1)
+            ),
+        )
+        .cast("int")
+        .alias(f"c{i}")
+        for i, d in enumerate(DIMS)
+    ]
+    pc = withb.select("day_nr", *DIMS, *cell_cols).withColumn(
+        "cell_id",
+        F.col("c0") * (G * G) + F.col("c1") * G + F.col("c2"),
+    )
+    cells = pc.select("c0", "c1", "c2", "cell_id").distinct()
+    cx, cy = cells.alias("cx"), cells.alias("cy")
+    dead_cells = cx.join(
+        F.broadcast(cy),
+        (F.col("cy.c0") >= F.col("cx.c0") + 1)
+        & (F.col("cy.c1") >= F.col("cx.c1") + 1)
+        & (F.col("cy.c2") >= F.col("cx.c2") + 1),
+        "left_semi",
+    ).select(F.col("cell_id"))
+    cand = pc.join(F.broadcast(dead_cells), "cell_id", "left_anti")
+    surv = cells.join(F.broadcast(dead_cells), "cell_id", "left_anti")
+    sx, sy = surv.alias("sx"), surv.alias("sy")
+    # (cp, cq): candidate points in cp can only be dominated by points
+    # in cq (weak componentwise cell dominance, including cp == cq).
+    pairs = sx.join(
+        F.broadcast(sy),
+        (F.col("sy.c0") >= F.col("sx.c0"))
+        & (F.col("sy.c1") >= F.col("sx.c1"))
+        & (F.col("sy.c2") >= F.col("sx.c2")),
+    ).select(
+        F.col("sx.cell_id").alias("cp_id"), F.col("sy.cell_id").alias("cq_id")
+    )
+    a, b = cand.alias("a"), cand.alias("b")
+    dominated = (
+        a.join(F.broadcast(pairs), F.col("a.cell_id") == F.col("cp_id"))
+        .join(b, F.col("cq_id") == F.col("b.cell_id"))
+        .filter(
+            (F.col("b.n_orders") >= F.col("a.n_orders"))
+            & (F.col("b.max_cents") >= F.col("a.max_cents"))
+            & (F.col("b.sum_cents") >= F.col("a.sum_cents"))
+            & (
+                (F.col("b.n_orders") > F.col("a.n_orders"))
+                | (F.col("b.max_cents") > F.col("a.max_cents"))
+                | (F.col("b.sum_cents") > F.col("a.sum_cents"))
+            )
+        )
+        .select(F.col("a.day_nr").alias("day_nr"))
+    )
+    return cand.join(dominated, "day_nr", "left_anti").select(
+        F.col("day_nr").cast("long"), "n_orders", "max_cents", "sum_cents"
+    )
+
+
 # Bot screen: flag any user hitting this many events inside one minute.
 BOT_RATE_PER_MINUTE = 5
 

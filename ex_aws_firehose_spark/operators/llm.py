@@ -260,23 +260,17 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("q_dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit signature (per-bit majority vote over
-    token hashes, with multiplicity), candidate pairs bucketed by the
-    signature's high 12 bits, confirmed at Hamming distance ≤ 4.
-
-    Scale shape: one groupBy(doc_id) for signatures, self-join on the
-    prefix bucket. Prefix bucketing trades recall for the absence of a
-    crossJoin — production systems join on several rotated prefixes; the
-    operator keeps one for oracle clarity."""
+def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) signature frame shared by the single-prefix and
+    rotated-prefix SimHash keys. Per-row signature via array folds —
+    hash each token once, then one fold per bit position. No explode,
+    no groupBy: the signature stage is shuffle-free (a pure map) at any
+    scale."""
     d = load_table(spark, sf_dir, "documents")
-    # Per-row signature via array folds — hash each token once, then one
-    # fold per bit position. No explode, no groupBy: the signature stage
-    # is shuffle-free (a pure map) at any scale.
     hs = d.select(
         "doc_id", F.transform(tokens("text"), lambda t: hex_hash(t)).alias("hs")
     )
+
     def _bit_fold(i: int):
         mask = 1 << i
         return F.aggregate(
@@ -291,7 +285,21 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(SIMHASH_BITS)
     )
-    sig = bits.select("doc_id", F.expr(sig_expr).alias("simhash"))
+    return bits.select("doc_id", F.expr(sig_expr).alias("simhash"))
+
+
+@query("q_dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit signature (per-bit majority vote over
+    token hashes, with multiplicity), candidate pairs bucketed by the
+    signature's high 12 bits, confirmed at Hamming distance ≤ 4.
+
+    Scale shape: one groupBy(doc_id) for signatures, self-join on the
+    prefix bucket. Prefix bucketing trades recall for the absence of a
+    crossJoin — q_dedup_simhash_rotate is the rotated-prefix union form
+    production systems use; this key keeps one prefix for oracle
+    clarity."""
+    sig = _simhash_sig(spark, sf_dir)
     a, b = sig.alias("a"), sig.alias("b")
     hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
     return (
@@ -309,6 +317,110 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             hamming.cast("int").alias("hamming"),
         )
+    )
+
+
+SIMHASH_ROTATIONS = (0, 12, 24)  # 3 windows over the 32-bit signature
+
+
+def _simhash_rotate_oracle() -> str:
+    base = _simhash_oracle().split("SELECT a.doc_id AS doc_a", 1)[0]
+    mask = (1 << SIMHASH_BITS) - 1
+    rot_rows = ", ".join(f"({s})" for s in SIMHASH_ROTATIONS)
+    return (
+        base
+        + f"""
+    , rots AS (SELECT * FROM (VALUES {rot_rows}) AS t(r)),
+    keyed AS (
+        SELECT s.doc_id, s.simhash, r.r,
+               (((s.simhash * (1 << r.r)) | (s.simhash >> ({SIMHASH_BITS} - r.r)))
+                & {mask}) >> {SIMHASH_PREFIX_SHIFT} AS bucket
+        FROM sig s CROSS JOIN rots r
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS ha, b.simhash AS hb
+        FROM keyed a JOIN keyed b
+          ON a.r = b.r AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {SIMHASH_MAX_HAMMING}
+    """
+    )
+
+
+@query(
+    "q_dedup_simhash_rotate",
+    oracle=_simhash_rotate_oracle(),
+    tags=("llm", "dedup"),
+)
+def q_dedup_simhash_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rotated-prefix SimHash — the production recall upgrade over
+    q_dedup_simhash's single prefix: each signature is circular-rotated
+    by {0, 12, 24} bits and bucketed on the high 12 bits of every
+    rotation, so a near-dup pair is found whenever ANY of the three
+    12-bit windows is error-free (a single fixed prefix misses every
+    pair whose flipped bits land in it). Candidates from all rotations
+    union through one (rotation, bucket) self-join, dedup to distinct
+    pairs, and confirm at Hamming ≤ 4 — same verify, ~3× the bucket
+    probes, strictly superset recall.
+
+    Scale shape: identical to the MinHash band join — explode ×3 into
+    (rotation, bucket) keys, ONE bucketed equi-join (not three
+    sequential joins), distinct at pair grain. Shuffle volume is 3× the
+    signature frame (24 bytes/doc extra), still linear in corpus size;
+    candidate volume is governed by bucket occupancy per rotation
+    exactly as in the single-prefix form. Rotation count is the
+    recall/cost dial: r windows of (32/r) bits guarantee recall for
+    Hamming < r by pigeonhole (r=3 covers ≤2 exactly; ≤4 is covered
+    unless errors spread 2+2 across windows)."""
+    mask = (1 << SIMHASH_BITS) - 1
+    sig = _simhash_sig(spark, sf_dir)
+    keyed = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("r"),
+                        F.shiftrightunsigned(
+                            (
+                                F.shiftleft(F.col("simhash"), s).bitwiseOR(
+                                    F.shiftrightunsigned(
+                                        F.col("simhash"), SIMHASH_BITS - s
+                                    )
+                                )
+                            ).bitwiseAND(F.lit(mask)),
+                            SIMHASH_PREFIX_SHIFT,
+                        ).alias("bucket"),
+                    )
+                    for s in SIMHASH_ROTATIONS
+                ]
+            )
+        ).alias("rb"),
+    ).select("doc_id", "simhash", F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("ha"),
+            F.col("b.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("ha ^ hb"))
+    return cand.filter(hamming <= SIMHASH_MAX_HAMMING).select(
+        "doc_a", "doc_b", hamming.cast("int").alias("hamming")
     )
 
 
@@ -4065,23 +4177,64 @@ def q_sample_balance_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, and the hash ranking makes the split reproducible and
     versionable.
 
-    100 TB shape: the quota is a 1-row MIN over a ~|classes| agg
-    (broadcast via crossJoin); ranking is one hash partition per
-    class — with huge classes the rank window is the bottleneck and
-    the documented upgrade is threshold-by-quantile on the hash
-    (computed from the class counts, no global sort), which this
-    formulation reduces to directly: rn ≤ quota ⟺ hash below the
-    class's quota-th order statistic."""
-    d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    Selection is exact distributed order-statistic selection — the
+    majority class never sorts: (1) coarse-bucket each doc by the high
+    10 bits of its content hash (1024 buckets, monotone in hash), (2)
+    per-(class, bucket) counts + a cumulative window over that tiny
+    ≤ |classes|×1024 frame locate the boundary bucket where the
+    quota-th element falls and the residual r needed inside it, (3)
+    keep every row in lower buckets outright (a broadcast-joined
+    filter, no ordering), and rank by (hash, doc_id) ONLY the boundary
+    bucket's ~1/1024 slice for its r smallest. Exactly the rows with
+    per-class rank ≤ quota — the oracle keeps the plain rank-window
+    form and the hashes must match.
+
+    100 TB shape: pass 1 is a map-side-combined count; the only
+    rank window sorts n_class/1024 rows instead of n_class (the
+    plan gate pins the window input behind the boundary-bucket
+    filter). Deeper imbalance just needs more bucket bits — the
+    standard two-round distributed selection trade."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", hex_hash(F.col("text")).alias("k")
+    )
+    # hex_hash ∈ [0, 2³²): high 10 bits → 1024 buckets, monotone in k.
+    keyed = d.withColumn("bucket", F.shiftright("k", 22).cast("int"))
+    counts = keyed.groupBy("lang").agg(F.count("*").alias("n"))
     quota = F.broadcast(counts.agg(F.min("n").alias("quota")))
-    w = Window.partitionBy("lang").orderBy(hex_hash(F.col("text")), "doc_id")
-    ranked = d.select(
-        "doc_id", "lang", F.row_number().over(w).alias("rn")
+    bcounts = keyed.groupBy("lang", "bucket").agg(F.count("*").alias("bn"))
+    wcum = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = bcounts.withColumn(
+        "below", F.coalesce(F.sum("bn").over(wcum), F.lit(0))
+    )
+    bounds = (
+        cum.crossJoin(quota)
+        .filter(
+            (F.col("below") < F.col("quota"))
+            & (F.col("below") + F.col("bn") >= F.col("quota"))
+        )
+        .select(
+            "lang",
+            F.col("bucket").alias("b_star"),
+            (F.col("quota") - F.col("below")).alias("r"),
+        )
+    )
+    routed = keyed.join(F.broadcast(bounds), "lang")
+    lower = routed.filter(F.col("bucket") < F.col("b_star")).select(
+        "doc_id", "lang"
+    )
+    wr = Window.partitionBy("lang").orderBy("k", "doc_id")
+    boundary = (
+        routed.filter(F.col("bucket") == F.col("b_star"))
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= F.col("r"))
+        .select("doc_id", "lang")
     )
     return (
-        ranked.crossJoin(quota)
-        .filter(F.col("rn") <= F.col("quota"))
+        lower.unionByName(boundary)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_sampled"),

@@ -952,6 +952,101 @@ def q_join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# AQE skew-join demo knobs: thresholds sized so the staged hot key (half
+# of events collapsed onto c_custkey=1) exceeds the skew test at sf0.01+;
+# broadcast disabled so the join stays sort-merge (skew split only applies
+# to shuffle joins); coalescing off so partition sizes stay comparable.
+_SKEW_AQE_CONFS = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+}
+
+
+def _skew_aqe_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy skewed-join aggregation q_join_skew_aqe materializes
+    (and the plan gate inspects): half of all events collapse onto one
+    hot customer key, then fact⋈dim sort-merge-joins on it. The fact
+    side is repartitioned to 16 map tasks first — AQE splits a skewed
+    reduce partition into contiguous *mapper ranges*, so a single-mapper
+    shuffle (one small parquet file) is unsplittable no matter how
+    skewed; real multi-file 100 TB scans always have the mappers."""
+    e = load_table(spark, sf_dir, "events").repartition(16, "event_id")
+    ske = e.withColumn(
+        "hot_uid",
+        F.when(F.col("event_id") % 2 == 0, F.lit(1)).otherwise(
+            F.col("user_id")
+        ),
+    ).select("hot_uid", "props")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    j = ske.join(c.hint("merge"), ske.hot_uid == c.c_custkey)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.length("props")).cast("long").alias("payload_chars"),
+    )
+
+
+@query(
+    "q_join_skew_aqe",
+    oracle="""
+    WITH ske AS (
+        SELECT CASE WHEN event_id % 2 = 0 THEN 1 ELSE user_id END AS hot_uid,
+               props
+        FROM events
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(LENGTH(s.props)) AS BIGINT) AS payload_chars
+    FROM ske s JOIN customer c ON s.hot_uid = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("relational", "join", "skew", "aqe"),
+)
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime skew mitigation via AQE's OptimizeSkewedJoin — the
+    first-choice lever at 100 TB, with q_join_skew_salted as the manual
+    fallback: the fact side collapses half of events onto one hot
+    customer key, the join runs as sort-merge with skew-split enabled,
+    and AQE carves the hot reduce partition into mapper-range chunks
+    (each matched against a full copy of the dim partition) at runtime
+    — no query rewrite, no salt column, identical results. The plan
+    gate asserts the split actually happened (``SortMergeJoin
+    (skew=true)`` + ``AQEShuffleRead skewed`` in the final plan).
+
+    The skew-sensitive confs are scoped to this query: set, the
+    aggregation is forced eager via localCheckpoint (so the split runs
+    while they hold), then restored — a lazily-returned frame would
+    otherwise leak force-skew/no-broadcast planning into whatever the
+    caller runs next.
+
+    100 TB shape: skew split costs duplicate reads of the matching dim
+    partition (one per chunk) — cheap vs a straggler task holding the
+    whole hot key. Two real-world caveats the staging encodes: (a) the
+    split granularity is the *mapper*, so compacting input to few huge
+    files destroys AQE's ability to split (16-way repartition here);
+    (b) detection is by post-compression shuffle *bytes*, so an
+    all-identical hot key column can compress below the threshold — the
+    wide props payload rides through the shuffle to keep the hot
+    partition visibly large."""
+    old = {k: spark.conf.get(k, None) for k in _SKEW_AQE_CONFS}
+    for k, v in _SKEW_AQE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return _skew_aqe_agg(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 @query(
     "q_pivot",
     oracle=EVENTS_US

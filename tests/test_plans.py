@@ -648,3 +648,44 @@ def test_template_mining_single_exchange(spark, sf_dir):
         shuffle_count(REGISTRY["q_log_template_mining"].fn(spark, sf_dir))
         == 1
     )
+
+
+def test_aqe_skew_join_actually_splits(spark, sf_dir):
+    """q_join_skew_aqe's claim is runtime skew mitigation — prove AQE's
+    OptimizeSkewedJoin fired: under the query's conf scope, the final
+    adaptive plan must mark the sort-merge join skew=true and read the
+    hot side through a skewed AQEShuffleRead."""
+    from ex_aws_firehose_spark.operators.relational import (
+        _SKEW_AQE_CONFS,
+        _skew_aqe_agg,
+    )
+
+    old = {k: spark.conf.get(k, None) for k in _SKEW_AQE_CONFS}
+    for k, v in _SKEW_AQE_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        agg = _skew_aqe_agg(spark, sf_dir)
+        agg.collect()  # AQE finalizes the plan only on execution
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan
+    assert "AQEShuffleRead skewed" in plan, plan
+
+
+def test_balance_classes_majority_never_sorts(spark, sf_dir):
+    """q_sample_balance_classes claims exact selection WITHOUT a
+    per-class full sort: the only row_number window must rank the
+    boundary-bucket slice (routed through the b_star bounds join below
+    the window), never the raw documents scan."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sample_balance_classes"].fn(spark, sf_dir))
+    assert plan.count("row_number") == 1, plan
+    below_window = plan.split("row_number", 1)[1]
+    to_first_scan = below_window.split("FileScan", 1)[0]
+    assert "b_star" in to_first_scan, to_first_scan
