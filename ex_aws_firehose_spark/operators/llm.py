@@ -2630,14 +2630,33 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("pos") <= F.col("nd") - F.ceil(F.col("nd") * 0.5) + 1
-    ).select("doc_id", "tok")
+    ).select("doc_id", "tok", "pos", "nd")
     a = prefix.alias("a")
     b = prefix.alias("b")
+    # PPJoin's two LOSSLESS prunes ride in the same equi-join (no extra
+    # shuffle), cutting candidates before the array-grain verify — the
+    # 64× scale probe measured a 1600:1 candidate:output ratio without
+    # them (26 M array_intersects for 16 k pairs):
+    #  - length filter: J ≥ ½ forces 2·min(|a|,|b|) ≥ max(|a|,|b|);
+    #  - positional filter: for the FIRST shared prefix token at
+    #    (pos_a, pos_b), overlap ≤ 1 + min(nd_a−pos_a, nd_b−pos_b)
+    #    (both arrays are in the same global rarest-first order), so a
+    #    qualifying pair always survives via that earliest match while
+    #    accidental single-shingle collisions between different-content
+    #    docs fail the bound and never reach verification.
+    pos_ub = F.lit(1) + F.least(
+        F.col("a.nd") - F.col("a.pos"), F.col("b.nd") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                2 * F.least(F.col("a.nd"), F.col("b.nd"))
+                >= F.greatest(F.col("a.nd"), F.col("b.nd"))
+            )
+            & (3 * pos_ub >= F.col("a.nd") + F.col("b.nd")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")

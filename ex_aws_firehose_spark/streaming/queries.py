@@ -889,6 +889,91 @@ def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_stream_replay_heal",
+    oracle="""
+    WITH e AS (SELECT event_id, event_type FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM e GROUP BY event_type
+    """,
+    tags=("streaming", "fault"),
+)
+def q_stream_replay_heal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once under an INJECTED CRASH, as an oracle-checked query
+    (tests/test_streaming.py exercises the same fault windows as unit
+    tests; this key puts the proof in the differential artifacts): the
+    stream drains three staged source files; micro-batch 1's
+    foreachBatch raises AFTER its sink write but BEFORE Spark commits
+    the batch to the checkpoint log — the torn-delivery window. A
+    second start() over the SAME checkpoint replays the uncommitted
+    batch; because each batch lands in an overwrite-mode ``batch-{id}``
+    subdirectory, the replay rewrites the half-delivered output in
+    place instead of appending. The final drained counts (total AND
+    distinct event_ids per type) must equal the batch view — duplicates
+    or losses from the crash would break both.
+
+    Reference basis: the delivery retry contract (lambda/main.py:
+    101-128) — retried records must not double-deliver. 100 TB shape:
+    the idempotence comes from deterministic batch-keyed output paths
+    (the poor-engine's transactional sink); with Delta/Iceberg the same
+    guarantee is txn-log commit + batch-id dedup, and the crash window
+    this key exercises is exactly the one those logs close."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="replayheal_stream_")
+    src, out = os.path.join(root, "src"), os.path.join(root, "out")
+    e = load_table(spark, sf_dir, "events")
+    for slice_id in range(3):
+        e.filter(F.col("event_id") % 3 == slice_id).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    crash_flag = os.path.join(root, "crash_armed")
+    open(crash_flag, "w").close()
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select("event_id", "event_type").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out, f"batch-{batch_id}"))
+        if batch_id == 1 and os.path.exists(crash_flag):
+            os.remove(crash_flag)
+            raise RuntimeError(
+                "injected crash: sink written, checkpoint commit pending"
+            )
+
+    def start():
+        stream = (
+            spark.readStream.schema(EVENTS_TS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        return (
+            stream.writeStream.foreachBatch(land)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+
+    with stream_shuffle(spark):
+        q = start()
+        crashed = False
+        try:
+            q.awaitTermination()
+        except Exception:  # noqa: BLE001 — the injected failure, by design
+            crashed = True
+        if not crashed:
+            raise AssertionError("injected crash did not fire")
+        q2 = start()  # same checkpoint: replays batch 1, drains the rest
+        q2.awaitTermination()
+    drained = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    return drained.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+@query(
     "q_stream_dedup_minhash",
     oracle=_MINHASH_BANDS_CTE
     + """
