@@ -1040,6 +1040,149 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PQ_M = 4  # product-quantization subspaces (64-dim → 4 × 16)
+PQ_K = 8  # codes per subspace codebook
+PQ_ITERS = 2  # Lloyd rounds per subspace after the modulo-seeded init
+
+
+def _pq_oracle() -> str:
+    ctes = [
+        """pos0 AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v, len(embedding) AS dlen
+        FROM embeddings
+    )""",
+        f"""comp AS (
+        SELECT vec_id, CAST((pos * {PQ_M}) // dlen AS INTEGER) AS subspace,
+               pos, CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS sv
+        FROM pos0
+    )""",
+        f"""asg0 AS (
+        SELECT DISTINCT vec_id, subspace,
+               CAST(vec_id % {PQ_K} AS INTEGER) AS code
+        FROM comp
+    )""",
+    ]
+    for i in range(PQ_ITERS):
+        ctes.append(
+            f"""cent{i} AS (
+        SELECT c.subspace, a.code, c.pos,
+               CAST(FLOOR(CAST(SUM(c.sv) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS icv
+        FROM comp c JOIN asg{i} a
+          ON a.vec_id = c.vec_id AND a.subspace = c.subspace
+        GROUP BY c.subspace, a.code, c.pos
+    )"""
+        )
+        ctes.append(
+            f"""dist{i} AS (
+        SELECT c.vec_id, c.subspace, t.code,
+               SUM((c.sv - t.icv) * (c.sv - t.icv)) AS dist
+        FROM comp c JOIN cent{i} t
+          ON t.subspace = c.subspace AND t.pos = c.pos
+        GROUP BY c.vec_id, c.subspace, t.code
+    )"""
+        )
+        ctes.append(
+            f"""asg{i + 1} AS (
+        SELECT vec_id, subspace, code, dist FROM (
+            SELECT vec_id, subspace, code, dist,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dist, code) AS rn
+            FROM dist{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(dist) AS BIGINT) AS sse_milli
+    FROM asg{PQ_ITERS} GROUP BY subspace, code
+    """
+    )
+
+
+@query("q_embed_pq_codes", oracle=_pq_oracle(), tags=("llm", "similarity"))
+def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the memory side of billion-scale ANN
+    (IVF-PQ): each vector splits into M=4 subvectors, each subspace
+    trains its own K=8-entry codebook (2 Lloyd rounds, modulo-seeded),
+    and a vector compresses to M small codes (64 floats → 4 codes =
+    64× smaller residency). Reported per (subspace, code): inverted-
+    list size and total quantization error — the codebook-quality
+    audit a PQ build job emits. All distance arithmetic runs in int64
+    milli-units (component FLOOR(v·1000), centroid floor-of-mean)
+    so DuckDB reproduces training bit-for-bit — the q_sim_ann_ivf
+    trick, applied per subspace with (subspace, code) as the compound
+    cluster key so all M codebooks train in the SAME aggregates (one
+    shuffle per Lloyd step, not M).
+
+    100 TB shape: the component frame (n·d rows) is the only big
+    frame; every M-step is a map-side-combined hash agg down to
+    M·K·(d/M) = K·d centroid rows, and every E-step joins components
+    against the BROADCAST centroid table (n·d·K component-distance
+    rows, linear in n). Codebooks stay k·d floats forever. The final
+    int64 SSE accumulator holds to ~10¹⁸; per-shard DECIMAL partials
+    take over beyond (documented, same bound family as q_agg_gini's
+    16× fix)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    comp = (
+        e.select(
+            "vec_id",
+            F.size("embedding").alias("dlen"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .select(
+            "vec_id",
+            F.expr(f"CAST((pos * {PQ_M}) DIV dlen AS INT)").alias("subspace"),
+            "pos",
+            F.floor(F.col("v").cast("double") * 1000)
+            .cast("long")
+            .alias("sv"),
+        )
+        .localCheckpoint()
+    )
+    asg = comp.select(
+        "vec_id", "subspace", (F.col("vec_id") % PQ_K).cast("int").alias("code")
+    ).distinct()
+    for _ in range(PQ_ITERS):
+        cent = (
+            comp.join(asg, ["vec_id", "subspace"])
+            .groupBy("subspace", "code", "pos")
+            .agg(F.sum("sv").alias("s"), F.count("*").alias("n"))
+            .select(
+                "subspace",
+                "code",
+                "pos",
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                .cast("long")
+                .alias("icv"),
+            )
+            .localCheckpoint()
+        )
+        diff = F.col("sv") - F.col("icv")
+        dist = (
+            comp.join(F.broadcast(cent), ["subspace", "pos"])
+            .groupBy("vec_id", "subspace", "code")
+            .agg(F.sum(diff * diff).alias("dist"))
+        )
+        asg = (
+            dist.groupBy("vec_id", "subspace")
+            .agg(F.min(F.struct("dist", "code")).alias("p"))
+            .select(
+                "vec_id",
+                "subspace",
+                F.col("p.code").alias("code"),
+                F.col("p.dist").alias("dist"),
+            )
+        )
+    return asg.groupBy("subspace", "code").agg(
+        F.count("*").alias("n_vecs"), F.sum("dist").alias("sse_milli")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -1501,6 +1644,78 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_v"
         ),
         F.col("n").alias("n_vectors"),
+    )
+
+
+@query(
+    "q_curate_mix_weights",
+    oracle="""
+    WITH st AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(str_split(lower(text), ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM st
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           CAST(LEAST(1000000,
+                      (t.total // t.n_sources) * 1000000 // s.n_tokens)
+                AS BIGINT) AS weight_ppm,
+           CAST(s.n_tokens
+                * LEAST(1000000,
+                        (t.total // t.n_sources) * 1000000 // s.n_tokens)
+                // 1000000 AS BIGINT) AS expected_tokens
+    FROM st s CROSS JOIN tot t
+    """,
+    tags=("llm", "curation"),
+)
+def q_curate_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: compute per-source sampling
+    weights that flatten the corpus toward a uniform token budget per
+    domain — the mixture-balancing step (DoReMi-style reweighting with
+    a uniform reference) that runs between curation and sharding in an
+    LLM data pipeline. target = total_tokens / n_sources; each
+    over-represented source gets weight target/actual (capped at 1 —
+    this job downsamples, never repeats), and expected_tokens is the
+    post-sampling budget the shard-writer plans against. All exact
+    integer ppm arithmetic (floor divisions on non-negative counts are
+    identical across engines).
+
+    100 TB shape: one map-side-combined token count per source plus a
+    1-row broadcast total — the weights frame is |sources| rows and
+    feeds the actual sampler as a broadcast dim (q_sample_weighted's
+    hash-threshold form consumes exactly this shape)."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    tot = F.broadcast(
+        st.agg(
+            F.sum("n_tokens").alias("total"), F.count("*").alias("n_sources")
+        )
+    )
+    j = st.crossJoin(tot)
+    weight_ppm = F.least(
+        F.lit(1000000).cast("long"),
+        F.expr("((total DIV n_sources) * 1000000) DIV n_tokens"),
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        weight_ppm.alias("weight_ppm"),
+        F.expr(
+            "(n_tokens * LEAST(1000000, "
+            "((total DIV n_sources) * 1000000) DIV n_tokens)) DIV 1000000"
+        )
+        .cast("long")
+        .alias("expected_tokens"),
     )
 
 

