@@ -1720,6 +1720,72 @@ def q_curate_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sample_temperature",
+    oracle="""
+    WITH st AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(str_split(lower(text), ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    sq AS (
+        SELECT source, n_docs, n_tokens,
+               CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT)
+                   AS isq
+        FROM st
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               CAST(SUM(isq) AS BIGINT) AS total_sq
+        FROM sq
+    )
+    SELECT s.source, s.n_docs, s.n_tokens,
+           CAST(s.n_tokens * 1000000 // t.total AS BIGINT) AS natural_ppm,
+           CAST(s.isq * 1000000 // t.total_sq AS BIGINT) AS temp_ppm
+    FROM sq s CROSS JOIN tot t
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (α = 0.5): each source's
+    sampling share goes from its natural token share p_s to
+    p_s^α / Σ p^α — the multilingual/multi-domain upsampling rule
+    (common in multilingual pretraining) that boosts small domains
+    without flattening to uniform (q_curate_mix_weights is the α→0
+    endpoint of the same dial). Reported side-by-side as natural vs
+    temperature ppm so the delta IS the boost audit.
+
+    Cross-engine exactness: p^0.5 = sqrt — IEEE-correctly-rounded and
+    identical in both engines — is immediately milli-quantized to
+    int64, so the normalizing SUM is an order-independent integer sum
+    (a raw double Σ√n would round differently under different
+    aggregation orders at scale); one floor-division yields the ppm.
+
+    100 TB shape: |sources| rows after one map-side-combined token
+    count; the ppm frame broadcasts to the sampler."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).alias("n_tokens"),
+    )
+    sq = st.withColumn(
+        "isq",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1000).cast("long"),
+    )
+    tot = F.broadcast(
+        sq.agg(F.sum("n_tokens").alias("total"), F.sum("isq").alias("total_sq"))
+    )
+    return sq.crossJoin(tot).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr("(n_tokens * 1000000) DIV total").alias("natural_ppm"),
+        F.expr("(isq * 1000000) DIV total_sq").alias("temp_ppm"),
+    )
+
+
+@query(
     "q_curate_corpus",
     oracle="""
     WITH scored AS (

@@ -288,6 +288,116 @@ def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PHASH_BLOCKS = 32  # block-mean bits in the perceptual signature
+PHASH_PREFIX_SHIFT = 16  # candidate bucket = high 16 bits
+PHASH_MAX_HAMMING = 4
+PHASH_MIN_BYTES = 64  # every block must be non-empty
+
+
+def _phash_oracle() -> str:
+    B, S, H, MN = (
+        PHASH_BLOCKS,
+        PHASH_PREFIX_SHIFT,
+        PHASH_MAX_HAMMING,
+        PHASH_MIN_BYTES,
+    )
+    return f"""
+    WITH m AS (
+        SELECT doc_id, text AS t, LENGTH(text) AS n,
+               CAST(list_sum(list_transform(str_split(text, ''),
+                    c -> ascii(c))) AS BIGINT) AS total
+        FROM documents WHERE LENGTH(text) >= {MN}
+    ),
+    sig AS (
+        SELECT doc_id,
+           CAST(list_sum(list_transform(range(0, {B}), j ->
+             CASE WHEN
+               coalesce(list_sum(list_transform(
+                   str_split(substr(t, (j*n)//{B} + 1,
+                             ((j+1)*n)//{B} - (j*n)//{B}), ''),
+                   c -> ascii(c))), 0) * n
+               > total * (((j+1)*n)//{B} - (j*n)//{B})
+             THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS BIGINT) AS phash
+        FROM m
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.phash >> {S}) = (b.phash >> {S}) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {H}
+    """
+
+
+@query(
+    "q_multimodal_phash",
+    oracle=_phash_oracle(),
+    tags=("llm", "multimodal", "dedup"),
+)
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-dup for binary media — the tolerant second
+    pass after q_multimodal_dedup's exact checksum (block-mean-value
+    perceptual hashing: a resize/re-encode shifts bytes but barely
+    moves per-block means): the payload splits into 32 equal byte
+    blocks, bit j = block-j mean above the whole-payload mean (exact
+    integer cross-multiplication, no division), candidates bucket on
+    the signature's high 16 bits and confirm at Hamming ≤ 4. On a real
+    corpus the byte stream is the DECODED luma plane (the mapInPandas
+    decode feeds this same shape); here it is the deterministic fake
+    payload, which keeps the oracle able to reproduce every bit.
+
+    100 TB shape: the signature is one map-side pass over payload
+    bytes (no Python, no shuffle of media — only (doc_id, 8-byte sig)
+    rows move), then the same prefix-bucket self-join as SimHash with
+    the same capacity dial (SCALE.md §15: signature/prefix width must
+    grow with log n to hold bucket occupancy flat)."""
+    B, S, H, MN = (
+        PHASH_BLOCKS,
+        PHASH_PREFIX_SHIFT,
+        PHASH_MAX_HAMMING,
+        PHASH_MIN_BYTES,
+    )
+    m = synth_media(spark, sf_dir).select(
+        "doc_id", F.col("media").cast("string").alias("t")
+    )
+    base = m.filter(F.length("t") >= MN).selectExpr(
+        "doc_id",
+        "t",
+        "length(t) AS n",
+        "aggregate(transform(split(t, ''), c -> ascii(c)), 0L,"
+        " (a, x) -> a + x) AS total",
+    )
+    blen = f"(CAST(((j+1)*n) DIV {B} AS INT) - CAST((j*n) DIV {B} AS INT))"
+    sig = base.selectExpr(
+        "doc_id",
+        f"""aggregate(transform(sequence(0, {B - 1}), j ->
+            CASE WHEN
+              aggregate(transform(split(substr(t,
+                  CAST((j*n) DIV {B} AS INT) + 1, {blen}), ''),
+                c -> ascii(c)), 0L, (a, x) -> a + x) * n
+              > total * {blen}
+            THEN shiftleft(1L, j) ELSE 0L END), 0L, (a, x) -> a + x)
+            AS phash""",
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.bit_count(F.expr("a.phash ^ b.phash"))
+    return (
+        a.join(
+            b,
+            (
+                F.expr(f"shiftright(a.phash, {S})")
+                == F.expr(f"shiftright(b.phash, {S})")
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= H)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )
+
+
 AUDIO_CHUNK_BYTES = 256
 
 
