@@ -732,3 +732,22 @@ def test_pq_centroids_broadcast(spark, sf_dir):
 
     plan = physical_plan(REGISTRY["q_embed_pq_codes"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_prefix_filter_prunes_in_join_condition(spark, sf_dir):
+    """The PPJoin length + positional prunes (added after the 64× probe
+    measured 26 M candidates for 16 k outputs) must stay INSIDE the
+    candidate join condition — a refactor that drops them re-opens the
+    1600:1 verify amplification. The physical join condition must
+    reference the per-doc sizes (nd) beyond the token equality."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_dedup_prefix_filter"].fn(spark, sf_dir))
+    import re
+
+    m = re.search(
+        r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \[tok[^\n]*", plan
+    )
+    assert m, plan
+    cond = m.group(0)
+    assert "least" in cond and "greatest" in cond, cond

@@ -318,3 +318,86 @@ def test_crash_replay_upsert_state(spark, crash_point):
     }
     # Batch truth: last writer per key by event time.
     assert image == {1: 40.0, 2: 50.0, 3: 30.0}
+
+
+def test_crash_replay_state_store_rollback(spark):
+    """The state-store path (applyInPandasWithState) under the same
+    torn-batch fault: the sink write of micro-batch 1 lands, then the
+    query dies before the batch commits. On restart the state store
+    must REWIND to the batch-0 snapshot and recompute batch 1 — if the
+    replayed batch folded into post-batch-1 state instead, the running
+    counters would double-count the replayed rows."""
+    import datetime as dt
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    root = tempfile.mkdtemp(prefix="crash_state_")
+    src, out = os.path.join(root, "src"), os.path.join(root, "out")
+    crash_flag = os.path.join(root, "crash_armed")
+    open(crash_flag, "w").close()
+    t0 = dt.datetime(2024, 1, 1)
+    # 3 files; users 1..3 appear in every file → true count is 3 each.
+    for i in range(3):
+        _write_batch(
+            spark,
+            src,
+            [
+                (i * 10 + u, t0 + dt.timedelta(minutes=i), u, 1.0)
+                for u in (1, 2, 3)
+            ],
+        )
+
+    def update_fn(key, pdfs, state):
+        import pandas as pd
+
+        n = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch-{batch_id}")
+        )
+        if batch_id == 1 and os.path.exists(crash_flag):
+            os.remove(crash_flag)
+            raise RuntimeError("injected crash: sink written, commit pending")
+
+    def start():
+        counted = (
+            spark.readStream.schema(TS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                update_fn,
+                outputStructType="user_id long, n_events long",
+                stateStructType="n long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        return (
+            counted.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+
+    q = start()
+    with pytest.raises(Exception, match="injected crash|Query .* terminated"):
+        q.awaitTermination()
+    q2 = start()
+    q2.awaitTermination()
+
+    got = spark.read.option("recursiveFileLookup", "true").parquet(out)
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    # double-applied replay would report 4 for every user
+    assert final == {1: 3, 2: 3, 3: 3}
