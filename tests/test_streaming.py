@@ -320,18 +320,30 @@ def test_crash_replay_upsert_state(spark, crash_point):
     assert image == {1: 40.0, 2: 50.0, 3: 30.0}
 
 
-def test_crash_replay_state_store_rollback(spark):
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_crash_replay_state_store_rollback(spark, provider):
     """The state-store path (applyInPandasWithState) under the same
     torn-batch fault: the sink write of micro-batch 1 lands, then the
     query dies before the batch commits. On restart the state store
     must REWIND to the batch-0 snapshot and recompute batch 1 — if the
     replayed batch folded into post-batch-1 state instead, the running
-    counters would double-count the replayed rows."""
+    counters would double-count the replayed rows. Exercised under BOTH
+    providers: the default HDFS-backed snapshot store and RocksDB with
+    changelog checkpointing (whose recovery path — base snapshot +
+    changelog replay — is entirely different machinery)."""
     import datetime as dt
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    root = tempfile.mkdtemp(prefix="crash_state_")
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(conf_key, None)
+    if provider == "rocksdb":
+        spark.conf.set(
+            conf_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    root = tempfile.mkdtemp(prefix=f"crash_state_{provider}_")
     src, out = os.path.join(root, "src"), os.path.join(root, "out")
     crash_flag = os.path.join(root, "crash_armed")
     open(crash_flag, "w").close()
@@ -386,11 +398,19 @@ def test_crash_replay_state_store_rollback(spark):
             .start()
         )
 
-    q = start()
-    with pytest.raises(Exception, match="injected crash|Query .* terminated"):
-        q.awaitTermination()
-    q2 = start()
-    q2.awaitTermination()
+    try:
+        q = start()
+        with pytest.raises(
+            Exception, match="injected crash|Query .* terminated"
+        ):
+            q.awaitTermination()
+        q2 = start()
+        q2.awaitTermination()
+    finally:
+        if old_provider is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, old_provider)
 
     got = spark.read.option("recursiveFileLookup", "true").parquet(out)
     final = {
