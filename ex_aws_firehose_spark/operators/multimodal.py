@@ -345,39 +345,48 @@ def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode feeds this same shape); here it is the deterministic fake
     payload, which keeps the oracle able to reproduce every bit.
 
-    100 TB shape: the signature is one map-side pass over payload
-    bytes (no Python, no shuffle of media — only (doc_id, 8-byte sig)
-    rows move), then the same prefix-bucket self-join as SimHash with
-    the same capacity dial (SCALE.md §15: signature/prefix width must
-    grow with log n to hold bucket occupancy flat)."""
+    100 TB shape: the signature is one Arrow-batched numpy pass over
+    payload bytes (byte-plane arithmetic is the BLAS domain, like
+    q_embed_top_pc — a per-char Catalyst HOF fold measured ~40× slower
+    at sf0.1: 19.8 s vs sub-second) producing only (doc_id, 8-byte
+    sig) rows; media bytes never shuffle. Candidates come from the
+    same prefix-bucket self-join as SimHash with the same capacity
+    dial (SCALE.md §15: signature/prefix width must grow with log n to
+    hold bucket occupancy flat)."""
     B, S, H, MN = (
         PHASH_BLOCKS,
         PHASH_PREFIX_SHIFT,
         PHASH_MAX_HAMMING,
         PHASH_MIN_BYTES,
     )
-    m = synth_media(spark, sf_dir).select(
-        "doc_id", F.col("media").cast("string").alias("t")
+    src = synth_media(spark, sf_dir).select("doc_id", "media").filter(
+        F.length("media") >= MN
     )
-    base = m.filter(F.length("t") >= MN).selectExpr(
-        "doc_id",
-        "t",
-        "length(t) AS n",
-        "aggregate(transform(split(t, ''), c -> ascii(c)), 0L,"
-        " (a, x) -> a + x) AS total",
-    )
-    blen = f"(CAST(((j+1)*n) DIV {B} AS INT) - CAST((j*n) DIV {B} AS INT))"
-    sig = base.selectExpr(
-        "doc_id",
-        f"""aggregate(transform(sequence(0, {B - 1}), j ->
-            CASE WHEN
-              aggregate(transform(split(substr(t,
-                  CAST((j*n) DIV {B} AS INT) + 1, {blen}), ''),
-                c -> ascii(c)), 0L, (a, x) -> a + x) * n
-              > total * {blen}
-            THEN shiftleft(1L, j) ELSE 0L END), 0L, (a, x) -> a + x)
-            AS phash""",
-    )
+
+    def compute_sig(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        weights = 1 << np.arange(B, dtype=np.int64)
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["media"]):
+                codes = np.frombuffer(payload, dtype=np.uint8).astype(
+                    np.int64
+                )
+                n = codes.shape[0]
+                total = int(codes.sum())
+                bounds = [(j * n) // B for j in range(B)]
+                # reduceat needs strictly increasing bounds: n >= 2*B
+                bsums = np.add.reduceat(codes, bounds)
+                blens = np.diff(np.asarray(bounds + [n], dtype=np.int64))
+                bits = (bsums * n) > (total * blens)
+                ids.append(doc_id)
+                hashes.append(int(bits.astype(np.int64) @ weights))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    sig = src.mapInPandas(compute_sig, "doc_id long, phash long")
     a, b = sig.alias("a"), sig.alias("b")
     hamming = F.bit_count(F.expr("a.phash ^ b.phash"))
     return (

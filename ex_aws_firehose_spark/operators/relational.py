@@ -2969,6 +2969,99 @@ def q_time_travel_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Snapshot-expire retention: of the 3 log versions, keep the latest 2
+# snapshots readable → records superseded at or before version 2 are GC.
+EXPIRE_MIN_RETAINED = 2
+
+
+@query(
+    "q_maintenance_snapshot_expire",
+    oracle=f"""
+    WITH log AS (
+        SELECT o_orderkey AS key,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               1 AS version FROM orders
+        UNION ALL
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT), 2
+        FROM orders WHERE o_orderkey % 5 = 0
+        UNION ALL
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT), 3
+        FROM orders WHERE o_orderkey % 7 = 0
+    ),
+    nv AS (
+        SELECT version, cents,
+               COALESCE(LEAD(version) OVER (PARTITION BY key
+                                            ORDER BY version),
+                        2147483647) AS next_v
+        FROM log
+    )
+    SELECT CAST(version AS BIGINT) AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(CASE WHEN next_v <= {EXPIRE_MIN_RETAINED}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+           CAST(SUM(CASE WHEN next_v <= {EXPIRE_MIN_RETAINED}
+                    THEN cents ELSE 0 END) AS BIGINT) AS reclaim_cents
+    FROM nv GROUP BY version
+    """,
+    tags=("relational", "maintenance"),
+)
+def q_maintenance_snapshot_expire(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot expiry / log GC audit (Delta VACUUM / Iceberg
+    expire_snapshots, from first principles) — the missing fourth
+    member of the maintenance family (compact, bin-packing,
+    time-travel): over q_time_travel_read's 3-version change log with
+    a keep-latest-2 retention policy, a log record is garbage exactly
+    when its validity interval [version, next-overwrite) ends at or
+    before the oldest retained snapshot — it can never be the winning
+    row for any readable snapshot. Reports per version the record
+    count, expirable count, and reclaimable payload (cents as the
+    byte proxy).
+
+    100 TB shape: one LEAD window on the key partitioning computes
+    every record's supersession version in a single shuffle — the
+    relational core of what table formats do file-granular via
+    manifests (a file is removable when every row in it is
+    superseded); the GC decision never touches payload bytes, only
+    (key, version) metadata."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    log = (
+        o.select(
+            F.col("o_orderkey").alias("key"),
+            cents.alias("cents"),
+            F.lit(1).alias("version"),
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 5 == 0).select(
+                F.col("o_orderkey").alias("key"),
+                cents.alias("cents"),
+                F.lit(2).alias("version"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("key"),
+                cents.alias("cents"),
+                F.lit(3).alias("version"),
+            )
+        )
+    )
+    w = Window.partitionBy("key").orderBy("version")
+    nv = log.withColumn(
+        "next_v", F.coalesce(F.lead("version").over(w), F.lit(2147483647))
+    )
+    expired = F.col("next_v") <= EXPIRE_MIN_RETAINED
+    return nv.groupBy(F.col("version").cast("long").alias("version")).agg(
+        F.count("*").alias("n_records"),
+        F.sum(F.when(expired, 1).otherwise(0)).alias("n_expired"),
+        F.sum(F.when(expired, F.col("cents")).otherwise(0)).alias(
+            "reclaim_cents"
+        ),
+    )
+
+
 @query(
     "q_join_hint_shuffle_hash",
     oracle="""

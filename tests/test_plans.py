@@ -22,6 +22,7 @@ load_all_operators()
 _PYTHON_OK = {
     "q_embed_top_pc",  # Arrow-batched numpy Gram matrix (BLAS domain)
     "q_multimodal_decode",
+    "q_multimodal_phash",  # Arrow-batched numpy byte-plane signature
     "q_multimodal_resize",
     "q_udf_scalar",
     "q_udaf",
