@@ -31,10 +31,18 @@ from ex_aws_firehose_spark.tables import load_table
 load_all_operators()
 
 SRC = "/root/testdata/sf0.1"
-OUT_ROOT = "/tmp/dedup_scale"
+OUT_ROOT = "/tmp/dedup_scale_v2"
 SHIFT = 100_000_000
 SCALES = [int(s) for s in (sys.argv[1:] or ["4", "16", "64"])]
-KEYS = ["q_dedup_minhash", "q_dedup_prefix_filter", "q_sim_knn_graph"]
+# Override with SPARK_GRAFT_PROBE_KEYS=k1,k2 to probe other family members.
+KEYS = [
+    k
+    for k in os.environ.get(
+        "SPARK_GRAFT_PROBE_KEYS",
+        "q_dedup_minhash,q_dedup_prefix_filter,q_sim_knn_graph",
+    ).split(",")
+    if k
+]
 
 spark = (
     SparkSession.builder.master("local[32]")
@@ -66,6 +74,16 @@ def stage(r: int) -> str:
         if i > 0:
             # renumber IVF cells -> bucket count scales, size stays flat
             e = e.withColumn("label", F.col("label") + F.lit(i * 100_000))
+            # rotate components (norm-preserving) -> replicas stop sharing
+            # value-derived buckets (RP-LSH planes, grid cells, eps-cells)
+            rot = (i % 63) + 1
+            e = e.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), rot + 1, 64 - rot),
+                    F.slice(F.col("embedding"), 1, rot),
+                ),
+            )
         eparts.append(e)
     dall, eall = dparts[0], eparts[0]
     for p in dparts[1:]:
