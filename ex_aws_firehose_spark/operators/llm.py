@@ -2319,6 +2319,119 @@ def _rp_oracle() -> str:
     """
 
 
+MP_PLANES = 12  # multiprobe variant: 4096 buckets + 1-bit-flip probing
+
+
+def _rp_multiprobe_oracle() -> str:
+    from ex_aws_firehose_spark.functions.vector import duck_dot
+
+    terms = []
+    for j in range(MP_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in _rp_plane(j)) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN {duck_dot('embedding', lit)} >= 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    flips = ", ".join(
+        str(f) for f in [0] + [1 << j for j in range(MP_PLANES)]
+    )
+    return f"""
+    WITH sig AS (
+        SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    flips AS (SELECT unnest([{flips}]) AS f),
+    probes AS (
+        SELECT s.vec_id, s.embedding, s.bucket,
+               xor(s.bucket, CAST(fl.f AS BIGINT)) AS probe
+        FROM sig s CROSS JOIN flips fl
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(bit_count(xor(a.bucket, b.bucket)) AS INTEGER) AS hamming,
+           round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM probes a JOIN sig b ON a.probe = b.bucket AND a.vec_id < b.vec_id
+    WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {RP_COS}
+    """
+
+
+@query(
+    "q_sim_rp_lsh_multiprobe",
+    oracle=_rp_multiprobe_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_rp_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe RP-LSH — the capacity fix the 64× probe priced out
+    for the 8-plane form (SCALE.md §15: 256 buckets forever → n²/256
+    in-bucket pairs): widen to 12 planes (4096 buckets, 16× smaller
+    occupancy) and recover the recall the extra planes cost by ALSO
+    probing every 1-bit-flip neighbor bucket (Lv et al.'s multi-probe
+    LSH) — a candidate pair is any two signatures within Hamming ≤ 1
+    in plane space. Each qualifying pair matches on exactly ONE probe
+    (its xor is a single flip value), so the join needs no distinct.
+
+    Scale shape: signature is the same pure-map dot-fold stage (12
+    folds); the probe side explodes ×13 (a constant), and candidates
+    come from one (probe = bucket) equi-join whose per-bucket
+    occupancy is 16× smaller than the 8-plane form at equal corpus —
+    planes buy capacity, probes buy recall, both constants in the
+    plan. This is the production dial pair: planes ≈ log₂(n/target
+    occupancy), probe radius to taste.
+
+    Measured caveat (SCALE.md §15): at RP_COS = 0.15 on the 64×
+    synthetic corpus the RESULT SET is itself ~n²-dense (22 M
+    qualifying pairs), so no bucketing parameter can make the job
+    sub-quadratic — the 1-flip fan-out (×13) roughly cancels the 16×
+    occupancy gain and wall-clock matches the 8-plane form. Bucketing
+    bounds CANDIDATE overhead per OUTPUT pair; when the output is
+    dense, the similarity threshold is the only true scale dial."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for j in range(MP_PLANES):
+        plane = F.array(*[F.lit(v) for v in _rp_plane(j)])
+        bit = F.when(dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    sig = e.select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("nrm"),
+        bucket.cast("long").alias("bucket"),
+    )
+    probes = sig.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        F.col("bucket").alias("a_bucket"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(f).cast("long"))
+                    for f in [0] + [1 << j for j in range(MP_PLANES)]
+                ]
+            )
+        ).alias("probe"),
+    )
+    cos = dot(F.col("a_emb"), F.col("embedding")) / (
+        F.col("a_nrm") * F.col("nrm")
+    )
+    return (
+        probes.join(
+            sig,
+            (F.col("probe") == F.col("bucket"))
+            & (F.col("a_id") < F.col("vec_id")),
+        )
+        .filter(cos >= RP_COS)
+        .select(
+            F.col("a_id").alias("vec_a"),
+            F.col("vec_id").alias("vec_b"),
+            F.bit_count(F.expr("a_bucket ^ bucket")).cast("int").alias(
+                "hamming"
+            ),
+            F.round(cos, 6).alias("cos_sim"),
+        )
+    )
+
+
 @query("q_sim_rp_lsh", oracle=_rp_oracle(), tags=("llm", "similarity"))
 def q_sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH for embeddings (the vector analog of
