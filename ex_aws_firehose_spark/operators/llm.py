@@ -2319,6 +2319,75 @@ def _rp_oracle() -> str:
     """
 
 
+@query(
+    "q_sim_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT round({duck_cosine('a.embedding', 'b.embedding')}, 6) AS c
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    banded AS (
+        SELECT CAST(GREATEST(-10, LEAST(9, FLOOR(c * 10))) AS INTEGER)
+                   AS band,
+               COUNT(*) AS n
+        FROM pairs GROUP BY 1
+    )
+    SELECT band, CAST(n AS BIGINT) AS n_pairs,
+           CAST(SUM(n) OVER (ORDER BY band DESC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_pairs
+    FROM banded
+    """,
+    tags=("llm", "similarity", "capacity"),
+)
+def q_sim_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-threshold capacity sweep — the planning report the
+    multiprobe finding (SCALE.md §15) says to run BEFORE sizing any
+    similarity join: within the coarse buckets, band every pair's
+    cosine into 0.1-wide bins and report per-band and cumulative pair
+    counts. cum_pairs at a candidate threshold IS the output
+    cardinality the downstream join will pay — the one number that
+    decides whether a threshold is bucketable-sparse or inherently
+    quadratic (no LSH parameter can shrink a dense output, only the
+    threshold can).
+
+    Scale shape: one label-bucket self-join (the same candidate
+    engine as q_dedup_embedding, cost amortized if both run), then a
+    ~20-row banded aggregate and a window over those rows — the sweep
+    costs one pass over candidates regardless of how many thresholds
+    it prices."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("nrm")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    band = (
+        F.greatest(
+            F.lit(-10), F.least(F.lit(9), F.floor(F.round(cos, 6) * 10))
+        )
+        .cast("int")
+        .alias("band")
+    )
+    banded = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(band)
+        .groupBy("band")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    wcum = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return banded.withColumn("cum_pairs", F.sum("n_pairs").over(wcum))
+
+
 MP_PLANES = 12  # multiprobe variant: 4096 buckets + 1-bit-flip probing
 
 
