@@ -222,6 +222,104 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs
 
 
+def _incremental_oracle() -> str:
+    return (
+        _minhash_cte()
+        + """
+    , roles AS (SELECT doc_id, (doc_id % 10 < 2) AS is_new FROM documents)
+    , nb AS (SELECT b.* FROM bands b JOIN roles r USING (doc_id)
+             WHERE r.is_new)
+    , ib AS (SELECT b.* FROM bands b JOIN roles r USING (doc_id)
+             WHERE NOT r.is_new)
+    , dup_idx AS (
+        SELECT DISTINCT n.doc_id FROM nb n
+        JOIN ib i ON n.band = i.band AND n.bsig = i.bsig
+    )
+    , dup_new AS (
+        SELECT DISTINCT a.doc_id FROM nb a
+        JOIN nb b ON a.band = b.band AND a.bsig = b.bsig
+                 AND b.doc_id < a.doc_id
+    )
+    SELECT r.doc_id,
+           CASE WHEN r.doc_id IN (SELECT doc_id FROM dup_idx)
+                    THEN 'dup_of_index'
+                WHEN r.doc_id IN (SELECT doc_id FROM dup_new)
+                    THEN 'dup_of_new'
+                ELSE 'unique' END AS verdict
+    FROM roles r WHERE r.is_new
+    """
+    )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=_incremental_oracle(),
+    tags=("llm", "dedup", "incremental"),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch dedup — the daily-crawl-vs-historical-index
+    shape (the batch sibling of q_stream_dedup_minhash): the corpus
+    splits into an INDEX (80%) and a NEW increment (20%, doc_id
+    parity); each new doc is checked by MinHash band collision first
+    against the index, then against earlier docs of its own increment
+    (arrival order = doc_id), yielding a three-way verdict
+    (dup_of_index / dup_of_new / unique). The asymmetry is the whole
+    point: nothing ever joins index×index.
+
+    100 TB shape: the index's band table is a PRECOMPUTED artifact
+    (written bucketed by (band, bsig) at ingest — here derived
+    in-query from the same frame), so per-increment cost is
+    |new|·bands signature work plus collision-volume join probes —
+    independent of index SIZE given bounded bucket occupancy, which is
+    what makes daily dedup against a petabyte-scale index affordable.
+    Both probe joins are left-semi (existence, not pair
+    materialization): the index side streams through the join without
+    ever producing index rows."""
+    d = load_table(spark, sf_dir, "documents")
+    bands = minhash_bands(d)
+    is_new = F.col("doc_id") % 10 < 2
+    nb = bands.filter(is_new)
+    ib = bands.filter(~is_new)
+    dup_idx = (
+        nb.alias("n")
+        .join(
+            ib.alias("i"),
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bsig") == F.col("i.bsig")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit_idx", F.lit(True))
+    )
+    dup_new = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit_new", F.lit(True))
+    )
+    return (
+        d.filter(is_new)
+        .select("doc_id")
+        .join(dup_idx, "doc_id", "left")
+        .join(dup_new, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("hit_idx"), "dup_of_index")
+            .when(F.col("hit_new"), "dup_of_new")
+            .otherwise("unique")
+            .alias("verdict"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup: SimHash
 # ---------------------------------------------------------------------------
