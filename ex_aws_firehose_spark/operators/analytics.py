@@ -319,6 +319,72 @@ def q_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sessionize_native",
+    oracle=EVENTS_US
+    + """
+    , ordered AS (
+        SELECT user_id, ts, event_id,
+               LAG(ts) OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events_us
+    ),
+    flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN prev_ts IS NULL
+                         OR ts - prev_ts >= INTERVAL 12 HOUR
+                    THEN 1 ELSE 0 END AS brk
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 12 HOUR AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    tags=("analytics", "sessionize"),
+)
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the BUILT-IN batch ``session_window`` —
+    the native counterpart of q_sessionize_gap's hand-rolled
+    lag/running-sum chain, kept side by side because their boundary
+    semantics differ and the difference matters at audit time:
+    session_window merges events whose [ts, ts+gap) windows OVERLAP
+    (a gap of exactly 12 h starts a NEW session — strict <), while the
+    classic formulation continues on ties (breaks only when gap >
+    12 h); the oracle here encodes the native >= break rule, and
+    window.end is max(ts) + gap, not max(ts). Engine-wise,
+    session_window plans as a dedicated SessionWindow aggregation
+    (merging session state map-side) rather than two analytic windows
+    + a groupBy — one Exchange either way, but no Sort-based window
+    operators.
+
+    100 TB shape: same single (user_id) exchange as the hand-rolled
+    form; the native operator's session-merge is an aggregation
+    (map-side combinable, spillable) instead of a per-partition sorted
+    scan, which is also why it is the only form available to
+    streaming."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "user_id", F.session_window("ts", "12 hours").alias("w")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
     "q_incremental_agg",
     oracle=EVENTS_US
     + """

@@ -752,3 +752,15 @@ def test_prefix_filter_prunes_in_join_condition(spark, sf_dir):
     assert m, plan
     cond = m.group(0)
     assert "least" in cond and "greatest" in cond, cond
+
+
+def test_incremental_dedup_probes_are_semi_joins(spark, sf_dir):
+    """q_dedup_incremental's scale claim is that index rows never
+    materialize — both collision probes must plan as LeftSemi joins
+    (an inner join here would emit per-collision pair rows before the
+    distinct)."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_dedup_incremental"].fn(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
