@@ -831,6 +831,96 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KEEPER_ORACLE = (
+    _minhash_cte().replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + """
+    , pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    members AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    q AS (
+        SELECT doc_id,
+               len(list_distinct(str_split(lower(text), ' '))) * 1000000
+                   // len(str_split(lower(text), ' ')) AS quality_ppm
+        FROM documents
+    ),
+    ranked AS (
+        SELECT m.cluster_id, m.doc_id, q.quality_ppm,
+               row_number() OVER (PARTITION BY m.cluster_id
+                                  ORDER BY q.quality_ppm DESC, m.doc_id)
+                   AS rn
+        FROM members m JOIN q USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS cluster_size,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS keeper_doc,
+           CAST(MAX(CASE WHEN rn = 1 THEN quality_ppm END) AS BIGINT)
+               AS keeper_quality_ppm
+    FROM ranked GROUP BY cluster_id
+    """
+)
+
+
+@query(
+    "q_curate_dedup_keeper",
+    oracle=_KEEPER_ORACLE,
+    tags=("llm", "dedup", "curation"),
+)
+def q_curate_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper selection — the decision a dedup pipeline actually ships:
+    within each near-dup cluster (star-CC over the MinHash pair graph),
+    KEEP the highest-quality member (unique-token-ratio ppm, ties to
+    the lowest doc_id) and drop the rest. min-doc_id keeper policies
+    are a silent quality bug at corpus scale (the earliest crawl of a
+    page is often the worst); this operator makes the policy explicit
+    and auditable per cluster.
+
+    100 TB shape: membership comes from the O(log n) star-CC labels;
+    quality is a map-only per-doc expression; keeper election is ONE
+    max-of-struct hash aggregate per cluster (map-side combinable) —
+    no per-cluster sort, no window over the corpus."""
+    labels, _ = star_components(spark, sf_dir)
+    quality = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000000"
+            " div size(split(lower(text), ' '))"
+        ).alias("quality_ppm"),
+    )
+    j = labels.join(quality, "doc_id")
+    # keeper = max (quality_ppm, -doc_id): highest quality, tie → lowest id
+    pick = F.max(
+        F.struct(
+            F.col("quality_ppm").alias("q"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("p")
+    return (
+        j.groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.count("*").alias("cluster_size"), pick)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            (-F.col("p.neg_id")).alias("keeper_doc"),
+            F.col("p.q").alias("keeper_quality_ppm"),
+        )
+    )
+
+
 STAR_MAX_ROUNDS = 12
 
 

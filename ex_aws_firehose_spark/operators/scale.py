@@ -2228,3 +2228,90 @@ def q_sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hll_within_15pct"
         ),
     )
+
+
+@query(
+    "q_dq_functional_dep",
+    oracle="""
+    WITH fd1 AS (
+        SELECT c_nationkey AS k, COUNT(DISTINCT c_mktsegment) AS nd
+        FROM customer GROUP BY 1
+    ),
+    fd2 AS (
+        SELECT o_custkey AS k, COUNT(DISTINCT o_orderpriority) AS nd
+        FROM orders GROUP BY 1
+    ),
+    fd3 AS (
+        SELECT o_orderdate AS k, COUNT(DISTINCT o_orderstatus) AS nd
+        FROM orders GROUP BY 1
+    )
+    SELECT 'customer.c_nationkey->c_mktsegment' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_violating_keys,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS violation_ppm
+    FROM fd1
+    UNION ALL
+    SELECT 'orders.o_custkey->o_orderpriority',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT)
+    FROM fd2
+    UNION ALL
+    SELECT 'orders.o_orderdate->o_orderstatus',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT)
+    FROM fd3
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit — the schema-inference half of data
+    profiling (Papenbrock's FD-discovery family, reduced to candidate
+    CHECKING): for each declared candidate FD lhs→rhs, count the lhs
+    keys whose rhs is not single-valued. A 0-ppm row is an inferred
+    constraint you can exploit (join elimination, dimension
+    normalization, dedup keys); a high-ppm row kills the hypothesis.
+    Three representative candidates run here (nation→segment,
+    custkey→priority, date→status — all expected violated on TPC-H
+    data, which is the point: the audit MEASURES, not assumes).
+
+    100 TB shape: each candidate is one map-side-combined
+    (lhs, distinct-rhs) aggregate that shrinks to |lhs| rows, then a
+    1-row summary — candidates are independent and Spark runs the
+    union's branches as parallel stages sharing the table scan when
+    possible. Checking k candidates costs k aggregates, not a profile
+    of all column pairs (that's the discovery problem; checking is the
+    scalable half)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+
+    def check(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+        g = df.groupBy(lhs).agg(F.countDistinct(rhs).alias("nd"))
+        viol = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count("*").alias("n_keys"),
+            viol.alias("n_violating_keys"),
+            F.expr(
+                "SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) * 1000000"
+                " DIV COUNT(*)"
+            ).alias("violation_ppm"),
+        )
+
+    return (
+        check(c, "c_nationkey", "c_mktsegment",
+              "customer.c_nationkey->c_mktsegment")
+        .unionByName(
+            check(o, "o_custkey", "o_orderpriority",
+                  "orders.o_custkey->o_orderpriority")
+        )
+        .unionByName(
+            check(o, "o_orderdate", "o_orderstatus",
+                  "orders.o_orderdate->o_orderstatus")
+        )
+    )
