@@ -1920,3 +1920,128 @@ def q_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sessions_started"
         ),
     )
+
+
+@query(
+    "q_window_drawdown",
+    oracle=EVENTS_US
+    + """
+    , eq AS (
+        SELECT user_id, ts, event_id,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS equity
+        FROM events_us
+    ),
+    dd AS (
+        SELECT user_id, equity,
+               MAX(equity) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS peak
+        FROM eq
+    )
+    SELECT user_id,
+           CAST(MAX(peak - equity) AS BIGINT) AS max_drawdown_cents,
+           CAST(MAX(peak) AS BIGINT) AS peak_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM dd GROUP BY user_id
+    """,
+    tags=("analytics", "window"),
+)
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per user — the risk analytic behind equity
+    curves, SLO error budgets, and inventory runways: accumulate each
+    user's value stream into a running equity (exact cents), track the
+    running peak, and report the deepest peak-to-trough drop. Two
+    stacked windows + the final rollup all share ONE (user_id) hash
+    partitioning and one (ts, event_id) sort — Catalyst plans a single
+    Exchange and a single Sort for the whole chain (the
+    q_sessionize_gap property), so the operator costs one shuffle
+    regardless of how many running analytics stack on top.
+
+    100 TB shape: running aggregates over the per-user ordering are
+    the bounded-memory alternative to collect-and-scan; drawdown at
+    whale-user scale is exactly why the chain must stay windowed."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    eq = e.select("user_id", "ts", "event_id", cents.alias("cents")).withColumn(
+        "equity", F.sum("cents").over(w)
+    )
+    dd = eq.withColumn("peak", F.max("equity").over(w))
+    return dd.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("equity")).alias("max_drawdown_cents"),
+        F.max("peak").alias("peak_cents"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, cents, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag
+                             ORDER BY cents, wt
+                             ROWS UNBOUNDED PRECEDING) AS cumw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS total
+        FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MIN(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(MIN(total) AS BIGINT) AS total_weight
+    FROM cum
+    WHERE cumw * 2 >= total
+    GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median (quantity-weighted price per return flag)
+    — the estimator percentile() can't express: each row counts with
+    its weight, and the median is the smallest value whose cumulative
+    weight reaches half the total. All-integer (cents × quantity), so
+    both engines pick the identical row; the tie order (cents, wt)
+    is pinned so equal prices accumulate identically.
+
+    100 TB shape: one window pair on the group partitioning + a
+    filter-then-min — no full sort materialization beyond the
+    per-group ordering the window already requires. For heavy groups
+    the two-pass hash-bucket selection (q_sample_balance_classes's
+    pattern) replaces the window verbatim: bucket by value range,
+    locate the half-weight bucket from coarse counts, rank only that
+    bucket."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents", "wt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = li.withColumn("cumw", F.sum("wt").over(wcum)).withColumn(
+        "total", F.sum("wt").over(wtot)
+    )
+    return (
+        cum.filter(F.col("cumw") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("weighted_median_cents"),
+            F.min("total").alias("total_weight"),
+        )
+    )
