@@ -2045,3 +2045,67 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").alias("total_weight"),
         )
     )
+
+
+@query(
+    "q_timeseries_seasonal_baseline",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               dayofweek(o_orderdate) + 1 AS dow,  -- Spark: 1=Sunday
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    seasonal AS (
+        SELECT dow, CAST(SUM(cents) // COUNT(*) AS BIGINT) AS baseline
+        FROM daily GROUP BY dow
+    )
+    SELECT d.dow,
+           s.baseline AS baseline_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(MAX(ABS(d.cents - s.baseline)) AS BIGINT)
+               AS max_abs_residual_cents,
+           CAST(SUM(CASE WHEN ABS(d.cents - s.baseline) * 10
+                              > s.baseline THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_anomalous_days
+    FROM daily d JOIN seasonal s USING (dow)
+    GROUP BY d.dow, s.baseline
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_seasonal_baseline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Seasonal-naive anomaly screen — the first decomposition every
+    ops dashboard runs before anything STL-shaped: daily revenue vs
+    its day-of-week baseline (the seasonal mean), flagging days whose
+    residual exceeds 10% of baseline (exact integer
+    cross-multiplication — no float thresholds). Reports per weekday
+    the baseline, worst residual, and anomaly count; the weekday with
+    structurally different traffic shows up as baseline spread, the
+    incident shows up as residual.
+
+    100 TB shape: two shrinking hash aggregates (events → days → 7
+    weekdays) and a BROADCAST join of the 7-row baseline back to the
+    day grain — the decomposition never touches event grain twice. The
+    same shape extends to (hour-of-week, service) seasonality with the
+    baseline still broadcastable."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    daily = o.groupBy(
+        F.col("o_orderdate").alias("day"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(F.sum(cents).alias("cents"))
+    seasonal = daily.groupBy("dow").agg(
+        F.expr("SUM(cents) DIV COUNT(*)").alias("baseline")
+    )
+    j = daily.join(F.broadcast(seasonal), "dow")
+    resid = F.abs(F.col("cents") - F.col("baseline"))
+    return j.groupBy("dow", F.col("baseline").alias("baseline_cents")).agg(
+        F.count("*").alias("n_days"),
+        F.max(resid).alias("max_abs_residual_cents"),
+        F.sum(
+            F.when(resid * 10 > F.col("baseline"), 1).otherwise(0)
+        ).alias("n_anomalous_days"),
+    )

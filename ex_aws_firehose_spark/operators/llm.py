@@ -5062,3 +5062,59 @@ def q_embed_ood_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(f"knn{OOD_K}_sim", "vec_id")
         .limit(OOD_TOP)
     )
+
+
+@query(
+    "q_sample_train_val_test",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               len(str_split(lower(text), ' ')) AS n_tokens,
+               {duck_hex_hash('text')} % 100 AS slot
+        FROM documents
+    ),
+    labeled AS (
+        SELECT source, n_tokens,
+               CASE WHEN slot < 98 THEN 'train'
+                    WHEN slot < 99 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM h
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM labeled GROUP BY source, split
+    """,
+    tags=("llm", "sampling"),
+)
+def q_sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test split (98/1/1) — the reproducible
+    split contract every training pipeline needs: membership is a pure
+    function of document CONTENT (hash mod 100), so re-running on a
+    grown corpus never moves an old document across splits (the leak
+    that invalidates eval sets), duplicates land in the same split by
+    construction, and no engine, partitioning, or ordering changes the
+    assignment. Reported per (source, split) with token budgets — the
+    sanity table checked before training starts.
+
+    100 TB shape: a map-only expression plus one shrinking hash agg;
+    the split predicate pushes into any downstream scan (train readers
+    filter slot < 98 at the parquet level when slot is materialized as
+    a partition column)."""
+    d = load_table(spark, sf_dir, "documents")
+    slot = hex_hash(F.col("text")) % 100
+    split = (
+        F.when(slot < 98, "train").when(slot < 99, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "source",
+            F.size(tokens("text")).alias("n_tokens"),
+            split.alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
