@@ -2315,3 +2315,133 @@ def q_dq_functional_dep(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "orders.o_orderdate->o_orderstatus")
         )
     )
+
+
+KCORE_K = 2
+KCORE_MAX_ROUNDS = 12  # peel rounds; convergence pinned < this by test
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        """e AS MATERIALIZED (
+        SELECT user_id, event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr
+        FROM events_us
+    )""",
+        f"""pairs AS MATERIALIZED (
+        SELECT a.user_id AS ua, b.user_id AS ub
+        FROM e a JOIN e b
+          ON a.hr = b.hr AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+        HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+    )""",
+        """sym AS MATERIALIZED (
+        SELECT ua AS u, ub AS v FROM pairs
+        UNION ALL SELECT ub, ua FROM pairs
+    )""",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT u FROM sym)",
+    ]
+    for i in range(KCORE_MAX_ROUNDS):
+        ctes.append(
+            f"""alive{i + 1} AS MATERIALIZED (
+        SELECT s.u FROM sym s
+        JOIN alive{i} a ON s.u = a.u
+        JOIN alive{i} b ON s.v = b.u
+        GROUP BY s.u HAVING COUNT(*) >= {KCORE_K}
+    )"""
+        )
+    last = f"alive{KCORE_MAX_ROUNDS}"
+    return (
+        "WITH events_us AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, "
+        "user_id, event_type, value, props FROM events),\n    "
+        + ",\n    ".join(ctes)
+        + f"""
+    , coredeg AS (
+        SELECT s.u AS v, CAST(COUNT(*) AS BIGINT) AS core_degree
+        FROM sym s
+        JOIN {last} a ON s.u = a.u
+        JOIN {last} b ON s.v = b.u
+        GROUP BY s.u
+    )
+    SELECT core_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           MIN(v) AS min_vertex
+    FROM coredeg GROUP BY core_degree
+    """
+    )
+
+
+@query("q_graph_kcore", oracle=_kcore_oracle(), tags=("scale", "graph"))
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=2) of the co-occurrence graph — the
+    degeneracy peel that separates structurally-embedded vertices from
+    tendrils (community detection preprocessing, influence floors,
+    spam-ring hunting): repeatedly delete vertices with fewer than k
+    surviving neighbors until a fixpoint; what remains is the maximal
+    subgraph of minimum degree k. The peel is expressed MONOTONICALLY
+    (the alive set only shrinks), so each round is two semi-joins +
+    one counting aggregate over the symmetric edge list, and the
+    driver loop converges by alive-count fixpoint with lineage
+    truncated per round (the q_dedup_clusters pattern). The DuckDB
+    oracle unrolls {KCORE_MAX_ROUNDS} peel rounds — exact because a
+    converged alive set is idempotent under further rounds, and a test
+    pins convergence strictly inside the unroll budget.
+
+    100 TB shape: per round the edge frame is filtered by two
+    broadcast-able semi-joins against the shrinking alive set and hash
+    aggregated — never a self-join of the graph; round count is
+    bounded by the peel depth (≤ max core number), not the diameter.
+    Output is the degree histogram WITHIN the core — the first audit
+    of how much graph survives the floor."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COOCCUR)
+    )
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .unionByName(
+            edges.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
+        )
+        .localCheckpoint()
+    )
+    alive = sym.select("u").distinct().localCheckpoint()
+    n_alive = alive.count()
+    for _ in range(KCORE_MAX_ROUNDS):
+        survivors = (
+            sym.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("u")
+            .localCheckpoint()
+        )
+        n_next = survivors.count()
+        alive = survivors
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    coredeg = (
+        sym.join(alive, "u", "left_semi")
+        .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+        .groupBy(F.col("u").alias("v_id"))
+        .agg(F.count("*").alias("core_degree"))
+    )
+    return coredeg.groupBy("core_degree").agg(
+        F.count("*").alias("n_vertices"),
+        F.min("v_id").alias("min_vertex"),
+    )

@@ -98,3 +98,57 @@ def test_pq_sse_decreases_over_lloyd_rounds(spark, sf_dir):
     finally:
         llm.PQ_ITERS = old
     assert sse2 <= sse1
+
+
+def test_kcore_converges_inside_unroll_budget(spark, sf_dir):
+    """q_graph_kcore's oracle unrolls KCORE_MAX_ROUNDS peel rounds and
+    is exact only if the peel reaches its fixpoint strictly inside that
+    budget — pin it."""
+    import pyspark.sql.functions as F
+
+    from ex_aws_firehose_spark.operators.scale import (
+        KCORE_K,
+        KCORE_MAX_ROUNDS,
+        TRI_MIN_COOCCUR,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hr")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COOCCUR)
+    )
+    sym = (
+        edges.select(F.col("ua").alias("u"), F.col("ub").alias("v"))
+        .unionByName(edges.select(F.col("ub").alias("u"), F.col("ua").alias("v")))
+        .localCheckpoint()
+    )
+    alive = sym.select("u").distinct().localCheckpoint()
+    n_alive = alive.count()
+    rounds = 0
+    for _ in range(KCORE_MAX_ROUNDS):
+        alive = (
+            sym.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("u")
+            .localCheckpoint()
+        )
+        rounds += 1
+        n_next = alive.count()
+        if n_next == n_alive:
+            break
+        n_alive = n_next
+    assert rounds < KCORE_MAX_ROUNDS, rounds
