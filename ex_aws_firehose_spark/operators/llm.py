@@ -329,20 +329,34 @@ SIMHASH_PREFIX_SHIFT = 20  # bucket on the high 12 bits
 SIMHASH_MAX_HAMMING = 4
 
 
-def _simhash_oracle() -> str:
+def _simhash_oracle(
+    nbits: int = SIMHASH_BITS,
+    shift: int = SIMHASH_PREFIX_SHIFT,
+    maxham: int = SIMHASH_MAX_HAMMING,
+) -> str:
+    # The token hash is 32-bit; wider signatures vote on bits of a
+    # second independent 32-bit hash (md5 digits 9-16) for i >= 32.
+    def bit_expr(i: int) -> str:
+        return f"((h{'b' if i >= 32 else ''} >> {i % 32}) & 1)"
+
     sums = ",\n           ".join(
-        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
-        for i in range(SIMHASH_BITS)
+        f"SUM(CASE WHEN {bit_expr(i)} = 1 THEN 1 ELSE -1 END) AS s{i}"
+        for i in range(nbits)
     )
     sig = " + ".join(
         f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+        for i in range(nbits)
+    )
+    hb = (
+        ", CAST(concat('0x', substr(md5(tok), 9, 8)) AS BIGINT) AS hb"
+        if nbits > 32
+        else ""
     )
     return f"""
     WITH tk AS (
         SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok FROM documents
     ),
-    hs AS (SELECT doc_id, {duck_hex_hash('tok')} AS h FROM tk),
+    hs AS (SELECT doc_id, {duck_hex_hash('tok')} AS h{hb} FROM tk),
     bits AS (
         SELECT doc_id,
            {sums}
@@ -352,36 +366,46 @@ def _simhash_oracle() -> str:
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
     FROM sig a JOIN sig b
-      ON (a.simhash >> {SIMHASH_PREFIX_SHIFT}) = (b.simhash >> {SIMHASH_PREFIX_SHIFT})
+      ON (a.simhash >> {shift}) = (b.simhash >> {shift})
      AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {maxham}
     """
 
 
-def _simhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash) signature frame shared by the single-prefix and
-    rotated-prefix SimHash keys. Per-row signature via array folds —
-    hash each token once, then one fold per bit position. No explode,
-    no groupBy: the signature stage is shuffle-free (a pure map) at any
-    scale."""
+def _simhash_sig(
+    spark: SparkSession, sf_dir: str, nbits: int = SIMHASH_BITS
+) -> DataFrame:
+    """(doc_id, simhash) signature frame shared by the SimHash keys.
+    Per-row signature via array folds — hash each token once, then one
+    fold per bit position. No explode, no groupBy: the signature stage
+    is shuffle-free (a pure map) at any scale. Signatures wider than
+    the 32-bit token hash vote on a second independent 32-bit hash
+    (md5 digits 9-16) for the high bits."""
     d = load_table(spark, sf_dir, "documents")
-    hs = d.select(
-        "doc_id", F.transform(tokens("text"), lambda t: hex_hash(t)).alias("hs")
-    )
+    cols = ["doc_id", F.transform(tokens("text"), hex_hash).alias("hs")]
+    if nbits > 32:
+        hex_hash_b = lambda c: F.conv(  # noqa: E731 — md5 digits 9-16
+            F.substring(F.md5(c), 9, 8), 16, 10
+        ).cast("long")
+        cols.append(
+            F.transform(tokens("text"), hex_hash_b).alias("hsb")
+        )
+    hs = d.select(*cols)
 
     def _bit_fold(i: int):
-        mask = 1 << i
+        mask = 1 << (i % 32)
+        src = "hsb" if i >= 32 else "hs"
         return F.aggregate(
-            F.col("hs"),
+            F.col(src),
             F.lit(0).cast("long"),
             lambda acc, h: acc
             + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(-1),
         ).alias(f"s{i}")
 
-    bits = hs.select("doc_id", *[_bit_fold(i) for i in range(SIMHASH_BITS)])
+    bits = hs.select("doc_id", *[_bit_fold(i) for i in range(nbits)])
     sig_expr = " + ".join(
         f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
-        for i in range(SIMHASH_BITS)
+        for i in range(nbits)
     )
     return bits.select("doc_id", F.expr(sig_expr).alias("simhash"))
 
@@ -410,6 +434,54 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.cast("int").alias("hamming"),
+        )
+    )
+
+
+SIMHASH64_BITS = 63  # BIGINT-signed-safe wide signature
+SIMHASH64_PREFIX_SHIFT = 47  # bucket on the high 16 bits (65 536 buckets)
+SIMHASH64_MAX_HAMMING = 8  # threshold scaled with width (4/32 -> 8/63)
+
+
+@query(
+    "q_dedup_simhash64",
+    oracle=_simhash_oracle(
+        SIMHASH64_BITS, SIMHASH64_PREFIX_SHIFT, SIMHASH64_MAX_HAMMING
+    ),
+    tags=("llm", "dedup"),
+)
+def q_dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide (63-bit) SimHash — the capacity upgrade SCALE.md §15's
+    measurement mandates beyond ~10⁶ docs: the 32-bit form's 2¹² fixed
+    buckets saturate quadratically and its signature space itself
+    collides by birthday pressure at sub-million corpora. This form
+    votes on 63 bits (low 32 from the token hash, high 31 from a
+    second independent md5 window), buckets on the high 16 bits
+    (16× the bucket count), and verifies at the width-scaled Hamming
+    ≤ 8. Same shuffle-free fold signature, same bucket equi-join —
+    width is purely a capacity parameter, which is exactly the point.
+
+    100 TB shape: identical plan to q_dedup_simhash; signature cost
+    doubles (63 folds), candidate volume drops with 2¹⁶ buckets and a
+    2⁶³ signature space. Both widths are registered so the capacity
+    trade is measurable side by side on the same corpus."""
+    sig = _simhash_sig(spark, sf_dir, SIMHASH64_BITS)
+    a, b = sig.alias("a"), sig.alias("b")
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash"))
+    return (
+        a.join(
+            b,
+            (
+                F.expr(f"shiftright(a.simhash, {SIMHASH64_PREFIX_SHIFT})")
+                == F.expr(f"shiftright(b.simhash, {SIMHASH64_PREFIX_SHIFT})")
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(hamming <= SIMHASH64_MAX_HAMMING)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
