@@ -3323,3 +3323,120 @@ def q_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "global_share_ppm"
         ),
     )
+
+
+ASOF_TOLERANCE_DAYS = 30
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle=EVENTS_US
+    + f"""
+    SELECT o.o_orderkey, last.event_id AS asof_event_id, last.ts AS asof_ts
+    FROM orders o
+    LEFT JOIN LATERAL (
+        SELECT e.event_id, e.ts
+        FROM events_us e
+        WHERE e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+          AND e.ts >= o.o_orderdate - INTERVAL {ASOF_TOLERANCE_DAYS} DAY
+        ORDER BY e.ts DESC, e.event_id DESC
+        LIMIT 1
+    ) last ON TRUE
+    """,
+    tags=("relational", "join", "asof"),
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS BOUND — the third standard as-of
+    form (backward q_join_asof, nearest q_join_asof_nearest, and this:
+    backward within tolerance, pandas merge_asof's ``tolerance=``):
+    the latest event at or before the order date counts only if it is
+    at most 30 days old; staler context is worse than none (market
+    data, feature freshness SLAs — a quote from last quarter must NOT
+    join today's trade). NULL rows are therefore semantic output, not
+    join misses.
+
+    100 TB shape: same equi-join on the entity key + max-of-struct
+    aggregation as the unbounded form, but the tolerance predicate
+    prunes the join fan-in BEFORE the aggregate — with time-bucketed
+    storage the bound also becomes a partition-pruning predicate (scan
+    only 30 days of events per order date), which the unbounded as-of
+    can never do. That pruning is why production as-of pipelines
+    always carry a tolerance even when the business rule is 'latest
+    ever'."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    joined = o.join(
+        e,
+        (o.o_custkey == e.user_id)
+        & (e.ts <= o.o_orderdate)
+        & (
+            e.ts
+            >= F.col("o_orderdate") - F.expr(
+                f"INTERVAL {ASOF_TOLERANCE_DAYS} DAY"
+            )
+        ),
+        "left",
+    )
+    return (
+        joined.groupBy("o_orderkey")
+        .agg(F.max(F.struct(F.col("ts"), F.col("event_id"))).alias("last"))
+        .select(
+            "o_orderkey",
+            F.col("last.event_id").alias("asof_event_id"),
+            F.col("last.ts").alias("asof_ts"),
+        )
+    )
+
+
+@query(
+    "q_window_gap_islands",
+    oracle=EVENTS_US
+    + """
+    , ranked AS (
+        SELECT user_id, event_id,
+               event_id - ROW_NUMBER() OVER (PARTITION BY user_id
+                                             ORDER BY event_id) AS grp
+        FROM events_us
+    ),
+    islands AS (
+        SELECT user_id, grp,
+               CAST(COUNT(*) AS BIGINT) AS run_len,
+               MIN(event_id) AS run_start
+        FROM ranked GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(run_len) AS BIGINT) AS longest_run,
+           MIN(run_start) AS first_event
+    FROM islands GROUP BY user_id
+    """,
+    tags=("relational", "window"),
+)
+def q_window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, collapse consecutive event_id runs
+    into islands (id − row_number is constant within a run) and report
+    island count and longest run — the continuity audit behind
+    sequence-gap detection (missed deliveries, lost heartbeats,
+    offset-commit holes). The sessionization trick transposed from
+    time to sequence numbers.
+
+    100 TB shape: one window + two shrinking hash aggregates, all on
+    the same user partitioning — one Exchange total. The island
+    count per user is also the exact number of contiguous ranges a
+    range-request backfill would issue, which is why this audit runs
+    before any gap-repair job."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ranked = e.select("user_id", "event_id").withColumn(
+        "grp", F.col("event_id") - F.row_number().over(w)
+    )
+    islands = ranked.groupBy("user_id", "grp").agg(
+        F.count("*").alias("run_len"), F.min("event_id").alias("run_start")
+    )
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.max("run_len").alias("longest_run"),
+        F.min("run_start").alias("first_event"),
+    )
