@@ -5190,3 +5190,345 @@ def q_sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup: cross-document duplicated spans (substring-level, Lee et al. 2022
+# "Deduplicating Training Data Makes Language Models Better" class)
+# ---------------------------------------------------------------------------
+
+SPAN_K = 8  # minimum duplicated-span length in tokens
+
+
+def _positioned_shingle_col(k: int = SPAN_K):
+    """(tokens column) -> array of k-token shingles, position-aligned
+    (index i covers tokens [i, i+k-1]); empty for short docs. Same
+    slice+zip_with construction as functions.text.shingles but WITHOUT
+    array_distinct — span detection needs every occurrence at its
+    position."""
+    t = tokens("text")
+    n = F.size(t)
+    parts = [F.slice(t, j + 1, n - (k - 1)) for j in range(k)]
+    z = parts[0]
+    for p in parts[1:]:
+        z = F.zip_with(z, p, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(n >= k, z).otherwise(F.array().cast("array<string>"))
+
+
+def _span_islands_cte(k: int = SPAN_K) -> str:
+    """Shared oracle CTE chain: positioned shingles -> hash -> cross-doc
+    duplicate vocabulary -> per-doc maximal islands of duplicated
+    positions (interval merge: consecutive hits whose covered token
+    ranges overlap or touch collapse into one span)."""
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, str_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, i AS pos, {parts} AS s
+        FROM toks, LATERAL unnest(range(1, len(t) - {k - 2})) AS u(i)
+        WHERE len(t) >= {k}
+    ),
+    hs AS (
+        SELECT doc_id, pos, {duck_hex_hash('s')} AS h FROM sh
+    ),
+    dup AS (
+        SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT doc_id, pos FROM hs WHERE h IN (SELECT h FROM dup)
+    ),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > {k}
+                    OR lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) IS NULL
+                    THEN 1 ELSE 0 END AS b
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk
+    ),
+    spans AS (
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) - MIN(pos) + {k} AS BIGINT) AS span_tokens
+        FROM isl GROUP BY doc_id, island
+    )
+    """
+
+
+def _span_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_tokens) maximal cross-doc duplicated
+    spans — the Spark side of the shared CTE chain above."""
+    d = load_table(spark, sf_dir, "documents")
+    k = SPAN_K
+    sh = (
+        d.select("doc_id", F.posexplode(_positioned_shingle_col(k)))
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("pos"),
+            hex_hash(F.col("col")).alias("h"),
+        )
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hits = sh.join(dup, "h", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    brk = hits.withColumn(
+        "b",
+        F.when(
+            (F.col("pos") - F.lag("pos").over(w) > k)
+            | F.lag("pos").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    isl = brk.withColumn(
+        "island",
+        F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return isl.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
+    )
+
+
+@query(
+    "q_dedup_spans",
+    oracle=_span_islands_cte()
+    + """
+    SELECT doc_id, span_start, span_tokens FROM spans
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN detection — the substring-level
+    dedup form (Lee et al. 2022): find every maximal run of >= SPAN_K
+    consecutive tokens that also appears in some OTHER document, and
+    report it as (doc_id, span_start, span_tokens). Doc-level Jaccard
+    (q_dedup_ngram_jaccard) and sentence-level boilerplate
+    (q_text_boilerplate_lines) bracket this; only the span form catches
+    a repeated passage inside otherwise-distinct pages.
+
+    Shape: positioned k-shingles (pure map, no distinct) -> one hash
+    agg building the cross-doc duplicate-shingle vocabulary (hash +
+    distinct-doc count only — never text) -> LEFT SEMI probe of the
+    positioned shingles against it -> per-doc islands window merging
+    overlapping hits into maximal spans. Never all-pairs: cost is
+    linear in corpus shingle volume + duplicated-position volume.
+    At 100 TB the vocabulary agg is the only wide shuffle (8-byte hash
+    keys, map-side combine); ultra-hot boilerplate shingles cap the
+    probe fan-out at occurrence count, not pair count (contrast: a
+    shingle-equi pair join would square them)."""
+    return _span_frames(spark, sf_dir).select(
+        "doc_id", "span_start", "span_tokens"
+    )
+
+
+@query(
+    "q_dedup_span_stats",
+    oracle=_span_islands_cte()
+    + """
+    , per_doc AS (
+        SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans
+        GROUP BY doc_id
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(p.doc_id) AS BIGINT) AS n_docs_with_dup,
+           CAST(SUM(len(t.t)) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(SUM(p.dup_tokens), 0) AS BIGINT) AS dup_tokens,
+           round(CAST(COALESCE(SUM(p.dup_tokens), 0) AS DOUBLE)
+                 / SUM(len(t.t)), 6) AS dup_frac
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY t.source
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-token fraction — the corpus-health rollup
+    over q_dedup_spans: what fraction of each source's tokens sit
+    inside a cross-document duplicated span (the number a curation run
+    thresholds to quarantine scraper-looped sources). Spans are
+    disjoint per doc by construction (maximal islands), so the token
+    sum is exact, one small left join + per-source agg on top of the
+    span frame."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = (
+        _span_frames(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("dup_tokens"))
+    )
+    docs = d.select(
+        "doc_id", "source", F.size(tokens("text")).alias("n_toks")
+    )
+    j = docs.join(per_doc, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count("dup_tokens").alias("n_docs_with_dup"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.coalesce(F.sum("dup_tokens"), F.lit(0)).alias("dup_tokens"),
+        F.round(
+            F.coalesce(F.sum("dup_tokens"), F.lit(0)).cast("double")
+            / F.sum("n_toks"),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE training: K full merge rounds (greedy pair merge, re-paired corpus)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_ROUNDS = 3
+
+
+def _bpe_rewrite_sql(t: str, bx: str, by: str) -> str:
+    """DuckDB list expression applying one merge (x,y)->x_y to token
+    list ``t``. Non-self pairs cannot overlap themselves, so the
+    positional rewrite is exact greedy: position i becomes the merged
+    symbol when (t[i],t[i+1]) is the pair, is dropped when its
+    predecessor merged it, else passes through."""
+    return f"""list_filter(list_transform(range(1, len({t}) + 1), i ->
+        CASE WHEN i < len({t}) AND {t}[i] = {bx} AND {t}[i + 1] = {by}
+                 THEN {t}[i] || '_' || {t}[i + 1]
+             WHEN i > 1 AND {t}[i - 1] = {bx} AND {t}[i] = {by}
+                 THEN NULL
+             ELSE {t}[i] END), x -> x IS NOT NULL)"""
+
+
+def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    ctes = [
+        "t1 AS (SELECT str_split(lower(text), ' ') AS t FROM documents)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""p{r} AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM t{r} WHERE len(t) >= 2
+    )"""
+        )
+        ctes.append(
+            f"""b{r} AS (
+        SELECT pair FROM p{r}
+        WHERE str_split(pair, ' ')[1] <> str_split(pair, ' ')[2]
+        GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1
+    )"""
+        )
+        rew = _bpe_rewrite_sql(
+            "t", f"str_split(b{r}.pair, ' ')[1]", f"str_split(b{r}.pair, ' ')[2]"
+        )
+        ctes.append(
+            f"""n{r} AS (
+        SELECT t, {rew} AS nt, b{r}.pair AS pair
+        FROM t{r} CROSS JOIN b{r}
+    )"""
+        )
+        ctes.append(
+            f"""r{r} AS (
+        SELECT CAST({r} AS BIGINT) AS round, pair AS merged_pair,
+               CAST(SUM(len(t) - len(nt)) AS BIGINT) AS n_merges,
+               CAST(SUM(len(nt)) AS BIGINT) AS tokens_after
+        FROM n{r} GROUP BY pair
+    )"""
+        )
+        ctes.append(f"t{r + 1} AS (SELECT nt AS t FROM n{r})")
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM r{r}" for r in range(1, rounds + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@query(
+    "q_bpe_train",
+    oracle=_bpe_train_oracle(),
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round BPE tokenizer TRAINING (extends q_bpe_merge_round,
+    which does one round without applying it): K = BPE_TRAIN_ROUNDS
+    rounds of count-pairs -> pick most-frequent non-self pair
+    (deterministic tie-break) -> APPLY the merge corpus-wide -> repeat
+    on the re-paired corpus. Emits the learned merge list — one row per
+    round: (round, merged_pair, n_merges, tokens_after).
+
+    The apply step is a pure positional map (non-self pairs cannot
+    self-overlap, so greedy merge count equals occurrence count and a
+    transform+filter over token indices is exact — no sequential scan
+    needed); the winning pair stays a 1-row TakeOrderedAndProject
+    broadcast via crossJoin, never a driver collect. Each round
+    localCheckpoints the rewritten corpus so plan lineage stays flat
+    across rounds (the star-CC loop mechanic).
+
+    100 TB shape per round: one (pair, partial-count) shuffle bounded
+    by live vocabulary², one broadcast of a 1-row pair, one map over
+    the corpus. K rounds = K identical plans; a real 50k-vocab train
+    batches the top-B non-interacting pairs per round to cut rounds,
+    same plan otherwise."""
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.select(F.split(F.lower("text"), " ").alias("t"))
+    out = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs_arr = F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            ),
+        ).otherwise(F.expr("array()"))
+        paired = cur.withColumn("pairs_arr", pairs_arr)
+        best = (
+            paired.select(F.explode("pairs_arr").alias("pair"))
+            .filter(F.expr("split(pair, ' ')[0] <> split(pair, ' ')[1]"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(F.col("pair").alias("bp"))
+        )
+        stepped = (
+            paired.crossJoin(F.broadcast(best))
+            .withColumn("bx", F.expr("split(bp, ' ')[0]"))
+            .withColumn("by", F.expr("split(bp, ' ')[1]"))
+            .withColumn(
+                "nt",
+                F.expr(
+                    """filter(transform(sequence(1, size(t)), i ->
+                        CASE WHEN i < size(t) AND element_at(t, i) = bx
+                                  AND element_at(t, i + 1) = by
+                                 THEN concat(bx, '_', by)
+                             WHEN i > 1 AND element_at(t, i - 1) = bx
+                                  AND element_at(t, i) = by
+                                 THEN NULL
+                             ELSE element_at(t, i) END),
+                        x -> x IS NOT NULL)"""
+                ),
+            )
+        )
+        out.append(
+            stepped.groupBy("bp").agg(
+                F.sum(F.size("t") - F.size("nt")).alias("n_merges"),
+                F.sum(F.size("nt")).alias("tokens_after"),
+            ).select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("bp").alias("merged_pair"),
+                "n_merges",
+                "tokens_after",
+            )
+        )
+        cur = stepped.select(F.col("nt").alias("t")).localCheckpoint()
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
