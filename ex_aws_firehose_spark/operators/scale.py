@@ -2445,3 +2445,123 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vertices"),
         F.min("v_id").alias("min_vertex"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-depth BFS / shortest hop distance from a seed set
+# ---------------------------------------------------------------------------
+
+_BFS_DEPTH = 3
+_BFS_OUT_DEGREE = 2  # keep each node's top-2 out-edges (by weight) — a
+# scale-independent sparsification; the raw nation trade graph is complete
+# at every SF, which would make every BFS a 1-hop triviality.
+
+_BFS_EDGE_CTE = f"""
+    WITH e0 AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    edges AS (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM e0
+        ) WHERE rn <= {_BFS_OUT_DEGREE}
+    )
+"""
+
+
+def _bfs_oracle(depth: int = _BFS_DEPTH) -> str:
+    ctes = [
+        "d0 AS (SELECT n_nationkey AS node, CAST(0 AS BIGINT) AS hops"
+        " FROM nation WHERE n_regionkey = 0)",
+        "f0 AS (SELECT node FROM d0)",
+    ]
+    for r in range(1, depth + 1):
+        ctes.append(
+            f"""n{r} AS (
+        SELECT DISTINCT e.dst AS node, CAST({r} AS BIGINT) AS hops
+        FROM edges e JOIN f{r - 1} f ON e.src = f.node
+        WHERE e.dst NOT IN (SELECT node FROM d{r - 1})
+    )"""
+        )
+        ctes.append(
+            f"d{r} AS (SELECT * FROM d{r - 1} UNION ALL SELECT * FROM n{r})"
+        )
+        ctes.append(f"f{r} AS (SELECT node FROM n{r})")
+    return (
+        _BFS_EDGE_CTE
+        + ", "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, hops FROM d{depth}"
+    )
+
+
+@query("q_graph_bfs_hops", oracle=_bfs_oracle(), tags=("scale", "graph"))
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS: minimal hop distance from a seed set (the
+    region-0 nations) over the sparsified trade graph, depth <=
+    _BFS_DEPTH — the classic frontier-expansion graph op missing from
+    the PageRank/triangles/k-core/CC/link-prediction family. The graph
+    keeps each node's top-_BFS_OUT_DEGREE out-edges by co-occurrence
+    weight (rank-based, so the graph stays sparse at EVERY scale
+    factor; an absolute weight threshold would re-densify as SF grows).
+
+    Per round: frontier (tiny, broadcast) semi-joins the edge list,
+    discovered nodes anti-join the visited set, union, localCheckpoint
+    — O(depth) rounds, no driver collect, state = |reached nodes| rows.
+    100 TB shape: the edge build (three joins over the fact table) runs
+    once and is the only heavy stage; each BFS round shuffles nothing
+    but the frontier, and a billion-edge graph runs the same loop with
+    edges hash-partitioned by src and the frontier broadcast while it
+    fits (falling back to a shuffle join past that)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wnd = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    edges = (
+        e0.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= _BFS_OUT_DEGREE)
+        .select("src", "dst")
+        .localCheckpoint()
+    )
+    seeds = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(
+            F.col("n_nationkey").alias("node"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+    )
+    dist = seeds.localCheckpoint()
+    frontier = dist.select("node")
+    for r in range(1, _BFS_DEPTH + 1):
+        nbr = (
+            edges.join(F.broadcast(frontier), edges.src == F.col("node"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = nbr.join(dist, "node", "left_anti").select(
+            "node", F.lit(r).cast("long").alias("hops")
+        )
+        dist = dist.unionByName(new).localCheckpoint()
+        frontier = new.select("node").localCheckpoint()
+    return dist
