@@ -1744,3 +1744,85 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
     out = _run_to_memory(joined, mode="append")
     return out.filter(F.col("user_id") >= 0)
+
+
+@query(
+    "q_stream_stream_full_outer_join",
+    oracle=ORACLE_EVENTS_US
+    + """
+    , v AS (
+        SELECT user_id AS v_user, event_id AS view_id, ts AS v_ts
+        FROM events_us WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT user_id AS c_user, event_id AS click_id, ts AS c_ts
+        FROM events_us WHERE event_type = 'click'
+    )
+    SELECT COALESCE(v.v_user, c.c_user) AS user_id, v.view_id, c.click_id
+    FROM v FULL JOIN c
+      ON v.v_user = c.c_user
+     AND c.c_ts > v.v_ts
+     AND c.c_ts <= v.v_ts + INTERVAL 30 MINUTE
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — the last join mode after
+    inner (q_stream_stream_join) and left (q_stream_stream_left_join):
+    BOTH sides' unmatched rows must emit with a NULL opposite side, and
+    in a stream each side can only do so once the watermark proves no
+    in-band partner can still arrive — so this exercises state eviction
+    on both join states simultaneously. A view with no click in its
+    30-minute band emits (view_id, NULL); a click preceded by no view
+    emits (NULL, click_id).
+
+    Same staged-flush harness as the left join: the final micro-batch's
+    flush row (reserved user −1, max+100 h) rides both streams past
+    their type filters, jumping both watermarks so every buffered
+    unmatched row — view AND click — evicts; flush rows join nothing
+    (the band is strict) and filter out of the result. After the full
+    drain, output equals the batch FULL join — the oracle.
+
+    100 TB shape: state is still watermark + band of per-side traffic
+    hash-partitioned by user; the full-outer form doubles the eviction
+    bookkeeping, not the state bound. The production caveat the left
+    join documents cuts both ways here: BOTH sides' unmatched results
+    are delayed by up to the watermark gap, so a quiet side needs the
+    heartbeat pattern or its tail stays buffered."""
+    src = _time_split_events_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    views = (
+        raw.filter(F.col("event_type").isin("view", "flush"))
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "1 second")
+    )
+    clicks = (
+        raw.filter(F.col("event_type").isin("click", "flush"))
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", "1 second")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") > F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("v_user"), F.col("c_user")).alias("user_id"),
+        "view_id",
+        "click_id",
+    )
+    out = _run_to_memory(joined, mode="append")
+    return out.filter(F.col("user_id") >= 0)
