@@ -22,8 +22,16 @@ SHIFT = 100_000_000
 
 @pytest.fixture(scope="module")
 def replica_dir(spark, sf_dir):
-    """4× independent replica of documents: every token suffixed per
-    replica so cross-replica docs share no shingles."""
+    """4× INDEPENDENT replica staging (the SCALE.md §15 model):
+
+    - documents: every token suffixed per replica → no shared shingles
+      and fully re-drawn hash signatures across replicas;
+    - embeddings: labels renumbered and components rotated per replica
+      → no shared IVF cells or value-derived buckets;
+    - events: user ids AND (hour, type) buckets disjoint per replica
+      (ts shifted >20 years) → the co-occurrence pair join can never
+      emit a cross-replica pair, so the graph grows as R independent
+      copies."""
     out = os.path.join(tempfile.mkdtemp(prefix="scale_shape_"), "4x")
     docs = load_table(spark, sf_dir, "documents")
     parts = []
@@ -39,6 +47,44 @@ def replica_dir(spark, sf_dir):
         allp = allp.unionByName(p)
     allp.coalesce(8).write.mode("overwrite").parquet(
         os.path.join(out, "documents.parquet")
+    )
+    embs = load_table(spark, sf_dir, "embeddings")
+    parts = []
+    for i in range(R):
+        e = embs.withColumn("vec_id", F.col("vec_id") + F.lit(i * SHIFT))
+        if i > 0:
+            e = e.withColumn("label", F.col("label") + F.lit(i * 100_000))
+            rot = (i % 63) + 1
+            e = e.withColumn(
+                "embedding",
+                F.concat(
+                    F.slice(F.col("embedding"), rot + 1, 64 - rot),
+                    F.slice(F.col("embedding"), 1, rot),
+                ),
+            )
+        parts.append(e)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    allp.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+    evts = load_table(spark, sf_dir, "events")
+    parts = []
+    for i in range(R):
+        v = (
+            evts.withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * SHIFT))
+            .withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 200000} HOURS")
+            )
+        )
+        parts.append(v)
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    allp.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
     )
     return out
 
@@ -108,3 +154,147 @@ def test_prefix_filter_candidates_scale_linearly(spark, sf_dir, replica_dir):
     c4 = _prefix_candidates(spark, replica_dir)
     assert c1 > 0
     assert c4 <= R * c1 * 1.25, (c1, c4)
+
+
+def _replica_of(col):
+    """Which replica a shifted id belongs to."""
+    return (F.col(col) / SHIFT).cast("long")
+
+
+def _simhash64_candidates(spark, sf_dir, same_replica_only=False) -> int:
+    from ex_aws_firehose_spark.operators.llm import (
+        SIMHASH64_BITS,
+        SIMHASH64_PREFIX_SHIFT,
+        _simhash_sig,
+    )
+
+    sig = _simhash_sig(spark, sf_dir, SIMHASH64_BITS)
+    a, b = sig.alias("a"), sig.alias("b")
+    cond = (
+        F.expr(f"shiftright(a.simhash, {SIMHASH64_PREFIX_SHIFT})")
+        == F.expr(f"shiftright(b.simhash, {SIMHASH64_PREFIX_SHIFT})")
+    ) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    if same_replica_only:
+        cond = cond & (
+            (F.col("a.doc_id") / SHIFT).cast("long")
+            == (F.col("b.doc_id") / SHIFT).cast("long")
+        )
+    return a.join(b, cond).count()
+
+
+def _multiprobe_candidates(spark, sf_dir, same_replica_only=False) -> int:
+    from ex_aws_firehose_spark.functions.vector import dot
+    from ex_aws_firehose_spark.operators.llm import MP_PLANES, _rp_plane
+
+    e = load_table(spark, sf_dir, "embeddings")
+    bucket = None
+    for j in range(MP_PLANES):
+        plane = F.array(*[F.lit(v) for v in _rp_plane(j)])
+        bit = F.when(dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
+        bucket = bit if bucket is None else bucket + bit
+    sig = e.select("vec_id", bucket.cast("long").alias("bucket"))
+    probes = sig.select(
+        F.col("vec_id").alias("a_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(f).cast("long"))
+                    for f in [0] + [1 << j for j in range(MP_PLANES)]
+                ]
+            )
+        ).alias("probe"),
+    )
+    cond = (F.col("probe") == F.col("bucket")) & (
+        F.col("a_id") < F.col("vec_id")
+    )
+    if same_replica_only:
+        cond = cond & (
+            (F.col("a_id") / SHIFT).cast("long")
+            == (F.col("vec_id") / SHIFT).cast("long")
+        )
+    return probes.join(sig, cond).count()
+
+
+def test_simhash64_candidate_capacity_law(spark, sf_dir, replica_dir):
+    """The wide-SimHash capacity law, split into its two components
+    (measured at 4×: within = [502, ~850, ~850, ~850] per replica,
+    cross = 21 ≈ the uniform birthday estimate):
+
+    - WITHIN each replica, token re-hashing is a fresh signature draw
+      over the same corpus structure, so per-replica candidates are a
+      random variable around base volume — bounded by a draw-variance
+      factor, never by corpus growth;
+    - CROSS-replica candidates must sit at the UNIFORM birthday floor
+      (pairs / 2^16 buckets) — this is the 2⁶³-signature-space
+      decorrelation doing its job, and exactly what the saturating
+      32-bit form fails (its 12-bit prefix of a concentrated 32-bit
+      space keeps colliding as n grows). A leak here means the wide
+      signature stopped decorrelating — the capacity defect."""
+    from ex_aws_firehose_spark.operators.llm import (
+        SIMHASH64_BITS,
+        SIMHASH64_PREFIX_SHIFT,
+        _simhash_sig,
+    )
+
+    c1 = _simhash64_candidates(spark, sf_dir)
+    assert c1 > 0
+    sig = _simhash_sig(spark, replica_dir, SIMHASH64_BITS)
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = a.join(
+        b,
+        (
+            F.expr(f"shiftright(a.simhash, {SIMHASH64_PREFIX_SHIFT})")
+            == F.expr(f"shiftright(b.simhash, {SIMHASH64_PREFIX_SHIFT})")
+        )
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        (F.col("a.doc_id") / SHIFT).cast("long").alias("ra"),
+        (F.col("b.doc_id") / SHIFT).cast("long").alias("rb"),
+    )
+    within = {
+        r.ra: r.n
+        for r in pairs.filter("ra = rb")
+        .groupBy("ra")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cross = pairs.filter("ra <> rb").count()
+    n_docs = sig.count()
+    for rep, n in within.items():
+        assert n <= c1 * 3, (rep, n, c1)
+    uniform_floor = (n_docs * n_docs / 2) / (1 << 16)
+    assert cross <= uniform_floor * 3 + 50, (cross, uniform_floor)
+
+
+def test_multiprobe_within_replica_candidates_scale_linearly(
+    spark, sf_dir, replica_dir
+):
+    """Same split for multiprobe RP-LSH: component rotation re-draws
+    each replica's effective planes, so within-replica candidate volume
+    is a fresh LSH draw around base volume (1.5× slack, it is a random
+    variable, not a fixed point); super-linear WITHIN-replica growth
+    would mean the probe join stopped being bucket-bounded."""
+    c1 = _multiprobe_candidates(spark, sf_dir)
+    c4_within = _multiprobe_candidates(spark, replica_dir, True)
+    assert c1 > 0
+    assert c4_within <= R * c1 * 1.5, (c1, c4_within)
+
+
+def test_graph_wedge_volume_scales_linearly(spark, sf_dir, replica_dir):
+    """Degree-ordered triangle counting on R disjoint copies of the
+    co-occurrence graph must produce exactly R× the edges, wedges, and
+    triangles of the base graph (disjoint users + disjoint (hour,type)
+    buckets make cross-replica pairs impossible) — wedge volume is THE
+    quadratic-blow-up risk in the wedge-join method, and this pins its
+    independence law in CI at 4× (measured exactly 4.00× for all
+    three counters; 5% robustness slack)."""
+    from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    base = REGISTRY["q_graph_triangles"].fn(spark, sf_dir).collect()[0]
+    rep = REGISTRY["q_graph_triangles"].fn(spark, replica_dir).collect()[0]
+    for col in ("n_edges", "n_wedges", "n_triangles"):
+        b, r4 = getattr(base, col), getattr(rep, col)
+        assert b > 0, col
+        assert r4 <= R * b * 1.05, (col, b, r4)
+        assert r4 >= R * b * 0.95, (col, b, r4)

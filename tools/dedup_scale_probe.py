@@ -31,7 +31,7 @@ from ex_aws_firehose_spark.tables import load_table
 load_all_operators()
 
 SRC = "/root/testdata/sf0.1"
-OUT_ROOT = "/tmp/dedup_scale_v2"
+OUT_ROOT = "/tmp/dedup_scale_v3"
 SHIFT = 100_000_000
 SCALES = [int(s) for s in (sys.argv[1:] or ["4", "16", "64"])]
 # Override with SPARK_GRAFT_PROBE_KEYS=k1,k2 to probe other family members.
@@ -61,7 +61,8 @@ def stage(r: int) -> str:
         return out
     docs = load_table(spark, SRC, "documents")
     embs = load_table(spark, SRC, "embeddings")
-    dparts, eparts = [], []
+    evts = load_table(spark, SRC, "events")
+    dparts, eparts, vparts = [], [], []
     for i in range(r):
         d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * SHIFT))
         if i > 0:
@@ -85,25 +86,50 @@ def stage(r: int) -> str:
                 ),
             )
         eparts.append(e)
-    dall, eall = dparts[0], eparts[0]
+        # events: disjoint users AND disjoint (hour, type) buckets per
+        # replica (ts shifted by >20 years), so the co-occurrence pair
+        # join can never produce a cross-replica pair — the graph grows
+        # as R independent copies, the independence the probe needs.
+        v = (
+            evts.withColumn("user_id", F.col("user_id") + F.lit(i * SHIFT))
+            .withColumn("event_id", F.col("event_id") + F.lit(i * SHIFT))
+            .withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {i * 200000} HOURS")
+            )
+        )
+        vparts.append(v)
+    dall, eall, vall = dparts[0], eparts[0], vparts[0]
     for p in dparts[1:]:
         dall = dall.unionByName(p)
     for p in eparts[1:]:
         eall = eall.unionByName(p)
+    for p in vparts[1:]:
+        vall = vall.unionByName(p)
     dall.repartition(32).write.mode("overwrite").parquet(
         f"{out}/documents.parquet"
     )
     eall.repartition(32).write.mode("overwrite").parquet(
         f"{out}/embeddings.parquet"
     )
+    vall.repartition(32).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
     open(f"{out}/_STAGED", "w").close()
     return out
 
 
-def run_key(key: str, sf_dir: str) -> tuple[float, int]:
+def run_key(key: str, sf_dir: str) -> tuple[float, int, dict]:
     t0 = time.perf_counter()
-    n = REGISTRY[key].fn(spark, sf_dir).count()
-    return time.perf_counter() - t0, n
+    df = REGISTRY[key].fn(spark, sf_dir)
+    rows = df.collect() if key.startswith("q_graph_") else None
+    n = len(rows) if rows is not None else df.count()
+    wall = time.perf_counter() - t0
+    detail = {}
+    if rows is not None and len(rows) == 1:
+        # 1-row graph summaries (triangles: n_wedges etc.) carry the
+        # candidate-volume numbers the linearity law is about.
+        detail = rows[0].asDict()
+    return wall, n, detail
 
 
 def minhash_candidates(sf_dir: str) -> int:
@@ -125,16 +151,22 @@ results = []
 for r in [1] + SCALES:
     sf_dir = SRC if r == 1 else stage(r)
     row = {"scale": r}
-    cand_t0 = time.perf_counter()
-    row["minhash_candidates"] = minhash_candidates(sf_dir)
-    row["minhash_candidate_wall_s"] = round(time.perf_counter() - cand_t0, 2)
-    row["minhash_candidates_per_s"] = round(
-        row["minhash_candidates"] / max(row["minhash_candidate_wall_s"], 1e-9)
-    )
+    if "q_dedup_minhash" in KEYS:
+        cand_t0 = time.perf_counter()
+        row["minhash_candidates"] = minhash_candidates(sf_dir)
+        row["minhash_candidate_wall_s"] = round(
+            time.perf_counter() - cand_t0, 2
+        )
+        row["minhash_candidates_per_s"] = round(
+            row["minhash_candidates"]
+            / max(row["minhash_candidate_wall_s"], 1e-9)
+        )
     for key in KEYS:
-        wall, n = run_key(key, sf_dir)
+        wall, n, detail = run_key(key, sf_dir)
         row[f"{key}_wall_s"] = round(wall, 2)
         row[f"{key}_pairs"] = n
+        for dk, dv in detail.items():
+            row[f"{key}_{dk}"] = dv
     results.append(row)
     print(json.dumps(row), flush=True)
 
