@@ -5783,3 +5783,105 @@ def q_contamination_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("max_cos"),
         F.min("eid").alias("min_eval_id"),
     )
+
+
+@query(
+    "q_dedup_span_pairs",
+    oracle=_span_islands_cte()
+    + f""",
+    hp AS (
+        SELECT doc_id, pos, h FROM hs WHERE h IN (SELECT h FROM dup)
+    ),
+    occ AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pa, b.pos AS pb
+        FROM hp a JOIN hp b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    pbrk AS (
+        SELECT doc_a, doc_b, pa, pb,
+               CASE WHEN pa - lag(pa) OVER w = 1
+                     AND pb - lag(pb) OVER w = 1
+                    THEN 0 ELSE 1 END AS b
+        FROM occ
+        WINDOW w AS (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa)
+    ),
+    pisl AS (
+        SELECT doc_a, doc_b, pa, pb,
+               SUM(b) OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM pbrk
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS BIGINT) AS a_start,
+           CAST(MIN(pb) AS BIGINT) AS b_start,
+           CAST(MAX(pa) - MIN(pa) + {SPAN_K} AS BIGINT) AS span_tokens
+    FROM pisl GROUP BY doc_a, doc_b, pa - pb, island
+    """,
+    tags=("llm", "dedup"),
+)
+def q_dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span DOC PAIRS — the pair-grain companion to
+    q_dedup_spans: for every pair of documents sharing a >= SPAN_K-token
+    passage, the maximal shared span as (doc_a, doc_b, a_start,
+    b_start, span_tokens). Maximality is per alignment DIAGONAL
+    (pa − pb): consecutive co-occurring shingle positions that advance
+    together in both documents merge into one span — the Lee et al.
+    substring-match geometry, done relationally.
+
+    Shape: the duplicate-shingle vocabulary (same one q_dedup_spans
+    builds) LEFT SEMI-prunes the positioned shingles, and only the
+    surviving occurrences self-join on the shingle hash — candidate
+    volume is sum-over-dup-shingles of occ², bounded by shingle
+    frequency, never corpus². The islands pass is a window over
+    (doc_a, doc_b, diagonal) — one shuffle on the pair key. At 100 TB
+    the ultra-hot-shingle cap (drop or salt shingles with df above a
+    threshold) is the documented dial, same as q_dedup_ngram_jaccard's
+    shared-shingle join."""
+    d = load_table(spark, sf_dir, "documents")
+    k = SPAN_K
+    sh = d.select("doc_id", F.posexplode(_positioned_shingle_col(k))).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pos"),
+        hex_hash(F.col("col")).alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    hp = sh.join(dup, "h", "left_semi")
+    a, b = hp.alias("a"), hp.alias("b")
+    occ = a.join(
+        b,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pa"),
+        F.col("b.pos").alias("pb"),
+    )
+    wd = Window.partitionBy("doc_a", "doc_b", F.col("pa") - F.col("pb")).orderBy(
+        "pa"
+    )
+    pbrk = occ.withColumn(
+        "b",
+        F.when(
+            (F.col("pa") - F.lag("pa").over(wd) == 1)
+            & (F.col("pb") - F.lag("pb").over(wd) == 1),
+            0,
+        ).otherwise(1),
+    )
+    pisl = pbrk.withColumn(
+        "island",
+        F.sum("b").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return pisl.groupBy(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag"), "island"
+    ).agg(
+        F.min("pa").cast("long").alias("a_start"),
+        F.min("pb").cast("long").alias("b_start"),
+        (F.max("pa") - F.min("pa") + k).cast("long").alias("span_tokens"),
+    ).select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
