@@ -298,3 +298,36 @@ def test_graph_wedge_volume_scales_linearly(spark, sf_dir, replica_dir):
         assert b > 0, col
         assert r4 <= R * b * 1.05, (col, b, r4)
         assert r4 >= R * b * 0.95, (col, b, r4)
+
+
+def _span_hits(spark, sf_dir) -> int:
+    """Duplicated-position volume — the span family's candidate metric
+    (everything downstream of it is per-hit linear)."""
+    from ex_aws_firehose_spark.operators.llm import (
+        SPAN_K,
+        _positioned_shingle_col,
+    )
+    from ex_aws_firehose_spark.functions.text import hex_hash
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.posexplode(_positioned_shingle_col(SPAN_K))).select(
+        "doc_id", hex_hash(F.col("col")).alias("h")
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    return sh.join(dup, "h", "left_semi").count()
+
+
+def test_span_dedup_hits_scale_linearly(spark, sf_dir, replica_dir):
+    """Cross-doc span dedup: replica-suffixed tokens share no shingles
+    across replicas, so the duplicated-position volume must land at
+    exactly R× base (tiny slack for 32-bit shingle-hash coincidences,
+    ~1 expected at this size)."""
+    c1 = _span_hits(spark, sf_dir)
+    c4 = _span_hits(spark, replica_dir)
+    assert c1 > 0
+    assert c4 <= R * c1 * 1.1, (c1, c4)
