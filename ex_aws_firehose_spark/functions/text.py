@@ -69,3 +69,19 @@ def duck_shingles(toks: str, k: int = 3) -> str:
         f"list_distinct(list_transform(range(1, len({toks}) - {k - 2}), "
         f"i -> {parts}))"
     )
+
+
+def hex_hash60(col: Column) -> Column:
+    """First 15 hex digits of md5 -> BIGINT (60 bits, sign-safe).
+
+    The wide form of :func:`hex_hash` for content keys whose DISTINCT
+    cardinality reaches the 32-bit birthday zone (~10⁵ distinct values
+    already yields collisions; ~10⁷ makes them routine). The round-6
+    64× probe measured the span-dedup family going 2.4× super-linear
+    purely from 32-bit shingle-hash coincidences — width is the
+    capacity dial, exactly as with SimHash 32→63."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def duck_hex_hash60(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"

@@ -28,8 +28,10 @@ from ex_aws_firehose_spark.functions.text import (
     MINHASH_PRIME as P,
     STOPWORDS,
     duck_hex_hash,
+    duck_hex_hash60,
     duck_shingles,
     hex_hash,
+    hex_hash60,
     shingles,
     tokens,
 )
@@ -5245,11 +5247,9 @@ def _positioned_shingle_col(k: int = SPAN_K):
     return F.when(n >= k, z).otherwise(F.array().cast("array<string>"))
 
 
-def _span_islands_cte(k: int = SPAN_K) -> str:
-    """Shared oracle CTE chain: positioned shingles -> hash -> cross-doc
-    duplicate vocabulary -> per-doc maximal islands of duplicated
-    positions (interval merge: consecutive hits whose covered token
-    ranges overlap or touch collapse into one span)."""
+def _span_prefix_cte(k: int = SPAN_K) -> str:
+    """Shared oracle prefix: positioned shingles -> hash -> cross-doc
+    duplicate-shingle vocabulary."""
     parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
     return f"""
     WITH toks AS (
@@ -5262,11 +5262,18 @@ def _span_islands_cte(k: int = SPAN_K) -> str:
         WHERE len(t) >= {k}
     ),
     hs AS (
-        SELECT doc_id, pos, {duck_hex_hash('s')} AS h FROM sh
+        SELECT doc_id, pos, {duck_hex_hash60('s')} AS h FROM sh
     ),
     dup AS (
         SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
-    ),
+    )"""
+
+
+def _span_islands_cte(k: int = SPAN_K) -> str:
+    """Prefix + per-doc maximal islands of duplicated positions
+    (interval merge: consecutive hits whose covered token ranges
+    overlap or touch collapse into one span)."""
+    return _span_prefix_cte(k) + f""",
     hits AS (
         SELECT doc_id, pos FROM hs WHERE h IN (SELECT h FROM dup)
     ),
@@ -5304,7 +5311,7 @@ def _span_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("pos") + 1).alias("pos"),
-            hex_hash(F.col("col")).alias("h"),
+            hex_hash60(F.col("col")).alias("h"),
         )
     )
     dup = (
@@ -5843,7 +5850,7 @@ def q_dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select("doc_id", F.posexplode(_positioned_shingle_col(k))).select(
         "doc_id",
         (F.col("pos") + 1).alias("pos"),
-        hex_hash(F.col("col")).alias("h"),
+        hex_hash60(F.col("col")).alias("h"),
     )
     dup = (
         sh.groupBy("h")
@@ -5885,3 +5892,116 @@ def q_dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("pb").cast("long").alias("b_start"),
         (F.max("pa") - F.min("pa") + k).cast("long").alias("span_tokens"),
     ).select("doc_a", "doc_b", "a_start", "b_start", "span_tokens")
+
+
+@query(
+    "q_dedup_span_strip",
+    oracle=_span_prefix_cte()
+    + f""",
+    keep AS (
+        SELECT h, MIN(doc_id) AS keeper FROM hs
+        WHERE h IN (SELECT h FROM dup) GROUP BY h
+    ),
+    strippable AS (
+        SELECT s.doc_id, s.pos
+        FROM hs s JOIN keep k ON s.h = k.h AND s.doc_id <> k.keeper
+    ),
+    sbrk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > {SPAN_K}
+                    OR lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) IS NULL
+                    THEN 1 ELSE 0 END AS b
+        FROM strippable
+    ),
+    sisl AS (
+        SELECT doc_id, pos,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM sbrk
+    ),
+    sspans AS (
+        SELECT doc_id, MAX(pos) - MIN(pos) + {SPAN_K} AS span_tokens
+        FROM sisl GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id, SUM(span_tokens) AS stripped FROM sspans
+        GROUP BY doc_id
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(t.t)) AS BIGINT) AS tokens_before,
+           CAST(COALESCE(SUM(p.stripped), 0) AS BIGINT) AS tokens_stripped,
+           CAST(SUM(len(t.t)) - COALESCE(SUM(p.stripped), 0) AS BIGINT)
+               AS tokens_after
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY t.source
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span STRIPPING — the apply step of substring-level
+    dedup (Lee et al. 2022 remove-all-but-one): every duplicated
+    shingle elects a keeper (min doc_id among holders), non-keeper
+    occurrences become strippable positions, strippable positions merge
+    into maximal spans (same islands pass as q_dedup_spans), and the
+    per-source rollup reports tokens before / stripped / after — the
+    corpus-size delta a dedup run reports before committing.
+
+    Keeper election at POSITION grain keeps the result well-defined
+    when spans from different keepers overlap in one doc. Shape: one
+    (h -> min doc) agg over the dup vocabulary, one hash join back
+    (8-byte keys), islands window, per-source agg — all linear in
+    duplicated-position volume, gated at 4× by
+    tests/test_scale_shape.py."""
+    d = load_table(spark, sf_dir, "documents")
+    k = SPAN_K
+    sh = d.select("doc_id", F.posexplode(_positioned_shingle_col(k))).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pos"),
+        hex_hash60(F.col("col")).alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "keeper")
+    )
+    strippable = (
+        sh.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sbrk = strippable.withColumn(
+        "b",
+        F.when(
+            (F.col("pos") - F.lag("pos").over(w) > k)
+            | F.lag("pos").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sisl = sbrk.withColumn(
+        "island",
+        F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        sisl.groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + k).alias("span_tokens"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("stripped"))
+    )
+    docs = d.select("doc_id", "source", F.size(tokens("text")).alias("nt"))
+    j = docs.join(per_doc, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("nt").alias("tokens_before"),
+        F.coalesce(F.sum("stripped"), F.lit(0)).alias("tokens_stripped"),
+        (F.sum("nt") - F.coalesce(F.sum("stripped"), F.lit(0))).alias(
+            "tokens_after"
+        ),
+    )

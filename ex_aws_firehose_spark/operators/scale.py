@@ -2565,3 +2565,110 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dist = dist.unionByName(new).localCheckpoint()
         frontier = new.select("node").localCheckpoint()
     return dist
+
+
+# ---------------------------------------------------------------------------
+# Bounded-round single-source-set shortest path (weighted Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+_SP_ROUNDS = 3
+_SP_COST_SCALE = 1_000_000  # edge cost = 1e6 div weight (integer, exact)
+
+
+def _sp_oracle(rounds: int = _SP_ROUNDS) -> str:
+    ctes = [
+        f"""ew AS (
+        SELECT src, dst, {_SP_COST_SCALE} // w AS ecost FROM (
+            SELECT src, dst, w,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY w DESC, dst) AS rn
+            FROM e0
+        ) WHERE rn <= {_BFS_OUT_DEGREE}
+    )""",
+        "d0 AS (SELECT n_nationkey AS node, CAST(0 AS BIGINT) AS cost"
+        " FROM nation WHERE n_regionkey = 0)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS (
+        SELECT e.dst AS node, d.cost + e.ecost AS cost
+        FROM d{r - 1} d JOIN ew e ON e.src = d.node
+    )"""
+        )
+        ctes.append(
+            f"""d{r} AS (
+        SELECT node, MIN(cost) AS cost FROM (
+            SELECT * FROM d{r - 1} UNION ALL SELECT * FROM c{r}
+        ) GROUP BY node
+    )"""
+        )
+    base = _BFS_EDGE_CTE.split(",\n    edges AS")[0]
+    return (
+        base
+        + ",\n    "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, cost FROM d{rounds}"
+    )
+
+
+@query("q_graph_shortest_path", oracle=_sp_oracle(), tags=("scale", "graph"))
+def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest path from a seed set, bounded to _SP_ROUNDS
+    Bellman-Ford relaxation rounds — the weighted companion to
+    q_graph_bfs_hops over the same rank-sparsified trade graph. Edge
+    cost is integer 1e6 div co-occurrence-weight (heavier trade =
+    cheaper hop), so every relaxation is exact int64 arithmetic and the
+    unrolled DuckDB CTE reproduces each round bit-for-bit.
+
+    Per round: the tentative-distance frame (|reached| rows) joins the
+    edge list on src, candidate costs union with the incumbent, one
+    min-agg per node, localCheckpoint — the textbook distributed
+    Bellman-Ford, O(rounds) shuffles each bounded by |edges|. At 100 TB
+    the same loop runs with edges hash-partitioned by src and distances
+    co-partitioned (the PageRank layout), checkpointing every few
+    rounds to cut lineage."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    wnd = Window.partitionBy("src").orderBy(F.col("w").desc(), "dst")
+    edges = (
+        e0.withColumn("rn", F.row_number().over(wnd))
+        .filter(F.col("rn") <= _BFS_OUT_DEGREE)
+        .select(
+            "src",
+            "dst",
+            F.expr(f"{_SP_COST_SCALE} div w").alias("ecost"),
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        load_table(spark, sf_dir, "nation")
+        .filter(F.col("n_regionkey") == 0)
+        .select(
+            F.col("n_nationkey").alias("node"),
+            F.lit(0).cast("long").alias("cost"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(_SP_ROUNDS):
+        cand = dist.join(
+            F.broadcast(edges), dist.node == edges.src
+        ).select(F.col("dst").alias("node"), (F.col("cost") + F.col("ecost")).alias("cost"))
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist

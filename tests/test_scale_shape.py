@@ -307,11 +307,11 @@ def _span_hits(spark, sf_dir) -> int:
         SPAN_K,
         _positioned_shingle_col,
     )
-    from ex_aws_firehose_spark.functions.text import hex_hash
+    from ex_aws_firehose_spark.functions.text import hex_hash60
 
     d = load_table(spark, sf_dir, "documents")
     sh = d.select("doc_id", F.posexplode(_positioned_shingle_col(SPAN_K))).select(
-        "doc_id", hex_hash(F.col("col")).alias("h")
+        "doc_id", hex_hash60(F.col("col")).alias("h")
     )
     dup = (
         sh.groupBy("h")
