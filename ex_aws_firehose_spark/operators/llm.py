@@ -6005,3 +6005,129 @@ def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_after"
         ),
     )
+
+
+ADC_BATCH_Q = 4  # query vectors served together (vec_id < 4)
+ADC_BATCH_TOPK = 10
+
+
+def _adc_batch_oracle() -> str:
+    pq = _pq_ctes(ADC_M, ADC_K)
+    iv, iv_cb, iv_asg, _probed = _ivf_ctes("iv_")
+    # the single-query probe CTE is unused here; per-query probes below
+    return (
+        "WITH "
+        + ",\n    ".join(pq + iv)
+        + f""",
+    bq AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id < {ADC_BATCH_Q}
+    ),
+    bqc AS (
+        SELECT vec_id AS qid, subspace, pos, sv FROM comp
+        WHERE vec_id < {ADC_BATCH_Q}
+    ),
+    bprobe AS (
+        SELECT qid, cell FROM (
+            SELECT q.qid, c.cell,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY round({duck_cosine("c.cvec", "q.qv")}, 6)
+                                    DESC,
+                                c.cell
+                   ) AS rn
+            FROM {iv_cb} c CROSS JOIN bq q
+        ) WHERE rn <= {ANN_NPROBE}
+    ),
+    blut AS (
+        SELECT q.qid, c.subspace, c.code,
+               SUM((q.sv - c.icv) * (q.sv - c.icv)) AS l
+        FROM cent{PQ_ITERS - 1} c
+        JOIN bqc q ON q.subspace = c.subspace AND q.pos = c.pos
+        GROUP BY q.qid, c.subspace, c.code
+    ),
+    bcand AS (
+        SELECT p.qid, a.vec_id FROM {iv_asg} a
+        JOIN bprobe p ON a.cell = p.cell
+        WHERE a.vec_id <> p.qid
+    ),
+    scored AS (
+        SELECT c.qid, c.vec_id, CAST(SUM(l.l) AS BIGINT) AS adc_dist
+        FROM bcand c
+        JOIN asg{PQ_ITERS} pc ON pc.vec_id = c.vec_id
+        JOIN blut l ON l.qid = c.qid AND l.subspace = pc.subspace
+                   AND l.code = pc.code
+        GROUP BY c.qid, c.vec_id
+    )
+    SELECT qid, vec_id, adc_dist FROM (
+        SELECT qid, vec_id, adc_dist,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= {ADC_BATCH_TOPK}
+    """
+    )
+
+
+@query(
+    "q_sim_ivf_pq_adc_batch",
+    oracle=_adc_batch_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_ivf_pq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED IVF-PQ ADC serving — q_sim_ivf_pq_adc generalized from
+    one query to a query batch (the shape an embedding-search service
+    actually runs): ADC_BATCH_Q query vectors route to their own
+    ANN_NPROBE cells, build their own subspace LUTs (all in ONE
+    aggregate, LUT keyed by qid), and score their candidates in ONE
+    join+agg — per-query top-k via a rank window partitioned by qid.
+
+    100 TB / high-QPS shape: batching amortizes every fixed cost — the
+    codebook broadcast, the candidate-code scan, the shuffle schedule —
+    across Q queries; the per-query LUT table is Q·M·K rows (64 here)
+    and stays broadcast to any realistic batch. Candidate volume is
+    Σ_q |probed cells(q)|, and the rank window shuffles only scored
+    candidates on qid."""
+    comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
+    cb, members = ivf_train(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    bq = e.filter(F.col("vec_id") < ADC_BATCH_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    pc = F.round(cosine(F.col("cvec"), F.col("qv")), 6)
+    wp = Window.partitionBy("qid").orderBy(F.col("pc").desc(), F.col("cell"))
+    bprobe = (
+        cb.crossJoin(F.broadcast(bq))
+        .select("qid", "cell", pc.alias("pc"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= ANN_NPROBE)
+        .select("qid", "cell")
+    )
+    bqc = comp.filter(F.col("vec_id") < ADC_BATCH_Q).select(
+        F.col("vec_id").alias("qid"), "subspace", "pos", F.col("sv").alias("qsv")
+    )
+    d = F.col("qsv") - F.col("icv")
+    blut = (
+        cent.join(F.broadcast(bqc), ["subspace", "pos"])
+        .groupBy("qid", "subspace", "code")
+        .agg(F.sum(d * d).alias("l"))
+    )
+    bcand = (
+        members.join(F.broadcast(bprobe), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    scored = (
+        bcand.join(codes.select("vec_id", "subspace", "code"), "vec_id")
+        .join(
+            F.broadcast(blut), ["qid", "subspace", "code"]
+        )
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("l").alias("adc_dist"))
+    )
+    wr = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= ADC_BATCH_TOPK)
+        .select("qid", "vec_id", "adc_dist")
+    )

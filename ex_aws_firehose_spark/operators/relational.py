@@ -3440,3 +3440,95 @@ def q_window_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").alias("longest_run"),
         F.min("run_start").alias("first_event"),
     )
+
+
+ROLL_CORR_FRAME = 10  # trailing rows per Pearson window
+
+
+@query(
+    "q_window_rolling_corr",
+    oracle=f"""
+    WITH q AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS x,
+               CAST(FLOOR(l_quantity) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_suppkey, l_orderkey, l_linenumber,
+               COUNT(*) OVER w AS n,
+               SUM(x) OVER w AS sx, SUM(y) OVER w AS sy,
+               SUM(x * y) OVER w AS sxy,
+               SUM(x * x) OVER w AS sxx, SUM(y * y) OVER w AS syy
+        FROM q
+        WINDOW w AS (PARTITION BY l_suppkey
+                     ORDER BY l_orderkey, l_linenumber, x, y
+                     ROWS BETWEEN {ROLL_CORR_FRAME - 1} PRECEDING
+                              AND CURRENT ROW)
+    )
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS roll_corr
+    FROM s WHERE n = {ROLL_CORR_FRAME}
+    """,
+    tags=("relational", "window"),
+)
+def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation (price vs quantity, trailing
+    ROLL_CORR_FRAME rows per supplier) — the windowed co-movement
+    statistic quant/monitoring pipelines run, done ENGINE-EXACTLY: both
+    series quantize to int64 (cents / whole units), all six window
+    sums are exact integer arithmetic, and only the final ratio touches
+    floating point (int64→double conversion and sqrt are IEEE-
+    deterministic, so DuckDB reproduces every value to the rounded 6
+    dp). Partial leading frames are excluded (n = frame) so every row
+    is a full-window statistic.
+
+    Scale shape: one hash partition per supplier, one sort per
+    partition, six running sums in a single Window operator — the same
+    single-exchange profile as q_window_frame; nothing here grows with
+    frame count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("x"),
+        F.floor(F.col("l_quantity")).cast("long").alias("y"),
+    )
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem,
+    # so the quantized values join the sort key: rows tied on all four
+    # are interchangeable and leave every window sum unchanged.
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "x", "y")
+        .rowsBetween(-(ROLL_CORR_FRAME - 1), 0)
+    )
+    s = q.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.count("*").over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    corr = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.round(
+            num / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))), 6
+        ),
+    )
+    return s.filter(F.col("n") == ROLL_CORR_FRAME).select(
+        "l_suppkey", "l_orderkey", "l_linenumber", corr.alias("roll_corr")
+    )
