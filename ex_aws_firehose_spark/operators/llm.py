@@ -1174,6 +1174,9 @@ def _ivf_e_step(e: DataFrame, cb: DataFrame) -> DataFrame:
     )
 
 
+_IVF_TRAIN_CACHE: SessionCache = SessionCache()
+
+
 def ivf_train(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -1184,6 +1187,10 @@ def ivf_train(
     embedding). Fixed iteration count — the driver loop makes no
     .collect() calls; each k-row codebook is localCheckpoint'd so plan
     lineage stays flat across rounds (the q_dedup_clusters pattern)."""
+    key = _IVF_TRAIN_CACHE.scoped_key(spark, sf_dir)
+    cached = _IVF_TRAIN_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
@@ -1194,7 +1201,9 @@ def ivf_train(
     for _ in range(IVF_ITERS):
         assigned = _ivf_e_step(e, cb)
         cb = _ivf_m_step(assigned).localCheckpoint()
-    return cb, _ivf_e_step(e, cb)
+    members = _ivf_e_step(e, cb).localCheckpoint()
+    _IVF_TRAIN_CACHE[key] = (cb, members)
+    return cb, members
 
 
 def _ivf_ctes(prefix: str = "") -> tuple[list[str], str, str, str]:
@@ -1382,6 +1391,9 @@ def _pq_oracle() -> str:
     )
 
 
+_PQ_TRAIN_CACHE: SessionCache = SessionCache()
+
+
 def pq_train(
     spark: SparkSession, sf_dir: str, m: int = PQ_M, k: int = PQ_K
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
@@ -1391,6 +1403,10 @@ def pq_train(
     (vec_id, subspace, pos, sv), the codebook the final assignment was
     made against (subspace, code, pos, icv), and the final per-vector
     codes (vec_id, subspace, code, dist)."""
+    key = _PQ_TRAIN_CACHE.scoped_key(spark, sf_dir, str(m), str(k))
+    cached = _PQ_TRAIN_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     comp = (
         e.select(
@@ -1443,6 +1459,8 @@ def pq_train(
                 F.col("p.dist").alias("dist"),
             )
         )
+    asg = asg.localCheckpoint()
+    _PQ_TRAIN_CACHE[key] = (comp, cent, asg)
     return comp, cent, asg
 
 
@@ -5301,19 +5319,42 @@ def _span_islands_cte(k: int = SPAN_K) -> str:
     """
 
 
-def _span_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, span_start, span_tokens) maximal cross-doc duplicated
-    spans — the Spark side of the shared CTE chain above."""
+_SPAN_SH_CACHE: SessionCache = SessionCache()
+_SPAN_FRAME_CACHE: SessionCache = SessionCache()
+
+
+def _span_positioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached positioned-shingle frame (doc_id, 1-based pos, 60-bit h)
+    shared by the whole span-dedup family — localCheckpointed once per
+    (session, sf) so the explode+hash runs once, not once per key."""
+    key = _SPAN_SH_CACHE.scoped_key(spark, sf_dir)
+    cached = _SPAN_SH_CACHE.get(key)
+    if cached is not None:
+        return cached
     d = load_table(spark, sf_dir, "documents")
-    k = SPAN_K
     sh = (
-        d.select("doc_id", F.posexplode(_positioned_shingle_col(k)))
+        d.select("doc_id", F.posexplode(_positioned_shingle_col(SPAN_K)))
         .select(
             "doc_id",
             (F.col("pos") + 1).alias("pos"),
             hex_hash60(F.col("col")).alias("h"),
         )
+        .localCheckpoint()
     )
+    _SPAN_SH_CACHE[key] = sh
+    return sh
+
+
+def _span_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_start, span_tokens) maximal cross-doc duplicated
+    spans — the Spark side of the shared CTE chain above. Cached per
+    (session, sf): q_dedup_spans and q_dedup_span_stats share it."""
+    fkey = _SPAN_FRAME_CACHE.scoped_key(spark, sf_dir)
+    cached = _SPAN_FRAME_CACHE.get(fkey)
+    if cached is not None:
+        return cached
+    k = SPAN_K
+    sh = _span_positioned(spark, sf_dir)
     dup = (
         sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -5334,10 +5375,12 @@ def _span_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "island",
         F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    return isl.groupBy("doc_id", "island").agg(
+    spans = isl.groupBy("doc_id", "island").agg(
         F.min("pos").cast("long").alias("span_start"),
         (F.max("pos") - F.min("pos") + k).cast("long").alias("span_tokens"),
     )
+    _SPAN_FRAME_CACHE[fkey] = spans
+    return spans
 
 
 @query(
@@ -5586,27 +5629,28 @@ ADC_M = 16
 ADC_K = 16
 
 
-def _adc_oracle() -> str:
+def _adc_parts() -> tuple[list[str], str]:
+    """(ctes, final-select) of the single-query ADC top-k, so the
+    recall-audit oracle can compose the same chain as a CTE."""
     pq = _pq_ctes(ADC_M, ADC_K)
     iv, _cb, iv_asg, iv_probed = _ivf_ctes("iv_")
-    return (
-        "WITH "
-        + ",\n    ".join(pq + iv)
-        + f""",
-    qc AS (
+    ctes = pq + iv + [
+        """qc AS (
         SELECT subspace, pos, sv AS qsv FROM comp WHERE vec_id = 0
-    ),
-    lut AS (
+    )""",
+        f"""lut AS (
         SELECT c.subspace, c.code,
                SUM((q.qsv - c.icv) * (q.qsv - c.icv)) AS l
         FROM cent{PQ_ITERS - 1} c
         JOIN qc q ON q.subspace = c.subspace AND q.pos = c.pos
         GROUP BY c.subspace, c.code
-    ),
-    cand AS (
+    )""",
+        f"""cand AS (
         SELECT a.vec_id, a.cell FROM {iv_asg} a
         WHERE a.cell IN (SELECT cell FROM {iv_probed}) AND a.vec_id <> 0
-    )
+    )""",
+    ]
+    final = f"""
     SELECT c.vec_id, c.cell, CAST(SUM(l.l) AS BIGINT) AS adc_dist
     FROM cand c
     JOIN asg{PQ_ITERS} pc ON pc.vec_id = c.vec_id
@@ -5615,7 +5659,12 @@ def _adc_oracle() -> str:
     ORDER BY adc_dist, c.vec_id
     LIMIT {TOPK}
     """
-    )
+    return ctes, final
+
+
+def _adc_oracle() -> str:
+    ctes, final = _adc_parts()
+    return "WITH " + ",\n    ".join(ctes) + final
 
 
 @query("q_sim_ivf_pq_adc", oracle=_adc_oracle(), tags=("llm", "similarity"))
@@ -5845,13 +5894,8 @@ def q_dedup_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ultra-hot-shingle cap (drop or salt shingles with df above a
     threshold) is the documented dial, same as q_dedup_ngram_jaccard's
     shared-shingle join."""
-    d = load_table(spark, sf_dir, "documents")
     k = SPAN_K
-    sh = d.select("doc_id", F.posexplode(_positioned_shingle_col(k))).select(
-        "doc_id",
-        (F.col("pos") + 1).alias("pos"),
-        hex_hash60(F.col("col")).alias("h"),
-    )
+    sh = _span_positioned(spark, sf_dir)
     dup = (
         sh.groupBy("h")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -5957,11 +6001,7 @@ def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_shape.py."""
     d = load_table(spark, sf_dir, "documents")
     k = SPAN_K
-    sh = d.select("doc_id", F.posexplode(_positioned_shingle_col(k))).select(
-        "doc_id",
-        (F.col("pos") + 1).alias("pos"),
-        hex_hash60(F.col("col")).alias("h"),
-    )
+    sh = _span_positioned(spark, sf_dir)
     dup = (
         sh.groupBy("h")
         .agg(
@@ -6130,4 +6170,71 @@ def q_sim_ivf_pq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(wr))
         .filter(F.col("rn") <= ADC_BATCH_TOPK)
         .select("qid", "vec_id", "adc_dist")
+    )
+
+
+def _adc_recall_oracle() -> str:
+    ctes, final = _adc_parts()
+    ctes = ctes + [
+        "adc AS (" + final + ")",
+        f"""ex AS (
+        SELECT e.vec_id FROM embeddings e CROSS JOIN iv_q
+        WHERE e.vec_id <> 0
+        ORDER BY round({duck_cosine("e.embedding", "iv_q.qv")}, 6) DESC,
+                 e.vec_id
+        LIMIT {TOPK}
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST({TOPK} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_common,
+           CAST((COUNT(*) * 1000000) // {TOPK} AS BIGINT) AS recall_ppm
+    FROM adc JOIN ex USING (vec_id)
+    """
+    )
+
+
+@query(
+    "q_sim_adc_recall_audit",
+    oracle=_adc_recall_oracle(),
+    tags=("llm", "similarity", "audit"),
+)
+def q_sim_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC recall@k computed IN the engine — the audit row a serving
+    stack logs next to every index build (the q_dedup_minhash_estimate
+    pattern applied to ANN): run the exact cosine top-k and the IVF-PQ
+    ADC top-k in one plan, intersect, and report (k, n_common,
+    recall_ppm) as exact integers. tests/test_ann_recall.py pins the
+    floor; this key makes the number itself reproducible and
+    driver-hash-checked.
+
+    Scale shape: both rankings are TakeOrderedAndProject over already-
+    bounded candidate sets; the intersection is a k-row join. The
+    expensive parts (PQ + IVF training) are shared builds any real
+    deployment amortizes across queries — and the exact arm is the
+    one that disappears at 100 TB (it exists precisely to audit the
+    approximate arm on a sample)."""
+    adc = q_sim_ivf_pq_adc(spark, sf_dir).select("vec_id")
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    exact = (
+        e.crossJoin(qv)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos, 6).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+    )
+    return adc.join(exact, "vec_id").agg(
+        F.lit(TOPK).cast("long").alias("k"),
+        F.count("*").alias("n_common"),
+        F.expr(f"CAST(count(*) * 1000000 DIV {TOPK} AS LONG)").alias(
+            "recall_ppm"
+        ),
     )

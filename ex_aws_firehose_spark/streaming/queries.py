@@ -1826,3 +1826,189 @@ def q_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     )
     out = _run_to_memory(joined, mode="append")
     return out.filter(F.col("user_id") >= 0)
+
+
+def _stream_span_oracle() -> str:
+    from ex_aws_firehose_spark.operators.llm import SPAN_K, _span_prefix_cte
+
+    return (
+        _span_prefix_cte()
+        + f""",
+    firsts AS (
+        SELECT h, MIN(doc_id) AS first_doc FROM hs GROUP BY h
+    ),
+    hits AS (
+        SELECT DISTINCT s.doc_id, s.pos
+        FROM hs s JOIN firsts f ON s.h = f.h AND s.doc_id > f.first_doc
+    ),
+    brk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > {SPAN_K}
+                    OR lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) IS NULL
+                    THEN 1 ELSE 0 END AS b
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM brk
+    ),
+    per_doc AS (
+        SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM (
+            SELECT doc_id, MAX(pos) - MIN(pos) + {SPAN_K} AS span_tokens
+            FROM isl GROUP BY doc_id, island
+        ) GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.dup_tokens, 0) AS BIGINT) AS dup_tokens
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """
+    )
+
+
+@query(
+    "q_stream_dedup_spans",
+    oracle=_stream_span_oracle(),
+    tags=("streaming", "llm", "dedup"),
+)
+def q_stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental SPAN dedup — the crawl-ingest form of
+    q_dedup_spans: each micro-batch of documents probes its positioned
+    shingle hashes against the accumulated shingle index of everything
+    seen BEFORE it (plus earlier docs of its own batch), reports per
+    doc how many of its tokens sit inside spans already present in the
+    corpus-so-far (the "novelty budget" a crawl pipeline uses to drop
+    recycled pages on arrival), then appends its own shingles to the
+    index. Arrival order = doc_id order (three staged doc_id-range
+    batches), so the batch oracle — hit iff a strictly-earlier doc
+    holds the shingle — reproduces every incremental verdict.
+
+    100 TB shape: the index is (60-bit hash, doc_id) distinct rows,
+    parquet-partitioned by hash prefix at scale so each batch's probe
+    is a bucket-pruned equi-join; islands run per batch doc only.
+    Append-only index + batch-keyed overwrite verdict sink = the same
+    replay-idempotent contract as q_stream_dedup_minhash (re-appended
+    shingles are harmless set-members)."""
+    import os
+
+    from ex_aws_firehose_spark.functions.text import hex_hash60
+    from ex_aws_firehose_spark.operators.llm import (
+        SPAN_K,
+        _positioned_shingle_col,
+    )
+    from pyspark.sql import Window
+
+    root = tempfile.mkdtemp(prefix="span_stream_")
+    src = os.path.join(root, "src")
+    idx_dir = os.path.join(root, "shingle_index")
+    out_dir = os.path.join(root, "verdicts")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    cuts = (n // 3, 2 * (n // 3))
+    os.makedirs(src, exist_ok=True)
+    for i, cond in enumerate(
+        (
+            F.col("doc_id") < cuts[0],
+            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
+            F.col("doc_id") >= cuts[1],
+        )
+    ):
+        scratch = os.path.join(root, f"scratch-{i}")
+        d.filter(cond).coalesce(1).write.mode("overwrite").parquet(scratch)
+        part = next(
+            f
+            for f in os.listdir(scratch)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        staged = os.path.join(src, f"batch-{i}.parquet")
+        os.rename(os.path.join(scratch, part), staged)
+        t = 1_700_000_000 + i * 10
+        os.utime(staged, (t, t))
+
+    def span_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sh_b = (
+            batch_df.select(
+                "doc_id", F.posexplode(_positioned_shingle_col(SPAN_K))
+            )
+            .select(
+                "doc_id",
+                (F.col("pos") + 1).alias("pos"),
+                hex_hash60(F.col("col")).alias("h"),
+            )
+            .persist()
+        )
+        try:
+            idx_b = sh_b.select("h", "doc_id").distinct()
+            if os.path.isdir(idx_dir) and any(
+                f.endswith(".parquet") for f in os.listdir(idx_dir)
+            ):
+                probe = spark.read.parquet(idx_dir).unionByName(idx_b)
+            else:
+                probe = idx_b
+            probe = probe.select(
+                F.col("h").alias("p_h"), F.col("doc_id").alias("p_doc")
+            )
+            hits = (
+                sh_b.join(
+                    probe,
+                    (F.col("h") == F.col("p_h"))
+                    & (F.col("p_doc") < F.col("doc_id")),
+                )
+                .select("doc_id", "pos")
+                .distinct()
+            )
+            w = Window.partitionBy("doc_id").orderBy("pos")
+            brk = hits.withColumn(
+                "b",
+                F.when(
+                    (F.col("pos") - F.lag("pos").over(w) > SPAN_K)
+                    | F.lag("pos").over(w).isNull(),
+                    1,
+                ).otherwise(0),
+            )
+            isl = brk.withColumn(
+                "island",
+                F.sum("b").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            per_doc = (
+                isl.groupBy("doc_id", "island")
+                .agg((F.max("pos") - F.min("pos") + SPAN_K).alias("st"))
+                .groupBy("doc_id")
+                .agg(F.sum("st").alias("dup_tokens"))
+            )
+            verdicts = (
+                batch_df.select("doc_id")
+                .join(per_doc, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("dup_tokens", F.lit(0))
+                    .cast("long")
+                    .alias("dup_tokens"),
+                )
+            )
+            verdicts.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"batch-{batch_id}")
+            )
+            idx_b.write.mode("append").parquet(idx_dir)
+        finally:
+            sh_b.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(span_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
