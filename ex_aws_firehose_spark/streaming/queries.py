@@ -1828,6 +1828,98 @@ def q_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
     return out.filter(F.col("user_id") >= 0)
 
 
+def _span_dedup_batch(
+    spark: SparkSession,
+    idx_dir: str,
+    out_dir: str,
+    batch_df: DataFrame,
+    batch_id: int,
+) -> None:
+    """One micro-batch of the incremental span dedup: probe the
+    batch's positioned shingles against the accumulated index (plus
+    the batch's own earlier docs), write batch-keyed verdicts
+    (overwrite subdir = replay-idempotent), then blind-append the
+    batch's shingles (re-appends are harmless set-members). Module-
+    level so the crash-replay test can wrap it with a fault
+    injector."""
+    from ex_aws_firehose_spark.functions.text import hex_hash60
+    from ex_aws_firehose_spark.operators.llm import (
+        SPAN_K,
+        _positioned_shingle_col,
+    )
+    from pyspark.sql import Window
+    import os
+
+    sh_b = (
+        batch_df.select(
+            "doc_id", F.posexplode(_positioned_shingle_col(SPAN_K))
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).alias("pos"),
+            hex_hash60(F.col("col")).alias("h"),
+        )
+        .persist()
+    )
+    try:
+        idx_b = sh_b.select("h", "doc_id").distinct()
+        if os.path.isdir(idx_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(idx_dir)
+        ):
+            probe = spark.read.parquet(idx_dir).unionByName(idx_b)
+        else:
+            probe = idx_b
+        probe = probe.select(
+            F.col("h").alias("p_h"), F.col("doc_id").alias("p_doc")
+        )
+        hits = (
+            sh_b.join(
+                probe,
+                (F.col("h") == F.col("p_h"))
+                & (F.col("p_doc") < F.col("doc_id")),
+            )
+            .select("doc_id", "pos")
+            .distinct()
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        brk = hits.withColumn(
+            "b",
+            F.when(
+                (F.col("pos") - F.lag("pos").over(w) > SPAN_K)
+                | F.lag("pos").over(w).isNull(),
+                1,
+            ).otherwise(0),
+        )
+        isl = brk.withColumn(
+            "island",
+            F.sum("b").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        per_doc = (
+            isl.groupBy("doc_id", "island")
+            .agg((F.max("pos") - F.min("pos") + SPAN_K).alias("st"))
+            .groupBy("doc_id")
+            .agg(F.sum("st").alias("dup_tokens"))
+        )
+        verdicts = (
+            batch_df.select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("dup_tokens", F.lit(0))
+                .cast("long")
+                .alias("dup_tokens"),
+            )
+        )
+        verdicts.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch-{batch_id}")
+        )
+        idx_b.write.mode("append").parquet(idx_dir)
+    finally:
+        sh_b.unpersist()
+
+
 def _stream_span_oracle() -> str:
     from ex_aws_firehose_spark.operators.llm import SPAN_K, _span_prefix_cte
 
@@ -1894,13 +1986,6 @@ def q_stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are harmless set-members)."""
     import os
 
-    from ex_aws_firehose_spark.functions.text import hex_hash60
-    from ex_aws_firehose_spark.operators.llm import (
-        SPAN_K,
-        _positioned_shingle_col,
-    )
-    from pyspark.sql import Window
-
     root = tempfile.mkdtemp(prefix="span_stream_")
     src = os.path.join(root, "src")
     idx_dir = os.path.join(root, "shingle_index")
@@ -1929,74 +2014,7 @@ def q_stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.utime(staged, (t, t))
 
     def span_batch(batch_df: DataFrame, batch_id: int) -> None:
-        sh_b = (
-            batch_df.select(
-                "doc_id", F.posexplode(_positioned_shingle_col(SPAN_K))
-            )
-            .select(
-                "doc_id",
-                (F.col("pos") + 1).alias("pos"),
-                hex_hash60(F.col("col")).alias("h"),
-            )
-            .persist()
-        )
-        try:
-            idx_b = sh_b.select("h", "doc_id").distinct()
-            if os.path.isdir(idx_dir) and any(
-                f.endswith(".parquet") for f in os.listdir(idx_dir)
-            ):
-                probe = spark.read.parquet(idx_dir).unionByName(idx_b)
-            else:
-                probe = idx_b
-            probe = probe.select(
-                F.col("h").alias("p_h"), F.col("doc_id").alias("p_doc")
-            )
-            hits = (
-                sh_b.join(
-                    probe,
-                    (F.col("h") == F.col("p_h"))
-                    & (F.col("p_doc") < F.col("doc_id")),
-                )
-                .select("doc_id", "pos")
-                .distinct()
-            )
-            w = Window.partitionBy("doc_id").orderBy("pos")
-            brk = hits.withColumn(
-                "b",
-                F.when(
-                    (F.col("pos") - F.lag("pos").over(w) > SPAN_K)
-                    | F.lag("pos").over(w).isNull(),
-                    1,
-                ).otherwise(0),
-            )
-            isl = brk.withColumn(
-                "island",
-                F.sum("b").over(
-                    w.rowsBetween(Window.unboundedPreceding, 0)
-                ),
-            )
-            per_doc = (
-                isl.groupBy("doc_id", "island")
-                .agg((F.max("pos") - F.min("pos") + SPAN_K).alias("st"))
-                .groupBy("doc_id")
-                .agg(F.sum("st").alias("dup_tokens"))
-            )
-            verdicts = (
-                batch_df.select("doc_id")
-                .join(per_doc, "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("dup_tokens", F.lit(0))
-                    .cast("long")
-                    .alias("dup_tokens"),
-                )
-            )
-            verdicts.write.mode("overwrite").parquet(
-                os.path.join(out_dir, f"batch-{batch_id}")
-            )
-            idx_b.write.mode("append").parquet(idx_dir)
-        finally:
-            sh_b.unpersist()
+        _span_dedup_batch(spark, idx_dir, out_dir, batch_df, batch_id)
 
     stream = (
         spark.readStream.schema("doc_id long, text string")

@@ -421,3 +421,92 @@ def test_crash_replay_state_store_rollback(spark, provider):
     }
     # double-applied replay would report 4 for every user
     assert final == {1: 3, 2: 3, 3: 3}
+
+
+def test_crash_replay_span_index(spark, smoke_dir):
+    """Crash-replay contract for the incremental span-dedup state: kill
+    the query AFTER batch 1's verdict write AND index append but BEFORE
+    its checkpoint commit, restart from the same checkpoint. The replay
+    re-appends batch 1's shingles (now duplicated in the index) and
+    overwrites its verdict subdir — and because index membership is a
+    SET property (p_doc < doc is unaffected by duplicate rows) the
+    drained verdicts must equal a no-crash run exactly."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from ex_aws_firehose_spark.streaming.queries import _span_dedup_batch
+    from ex_aws_firehose_spark.tables import load_table
+
+    d = load_table(spark, smoke_dir, "documents").select("doc_id", "text")
+    n = d.count()
+    cuts = (n // 3, 2 * (n // 3))
+
+    def stage(root):
+        src = os.path.join(root, "src")
+        os.makedirs(src, exist_ok=True)
+        conds = (
+            F.col("doc_id") < cuts[0],
+            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
+            F.col("doc_id") >= cuts[1],
+        )
+        for i, cond in enumerate(conds):
+            scratch = os.path.join(root, f"scratch-{i}")
+            d.filter(cond).coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = next(
+                f
+                for f in os.listdir(scratch)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            staged = os.path.join(src, f"batch-{i}.parquet")
+            os.rename(os.path.join(scratch, part), staged)
+            t = 1_700_000_000 + i * 10
+            os.utime(staged, (t, t))
+        return src
+
+    def run(root, crash_on_batch=None):
+        src = stage(root)
+        idx_dir = os.path.join(root, "idx")
+        out_dir = os.path.join(root, "out")
+        crash_flag = os.path.join(root, "crash_armed")
+        if crash_on_batch is not None:
+            open(crash_flag, "w").close()
+
+        def sink(batch_df, batch_id):
+            _span_dedup_batch(spark, idx_dir, out_dir, batch_df, batch_id)
+            if batch_id == crash_on_batch and os.path.exists(crash_flag):
+                os.remove(crash_flag)
+                raise RuntimeError(
+                    "injected crash: state written, commit pending"
+                )
+
+        def start():
+            return (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+                .writeStream.foreachBatch(sink)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .start()
+            )
+
+        q = start()
+        if crash_on_batch is not None:
+            with pytest.raises(
+                Exception, match="injected crash|Query .* terminated"
+            ):
+                q.awaitTermination()
+            q = start()
+        q.awaitTermination()
+        return {
+            (r.doc_id, r.dup_tokens)
+            for r in spark.read.option("recursiveFileLookup", "true")
+            .parquet(out_dir)
+            .collect()
+        }
+
+    clean = run(_tf.mkdtemp(prefix="span_clean_"))
+    crashed = run(_tf.mkdtemp(prefix="span_crash_"), crash_on_batch=1)
+    assert clean == crashed
+    assert len(clean) == n
