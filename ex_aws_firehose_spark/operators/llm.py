@@ -5265,14 +5265,18 @@ def _positioned_shingle_col(k: int = SPAN_K):
     return F.when(n >= k, z).otherwise(F.array().cast("array<string>"))
 
 
-def _span_prefix_cte(k: int = SPAN_K) -> str:
+def _span_prefix_cte(
+    k: int = SPAN_K, table: str = "documents", pre: str = ""
+) -> str:
     """Shared oracle prefix: positioned shingles -> hash -> cross-doc
-    duplicate-shingle vocabulary."""
+    duplicate-shingle vocabulary. ``table`` selects the doc source;
+    ``pre`` injects CTEs ahead of it (the cascade defines survivors
+    first)."""
     parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
     return f"""
-    WITH toks AS (
+    WITH {pre}toks AS (
         SELECT doc_id, source, str_split(lower(text), ' ') AS t
-        FROM documents
+        FROM {table}
     ),
     sh AS (
         SELECT doc_id, i AS pos, {parts} AS s
@@ -6356,3 +6360,157 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         seeds = seeds.unionByName(w).localCheckpoint()
     return seeds
+
+
+def _span_cascade_oracle() -> str:
+    pre = """reps AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+    ),
+    survivors AS (
+        SELECT d.* FROM documents d JOIN reps r USING (doc_id)
+    ),
+    """
+    return (
+        _span_prefix_cte(table="survivors", pre=pre)
+        + f""",
+    keep AS (
+        SELECT h, MIN(doc_id) AS keeper FROM hs
+        WHERE h IN (SELECT h FROM dup) GROUP BY h
+    ),
+    strippable AS (
+        SELECT s.doc_id, s.pos
+        FROM hs s JOIN keep k ON s.h = k.h AND s.doc_id <> k.keeper
+    ),
+    sbrk AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) > {SPAN_K}
+                    OR lag(pos) OVER (PARTITION BY doc_id
+                                      ORDER BY pos) IS NULL
+                    THEN 1 ELSE 0 END AS b
+        FROM strippable
+    ),
+    sisl AS (
+        SELECT doc_id, pos,
+               SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+        FROM sbrk
+    ),
+    per_doc AS (
+        SELECT doc_id, SUM(span_tokens) AS stripped FROM (
+            SELECT doc_id, MAX(pos) - MIN(pos) + {SPAN_K} AS span_tokens
+            FROM sisl GROUP BY doc_id, island
+        ) GROUP BY doc_id
+    ),
+    surv_stats AS (
+        SELECT t.source,
+               COUNT(*) AS n_survivors,
+               SUM(len(t.t)) AS surv_tokens,
+               COALESCE(SUM(p.stripped), 0) AS tokens_stripped
+        FROM toks t LEFT JOIN per_doc p USING (doc_id)
+        GROUP BY t.source
+    ),
+    all_stats AS (
+        SELECT source, COUNT(*) AS n_docs,
+               SUM(len(str_split(lower(text), ' '))) AS tokens_in
+        FROM documents GROUP BY source
+    )
+    SELECT a.source,
+           CAST(a.n_docs AS BIGINT) AS n_docs,
+           CAST(a.n_docs - s.n_survivors AS BIGINT) AS n_exact_dropped,
+           CAST(a.tokens_in AS BIGINT) AS tokens_in,
+           CAST(s.tokens_stripped AS BIGINT) AS tokens_stripped,
+           CAST(s.surv_tokens - s.tokens_stripped AS BIGINT) AS tokens_out
+    FROM all_stats a JOIN surv_stats s USING (source)
+    """
+    )
+
+
+@query(
+    "q_curate_span_cascade",
+    oracle=_span_cascade_oracle(),
+    tags=("llm", "dedup", "curation"),
+)
+def q_curate_span_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage dedup CASCADE a production curation run executes:
+    (1) exact dedup — content-hash groups keep their min-doc_id
+    representative; (2) substring-level span STRIPPING over the
+    survivors only (recomputing the duplicate-shingle vocabulary on
+    the post-exact corpus — stripping against pre-dedup statistics
+    would double-count the exact copies). Per-source report: docs in,
+    exact copies dropped, tokens in, tokens stripped, tokens out — the
+    stage-by-stage shrinkage accounting a dataset card cites.
+
+    Shape: stage 1 is one sha2 hash-agg + LEFT SEMI; stage 2 is the
+    q_dedup_span_strip plan over the survivor frame. Cascade order is
+    the cost optimization: exact dedup is the cheapest stage and every
+    doc it drops never enters the shingle explode."""
+    d = load_table(spark, sf_dir, "documents")
+    reps = d.groupBy(F.sha2("text", 256).alias("th")).agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id")
+    surv = d.join(reps, "doc_id", "left_semi")
+    k = SPAN_K
+    sh = surv.select(
+        "doc_id", F.posexplode(_positioned_shingle_col(k))
+    ).select(
+        "doc_id",
+        (F.col("pos") + 1).alias("pos"),
+        hex_hash60(F.col("col")).alias("h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("keeper"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "keeper")
+    )
+    strippable = (
+        sh.join(dup, "h")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sbrk = strippable.withColumn(
+        "b",
+        F.when(
+            (F.col("pos") - F.lag("pos").over(w) > k)
+            | F.lag("pos").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sisl = sbrk.withColumn(
+        "island",
+        F.sum("b").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_doc = (
+        sisl.groupBy("doc_id", "island")
+        .agg((F.max("pos") - F.min("pos") + k).alias("span_tokens"))
+        .groupBy("doc_id")
+        .agg(F.sum("span_tokens").alias("stripped"))
+    )
+    surv_stats = (
+        surv.select("doc_id", "source", F.size(tokens("text")).alias("nt"))
+        .join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_survivors"),
+            F.sum("nt").alias("surv_tokens"),
+            F.coalesce(F.sum("stripped"), F.lit(0)).alias("tokens_stripped"),
+        )
+    )
+    all_stats = (
+        d.select("source", F.size(tokens("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("tokens_in"))
+    )
+    return all_stats.join(surv_stats, "source").select(
+        "source",
+        "n_docs",
+        (F.col("n_docs") - F.col("n_survivors")).alias("n_exact_dropped"),
+        "tokens_in",
+        "tokens_stripped",
+        (F.col("surv_tokens") - F.col("tokens_stripped")).alias("tokens_out"),
+    )
