@@ -2109,3 +2109,236 @@ def q_timeseries_seasonal_baseline(
             F.when(resid * 10 > F.col("baseline"), 1).otherwise(0)
         ).alias("n_anomalous_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (bounded horizon, integer-exact)
+# ---------------------------------------------------------------------------
+
+_MK_SCALE = 1_000_000_000_000
+_MK_STEPS = 6
+_MK_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _mk_edges_cte() -> str:
+    """Transition-count CTEs shared by every scenario: per user, events
+    ordered by (ts, event_id), truncated at the first purchase; edges
+    START->first, consecutive pairs, last->END when no conversion."""
+    return (
+        EVENTS_US
+        + """
+    , ranked AS (
+        SELECT user_id, event_type, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events_us
+    ),
+    firstconv AS (
+        SELECT user_id, MIN(rn) AS conv_rn FROM ranked
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    path AS (
+        SELECT r.user_id, r.event_type, r.rn
+        FROM ranked r LEFT JOIN firstconv f USING (user_id)
+        WHERE f.conv_rn IS NULL OR r.rn <= f.conv_rn
+    ),
+    pairs AS (
+        SELECT user_id, event_type AS src,
+               COALESCE(lead(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY rn),
+                        CASE WHEN event_type = 'purchase'
+                             THEN NULL ELSE 'END' END) AS dst
+        FROM path
+    ),
+    starts AS (
+        SELECT 'START' AS src, event_type AS dst FROM path WHERE rn = 1
+    ),
+    edges AS (
+        SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+            SELECT src, dst FROM pairs WHERE dst IS NOT NULL
+            UNION ALL SELECT src, dst FROM starts
+        ) GROUP BY src, dst
+    ),
+    tot AS (
+        SELECT src, CAST(SUM(cnt) AS BIGINT) AS t FROM edges GROUP BY src
+    )
+    """
+    )
+
+
+def _mk_chain_ctes(tag: str, removed: str | None, steps: int) -> list[str]:
+    """CTE chain for one scenario: L fixed-point steps of
+    p' (dst) = sum over src of (p(src) * cnt) DIV tot(src), with
+    absorbing mass accumulated in 'purchase'/'END'. Removing channel c
+    redirects every edge INTO c to END and drops edges out of c —
+    denominators stay original (the classic removal-effect convention:
+    failed mass dies, nothing renormalizes)."""
+    if removed is None:
+        edge_src = "SELECT src, dst, cnt FROM edges"
+    else:
+        edge_src = f"""
+            SELECT src,
+                   CASE WHEN dst = '{removed}' THEN 'END' ELSE dst END AS dst,
+                   cnt
+            FROM edges WHERE src <> '{removed}'
+        """
+    ctes = [
+        f"e_{tag} AS ({edge_src})",
+        f"p_{tag}_0 AS (SELECT 'START' AS state,"
+        f" CAST({_MK_SCALE} AS BIGINT) AS p)",
+    ]
+    for r in range(1, steps + 1):
+        ctes.append(
+            f"""p_{tag}_{r} AS (
+        SELECT state, CAST(SUM(p) AS BIGINT) AS p FROM (
+            SELECT e.dst AS state, (pp.p * e.cnt) // t.t AS p
+            FROM p_{tag}_{r - 1} pp
+            JOIN e_{tag} e ON e.src = pp.state
+            JOIN tot t ON t.src = pp.state
+            WHERE pp.state NOT IN ('purchase', 'END')
+            UNION ALL
+            SELECT state, p FROM p_{tag}_{r - 1}
+            WHERE state IN ('purchase', 'END')
+        ) GROUP BY state
+    )"""
+        )
+    return ctes
+
+
+def _mk_oracle() -> str:
+    ctes: list[str] = []
+    ctes += _mk_chain_ctes("full", None, _MK_STEPS)
+    for c in _MK_CHANNELS:
+        ctes += _mk_chain_ctes(f"r_{c}", c, _MK_STEPS)
+    last = f"p_full_{_MK_STEPS}"
+    scen = "\n        UNION ALL\n        ".join(
+        f"SELECT '{c}' AS channel, COALESCE((SELECT p FROM p_r_{c}_{_MK_STEPS}"
+        f" WHERE state = 'purchase'), 0) AS p_removed"
+        for c in _MK_CHANNELS
+    )
+    return (
+        _mk_edges_cte()
+        + ", "
+        + ",\n    ".join(ctes)
+        + f""",
+    fullp AS (
+        SELECT COALESCE((SELECT p FROM {last} WHERE state = 'purchase'), 0)
+            AS p_full
+    ),
+    scen AS (
+        {scen}
+    )
+    SELECT s.channel,
+           CAST(f.p_full AS BIGINT) AS p_conv_full,
+           CAST(s.p_removed AS BIGINT) AS p_conv_removed,
+           CAST(f.p_full - s.p_removed AS BIGINT) AS removal_effect
+    FROM scen s CROSS JOIN fullp f
+    """
+    )
+
+
+@query(
+    "q_attribution_markov_removal",
+    oracle=_mk_oracle(),
+    tags=("analytics", "attribution", "iterative"),
+)
+def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain REMOVAL-EFFECT attribution — the data-driven
+    successor to last-touch (q_attribution_last_touch): user journeys
+    become a first-order Markov chain (START → touchpoints → purchase /
+    END, truncated at first conversion), conversion probability is a
+    bounded-horizon fixed-point (_MK_STEPS steps), and each channel's
+    credit is how much conversion probability DIES when every path
+    through it is cut (edges into the channel redirect to END, original
+    denominators kept — the classic removal convention). All mass
+    arithmetic is _MK_SCALE-scaled int64 with per-edge floor division,
+    the PageRank trick, so the 5 unrolled chains (full + 4 removals)
+    match DuckDB bit-for-bit.
+
+    Shape: the transition table builds once (one window + one hash
+    agg); each chain step is a ≤7-row state vector joined against a
+    ≤30-row edge table — driver-loop cost is plan size, not data. At
+    100 TB the path/window stage dominates and is one shuffle on
+    user_id; the chains are constant work regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events")
+    wrn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = e.select(
+        "user_id", "event_type", F.row_number().over(wrn).alias("rn")
+    )
+    firstconv = (
+        ranked.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("rn").alias("conv_rn"))
+    )
+    path = ranked.join(firstconv, "user_id", "left").filter(
+        F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn"))
+    )
+    wl = Window.partitionBy("user_id").orderBy("rn")
+    pairs = path.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            F.lead("event_type").over(wl),
+            F.when(F.col("event_type") != "purchase", F.lit("END")),
+        ).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    starts = path.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("event_type").alias("dst")
+    )
+    edges = (
+        pairs.unionByName(starts)
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tot = edges.groupBy("src").agg(F.sum("cnt").alias("t"))
+    ew = edges.join(tot, "src").localCheckpoint()
+
+    def chain(removed: str | None) -> DataFrame:
+        if removed is None:
+            ec = ew
+        else:
+            ec = ew.filter(F.col("src") != removed).withColumn(
+                "dst",
+                F.when(F.col("dst") == removed, "END").otherwise(
+                    F.col("dst")
+                ),
+            )
+        p = spark.createDataFrame(
+            [("START", _MK_SCALE)], "state string, p long"
+        )
+        for _ in range(_MK_STEPS):
+            absorbed = p.filter(F.col("state").isin("purchase", "END"))
+            flowing = p.filter(~F.col("state").isin("purchase", "END"))
+            stepped = flowing.join(
+                F.broadcast(ec), flowing.state == ec.src
+            ).select(
+                F.col("dst").alias("state"),
+                F.expr("(p * cnt) div t").alias("p"),
+            )
+            p = (
+                stepped.unionByName(absorbed)
+                .groupBy("state")
+                .agg(F.sum("p").alias("p"))
+                .localCheckpoint()
+            )
+        return p.filter(F.col("state") == "purchase").agg(
+            F.coalesce(F.sum("p"), F.lit(0).cast("long")).alias("p")
+        )
+
+    full_p = chain(None).select(F.col("p").alias("p_conv_full"))
+    rows = None
+    for c in _MK_CHANNELS:
+        rc = (
+            chain(c)
+            .select(F.col("p").alias("p_conv_removed"))
+            .crossJoin(F.broadcast(full_p))
+            .select(
+                F.lit(c).alias("channel"),
+                "p_conv_full",
+                "p_conv_removed",
+                (F.col("p_conv_full") - F.col("p_conv_removed")).alias(
+                    "removal_effect"
+                ),
+            )
+        )
+        rows = rc if rows is None else rows.unionByName(rc)
+    return rows
