@@ -778,3 +778,54 @@ def test_incremental_dedup_probes_are_semi_joins(spark, sf_dir):
     plan = physical_plan(REGISTRY["q_dedup_incremental"].fn(spark, sf_dir))
     assert plan.count("LeftSemi") >= 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_span_dedup_probe_is_semi_join(spark, sf_dir):
+    """q_dedup_spans' scale claim: positioned shingles probe the
+    duplicate-shingle vocabulary via LEFT SEMI (an inner join would
+    fan out per vocabulary row), and nothing in the span family plans
+    a CartesianProduct."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_dedup_spans"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    for key in ("q_dedup_spans", "q_dedup_span_pairs", "q_dedup_span_strip"):
+        p = physical_plan(REGISTRY[key].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, (key, p)
+
+
+def test_adc_luts_are_broadcast(spark, sf_dir):
+    """The ADC scoring join must stream candidate PQ codes against a
+    BROADCAST LUT — a shuffled LUT join would exchange the code frame
+    (n·M rows) per query batch."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    for key in ("q_sim_ivf_pq_adc", "q_sim_ivf_pq_adc_batch"):
+        plan = physical_plan(REGISTRY[key].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, (key, plan)
+        assert "CartesianProduct" not in plan, (key, plan)
+
+
+def test_bfs_and_shortest_path_loops_precompute(spark, sf_dir):
+    """The BFS / Bellman-Ford drivers localCheckpoint each round, so
+    the registered result plans must be flat scans + final ops over
+    checkpointed state — no join replay of the whole loop lineage (a
+    regression would show the edge-build joins re-appearing)."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    for key in ("q_graph_bfs_hops", "q_graph_shortest_path"):
+        plan = physical_plan(REGISTRY[key].fn(spark, sf_dir))
+        assert "SortMergeJoin" not in plan, (key, plan)
+        assert "Scan ExistingRDD" in plan, (key, plan)
+
+
+def test_markov_chain_edges_broadcast(spark, sf_dir):
+    """Every chain step joins a ≤7-row state vector against the ≤30-row
+    transition table — all broadcast; the only exchanges allowed belong
+    to the one-time path/window build and the tiny final rollups."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        REGISTRY["q_attribution_markov_removal"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan, plan
