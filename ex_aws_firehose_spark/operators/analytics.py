@@ -2342,3 +2342,86 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         rows = rc if rows is None else rows.unionByName(rc)
     return rows
+
+
+@query(
+    "q_join_pit_features",
+    oracle=EVENTS_US
+    + """
+    , tagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                   AS is_label,
+               CASE WHEN event_type = 'purchase'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END AS label_cents,
+               CASE WHEN event_type = 'click'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END AS click_cents,
+               CASE WHEN event_type = 'view'
+                    THEN CAST(ROUND(value * 100) AS BIGINT) END AS view_cents
+        FROM events_us
+        WHERE event_type IN ('purchase', 'click', 'view')
+    ),
+    filled AS (
+        SELECT user_id, ts, event_id, is_label, label_cents,
+               last_value(click_cents IGNORE NULLS) OVER w AS last_click_cents,
+               last_value(view_cents IGNORE NULLS) OVER w AS last_view_cents
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts, is_label DESC, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, label_cents, last_click_cents, last_view_cents
+    FROM filled WHERE is_label = 1
+    """,
+    tags=("analytics", "join"),
+)
+def q_join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME feature join — the feature-store operation that
+    builds a training matrix without label leakage: each label event
+    (purchase) picks up, per feature stream (last click value, last
+    view value), the most recent value STRICTLY before the label's
+    timestamp. Both features resolve in ONE union-sort-fill pass:
+    label and feature events interleave per user, `last(..,
+    ignorenulls)` forward-fills each feature column, and the same-
+    timestamp tie orders labels BEFORE features (is_label DESC) so an
+    equal-ts feature can never leak into its own label row.
+
+    This is N as-of joins for the price of one shuffle: at 100 TB the
+    classic per-feature-table as-of join shuffles the fact table once
+    PER FEATURE, while the union-fill shape shuffles everything once
+    on user_id and adds one window column per feature — the reason
+    production feature stores materialize PIT matrices this way."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click", "view")
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.col("event_type") == "purchase").cast("int").alias("is_label"),
+        F.when(F.col("event_type") == "purchase", cents).alias("label_cents"),
+        F.when(F.col("event_type") == "click", cents).alias("click_cents"),
+        F.when(F.col("event_type") == "view", cents).alias("view_cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("is_label").desc(), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged.select(
+        "event_id",
+        "user_id",
+        "is_label",
+        "label_cents",
+        F.last("click_cents", ignorenulls=True)
+        .over(w)
+        .alias("last_click_cents"),
+        F.last("view_cents", ignorenulls=True)
+        .over(w)
+        .alias("last_view_cents"),
+    )
+    return filled.filter(F.col("is_label") == 1).select(
+        "event_id", "user_id", "label_cents", "last_click_cents",
+        "last_view_cents",
+    )
