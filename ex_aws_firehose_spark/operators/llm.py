@@ -6514,3 +6514,90 @@ def q_curate_span_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_stripped",
         (F.col("surv_tokens") - F.col("tokens_stripped")).alias("tokens_out"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit) quantization + Hamming top-k rerank candidates
+# ---------------------------------------------------------------------------
+
+BINQ_TOPK = 20
+
+
+def _binq_sig_sql(emb: str) -> str:
+    """64-dim float vector -> one signed BIGINT of sign bits (bit j set
+    iff component j >= 0), identical in DuckDB. Bit 63 would flip the
+    BIGINT sign; both engines compute the same two's-complement value
+    from the same sum, so equality/xor stay exact."""
+    terms = " + ".join(
+        f"(CASE WHEN {emb}[{j + 1}] >= 0 THEN CAST({1 << j} AS HUGEINT)"
+        " ELSE 0 END)"
+        for j in range(EMB_DIM)
+    )
+    # two's-complement wrap: DuckDB CAST raises on int64 overflow
+    return (
+        f"CAST((CASE WHEN ({terms}) >= CAST({1 << 63} AS HUGEINT)"
+        f" THEN ({terms}) - CAST({1 << 64} AS HUGEINT)"
+        f" ELSE ({terms}) END) AS BIGINT)"
+    )
+
+
+@query(
+    "q_embed_binary_hamming_topk",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, {_binq_sig_sql('embedding')} AS bsig FROM embeddings
+    ),
+    q AS (SELECT bsig AS qsig FROM sig WHERE vec_id = 0)
+    SELECT s.vec_id,
+           CAST(bit_count(xor(s.bsig, q.qsig)) AS INTEGER)
+               AS hamming
+    FROM sig s CROSS JOIN q
+    WHERE s.vec_id <> 0
+    ORDER BY bit_count(xor(s.bsig, q.qsig)), s.vec_id
+    LIMIT {BINQ_TOPK}
+    """,
+    tags=("llm", "similarity", "vector"),
+)
+def q_embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BINARY (1-bit) quantization search — the third rung of the
+    quantization ladder (float32 → int8 → PQ codes → sign bits): each
+    64-dim vector packs to ONE int64 of sign bits (64× smaller than
+    float32), and candidate retrieval is a linear scan of 8-byte
+    signatures ranked by Hamming distance to the query signature —
+    the first-stage filter modern vector stores run before exact
+    rerank (for unit vectors, Hamming ≈ monotone in angular distance).
+
+    Scale shape: signature build is a pure Catalyst fold (no shuffle);
+    the scan reads 8 bytes/vector + xor + popcount inside whole-stage
+    codegen, and top-k is TakeOrderedAndProject — this is the fastest
+    possible full-scan ANN arm, and it composes with the IVF route
+    (probe cells, THEN Hamming-scan the inverted lists) unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    bit_terms = None
+    for j in range(EMB_DIM):
+        t = F.when(
+            F.element_at("embedding", j + 1) >= 0,
+            F.expr(f"CAST('{1 << j}' AS DECIMAL(38,0))"),
+        ).otherwise(F.lit(0).cast("decimal(38,0)"))
+        bit_terms = t if bit_terms is None else bit_terms + t
+    # sum in decimal128 (bit 63 overflows signed int64 addition), then
+    # wrap to the signed 64-bit value both engines agree on
+    two63 = F.expr("CAST('9223372036854775808' AS DECIMAL(38,0))")
+    two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")
+    wrapped = (
+        F.when(bit_terms >= two63, bit_terms - two64)
+        .otherwise(bit_terms)
+        .cast("long")
+    )
+    sig = e.select("vec_id", wrapped.alias("bsig"))
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") == 0).select(F.col("bsig").alias("qsig"))
+    )
+    ham = F.bit_count(F.expr("bsig ^ qsig")).cast("int")
+    return (
+        sig.crossJoin(q)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", ham.alias("hamming"))
+        .orderBy("hamming", "vec_id")
+        .limit(BINQ_TOPK)
+    )
