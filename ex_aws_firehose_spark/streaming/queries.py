@@ -2030,3 +2030,140 @@ def q_stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.option("recursiveFileLookup", "true").parquet(out_dir)
+
+
+def _stream_kmv_oracle() -> str:
+    from ex_aws_firehose_spark.operators.scale import (
+        KMV_K,
+        KMV_SPACE,
+        _kmv_hash_sql,
+    )
+
+    return (
+        ORACLE_EVENTS_US
+        + f"""
+    , h AS (
+        SELECT DISTINCT event_type, user_id,
+               {_kmv_hash_sql('user_id')} AS h
+        FROM events_us
+    ),
+    r AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM h
+    ),
+    kth AS (
+        SELECT event_type, h AS hk FROM r WHERE rn = {KMV_K}
+    ),
+    exact AS (
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+        FROM events_us GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(k.hk AS BIGINT) AS kth_hash,
+           CAST(({KMV_K} - 1) * {KMV_SPACE} // k.hk AS BIGINT) AS est_users,
+           e.exact_users
+    FROM exact e JOIN kth k USING (event_type)
+    """
+    )
+
+
+@query(
+    "q_stream_sketch_kmv",
+    oracle=_stream_kmv_oracle(),
+    tags=("streaming", "sketch"),
+)
+def q_stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGEABLE distinct-count sketch — KMV (k-minimum
+    values) state maintained across micro-batches: each batch hashes
+    its user ids (deterministic LCG, the q_sketch_kmv_distinct hash),
+    merges them with the stored per-event_type state, and truncates
+    back to the K smallest — the mergeability that makes sketches the
+    streaming cardinality workhorse. Because KMV state is a pure ORDER
+    STATISTIC of a deterministic hash, the drained estimate equals the
+    batch sketch over all data exactly — the oracle recomputes it in
+    one pass, plus the exact count it approximates.
+
+    100 TB shape: state is K×|groups| rows forever; each batch's
+    update is one hash agg + one rank-truncate on (event_type, h) —
+    and the same merge works datacenter-to-datacenter (union the
+    state tables, truncate). Replay safety: the merge is idempotent
+    (re-merging a batch's hashes changes nothing — set semantics),
+    state is rewritten per batch in an overwrite dir."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    from ex_aws_firehose_spark.operators.scale import (
+        KMV_A,
+        KMV_B,
+        KMV_K,
+        KMV_SPACE,
+    )
+
+    root = tempfile.mkdtemp(prefix="kmv_stream_")
+    src = _time_split_events_dir(spark, sf_dir)
+    state_dir = os.path.join(root, "state")
+
+    def kmv_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hb = (
+            batch_df.filter(F.col("event_type") != "flush")
+            .select(
+                "event_type",
+                ((F.col("user_id") * KMV_A + KMV_B) % KMV_SPACE).alias("h"),
+            )
+            .distinct()
+        )
+        prev_dir = os.path.join(state_dir, f"v{batch_id - 1}")
+        if os.path.isdir(prev_dir):
+            hb = hb.unionByName(spark.read.parquet(prev_dir)).distinct()
+        rn = F.row_number().over(
+            W.partitionBy("event_type").orderBy("h")
+        )
+        trunc = (
+            hb.withColumn("rn", rn)
+            .filter(F.col("rn") <= KMV_K)
+            .select("event_type", "h")
+        )
+        # versioned overwrite: a replayed batch rewrites ITS version from
+        # the same predecessor — idempotent by construction
+        trunc.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(kmv_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    last = max(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    state = spark.read.parquet(os.path.join(state_dir, f"v{last}"))
+    w = W.partitionBy("event_type").orderBy("h")
+    kth = (
+        state.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == KMV_K)
+        .select("event_type", F.col("h").alias("kth_hash"))
+    )
+    e = load_table(spark, sf_dir, "events")
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(kth, "event_type").select(
+        "event_type",
+        F.col("kth_hash").cast("long"),
+        F.expr(f"CAST(({KMV_K} - 1) * {KMV_SPACE} DIV kth_hash AS LONG)").alias(
+            "est_users"
+        ),
+        "exact_users",
+    )
