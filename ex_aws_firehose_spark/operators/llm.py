@@ -6601,3 +6601,78 @@ def q_embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hamming", "vec_id")
         .limit(BINQ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sampling design: Neyman (variance-proportional) allocation
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 100  # total sample rows to allocate across strata
+
+
+@query(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM(n_chars) AS BIGINT) AS sx,
+               CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sxx
+        FROM documents GROUP BY source
+    ),
+    v AS (
+        SELECT source, n_h,
+               CAST(FLOOR(sqrt(CAST(n_h * sxx - sx * sx AS DOUBLE)))
+                    AS BIGINT) AS nsd_scaled
+        FROM s
+    ),
+    t AS (SELECT CAST(SUM(nsd_scaled) AS BIGINT) AS tot FROM v)
+    SELECT v.source, v.n_h, v.nsd_scaled,
+           CAST({NEYMAN_BUDGET} * v.nsd_scaled // t.tot AS BIGINT)
+               AS n_alloc
+    FROM v CROSS JOIN t
+    """,
+    tags=("llm", "curation", "sampling"),
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN ALLOCATION — the optimal stratified-sampling design:
+    a fixed sample budget splits across strata proportionally to
+    N_h · S_h (stratum size × stratum std-dev), so high-variance
+    sources get proportionally more rows — the design that minimizes
+    the stratified estimator's variance (vs q_sample_stratified's
+    equal-rate draw). Emits the allocation table a sampling job
+    consumes; all sums are exact int64, N_h·S_h enters as
+    floor(sqrt(n·Σx² − (Σx)²)) — IEEE sqrt is correctly rounded, so
+    the value is engine-identical.
+
+    Shape: one map-side-combinable hash agg (three sums per stratum),
+    one tiny cross join against the scalar total. At 100 TB this is
+    the cheapest possible design pass — one scan — and the allocation
+    feeds q_sample_stratified-style per-stratum draws."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").alias("n_h"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars").cast("long") * F.col("n_chars")).alias("sxx"),
+    )
+    v = s.select(
+        "source",
+        "n_h",
+        F.floor(
+            F.sqrt(
+                (F.col("n_h") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double")
+            )
+        )
+        .cast("long")
+        .alias("nsd_scaled"),
+    )
+    t = v.agg(F.sum("nsd_scaled").alias("tot"))
+    return v.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_h",
+        "nsd_scaled",
+        F.expr(f"CAST({NEYMAN_BUDGET} * nsd_scaled DIV tot AS LONG)").alias(
+            "n_alloc"
+        ),
+    )

@@ -2681,7 +2681,7 @@ def q_graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LP_ROUNDS = 3
 
 
-def _lp_oracle(rounds: int = _LP_ROUNDS) -> str:
+def _lp_ctes(rounds: int = _LP_ROUNDS) -> tuple[list[str], str]:
     ctes = [
         f"""pairs AS (
         SELECT a.user_id AS ua, b.user_id AS ub
@@ -2721,6 +2721,11 @@ def _lp_oracle(rounds: int = _LP_ROUNDS) -> str:
         ) WHERE rn = 1
     )"""
         )
+    return ctes, f"l{rounds}"
+
+
+def _lp_oracle(rounds: int = _LP_ROUNDS) -> str:
+    ctes, last = _lp_ctes(rounds)
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -2728,7 +2733,7 @@ def _lp_oracle(rounds: int = _LP_ROUNDS) -> str:
     SELECT label AS community,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            MIN(node) AS min_node
-    FROM l{rounds} GROUP BY label
+    FROM {last} GROUP BY label
     """
     )
 
@@ -2749,6 +2754,27 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. 100 TB: edges hash-partitioned by src, labels co-partitioned
     (the PageRank layout); the count agg is map-side combinable and
     label skew is bounded by max degree."""
+    labels = _lp_labels(spark, sf_dir)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"), F.min("node").alias("min_node")
+    )
+
+
+_LP_STATE_CACHE = None  # lazy SessionCache holding (pairs, labels)
+
+
+def _lp_state(spark: SparkSession, sf_dir: str):
+    """Cached (pairs, final labels) of the deterministic propagation —
+    shared by q_graph_communities and the modularity audit."""
+    global _LP_STATE_CACHE
+    if _LP_STATE_CACHE is None:
+        from ex_aws_firehose_spark.caching import SessionCache
+
+        _LP_STATE_CACHE = SessionCache()
+    key = _LP_STATE_CACHE.scoped_key(spark, sf_dir)
+    cached = _LP_STATE_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -2768,6 +2794,7 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .filter(F.col("w") >= TRI_MIN_COOCCUR)
         .select("ua", "ub")
+        .localCheckpoint()
     )
     sym = pairs.select(
         F.col("ua").alias("src"), F.col("ub").alias("dst")
@@ -2791,6 +2818,112 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count("*").alias("n_members"), F.min("node").alias("min_node")
+    _LP_STATE_CACHE[key] = (pairs, labels)
+    return pairs, labels
+
+
+def _lp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lp_state(spark, sf_dir)[0]
+
+
+def _lp_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _lp_state(spark, sf_dir)[1]
+
+
+def _modularity_oracle() -> str:
+    ctes, last = _lp_ctes()
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM pairs),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT ua AS node FROM pairs
+            UNION ALL SELECT ub AS node FROM pairs
+        ) GROUP BY node
+    ),
+    cstat AS (
+        SELECT l.label AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(SUM(d.d) AS BIGINT) AS deg_sum
+        FROM {last} l JOIN deg d ON d.node = l.node
+        GROUP BY l.label
+    ),
+    ein AS (
+        SELECT la.label AS community, CAST(COUNT(*) AS BIGINT) AS e_in
+        FROM pairs p
+        JOIN {last} la ON la.node = p.ua
+        JOIN {last} lb ON lb.node = p.ub
+        WHERE la.label = lb.label
+        GROUP BY la.label
+    )
+    SELECT c.community, c.n_members,
+           COALESCE(e.e_in, 0) AS e_in,
+           c.deg_sum,
+           CAST((1000000 * COALESCE(e.e_in, 0)) // m.m
+                - (1000000 * c.deg_sum * c.deg_sum) // (4 * m.m * m.m)
+                AS BIGINT) AS q_contrib_ppm
+    FROM cstat c LEFT JOIN ein e USING (community) CROSS JOIN m
+    """
+    )
+
+
+@query(
+    "q_graph_modularity",
+    oracle=_modularity_oracle(),
+    tags=("scale", "graph", "audit"),
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MODULARITY audit of the label-propagation partition — the
+    quality number a community-detection job logs (Newman Q): per
+    community, internal-edge count, degree mass, and the Q
+    contribution e_c/m − (deg_c/2m)², in exact ppm integers (per-term
+    floor division, summable by the reader) — the
+    q_sim_adc_recall_audit pattern applied to graph clustering.
+
+    Shape: reruns the deterministic propagation (same plan as
+    q_graph_communities), then two broadcastable label joins against
+    the pair list and one hash agg per side — all bounded by |E|. The
+    degree table is the only extra state."""
+    labels = _lp_labels(spark, sf_dir)
+    pairs = _lp_pairs(spark, sf_dir)
+    m = pairs.agg(F.count("*").alias("m"))
+    deg = (
+        pairs.select(F.col("ua").alias("node"))
+        .unionByName(pairs.select(F.col("ub").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    cstat = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(F.count("*").alias("n_members"), F.sum("d").alias("deg_sum"))
+    )
+    la = labels.select(
+        F.col("node").alias("ua"), F.col("label").alias("la")
+    )
+    lb = labels.select(
+        F.col("node").alias("ub"), F.col("label").alias("lb")
+    )
+    ein = (
+        pairs.join(F.broadcast(la), "ua")
+        .join(F.broadcast(lb), "ub")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count("*").alias("e_in"))
+    )
+    return (
+        cstat.join(ein, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            "deg_sum",
+            (
+                F.expr("(1000000 * coalesce(e_in, CAST(0 AS BIGINT))) div m")
+                - F.expr("(1000000 * deg_sum * deg_sum) div (4 * m * m)")
+            ).alias("q_contrib_ppm"),
+        )
     )
