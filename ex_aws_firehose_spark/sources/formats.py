@@ -743,3 +743,62 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
     )
+
+
+_MULTILINE_CACHE: SessionCache = SessionCache()
+
+
+@query(
+    "src_format_json_multiline",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "format"),
+)
+def src_format_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTILINE JSON ingest — the API-export format (one top-level
+    JSON ARRAY per file, pretty or compact, records spanning lines)
+    as opposed to line-delimited JSONL: files are staged as 8
+    array-of-objects documents, read back with ``multiLine=true`` and
+    an explicit schema, and the values must survive the round-trip
+    exactly (µs timestamps via the shared offset-carrying format).
+
+    The 100 TB caveat IS the point of the key: a multiline JSON file
+    is NOT splittable — one task per file regardless of size (unlike
+    JSONL, where line boundaries split) — so this format is an ingest
+    boundary only; the first pass converts to parquet, and upstream
+    producers should cap file sizes. Schema-first read skips the
+    inference pass (a full extra scan at scale)."""
+    key = _MULTILINE_CACHE.scoped_key(spark, sf_dir)
+    if key not in _MULTILINE_CACHE:
+        path = _tracked_mkdtemp(prefix="events_mljson_") + "/data"
+        e = load_table(spark, sf_dir, "events")
+        (
+            e.groupBy((F.col("user_id") % 8).alias("pid"))
+            .agg(
+                F.to_json(
+                    F.collect_list(F.struct(*e.columns)),
+                    {"timestampFormat": TS_FORMAT},
+                ).alias("value")
+            )
+            # one array per FILE: multiLine=true parses a whole file as
+            # ONE JSON document, so co-located arrays would be dropped
+            .write.partitionBy("pid")
+            .text(path)
+        )
+        _MULTILINE_CACHE[key] = path
+    ev = (
+        spark.read.schema(EVENTS_JSON_SCHEMA)
+        .option("multiLine", True)
+        .option("timestampFormat", TS_FORMAT)
+        .json(_MULTILINE_CACHE[key])
+    )
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
