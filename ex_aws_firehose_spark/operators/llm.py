@@ -6676,3 +6676,66 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_alloc"
         ),
     )
+
+
+def _ivf_report_oracle() -> str:
+    iv, _cb, iv_asg, _probed = _ivf_ctes("iv_")
+    # the probe CTE rides along unused; DuckDB does not evaluate
+    # unreferenced CTEs
+    return (
+        "WITH "
+        + ",\n    ".join(iv)
+        + f""",
+    occ AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM {iv_asg} GROUP BY cell
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               CAST(SUM(n_vecs) AS BIGINT) AS n_total,
+               CAST(MAX(n_vecs) AS BIGINT) AS max_occ
+        FROM occ
+    )
+    SELECT o.cell, o.n_vecs,
+           CAST((1000000 * o.n_vecs * t.n_cells) // t.n_total AS BIGINT)
+               AS occ_ratio_ppm,
+           CAST((1000000 * t.max_occ * t.n_cells) // t.n_total AS BIGINT)
+               AS imbalance_ppm
+    FROM occ o CROSS JOIN tot t
+    """
+    )
+
+
+@query(
+    "q_embed_ivf_build_report",
+    oracle=_ivf_report_oracle(),
+    tags=("llm", "similarity", "audit"),
+)
+def q_embed_ivf_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index-build HEALTH report — per-cell inverted-list occupancy
+    plus the imbalance factor (max cell ÷ mean cell, ppm), the number
+    that predicts probe-latency variance: a cell at 10× mean occupancy
+    makes every query probing it 10× slower, and the fix (split hot
+    cells / re-train with more centroids) is an index-build decision
+    this report drives. Same audit-as-data pattern as
+    q_sim_adc_recall_audit, over the session-cached trained quantizer.
+
+    Shape: one hash agg over the (vec, cell) assignment + a 1-row
+    scalar broadcast — free next to the training it audits."""
+    _cb, members = ivf_train(spark, sf_dir)
+    occ = members.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    tot = occ.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("n_vecs").alias("n_total"),
+        F.max("n_vecs").alias("max_occ"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        "n_vecs",
+        F.expr("CAST((1000000 * n_vecs * n_cells) DIV n_total AS LONG)").alias(
+            "occ_ratio_ppm"
+        ),
+        F.expr(
+            "CAST((1000000 * max_occ * n_cells) DIV n_total AS LONG)"
+        ).alias("imbalance_ppm"),
+    )
