@@ -169,3 +169,25 @@ def test_adc_recall_contract(spark, sf_dir):
     assert truth
     recall = len(truth & adc) / len(truth)
     assert recall >= 0.3, f"ADC recall@{len(truth)} = {recall:.2f} < 0.30"
+
+
+def test_binary_hamming_recall_contract(spark, sf_dir):
+    """1-bit quantization is the coarsest rung of the ladder, and on
+    the near-isotropic synthetic vectors its top-20 Hamming list still
+    recovers a pinned fraction of the exact cosine top-20 (measured
+    0.40 at sf0.01, 0.25 at sf0.001 — 64 sign bits ≈ a 64-plane RP-LSH
+    signature, so this floor is the sign-agreement concentration
+    bound, far above the 20/2000 ≈ 0.01 random floor). Production use
+    is filter-then-rerank: the Hamming arm shortlists, exact rerank
+    restores the rest."""
+    from ex_aws_firehose_spark.operators.llm import (
+        q_embed_binary_hamming_topk,
+    )
+
+    truth = {r.vec_id for r in q_sim_cosine_topk(spark, sf_dir).collect()}
+    binq = {
+        r.vec_id for r in q_embed_binary_hamming_topk(spark, sf_dir).collect()
+    }
+    assert truth
+    recall = len(truth & binq) / len(truth)
+    assert recall >= 0.2, f"binary recall@{len(truth)} = {recall:.2f} < 0.20"
