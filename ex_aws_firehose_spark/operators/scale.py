@@ -2927,3 +2927,78 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib_ppm"),
         )
     )
+
+
+_RECON_TOL_CENTS = 100  # reconciliation tolerance: 1.00 currency unit
+
+
+@query(
+    "q_dq_reconciliation",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 100) AS BIGINT))
+                    AS BIGINT) AS computed_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderpriority,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS book_cents,
+               li.computed_cents
+        FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (
+               abs(book_cents - computed_cents) > {_RECON_TOL_CENTS}
+           ) AS BIGINT) AS n_mismatched,
+           CAST(MAX(abs(book_cents - computed_cents)) AS BIGINT)
+               AS max_abs_diff_cents,
+           CAST(SUM(abs(book_cents - computed_cents)) AS BIGINT)
+               AS total_abs_diff_cents
+    FROM j GROUP BY o_orderpriority
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table RECONCILIATION audit — the finance-closing shape:
+    recompute each order's total from its lineitems (price × (1−disc)
+    × (1+tax), summed in exact cents) and reconcile against the
+    order's booked total within a tolerance, reported per order
+    priority with mismatch counts and worst/total absolute drift.
+    Complements q_dq_referential_orphans (existence) with VALUE
+    consistency — the check that catches partial-load and double-apply
+    corruption that referential checks cannot see.
+
+    Shape: one map-side-combinable agg over the fact table, one join
+    on the order key (both sides shuffle-partition on it; at 100 TB
+    bucketed tables make it shuffle-free), one small rollup. Cents are
+    rounded per LINE then summed, so the audit is bit-exact and the
+    tolerance semantics are explicit, not float-fuzzy."""
+    li = load_table(spark, sf_dir, "lineitem")
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * 100
+            ).cast("long")
+        ).alias("computed_cents")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("book_cents"),
+    )
+    j = o.join(computed, o.o_orderkey == computed.l_orderkey)
+    diff = F.abs(F.col("book_cents") - F.col("computed_cents"))
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            (diff > _RECON_TOL_CENTS).cast("long")
+        ).alias("n_mismatched"),
+        F.max(diff).alias("max_abs_diff_cents"),
+        F.sum(diff).alias("total_abs_diff_cents"),
+    )
