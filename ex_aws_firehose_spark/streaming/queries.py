@@ -2167,3 +2167,81 @@ def q_stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "exact_users",
     )
+
+
+@query(
+    "q_stream_join_scd2",
+    oracle=ORACLE_EVENTS_US
+    + """
+    , dim AS (
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               CAST(ROUND(value * 100) AS BIGINT) AS tier_cents
+        FROM events_us WHERE event_type = 'signup'
+    ),
+    p AS (
+        SELECT event_id, user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents
+        FROM events_us WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.purchase_cents, d.tier_cents
+    FROM p LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND p.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static SCD2 (as-of) ENRICHMENT — the lookup
+    q_stream_join_static cannot express: each streaming purchase picks
+    up the dimension VERSION valid at its event time (signup events
+    form the versioned dimension: valid_from = signup ts, valid_to =
+    next signup), not the current row. The interval predicate rides a
+    user-equi broadcast join, so the stream side stays STATELESS — no
+    watermark, no state store; versioning lives entirely in the static
+    side's interval columns, which is exactly how a warehouse serves
+    SCD2 lookups to a streaming enricher.
+
+    100 TB shape: the dimension is broadcast while it fits (per-key
+    version chains are short); past that it becomes a stream-static
+    hash join on user with the interval filter applied post-match —
+    same plan Spark picks here. Purchases before any version emit with
+    NULL attributes (left join), the SCD2 boundary convention
+    [valid_from, valid_to)."""
+    src = _time_split_events_dir(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        e.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("d_user"),
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("valid_to"),
+            F.round(F.col("value") * 100).cast("long").alias("tier_cents"),
+        )
+    )
+    raw = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    purchases = raw.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("purchase_cents"),
+    )
+    joined = purchases.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    ).select("event_id", "user_id", "purchase_cents", "tier_cents")
+    return _run_to_memory(joined, mode="append")
