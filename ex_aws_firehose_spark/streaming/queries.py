@@ -2214,7 +2214,6 @@ def q_stream_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     from pyspark.sql import Window as W
 
-    wv = W.partitionBy("user_id").orderBy("ts", "event_id")
     dim = (
         e.filter(F.col("event_type") == "signup")
         .select(
