@@ -650,3 +650,74 @@ def q_multimodal_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_paired * 1000000 div n_docs").alias("coverage_ppm"),
         "n_orphan_vectors",
     )
+
+
+WDS_SHARD_CAP = 4096  # bytes per webdataset-style shard (synthetic scale)
+
+
+@query(
+    "q_multimodal_shard_webdataset",
+    oracle=f"""
+    WITH m AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS nbytes
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, nbytes,
+               SUM(nbytes) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM m
+    ),
+    s AS (
+        SELECT doc_id, nbytes,
+               CAST((cum - 1) // {WDS_SHARD_CAP} AS BIGINT) AS shard
+        FROM c
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM s GROUP BY shard
+    """,
+    tags=("multimodal", "curation"),
+)
+def q_multimodal_shard_webdataset(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WebDataset-style SHARD PLANNING for multimodal blobs: samples
+    pack into size-capped tar-like shards in a stable key order
+    (running byte total div cap — sequential packing, the layout
+    streaming dataloaders need for contiguous reads), reported per
+    shard with sample count, byte total, and the doc-id range that
+    names the shard. Contrast with q_shard_balanced's round-robin LPT:
+    that optimizes byte BALANCE, this optimizes sequential LOCALITY —
+    the two layouts a training job chooses between.
+
+    Shape: the running total is one global-ordered window — a sampled
+    range exchange, same as any global sort; at 100 TB the order key
+    is already the ingest sort, so the cumsum folds into the write
+    pass. Everything downstream is one hash agg on shard id."""
+    media = synth_media(spark, sf_dir)
+    sized = media.select(
+        "doc_id", F.length("media").cast("long").alias("nbytes")
+    )
+    from pyspark.sql import Window as W
+
+    cum = sized.withColumn(
+        "cum",
+        F.sum("nbytes").over(
+            W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    shards = cum.select(
+        "doc_id",
+        "nbytes",
+        F.expr(f"CAST((cum - 1) DIV {WDS_SHARD_CAP} AS LONG)").alias("shard"),
+    )
+    return shards.groupBy("shard").agg(
+        F.count("*").alias("n_samples"),
+        F.sum("nbytes").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
