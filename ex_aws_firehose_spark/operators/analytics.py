@@ -2318,17 +2318,31 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 stepped.unionByName(absorbed)
                 .groupBy("state")
                 .agg(F.sum("p").alias("p"))
-                .localCheckpoint()
             )
-        return p.filter(F.col("state") == "purchase").agg(
-            F.coalesce(F.sum("p"), F.lit(0).cast("long")).alias("p")
+        # one blocking checkpoint per CHAIN (not per step): the 1-row
+        # conversion mass materializes the 6-step lineage exactly once
+        return (
+            p.filter(F.col("state") == "purchase")
+            .agg(F.coalesce(F.sum("p"), F.lit(0).cast("long")).alias("p"))
+            .localCheckpoint()
         )
 
-    full_p = chain(None).select(F.col("p").alias("p_conv_full"))
+    # Chain state is <= 7 rows; the 30 step-aggs run under a scoped
+    # 1-partition shuffle conf (the star_components_from_edges knob).
+    # Measured cost is ~10 s of micro-stage scheduling at ANY scale
+    # factor — fixed machinery like the streaming keys, documented as
+    # such: at 100 TB only the one-time path/window build grows.
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        full_p = chain(None).select(F.col("p").alias("p_conv_full"))
+        removed = {c: chain(c) for c in _MK_CHANNELS}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     rows = None
     for c in _MK_CHANNELS:
         rc = (
-            chain(c)
+            removed[c]
             .select(F.col("p").alias("p_conv_removed"))
             .crossJoin(F.broadcast(full_p))
             .select(
