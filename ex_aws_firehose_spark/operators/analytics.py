@@ -2439,3 +2439,122 @@ def q_join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "label_cents", "last_click_cents",
         "last_view_cents",
     )
+
+
+@query(
+    "q_timeseries_linear_interp",
+    oracle=EVENTS_US
+    + """
+    , roll AS (
+        SELECT event_type,
+               CAST(date_part('epoch', date_trunc('hour', ts)) // 3600
+                    AS BIGINT) AS h,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events_us GROUP BY 1, 2
+    ),
+    rng AS (
+        SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM roll
+        GROUP BY event_type
+    ),
+    spine AS (
+        SELECT event_type, h0 + x AS h
+        FROM rng, LATERAL unnest(range(0, h1 - h0 + 1)) AS u(x)
+    ),
+    j AS (
+        SELECT s.event_type, s.h, r.cents FROM spine s
+        LEFT JOIN roll r ON r.event_type = s.event_type AND r.h = s.h
+    ),
+    f AS (
+        SELECT event_type, h, cents,
+               last_value(cents IGNORE NULLS) OVER wp AS pv,
+               last_value(CASE WHEN cents IS NOT NULL THEN h END
+                          IGNORE NULLS) OVER wp AS ph,
+               first_value(cents IGNORE NULLS) OVER wn AS nv,
+               first_value(CASE WHEN cents IS NOT NULL THEN h END
+                           IGNORE NULLS) OVER wn AS nh
+        FROM j
+        WINDOW wp AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               wn AS (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h,
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
+                     WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                          pv + (nv - pv) * (h - ph) // (nh - ph)
+                END AS BIGINT) AS cents_interp,
+           cents IS NULL AND pv IS NOT NULL AND nv IS NOT NULL
+               AS interpolated
+    FROM f
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR interpolation of silent hours — the numeric companion to
+    q_timeseries_gapfill's zero-fill: each missing (type, hour) bucket
+    takes pv + (nv−pv)·(h−ph) ÷ (nh−ph) between its nearest observed
+    neighbors (exact int64 cents; floor division), edges before the
+    first / after the last observation stay NULL — the fill mode
+    monitoring systems use for rate-like series where zero means
+    "outage", not "no data". Both directions resolve in one window
+    pair (last/first IGNORE NULLS over the dense spine).
+
+    Scale: same spine/rollup shape as gapfill (one low-cardinality
+    hash agg + broadcast spine), plus two frames of the same sorted
+    window — still one exchange per type partition."""
+    e = load_table(spark, sf_dir, "events")
+    roll = (
+        e.groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("long")
+            .alias("h"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+        )
+    )
+    rng = roll.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = rng.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    j = spine.join(roll, ["event_type", "h"], "left")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_h = F.when(F.col("cents").isNotNull(), F.col("h"))
+    f = j.select(
+        "event_type",
+        "h",
+        "cents",
+        F.last("cents", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(wp).alias("ph"),
+        F.first("cents", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(wn).alias("nh"),
+    )
+    interp = F.when(F.col("cents").isNotNull(), F.col("cents")).when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.col("pv")
+        + F.expr("(nv - pv) * (h - ph) div (nh - ph)"),
+    )
+    return f.select(
+        "event_type",
+        "h",
+        interp.cast("long").alias("cents_interp"),
+        (
+            F.col("cents").isNull()
+            & F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+        ).alias("interpolated"),
+    )

@@ -6739,3 +6739,84 @@ def q_embed_ivf_build_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * max_occ * n_cells) DIV n_total AS LONG)"
         ).alias("imbalance_ppm"),
     )
+
+
+def _retrieval_metrics_oracle() -> str:
+    ctes, final = _adc_parts()
+    ctes = ctes + [
+        "adc AS (" + final + ")",
+        """ranked AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        FROM adc
+    )""",
+        f"""ex AS (
+        SELECT e.vec_id FROM embeddings e CROSS JOIN iv_q
+        WHERE e.vec_id <> 0
+        ORDER BY round({duck_cosine("e.embedding", "iv_q.qv")}, 6) DESC,
+                 e.vec_id
+        LIMIT {TOPK}
+    )""",
+        """hits AS (
+        SELECT r.rn FROM ranked r JOIN ex USING (vec_id)
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST({TOPK} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COUNT(*) * 1000000 // {TOPK} AS BIGINT) AS precision_ppm,
+           CAST(COALESCE(MIN(rn), 0) AS BIGINT) AS first_hit_rank,
+           CAST(CASE WHEN MIN(rn) IS NULL THEN 0
+                     ELSE 1000000 // MIN(rn) END AS BIGINT) AS mrr_ppm
+    FROM hits
+    """
+    )
+
+
+@query(
+    "q_eval_retrieval_metrics",
+    oracle=_retrieval_metrics_oracle(),
+    tags=("llm", "similarity", "audit"),
+)
+def q_eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard RETRIEVAL metrics for the ANN stack, computed in-engine
+    (extends q_sim_adc_recall_audit's single recall number): the ADC
+    ranking scored against the exact-cosine relevance set as
+    precision@k, first-hit rank, and MRR — all exact integers (ppm),
+    the eval row a retrieval service logs per index build. One query
+    here; the multi-query form rides q_sim_ivf_pq_adc_batch's qid
+    partitions with the same rank window."""
+    adc = q_sim_ivf_pq_adc(spark, sf_dir)
+    wr = Window.orderBy("adc_dist", "vec_id")
+    ranked = adc.select("vec_id", "adc_dist").withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    exact = (
+        e.crossJoin(qv)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos, 6).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+    )
+    hits = ranked.join(exact, "vec_id")
+    return hits.agg(
+        F.lit(TOPK).cast("long").alias("k"),
+        F.count("*").alias("n_hits"),
+        F.expr(f"CAST(count(*) * 1000000 DIV {TOPK} AS LONG)").alias(
+            "precision_ppm"
+        ),
+        F.coalesce(F.min("rn"), F.lit(0)).cast("long").alias("first_hit_rank"),
+        F.expr(
+            "CAST(CASE WHEN min(rn) IS NULL THEN 0"
+            " ELSE 1000000 DIV min(rn) END AS LONG)"
+        ).alias("mrr_ppm"),
+    )
