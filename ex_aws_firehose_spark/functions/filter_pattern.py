@@ -1,0 +1,546 @@
+"""CloudWatch Logs subscription **filter-pattern DSL → Catalyst** compiler.
+
+The reference deploys a subscription filter with the trivial pattern
+(``filter_pattern = ""`` — ``main.tf:288``; resource at ``main.tf:284-290``),
+i.e. match-all.  Real subscription filters are almost never empty; the
+publicly-documented CloudWatch pattern language (AWS "Filter and pattern
+syntax" docs) has two families:
+
+**Term patterns** (plain text messages)::
+
+    ERROR Exception          # both words must appear         (AND)
+    ?ERROR ?WARN             # at least one must appear       (OR)
+    ERROR -Ignore            # ERROR present, Ignore absent   (NOT)
+    "browser error" -"404"   # quoted exact phrases
+
+Matching is case-sensitive and token-oriented: an unquoted term matches
+where it appears delimited by non-word characters (CloudWatch treats
+``[A-Za-z0-9_]`` as word characters — exactly regex ``\\b`` semantics,
+which both Java regex (Spark) and RE2 (DuckDB) implement identically).
+
+**JSON patterns** (structured messages)::
+
+    { $.messageType = "DATA_MESSAGE" }
+    { ($.k >= 40 && $.k < 90) || $.user.id = 7 }
+    { $.eventType = "Update*" }          # '*' wildcard, string values only
+    { $.error NOT EXISTS }
+    { $.error IS NULL }
+
+Selectors are ``$``-rooted dotted paths with optional ``[n]`` array
+indexing; comparators are ``= != < <= > >=`` plus ``IS NULL`` /
+``EXISTS`` / ``NOT EXISTS``; ``&&`` / ``||`` / parentheses combine them.
+
+Architecture — **one AST, two backends**:
+
+- :func:`parse` produces a small AST (`TermPattern` | JSON expression
+  tree).  It is a hand-written recursive-descent parser; errors raise
+  :class:`FilterPatternError` with position info.
+- :meth:`CompiledPattern.column` walks the AST into a single Catalyst
+  :class:`~pyspark.sql.Column` predicate (pure built-ins — ``rlike``,
+  ``like``, ``get_json_object``, comparisons; **no Python UDF**), so the
+  filter participates in predicate pushdown, partition pruning and
+  whole-stage codegen like any other expression.
+- :meth:`CompiledPattern.duckdb_sql` walks the *same* AST into an ANSI
+  SQL predicate for the DuckDB oracle, guaranteeing that the
+  differential-correctness gate checks the compiler itself.
+
+**Selector → column bindings.**  At 100 TB the difference between
+``get_json_object(raw, '$.event_type') = 'error'`` and
+``event_type = 'error'`` is the difference between reading+parsing every
+byte and a parquet-footer row-group skip.  ``bindings`` maps selector
+paths to real columns; bound comparisons compile to plain column
+predicates that reach the scan as ``PushedFilters`` (gated in
+``tests/test_plans.py``).  Unbound selectors fall back to JSON
+extraction on the designated JSON column — schema-on-read, same
+semantics, no silent behavior change.
+
+Deliberate, documented semantics decisions (kept identical across both
+backends):
+
+- JSON ``null`` and *missing key* are both "absent": ``get_json_object``
+  (Spark) returns SQL NULL for either, so ``IS NULL`` ≡ ``NOT EXISTS``
+  and DuckDB mirrors via ``json_extract_string``.
+- Numeric comparators coerce with TRY-CAST-to-double semantics
+  (``CAST`` in Spark and ``TRY_CAST`` in DuckDB both yield NULL on
+  non-numeric, excluding the row — CloudWatch likewise only matches
+  numeric comparisons against numeric JSON values).
+- ``*`` wildcards (string values, ``=`` / ``!=`` only, as documented by
+  AWS) compile to ``LIKE`` with ``%``/``_`` escaped.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Mapping, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+class FilterPatternError(ValueError):
+    """Raised on an unparsable filter pattern (with position context)."""
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Term:
+    """One term of a term pattern: ``kind`` ∈ {'and', 'or', 'not'}."""
+
+    kind: str
+    text: str
+    quoted: bool
+
+
+@dataclass(frozen=True)
+class TermPattern:
+    terms: tuple[Term, ...]
+
+
+@dataclass(frozen=True)
+class Selector:
+    """``$``-rooted path, stored in Spark/DuckDB-shared syntax ``$.a.b[0]``."""
+
+    path: str
+
+
+@dataclass(frozen=True)
+class Comparison:
+    selector: Selector
+    op: str  # '=', '!=', '<', '<=', '>', '>=', 'exists', 'not_exists'
+    value: Union[str, float, bool, None] = None
+    wildcard: bool = False  # value is a string containing '*'
+
+
+@dataclass(frozen=True)
+class BoolExpr:
+    op: str  # 'and' | 'or'
+    operands: tuple["JsonNode", ...]
+
+
+JsonNode = Union[Comparison, BoolExpr]
+PatternAst = Union[TermPattern, JsonNode, None]  # None = match-all ("")
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+_WORD_RE = re.compile(r"[^\s\"]+")
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_\-]*")
+_NUM_RE = re.compile(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?")
+
+
+class _Cursor:
+    def __init__(self, text: str) -> None:
+        self.text = text
+        self.pos = 0
+
+    def skip_ws(self) -> None:
+        while self.pos < len(self.text) and self.text[self.pos].isspace():
+            self.pos += 1
+
+    def peek(self) -> str:
+        return self.text[self.pos] if self.pos < len(self.text) else ""
+
+    def startswith(self, s: str) -> bool:
+        return self.text.startswith(s, self.pos)
+
+    def expect(self, s: str) -> None:
+        if not self.startswith(s):
+            raise FilterPatternError(
+                f"expected {s!r} at position {self.pos} in {self.text!r}"
+            )
+        self.pos += len(s)
+
+    def match_re(self, rx: re.Pattern[str]) -> str | None:
+        m = rx.match(self.text, self.pos)
+        if m is None:
+            return None
+        self.pos = m.end()
+        return m.group(0)
+
+
+def parse(pattern: str) -> PatternAst:
+    """Parse a CloudWatch filter pattern into an AST (``None`` = match-all)."""
+    stripped = pattern.strip()
+    if not stripped:
+        return None  # main.tf:288 — the reference's deployed (empty) pattern
+    if stripped.startswith("{"):
+        cur = _Cursor(stripped)
+        cur.expect("{")
+        node = _parse_or(cur)
+        cur.skip_ws()
+        cur.expect("}")
+        cur.skip_ws()
+        if cur.pos != len(stripped):
+            raise FilterPatternError(
+                f"trailing input after '}}' at position {cur.pos} in {pattern!r}"
+            )
+        return node
+    return _parse_terms(stripped)
+
+
+def _parse_terms(text: str) -> TermPattern:
+    cur = _Cursor(text)
+    terms: list[Term] = []
+    while True:
+        cur.skip_ws()
+        if cur.pos >= len(text):
+            break
+        kind = "and"
+        if cur.peek() == "-":
+            kind = "not"
+            cur.pos += 1
+        elif cur.peek() == "?":
+            kind = "or"
+            cur.pos += 1
+        if cur.peek() == '"':
+            cur.pos += 1
+            end = text.find('"', cur.pos)
+            if end < 0:
+                raise FilterPatternError(f"unterminated quote in {text!r}")
+            term_text, quoted = text[cur.pos : end], True
+            cur.pos = end + 1
+        else:
+            word = cur.match_re(_WORD_RE)
+            if not word:
+                raise FilterPatternError(
+                    f"expected term at position {cur.pos} in {text!r}"
+                )
+            term_text, quoted = word, False
+        if not term_text:
+            raise FilterPatternError(f"empty term in {text!r}")
+        terms.append(Term(kind, term_text, quoted))
+    return TermPattern(tuple(terms))
+
+
+def _parse_or(cur: _Cursor) -> JsonNode:
+    operands = [_parse_and(cur)]
+    while True:
+        cur.skip_ws()
+        if cur.startswith("||"):
+            cur.pos += 2
+            operands.append(_parse_and(cur))
+        else:
+            break
+    return operands[0] if len(operands) == 1 else BoolExpr("or", tuple(operands))
+
+
+def _parse_and(cur: _Cursor) -> JsonNode:
+    operands = [_parse_unary(cur)]
+    while True:
+        cur.skip_ws()
+        if cur.startswith("&&"):
+            cur.pos += 2
+            operands.append(_parse_unary(cur))
+        else:
+            break
+    return operands[0] if len(operands) == 1 else BoolExpr("and", tuple(operands))
+
+
+def _parse_unary(cur: _Cursor) -> JsonNode:
+    cur.skip_ws()
+    if cur.peek() == "(":
+        cur.pos += 1
+        node = _parse_or(cur)
+        cur.skip_ws()
+        cur.expect(")")
+        return node
+    return _parse_comparison(cur)
+
+
+def _parse_selector(cur: _Cursor) -> Selector:
+    cur.skip_ws()
+    cur.expect("$")
+    parts: list[str] = ["$"]
+    while True:
+        if cur.peek() == ".":
+            cur.pos += 1
+            ident = cur.match_re(_IDENT_RE)
+            if ident is None:
+                raise FilterPatternError(
+                    f"expected identifier at position {cur.pos} in {cur.text!r}"
+                )
+            parts.append(f".{ident}")
+        elif cur.peek() == "[":
+            cur.pos += 1
+            idx = cur.match_re(re.compile(r"\d+"))
+            if idx is None:
+                raise FilterPatternError(
+                    f"expected array index at position {cur.pos} in {cur.text!r}"
+                )
+            cur.expect("]")
+            parts.append(f"[{idx}]")
+        else:
+            break
+    if len(parts) == 1:
+        raise FilterPatternError(
+            f"selector must have at least one step at position {cur.pos}"
+        )
+    return Selector("".join(parts))
+
+
+def _parse_comparison(cur: _Cursor) -> Comparison:
+    sel = _parse_selector(cur)
+    cur.skip_ws()
+    for kw, op in (
+        ("NOT EXISTS", "not_exists"),
+        ("IS NULL", "not_exists"),  # documented: null ≡ missing (module docstring)
+        ("EXISTS", "exists"),
+    ):
+        if cur.startswith(kw):
+            cur.pos += len(kw)
+            return Comparison(sel, op)
+    for sym in ("!=", "<=", ">=", "=", "<", ">"):
+        if cur.startswith(sym):
+            cur.pos += len(sym)
+            return _parse_value(cur, sel, sym)
+    raise FilterPatternError(
+        f"expected comparator at position {cur.pos} in {cur.text!r}"
+    )
+
+
+def _parse_value(cur: _Cursor, sel: Selector, op: str) -> Comparison:
+    cur.skip_ws()
+    if cur.peek() == '"':
+        cur.pos += 1
+        end = cur.text.find('"', cur.pos)
+        if end < 0:
+            raise FilterPatternError(f"unterminated string in {cur.text!r}")
+        raw = cur.text[cur.pos : end]
+        cur.pos = end + 1
+        wildcard = "*" in raw
+        if wildcard and op not in ("=", "!="):
+            raise FilterPatternError(
+                f"'*' wildcard only valid with = / != (got {op!r})"
+            )
+        return Comparison(sel, op, raw, wildcard)
+    for kw, val in (("true", True), ("false", False), ("null", None)):
+        if cur.startswith(kw):
+            cur.pos += len(kw)
+            return Comparison(sel, op, val)
+    num = cur.match_re(_NUM_RE)
+    if num is not None:
+        return Comparison(sel, op, float(num))
+    raise FilterPatternError(
+        f"expected literal at position {cur.pos} in {cur.text!r}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Backends
+# ---------------------------------------------------------------------------
+
+_WORD_CHAR = re.compile(r"[A-Za-z0-9_]")
+
+
+def _term_regex(term: Term) -> str:
+    """Regex for one term, identical under Java regex and RE2.
+
+    ``\\b`` guards are applied only where the term edge is a word
+    character (a ``\\b`` next to punctuation would invert its meaning).
+    """
+    body = re.escape(term.text)
+    pre = r"\b" if _WORD_CHAR.match(term.text[0]) else ""
+    post = r"\b" if _WORD_CHAR.match(term.text[-1]) else ""
+    return f"{pre}{body}{post}"
+
+
+def _like_pattern(value: str) -> str:
+    """CloudWatch ``*`` wildcard string → SQL LIKE pattern (\\-escaped)."""
+    out = value.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+    return out.replace("*", "%")
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+@dataclass(frozen=True)
+class Binding:
+    """A selector bound to a materialized column (Spark + oracle sides)."""
+
+    column: Column
+    sql: str
+    numeric: bool = False  # column is already numeric — no cast needed
+
+
+class CompiledPattern:
+    """A parsed pattern ready to emit either backend's predicate."""
+
+    def __init__(self, ast: PatternAst, pattern: str) -> None:
+        self.ast = ast
+        self.pattern = pattern
+
+    # -- Spark ---------------------------------------------------------------
+
+    def column(
+        self,
+        message: Column | None = None,
+        json: Column | None = None,
+        bindings: Mapping[str, Binding] | None = None,
+    ) -> Column:
+        """Catalyst predicate. ``message`` feeds term patterns, ``json``
+        feeds unbound selectors, ``bindings`` short-circuits selectors to
+        real columns (the scan-pushdown path)."""
+        if self.ast is None:
+            return F.lit(True)
+        if isinstance(self.ast, TermPattern):
+            if message is None:
+                raise FilterPatternError("term pattern needs a message column")
+            return self._terms_column(self.ast, message)
+        return self._json_column(self.ast, json, bindings or {})
+
+    def _terms_column(self, tp: TermPattern, message: Column) -> Column:
+        ands = [t for t in tp.terms if t.kind == "and"]
+        ors = [t for t in tp.terms if t.kind == "or"]
+        nots = [t for t in tp.terms if t.kind == "not"]
+        pred = F.lit(True)
+        for t in ands:
+            pred = pred & message.rlike(_term_regex(t))
+        if ors:
+            any_or = F.lit(False)
+            for t in ors:
+                any_or = any_or | message.rlike(_term_regex(t))
+            pred = pred & any_or
+        for t in nots:
+            pred = pred & ~message.rlike(_term_regex(t))
+        return pred
+
+    def _json_column(
+        self,
+        node: JsonNode,
+        json: Column | None,
+        bindings: Mapping[str, Binding],
+    ) -> Column:
+        if isinstance(node, BoolExpr):
+            subs = [self._json_column(n, json, bindings) for n in node.operands]
+            out = subs[0]
+            for s in subs[1:]:
+                out = (out & s) if node.op == "and" else (out | s)
+            return out
+        sel, op, val = node.selector, node.op, node.value
+        bound = bindings.get(sel.path)
+        if bound is not None:
+            raw, numeric = bound.column, bound.numeric
+        else:
+            if json is None:
+                raise FilterPatternError(
+                    f"unbound selector {sel.path} needs a json column"
+                )
+            raw, numeric = F.get_json_object(json, sel.path), False
+        if op == "exists":
+            return raw.isNotNull()
+        if op == "not_exists":
+            return raw.isNull()
+        if isinstance(val, bool):
+            lhs, rhs = raw.cast("string"), F.lit("true" if val else "false")
+        elif val is None:
+            # `= null` matches absent/null values; `!= null` matches present
+            return raw.isNull() if op == "=" else raw.isNotNull()
+        elif isinstance(val, float):
+            lhs = raw if numeric else raw.cast("double")
+            rhs = F.lit(val)
+        elif node.wildcard:
+            like = _like_pattern(val)
+            m = raw.cast("string").like(like, escapeChar="\\")
+            return m if op == "=" else raw.isNotNull() & ~m
+        else:
+            lhs, rhs = raw.cast("string"), F.lit(val)
+        return {
+            "=": lhs == rhs,
+            "!=": lhs != rhs,
+            "<": lhs < rhs,
+            "<=": lhs <= rhs,
+            ">": lhs > rhs,
+            ">=": lhs >= rhs,
+        }[op]
+
+    # -- DuckDB oracle ---------------------------------------------------------
+
+    def duckdb_sql(
+        self,
+        message: str | None = None,
+        json: str | None = None,
+        bindings: Mapping[str, Binding] | None = None,
+    ) -> str:
+        """The same predicate as ANSI SQL for the DuckDB oracle."""
+        if self.ast is None:
+            return "TRUE"
+        if isinstance(self.ast, TermPattern):
+            if message is None:
+                raise FilterPatternError("term pattern needs a message expr")
+            return self._terms_sql(self.ast, message)
+        return self._json_sql(self.ast, json, bindings or {})
+
+    def _terms_sql(self, tp: TermPattern, message: str) -> str:
+        def rx(t: Term) -> str:
+            return f"regexp_matches({message}, {_sql_quote(_term_regex(t))})"
+
+        parts = [rx(t) for t in tp.terms if t.kind == "and"]
+        ors = [rx(t) for t in tp.terms if t.kind == "or"]
+        if ors:
+            parts.append("(" + " OR ".join(ors) + ")")
+        parts += [f"NOT {rx(t)}" for t in tp.terms if t.kind == "not"]
+        return "(" + " AND ".join(parts) + ")"
+
+    def _json_sql(
+        self,
+        node: JsonNode,
+        json: str | None,
+        bindings: Mapping[str, Binding],
+    ) -> str:
+        if isinstance(node, BoolExpr):
+            glue = " AND " if node.op == "and" else " OR "
+            return (
+                "("
+                + glue.join(self._json_sql(n, json, bindings) for n in node.operands)
+                + ")"
+            )
+        sel, op, val = node.selector, node.op, node.value
+        bound = bindings.get(sel.path)
+        if bound is not None:
+            raw, numeric = bound.sql, bound.numeric
+        else:
+            if json is None:
+                raise FilterPatternError(
+                    f"unbound selector {sel.path} needs a json expr"
+                )
+            # json_valid guard: Spark's get_json_object returns NULL on
+            # malformed JSON, DuckDB's json_extract_string raises.
+            raw = (
+                f"(CASE WHEN json_valid({json}) THEN "
+                f"json_extract_string({json}, {_sql_quote(sel.path)}) END)"
+            )
+            numeric = False
+        if op == "exists":
+            return f"{raw} IS NOT NULL"
+        if op == "not_exists":
+            return f"{raw} IS NULL"
+        if isinstance(val, bool):
+            lhs, rhs = f"CAST({raw} AS VARCHAR)", "'true'" if val else "'false'"
+        elif val is None:
+            return f"{raw} IS NULL" if op == "=" else f"{raw} IS NOT NULL"
+        elif isinstance(val, float):
+            lhs = raw if numeric else f"TRY_CAST({raw} AS DOUBLE)"
+            rhs = repr(val)
+        elif node.wildcard:
+            like = _sql_quote(_like_pattern(val))
+            m = f"CAST({raw} AS VARCHAR) LIKE {like} ESCAPE '\\'"
+            if op == "=":
+                return m
+            return f"({raw} IS NOT NULL AND NOT ({m}))"
+        else:
+            lhs, rhs = f"CAST({raw} AS VARCHAR)", _sql_quote(val)
+        sql_op = {"=": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
+        return f"{lhs} {sql_op} {rhs}"
+
+
+def compile_pattern(pattern: str) -> CompiledPattern:
+    """Parse + wrap a CloudWatch filter pattern for either backend."""
+    return CompiledPattern(parse(pattern), pattern)

@@ -1,0 +1,198 @@
+"""CloudWatch filter-pattern DSL compiler (functions/filter_pattern.py).
+
+Parser unit tests (no Spark needed) + Spark↔DuckDB differential checks
+for the compiled predicates.  The registry-level keys
+(`q_filter_pattern_*`) get the full rows+schema+hash differential via
+tests/test_oracle_differential.py; here we exercise the DSL corners that
+the five registered patterns don't reach (error paths, literal types,
+wildcards in both positions, nesting depth).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ex_aws_firehose_spark.functions.filter_pattern import (
+    BoolExpr,
+    Comparison,
+    FilterPatternError,
+    Term,
+    TermPattern,
+    compile_pattern,
+    parse,
+)
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+
+def test_empty_pattern_is_match_all():
+    # main.tf:288 — the reference's deployed filter_pattern = ""
+    assert parse("") is None
+    assert parse("   ") is None
+    assert compile_pattern("").duckdb_sql() == "TRUE"
+
+
+def test_terms_and():
+    ast = parse("ERROR Exception")
+    assert ast == TermPattern(
+        (Term("and", "ERROR", False), Term("and", "Exception", False))
+    )
+
+
+def test_terms_or_not_quoted():
+    ast = parse('?ERROR ?WARN -"not a real error" -Ignore')
+    assert isinstance(ast, TermPattern)
+    kinds = [(t.kind, t.text, t.quoted) for t in ast.terms]
+    assert kinds == [
+        ("or", "ERROR", False),
+        ("or", "WARN", False),
+        ("not", "not a real error", True),
+        ("not", "Ignore", False),
+    ]
+
+
+def test_json_simple_equality():
+    ast = parse('{ $.messageType = "DATA_MESSAGE" }')
+    assert isinstance(ast, Comparison)
+    assert ast.selector.path == "$.messageType"
+    assert ast.op == "=" and ast.value == "DATA_MESSAGE" and not ast.wildcard
+
+
+def test_json_precedence_and_parens():
+    ast = parse("{ $.a = 1 && $.b = 2 || $.c = 3 }")
+    # && binds tighter than ||
+    assert isinstance(ast, BoolExpr) and ast.op == "or"
+    assert isinstance(ast.operands[0], BoolExpr) and ast.operands[0].op == "and"
+    nested = parse("{ $.a = 1 && ($.b = 2 || $.c = 3) }")
+    assert isinstance(nested, BoolExpr) and nested.op == "and"
+
+
+def test_json_selector_paths():
+    ast = parse("{ $.logEvents[0].timestamp > 100 }")
+    assert isinstance(ast, Comparison)
+    assert ast.selector.path == "$.logEvents[0].timestamp"
+    assert ast.value == 100.0
+
+
+def test_json_exists_null():
+    assert parse("{ $.err NOT EXISTS }") == Comparison(
+        parse("{ $.err EXISTS }").selector, "not_exists"
+    )
+    # IS NULL ≡ NOT EXISTS (documented: Spark's get_json_object cannot
+    # distinguish JSON null from missing)
+    assert parse("{ $.err IS NULL }").op == "not_exists"
+    assert parse("{ $.err EXISTS }").op == "exists"
+
+
+def test_wildcard_only_on_equality():
+    ok = parse('{ $.t = "Update*" }')
+    assert isinstance(ok, Comparison) and ok.wildcard
+    with pytest.raises(FilterPatternError):
+        parse('{ $.t > "Update*" }')
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "{ $.a = }",
+        "{ $.a }",
+        "{ $ = 1 }",
+        "{ $.a = 1",
+        "{ $.a = 1 } trailing",
+        '"unterminated',
+        "{ $.a == 1 }x",
+        "{ $.a[x] = 1 }",
+    ],
+)
+def test_parse_errors(bad):
+    with pytest.raises(FilterPatternError):
+        parse(bad)
+
+
+# ---------------------------------------------------------------------------
+# differential: same AST → same rows in Spark and DuckDB
+# ---------------------------------------------------------------------------
+
+ROWS = [
+    ('ERROR budget exceeded for "api"', '{"k": 87, "tag": "UpdateItem"}'),
+    ("WARN retrying request", '{"k": 7}'),
+    ("INFO ERRORs are fine here", '{"k": null}'),
+    ("ERROR Ignore this one", '{"k": 40, "tag": "Update"}'),
+    ("hello ERROR-adjacent text", '{"nested": {"a": [5, 6]}}'),
+    ("plain message", "not json at all"),
+]
+
+PATTERNS = [
+    "ERROR",
+    "?ERROR ?WARN",
+    "ERROR -Ignore",
+    '"ERROR budget"',
+    '-"plain message" INFO',
+    "{ $.k = 87 }",
+    "{ $.k != 87 }",
+    "{ $.k >= 40 && $.k < 90 }",
+    "{ $.k = 7 || $.nested.a[1] = 6 }",
+    "{ $.k NOT EXISTS }",
+    "{ $.k EXISTS }",
+    '{ $.tag = "Update*" }',
+    '{ $.tag != "Update*" }',
+    '{ $.tag = "*Item" }',
+    "{ ($.k > 50 || $.k < 10) && $.tag EXISTS }",
+    "{ $.k = null }",
+    "{ $.k != null }",
+    "",
+]
+
+
+@pytest.mark.parametrize("pattern", PATTERNS)
+def test_spark_duckdb_agree(spark, pattern):
+    from pyspark.sql import functions as F
+
+    cp = compile_pattern(pattern)
+    df = spark.createDataFrame(ROWS, "message string, props string")
+    got = {
+        r.message
+        for r in df.filter(
+            cp.column(message=F.col("message"), json=F.col("props"))
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in ROWS)
+        + ") v(message, props)",
+        [x for row in ROWS for x in row],
+    )
+    sql = cp.duckdb_sql(message="message", json="props")
+    want = {r[0] for r in con.execute(f"SELECT message FROM t WHERE {sql}").fetchall()}
+    assert got == want, f"pattern {pattern!r}: spark={got} duckdb={want}"
+
+
+def test_bound_columns_match_unbound(spark):
+    """A bound selector must produce the same rows as JSON extraction."""
+    from pyspark.sql import functions as F
+
+    from ex_aws_firehose_spark.functions.filter_pattern import Binding
+
+    df = spark.createDataFrame(
+        [("error", 150.0, '{"event_type": "error", "value": 150.0}'),
+         ("signup", 99.0, '{"event_type": "signup", "value": 99.0}'),
+         ("view", 200.0, '{"event_type": "view", "value": 200.0}')],
+        "event_type string, value double, j string",
+    )
+    cp = compile_pattern('{ $.event_type = "s*" || $.value >= 150 }')
+    bound = df.filter(
+        cp.column(
+            bindings={
+                "$.event_type": Binding(F.col("event_type"), "event_type"),
+                "$.value": Binding(F.col("value"), "value", numeric=True),
+            }
+        )
+    )
+    unbound = df.filter(cp.column(json=F.col("j")))
+    assert {r.event_type for r in bound.collect()} == {
+        r.event_type for r in unbound.collect()
+    } == {"signup", "error"}
