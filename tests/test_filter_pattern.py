@@ -180,7 +180,7 @@ def test_bound_columns_match_unbound(spark):
     df = spark.createDataFrame(
         [("error", 150.0, '{"event_type": "error", "value": 150.0}'),
          ("signup", 99.0, '{"event_type": "signup", "value": 99.0}'),
-         ("view", 200.0, '{"event_type": "view", "value": 200.0}')],
+         ("view", 100.0, '{"event_type": "view", "value": 100.0}')],
         "event_type string, value double, j string",
     )
     cp = compile_pattern('{ $.event_type = "s*" || $.value >= 150 }')

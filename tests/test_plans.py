@@ -50,6 +50,17 @@ def test_filter_pushdown_reaches_scan(spark, sf_dir):
     assert any("GreaterThan" in f or "LessThan" in f for f in fs), fs
 
 
+def test_filter_pattern_bound_predicates_reach_scan(spark, sf_dir):
+    """The compiled CloudWatch pattern's BOUND comparisons must arrive
+    at the parquet scan as pushed filters: '$.event_type = "s*"' as a
+    StringStartsWith, '$.value > 100.5' as a GreaterThan. The unbound
+    '$.k != 7' get_json_object residue cannot push — but must also not
+    block the bound conjuncts from pushing."""
+    fs = pushed_filters(REGISTRY["q_filter_pattern_json_bound"].fn(spark, sf_dir))
+    assert any("StringStartsWith" in f for f in fs), fs
+    assert any("GreaterThan" in f for f in fs), fs
+
+
 def test_topk_avoids_global_sort(spark, sf_dir):
     assert uses_take_ordered(REGISTRY["q_sort_limit_topk"].fn(spark, sf_dir))
 
@@ -829,3 +840,18 @@ def test_markov_chain_edges_broadcast(spark, sf_dir):
         REGISTRY["q_attribution_markov_removal"].fn(spark, sf_dir)
     )
     assert "CartesianProduct" not in plan, plan
+    # The chain steps must actually BE broadcast joins, not merely
+    # non-cartesian — but the registered key's final plan only shows
+    # post-localCheckpoint lineage, so gate the step function itself
+    # (the exact code path the loop runs).
+    from ex_aws_firehose_spark.operators.analytics import _mk_step
+
+    flowing = spark.createDataFrame(
+        [("full", "START", 10**12)], "scenario string, state string, p long"
+    )
+    scen = spark.createDataFrame(
+        [("full", "START", "click", 500_000)],
+        "scenario string, src string, dst string, q long",
+    )
+    step_plan = physical_plan(_mk_step(flowing, scen))
+    assert "BroadcastHashJoin" in step_plan, step_plan
