@@ -85,3 +85,28 @@ def hex_hash60(col: Column) -> Column:
 
 def duck_hex_hash60(expr: str) -> str:
     return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def hex_hash120(col: Column) -> Column:
+    """md5 hex digits 1-15 and 16-30 as a (hi, lo) BIGINT struct —
+    120 bits, sign-safe in both engines. The production dial SCALE.md
+    §16 names for span dedup beyond ~10¹⁰ distinct shingles, where even
+    60 bits re-enters the birthday zone. A struct key keeps every
+    downstream join/group single-column in the code while shuffling and
+    comparing two 8-byte values — "same plan, two join keys"."""
+    return F.struct(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10)
+        .cast("long")
+        .alias("hi"),
+        F.conv(F.substring(F.md5(col), 16, 15), 16, 10)
+        .cast("long")
+        .alias("lo"),
+    )
+
+
+def duck_hex_hash120(expr: str) -> str:
+    return (
+        "struct_pack("
+        f"hi := CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT), "
+        f"lo := CAST(concat('0x', substr(md5({expr}), 16, 15)) AS BIGINT))"
+    )

@@ -21,6 +21,8 @@ Scale notes (100 TB design):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -29,9 +31,11 @@ from ex_aws_firehose_spark.functions.text import (
     STOPWORDS,
     duck_hex_hash,
     duck_hex_hash60,
+    duck_hex_hash120,
     duck_shingles,
     hex_hash,
     hex_hash60,
+    hex_hash120,
     shingles,
     tokens,
 )
@@ -5276,6 +5280,24 @@ def q_sample_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPAN_K = 8  # minimum duplicated-span length in tokens
 
+# Span-shingle hash width (SCALE.md §16): 60-bit BIGINT by default;
+# SPARK_GRAFT_SPAN_HASH_BITS=120 switches the WHOLE span family (batch
+# keys, stream key, and every oracle — both are generated from the same
+# selector below) to the (hi, lo) two-BIGINT struct key for corpora
+# past ~10¹⁰ distinct shingles. Import-time because registered oracle
+# SQL embeds the hash expression; tests/test_span_hash_width.py runs
+# the family differential in a 120-bit subprocess to keep both modes
+# green, and tools/dedup_scale_probe.py probes linearity under either.
+SPAN_HASH_BITS = int(os.environ.get("SPARK_GRAFT_SPAN_HASH_BITS", "60"))
+if SPAN_HASH_BITS not in (60, 120):
+    raise ValueError(
+        f"SPARK_GRAFT_SPAN_HASH_BITS must be 60 or 120, got {SPAN_HASH_BITS}"
+    )
+span_hash = hex_hash60 if SPAN_HASH_BITS == 60 else hex_hash120
+duck_span_hash = (
+    duck_hex_hash60 if SPAN_HASH_BITS == 60 else duck_hex_hash120
+)
+
 
 def _positioned_shingle_col(k: int = SPAN_K):
     """(tokens column) -> array of k-token shingles, position-aligned
@@ -5311,7 +5333,7 @@ def _span_prefix_cte(
         WHERE len(t) >= {k}
     ),
     hs AS (
-        SELECT doc_id, pos, {duck_hex_hash60('s')} AS h FROM sh
+        SELECT doc_id, pos, {duck_span_hash('s')} AS h FROM sh
     ),
     dup AS (
         SELECT h FROM hs GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
@@ -5368,7 +5390,7 @@ def _span_positioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             (F.col("pos") + 1).alias("pos"),
-            hex_hash60(F.col("col")).alias("h"),
+            span_hash(F.col("col")).alias("h"),
         )
         .localCheckpoint()
     )
@@ -6483,7 +6505,7 @@ def q_curate_span_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "doc_id",
         (F.col("pos") + 1).alias("pos"),
-        hex_hash60(F.col("col")).alias("h"),
+        span_hash(F.col("col")).alias("h"),
     )
     dup = (
         sh.groupBy("h")

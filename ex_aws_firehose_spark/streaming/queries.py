@@ -1842,7 +1842,7 @@ def _span_dedup_batch(
     batch's shingles (re-appends are harmless set-members). Module-
     level so the crash-replay test can wrap it with a fault
     injector."""
-    from ex_aws_firehose_spark.functions.text import hex_hash60
+    from ex_aws_firehose_spark.operators.llm import span_hash
     from ex_aws_firehose_spark.operators.llm import (
         SPAN_K,
         _positioned_shingle_col,
@@ -1857,7 +1857,7 @@ def _span_dedup_batch(
         .select(
             "doc_id",
             (F.col("pos") + 1).alias("pos"),
-            hex_hash60(F.col("col")).alias("h"),
+            span_hash(F.col("col")).alias("h"),
         )
         .persist()
     )

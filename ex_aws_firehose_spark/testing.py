@@ -8,6 +8,7 @@ engines)."""
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass
 
 import duckdb
@@ -132,11 +133,20 @@ def compare_frames(key: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) 
     return CompareResult(key, True, "match")
 
 
+# Spark-side wall seconds per key, recorded by every run_differential
+# call (build + toPandas only — DuckDB and the comparison are excluded).
+# tests/test_perf_budget.py reads this after the oracle sweep to catch
+# per-key cost creep at commit time (VERDICT r6 ask #3).
+SPARK_TIMINGS: dict[str, float] = {}
+
+
 def run_differential(
     spark: SparkSession, sf_dir: str, key: str, fn, oracle: str
 ) -> CompareResult:
+    t0 = time.perf_counter()
     sdf: DataFrame = fn(spark, sf_dir)
     spark_pdf = sdf.toPandas()
+    SPARK_TIMINGS[key] = time.perf_counter() - t0
     con = duckdb_connection(sf_dir)
     try:
         oracle_pdf = con.execute(oracle).df()
