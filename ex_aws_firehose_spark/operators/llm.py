@@ -1237,7 +1237,9 @@ def ivf_train(
     return cb, members
 
 
-def _ivf_ctes(prefix: str = "") -> tuple[list[str], str, str, str]:
+def _ivf_ctes(
+    prefix: str = "", nprobe: int = ANN_NPROBE
+) -> tuple[list[str], str, str, str]:
     """DuckDB mirror of ivf_train + the single-query probe, unrolled as
     one CTE chain per Lloyd round. ``prefix`` namespaces every CTE so
     the chain can compose with other chains (the ADC oracle runs it
@@ -1288,7 +1290,7 @@ def _ivf_ctes(prefix: str = "") -> tuple[list[str], str, str, str]:
         SELECT cell FROM {last_cb} CROSS JOIN {P}q
         ORDER BY round({duck_cosine(f"{last_cb}.cvec", f"{P}q.qv")}, 6) DESC,
                  cell
-        LIMIT {ANN_NPROBE}
+        LIMIT {nprobe}
     )"""
     )
     return ctes, last_cb, last_asg, f"{P}probed"
@@ -5674,19 +5676,29 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ADC uses a finer codebook than the teaching-size q_embed_pq_codes
-# (M=4 sub x K=8 codes): 16 subspaces x 16 codes = 4 bits per 4 dims.
-# Measured top-20 recall vs the exact cosine baseline on the isotropic
-# synthetic embeddings: 0.5-0.7 ungated (vs 0.10-0.15 at the teaching
-# size), on par with the IVF cell-recall ceiling it composes with.
-ADC_M = 16
+# (M=4 sub x K=8 codes) and probes more coarse cells than the teaching
+# IVF route (ANN_NPROBE=3): 32 subspaces x 16 codes = 4 bits per 2 dims,
+# ADC_NPROBE=8. Grid-measured recall@20 vs the exact cosine baseline
+# (round 7): raw ADC 0.70 at sf0.01 (was 0.40 at M=16/nprobe=3); the
+# IVF cell-recall ceiling it composes with is 0.95 (sf0.01) / 0.85
+# (sf0.1) at nprobe=8. The residual gap is PQ ranking error, which the
+# exact-rerank stage (q_sim_adc_rerank) removes for the shortlist - the
+# standard serving ladder: ADC shortlist -> exact rerank of ADC_RERANK_POOL
+# candidates. Extra cost of the upgrade, priced: LUT 128->512 broadcast
+# rows, PQ codes 16->32 bytes/vector scanned, rerank reads d floats for
+# ADC_RERANK_POOL vectors only.
+ADC_M = 32
 ADC_K = 16
+ADC_NPROBE = 8
+ADC_RERANK_POOL = 100
 
 
-def _adc_parts() -> tuple[list[str], str]:
-    """(ctes, final-select) of the single-query ADC top-k, so the
-    recall-audit oracle can compose the same chain as a CTE."""
+def _adc_parts(limit: int = TOPK) -> tuple[list[str], str]:
+    """(ctes, final-select) of the single-query ADC top-``limit``, so
+    the recall-audit and rerank oracles compose the same chain as a
+    CTE."""
     pq = _pq_ctes(ADC_M, ADC_K)
-    iv, _cb, iv_asg, iv_probed = _ivf_ctes("iv_")
+    iv, _cb, iv_asg, iv_probed = _ivf_ctes("iv_", nprobe=ADC_NPROBE)
     ctes = pq + iv + [
         """qc AS (
         SELECT subspace, pos, sv AS qsv FROM comp WHERE vec_id = 0
@@ -5710,7 +5722,7 @@ def _adc_parts() -> tuple[list[str], str]:
     JOIN lut l ON l.subspace = pc.subspace AND l.code = pc.code
     GROUP BY c.vec_id, c.cell
     ORDER BY adc_dist, c.vec_id
-    LIMIT {TOPK}
+    LIMIT {limit}
     """
     return ctes, final
 
@@ -5720,25 +5732,12 @@ def _adc_oracle() -> str:
     return "WITH " + ",\n    ".join(ctes) + final
 
 
-@query("q_sim_ivf_pq_adc", oracle=_adc_oracle(), tags=("llm", "similarity"))
-def q_sim_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-PQ with asymmetric distance computation — the full
-    billion-scale ANN serving stack: route the query to ANN_NPROBE
-    coarse cells (trained IVF quantizer, q_sim_ann_ivf), then score
-    every candidate WITHOUT touching its vector — each candidate costs
-    M=4 table lookups into a per-query LUT of squared subspace
-    distances (query subvector vs each PQ codebook entry, int64
-    milli-units so DuckDB reproduces every distance bit-for-bit).
-    Returns the top-k by ADC distance; recall vs the exact cosine
-    baseline is pinned by tests/test_ann_recall.py.
-
-    100 TB shape: candidate vectors NEVER load — only their M-byte PQ
-    codes join against a broadcast M×K-row LUT (here 32 rows), so the
-    scan reads |probed cells| × M bytes/vector instead of d floats;
-    the groupBy(vec_id) sum is map-side combinable, and the top-k is
-    TakeOrderedAndProject. The LUT build is O(K·d) per query and
-    batches trivially for multi-query serving (LUT keyed by query_id,
-    still broadcast-sized)."""
+def _adc_topk_pool(
+    spark: SparkSession, sf_dir: str, limit: int
+) -> DataFrame:
+    """The single-query ADC chain (probe -> LUT -> code-join -> top-k),
+    shared by q_sim_ivf_pq_adc (limit=TOPK) and q_sim_adc_rerank
+    (limit=ADC_RERANK_POOL)."""
     comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
     cb, members = ivf_train(spark, sf_dir)
     qcomp = comp.filter(F.col("vec_id") == 0).select(
@@ -5759,7 +5758,7 @@ def q_sim_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb.crossJoin(qv)
         .select("cell", F.round(probe_cos, 6).alias("pc"))
         .orderBy(F.col("pc").desc(), F.col("cell"))
-        .limit(ANN_NPROBE)
+        .limit(ADC_NPROBE)
         .select("cell")
     )
     cand = (
@@ -5773,6 +5772,86 @@ def q_sim_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "cell")
         .agg(F.sum("l").alias("adc_dist"))
         .orderBy("adc_dist", "vec_id")
+        .limit(limit)
+    )
+
+
+@query("q_sim_ivf_pq_adc", oracle=_adc_oracle(), tags=("llm", "similarity"))
+def q_sim_ivf_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with asymmetric distance computation — the full
+    billion-scale ANN serving stack: route the query to ADC_NPROBE
+    coarse cells (trained IVF quantizer, q_sim_ann_ivf's machinery at
+    a serving-grade probe count), then score every candidate WITHOUT
+    touching its vector — each candidate costs M=32 table lookups into
+    a per-query LUT of squared subspace distances (query subvector vs
+    each PQ codebook entry, int64 milli-units so DuckDB reproduces
+    every distance bit-for-bit). Returns the top-k by ADC distance;
+    recall vs the exact cosine baseline is pinned by
+    tests/test_ann_recall.py and engine-audited by
+    q_sim_adc_recall_audit (0.70 at sf0.01 after the round-7 M=16->32,
+    nprobe=3->8 upgrade; q_sim_adc_rerank lifts the served list to the
+    IVF cell-recall ceiling).
+
+    100 TB shape: candidate vectors NEVER load — only their M-byte PQ
+    codes join against a broadcast M×K-row LUT (512 rows), so the
+    scan reads |probed cells| × M bytes/vector instead of d floats;
+    the groupBy(vec_id) sum is map-side combinable, and the top-k is
+    TakeOrderedAndProject. The LUT build is O(K·d) per query and
+    batches trivially for multi-query serving (LUT keyed by query_id,
+    still broadcast-sized)."""
+    return _adc_topk_pool(spark, sf_dir, TOPK)
+
+
+def _adc_rerank_oracle() -> str:
+    ctes, final = _adc_parts(ADC_RERANK_POOL)
+    ctes = ctes + ["short AS (" + final + ")"]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.vec_id,
+           round({duck_cosine("e.embedding", "iv_q.qv")}, 6) AS cos_sim
+    FROM embeddings e JOIN short s ON s.vec_id = e.vec_id CROSS JOIN iv_q
+    ORDER BY round({duck_cosine("e.embedding", "iv_q.qv")}, 6) DESC,
+             e.vec_id
+    LIMIT {TOPK}
+    """
+    )
+
+
+@query(
+    "q_sim_adc_rerank",
+    oracle=_adc_rerank_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_adc_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC shortlist + EXACT rerank — the top rung of the serving
+    ladder (binary-Hamming and raw-ADC are the lower rungs): take the
+    ADC top-ADC_RERANK_POOL (quantized distances, vectors untouched),
+    then read the true vectors for ONLY those candidates and re-order
+    by exact cosine. Recall equals the IVF cell-recall ceiling
+    (nprobe-bound, 0.85-0.95 here) instead of being degraded by PQ
+    ranking error — grid-measured round 7: raw ADC 0.70 -> reranked
+    0.95 at sf0.01. tests/test_ann_recall.py pins both floors.
+
+    100 TB shape: the rerank stage reads d floats x ADC_RERANK_POOL
+    rows (a point lookup by vec_id — at rest this is the primary-key
+    fetch every vector store serves), NOT the probed cells' full
+    vectors; everything upstream stays M bytes/vector. The final sort
+    is TakeOrderedAndProject over POOL rows."""
+    shortlist = _adc_topk_pool(spark, sf_dir, ADC_RERANK_POOL).select(
+        "vec_id"
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    c = F.round(cosine(F.col("embedding"), F.col("qv")), 6)
+    return (
+        e.join(shortlist, "vec_id", "left_semi")
+        .crossJoin(qv)
+        .select("vec_id", c.alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), "vec_id")
         .limit(TOPK)
     )
 
@@ -6130,7 +6209,7 @@ def _adc_batch_oracle() -> str:
                                 c.cell
                    ) AS rn
             FROM {iv_cb} c CROSS JOIN bq q
-        ) WHERE rn <= {ANN_NPROBE}
+        ) WHERE rn <= {ADC_NPROBE}
     ),
     blut AS (
         SELECT q.qid, c.subspace, c.code,
@@ -6193,7 +6272,7 @@ def q_sim_ivf_pq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         cb.crossJoin(F.broadcast(bq))
         .select("qid", "cell", pc.alias("pc"))
         .withColumn("rn", F.row_number().over(wp))
-        .filter(F.col("rn") <= ANN_NPROBE)
+        .filter(F.col("rn") <= ADC_NPROBE)
         .select("qid", "cell")
     )
     bqc = comp.filter(F.col("vec_id") < ADC_BATCH_Q).select(
