@@ -363,10 +363,13 @@ def _sql_quote(s: str) -> str:
 
 @dataclass(frozen=True)
 class Binding:
-    """A selector bound to a materialized column (Spark + oracle sides)."""
+    """A selector bound to a materialized column. ``column`` feeds the
+    Spark backend, ``sql`` the oracle backend; either may be omitted
+    when only one backend will be asked for (e.g. oracle SQL generated
+    at import time passes ``Binding(sql=...)`` alone)."""
 
-    column: Column
-    sql: str
+    column: Column | None = None
+    sql: str | None = None
     numeric: bool = False  # column is already numeric — no cast needed
 
 
@@ -427,6 +430,10 @@ class CompiledPattern:
         sel, op, val = node.selector, node.op, node.value
         bound = bindings.get(sel.path)
         if bound is not None:
+            if bound.column is None:
+                raise FilterPatternError(
+                    f"binding for {sel.path} has no Spark column"
+                )
             raw, numeric = bound.column, bound.numeric
         else:
             if json is None:
@@ -506,6 +513,10 @@ class CompiledPattern:
         sel, op, val = node.selector, node.op, node.value
         bound = bindings.get(sel.path)
         if bound is not None:
+            if bound.sql is None:
+                raise FilterPatternError(
+                    f"binding for {sel.path} has no SQL expression"
+                )
             raw, numeric = bound.sql, bound.numeric
         else:
             if json is None:

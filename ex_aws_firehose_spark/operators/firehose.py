@@ -1003,8 +1003,8 @@ def q_filter_pattern_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _fp_bound_bindings():
     return {
-        "$.event_type": Binding(F.col("event_type"), "event_type"),
-        "$.value": Binding(F.col("value"), "value", numeric=True),
+        "$.event_type": Binding(column=F.col("event_type")),
+        "$.value": Binding(column=F.col("value"), numeric=True),
     }
 
 
@@ -1015,8 +1015,8 @@ def _fp_bound_bindings():
            CAST(ROUND(value * 100) AS BIGINT) AS value_cents
     FROM events
     WHERE {_FP_BOUND.duckdb_sql(json="props", bindings={
-        "$.event_type": Binding(None, "event_type"),
-        "$.value": Binding(None, "value", numeric=True),
+        "$.event_type": Binding(sql="event_type"),
+        "$.value": Binding(sql="value", numeric=True),
     })}
     """,
     tags=("firehose", "filter-pattern"),

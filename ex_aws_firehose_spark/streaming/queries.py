@@ -20,6 +20,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ex_aws_firehose_spark.functions.filter_pattern import compile_pattern
 from ex_aws_firehose_spark.operators.firehose import ORACLE_CTE
 from ex_aws_firehose_spark.operators.llm import _minhash_cte
 from ex_aws_firehose_spark.registry import query
@@ -535,20 +536,27 @@ def src_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synthesize_records(spark, sf_dir).select("record_id", "idx")
 
 
+_SUBSCRIPTION_PATTERN = "error"  # the first non-empty pattern users deploy
+_SUBSCRIPTION_COMPILED = compile_pattern(_SUBSCRIPTION_PATTERN)
+
+
 @query(
     "src_subscription_filter",
     oracle=ORACLE_CTE
-    + """
+    + f"""
     SELECT record_id, event_id_str, message FROM data_events
-    WHERE message LIKE 'error %'
+    WHERE {_SUBSCRIPTION_COMPILED.duckdb_sql(message="message")}
     """,
     tags=("firehose", "source"),
 )
 def src_subscription_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Subscription-filter semantics (main.tf:284-290): the reference
-    deploys filter_pattern = "" (match-all); this query exercises the
-    non-trivial pattern path — a source-side predicate on the log
-    message ('error %') applied before the stream."""
+    deploys filter_pattern = "" (match-all); this key exercises the
+    non-trivial path with the REAL pattern compiler
+    (functions/filter_pattern.py) — the term pattern 'error' compiled
+    to a word-boundary predicate on the log message, applied before
+    the stream exactly where the subscription filter sits. The
+    q_filter_pattern_* family covers the rest of the DSL."""
     from ex_aws_firehose_spark.operators.firehose import (
         decode_chain,
         explode_events,
@@ -556,9 +564,8 @@ def src_subscription_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = explode_events(decode_chain(synthesize_records(spark, sf_dir)))
-    return ev.filter(F.col("message").like("error %")).select(
-        "record_id", "event_id_str", "message"
-    )
+    pred = _SUBSCRIPTION_COMPILED.column(message=F.col("message"))
+    return ev.filter(pred).select("record_id", "event_id_str", "message")
 
 
 @query(

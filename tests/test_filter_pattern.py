@@ -187,8 +187,8 @@ def test_bound_columns_match_unbound(spark):
     bound = df.filter(
         cp.column(
             bindings={
-                "$.event_type": Binding(F.col("event_type"), "event_type"),
-                "$.value": Binding(F.col("value"), "value", numeric=True),
+                "$.event_type": Binding(column=F.col("event_type")),
+                "$.value": Binding(column=F.col("value"), numeric=True),
             }
         )
     )
