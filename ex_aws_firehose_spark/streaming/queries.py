@@ -2251,3 +2251,87 @@ def q_stream_join_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).select("event_id", "user_id", "purchase_cents", "tier_cents")
     return _run_to_memory(joined, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Message-bus (Kafka-class) source via the Python DataSource STREAMING
+# API (sources/bus.py) — offsets, chunked polls, commit/replay
+# ---------------------------------------------------------------------------
+
+_BUS_TOPIC_CACHE = None  # set lazily to a SessionCache
+
+
+def bus_topic_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Topic dir: events staged once per (session, sf) as BUS_SHARDS
+    ordered parquet shard logs."""
+    global _BUS_TOPIC_CACHE
+    if _BUS_TOPIC_CACHE is None:
+        from ex_aws_firehose_spark.caching import SessionCache
+
+        _BUS_TOPIC_CACHE = SessionCache()
+    key = _BUS_TOPIC_CACHE.scoped_key(spark, sf_dir)
+    if key not in _BUS_TOPIC_CACHE:
+        import os
+
+        import duckdb
+
+        from ex_aws_firehose_spark.sources.bus import BUS_SHARDS
+
+        root = os.path.join(tempfile.mkdtemp(prefix="bus_topic_"), "topic")
+        os.makedirs(root, exist_ok=True)
+        con = duckdb.connect()
+        try:
+            n = 0
+            for shard in range(BUS_SHARDS):
+                path = os.path.join(root, f"shard-{shard}.parquet")
+                con.execute(
+                    f"""
+                    COPY (
+                        SELECT event_id, user_id, event_type,
+                               CAST(ROUND(value * 100) AS BIGINT) AS cents
+                        FROM read_parquet('{sf_dir}/events.parquet')
+                        WHERE event_id % {BUS_SHARDS} = {shard}
+                        ORDER BY event_id
+                    ) TO '{path}' (FORMAT PARQUET)
+                    """
+                )
+                n += con.execute(
+                    f"SELECT count(*) FROM read_parquet('{path}')"
+                ).fetchone()[0]
+        finally:
+            con.close()
+        _BUS_TOPIC_CACHE[key] = root
+    return _BUS_TOPIC_CACHE[key]
+
+
+@query(
+    "src_stream_bus_topic",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+    """,
+    tags=("streaming", "source", "python"),
+)
+def src_stream_bus_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Message-bus source semantics end-to-end through a REAL streaming
+    connector implementation (sources/bus.py, Spark 4 Python DataSource
+    streaming API): a 4-shard topic with per-shard record offsets,
+    driver-side offset planning, executor-side partition reads of
+    exactly the [start, end) slice, and commit-based replay (restart
+    resumes at the committed offset; exactly-once and chunked
+    per-poll admission control pinned in tests/test_bus_source.py).
+    The drained stream must equal the events table row-for-row — the
+    at-least-once-delivery ∧ no-duplicates check a bus consumer owes
+    its sink.
+
+    100 TB shape: O(shards) offset metadata per trigger on the driver;
+    data crosses executor-side per-shard slices in parallel. The Python
+    row path prices the extension point, not bulk throughput — a JVM
+    connector owns that; THIS is the contract it implements."""
+    from ex_aws_firehose_spark.sources.bus import register_bus_datasource
+
+    root = bus_topic_dir(spark, sf_dir)
+    register_bus_datasource(spark)
+    stream = spark.readStream.format("bus_topic").option("path", root).load()
+    return _run_to_memory(stream, mode="append")

@@ -48,19 +48,40 @@ def test_budget_file_is_sane():
 
 
 def test_no_key_exceeds_budget():
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    if sf.rstrip("/") != "/root/testdata/sf0.01":
+        pytest.skip(f"budgets are sf0.01-scaled; sweep ran at {sf}")
     timings = testing.SPARK_TIMINGS
     if len(timings) < MIN_KEYS_FOR_GATE:
         pytest.skip(
             f"only {len(timings)} keys timed this session — budget gate "
             f"needs a full oracle sweep (≥{MIN_KEYS_FOR_GATE})"
         )
-    budgets = _budgets()
-    over = {
-        k: (round(t, 2), budgets.get(k, DEFAULT_BUDGET))
-        for k, t in timings.items()
-        if t > budgets.get(k, DEFAULT_BUDGET)
-    }
+    over = _over_budget(timings, _budgets())
     assert not over, (
         "keys over their per-key budget (sec measured, sec allowed) — "
         f"either a real regression or re-seed tools/seed_perf_budgets.py: {over}"
     )
+
+
+def _over_budget(
+    timings: dict[str, float], budgets: dict[str, float]
+) -> dict[str, tuple[float, float]]:
+    return {
+        k: (round(t, 2), budgets.get(k, DEFAULT_BUDGET))
+        for k, t in timings.items()
+        if t > budgets.get(k, DEFAULT_BUDGET)
+    }
+
+
+def test_gate_flags_a_slowed_key():
+    """The gate must go red when any key exceeds its budget (the
+    artificially-slowed-key check, run against the real budget table)."""
+    budgets = _budgets()
+    key = next(iter(budgets))
+    ok = {key: budgets[key] - 0.01, "q_new_unseeded": DEFAULT_BUDGET - 1}
+    assert _over_budget(ok, budgets) == {}
+    slowed = dict(ok, **{key: budgets[key] * 3})
+    over = _over_budget(slowed, budgets)
+    assert key in over and over[key][1] == budgets[key]
+    assert _over_budget({"q_new_unseeded": DEFAULT_BUDGET + 1}, budgets)
