@@ -2160,7 +2160,7 @@ def _mk_edges_cte() -> str:
     starts AS (
         SELECT 'START' AS src, event_type AS dst FROM path WHERE rn = 1
     ),
-    edges AS (
+    edges AS MATERIALIZED (
         SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
             SELECT src, dst FROM pairs WHERE dst IS NOT NULL
             UNION ALL SELECT src, dst FROM starts
@@ -2169,7 +2169,10 @@ def _mk_edges_cte() -> str:
     tot AS (
         SELECT src, CAST(SUM(cnt) AS BIGINT) AS t FROM edges GROUP BY src
     ),
-    eq AS (
+    -- MATERIALIZED: every scenario chain references eq once per step;
+    -- DuckDB 1.0 would otherwise inline the whole window pipeline into
+    -- each of the 30 references (measured: OOM at sf0.1)
+    eq AS MATERIALIZED (
         SELECT e.src, e.dst, (e.cnt * {_MK_EDGE_SCALE}) // t.t AS q
         FROM edges e JOIN tot t USING (src)
     )
