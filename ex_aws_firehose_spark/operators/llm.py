@@ -6948,3 +6948,167 @@ def q_eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 1000000 DIV min(rn) END AS LONG)"
         ).alias("mrr_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: quality x length binning and soft-dedup reweighting
+# ---------------------------------------------------------------------------
+
+QBIN_DECILES = 10
+_LEN_BUCKETS = ((0, 64, "short"), (64, 256, "medium"), (256, 1 << 62, "long"))
+
+
+def _len_bucket_sql(col: str) -> str:
+    return (
+        "CASE "
+        + " ".join(
+            f"WHEN {col} >= {lo} AND {col} < {hi} THEN '{name}'"
+            for lo, hi, name in _LEN_BUCKETS
+        )
+        + " END"
+    )
+
+
+@query(
+    "q_curate_quality_bins",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, str_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, source,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               len(list_distinct(toks)) * 1000 // len(toks) AS uniq_permille
+        FROM t
+    ),
+    binned AS (
+        SELECT *,
+               ntile({QBIN_DECILES}) OVER (
+                   ORDER BY uniq_permille, doc_id
+               ) AS quality_decile,
+               {_len_bucket_sql("n_tokens")} AS len_bucket
+        FROM scored
+    ),
+    corpus AS (SELECT SUM(n_tokens) AS total FROM binned)
+    SELECT CAST(quality_decile AS BIGINT) AS quality_decile, len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
+           CAST(SUM(n_tokens) * 1000000 // (SELECT total FROM corpus)
+                AS BIGINT) AS token_share_ppm
+    FROM binned GROUP BY 1, 2
+    """,
+    tags=("llm", "curation"),
+)
+def q_curate_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality × length BINNING TABLE — the grid a data-mixing run
+    samples from (quality-curriculum training draws by decile, length
+    bucketing feeds the packing stage): docs ranked by an integer
+    quality surrogate (type/token ratio in permille — deterministic
+    total order with doc_id tiebreak, so ntile agrees bit-for-bit
+    across engines), cut into deciles, crossed with 3 length buckets;
+    per cell: docs, tokens, and corpus token share in ppm.
+
+    100 TB shape: scoring is a per-row map; ntile is ONE total-order
+    sort — the honest global stage (same cost class as
+    q_curate_token_budget's fill, and the documented alternative is
+    approx_percentile cuts when a 1e9-doc exact decile edge isn't
+    worth a sort); the final rollup is a ≤30-row hash agg."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    scored = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(
+            "size(array_distinct(split(lower(text), ' '))) * 1000"
+            " div size(split(lower(text), ' '))"
+        ).alias("uniq_permille"),
+    )
+    w = Window.orderBy("uniq_permille", "doc_id")
+    binned = scored.select(
+        "*",
+        F.ntile(QBIN_DECILES).over(w).alias("quality_decile"),
+    ).withColumn(
+        "len_bucket",
+        F.when(F.col("n_tokens") < 64, "short")
+        .when(F.col("n_tokens") < 256, "medium")
+        .otherwise("long"),
+    )
+    total = binned.agg(F.sum("n_tokens").alias("total"))
+    return (
+        binned.groupBy(
+            F.col("quality_decile").cast("long").alias("quality_decile"),
+            "len_bucket",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "quality_decile",
+            "len_bucket",
+            "n_docs",
+            "tokens",
+            F.expr("tokens * 1000000 div total").alias("token_share_ppm"),
+        )
+    )
+
+
+SOFTDEDUP_SCALE = 1_000_000
+
+
+@query(
+    "q_curate_dedup_softweight",
+    oracle=f"""
+    WITH cl AS (
+        SELECT doc_id, source, text,
+               COUNT(*) OVER (PARTITION BY text) AS cluster_size,
+               len(str_split(lower(text), ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_raw,
+           CAST(SUM(n_tokens * ({SOFTDEDUP_SCALE} // cluster_size))
+                // {SOFTDEDUP_SCALE} AS BIGINT) AS tokens_effective
+    FROM cl GROUP BY source
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def q_curate_dedup_softweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup — reweight instead of drop (the SlimPajama/SoftDeDup
+    move): every exact-duplicate cluster keeps ALL copies but each
+    carries sampling weight 1/cluster_size, so the cluster contributes
+    one document's worth of expected tokens to training. Per-source
+    report: docs, docs in nontrivial clusters, raw tokens, and
+    effective (weighted) tokens — the corpus the sampler actually
+    sees. Weights are SCALE-quantized int64 (1e6 div size), exact in
+    both engines.
+
+    100 TB shape: cluster sizing is one window/agg on the content key
+    (hash the text in production — grouping on raw text here keeps the
+    oracle trivially readable, same shuffle); the rollup is a
+    per-source hash agg. No sort, no join, no candidate explosion —
+    soft dedup is the cheapest dedup there is, which is its point."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("text")
+    cl = d.select(
+        "source",
+        F.count("*").over(w).alias("cluster_size"),
+        F.size(tokens("text")).cast("long").alias("n_tokens"),
+    )
+    return cl.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_docs"),
+        F.sum("n_tokens").alias("tokens_raw"),
+        F.expr(
+            f"CAST(sum(n_tokens * ({SOFTDEDUP_SCALE} div cluster_size))"
+            f" div {SOFTDEDUP_SCALE} AS LONG)"
+        ).alias("tokens_effective"),
+    )

@@ -2335,3 +2335,49 @@ def src_stream_bus_topic(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_bus_datasource(spark)
     stream = spark.readStream.format("bus_topic").option("path", root).load()
     return _run_to_memory(stream, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Subscription filter-pattern DSL applied INSIDE a streaming query
+# ---------------------------------------------------------------------------
+
+_STREAM_FP_PATTERN = "?error ?signup -Hello"
+_STREAM_FP = compile_pattern(_STREAM_FP_PATTERN)
+# the firehose fixture's log-message derivation (FIXTURES.md §B), also
+# used by ORACLE_CTE's ev — kept textually tiny so both sides align
+_MSG_EXPR = (
+    "CASE WHEN event_id % 7 = 0"
+    " THEN 'Hello ' || event_type || ' ' || props"
+    " ELSE event_type || ' ' || props END"
+)
+
+
+@query(
+    "q_stream_filter_pattern",
+    oracle=f"""
+    SELECT event_id, {_MSG_EXPR} AS message FROM events
+    WHERE {_STREAM_FP.duckdb_sql(message=f"({_MSG_EXPR})")}
+    """,
+    tags=("streaming", "filter-pattern"),
+)
+def q_stream_filter_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The subscription filter WHERE IT ACTUALLY RUNS: the compiled
+    CloudWatch pattern ('?error ?signup -Hello' — OR + NOT term forms)
+    as a per-micro-batch predicate on the live log-event stream,
+    exactly the placement of main.tf:284-290's filter between the log
+    group and the delivery stream. The compiled predicate is pure
+    codegen (word-boundary rlike), so it rides the stream with no
+    state, no watermark, no Python — a stateless filter costs nothing
+    at any scale. Batch keys q_filter_pattern_* prove the DSL; this
+    key proves its streaming placement."""
+    src = _parity_events_dir(spark, sf_dir)
+    raw = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    msg = F.expr(_MSG_EXPR)
+    flt = raw.select("event_id", msg.alias("message")).filter(
+        _STREAM_FP.column(message=F.col("message"))
+    )
+    return _run_to_memory(flt, mode="append")
