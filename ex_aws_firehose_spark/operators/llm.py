@@ -5740,8 +5740,37 @@ def _adc_topk_pool(
     (limit=ADC_RERANK_POOL)."""
     comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
     cb, members = ivf_train(spark, sf_dir)
-    qcomp = comp.filter(F.col("vec_id") == 0).select(
-        "subspace", "pos", F.col("sv").alias("qsv")
+    return _adc_serve(spark, sf_dir, cent, codes, cb, members, limit)
+
+
+def _adc_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    cent: DataFrame,
+    codes: DataFrame,
+    cb: DataFrame,
+    members: DataFrame,
+    limit: int,
+) -> DataFrame:
+    """Serve the ADC top-``limit`` from INDEX FRAMES (codebook, codes,
+    coarse codebook, inverted lists) — callers supply either the
+    just-trained frames (_adc_topk_pool) or frames reloaded from
+    storage (q_sim_index_persist): serving never cares which, which is
+    the index-as-data contract. The only non-index inputs are the
+    query vector itself (milli-quantized per subspace below — the same
+    derivation pq_train applies corpus-wide) and, for cell routing,
+    the raw query embedding."""
+    e0 = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") == 0)
+    qcomp = (
+        e0.select(
+            F.size("embedding").alias("dlen"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .select(
+            F.expr(f"CAST((pos * {ADC_M}) DIV dlen AS INT)").alias("subspace"),
+            "pos",
+            F.floor(F.col("v").cast("double") * 1000).cast("long").alias("qsv"),
+        )
     )
     d = F.col("qsv") - F.col("icv")
     lut = (
@@ -7112,3 +7141,174 @@ def q_curate_dedup_softweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div {SOFTDEDUP_SCALE} AS LONG)"
         ).alias("tokens_effective"),
     )
+
+
+def _bpe_encode_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
+    # MATERIALIZED: each et{r} is referenced by both the pair-count and
+    # the rewrite CTE of its round — DuckDB 1.0 would otherwise inline
+    # the whole upstream chain per reference (the q_attribution_markov
+    # lesson, same engine behavior).
+    ctes = [
+        "et1 AS MATERIALIZED (SELECT doc_id,"
+        " str_split(lower(text), ' ') AS t FROM documents)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""ep{r} AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM et{r} WHERE len(t) >= 2
+    )"""
+        )
+        ctes.append(
+            f"""eb{r} AS (
+        SELECT pair FROM ep{r}
+        WHERE str_split(pair, ' ')[1] <> str_split(pair, ' ')[2]
+        GROUP BY pair ORDER BY COUNT(*) DESC, pair LIMIT 1
+    )"""
+        )
+        rew = _bpe_rewrite_sql(
+            "t",
+            f"str_split(eb{r}.pair, ' ')[1]",
+            f"str_split(eb{r}.pair, ' ')[2]",
+        )
+        ctes.append(
+            f"""et{r + 1} AS MATERIALIZED (
+        SELECT doc_id, {rew} AS t
+        FROM et{r} CROSS JOIN eb{r}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT a.doc_id,
+           CAST(len(a.t) AS BIGINT) AS tokens_before,
+           CAST(len(b.t) AS BIGINT) AS tokens_after,
+           CAST((len(a.t) - len(b.t)) * 1000000 // len(a.t) AS BIGINT)
+               AS saved_ppm
+    FROM et1 a JOIN et{rounds + 1} b USING (doc_id)
+    """
+    )
+
+
+@query(
+    "q_bpe_encode",
+    oracle=_bpe_encode_oracle(),
+    tags=("llm", "text", "iterative"),
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the apply side of q_bpe_train: run the learned
+    merge sequence over every document and report per-doc token counts
+    before/after plus the ppm saved. This is the number a tokenizer
+    change is judged by (tokens = training cost), computed per doc so
+    the win can be sliced by source/length downstream; the training
+    keys report only corpus totals.
+
+    Shape per round: the 1-row winning pair broadcasts and the rewrite
+    is a pure per-row map (positional greedy merge — non-self pairs
+    cannot self-overlap, so one pass is exact); lineage is cut per
+    round with localCheckpoint exactly like the training loop. At
+    100 TB the pair-count shuffle (vocabulary-bounded, map-side
+    combined) dominates; encoding itself never shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
+    before = cur.select("doc_id", F.size("t").cast("long").alias("tokens_before"))
+    for _ in range(BPE_TRAIN_ROUNDS):
+        pairs_arr = F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            ),
+        ).otherwise(F.expr("array()"))
+        paired = cur.withColumn("pairs_arr", pairs_arr)
+        best = (
+            paired.select(F.explode("pairs_arr").alias("pair"))
+            .filter(F.expr("split(pair, ' ')[0] <> split(pair, ' ')[1]"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(F.col("pair").alias("bp"))
+        )
+        cur = (
+            paired.crossJoin(F.broadcast(best))
+            .withColumn("bx", F.expr("split(bp, ' ')[0]"))
+            .withColumn("by", F.expr("split(bp, ' ')[1]"))
+            .select(
+                "doc_id",
+                F.expr(
+                    """filter(transform(sequence(1, size(t)), i ->
+                        CASE WHEN i < size(t) AND element_at(t, i) = bx
+                                  AND element_at(t, i + 1) = by
+                                 THEN concat(bx, '_', by)
+                             WHEN i > 1 AND element_at(t, i - 1) = bx
+                                  AND element_at(t, i) = by
+                                 THEN NULL
+                             ELSE element_at(t, i) END),
+                        x -> x IS NOT NULL)"""
+                ).alias("t"),
+            )
+            .localCheckpoint()
+        )
+    after = cur.select("doc_id", F.size("t").cast("long").alias("tokens_after"))
+    return before.join(after, "doc_id").select(
+        "doc_id",
+        "tokens_before",
+        "tokens_after",
+        F.expr(
+            "CAST((tokens_before - tokens_after) * 1000000"
+            " div tokens_before AS LONG)"
+        ).alias("saved_ppm"),
+    )
+
+
+_INDEX_PERSIST_CACHE: SessionCache = SessionCache()
+
+
+@query(
+    "q_sim_index_persist",
+    oracle=_adc_oracle(),
+    tags=("llm", "similarity", "index"),
+)
+def q_sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index PERSISTENCE round-trip — the deployment step every ANN
+    build ends with: the four trained index artifacts (PQ codebook,
+    per-vector PQ codes, IVF coarse codebook, inverted lists) are
+    WRITTEN to parquet tables, reloaded as ordinary DataFrames, and
+    the SAME ADC query is served from the reloaded index. The oracle
+    is q_sim_ivf_pq_adc's, verbatim: persisted serving must be
+    bit-identical to just-trained serving, or the index format lost
+    information (array columns, int64 milli-units, and cell ids all
+    survive the parquet round-trip).
+
+    100 TB shape: the artifacts ARE the serving dataset — codes
+    partition by coarse cell at rest so a probe is a partition-pruned
+    scan; codebooks are broadcast-size by construction. Training
+    happens once, serving reads only these tables — which this key
+    proves by construction (its serving plan's only other input is the
+    query vector)."""
+    import os
+    import tempfile
+
+    key = _INDEX_PERSIST_CACHE.scoped_key(spark, sf_dir)
+    if key not in _INDEX_PERSIST_CACHE:
+        comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
+        cb, members = ivf_train(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="ann_index_")
+        cent.write.parquet(os.path.join(root, "pq_codebook"))
+        codes.write.parquet(os.path.join(root, "pq_codes"))
+        cb.write.parquet(os.path.join(root, "ivf_codebook"))
+        # inverted lists partitioned BY CELL at rest: a probe of
+        # ADC_NPROBE cells is a partition-pruned scan, never a full read
+        members.write.partitionBy("cell").parquet(
+            os.path.join(root, "ivf_members")
+        )
+        _INDEX_PERSIST_CACHE[key] = root
+    root = _INDEX_PERSIST_CACHE[key]
+    cent = spark.read.parquet(os.path.join(root, "pq_codebook"))
+    codes = spark.read.parquet(os.path.join(root, "pq_codes"))
+    cb = spark.read.parquet(os.path.join(root, "ivf_codebook"))
+    members = spark.read.parquet(os.path.join(root, "ivf_members"))
+    return _adc_serve(spark, sf_dir, cent, codes, cb, members, TOPK)

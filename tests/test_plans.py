@@ -61,6 +61,21 @@ def test_filter_pattern_bound_predicates_reach_scan(spark, sf_dir):
     assert any("GreaterThan" in f for f in fs), fs
 
 
+def test_persisted_index_probe_is_partition_pruned(spark, sf_dir):
+    """The persisted inverted lists are partitioned by coarse cell; the
+    ADC probe must reach them as a DYNAMIC partition-pruned scan (cell
+    IN <broadcast probe result>) — at 100 TB this is the difference
+    between reading ADC_NPROBE cells and reading the corpus."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sim_index_persist"].fn(spark, sf_dir))
+    members_lines = [l for l in plan.splitlines() if "ivf_members" in l]
+    assert members_lines, plan
+    assert any("dynamicpruning" in l.lower() for l in members_lines), (
+        members_lines
+    )
+
+
 def test_topk_avoids_global_sort(spark, sf_dir):
     assert uses_take_ordered(REGISTRY["q_sort_limit_topk"].fn(spark, sf_dir))
 
