@@ -6295,6 +6295,21 @@ def q_sim_ivf_pq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     bq = e.filter(F.col("vec_id") < ADC_BATCH_Q).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
+    return _adc_serve_batch(bq, cent, codes, cb, members)
+
+
+def _adc_serve_batch(
+    bq: DataFrame,
+    cent: DataFrame,
+    codes: DataFrame,
+    cb: DataFrame,
+    members: DataFrame,
+) -> DataFrame:
+    """Serve a (qid, qv) query batch against ADC index frames — shared
+    by q_sim_ivf_pq_adc_batch (just-trained frames, the full corpus
+    batch) and q_stream_index_serve (persisted frames, micro-batches
+    of queries). Query LUT components derive from the raw query
+    vectors, so the only inputs are the index tables and the batch."""
     pc = F.round(cosine(F.col("cvec"), F.col("qv")), 6)
     wp = Window.partitionBy("qid").orderBy(F.col("pc").desc(), F.col("cell"))
     bprobe = (
@@ -6304,8 +6319,18 @@ def q_sim_ivf_pq_adc_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= ADC_NPROBE)
         .select("qid", "cell")
     )
-    bqc = comp.filter(F.col("vec_id") < ADC_BATCH_Q).select(
-        F.col("vec_id").alias("qid"), "subspace", "pos", F.col("sv").alias("qsv")
+    bqc = (
+        bq.select(
+            "qid",
+            F.size("qv").alias("dlen"),
+            F.posexplode("qv").alias("pos", "v"),
+        )
+        .select(
+            "qid",
+            F.expr(f"CAST((pos * {ADC_M}) DIV dlen AS INT)").alias("subspace"),
+            "pos",
+            F.floor(F.col("v").cast("double") * 1000).cast("long").alias("qsv"),
+        )
     )
     d = F.col("qsv") - F.col("icv")
     blut = (
@@ -7292,6 +7317,17 @@ def q_sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
+    cent, codes, cb, members = load_persisted_index(spark, sf_dir)
+    return _adc_serve(spark, sf_dir, cent, codes, cb, members, TOPK)
+
+
+def persisted_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per session, sf) the four index artifacts to parquet
+    and return the root — shared by q_sim_index_persist and the
+    streaming serving key."""
+    import os
+    import tempfile
+
     key = _INDEX_PERSIST_CACHE.scoped_key(spark, sf_dir)
     if key not in _INDEX_PERSIST_CACHE:
         comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
@@ -7306,9 +7342,18 @@ def q_sim_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(root, "ivf_members")
         )
         _INDEX_PERSIST_CACHE[key] = root
-    root = _INDEX_PERSIST_CACHE[key]
-    cent = spark.read.parquet(os.path.join(root, "pq_codebook"))
-    codes = spark.read.parquet(os.path.join(root, "pq_codes"))
-    cb = spark.read.parquet(os.path.join(root, "ivf_codebook"))
-    members = spark.read.parquet(os.path.join(root, "ivf_members"))
-    return _adc_serve(spark, sf_dir, cent, codes, cb, members, TOPK)
+    return _INDEX_PERSIST_CACHE[key]
+
+
+def load_persisted_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    import os
+
+    root = persisted_index_dir(spark, sf_dir)
+    return (
+        spark.read.parquet(os.path.join(root, "pq_codebook")),
+        spark.read.parquet(os.path.join(root, "pq_codes")),
+        spark.read.parquet(os.path.join(root, "ivf_codebook")),
+        spark.read.parquet(os.path.join(root, "ivf_members")),
+    )

@@ -2381,3 +2381,89 @@ def q_stream_filter_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_FP.column(message=F.col("message"))
     )
     return _run_to_memory(flt, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming ANN query serving against the persisted index
+# ---------------------------------------------------------------------------
+
+
+def _stream_serve_oracle() -> str:
+    from ex_aws_firehose_spark.operators.llm import _adc_batch_oracle
+
+    return _adc_batch_oracle()
+
+
+@query(
+    "q_stream_index_serve",
+    oracle=_stream_serve_oracle(),
+    tags=("streaming", "llm", "similarity"),
+)
+def q_stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ANN serving — the online half of the index lifecycle
+    (train → persist → q_sim_index_persist proves the round-trip →
+    THIS key serves a live query stream against it): query vectors
+    arrive in micro-batches (two staged files, maxFilesPerTrigger=1),
+    each batch routes/scores through the SAME _adc_serve_batch path as
+    the batch key against the RELOADED parquet index, results append
+    to the sink. Because per-query serving is independent of how
+    queries are batched, the drained results must be bit-identical to
+    q_sim_ivf_pq_adc_batch — that is this key's oracle, verbatim.
+
+    100 TB / online shape: the index tables load once (inverted lists
+    partition-pruned per probe), each micro-batch broadcasts only its
+    query LUTs; state-free serving, so the stream scales by executor
+    count alone."""
+    import os
+
+    from ex_aws_firehose_spark.operators.llm import (
+        ADC_BATCH_Q,
+        _adc_serve_batch,
+        load_persisted_index,
+    )
+
+    cent, codes, cb, members = load_persisted_index(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="ann_serve_")
+    qdir = os.path.join(root, "queries")
+    out_dir = os.path.join(root, "results")
+    e = load_table(spark, sf_dir, "embeddings")
+    bq = e.filter(F.col("vec_id") < ADC_BATCH_Q).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # two single-file micro-batches, mtime-ordered
+    half = ADC_BATCH_Q // 2
+    for i, cond in enumerate(
+        (F.col("qid") < half, F.col("qid") >= half)
+    ):
+        part = os.path.join(root, f"scratch-{i}")
+        bq.filter(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        f = next(
+            n
+            for n in os.listdir(part)
+            if n.endswith(".parquet") and not n.startswith(".")
+        )
+        os.makedirs(qdir, exist_ok=True)
+        staged = os.path.join(qdir, f"batch-{i}.parquet")
+        os.rename(os.path.join(part, f), staged)
+        t = 1_700_000_000 + i * 10
+        os.utime(staged, (t, t))
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _adc_serve_batch(batch_df, cent, codes, cb, members).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema("qid long, qv array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(qdir)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(serve_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
