@@ -451,7 +451,10 @@ class CompiledPattern:
             # `= null` matches absent/null values; `!= null` matches present
             return raw.isNull() if op == "=" else raw.isNotNull()
         elif isinstance(val, float):
-            lhs = raw if numeric else raw.cast("double")
+            # try_cast, not cast: under ANSI mode a plain cast THROWS on
+            # non-numeric JSON values; the documented semantics (and
+            # DuckDB's TRY_CAST) yield NULL → row excluded
+            lhs = raw if numeric else raw.try_cast("double")
             rhs = F.lit(val)
         elif node.wildcard:
             # Spark's LIKE escape char defaults to backslash; the oracle
