@@ -3634,6 +3634,35 @@ GOPHER_MIN_STOPWORDS = 2   # at least 2 stopword hits
 _GOPHER_STOP_SQL = "['the', 'a', 'and', 'order', 'table']"
 
 
+def gopher_ok_flags() -> list:
+    """The five Gopher structural-rule booleans over a ``text`` column
+    (integer cross-multiplied comparisons — bit-identical cross-engine),
+    shared by q_quality_gopher_rules and the streaming quality monitor
+    (q_stream_quality_monitor)."""
+    toks = tokens("text")
+    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_tok = F.size(toks)
+    n_chars_ns = F.length(F.regexp_replace("text", " ", ""))
+    n_sym = F.regexp_count("text", F.lit("[^a-z0-9 ]"))
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
+    return [
+        n_tok.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS).alias("ok_count"),
+        (
+            (n_chars_ns >= GOPHER_MIN_MEAN_LEN * n_tok)
+            & (n_chars_ns <= GOPHER_MAX_MEAN_LEN * n_tok)
+        ).alias("ok_mean_len"),
+        (10 * n_sym < n_tok).alias("ok_symbol"),
+        (5 * n_alpha >= 4 * n_tok).alias("ok_alpha"),
+        (n_stop >= GOPHER_MIN_STOPWORDS).alias("ok_stop"),
+    ]
+
+
+GOPHER_ALL_OK_EXPR = (
+    "ok_count AND ok_mean_len AND ok_symbol AND ok_alpha AND ok_stop"
+)
+
+
 @query(
     "q_quality_gopher_rules",
     oracle=f"""
@@ -3692,24 +3721,7 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documents scan (text never shuffles); the only exchange carries
     |sources| × 8 counters via partial aggregation."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
-    n_tok = F.size(toks)
-    n_chars_ns = F.length(F.regexp_replace("text", " ", ""))
-    n_sym = F.regexp_count("text", F.lit("[^a-z0-9 ]"))
-    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]")))
-    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop, x)))
-    r = d.select(
-        "source",
-        n_tok.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS).alias("ok_count"),
-        (
-            (n_chars_ns >= GOPHER_MIN_MEAN_LEN * n_tok)
-            & (n_chars_ns <= GOPHER_MAX_MEAN_LEN * n_tok)
-        ).alias("ok_mean_len"),
-        (10 * n_sym < n_tok).alias("ok_symbol"),
-        (5 * n_alpha >= 4 * n_tok).alias("ok_alpha"),
-        (n_stop >= GOPHER_MIN_STOPWORDS).alias("ok_stop"),
-    )
+    r = d.select("source", *gopher_ok_flags())
     fails = [
         F.sum(F.when(~F.col(c), 1).otherwise(0)).alias(a)
         for c, a in [

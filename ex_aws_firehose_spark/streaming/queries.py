@@ -980,6 +980,56 @@ def q_stream_replay_heal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DOCS_BATCH_CACHE = None  # set lazily to a SessionCache
+
+
+def _docs_range_batches_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents staged ONCE per (session, sf) as three arrival-ordered
+    doc_id-range parquet files (cuts at n//3 and 2*(n//3); strictly
+    increasing mtimes pin the file-source drain order). Shared by every
+    doc-stream key (minhash dedup, span dedup, quality monitor) — one
+    staging write per session instead of one per key; consumers prune
+    to the columns they need via their readStream schema."""
+    global _DOCS_BATCH_CACHE
+    if _DOCS_BATCH_CACHE is None:
+        from ex_aws_firehose_spark.caching import SessionCache
+
+        _DOCS_BATCH_CACHE = SessionCache()
+    key = _DOCS_BATCH_CACHE.scoped_key(spark, sf_dir)
+    if key not in _DOCS_BATCH_CACHE:
+        import os
+
+        root = tempfile.mkdtemp(prefix="docs_batches_")
+        src = os.path.join(root, "src")
+        d = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text", "source"
+        )
+        n = d.count()
+        cuts = (n // 3, 2 * (n // 3))
+        os.makedirs(src, exist_ok=True)
+        for i, cond in enumerate(
+            (
+                F.col("doc_id") < cuts[0],
+                (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
+                F.col("doc_id") >= cuts[1],
+            )
+        ):
+            scratch = os.path.join(root, f"scratch-{i}")
+            d.filter(cond).coalesce(1).write.mode("overwrite").parquet(scratch)
+            part = next(
+                f
+                for f in os.listdir(scratch)
+                if f.endswith(".parquet") and not f.startswith(".")
+            )
+            staged = os.path.join(src, f"batch-{i}.parquet")
+            os.rename(os.path.join(scratch, part), staged)
+            t = 1_700_000_000 + i * 10
+            os.utime(staged, (t, t))
+        _DOCS_BATCH_CACHE[key] = src
+    return _DOCS_BATCH_CACHE[key]
+
+
+
 @query(
     "q_stream_dedup_minhash",
     oracle=_MINHASH_BANDS_CTE
@@ -1022,33 +1072,9 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ex_aws_firehose_spark.operators.llm import minhash_bands
 
     root = tempfile.mkdtemp(prefix="dedup_stream_")
-    src = os.path.join(root, "src")
+    src = _docs_range_batches_dir(spark, sf_dir)
     idx_dir = os.path.join(root, "band_index")
     out_dir = os.path.join(root, "verdicts")
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = d.count()
-    # Three arrival-ordered batches by doc_id range; strictly increasing
-    # mtimes pin the file-source drain order to arrival order.
-    cuts = (n // 3, 2 * (n // 3))
-    os.makedirs(src, exist_ok=True)
-    for i, cond in enumerate(
-        (
-            F.col("doc_id") < cuts[0],
-            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
-            F.col("doc_id") >= cuts[1],
-        )
-    ):
-        scratch = os.path.join(root, f"scratch-{i}")
-        d.filter(cond).coalesce(1).write.mode("overwrite").parquet(scratch)
-        part = next(
-            f
-            for f in os.listdir(scratch)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        staged = os.path.join(src, f"batch-{i}.parquet")
-        os.rename(os.path.join(scratch, part), staged)
-        t = 1_700_000_000 + i * 10
-        os.utime(staged, (t, t))
 
     def dedup_batch(batch_df: DataFrame, batch_id: int) -> None:
         bands_b = minhash_bands(batch_df).persist()
@@ -1994,31 +2020,9 @@ def q_stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     root = tempfile.mkdtemp(prefix="span_stream_")
-    src = os.path.join(root, "src")
+    src = _docs_range_batches_dir(spark, sf_dir)
     idx_dir = os.path.join(root, "shingle_index")
     out_dir = os.path.join(root, "verdicts")
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = d.count()
-    cuts = (n // 3, 2 * (n // 3))
-    os.makedirs(src, exist_ok=True)
-    for i, cond in enumerate(
-        (
-            F.col("doc_id") < cuts[0],
-            (F.col("doc_id") >= cuts[0]) & (F.col("doc_id") < cuts[1]),
-            F.col("doc_id") >= cuts[1],
-        )
-    ):
-        scratch = os.path.join(root, f"scratch-{i}")
-        d.filter(cond).coalesce(1).write.mode("overwrite").parquet(scratch)
-        part = next(
-            f
-            for f in os.listdir(scratch)
-            if f.endswith(".parquet") and not f.startswith(".")
-        )
-        staged = os.path.join(src, f"batch-{i}.parquet")
-        os.rename(os.path.join(scratch, part), staged)
-        t = 1_700_000_000 + i * 10
-        os.utime(staged, (t, t))
 
     def span_batch(batch_df: DataFrame, batch_id: int) -> None:
         _span_dedup_batch(spark, idx_dir, out_dir, batch_df, batch_id)
@@ -2462,6 +2466,121 @@ def q_stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = (
             stream.writeStream.foreachBatch(serve_batch)
             .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality monitor (per-micro-batch Gopher-rule pass rates)
+# ---------------------------------------------------------------------------
+
+
+def _stream_quality_oracle() -> str:
+    from ex_aws_firehose_spark.operators.llm import (
+        GOPHER_MAX_MEAN_LEN,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_MEAN_LEN,
+        GOPHER_MIN_STOPWORDS,
+        GOPHER_MIN_TOKENS,
+        _GOPHER_STOP_SQL,
+    )
+
+    return f"""
+    WITH cuts AS (
+        SELECT count(*) // 3 AS c0, 2 * (count(*) // 3) AS c1
+        FROM documents
+    ),
+    t AS (
+        SELECT CASE WHEN doc_id < c.c0 THEN 0
+                    WHEN doc_id < c.c1 THEN 1 ELSE 2 END AS batch_id,
+               str_split(lower(text), ' ') AS toks,
+               length(replace(text, ' ', '')) AS n_chars_ns,
+               len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_sym
+        FROM documents CROSS JOIN cuts c
+    ),
+    r AS (
+        SELECT batch_id,
+               ((len(toks) BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS})
+                AND n_chars_ns >= {GOPHER_MIN_MEAN_LEN} * len(toks)
+                AND n_chars_ns <= {GOPHER_MAX_MEAN_LEN} * len(toks)
+                AND 10 * n_sym < len(toks)
+                AND 5 * len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+                    >= 4 * len(toks)
+                AND len(list_filter(toks,
+                        x -> list_contains({_GOPHER_STOP_SQL}, x)))
+                    >= {GOPHER_MIN_STOPWORDS}) AS ok
+        FROM t
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+                AS BIGINT) AS pass_ppm
+    FROM r GROUP BY batch_id
+    """
+
+
+@query(
+    "q_stream_quality_monitor",
+    oracle=_stream_quality_oracle(),
+    tags=("streaming", "quality"),
+)
+def q_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming QUALITY GATE — the per-tranche dashboard a crawl
+    ingest watches: each arriving micro-batch of documents is scored
+    against the full Gopher structural battery (the q_quality_gopher
+    _rules flags, shared helper) and emits one row per batch —
+    (batch_id, n_docs, n_pass, pass_ppm). A pass-rate cliff in one
+    tranche = a bad crawl segment or a source gone rotten, caught at
+    ingest time rather than at the next full-corpus audit. Arrival
+    order = doc_id order (the shared 3-tranche staging), so the oracle
+    reproduces each tranche's rate exactly.
+
+    100 TB shape: rule evaluation is map-only codegen inside each
+    micro-batch (text never shuffles); per batch only 3 counters
+    aggregate. Stateless — monitoring adds nothing to the stream's
+    state store."""
+    import os
+
+    from ex_aws_firehose_spark.operators.llm import gopher_ok_flags
+
+    src = _docs_range_batches_dir(spark, sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="quality_monitor_") + "/out"
+
+    def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
+        flags = batch_df.select(*gopher_ok_flags())
+        row = flags.agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("ok_count")
+                    & F.col("ok_mean_len")
+                    & F.col("ok_symbol")
+                    & F.col("ok_alpha")
+                    & F.col("ok_stop"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_pass"),
+        ).select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            "n_docs",
+            "n_pass",
+            F.expr("n_pass * 1000000 div n_docs").alias("pass_ppm"),
+        )
+        row.write.mode("append").parquet(out_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(monitor_batch)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="qm_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
