@@ -5597,6 +5597,72 @@ def _bpe_train_oracle(rounds: int = BPE_TRAIN_ROUNDS) -> str:
     return "WITH " + ",\n    ".join(ctes) + "\n    " + union
 
 
+_BPE_ROUNDS_CACHE: SessionCache = SessionCache()
+
+
+def bpe_rounds(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[DataFrame], list[DataFrame]]:
+    """(states, bests): per-round BPE state shared by q_bpe_train and
+    q_bpe_encode — states[r] is the per-doc token corpus after r merges
+    (doc_id, t), bests[r-1] the 1-row winning pair of round r; all
+    localCheckpointed, computed ONCE per (session, sf). Train and
+    encode run the identical merge sequence by construction, and the
+    K pair-count shuffles happen once, not once per key."""
+    key = _BPE_ROUNDS_CACHE.scoped_key(spark, sf_dir)
+    cached = _BPE_ROUNDS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    d = load_table(spark, sf_dir, "documents")
+    cur = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("t")
+    ).localCheckpoint()
+    states, bests = [cur], []
+    for _r in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs_arr = F.when(
+            F.size("t") >= 2,
+            F.expr(
+                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            ),
+        ).otherwise(F.expr("array()"))
+        paired = cur.withColumn("pairs_arr", pairs_arr)
+        best = (
+            paired.select(F.explode("pairs_arr").alias("pair"))
+            .filter(F.expr("split(pair, ' ')[0] <> split(pair, ' ')[1]"))
+            .groupBy("pair")
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.col("n").desc(), "pair")
+            .limit(1)
+            .select(F.col("pair").alias("bp"))
+            .localCheckpoint()
+        )
+        cur = (
+            paired.crossJoin(F.broadcast(best))
+            .withColumn("bx", F.expr("split(bp, ' ')[0]"))
+            .withColumn("by", F.expr("split(bp, ' ')[1]"))
+            .select(
+                "doc_id",
+                F.expr(
+                    """filter(transform(sequence(1, size(t)), i ->
+                        CASE WHEN i < size(t) AND element_at(t, i) = bx
+                                  AND element_at(t, i + 1) = by
+                                 THEN concat(bx, '_', by)
+                             WHEN i > 1 AND element_at(t, i - 1) = bx
+                                  AND element_at(t, i) = by
+                                 THEN NULL
+                             ELSE element_at(t, i) END),
+                        x -> x IS NOT NULL)"""
+                ).alias("t"),
+            )
+            .localCheckpoint()
+        )
+        states.append(cur)
+        bests.append(best)
+    _BPE_ROUNDS_CACHE[key] = (states, bests)
+    return states, bests
+
+
 @query(
     "q_bpe_train",
     oracle=_bpe_train_oracle(),
@@ -5623,58 +5689,26 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus. K rounds = K identical plans; a real 50k-vocab train
     batches the top-B non-interacting pairs per round to cut rounds,
     same plan otherwise."""
-    d = load_table(spark, sf_dir, "documents")
-    cur = d.select(F.split(F.lower("text"), " ").alias("t"))
+    states, bests = bpe_rounds(spark, sf_dir)
     out = []
     for r in range(1, BPE_TRAIN_ROUNDS + 1):
-        pairs_arr = F.when(
-            F.size("t") >= 2,
-            F.expr(
-                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
-                " (a, b) -> concat(a, ' ', b))"
-            ),
-        ).otherwise(F.expr("array()"))
-        paired = cur.withColumn("pairs_arr", pairs_arr)
-        best = (
-            paired.select(F.explode("pairs_arr").alias("pair"))
-            .filter(F.expr("split(pair, ' ')[0] <> split(pair, ' ')[1]"))
-            .groupBy("pair")
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.col("n").desc(), "pair")
-            .limit(1)
-            .select(F.col("pair").alias("bp"))
-        )
-        stepped = (
-            paired.crossJoin(F.broadcast(best))
-            .withColumn("bx", F.expr("split(bp, ' ')[0]"))
-            .withColumn("by", F.expr("split(bp, ' ')[1]"))
-            .withColumn(
-                "nt",
-                F.expr(
-                    """filter(transform(sequence(1, size(t)), i ->
-                        CASE WHEN i < size(t) AND element_at(t, i) = bx
-                                  AND element_at(t, i + 1) = by
-                                 THEN concat(bx, '_', by)
-                             WHEN i > 1 AND element_at(t, i - 1) = bx
-                                  AND element_at(t, i) = by
-                                 THEN NULL
-                             ELSE element_at(t, i) END),
-                        x -> x IS NOT NULL)"""
-                ),
-            )
+        tb = states[r - 1].agg(
+            F.sum(F.size("t")).alias("tokens_before")
         )
         out.append(
-            stepped.groupBy("bp").agg(
-                F.sum(F.size("t") - F.size("nt")).alias("n_merges"),
-                F.sum(F.size("nt")).alias("tokens_after"),
-            ).select(
+            states[r]
+            .agg(F.sum(F.size("t")).alias("tokens_after"))
+            .crossJoin(F.broadcast(tb))
+            .crossJoin(F.broadcast(bests[r - 1]))
+            .select(
                 F.lit(r).cast("long").alias("round"),
                 F.col("bp").alias("merged_pair"),
-                "n_merges",
+                (F.col("tokens_before") - F.col("tokens_after")).alias(
+                    "n_merges"
+                ),
                 "tokens_after",
             )
         )
-        cur = stepped.select(F.col("nt").alias("t")).localCheckpoint()
     res = out[0]
     for o in out[1:]:
         res = res.unionByName(o)
@@ -7248,47 +7282,11 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     round with localCheckpoint exactly like the training loop. At
     100 TB the pair-count shuffle (vocabulary-bounded, map-side
     combined) dominates; encoding itself never shuffles."""
-    d = load_table(spark, sf_dir, "documents")
-    cur = d.select("doc_id", F.split(F.lower("text"), " ").alias("t"))
-    before = cur.select("doc_id", F.size("t").cast("long").alias("tokens_before"))
-    for _ in range(BPE_TRAIN_ROUNDS):
-        pairs_arr = F.when(
-            F.size("t") >= 2,
-            F.expr(
-                "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
-                " (a, b) -> concat(a, ' ', b))"
-            ),
-        ).otherwise(F.expr("array()"))
-        paired = cur.withColumn("pairs_arr", pairs_arr)
-        best = (
-            paired.select(F.explode("pairs_arr").alias("pair"))
-            .filter(F.expr("split(pair, ' ')[0] <> split(pair, ' ')[1]"))
-            .groupBy("pair")
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.col("n").desc(), "pair")
-            .limit(1)
-            .select(F.col("pair").alias("bp"))
-        )
-        cur = (
-            paired.crossJoin(F.broadcast(best))
-            .withColumn("bx", F.expr("split(bp, ' ')[0]"))
-            .withColumn("by", F.expr("split(bp, ' ')[1]"))
-            .select(
-                "doc_id",
-                F.expr(
-                    """filter(transform(sequence(1, size(t)), i ->
-                        CASE WHEN i < size(t) AND element_at(t, i) = bx
-                                  AND element_at(t, i + 1) = by
-                                 THEN concat(bx, '_', by)
-                             WHEN i > 1 AND element_at(t, i - 1) = bx
-                                  AND element_at(t, i) = by
-                                 THEN NULL
-                             ELSE element_at(t, i) END),
-                        x -> x IS NOT NULL)"""
-                ).alias("t"),
-            )
-            .localCheckpoint()
-        )
+    states, _bests = bpe_rounds(spark, sf_dir)
+    before = states[0].select(
+        "doc_id", F.size("t").cast("long").alias("tokens_before")
+    )
+    cur = states[-1]
     after = cur.select("doc_id", F.size("t").cast("long").alias("tokens_after"))
     return before.join(after, "doc_id").select(
         "doc_id",
