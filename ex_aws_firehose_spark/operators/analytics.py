@@ -2605,3 +2605,121 @@ def q_timeseries_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("nv").isNotNull()
         ).alias("interpolated"),
     )
+
+
+# ACF lags computed per user series; MIN_ACF_PAIRS guards degenerate
+# (constant / near-empty) series out of the report.
+ACF_LAGS = (1, 2, 3)
+MIN_ACF_PAIRS = 20
+
+
+@query(
+    "q_timeseries_acf",
+    oracle=EVENTS_US
+    + f"""
+    , c AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS x
+        FROM events_us
+    ),
+    lagged AS (
+        SELECT user_id, x,
+               {', '.join(f'LEAD(x, {k}) OVER w AS y{k}' for k in ACF_LAGS)}
+        FROM c
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    pairs AS (
+        {' UNION ALL '.join(
+            f"SELECT user_id, CAST({k} AS BIGINT) AS lag, x, y{k} AS y "
+            f"FROM lagged WHERE y{k} IS NOT NULL"
+            for k in ACF_LAGS)}
+    ),
+    s AS (
+        SELECT user_id, lag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs GROUP BY user_id, lag
+    )
+    SELECT user_id, lag, n,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                           / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                              * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+           END AS acf
+    FROM s WHERE n >= {MIN_ACF_PAIRS}
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function per user series at lags 1-3 — the
+    seasonality/momentum screen (does this entity's metric correlate
+    with its own recent past?) run before fitting any forecasting
+    model. Each lag's ACF is the Pearson correlation of (x_t, x_{t+k})
+    pairs, ENGINE-EXACT by the q_window_rolling_corr recipe: values
+    quantize to int64 cents, all five co-moment sums are exact integer
+    arithmetic, and only the final ratio touches floating point
+    (int64→double + sqrt are IEEE-deterministic, so DuckDB reproduces
+    every 6-dp value bit-for-bit). Series shorter than MIN_ACF_PAIRS
+    pairs at a lag are excluded; zero-variance windows yield NULL.
+
+    100 TB shape: ONE sort exchange partitioned by user_id computes all
+    three leads in a single Window operator; the per-(user, lag) sums
+    map-side-combine before their exchange, so the only fact-scale
+    shuffle is the window sort — the agg exchange carries ~3 rows per
+    user. Per-series int64 bound: |x| ≤ 10⁶
+    cents holds n·|sxy| within int64 up to ~10⁶ events per user —
+    beyond that, pre-center per series (the q_agg_gini documentation
+    pattern).  Lags are a constant, so cost is O(data), not O(data ×
+    lags)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = e.select(
+        "user_id",
+        "x",
+        *[F.lead("x", k).over(w).alias(f"y{k}") for k in ACF_LAGS],
+    )
+    pairs = lagged.select(
+        "user_id",
+        "x",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("long").alias("lag"),
+                        F.col(f"y{k}").alias("y"),
+                    )
+                    for k in ACF_LAGS
+                ]
+            )
+        ).alias("p"),
+    ).select(
+        "user_id", F.col("p.lag").alias("lag"), "x", F.col("p.y").alias("y")
+    ).filter(F.col("y").isNotNull())
+    s = pairs.groupBy("user_id", "lag").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    d1 = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    d2 = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    acf = F.when(
+        (d1 > 0) & (d2 > 0),
+        F.round(
+            num / (F.sqrt(d1.cast("double")) * F.sqrt(d2.cast("double"))), 6
+        ),
+    )
+    return s.filter(F.col("n") >= MIN_ACF_PAIRS).select(
+        "user_id", "lag", "n", acf.alias("acf")
+    )

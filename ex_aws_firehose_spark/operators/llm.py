@@ -7367,3 +7367,130 @@ def load_persisted_index(
         spark.read.parquet(os.path.join(root, "ivf_codebook")),
         spark.read.parquet(os.path.join(root, "ivf_members")),
     )
+
+
+@query(
+    "q_text_quality_tertiles",
+    oracle="""
+    WITH tok AS (
+        SELECT d.doc_id, unnest(str_split(lower(d.text), ' ')) AS tok
+        FROM documents d
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM tok GROUP BY tok
+    ),
+    doc_score AS (
+        SELECT t.doc_id,
+               CAST(SUM(length(printf('%b', f.freq)) - 1) * 1000
+                    // COUNT(*) AS BIGINT) AS score_milli,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM tok t JOIN freq f ON t.tok = f.tok
+        GROUP BY t.doc_id
+    ),
+    hist AS (
+        SELECT score_milli, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM doc_score GROUP BY score_milli
+    ),
+    cum AS (
+        SELECT score_milli,
+               SUM(cnt) OVER (ORDER BY score_milli) AS cum_docs,
+               SUM(cnt) OVER () AS n_total
+        FROM hist
+    ),
+    bounds AS (
+        SELECT MIN(CASE WHEN cum_docs >= (n_total + 2) // 3
+                        THEN score_milli END) AS t1,
+               MIN(CASE WHEN cum_docs >= (2 * n_total + 2) // 3
+                        THEN score_milli END) AS t2
+        FROM cum
+    )
+    SELECT CASE WHEN s.score_milli >= b.t2 THEN 'head'
+                WHEN s.score_milli >= b.t1 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(s.score_milli) AS min_score_milli,
+           MAX(s.score_milli) AS max_score_milli
+    FROM doc_score s CROSS JOIN bounds b
+    GROUP BY 1
+    """,
+    tags=("llm", "text", "curation"),
+)
+def q_text_quality_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition (Wenzek et al.
+    2020): every document scored by its mean unigram log-frequency (the
+    cheap perplexity proxy of q_text_logfreq_score, here in exact
+    integer milli-units), then split at the empirical tertiles —
+    'head' = most corpus-typical docs, 'tail' = rare-token docs, the
+    slice quality-filter pipelines keep/drop/re-LM first. Tertile
+    boundaries are EXACT rank statistics (min score whose cumulative
+    doc count reaches ⌈n/3⌉ / ⌈2n/3⌉), not interpolated percentiles —
+    no float quantile whose last bit could differ between engines; ties
+    share a bucket, so bucket sizes are near-thirds, deterministically.
+
+    100 TB shape: token-frequency agg and per-doc scoring are the
+    q_text_logfreq_score plan (fact-scale map-combined aggs + one
+    Zipf-headed join). The tertile step never sorts the doc frame: it
+    aggregates scores into a BOUNDED histogram (score_milli spans
+    0..~15·1000, one row per distinct milli-score, regardless of corpus
+    size), runs the cumulative sum on those ≤~15k rows in one
+    partition, and broadcasts the two boundary scalars back — a global
+    exact quantile at 100 TB for the cost of a tiny window."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    freq = tok.groupBy("tok").agg(F.count("*").alias("freq"))
+    bucket = (
+        F.length(F.conv(F.col("freq").cast("string"), 10, 2)) - 1
+    ).cast("long")
+    doc_score = (
+        tok.join(freq.select("tok", bucket.alias("b")), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.expr("CAST(SUM(b) * 1000 div COUNT(*) AS BIGINT)").alias(
+                "score_milli"
+            ),
+            F.count("*").alias("n_tokens"),
+        )
+    )
+    hist = doc_score.groupBy("score_milli").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("score_milli").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "score_milli",
+        F.sum("cnt").over(wcum).alias("cum_docs"),
+        F.sum("cnt").over(wall).alias("n_total"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum_docs") >= F.expr("(n_total + 2) div 3"),
+                F.col("score_milli"),
+            )
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum_docs")
+                >= F.expr("(2 * n_total + 2) div 3"),
+                F.col("score_milli"),
+            )
+        ).alias("t2"),
+    )
+    labeled = doc_score.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("score_milli") >= F.col("t2"), F.lit("head"))
+        .when(F.col("score_milli") >= F.col("t1"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+        "n_tokens",
+        "score_milli",
+    )
+    return labeled.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.min("score_milli").alias("min_score_milli"),
+        F.max("score_milli").alias("max_score_milli"),
+    )

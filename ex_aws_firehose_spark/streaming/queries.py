@@ -2586,3 +2586,99 @@ def q_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+@query(
+    "q_stream_cdc_apply",
+    oracle="""
+    WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+                      event_type, value FROM events),
+    ranked AS (
+        SELECT user_id, ts, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM e
+    )
+    SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+           cents AS last_cents
+    FROM ranked WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("streaming",),
+)
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC changelog APPLY with delete tombstones — the
+    Debezium-shaped pattern q_stream_upsert deliberately omits: the
+    event stream is read as a changelog where 'error' rows are DELETE
+    tombstones for their key and every other row is an upsert. Each
+    micro-batch merges into a copy-on-write keyed state image by
+    last-writer-wins on event time (ts, event_id); tombstones are
+    RETAINED in state (so a delete survives compaction and still beats
+    any older update replayed in a later batch) and filtered only at
+    read time — exactly how Kafka-compacted topics and Delta CDF
+    consumers materialize a current image. Arrival order cannot change
+    the result, which is what makes the final image oracle-checkable.
+
+    100 TB shape: with a transactional table format the foreachBatch
+    body is one MERGE INTO ... WHEN MATCHED AND s.op = 'D' THEN DELETE;
+    state stays hash-partitioned by key so each batch shuffles only
+    batch-rows + touched-state. Tombstone retention is the part that
+    must survive a rewrite at scale — dropping deletes on compaction
+    resurrects older replayed rows."""
+    import os
+
+    src = _parity_events_dir(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cdc_apply_")
+
+    state: dict[str, str | None] = {"dir": None}
+
+    def apply_cdc(batch_df: DataFrame, batch_id: int) -> None:
+        cur = (
+            spark.read.parquet(state["dir"])
+            if state["dir"] is not None
+            else spark.createDataFrame(
+                [],
+                "user_id long, last_ts timestamp, last_event_type string, "
+                "last_cents long, event_id long",
+            )
+        )
+        incoming = batch_df.select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("last_cents"),
+            "event_id",
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("last_ts"), F.desc("event_id")
+        )
+        merged = (
+            cur.unionByName(incoming)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        new_dir = os.path.join(root, f"state_v{batch_id}")
+        merged.write.mode("overwrite").parquet(new_dir)
+        state["dir"] = new_dir
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(apply_cdc)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    return (
+        spark.read.parquet(state["dir"])
+        .filter(F.col("last_event_type") != "error")
+        .select("user_id", "last_ts", "last_event_type", "last_cents")
+    )
