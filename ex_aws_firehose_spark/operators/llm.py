@@ -7494,3 +7494,347 @@ def q_text_quality_tertiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score_milli").alias("min_score_milli"),
         F.max("score_milli").alias("max_score_milli"),
     )
+
+
+# Poisson(1) bootstrap: replica count and the inverse-CDF thresholds
+# (cumulative pmf × 2³², floored — frozen integer constants so Spark and
+# DuckDB draw IDENTICAL weights from the same 32-bit hash).
+BOOT_B = 64
+_POIS_T = (
+    1580030168,  # P(X<=0)
+    3160060337,  # P(X<=1)
+    3950075421,  # P(X<=2)
+    4213413783,  # P(X<=3)
+    4279248373,  # P(X<=4)
+    4292415291,  # P(X<=5)
+    4294609777,  # P(X<=6)
+    4294923276,  # P(X<=7) ; else weight 8
+)
+
+
+def _pois_case(u: str) -> str:
+    """SQL CASE ladder mapping a uniform 32-bit hash to a Poisson(1)
+    draw via the frozen thresholds (shared by Spark expr and oracle)."""
+    whens = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(_POIS_T)
+    )
+    return f"CASE {whens} ELSE 8 END"
+
+
+@query(
+    "q_eval_bootstrap_ci",
+    oracle=f"""
+    WITH draws AS (
+        SELECT d.source, d.n_chars, b.b,
+               {_pois_case(duck_hex_hash("concat(CAST(d.doc_id AS VARCHAR), ':', CAST(b.b AS VARCHAR))"))} AS w
+        FROM documents d
+        CROSS JOIN (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS b) b
+    ),
+    reps AS (
+        SELECT source, b,
+               CAST(SUM(w * n_chars) * 1000 // SUM(w) AS BIGINT) AS mean_milli
+        FROM draws GROUP BY source, b
+        HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT source, mean_milli,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY mean_milli, b) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n_reps
+        FROM reps
+    ),
+    ci AS (
+        SELECT source,
+               MIN(CASE WHEN rk = CAST(CEIL(0.025 * n_reps) AS BIGINT)
+                        THEN mean_milli END) AS lo_milli,
+               MIN(CASE WHEN rk = CAST(CEIL(0.975 * n_reps) AS BIGINT)
+                        THEN mean_milli END) AS hi_milli
+        FROM ranked GROUP BY source
+    ),
+    pt AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) * 1000 // COUNT(*) AS BIGINT) AS mean_milli
+        FROM documents GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.mean_milli, c.lo_milli, c.hi_milli
+    FROM pt p JOIN ci c USING (source)
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence intervals for a per-group corpus metric
+    (mean doc length by source), via the POISSON bootstrap — the only
+    bootstrap that works at 100 TB: instead of resampling n rows per
+    replica (impossible without a global index), every row draws an
+    independent Poisson(1) weight per replica from a deterministic
+    md5 hash of (doc_id, replica), and each replica's mean is the
+    weighted mean (the classic at-scale formulation — Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012).
+    Weights come from a frozen integer inverse-CDF ladder, replica
+    means are exact int64 milli-units, and the 95% CI is an exact rank
+    statistic (⌈0.025·B⌉ / ⌈0.975·B⌉-th smallest of the B=64 replica
+    means) — every byte engine-reproducible, no RNG, no float quantile.
+
+    100 TB shape: the ×B expansion is MAP-ONLY (explode + hash + CASE,
+    no Python); partial aggregation combines to (group × B) rows before
+    the only shuffle, so shuffle volume is independent of the fact
+    size. The CI step windows over ≤B rows per group. B is the
+    cost/precision dial; replicas with zero total weight (only possible
+    for near-empty groups) drop out and the rank indices adapt."""
+    d = load_table(spark, sf_dir, "documents")
+    draws = d.select(
+        "source",
+        "n_chars",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b"),
+        "doc_id",
+    ).select(
+        "source",
+        "n_chars",
+        "b",
+        F.expr(
+            _pois_case(
+                "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), "
+                "':', CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+            )
+        ).alias("w"),
+    )
+    reps = (
+        draws.groupBy("source", "b")
+        .agg(
+            F.sum(F.col("w") * F.col("n_chars")).alias("sws"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(
+            "source",
+            "b",
+            F.expr("CAST(sws * 1000 div sw AS BIGINT)").alias("mean_milli"),
+        )
+    )
+    wr = Window.partitionBy("source").orderBy("mean_milli", "b")
+    wn = Window.partitionBy("source")
+    ranked = reps.select(
+        "source",
+        "mean_milli",
+        F.row_number().over(wr).alias("rk"),
+        F.count("*").over(wn).alias("n_reps"),
+    )
+    ci = ranked.groupBy("source").agg(
+        F.min(
+            F.when(
+                F.col("rk")
+                == F.ceil(F.lit(0.025) * F.col("n_reps")).cast("long"),
+                F.col("mean_milli"),
+            )
+        ).alias("lo_milli"),
+        F.min(
+            F.when(
+                F.col("rk")
+                == F.ceil(F.lit(0.975) * F.col("n_reps")).cast("long"),
+                F.col("mean_milli"),
+            )
+        ).alias("hi_milli"),
+    )
+    pt = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("CAST(SUM(n_chars) * 1000 div COUNT(*) AS BIGINT)").alias(
+            "mean_milli"
+        ),
+    )
+    return pt.join(F.broadcast(ci), "source")
+
+
+PACK_CAP = 512
+
+
+@query(
+    "q_pack_efficiency_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT source, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source
+                                ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+                           - n_tokens) / {PACK_CAP}.0) AS BIGINT) AS pack_id
+        FROM toks
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(COUNT(DISTINCT pack_id) AS BIGINT) AS n_packs,
+           CAST((SUM(n_tokens) + {PACK_CAP} - 1) // {PACK_CAP} AS BIGINT)
+               AS lower_bound,
+           CAST(SUM(n_tokens) * 1000000
+                // (COUNT(DISTINCT pack_id) * {PACK_CAP}) AS BIGINT)
+               AS fill_ppm,
+           CAST(SUM(CASE WHEN n_tokens >= {PACK_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oversize
+    FROM packed GROUP BY source
+    """,
+    tags=("llm", "text"),
+)
+def q_pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit over the q_pack_sequences layout: per
+    source, the achieved pack count vs the information-theoretic lower
+    bound ⌈Σtokens/capacity⌉, the fill rate in exact ppm, and the
+    oversize-doc count (docs ≥ capacity, which no packer can bin
+    without splitting) — the go/no-go numbers reviewed before paying
+    for a training run on a packed dataset (padding waste is pure
+    wasted FLOPs). Fill below ~90% says switch the packer (FFD or
+    split-long-docs) BEFORE the run, not after.
+
+    100 TB shape: identical single window + hash-agg plan as
+    q_pack_sequences (same (source, day-shard) partition-key note);
+    the audit adds only agg columns, no new exchange. COUNT(DISTINCT
+    pack_id) expands to a two-phase agg on the already-shuffled
+    partition — still no extra fact-scale movement."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = d.select(
+        "source", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(PACK_CAP)
+        ),
+    )
+    return packed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.countDistinct("pack_id").alias("n_packs"),
+        F.expr(f"CAST((SUM(n_tokens) + {PACK_CAP} - 1) div {PACK_CAP} AS BIGINT)").alias(
+            "lower_bound"
+        ),
+        F.expr(
+            f"CAST(SUM(n_tokens) * 1000000 div "
+            f"(COUNT(DISTINCT pack_id) * {PACK_CAP}) AS BIGINT)"
+        ).alias("fill_ppm"),
+        F.sum(
+            F.when(F.col("n_tokens") >= PACK_CAP, 1).otherwise(0)
+        ).alias("n_oversize"),
+    )
+
+
+@query(
+    "q_embed_quantize_calibrate",
+    oracle="""
+    WITH el AS (
+        SELECT abs(CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS am
+        FROM (SELECT unnest(embedding) AS v FROM embeddings)
+    ),
+    hist AS (
+        SELECT am, CAST(COUNT(*) AS BIGINT) AS cnt FROM el GROUP BY am
+    ),
+    cum AS (
+        SELECT am, cnt,
+               SUM(cnt) OVER (ORDER BY am) AS cum_n,
+               SUM(cnt) OVER () AS n_total
+        FROM hist
+    ),
+    bounds AS (
+        SELECT MIN(CASE WHEN cum_n >= (99 * n_total + 99) // 100
+                        THEN am END) AS p99,
+               MIN(CASE WHEN cum_n >= (999 * n_total + 999) // 1000
+                        THEN am END) AS p999,
+               MAX(am) AS amax,
+               MAX(n_total) AS n_total
+        FROM cum
+    ),
+    clips AS (
+        SELECT 'p99' AS clip_name, p99 AS clip_milli, n_total FROM bounds
+        UNION ALL
+        SELECT 'p999', p999, n_total FROM bounds
+        UNION ALL
+        SELECT 'max', amax, n_total FROM bounds
+    )
+    SELECT c.clip_name, c.clip_milli,
+           CAST(COALESCE(SUM(CASE WHEN h.am > c.clip_milli
+                                  THEN h.cnt END), 0) * 1000000
+                // MAX(c.n_total) AS BIGINT) AS saturation_ppm,
+           CAST(c.clip_milli * 1000000 // 127 AS BIGINT) AS scale_micro
+    FROM clips c LEFT JOIN hist h ON h.am > c.clip_milli
+    GROUP BY c.clip_name, c.clip_milli
+    """,
+    tags=("llm", "vector"),
+)
+def q_embed_quantize_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantization calibration sweep: for clip thresholds at the
+    exact p99 / p99.9 / max of the |element| distribution, report the
+    saturation rate (elements that would clamp) and the implied int8
+    scale — the table read before freezing a quantized-embedding
+    serving config (clip at max wastes resolution on one outlier; clip
+    at p99 saturates 1% — this query prices that trade EXACTLY, the
+    q_embed_quantize_int8 counterpart that chooses its constant).
+    Percentiles are exact rank statistics over quantized milli-units;
+    every output is integer arithmetic.
+
+    100 TB shape: ONE fact-scale map-side-combined agg builds the
+    |value| histogram, which is BOUNDED (unit-normalized embeddings →
+    ≤ ~1001 distinct milli magnitudes, corpus-size-independent);
+    percentile ranks, saturation tails, and all three clip rows derive
+    from that tiny frame — the sweep never rescans the vectors, so
+    adding clip candidates is free."""
+    e = load_table(spark, sf_dir, "embeddings")
+    el = e.select(F.explode("embedding").alias("v")).select(
+        F.abs(F.floor(F.col("v").cast("double") * 1000))
+        .cast("long")
+        .alias("am")
+    )
+    hist = el.groupBy("am").agg(F.count("*").alias("cnt"))
+    wcum = Window.orderBy("am").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = hist.select(
+        "am",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum_n"),
+        F.sum("cnt").over(wall).alias("n_total"),
+    )
+    bounds = cum.agg(
+        F.min(
+            F.when(
+                F.col("cum_n") >= F.expr("(99 * n_total + 99) div 100"),
+                F.col("am"),
+            )
+        ).alias("p99"),
+        F.min(
+            F.when(
+                F.col("cum_n") >= F.expr("(999 * n_total + 999) div 1000"),
+                F.col("am"),
+            )
+        ).alias("p999"),
+        F.max("am").alias("amax"),
+        F.max("n_total").alias("n_total"),
+    )
+    clips = bounds.selectExpr(
+        "stack(3, 'p99', p99, 'p999', p999, 'max', amax) "
+        "AS (clip_name, clip_milli)",
+        "n_total",
+    )
+    joined = F.broadcast(clips).join(
+        hist, hist.am > clips.clip_milli, "left"
+    )
+    return joined.groupBy("clip_name", "clip_milli").agg(
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN am > clip_milli THEN cnt END), 0) "
+            "* 1000000 div MAX(n_total) AS BIGINT)"
+        ).alias("saturation_ppm"),
+        F.expr("CAST(clip_milli * 1000000 div 127 AS BIGINT)").alias(
+            "scale_micro"
+        ),
+    )
