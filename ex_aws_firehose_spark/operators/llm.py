@@ -7838,3 +7838,202 @@ def q_embed_quantize_calibrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scale_micro"
         ),
     )
+
+
+# LSH banding sweep: every (bands, rows) factorization of the 12
+# permutations worth pricing. More bands = higher recall, more
+# candidates (cost); the sweep prices that curve exactly.
+LSH_TUNE_CONFIGS = ((2, 6), (3, 4), (4, 3), (6, 2))
+
+
+def _lsh_tuning_oracle() -> str:
+    sig_cte = _minhash_cte().rsplit(",\n    bands AS", 1)[0]
+    parts = [sig_cte]
+    for bb, rr in LSH_TUNE_CONFIGS:
+        bands_sel = "\n        UNION ALL\n        ".join(
+            "SELECT doc_id, {b} AS band, concat_ws('-', {cols}) AS bsig "
+            "FROM sig".format(
+                b=b,
+                cols=", ".join(f"m{b * rr + r}" for r in range(rr)),
+            )
+            for b in range(bb)
+        )
+        parts.append(
+            f""",
+    bands_{bb} AS (
+        {bands_sel}
+    ),
+    cand_{bb} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_{bb} a JOIN bands_{bb} b
+          ON a.band = b.band AND a.bsig = b.bsig
+        WHERE a.doc_id < b.doc_id
+    )"""
+        )
+    parts.append(
+        """,
+    card AS (
+        SELECT doc_id, CAST(COUNT(DISTINCT s) AS BIGINT) AS n
+        FROM sh GROUP BY doc_id
+    ),
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT DISTINCT doc_id, s FROM sh) a
+        JOIN (SELECT DISTINCT doc_id, s FROM sh) b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        JOIN card ca ON ca.doc_id = a.doc_id
+        JOIN card cb ON cb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id, ca.n, cb.n
+        HAVING 3 * COUNT(*) >= ca.n + cb.n
+    )"""
+    )
+    rows = []
+    for bb, rr in LSH_TUNE_CONFIGS:
+        rows.append(
+            f"""
+    SELECT CAST({bb} AS BIGINT) AS bands, CAST({rr} AS BIGINT) AS rows_per_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{bb}) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{bb} c
+             JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+               AS n_hits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth"""
+        )
+    body = "\n    UNION ALL".join(rows)
+    return (
+        "".join(parts)
+        + f"""
+    SELECT bands, rows_per_band, n_candidates, n_hits, n_truth,
+           CAST(CASE WHEN n_truth > 0
+                     THEN n_hits * 1000000 // n_truth ELSE 0 END AS BIGINT)
+               AS recall_ppm,
+           CAST(CASE WHEN n_candidates > 0
+                     THEN n_hits * 1000000 // n_candidates ELSE 0 END
+                AS BIGINT) AS precision_ppm
+    FROM ({body})
+    """
+    )
+
+
+@query("q_dedup_lsh_tuning", oracle=_lsh_tuning_oracle(), tags=("llm", "dedup"))
+def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter sweep: every (bands × rows) factorization
+    of the 12 minhash permutations, priced by candidate-pair volume
+    (cost) and recall/precision in exact ppm against the exact-Jaccard
+    ≥ 0.5 truth set — the S-curve tuning table read BEFORE committing a
+    banding config to a 100 TB dedup pass, where re-running with the
+    wrong (b, r) costs a day. More bands → higher recall AND more
+    candidates; this emits the measured trade, not the textbook
+    formula. Truth membership uses the cross-multiplied integer test
+    3·shared ≥ n_a+n_b (Jaccard ≥ ½ exactly, no float).
+
+    100 TB shape: signatures are the shared pure-map fold (computed
+    once, persisted); each config adds only a band-bucket self-join on
+    its own high-cardinality key — candidate generation stays bucketed
+    for every config, never all-pairs. The truth set reuses the
+    persisted shingle frame's shared-shingle equi-join (DF-bounded at
+    scale by a stop-shingle cap). Counts are map-side-combined; the
+    sweep emits 4 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    hs = d.filter(F.size(tokens("text")) >= 3).select(
+        "doc_id",
+        F.transform(
+            shingles(tokens("text")), lambda s: hex_hash(s)
+        ).alias("hs"),
+    )
+    sig = hs.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % P
+                )
+            ).alias(f"m{j}")
+            for j, (a, b) in enumerate(_SEEDS)
+        ],
+    ).localCheckpoint(eager=False)
+
+    sh = shingle_frame(spark, sf_dir)
+    card = sh.groupBy("doc_id").agg(F.countDistinct("s").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+        .join(
+            card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
+            "doc_a",
+        )
+        .join(
+            card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")),
+            "doc_b",
+        )
+        .filter(3 * F.col("shared") >= F.col("na") + F.col("nb"))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    truth_n = truth.agg(F.count("*").alias("n_truth"))
+
+    out = None
+    for bb, rr in LSH_TUNE_CONFIGS:
+        band_cols = [
+            F.struct(
+                F.lit(bn).alias("band"),
+                F.concat_ws(
+                    "-", *[f"m{bn * rr + r}" for r in range(rr)]
+                ).alias("bsig"),
+            )
+            for bn in range(bb)
+        ]
+        bands = (
+            sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bs"))
+            .select("doc_id", "bs.band", "bs.bsig")
+            .repartition("band", "bsig")
+        )
+        ba, bbb = bands.alias("a"), bands.alias("b")
+        cand = (
+            ba.join(
+                bbb,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bsig") == F.col("b.bsig"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+        counts = cand.join(
+            truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        ).agg(
+            F.count("*").alias("n_candidates"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        ).select(
+            F.lit(bb).cast("long").alias("bands"),
+            F.lit(rr).cast("long").alias("rows_per_band"),
+            F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        )
+        out = counts if out is None else out.unionByName(counts)
+    return out.crossJoin(F.broadcast(truth_n)).select(
+        "bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_hits",
+        "n_truth",
+        F.expr(
+            "CAST(CASE WHEN n_truth > 0 THEN n_hits * 1000000 div n_truth "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_candidates > 0 "
+            "THEN n_hits * 1000000 div n_candidates ELSE 0 END AS BIGINT)"
+        ).alias("precision_ppm"),
+    )
