@@ -8037,3 +8037,141 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN n_hits * 1000000 div n_candidates ELSE 0 END AS BIGINT)"
         ).alias("precision_ppm"),
     )
+
+
+# MRL sweep: candidate serving dims (prefix truncations) and the
+# sampled query set / top-k depth of the recall audit.
+MRL_SWEEP_DIMS = (8, 16, 32, 64)
+MRL_QUERY_MOD = 25
+MRL_K = 10
+
+
+def _mrl_sweep_oracle() -> str:
+    def cos(d: int) -> str:
+        a = f"q.embedding[1:{d}]"
+        b = f"c.embedding[1:{d}]"
+        return duck_cosine(a, b)
+
+    dim_sims = ", ".join(
+        f"round({cos(d)}, 6) AS s{d}" for d in MRL_SWEEP_DIMS
+    )
+    dim_rows = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, nbr_id, CAST({d} AS BIGINT) AS n_dims, s{d} AS sim "
+        "FROM pair_sims"
+        for d in MRL_SWEEP_DIMS
+    )
+    full = max(MRL_SWEEP_DIMS)
+    return f"""
+    WITH pair_sims AS (
+        SELECT q.vec_id, c.vec_id AS nbr_id, {dim_sims}
+        FROM embeddings q JOIN embeddings c
+          ON q.label = c.label AND q.vec_id <> c.vec_id
+        WHERE q.vec_id % {MRL_QUERY_MOD} = 0
+    ),
+    per_dim AS (
+        {dim_rows}
+    ),
+    topk AS (
+        SELECT vec_id, nbr_id, n_dims FROM (
+            SELECT vec_id, nbr_id, n_dims,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, n_dims
+                                      ORDER BY sim DESC, nbr_id) AS rk
+            FROM per_dim
+        ) WHERE rk <= {MRL_K}
+    ),
+    full_k AS (
+        SELECT vec_id, nbr_id FROM topk WHERE n_dims = {full}
+    ),
+    hits AS (
+        SELECT t.n_dims,
+               CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM topk t JOIN full_k f
+          ON t.vec_id = f.vec_id AND t.nbr_id = f.nbr_id
+        GROUP BY t.n_dims
+    ),
+    denom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_full FROM full_k
+    )
+    SELECT h.n_dims, h.n_hits, d.n_full,
+           CAST(h.n_hits * 1000000 // d.n_full AS BIGINT) AS recall_ppm
+    FROM hits h CROSS JOIN denom d
+    """
+
+
+@query("q_sim_mrl_recall_sweep", oracle=_mrl_sweep_oracle(), tags=("llm", "similarity"))
+def q_sim_mrl_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dimension sweep: exact top-10 recall of prefix-
+    truncated cosine (8/16/32/64 dims) against the full-dim ranking,
+    over a deterministic 1-in-25 query sample within IVF label buckets
+    — the dimension-choice table read before switching ANN serving to
+    truncated MRL embeddings (q_embed_truncate_mrl measures per-vector
+    norm retention; THIS measures what actually matters, ranking
+    agreement, priced per candidate dim). Ties break on (6-dp sim,
+    nbr_id) identically in both engines; recall is exact ppm.
+
+    100 TB shape: ONE bucketed pair pass computes all four prefix dots
+    (the ×4 is per-pair expression work, not extra joins — prefix dots
+    share the same zip_with fold shape); rankings are bounded windows
+    per (query, dim) on the bucket partitioning, and the audit output
+    is 4 rows. Candidate generation stays label-bucketed (never
+    all-pairs), so the sweep inherits the knn-graph scan law."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") % MRL_QUERY_MOD == 0).select(
+        F.col("vec_id"), F.col("label"), F.col("embedding").alias("qe")
+    )
+    c = e.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("label"),
+        F.col("embedding").alias("ce"),
+    )
+    pair_sims = q.join(c, "label").filter(
+        F.col("vec_id") != F.col("nbr_id")
+    ).select(
+        "vec_id",
+        "nbr_id",
+        *[
+            F.round(
+                cosine(F.slice("qe", 1, d), F.slice("ce", 1, d)), 6
+            ).alias(f"s{d}")
+            for d in MRL_SWEEP_DIMS
+        ],
+    )
+    per_dim = pair_sims.select(
+        "vec_id",
+        "nbr_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("long").alias("n_dims"),
+                        F.col(f"s{d}").alias("sim"),
+                    )
+                    for d in MRL_SWEEP_DIMS
+                ]
+            )
+        ).alias("p"),
+    ).select("vec_id", "nbr_id", "p.n_dims", "p.sim")
+    w = Window.partitionBy("vec_id", "n_dims").orderBy(
+        F.desc("sim"), "nbr_id"
+    )
+    topk = (
+        per_dim.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= MRL_K)
+        .select("vec_id", "nbr_id", "n_dims")
+    )
+    full = max(MRL_SWEEP_DIMS)
+    full_k = topk.filter(F.col("n_dims") == full).select(
+        "vec_id", "nbr_id"
+    )
+    hits = topk.join(full_k, ["vec_id", "nbr_id"]).groupBy("n_dims").agg(
+        F.count("*").alias("n_hits")
+    )
+    denom = full_k.agg(F.count("*").alias("n_full"))
+    return hits.crossJoin(F.broadcast(denom)).select(
+        "n_dims",
+        "n_hits",
+        "n_full",
+        F.expr("CAST(n_hits * 1000000 div n_full AS BIGINT)").alias(
+            "recall_ppm"
+        ),
+    )

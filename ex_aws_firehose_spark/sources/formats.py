@@ -893,3 +893,101 @@ def src_format_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "value_cents",
     )
+
+
+_ORPHAN_CACHE: SessionCache = SessionCache()
+
+
+@query(
+    "q_maintenance_orphan_audit",
+    oracle="""
+    WITH g AS (
+        SELECT o_orderkey % 10 AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CASE WHEN grp % 3 = 0 THEN 'orphan' ELSE 'committed' END
+               AS status,
+           CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM g GROUP BY 1
+    """,
+    tags=("source", "maintenance"),
+)
+def q_maintenance_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-file audit (Iceberg remove_orphan_files / Delta VACUUM's
+    discovery phase, from first principles): the staged table holds one
+    parquet file per key-group directory, but the committed MANIFEST
+    references only groups with grp % 3 ≠ 0 — the others model crashed
+    writers that put files on storage without ever committing them.
+    The audit is a real file-level reconciliation: list the physical
+    files with the binaryFile source (names only, content never read),
+    anti-classify against the manifest, and report per status the file
+    count, row count, and reclaimable payload (cents as byte proxy).
+    Orphans are the files a naive `delete everything unreferenced`
+    would reclaim — and the reason every table format tells you to
+    never run that concurrently with an in-flight commit.
+
+    100 TB shape: discovery is listing ⋈ manifest — pure metadata
+    (file-count grain, millions of rows not billions; the binaryFile
+    scan reads paths, not bytes). Only the reclaim REPORT touches
+    payload, one scan + broadcast status join on the partition key.
+    The staged layout pins one file per group (repartition by the
+    partition key before partitionBy), so counts are deterministic."""
+    key = _ORPHAN_CACHE.scoped_key(spark, sf_dir)
+    if key not in _ORPHAN_CACHE:
+        root = _tracked_mkdtemp(prefix="orphan_tbl_") + "/data"
+        (
+            load_table(spark, sf_dir, "orders")
+            .select(
+                (F.col("o_orderkey") % 10).alias("grp"),
+                F.round(F.col("o_totalprice") * 100, 0)
+                .cast("long")
+                .alias("cents"),
+            )
+            .repartition("grp")
+            .write.partitionBy("grp")
+            .parquet(root)
+        )
+        _ORPHAN_CACHE[key] = root
+    root = _ORPHAN_CACHE[key]
+    listing = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .option("recursiveFileLookup", "true")
+        .load(root)
+        .select(F.col("path"))
+        .withColumn(
+            "grp",
+            F.regexp_extract("path", r"grp=(\d+)", 1).cast("long"),
+        )
+    )
+    manifest = spark.range(0, 10).select(
+        F.col("id").alias("grp")
+    ).filter(F.col("grp") % 3 != 0)
+    classified = listing.join(
+        F.broadcast(manifest.withColumn("committed", F.lit(1))),
+        "grp",
+        "left",
+    ).select(
+        "grp",
+        F.when(F.col("committed").isNotNull(), F.lit("committed"))
+        .otherwise(F.lit("orphan"))
+        .alias("status"),
+    )
+    files_per_status = classified.groupBy("status", "grp").agg(
+        F.count("*").alias("n_files_in_grp")
+    )
+    rows = spark.read.parquet(root).select("grp", "cents")
+    return (
+        rows.join(
+            F.broadcast(files_per_status.select("grp", "status")), "grp"
+        )
+        .groupBy("status")
+        .agg(
+            F.countDistinct("grp").alias("n_files"),
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        )
+    )
