@@ -3002,3 +3002,278 @@ def q_dq_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(diff).alias("max_abs_diff_cents"),
         F.sum(diff).alias("total_abs_diff_cents"),
     )
+
+
+L_DIVERSITY = 3  # distinct sensitive values required per QI group
+_ACCTBAL_BAND = 1000  # sensitive attribute: account-balance band width
+
+
+@query(
+    "q_anon_ldiversity",
+    oracle=f"""
+    WITH g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS group_size,
+               CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / {_ACCTBAL_BAND})
+                                        AS BIGINT)) AS BIGINT) AS l_distinct
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size, l_distinct,
+           l_distinct >= {L_DIVERSITY} AS is_l_diverse
+    FROM g
+    """,
+    tags=("scale", "dq", "privacy"),
+)
+def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the privacy check k-anonymity
+    (q_anon_kanonymity) cannot express: a QI group can be large yet
+    still leak if every member shares the SAME sensitive value.  Per
+    quasi-identifier group (nation, market segment), count DISTINCT
+    sensitive values (account-balance band) and flag groups below
+    l = {L_DIVERSITY}.  Banding is FLOOR of an exact double division —
+    IEEE-deterministic, so DuckDB reproduces every band bit-for-bit.
+
+    100 TB shape: one hash agg keyed on the QI columns with a distinct
+    on (QI, band) underneath — Spark plans it as two cascaded
+    partial-aggregates (expand/distinct-agg), both map-side-combining
+    before the single QI-keyed exchange.  Output is |QI groups| rows —
+    thousands, never data-scale."""
+    c = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / _ACCTBAL_BAND).cast("long")
+    return (
+        c.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count("*").alias("group_size"),
+            F.count_distinct(band).alias("l_distinct"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "l_distinct",
+            (F.col("l_distinct") >= L_DIVERSITY).alias("is_l_diverse"),
+        )
+    )
+
+
+# Fixed mid-month split for the two-sample KS drift test; the fixture
+# events span 2024-01-01 .. 2024-01-30 (TESTDATA.md).
+KS_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+@query(
+    "q_dq_ks_drift",
+    oracle=EVENTS_US
+    + f"""
+    , c AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS x,
+               CASE WHEN ts < TIMESTAMP '{KS_SPLIT_TS}' THEN 1 ELSE 0 END AS a,
+               CASE WHEN ts < TIMESTAMP '{KS_SPLIT_TS}' THEN 0 ELSE 1 END AS b
+        FROM events_us
+    ),
+    cnt AS (
+        SELECT event_type, x,
+               CAST(SUM(a) AS BIGINT) AS a_cnt,
+               CAST(SUM(b) AS BIGINT) AS b_cnt
+        FROM c GROUP BY event_type, x
+    ),
+    cum AS (
+        SELECT event_type, x,
+               CAST(SUM(a_cnt) OVER w AS BIGINT) AS ca,
+               CAST(SUM(b_cnt) OVER w AS BIGINT) AS cb,
+               CAST(SUM(a_cnt) OVER p AS BIGINT) AS na,
+               CAST(SUM(b_cnt) OVER p AS BIGINT) AS nb
+        FROM cnt
+        WINDOW w AS (PARTITION BY event_type ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               p AS (PARTITION BY event_type)
+    )
+    SELECT event_type,
+           CAST(MAX(na) AS BIGINT) AS n_first,
+           CAST(MAX(nb) AS BIGINT) AS n_second,
+           CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS d_scaled,
+           round(CAST(MAX(ABS(ca * nb - cb * na)) AS DOUBLE)
+                 / CAST(MAX(na) * MAX(nb) AS DOUBLE), 6) AS ks_stat
+    FROM cum GROUP BY event_type
+    """,
+    tags=("scale", "dq", "drift"),
+)
+def q_dq_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test per event type: split
+    the month at a fixed boundary, compare the first-half vs
+    second-half value distributions, and report the KS statistic
+    D = max_x |F1(x) − F2(x)| — the standard nonparametric drift gate
+    a feature-store runs before trusting a new window of data.
+    Complements q_dq_chisq_drift (categorical) with a CONTINUOUS
+    distribution test.  ENGINE-EXACT: values quantize to int64 cents,
+    the ECDF difference is kept as the integer |ca·N2 − cb·N1| (scaled
+    by N1·N2), and only the final ratio touches floating point.
+
+    100 TB shape: the fact scan collapses to (type, cents) counts in
+    ONE map-side-combinable hash agg — at most |types| × |distinct
+    cents| rows (bounded by the value domain, ~20k/type, NOT data
+    scale) — then a per-type window cumsum and a per-type max over
+    that bounded frame.  Int64 bound: N1·N2 < 2^63 holds to ~3·10^9
+    rows per side per type; beyond that, pre-divide the scale factor
+    (the q_agg_gini documentation pattern)."""
+    split = F.lit(KS_SPLIT_TS).cast("timestamp")
+    c = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("x"),
+        F.when(F.col("ts") < split, F.lit(1)).otherwise(F.lit(0)).alias("a"),
+        F.when(F.col("ts") < split, F.lit(0)).otherwise(F.lit(1)).alias("b"),
+    )
+    cnt = c.groupBy("event_type", "x").agg(
+        F.sum("a").alias("a_cnt"), F.sum("b").alias("b_cnt")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = Window.partitionBy("event_type")
+    cum = cnt.select(
+        "event_type",
+        "x",
+        F.sum("a_cnt").over(w).alias("ca"),
+        F.sum("b_cnt").over(w).alias("cb"),
+        F.sum("a_cnt").over(p).alias("na"),
+        F.sum("b_cnt").over(p).alias("nb"),
+    )
+    d = F.max(F.abs(F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")))
+    return cum.groupBy("event_type").agg(
+        F.max("na").alias("n_first"),
+        F.max("nb").alias("n_second"),
+        d.alias("d_scaled"),
+        F.round(
+            d.cast("double")
+            / (F.max("na") * F.max("nb")).cast("double"),
+            6,
+        ).alias("ks_stat"),
+    )
+
+
+@query(
+    "q_graph_assortativity",
+    oracle=EVENTS_US
+    + f"""
+    , e AS (
+        SELECT user_id, event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr
+        FROM events_us
+    ),
+    pairs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e a JOIN e b
+          ON a.hr = b.hr AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (SELECT ua, ub FROM pairs WHERE w >= {TRI_MIN_COOCCUR}),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+            SELECT ua AS v FROM edges
+            UNION ALL
+            SELECT ub AS v FROM edges
+        ) GROUP BY v
+    ),
+    ends AS (
+        SELECT da.degree AS dx, db.degree AS dy
+        FROM edges e2
+        JOIN deg da ON e2.ua = da.v
+        JOIN deg db ON e2.ub = db.v
+    ),
+    sym AS (
+        SELECT dx, dy FROM ends
+        UNION ALL
+        SELECT dy AS dx, dx AS dy FROM ends
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(dx) AS BIGINT) AS sx,
+               CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+               CAST(SUM(dx * dx) AS BIGINT) AS sxx
+        FROM sym
+    )
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN round(CAST(n * sxy - sx * sx AS DOUBLE)
+                           / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+           END AS assortativity
+    FROM s
+    """,
+    tags=("scale", "graph"),
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the thresholded co-occurrence graph (the
+    q_graph_triangles edge set): the Pearson correlation of the degrees
+    at the two ends of each edge, over the SYMMETRIZED edge list — the
+    one scalar that says whether hubs attach to hubs (assortative,
+    r > 0, social-graph-like) or to leaves (disassortative, r < 0,
+    hub-and-spoke) — which decides whether degree-based partitioning
+    will balance or collapse.  Symmetrization makes the x and y
+    marginals identical, so r = (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²): every
+    co-moment is an exact int64 sum of integer degrees and only the
+    final ratio touches floating point — DuckDB reproduces it
+    bit-for-bit.
+
+    100 TB shape: edges reuse the bounded bucketed co-occurrence join;
+    the degree table is |V| rows (orders of magnitude below the edge
+    list) and BROADCASTS to both endpoint joins, so edges never
+    shuffle; the co-moments collapse in ONE map-side-combined global
+    agg to a single row.  Int64 bound: Σdx·dy ≤ 2E·deg_max² — holds to
+    ~10^9 edges at deg_max 10^4; past that, pre-center degrees (the
+    q_agg_gini documentation pattern)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"),
+            F.col("b.user_id").alias("ub"),
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COOCCUR)
+        .select("ua", "ub")
+    )
+    deg = (
+        edges.select(F.col("ua").alias("v"))
+        .unionByName(edges.select(F.col("ub").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("degree"))
+    )
+    da = deg.select(F.col("v").alias("ua"), F.col("degree").alias("dx"))
+    db = deg.select(F.col("v").alias("ub"), F.col("degree").alias("dy"))
+    ends = edges.join(F.broadcast(da), "ua").join(F.broadcast(db), "ub")
+    sym = ends.select("dx", "dy").unionByName(
+        ends.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
+    )
+    s = sym.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+    )
+    nv = deg.agg(F.count("*").alias("n_vertices"))
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sx")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.crossJoin(nv).select(
+        F.floor(F.col("n") / 2).cast("long").alias("n_edges"),
+        "n_vertices",
+        F.when(den > 0, F.round(num / den.cast("double"), 6)).alias(
+            "assortativity"
+        ),
+    )
