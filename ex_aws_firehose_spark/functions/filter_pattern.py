@@ -123,7 +123,35 @@ class BoolExpr:
 
 
 JsonNode = Union[Comparison, BoolExpr]
-PatternAst = Union[TermPattern, JsonNode, None]  # None = match-all ("")
+
+
+@dataclass(frozen=True)
+class FieldComparison:
+    """One condition of a space-delimited pattern: ``w1 = ERROR``."""
+
+    name: str
+    op: str  # '=', '!=', '<', '<=', '>', '>='
+    value: Union[str, float]
+    wildcard: bool = False
+
+
+ColNode = Union[FieldComparison, BoolExpr]
+
+
+@dataclass(frozen=True)
+class ColumnPattern:
+    """Space-delimited pattern ``[ip, user, status = 4*, size >= 1000]``.
+
+    ``fields`` holds the slot names in positional order; ``condition``
+    is the conjunction of every slot's condition chain (``None`` when
+    all slots are bare names — then only the field COUNT must match).
+    """
+
+    fields: tuple[str, ...]
+    condition: ColNode | None
+
+
+PatternAst = Union[TermPattern, JsonNode, ColumnPattern, None]  # None = ""
 
 
 # ---------------------------------------------------------------------------
@@ -182,6 +210,8 @@ def parse(pattern: str) -> PatternAst:
                 f"trailing input after '}}' at position {cur.pos} in {pattern!r}"
             )
         return node
+    if stripped.startswith("["):
+        return _parse_columns(stripped)
     return _parse_terms(stripped)
 
 
@@ -217,6 +247,137 @@ def _parse_terms(text: str) -> TermPattern:
             raise FilterPatternError(f"empty term in {text!r}")
         terms.append(Term(kind, term_text, quoted))
     return TermPattern(tuple(terms))
+
+
+# Unquoted column-pattern value: anything up to a delimiter.
+_COL_VALUE_RE = re.compile(r"[^\s,\]&|()]+")
+_COL_OPS = ("!=", "<=", ">=", "=", "<", ">")
+
+
+def _parse_columns(text: str) -> ColumnPattern:
+    """Space-delimited pattern: ``[f1, f2 = ERROR || f2 = WARN, f3]``.
+
+    Each comma-separated slot declares one positional field; a slot may
+    carry a condition chain whose comparisons reference any
+    already-declared field (AWS's documented examples always reference
+    the slot's own name, which this accepts as the common case).
+    ``||`` binds looser than ``&&``, as in the JSON family.
+    """
+    cur = _Cursor(text)
+    cur.expect("[")
+    fields: list[str] = []
+    conds: list[ColNode] = []
+    while True:
+        cur.skip_ws()
+        name = cur.match_re(_IDENT_RE)
+        if name is None:
+            raise FilterPatternError(
+                f"expected field name at position {cur.pos} in {text!r}"
+            )
+        if name in fields:
+            raise FilterPatternError(f"duplicate field {name!r} in {text!r}")
+        fields.append(name)
+        cur.skip_ws()
+        if any(cur.startswith(sym) for sym in _COL_OPS):
+            conds.append(_parse_col_chain(cur, name, fields))
+        cur.skip_ws()
+        if cur.peek() == ",":
+            cur.pos += 1
+            continue
+        cur.expect("]")
+        break
+    cur.skip_ws()
+    if cur.pos != len(text):
+        raise FilterPatternError(
+            f"trailing input after ']' at position {cur.pos} in {text!r}"
+        )
+    condition: ColNode | None
+    if not conds:
+        condition = None
+    elif len(conds) == 1:
+        condition = conds[0]
+    else:
+        condition = BoolExpr("and", tuple(conds))
+    return ColumnPattern(tuple(fields), condition)
+
+
+def _parse_col_chain(cur: _Cursor, first: str, declared: list[str]) -> ColNode:
+    """Condition chain within one slot, first comparison's name already
+    consumed. ``&&`` binds tighter than ``||`` (fold &&-runs first)."""
+    atoms: list[ColNode] = [_parse_col_cmp(cur, first)]
+    ops: list[str] = []
+    while True:
+        cur.skip_ws()
+        if cur.startswith("&&") or cur.startswith("||"):
+            ops.append("and" if cur.startswith("&&") else "or")
+            cur.pos += 2
+            cur.skip_ws()
+            name = cur.match_re(_IDENT_RE)
+            if name is None:
+                raise FilterPatternError(
+                    f"expected field name at position {cur.pos} in {cur.text!r}"
+                )
+            if name not in declared:
+                raise FilterPatternError(
+                    f"condition references undeclared field {name!r} "
+                    f"at position {cur.pos} in {cur.text!r}"
+                )
+            cur.skip_ws()
+            atoms.append(_parse_col_cmp(cur, name))
+        else:
+            break
+    or_groups: list[ColNode] = []
+    run: list[ColNode] = [atoms[0]]
+    for op, atom in zip(ops, atoms[1:]):
+        if op == "and":
+            run.append(atom)
+        else:
+            or_groups.append(run[0] if len(run) == 1 else BoolExpr("and", tuple(run)))
+            run = [atom]
+    or_groups.append(run[0] if len(run) == 1 else BoolExpr("and", tuple(run)))
+    if len(or_groups) == 1:
+        return or_groups[0]
+    return BoolExpr("or", tuple(or_groups))
+
+
+def _parse_col_cmp(cur: _Cursor, name: str) -> FieldComparison:
+    cur.skip_ws()
+    for sym in _COL_OPS:
+        if cur.startswith(sym):
+            cur.pos += len(sym)
+            break
+    else:
+        raise FilterPatternError(
+            f"expected comparator at position {cur.pos} in {cur.text!r}"
+        )
+    cur.skip_ws()
+    if cur.peek() == '"':
+        cur.pos += 1
+        end = cur.text.find('"', cur.pos)
+        if end < 0:
+            raise FilterPatternError(f"unterminated string in {cur.text!r}")
+        raw = cur.text[cur.pos : end]
+        cur.pos = end + 1
+        wildcard = "*" in raw
+        if wildcard and sym not in ("=", "!="):
+            raise FilterPatternError(
+                f"'*' wildcard only valid with = / != (got {sym!r})"
+            )
+        return FieldComparison(name, sym, raw, wildcard)
+    tok = cur.match_re(_COL_VALUE_RE)
+    if tok is None:
+        raise FilterPatternError(
+            f"expected value at position {cur.pos} in {cur.text!r}"
+        )
+    if "*" in tok:
+        if sym not in ("=", "!="):
+            raise FilterPatternError(
+                f"'*' wildcard only valid with = / != (got {sym!r})"
+            )
+        return FieldComparison(name, sym, tok, True)
+    if _NUM_RE.fullmatch(tok):
+        return FieldComparison(name, sym, float(tok))
+    return FieldComparison(name, sym, tok)
 
 
 def _parse_or(cur: _Cursor) -> JsonNode:
@@ -361,6 +522,13 @@ def _sql_quote(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
 
 
+# Space-delimited tokenizer, identical under Java regex and RE2:
+# a [bracketed] or "quoted" run groups into ONE field (the documented
+# CloudWatch behavior for access-log timestamps and request strings),
+# anything else splits on whitespace.
+_COL_TOKEN_RX = r'\[[^\]]*\]|"[^"]*"|\S+'
+
+
 @dataclass(frozen=True)
 class Binding:
     """A selector bound to a materialized column. ``column`` feeds the
@@ -397,6 +565,10 @@ class CompiledPattern:
             if message is None:
                 raise FilterPatternError("term pattern needs a message column")
             return self._terms_column(self.ast, message)
+        if isinstance(self.ast, ColumnPattern):
+            if message is None:
+                raise FilterPatternError("column pattern needs a message column")
+            return self._columns_column(self.ast, message)
         return self._json_column(self.ast, json, bindings or {})
 
     def _terms_column(self, tp: TermPattern, message: Column) -> Column:
@@ -472,6 +644,59 @@ class CompiledPattern:
             ">=": lhs >= rhs,
         }[op]
 
+    def _columns_column(self, cp: ColumnPattern, message: Column) -> Column:
+        """Space-delimited backend: tokenize once, gate on the exact
+        field count (AWS: a message with a different number of fields
+        does not match), then apply the condition tree over positional
+        fields. Pure built-ins — regexp_extract_all / element_at /
+        substr — so the whole predicate stays in codegen; Spark's
+        subexpression elimination shares the repeated tokenize."""
+        toks = F.regexp_extract_all(message, F.lit(_COL_TOKEN_RX), F.lit(0))
+        pred = F.size(toks) == len(cp.fields)
+        if cp.condition is not None:
+            pos = {n: i for i, n in enumerate(cp.fields)}
+
+            def field(name: str) -> Column:
+                # F.get, not element_at: NULL (never a raise) when the
+                # message has fewer tokens than the referenced slot —
+                # ANSI mode makes element_at throw on out-of-bounds,
+                # and the count gate's AND does not short-circuit.
+                tok = F.get(toks, pos[name])
+                grouped = (
+                    (tok.startswith('"') & tok.endswith('"'))
+                    | (tok.startswith("[") & tok.endswith("]"))
+                ) & (F.length(tok) >= 2)
+                inner = tok.substr(F.lit(2), F.length(tok) - 2)
+                return F.when(grouped, inner).otherwise(tok)
+
+            pred = pred & self._col_node_column(cp.condition, field)
+        return pred
+
+    def _col_node_column(self, node: ColNode, field) -> Column:
+        if isinstance(node, BoolExpr):
+            subs = [self._col_node_column(n, field) for n in node.operands]
+            out = subs[0]
+            for s in subs[1:]:
+                out = (out & s) if node.op == "and" else (out | s)
+            return out
+        raw = field(node.name)
+        if isinstance(node.value, float):
+            lhs: Column = raw.try_cast("double")
+            rhs = F.lit(node.value)
+        elif node.wildcard:
+            m = raw.like(_like_pattern(node.value))
+            return m if node.op == "=" else ~m
+        else:
+            lhs, rhs = raw, F.lit(node.value)
+        return {
+            "=": lhs == rhs,
+            "!=": lhs != rhs,
+            "<": lhs < rhs,
+            "<=": lhs <= rhs,
+            ">": lhs > rhs,
+            ">=": lhs >= rhs,
+        }[node.op]
+
     # -- DuckDB oracle ---------------------------------------------------------
 
     def duckdb_sql(
@@ -487,6 +712,10 @@ class CompiledPattern:
             if message is None:
                 raise FilterPatternError("term pattern needs a message expr")
             return self._terms_sql(self.ast, message)
+        if isinstance(self.ast, ColumnPattern):
+            if message is None:
+                raise FilterPatternError("column pattern needs a message expr")
+            return self._columns_sql(self.ast, message)
         return self._json_sql(self.ast, json, bindings or {})
 
     def _terms_sql(self, tp: TermPattern, message: str) -> str:
@@ -553,6 +782,48 @@ class CompiledPattern:
         else:
             lhs, rhs = f"CAST({raw} AS VARCHAR)", _sql_quote(val)
         sql_op = {"=": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[op]
+        return f"{lhs} {sql_op} {rhs}"
+
+
+    def _columns_sql(self, cp: ColumnPattern, message: str) -> str:
+        toks = f"regexp_extract_all({message}, {_sql_quote(_COL_TOKEN_RX)})"
+        parts = [f"len({toks}) = {len(cp.fields)}"]
+        if cp.condition is not None:
+            pos = {n: i for i, n in enumerate(cp.fields)}
+
+            def field(name: str) -> str:
+                tok = f"list_extract({toks}, {pos[name] + 1})"
+                grouped = (
+                    f"((starts_with({tok}, '\"') AND ends_with({tok}, '\"'))"
+                    f" OR (starts_with({tok}, '[') AND ends_with({tok}, ']')))"
+                    f" AND length({tok}) >= 2"
+                )
+                inner = f"substring({tok}, 2, length({tok}) - 2)"
+                return f"(CASE WHEN {grouped} THEN {inner} ELSE {tok} END)"
+
+            parts.append(self._col_node_sql(cp.condition, field))
+        return "(" + " AND ".join(parts) + ")"
+
+    def _col_node_sql(self, node: ColNode, field) -> str:
+        if isinstance(node, BoolExpr):
+            glue = " AND " if node.op == "and" else " OR "
+            return (
+                "("
+                + glue.join(self._col_node_sql(n, field) for n in node.operands)
+                + ")"
+            )
+        raw = field(node.name)
+        if isinstance(node.value, float):
+            lhs, rhs = f"TRY_CAST({raw} AS DOUBLE)", repr(node.value)
+        elif node.wildcard:
+            like = _sql_quote(_like_pattern(node.value))
+            m = f"{raw} LIKE {like} ESCAPE '\\'"
+            return m if node.op == "=" else f"NOT ({m})"
+        else:
+            lhs, rhs = raw, _sql_quote(node.value)
+        sql_op = {"=": "=", "!=": "<>", "<": "<", "<=": "<=", ">": ">", ">=": ">="}[
+            node.op
+        ]
         return f"{lhs} {sql_op} {rhs}"
 
 

@@ -1039,6 +1039,117 @@ def q_filter_pattern_json_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FP_COLUMNS = compile_pattern(
+    '[host, user, session, request = "GET /purchase/*", status = 4*, size >= 1000]'
+)
+_FP_COLUMNS_OR = compile_pattern(
+    "[host, user, session, request, status = 404 || status = 500,"
+    " size < 500 && size >= 100]"
+)
+
+# Access-log line synthesized deterministically from events in BOTH
+# engines (string concat of exact integers — no float formatting), so
+# the oracle checks the tokenizer + compiler, not the fixture:
+#   h<user_id%50> u<user_id> [sess <user_id%3>] "GET /<type>/<id%100>" <status> <cents>
+# The bracketed session and quoted request both contain a SPACE — they
+# only parse as single fields if the documented grouping works.
+_COL_LOG_SQL = """
+WITH logl AS (
+    SELECT event_id,
+           'h' || CAST(user_id % 50 AS VARCHAR)
+           || ' u' || CAST(user_id AS VARCHAR)
+           || ' [sess ' || CAST(user_id % 3 AS VARCHAR)
+           || '] "GET /' || event_type || '/'
+           || CAST(event_id % 100 AS VARCHAR) || '" '
+           || CASE CAST(event_id % 7 AS INTEGER)
+                  WHEN 0 THEN '404' WHEN 1 THEN '403'
+                  WHEN 2 THEN '500' ELSE '200' END
+           || ' ' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)
+               AS log_line
+    FROM events
+)
+"""
+
+
+def _col_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    status = (
+        F.when(F.col("event_id") % 7 == 0, "404")
+        .when(F.col("event_id") % 7 == 1, "403")
+        .when(F.col("event_id") % 7 == 2, "500")
+        .otherwise("200")
+    )
+    return e.select(
+        "event_id",
+        F.concat(
+            F.lit("h"),
+            (F.col("user_id") % 50).cast("string"),
+            F.lit(" u"),
+            F.col("user_id").cast("string"),
+            F.lit(" [sess "),
+            (F.col("user_id") % 3).cast("string"),
+            F.lit('] "GET /'),
+            F.col("event_type"),
+            F.lit("/"),
+            (F.col("event_id") % 100).cast("string"),
+            F.lit('" '),
+            status,
+            F.lit(" "),
+            F.round(F.col("value") * 100).cast("long").cast("string"),
+        ).alias("log_line"),
+    )
+
+
+@query(
+    "q_filter_pattern_columns",
+    oracle=_COL_LOG_SQL
+    + f"""
+    SELECT event_id, log_line FROM logl
+    WHERE {_FP_COLUMNS.duckdb_sql(message="log_line")}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD documented CloudWatch pattern family (after terms and
+    JSON): space-delimited column patterns —
+    '[host, user, session, request = "GET /purchase/*", status = 4*,
+    size >= 1000]' against Apache-access-log-style lines. Tokenization
+    groups "quoted" and [bracketed] runs (both fixture fields contain a
+    space precisely to prove it), gates on the EXACT field count, then
+    applies positional conditions: a quoted '*' wildcard (→ LIKE →
+    StringStartsWith), an unquoted prefix wildcard on status, and a
+    numeric comparator via try_cast. One pattern string, two backends
+    (functions/filter_pattern.py), so the oracle checks the compiler.
+
+    100 TB shape: the whole predicate is built-in codegen expressions
+    (regexp_extract_all + element_at + substr — no Python), evaluated
+    map-side where the subscription filter sits in the reference
+    topology (main.tf:284-290); nothing shuffles."""
+    lines = _col_log_lines(spark, sf_dir)
+    return lines.filter(_FP_COLUMNS.column(message=F.col("log_line")))
+
+
+@query(
+    "q_filter_pattern_columns_or",
+    oracle=_COL_LOG_SQL
+    + f"""
+    SELECT event_id, log_line FROM logl
+    WHERE {_FP_COLUMNS_OR.duckdb_sql(message="log_line")}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_columns_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound per-slot conditions of the space-delimited family:
+    'status = 404 || status = 500' (numeric OR — AWS's documented
+    '[w1 = ERROR || w1 = WARN, w2]' shape) AND a two-sided numeric
+    band 'size < 500 && size >= 100', with && binding tighter than ||
+    exactly as in the JSON family. Bare slots (host, user, session,
+    request) bind positions without constraints but still count toward
+    the exact-field-count gate."""
+    lines = _col_log_lines(spark, sf_dir)
+    return lines.filter(_FP_COLUMNS_OR.column(message=F.col("log_line")))
+
+
 @query(
     "q_lineage_hash_chain",
     oracle=ORACLE_CTE

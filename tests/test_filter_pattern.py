@@ -112,6 +112,57 @@ def test_parse_errors(bad):
         parse(bad)
 
 
+def test_columns_bare_fields():
+    from ex_aws_firehose_spark.functions.filter_pattern import ColumnPattern
+
+    ast = parse("[ip, user, status]")
+    assert isinstance(ast, ColumnPattern)
+    assert ast.fields == ("ip", "user", "status")
+    assert ast.condition is None
+
+
+def test_columns_conditions_and_precedence():
+    from ex_aws_firehose_spark.functions.filter_pattern import (
+        ColumnPattern,
+        FieldComparison,
+    )
+
+    ast = parse("[w1 = ERROR || w1 = WARN, w2, size >= 1000]")
+    assert isinstance(ast, ColumnPattern)
+    assert ast.fields == ("w1", "w2", "size")
+    # top level: AND of (w1-chain, size-cmp); w1-chain is an OR
+    assert isinstance(ast.condition, BoolExpr) and ast.condition.op == "and"
+    chain, size_cmp = ast.condition.operands
+    assert isinstance(chain, BoolExpr) and chain.op == "or"
+    assert size_cmp == FieldComparison("size", ">=", 1000.0)
+
+
+def test_columns_wildcard_and_quoted():
+    ast = parse('[req = "GET /api/*", status = 4*]')
+    req, status = (
+        ast.condition.operands
+        if isinstance(ast.condition, BoolExpr)
+        else (ast.condition,)
+    )
+    assert req.wildcard and req.value == "GET /api/*"
+    assert status.wildcard and status.value == "4*"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "[w1, w1]",                 # duplicate field
+        "[w1 = ERROR || w9 = WARN]",  # undeclared reference
+        "[w1 > 4*]",                # wildcard with ordering comparator
+        "[w1 = a, ]",               # dangling comma
+        "[w1] trailing",
+    ],
+)
+def test_columns_parse_errors(bad):
+    with pytest.raises(FilterPatternError):
+        parse(bad)
+
+
 # ---------------------------------------------------------------------------
 # differential: same AST → same rows in Spark and DuckDB
 # ---------------------------------------------------------------------------
@@ -169,6 +220,51 @@ def test_spark_duckdb_agree(spark, pattern):
     sql = cp.duckdb_sql(message="message", json="props")
     want = {r[0] for r in con.execute(f"SELECT message FROM t WHERE {sql}").fetchall()}
     assert got == want, f"pattern {pattern!r}: spark={got} duckdb={want}"
+
+
+COL_ROWS = [
+    ('10.0.0.1 alice [12/May 10:00] "GET /api/users" 200 1532',),
+    ('10.0.0.2 bob [12/May 10:01] "GET /api/items" 404 320',),
+    ('10.0.0.3 carol [12/May 10:02] "POST /login" 403 99',),
+    ('10.0.0.4 dave [12/May 10:03] "GET /api/users" 500 450',),
+    ("short line",),
+    ('10.0.0.5 eve [12/May 10:04] "DELETE /x" 204 abc',),
+]
+
+COL_PATTERNS = [
+    "[ip, user, ts, request, status, size]",
+    "[ip, user, ts, request, status = 404, size]",
+    "[ip, user, ts, request, status = 4*, size]",
+    '[ip, user, ts, request = "GET /api/*", status, size]',
+    "[ip, user, ts, request, status = 404 || status = 500, size]",
+    "[ip, user, ts, request, status, size >= 100 && size < 500]",
+    '[ip = 10.0.0.*, user != bob, ts, request, status, size]',
+    "[ip, user, ts, request, status, size > 0]",  # non-numeric size → no match
+]
+
+
+@pytest.mark.parametrize("pattern", COL_PATTERNS)
+def test_columns_spark_duckdb_agree(spark, pattern):
+    from pyspark.sql import functions as F
+
+    cp = compile_pattern(pattern)
+    df = spark.createDataFrame(COL_ROWS, "message string")
+    got = {
+        r.message
+        for r in df.filter(cp.column(message=F.col("message"))).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join("(?)" for _ in COL_ROWS)
+        + ") v(message)",
+        [x for row in COL_ROWS for x in row],
+    )
+    sql = cp.duckdb_sql(message="message")
+    want = {r[0] for r in con.execute(f"SELECT message FROM t WHERE {sql}").fetchall()}
+    assert got == want, f"pattern {pattern!r}: spark={got} duckdb={want}"
+    # field-count gate: the 2-token and 6-token lines never co-match
+    assert "short line" not in got or len(got) == 1
 
 
 def test_bound_columns_match_unbound(spark):

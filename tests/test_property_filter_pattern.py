@@ -85,6 +85,104 @@ _ROWS = [(i, m, p) for i, (m, p) in enumerate(
 )]
 
 
+# ---------------------------------------------------------------------------
+# space-delimited (column) pattern family
+# ---------------------------------------------------------------------------
+
+_COL_NUMS = ["0", "99", "404", "-3", "100.5"]
+_COL_WORDS = ["GET", "alice", "a_b", "10.0.0.1", "12/May 10:00"]
+_COL_WILD = ["4*", "*e", "G*T", "*", "1*.0.0.*"]
+
+
+@st.composite
+def _col_cmp(draw, name):
+    kind = draw(st.sampled_from(["num", "word", "wild"]))
+    if kind == "num":
+        op = draw(st.sampled_from(["=", "!=", "<", "<=", ">", ">="]))
+        return f"{name} {op} {draw(st.sampled_from(_COL_NUMS))}"
+    if kind == "word":
+        op = draw(st.sampled_from(["=", "!="]))
+        w = draw(st.sampled_from(_COL_WORDS))
+        return f'{name} {op} "{w}"' if (draw(st.booleans()) or " " in w) else f"{name} {op} {w}"
+    op = draw(st.sampled_from(["=", "!="]))
+    return f"{name} {op} {draw(st.sampled_from(_COL_WILD))}"
+
+
+@st.composite
+def _col_pattern(draw):
+    n_fields = draw(st.integers(1, 6))
+    names = [f"f{i+1}" for i in range(n_fields)]
+    slots = []
+    for i, name in enumerate(names):
+        n_atoms = draw(st.integers(0, 2))
+        if n_atoms == 0:
+            slots.append(name)
+            continue
+        chain = [draw(_col_cmp(name))]
+        for _ in range(n_atoms - 1):
+            ref = draw(st.sampled_from(names[: i + 1]))
+            glue = draw(st.sampled_from(["&&", "||"]))
+            chain.append(f"{glue} {draw(_col_cmp(ref))}")
+        slots.append(" ".join(chain))
+    return "[" + ", ".join(slots) + "]"
+
+
+# Field counts 0–6 so the exact-count gate is exercised; quoted and
+# bracketed runs contain spaces so the grouping tokenizer is exercised.
+_COL_MSGS = [
+    '10.0.0.1 alice [12/May 10:00] "GET /api" 404 1532',
+    "GET alice 404",
+    "200 99 a_b -3 100.5",
+    "10.0.0.1 alice",
+    '"GET /api" [12/May 10:00] 404 404',
+    "alice",
+    "",
+    '[] "x" 4* GET alice 200',
+    '"12/May 10:00" [GET] -3 0 99 404',
+]
+_COL_ROWS = [(i, m) for i, m in enumerate(_COL_MSGS)]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(_col_pattern(), min_size=1, max_size=8, unique=True))
+def test_column_backends_select_identical_rows(spark, patterns):
+    from pyspark.sql import functions as F
+
+    compiled = [compile_pattern(p) for p in patterns]
+    df = spark.createDataFrame(_COL_ROWS, "rid long, message string")
+    cols = [
+        cp.column(message=F.col("message")).alias(f"p{i}")
+        for i, cp in enumerate(compiled)
+    ]
+    spark_rows = df.select("rid", *cols).collect()
+    got = {
+        i: {r.rid for r in spark_rows if r[f"p{i}"]}
+        for i in range(len(compiled))
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join("(?, ?)" for _ in _COL_ROWS)
+        + ") v(rid, message)",
+        [x for row in _COL_ROWS for x in row],
+    )
+    sels = ", ".join(
+        f"COALESCE(({cp.duckdb_sql(message='message')}), FALSE) AS p{i}"
+        for i, cp in enumerate(compiled)
+    )
+    want_rows = con.execute(f"SELECT rid, {sels} FROM t").fetchall()
+    for i, pat in enumerate(patterns):
+        want = {r[0] for r in want_rows if r[i + 1]}
+        assert got[i] == want, (
+            f"pattern {pat!r}: spark={sorted(got[i])} duckdb={sorted(want)}"
+        )
+
+
 @settings(
     max_examples=12,
     deadline=None,
