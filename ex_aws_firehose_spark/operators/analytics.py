@@ -763,6 +763,230 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_attribution_position",
+    oracle=EVENTS_US
+    + f"""
+    , pu AS (
+        SELECT event_id AS p_id, user_id, ts AS p_ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events_us WHERE event_type = 'purchase'
+    ),
+    t AS (
+        SELECT user_id, ts AS t_ts, event_id AS t_id,
+               event_type AS t_type
+        FROM events_us WHERE event_type IN ('click', 'view')
+    ),
+    j AS (
+        SELECT pu.p_id, pu.cents, t.t_type, t.t_id,
+               ROW_NUMBER() OVER (PARTITION BY pu.p_id
+                                  ORDER BY t.t_ts, t.t_id) AS rn,
+               CAST(COUNT(t.t_id) OVER (PARTITION BY pu.p_id) AS BIGINT)
+                   AS n
+        FROM pu LEFT JOIN t
+          ON pu.user_id = t.user_id
+         AND t.t_ts < pu.p_ts
+         AND t.t_ts >= pu.p_ts - INTERVAL {ATTRIB_WINDOW_HOURS} HOUR
+    ),
+    credited AS (
+        SELECT CASE WHEN n = 0 THEN 'direct' ELSE t_type END AS touch_type,
+               cents,
+               CASE
+                   WHEN n = 0 THEN 1000
+                   WHEN n = 1 THEN 1000
+                   WHEN n = 2 THEN 500
+                   WHEN rn = 1 OR rn = n THEN 400
+                   ELSE 200 // (n - 2)
+                        + CASE WHEN rn - 1 <= 200 % (n - 2)
+                               THEN 1 ELSE 0 END
+               END AS permille
+        FROM j
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           CAST(SUM(permille) AS BIGINT) AS credit_permille,
+           CAST(SUM(cents * permille) AS BIGINT) AS attributed_cpm
+    FROM credited GROUP BY touch_type
+    """,
+    tags=("analytics", "attribution"),
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) attribution — the multi-touch model
+    between last-touch (q_attribution_last_touch) and Markov removal
+    (q_attribution_markov_removal): within the same 24 h lookback, the
+    FIRST and LAST touch each earn 40 % of the conversion credit and
+    the middles split the remaining 20 % evenly.  Credit is exact
+    integer permille — 200 div (n−2) per middle with the remainder
+    dealt to the earliest middles — so every purchase's credits sum to
+    exactly 1000 and the rollup is overflow-checked int64 (cents ×
+    permille ≤ 1e9/purchase; safe past 1e9 purchases, then pre-divide).
+    Untouched purchases credit 'direct' in full.
+
+    100 TB shape: identical join geometry to last-touch (user_id equi
+    join, time band in-join), then ONE per-purchase window pass for
+    (rn, n) — no second shuffle since both window functions share the
+    p_id partitioning; the rollup is a tiny hash agg on touch type."""
+    e = load_table(spark, sf_dir, "events")
+    pu = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("t_type"),
+    )
+    j = pu.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (
+            F.col("t_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIB_WINDOW_HOURS} HOURS")
+        ),
+        "left",
+    )
+    wp = Window.partitionBy("p_id")
+    rn = F.row_number().over(wp.orderBy("t_ts", "t_id"))
+    n = F.count("t_id").over(wp)
+    ranked = j.select(
+        "p_id", "cents", "t_type", rn.alias("rn"), n.alias("n")
+    )
+    permille = (
+        F.when(F.col("n") <= 1, 1000)
+        .when(F.col("n") == 2, 500)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 400)
+        .otherwise(
+            F.expr("200 div (n - 2)")
+            + F.when(F.col("rn") - 1 <= F.expr("200 % (n - 2)"), 1).otherwise(0)
+        )
+    )
+    credited = ranked.select(
+        F.when(F.col("n") == 0, "direct")
+        .otherwise(F.col("t_type"))
+        .alias("touch_type"),
+        "cents",
+        permille.alias("permille"),
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count("*").alias("n_touches"),
+        F.sum("permille").alias("credit_permille"),
+        F.sum(F.col("cents") * F.col("permille")).alias("attributed_cpm"),
+    )
+
+
+@query(
+    "q_timeseries_changepoint",
+    oracle=EVENTS_US
+    + """
+    , daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events_us GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    pre AS (
+        SELECT event_type, day, cents,
+               CAST(SUM(cents) OVER w AS BIGINT) AS s_i,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+               CAST(SUM(cents) OVER p AS BIGINT) AS s_tot,
+               CAST(COUNT(*) OVER p AS BIGINT) AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               p AS (PARTITION BY event_type)
+    ),
+    scored AS (
+        SELECT event_type, day, i, n, s_i, s_tot,
+               CAST(s_i AS DOUBLE) * s_i / i
+               + CAST(s_tot - s_i AS DOUBLE) * (s_tot - s_i) / (n - i)
+               - CAST(s_tot AS DOUBLE) * s_tot / n AS r_gain
+        FROM pre WHERE i < n
+    ),
+    best AS (
+        SELECT event_type, day, i, n, s_i, s_tot, r_gain,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY r_gain DESC, day) AS rn
+        FROM scored
+    )
+    SELECT event_type, n AS n_points, day AS split_day, r_gain,
+           CAST(s_i // i AS BIGINT) AS left_mean_cents,
+           CAST((s_tot - s_i) // (n - i) AS BIGINT) AS right_mean_cents
+    FROM best WHERE rn = 1
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection (one round of binary segmentation):
+    per event type's daily revenue series, pick the split that
+    maximizes the between-segment variance explained, R(i) = S_i²/i +
+    (S−S_i)²/(n−i) − S²/n — the exact objective CUSUM
+    (q_timeseries_cusum) only thresholds.  Prefix sums are exact int64;
+    R is three IEEE ops on those integers, so even the gain DOUBLE
+    hash-matches DuckDB; ties break to the earliest day.  Emits the
+    split day and the exact integer segment means (floor division).
+
+    100 TB shape: the candidate scan is ONE cumulative window over the
+    per-key series (already aggregated to key×day grain — catalog-sized,
+    not event-sized); recursing into segments for k changepoints
+    re-runs the same window on day ranges, never re-reading events."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day",
+        F.sum("cents").over(wcum).alias("s_i"),
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("i"),
+        F.sum("cents").over(wall).alias("s_tot"),
+        F.count("*").over(wall).alias("n"),
+    )
+    r_gain = (
+        F.col("s_i").cast("double") * F.col("s_i") / F.col("i")
+        + (F.col("s_tot") - F.col("s_i")).cast("double")
+        * (F.col("s_tot") - F.col("s_i"))
+        / (F.col("n") - F.col("i"))
+        - F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n")
+    )
+    scored = pre.filter(F.col("i") < F.col("n")).select(
+        "event_type", "day", "i", "n", "s_i", "s_tot",
+        r_gain.alias("r_gain"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("r_gain"), "day"
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wbest))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n").alias("n_points"),
+            F.col("day").alias("split_day"),
+            "r_gain",
+            F.expr("s_i div i").alias("left_mean_cents"),
+            F.expr("(s_tot - s_i) div (n - i)").alias("right_mean_cents"),
+        )
+    )
+
+
 # EWMA kernel: dyadic weights 2^(K-1-j) for lag j — α=1/2 smoothing
 # truncated to K terms, exact in 64-bit integers in both engines.
 EWMA_K = 8

@@ -2628,6 +2628,141 @@ def q_sim_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n_vectors"))
 
 
+@query(
+    "q_sim_kmeans_iterate",
+    oracle=_CENTROID_CTE
+    + """
+    , dists AS (
+        SELECT e.vec_id, e.embedding, c.clabel,
+               list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+                   t -> (CAST(t[1] AS DOUBLE) - t[2])
+                        * (CAST(t[1] AS DOUBLE) - t[2])),
+                   (x, y) -> x + y) AS d2
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+        SELECT vec_id, embedding, clabel FROM (
+            SELECT vec_id, embedding, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS rn
+            FROM dists
+        ) WHERE rn = 1
+    ),
+    pos2 AS (
+        SELECT clabel,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM assign
+    ),
+    sums2 AS (
+        SELECT clabel, pos,
+               SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS n2
+        FROM pos2 GROUP BY clabel, pos
+    ),
+    newc AS (
+        SELECT clabel,
+               array_agg(CAST(s2 AS DOUBLE) / (1000.0 * n2) ORDER BY pos)
+                   AS centroid_new,
+               CAST(MAX(n2) AS BIGINT) AS n_assigned
+        FROM sums2 GROUP BY clabel
+    )
+    SELECT c.clabel,
+           COALESCE(n.n_assigned, 0) AS n_assigned,
+           list_reduce(list_transform(list_zip(c.centroid, n.centroid_new),
+               t -> (t[1] - t[2]) * (t[1] - t[2])),
+               (x, y) -> x + y) AS movement_d2
+    FROM cents c LEFT JOIN newc n USING (clabel)
+    """,
+    tags=("llm", "similarity"),
+)
+def q_sim_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full Lloyd iteration (E-step + M-step) on top of the
+    label-seeded codebook of q_sim_centroid_assign: assign every vector
+    to its nearest centroid (broadcast ×k fan-out, min(struct) argmin),
+    recompute each centroid as the exact int64-quantized mean of its
+    assigned vectors, and report per-centroid membership and squared-L2
+    movement — the convergence signal a k-means driver loops on.
+    Every arithmetic step (quantized sums, one division, ordered fold)
+    is bit-identical in DuckDB, so even the movement DOUBLEs hash-match.
+
+    100 TB shape: per iteration, one broadcast assignment pass (map-only)
+    plus one (cluster × dim)-grain hash agg — the M-step shuffle carries
+    k·d quantized sums, not vectors. The iteration loop reuses this
+    exact plan with the new codebook broadcast back; convergence reads
+    the k-row movement frame, never the data."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("p"),
+        F.floor(F.col("v").cast("double") * 1000).alias("sv"),
+    )
+    sums = comp.groupBy("label", "p").agg(
+        F.sum("sv").alias("s"), F.count("*").alias("n")
+    )
+    cents = sums.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s", "n"))),
+            lambda x: x["s"].cast("double") / (1000.0 * x["n"]),
+        ).alias("centroid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    best = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            F.struct(d2.alias("d2"), F.col("clabel").alias("clabel")).alias(
+                "cand"
+            ),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("b"))
+        .select("vec_id", F.col("b.clabel").alias("clabel"))
+    )
+    assigned = e.join(best, "vec_id").select("clabel", "embedding")
+    comp2 = assigned.select(
+        "clabel", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "clabel",
+        (F.col("p") + 1).alias("p"),
+        F.floor(F.col("v").cast("double") * 1000).alias("sv"),
+    )
+    sums2 = comp2.groupBy("clabel", "p").agg(
+        F.sum("sv").alias("s2"), F.count("*").alias("n2")
+    )
+    newc = sums2.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s2", "n2"))),
+            lambda x: x["s2"].cast("double") / (1000.0 * x["n2"]),
+        ).alias("centroid_new"),
+        F.max("n2").alias("n_assigned"),
+    )
+    move = F.aggregate(
+        F.zip_with(
+            "centroid",
+            "centroid_new",
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return cents.join(newc, "clabel", "left").select(
+        "clabel",
+        F.coalesce(F.col("n_assigned"), F.lit(0)).alias("n_assigned"),
+        move.alias("movement_d2"),
+    )
+
+
 RP_PLANES = 8
 EMB_DIM = 64
 RP_COS = 0.15

@@ -3056,6 +3056,246 @@ def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+T_CLOSENESS_X1M = 200_000  # flag groups with EMD > 0.2 (scaled 1e6)
+
+
+@query(
+    "q_anon_tcloseness",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(FLOOR(c_acctbal / {_ACCTBAL_BAND}) AS BIGINT) AS band
+        FROM customer
+    ),
+    gband AS (
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS g_cnt FROM q GROUP BY band
+    ),
+    tot AS (
+        SELECT CAST(SUM(g_cnt) AS BIGINT) AS n_total,
+               CAST(COUNT(*) AS BIGINT) AS m_bands
+        FROM gband
+    ),
+    grp AS (
+        SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_grp
+        FROM q GROUP BY c_nationkey, c_mktsegment
+    ),
+    cell AS (
+        SELECT c_nationkey, c_mktsegment, band,
+               CAST(COUNT(*) AS BIGINT) AS c_cnt
+        FROM q GROUP BY c_nationkey, c_mktsegment, band
+    ),
+    grid AS (
+        SELECT g.c_nationkey, g.c_mktsegment, g.n_grp, b.band, b.g_cnt,
+               COALESCE(c.c_cnt, 0) AS c_cnt
+        FROM grp g CROSS JOIN gband b
+        LEFT JOIN cell c
+          ON c.c_nationkey = g.c_nationkey
+         AND c.c_mktsegment = g.c_mktsegment
+         AND c.band = b.band
+    ),
+    cum AS (
+        SELECT c_nationkey, c_mktsegment, n_grp, band,
+               CAST(SUM(c_cnt) OVER w AS BIGINT) AS cum_c,
+               CAST(SUM(g_cnt) OVER w AS BIGINT) AS cum_g
+        FROM grid
+        WINDOW w AS (PARTITION BY c_nationkey, c_mktsegment ORDER BY band
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT c_nationkey, c_mktsegment, n_grp AS group_size,
+           CAST(SUM(ABS(cum_c * t.n_total - cum_g * n_grp)) AS BIGINT)
+               AS emd_num,
+           CAST(SUM(ABS(cum_c * t.n_total - cum_g * n_grp)) * 1000000
+                // (n_grp * t.n_total * (t.m_bands - 1)) AS BIGINT)
+               AS emd_x1m,
+           CAST(SUM(ABS(cum_c * t.n_total - cum_g * n_grp)) * 1000000
+                // (n_grp * t.n_total * (t.m_bands - 1)) AS BIGINT)
+               <= {T_CLOSENESS_X1M} AS is_t_close
+    FROM cum CROSS JOIN tot t
+    GROUP BY c_nationkey, c_mktsegment, n_grp, t.n_total, t.m_bands
+    """,
+    tags=("scale", "dq", "privacy"),
+)
+def q_anon_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — the third rung of the anonymity ladder
+    (q_anon_kanonymity, q_anon_ldiversity): a QI group can be large AND
+    diverse yet still leak if its sensitive-value DISTRIBUTION differs
+    from the table's (e.g. one segment skews to high balances).  Per QI
+    group, Earth Mover's Distance between the group's and the global
+    band distribution over the ORDERED bands — for 1-D ordered
+    categories EMD = Σ|cumulative difference| / (m−1), computed here in
+    exact integer cross-products (|cum_c·N − cum_g·n| avoids forming
+    either fraction) with ONE integer division at the end (×1e6).
+    Int64 bound: cum_c·N ≤ n·N, safe to N ≈ 3e9 rows; beyond that
+    pre-divide the global cumulative once (the q_agg_gini note).
+
+    100 TB shape: two hash aggs at (QI, band) and (band) grain, then a
+    |QI|×m dense grid via broadcast cross join (m = band count, tiny)
+    and a per-QI window over m rows — output and window width are
+    catalog-scale, never data-scale."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / _ACCTBAL_BAND).cast("long").alias("band"),
+    )
+    glob = q.groupBy("band").agg(F.count("*").alias("g_cnt"))
+    tot = glob.agg(
+        F.sum("g_cnt").alias("n_total"), F.count("*").alias("m_bands")
+    )
+    grp = q.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("n_grp")
+    )
+    cell = q.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").alias("c_cnt")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(cell, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "n_grp",
+            "band",
+            "g_cnt",
+            F.coalesce(F.col("c_cnt"), F.lit(0)).alias("c_cnt"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "n_grp",
+        F.sum("c_cnt").over(w).alias("cum_c"),
+        F.sum("g_cnt").over(w).alias("cum_g"),
+    )
+    num = F.sum(
+        F.abs(F.col("cum_c") * F.col("n_total") - F.col("cum_g") * F.col("n_grp"))
+    )
+    # exact int64 division (div / DuckDB //) — CAST(double) would
+    # round in DuckDB but truncate in Spark
+    emd = F.expr(
+        "emd_num * 1000000 div (n_grp * n_total * (m_bands - 1))"
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("c_nationkey", "c_mktsegment", "n_grp", "n_total", "m_bands")
+        .agg(num.alias("emd_num"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.col("n_grp").alias("group_size"),
+            "emd_num",
+            emd.alias("emd_x1m"),
+            (emd <= T_CLOSENESS_X1M).alias("is_t_close"),
+        )
+    )
+
+
+ER_NEAR_DIST = 3  # edit-distance verify threshold for near-duplicates
+
+
+@query(
+    "q_er_blocking",
+    oracle=f"""
+    WITH r AS (
+        SELECT p_partkey, p_name,
+               split_part(p_name, ' ', 1) AS blk_word,
+               substring(split_part(p_name, ' ', 2), 1, 1) AS blk_init
+        FROM part
+    ),
+    pairs AS (
+        SELECT a.blk_word, a.blk_init,
+               levenshtein(a.p_name, b.p_name) AS d
+        FROM r a JOIN r b
+          ON a.blk_word = b.blk_word AND a.blk_init = b.blk_init
+         AND a.p_partkey < b.p_partkey
+    ),
+    recs AS (
+        SELECT blk_word, blk_init, CAST(COUNT(*) AS BIGINT) AS n_records
+        FROM r GROUP BY blk_word, blk_init
+    )
+    SELECT recs.blk_word, recs.blk_init, recs.n_records,
+           CAST(COALESCE(COUNT(p.d), 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN p.d = 0 THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS n_exact,
+           CAST(COALESCE(SUM(CASE WHEN p.d > 0 AND p.d <= {ER_NEAR_DIST}
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_near
+    FROM recs LEFT JOIN pairs p
+      ON p.blk_word = recs.blk_word AND p.blk_init = recs.blk_init
+    GROUP BY recs.blk_word, recs.blk_init, recs.n_records
+    """,
+    tags=("scale", "dedup", "er"),
+)
+def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution blocking join: candidate record pairs are
+    generated ONLY within a blocking key (first name token + initial of
+    the second — the classic multi-attribute block), then verified with
+    an edit-distance predicate: d = 0 exact duplicate, 0 < d ≤
+    {ER_NEAR_DIST} near-duplicate (catches ring/rod-style variants the
+    exact key misses).  Per-block audit rows: record count, candidate
+    pairs, exact and near match counts — the numbers an ER pipeline
+    tunes its blocking key against (pair count vs recall).
+
+    100 TB shape: blocking turns the O(n²) all-pairs verify into one
+    equi-join shuffled on the block key — candidate volume is
+    Σ|block|², controlled by key refinement (add a second initial
+    character when a block outgrows its budget; salt if one block
+    skews).  Levenshtein runs JVM-side (codegen) on the joined pairs
+    only; nothing touches Python."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split("p_name", " ").getItem(0).alias("blk_word"),
+        F.substring(F.split("p_name", " ").getItem(1), 1, 1).alias("blk_init"),
+    )
+    a = p.select(
+        F.col("blk_word"),
+        F.col("blk_init"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("blk_word").alias("bw"),
+        F.col("blk_init").alias("bi"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("blk_word") == F.col("bw"))
+        & (F.col("blk_init") == F.col("bi"))
+        & (F.col("key_a") < F.col("key_b")),
+    ).select(
+        "blk_word",
+        "blk_init",
+        F.levenshtein("name_a", "name_b").alias("d"),
+    )
+    pair_stats = pairs.groupBy("blk_word", "blk_init").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).alias("n_exact"),
+        F.sum(
+            F.when((F.col("d") > 0) & (F.col("d") <= ER_NEAR_DIST), 1)
+            .otherwise(0)
+        ).alias("n_near"),
+    )
+    recs = p.groupBy("blk_word", "blk_init").agg(
+        F.count("*").alias("n_records")
+    )
+    return recs.join(pair_stats, ["blk_word", "blk_init"], "left").select(
+        "blk_word",
+        "blk_init",
+        "n_records",
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
+        F.coalesce(F.col("n_near"), F.lit(0)).alias("n_near"),
+    )
+
+
 # Fixed mid-month split for the two-sample KS drift test; the fixture
 # events span 2024-01-01 .. 2024-01-30 (TESTDATA.md).
 KS_SPLIT_TS = "2024-01-16 00:00:00"

@@ -146,6 +146,43 @@ def test_centroid_codebook_broadcasts(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
 
 
+def test_kmeans_iterate_codebook_broadcasts(spark, sf_dir):
+    # Both Lloyd halves stay broadcast-side: the E-step fans the k-row
+    # codebook out over the vectors (BNLJ), and the old↔new centroid
+    # comparison is a k-row join — neither may shuffle the data side
+    # into a cartesian product.
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sim_kmeans_iterate"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_er_blocking_joins_on_block_key(spark, sf_dir):
+    # The candidate generator must be an EQUI join on the blocking key
+    # (shuffle or broadcast hash) — never an all-pairs cartesian; the
+    # key-inequality dedup rides along as an in-join filter.
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_er_blocking"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_tcloseness_grid_broadcasts(spark, sf_dir):
+    # The QI×band dense grid is catalog-sized: the band distribution
+    # and the totals row must broadcast, never shuffle the QI side.
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_anon_tcloseness"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_gapfill_spine_joins_broadcast(spark, sf_dir):
     # The per-type spine is tiny; the rollup side must not be
     # re-shuffled to meet it.
