@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ex_aws_firehose_spark.functions.text import duck_hex_hash, hex_hash
 from ex_aws_firehose_spark.registry import query
 from ex_aws_firehose_spark.tables import load_table
 
@@ -984,6 +985,197 @@ def q_timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("s_i div i").alias("left_mean_cents"),
             F.expr("(s_tot - s_i) div (n - i)").alias("right_mean_cents"),
         )
+    )
+
+
+@query(
+    "q_regression_ols",
+    oracle=EVENTS_US
+    + """
+    , daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events_us GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    xy AS (
+        SELECT event_type,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY day) AS BIGINT) AS x,
+               cents AS y
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx) AS slope,
+           (sy - CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx) * sx) / n AS intercept,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               * (n * sxy - sx * sy)
+               / ((n * sxx - sx * sx)
+                  * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key simple linear regression (trend fit): OLS of daily
+    revenue on the day index per event type — slope (cents/day),
+    intercept, and r² from the five classic co-moment sums, all exact
+    int64 (the rolling-corr/ACF recipe) with IEEE-deterministic final
+    ratios, so even the DOUBLEs hash-match DuckDB.  cov and var
+    numerators are also emitted as exact integers — the form a driver
+    compares against thresholds without float questions.  Int64 bound:
+    n·Σxy ≤ n²·x_max·y_max — safe while Σ day-cents < 3e9·n_days; past
+    that, pre-center y once (subtract the integer mean) as documented
+    for q_agg_gini.
+
+    100 TB shape: the fit consumes the key×day aggregate (catalog-
+    sized), ONE row_number window per key for the x index, then a
+    map-side-combined co-moment agg — events are touched once at the
+    daily rollup; per-key output is 1 row."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("y"))
+    )
+    xy = daily.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("day"))
+        .cast("long")
+        .alias("x"),
+        "y",
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov.cast("double") / varx
+    return s.select(
+        "event_type",
+        "n",
+        cov.alias("cov_num"),
+        varx.alias("varx_num"),
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        (cov.cast("double") * cov / (varx * vary.cast("double"))).alias("r2"),
+    )
+
+
+AB_CHI2_X1M = 3_841_459  # 3.84 critical value (α=0.05, df=1), ×1e6
+
+
+@query(
+    "q_ab_srm_check",
+    oracle=EVENTS_US
+    + f"""
+    , u AS (
+        SELECT user_id,
+               {duck_hex_hash("CAST(user_id AS VARCHAR)")} % 2 AS arm,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS converted
+        FROM events_us GROUP BY user_id
+    ),
+    a AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(converted) AS BIGINT) AS n_converted
+        FROM u GROUP BY arm
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN n_users END) AS n1,
+               MAX(CASE WHEN arm = 0 THEN n_converted END) AS c0,
+               MAX(CASE WHEN arm = 1 THEN n_converted END) AS c1
+        FROM a
+    )
+    SELECT n0, n1, c0, c1,
+           CAST(c0 * 1000000 // n0 AS BIGINT) AS conv0_ppm,
+           CAST(c1 * 1000000 // n1 AS BIGINT) AS conv1_ppm,
+           CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT)
+               AS srm_chi2_x1m,
+           CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT)
+               <= {AB_CHI2_X1M} AS srm_ok
+    FROM w
+    """,
+    tags=("analytics", "experiment"),
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment health check: users are deterministically
+    assigned to two arms by the engine-portable md5-prefix hash (the
+    production trick — assignment is reproducible from the id alone,
+    no state), then the sample-ratio-mismatch χ² for the intended
+    50/50 split is computed in exact integers ((n0−n1)²·1e6 div
+    (n0+n1)) against the 3.84 α=0.05 critical value — THE guardrail
+    that invalidates an experiment before anyone reads the metric.
+    Per-arm conversion rates land as exact integer ppm.  Int64 bound:
+    (n0−n1)²·1e6 — under SRM-null the diff is O(√n), safe to ~1e12
+    users; a true gross mismatch saturates the verdict long before
+    overflow matters.
+
+    100 TB shape: one user-grain hash agg (map-side combined, the
+    conversion flag folds into the same pass), then a 2-row pivot —
+    assignment adds zero shuffle because the hash is computed inline
+    at scan time."""
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.select(
+            "user_id",
+            (F.col("event_type") == "purchase").cast("int").alias("conv"),
+        )
+        .groupBy("user_id")
+        .agg(F.max("conv").alias("converted"))
+        .select(
+            F.pmod(hex_hash(F.col("user_id").cast("string")), F.lit(2)).alias(
+                "arm"
+            ),
+            "converted",
+        )
+    )
+    a = u.groupBy("arm").agg(
+        F.count("*").alias("n_users"),
+        F.sum("converted").alias("n_converted"),
+    )
+    w = a.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    chi2 = F.expr("(n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1)")
+    return w.select(
+        "n0",
+        "n1",
+        "c0",
+        "c1",
+        F.expr("c0 * 1000000 div n0").alias("conv0_ppm"),
+        F.expr("c1 * 1000000 div n1").alias("conv1_ppm"),
+        chi2.alias("srm_chi2_x1m"),
+        (chi2 <= AB_CHI2_X1M).alias("srm_ok"),
     )
 
 

@@ -4129,6 +4129,83 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_zipf_fit",
+    oracle="""
+    WITH uni AS (
+        SELECT unnest(str_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    freq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ),
+    xy AS (
+        SELECT CAST(length(printf('%b',
+                   ROW_NUMBER() OVER (ORDER BY c DESC, tok))) AS BIGINT)
+                   AS x,
+               CAST(length(printf('%b', c)) AS BIGINT) AS y
+        FROM freq
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM xy
+    )
+    SELECT n AS n_vocab,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS varx_num,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+               / (n * sxx - sx * sx) AS zipf_slope
+    FROM s
+    """,
+    tags=("llm", "text"),
+)
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit — the corpus-naturalness screen: regress
+    ⌊log₂ frequency⌋ on ⌊log₂ rank⌋ over the whole vocabulary; natural
+    language lands near slope −1, while template-flooded or synthetic
+    corpora flatten or step.  Both logs are exact integer bit-lengths
+    (the q_text_bigram_lm trick — conv-to-binary length, DuckDB
+    printf('%b')), so the OLS co-moments are exact int64 and the single
+    final ratio is the only double — bit-identical cross-engine.
+
+    100 TB shape: one map-side-combined token count, ONE vocab-sized
+    rank sort (range-partitioned — vocabulary is millions of rows, not
+    corpus-scale), then a 1-row co-moment agg.  The corpus itself is
+    touched exactly once."""
+    d = load_table(spark, sf_dir, "documents")
+    uni = d.select(F.explode(tokens("text")).alias("tok"))
+    freq = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    xy = freq.select(
+        bitlen(
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), "tok"))
+            .cast("long")
+        )
+        .cast("long")
+        .alias("x"),
+        bitlen(F.col("c")).cast("long").alias("y"),
+    )
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        cov.alias("cov_num"),
+        varx.alias("varx_num"),
+        (cov.cast("double") / varx).alias("zipf_slope"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-QA: norm-outlier audit
 # ---------------------------------------------------------------------------
