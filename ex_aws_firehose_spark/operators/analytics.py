@@ -1179,6 +1179,77 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_funnel_time_to_convert",
+    oracle=EVENTS_US
+    + """
+    , fv AS (
+        SELECT user_id, MIN(ts) AS v_ts
+        FROM events_us WHERE event_type = 'view' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT f.user_id, f.v_ts, MIN(p.ts) AS p_ts
+        FROM fv f JOIN events_us p
+          ON p.user_id = f.user_id
+         AND p.event_type = 'purchase' AND p.ts > f.v_ts
+        GROUP BY f.user_id, f.v_ts
+    ),
+    lat AS (
+        SELECT CAST(v_ts AS DATE) AS cohort_day,
+               epoch_us(p_ts) - epoch_us(v_ts) AS lat_us
+        FROM fp
+    )
+    SELECT cohort_day,
+           CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(lat_us, 0.5) AS p50_latency_us,
+           quantile_cont(lat_us, 0.9) AS p90_latency_us,
+           CAST(MAX(lat_us) AS BIGINT) AS max_latency_us
+    FROM lat GROUP BY cohort_day
+    """,
+    tags=("analytics", "funnel"),
+)
+def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency distribution — the time dimension the funnel
+    keys (q_sessionize_funnel, q_funnel_transition_matrix) don't
+    measure: per first-view cohort day, exact interpolated p50/p90 of
+    the time from a user's FIRST view to their first purchase AFTER it.
+    Latency is exact integer microseconds (unix_micros ↔ epoch_us), so
+    the interpolated quantiles are bit-identical cross-engine.
+
+    100 TB shape: two user-grain min-aggregates (map-side combined on
+    the same user_id shuffle) joined per user — never event×event; the
+    quantile sorts only the converted-user latencies within each
+    cohort-day group, catalog-scale cardinality."""
+    e = load_table(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    fp = (
+        fv.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("v_ts")),
+        )
+        .groupBy("user_id", "v_ts")
+        .agg(F.min("p_ts").alias("p_ts"))
+    )
+    lat = fp.select(
+        F.col("v_ts").cast("date").alias("cohort_day"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lat_us"),
+    )
+    return lat.groupBy("cohort_day").agg(
+        F.count("*").alias("n_converted"),
+        F.percentile("lat_us", F.lit(0.5)).alias("p50_latency_us"),
+        F.percentile("lat_us", F.lit(0.9)).alias("p90_latency_us"),
+        F.max("lat_us").alias("max_latency_us"),
+    )
+
+
 # EWMA kernel: dyadic weights 2^(K-1-j) for lag j — α=1/2 smoothing
 # truncated to K terms, exact in 64-bit integers in both engines.
 EWMA_K = 8

@@ -4129,6 +4129,99 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Multi-epoch plan: total token budget = 2× corpus, per-source repeat
+# capped at 4 epochs (the data-constrained scaling ceiling beyond which
+# repeated tokens stop helping).
+EPOCH_BUDGET_X1000 = 2000
+EPOCH_CAP_X1000 = 4000
+
+
+@query(
+    "q_curate_epoch_plan",
+    oracle=f"""
+    WITH st AS (
+        SELECT source,
+               CAST(SUM(len(str_split(lower(text), ' '))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS n_sources
+        FROM st
+    ),
+    plan AS (
+        SELECT s.source, s.n_tokens,
+               CAST(t.total * {EPOCH_BUDGET_X1000} // 1000 // t.n_sources
+                    AS BIGINT) AS share_tokens,
+               CAST(LEAST({EPOCH_CAP_X1000},
+                          (t.total * {EPOCH_BUDGET_X1000} // 1000
+                           // t.n_sources) * 1000 // s.n_tokens)
+                    AS BIGINT) AS epochs_x1000
+        FROM st s CROSS JOIN tot t
+    )
+    SELECT source, n_tokens, share_tokens, epochs_x1000,
+           CAST(n_tokens * epochs_x1000 // 1000 AS BIGINT)
+               AS planned_tokens,
+           epochs_x1000 = {EPOCH_CAP_X1000} AS capped,
+           CAST(share_tokens - n_tokens * epochs_x1000 // 1000 AS BIGINT)
+               AS shortfall_tokens
+    FROM plan
+    """,
+    tags=("llm", "curation"),
+)
+def q_curate_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-epoch training-data plan (the data-constrained scaling
+    recipe): give every source an equal share of a 2×-corpus token
+    budget, convert the share to a repeat factor, and CAP it at 4
+    epochs — the point where repeating data stops buying loss.  Small
+    sources hit the cap (their shortfall is surfaced in exact tokens —
+    the mass a second planning round redistributes); large sources
+    repeat fractionally.  Complements q_curate_mix_weights (single-
+    epoch reweighting) and q_curate_token_budget (greedy fill): this is
+    the epoch dimension.  All integer arithmetic — ×1000 fixed-point
+    epochs, floor division in both engines.
+
+    100 TB shape: one map-side-combined token count per source + a
+    1-row totals broadcast; the plan itself is |sources| rows — the
+    executor applying it re-reads each source epochs_x1000/1000 times
+    (floor) plus one hash-sampled partial pass, never shuffling the
+    corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    st = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).alias("n_tokens")
+    )
+    tot = st.agg(
+        F.sum("n_tokens").alias("total"), F.count("*").alias("n_sources")
+    )
+    plan = st.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.expr(f"total * {EPOCH_BUDGET_X1000} div 1000 div n_sources").alias(
+            "share_tokens"
+        ),
+    ).select(
+        "source",
+        "n_tokens",
+        "share_tokens",
+        F.least(
+            F.lit(EPOCH_CAP_X1000),
+            F.expr("share_tokens * 1000 div n_tokens"),
+        ).alias("epochs_x1000"),
+    )
+    return plan.select(
+        "source",
+        "n_tokens",
+        "share_tokens",
+        "epochs_x1000",
+        F.expr("n_tokens * epochs_x1000 div 1000").alias("planned_tokens"),
+        (F.col("epochs_x1000") == EPOCH_CAP_X1000).alias("capped"),
+        F.expr("share_tokens - n_tokens * epochs_x1000 div 1000").alias(
+            "shortfall_tokens"
+        ),
+    )
+
+
 @query(
     "q_text_zipf_fit",
     oracle="""

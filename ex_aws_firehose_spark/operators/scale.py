@@ -3195,6 +3195,153 @@ def q_anon_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_graph_local_clustering",
+    oracle=EVENTS_US
+    + f"""
+    , e AS (
+        SELECT user_id, event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr
+        FROM events_us
+    ),
+    pairs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e a JOIN e b
+          ON a.hr = b.hr AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (SELECT ua, ub FROM pairs WHERE w >= {TRI_MIN_COOCCUR}),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT ua AS v FROM edges UNION ALL SELECT ub FROM edges
+        ) GROUP BY v
+    ),
+    oriented AS (
+        SELECT CASE WHEN da.d <= db.d THEN eg.ua ELSE eg.ub END AS src,
+               CASE WHEN da.d <= db.d THEN eg.ub ELSE eg.ua END AS dst
+        FROM edges eg
+        JOIN deg da ON da.v = eg.ua
+        JOIN deg db ON db.v = eg.ub
+    ),
+    closed AS (
+        SELECT w.a, w.b, w.c FROM (
+            SELECT o1.src AS a, o1.dst AS b, o2.dst AS c
+            FROM oriented o1 JOIN oriented o2
+              ON o1.src = o2.src AND o1.dst < o2.dst
+        ) w JOIN edges e3
+          ON e3.ua = LEAST(w.b, w.c) AND e3.ub = GREATEST(w.b, w.c)
+    ),
+    pernode AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+            SELECT a AS v FROM closed
+            UNION ALL SELECT b FROM closed
+            UNION ALL SELECT c FROM closed
+        ) GROUP BY v
+    )
+    SELECT deg.v AS user_id, deg.d AS degree,
+           COALESCE(p.n_tri, 0) AS n_triangles,
+           CAST(COALESCE(p.n_tri, 0) * 2 * 1000000
+                // GREATEST(deg.d * (deg.d - 1), 1) AS BIGINT)
+               AS local_cc_ppm
+    FROM deg LEFT JOIN pernode p ON p.v = deg.v
+    """,
+    tags=("scale", "graph"),
+)
+def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex (local) clustering coefficient — the node-level
+    refinement of q_graph_triangles' single global row: over the same
+    thresholded co-occurrence graph, each vertex's triangle count and
+    local coefficient 2·T(v) / d(v)(d(v)−1) in exact integer ppm.
+    Triangles are enumerated ONCE by the degree-ordered wedge method
+    (each triangle closes at exactly one center) and then credited to
+    all three corners — so hub vertices never re-enumerate their
+    neighborhoods.  The profile separates tight communities (high
+    local CC) from brokers (high degree, low CC) — the feature the
+    community keys consume.
+
+    100 TB shape: identical join geometry to q_graph_triangles (the
+    sqrt(|E|)-capped wedge join — docs/SCALE.md §13); the only
+    additions are a 3-way corner explode of the closed-triangle stream
+    and one |V|-grain hash agg.  Output is |V| rows."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.filter(F.col("w") >= TRI_MIN_COOCCUR).select("ua", "ub")
+    edges = edges.persist()
+    deg = (
+        edges.select(F.col("ua").alias("v"))
+        .unionByName(edges.select(F.col("ub").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("ub"), F.col("d").alias("db"))
+    oriented = (
+        edges.join(da, "ua")
+        .join(db, "ub")
+        .select(
+            F.when(F.col("da") <= F.col("db"), F.col("ua"))
+            .otherwise(F.col("ub"))
+            .alias("src"),
+            F.when(F.col("da") <= F.col("db"), F.col("ub"))
+            .otherwise(F.col("ua"))
+            .alias("dst"),
+        )
+    )
+    oriented = oriented.persist()
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (F.col("o1.dst") < F.col("o2.dst")),
+    ).select(
+        F.col("o1.src").alias("a"),
+        F.col("o1.dst").alias("b"),
+        F.col("o2.dst").alias("c"),
+    )
+    e3 = edges.select(
+        F.col("ua").alias("e_lo"), F.col("ub").alias("e_hi")
+    )
+    closed = wedges.join(
+        e3,
+        (F.col("e_lo") == F.least("b", "c"))
+        & (F.col("e_hi") == F.greatest("b", "c")),
+    ).select("a", "b", "c")
+    pernode = (
+        closed.select(F.col("a").alias("v"))
+        .unionByName(closed.select(F.col("b").alias("v")))
+        .unionByName(closed.select(F.col("c").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return deg.join(pernode, "v", "left").select(
+        F.col("v").alias("user_id"),
+        F.col("d").alias("degree"),
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+        F.expr(
+            "coalesce(n_tri, 0) * 2 * 1000000"
+            " div greatest(d * (d - 1), 1)"
+        ).alias("local_cc_ppm"),
+    )
+
+
 ER_NEAR_DIST = 3  # edit-distance verify threshold for near-duplicates
 
 
