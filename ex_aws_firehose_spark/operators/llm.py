@@ -2763,6 +2763,202 @@ def q_sim_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_embed_drift_centroid",
+    oracle="""
+    WITH halves AS (
+        SELECT vec_id, label, embedding, vec_id % 2 AS side
+        FROM embeddings
+    ),
+    pos AS (
+        SELECT label, side,
+               generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM halves
+    ),
+    sums AS (
+        SELECT label, side, pos,
+               SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pos GROUP BY label, side, pos
+    ),
+    cents AS (
+        SELECT label, side,
+               array_agg(CAST(s AS DOUBLE) / (1000.0 * n) ORDER BY pos)
+                   AS centroid,
+               CAST(MAX(n) AS BIGINT) AS n_vecs
+        FROM sums GROUP BY label, side
+    )
+    SELECT a.label, a.n_vecs AS n_even, b.n_vecs AS n_odd,
+           list_reduce(list_transform(list_zip(a.centroid, b.centroid),
+               t -> (t[1] - t[2]) * (t[1] - t[2])),
+               (x, y) -> x + y) AS drift_d2
+    FROM cents a JOIN cents b
+      ON a.label = b.label AND a.side = 0 AND b.side = 1
+    """,
+    tags=("llm", "embedding", "dq"),
+)
+def q_embed_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: split each label's vectors into two
+    deterministic halves (vec_id parity — in production: before/after a
+    re-embedding run, or two time windows) and measure the squared-L2
+    shift between the halves' centroids.  A re-embedded corpus whose
+    per-label centroids move is the classic silent killer of a frozen
+    ANN index (the IVF cells were trained on the OLD distribution).
+    Centroids use the exact int64-quantized sums of q_embed_centroid,
+    so the drift DOUBLEs are bit-identical cross-engine.
+
+    100 TB shape: ONE (label, side, dim)-grain hash agg over the
+    vectors (map-side combined), then a k-row self-join — the monitor
+    costs one scan regardless of corpus size and emits k rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("side"),
+        F.posexplode("embedding").alias("p", "v"),
+    ).select(
+        "label",
+        "side",
+        (F.col("p") + 1).alias("p"),
+        F.floor(F.col("v").cast("double") * 1000).alias("sv"),
+    )
+    sums = comp.groupBy("label", "side", "p").agg(
+        F.sum("sv").alias("s"), F.count("*").alias("n")
+    )
+    cents = sums.groupBy("label", "side").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s", "n"))),
+            lambda x: x["s"].cast("double") / (1000.0 * x["n"]),
+        ).alias("centroid"),
+        F.max("n").alias("n_vecs"),
+    )
+    a = cents.filter(F.col("side") == 0).select(
+        "label",
+        F.col("centroid").alias("c0"),
+        F.col("n_vecs").alias("n_even"),
+    )
+    b = cents.filter(F.col("side") == 1).select(
+        F.col("label").alias("lb"),
+        F.col("centroid").alias("c1"),
+        F.col("n_vecs").alias("n_odd"),
+    )
+    drift = F.aggregate(
+        F.zip_with("c0", "c1", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        a.join(b, F.col("label") == F.col("lb"))
+        .select("label", "n_even", "n_odd", drift.alias("drift_d2"))
+    )
+
+
+@query(
+    "q_sim_silhouette",
+    oracle=_CENTROID_CTE
+    + """
+    , dists AS (
+        SELECT e.vec_id, e.label, c.clabel,
+               list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+                   t -> (CAST(t[1] AS DOUBLE) - t[2])
+                        * (CAST(t[1] AS DOUBLE) - t[2])),
+                   (x, y) -> x + y) AS d2
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    ab AS (
+        SELECT vec_id, label,
+               MIN(CASE WHEN clabel = label THEN d2 END) AS a2,
+               MIN(CASE WHEN clabel <> label THEN d2 END) AS b2
+        FROM dists GROUP BY vec_id, label
+    ),
+    s AS (
+        SELECT label,
+               CAST(FLOOR((b2 - a2) / GREATEST(a2, b2) * 1000000)
+                    AS BIGINT) AS s_ppm
+        FROM ab
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(s_ppm) AS BIGINT) AS sum_s_ppm,
+           CAST(SUM(s_ppm) // COUNT(*) AS BIGINT) AS mean_s_ppm,
+           CAST(SUM(CASE WHEN s_ppm < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM s GROUP BY label
+    """,
+    tags=("llm", "similarity", "dq"),
+)
+def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette audit of the label
+    clustering: per vector, a² = squared distance to its OWN centroid,
+    b² = min squared distance to any OTHER centroid, s = (b²−a²) /
+    max(a², b²) ∈ [−1, 1] — negative s means the vector sits closer to
+    a foreign centroid (misassigned).  Per-vector s is a deterministic
+    DOUBLE, but a distributed SUM of doubles is order-dependent, so s
+    is floored to integer ppm FIRST and summed exactly — the mean is
+    one integer division (the bit-determinism rule every float key in
+    this repo follows).  The centroid-based form is the O(n·k)
+    silhouette used at scale (the classic pairwise form is O(n²)).
+
+    100 TB shape: same broadcast ×k fan-out as q_sim_centroid_assign
+    with a two-way conditional-min agg per vector; output is k rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("p"),
+        F.floor(F.col("v").cast("double") * 1000).alias("sv"),
+    )
+    sums = comp.groupBy("label", "p").agg(
+        F.sum("sv").alias("s"), F.count("*").alias("n")
+    )
+    cents = sums.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s", "n"))),
+            lambda x: x["s"].cast("double") / (1000.0 * x["n"]),
+        ).alias("centroid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    ab = (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "label", F.col("clabel"), d2.alias("d2"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.min(
+                F.when(F.col("clabel") == F.col("label"), F.col("d2"))
+            ).alias("a2"),
+            F.min(
+                F.when(F.col("clabel") != F.col("label"), F.col("d2"))
+            ).alias("b2"),
+        )
+    )
+    s_ppm = F.floor(
+        (F.col("b2") - F.col("a2"))
+        / F.greatest("a2", "b2")
+        * 1_000_000
+    ).cast("long")
+    return (
+        ab.select("label", s_ppm.alias("s_ppm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("s_ppm").alias("sum_s_ppm"),
+            F.expr("sum(s_ppm) div count(*)").alias("mean_s_ppm"),
+            F.sum(F.when(F.col("s_ppm") < 0, 1).otherwise(0)).alias(
+                "n_negative"
+            ),
+        )
+    )
+
+
 RP_PLANES = 8
 EMB_DIM = 64
 RP_COS = 0.15
