@@ -3388,58 +3388,69 @@ def q_er_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, exact and near match counts — the numbers an ER pipeline
     tunes its blocking key against (pair count vs recall).
 
-    100 TB shape: blocking turns the O(n²) all-pairs verify into one
-    equi-join shuffled on the block key — candidate volume is
-    Σ|block|², controlled by key refinement (add a second initial
-    character when a block outgrows its budget; salt if one block
-    skews).  Levenshtein runs JVM-side (codegen) on the joined pairs
-    only; nothing touches Python."""
+    100 TB shape — verify at VALUE grain, not record grain: the
+    distance depends only on the name, so the engine dedups to
+    (block, name, cnt) FIRST, runs levenshtein on distinct-name pairs
+    (catalog-sized), and recovers record-pair counts by exact algebra
+    — C(cnt,2) per name for exact dupes, cntₓ·cnt_y per verified name
+    pair for near dupes.  A block of a million records over 64 names
+    costs 64² distance calls instead of 10¹².  The DuckDB oracle
+    deliberately keeps the naive record-grain self-join — the
+    hash-match proves the algebra equals brute force.  Key refinement
+    (more initial chars) and salting stay the levers if distinct-value
+    blocks themselves skew."""
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey",
         "p_name",
         F.split("p_name", " ").getItem(0).alias("blk_word"),
         F.substring(F.split("p_name", " ").getItem(1), 1, 1).alias("blk_init"),
     )
-    a = p.select(
-        F.col("blk_word"),
-        F.col("blk_init"),
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
+    names = p.groupBy("blk_word", "blk_init", "p_name").agg(
+        F.count("*").alias("cnt")
     )
-    b = p.select(
+    a = names.select(
+        "blk_word",
+        "blk_init",
+        F.col("p_name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+    )
+    b = names.select(
         F.col("blk_word").alias("bw"),
         F.col("blk_init").alias("bi"),
-        F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
     )
-    pairs = a.join(
+    near_pairs = a.join(
         b,
         (F.col("blk_word") == F.col("bw"))
         & (F.col("blk_init") == F.col("bi"))
-        & (F.col("key_a") < F.col("key_b")),
+        & (F.col("name_a") < F.col("name_b")),
     ).select(
         "blk_word",
         "blk_init",
+        (F.col("cnt_a") * F.col("cnt_b")).alias("cross_cnt"),
         F.levenshtein("name_a", "name_b").alias("d"),
     )
-    pair_stats = pairs.groupBy("blk_word", "blk_init").agg(
-        F.count("*").alias("n_pairs"),
-        F.sum(F.when(F.col("d") == 0, 1).otherwise(0)).alias("n_exact"),
+    near = near_pairs.groupBy("blk_word", "blk_init").agg(
         F.sum(
-            F.when((F.col("d") > 0) & (F.col("d") <= ER_NEAR_DIST), 1)
-            .otherwise(0)
-        ).alias("n_near"),
+            F.when((F.col("d") > 0) & (F.col("d") <= ER_NEAR_DIST),
+                   F.col("cross_cnt")).otherwise(F.lit(0))
+        ).alias("n_near")
     )
-    recs = p.groupBy("blk_word", "blk_init").agg(
-        F.count("*").alias("n_records")
+    per_block = names.groupBy("blk_word", "blk_init").agg(
+        F.sum("cnt").alias("n_records"),
+        F.sum(F.expr("cnt * (cnt - 1) div 2")).alias("n_exact"),
     )
-    return recs.join(pair_stats, ["blk_word", "blk_init"], "left").select(
-        "blk_word",
-        "blk_init",
-        "n_records",
-        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
-        F.coalesce(F.col("n_exact"), F.lit(0)).alias("n_exact"),
-        F.coalesce(F.col("n_near"), F.lit(0)).alias("n_near"),
+    return (
+        per_block.join(near, ["blk_word", "blk_init"], "left")
+        .select(
+            "blk_word",
+            "blk_init",
+            "n_records",
+            F.expr("n_records * (n_records - 1) div 2").alias("n_pairs"),
+            "n_exact",
+            F.coalesce(F.col("n_near"), F.lit(0)).alias("n_near"),
+        )
     )
 
 
