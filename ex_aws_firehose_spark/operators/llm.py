@@ -2764,6 +2764,112 @@ def q_sim_kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sim_route_balance",
+    oracle=_CENTROID_CTE
+    + """
+    , dists AS (
+        SELECT e.vec_id, c.clabel,
+               list_reduce(list_transform(list_zip(e.embedding, c.centroid),
+                   t -> (CAST(t[1] AS DOUBLE) - t[2])
+                        * (CAST(t[1] AS DOUBLE) - t[2])),
+                   (x, y) -> x + y) AS d2
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    routed AS (
+        SELECT vec_id, clabel FROM (
+            SELECT vec_id, clabel,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, clabel) AS rn
+            FROM dists
+        ) WHERE rn <= 3
+    ),
+    load AS (
+        SELECT clabel, CAST(COUNT(*) AS BIGINT) AS n_routed
+        FROM routed GROUP BY clabel
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_routed) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM load
+    )
+    SELECT l.clabel, l.n_routed,
+           CAST(l.n_routed * 1000000 // t.total AS BIGINT) AS share_ppm,
+           CAST(ABS(l.n_routed * 1000000 // t.total - 1000000 // t.k)
+                AS BIGINT) AS dev_ppm
+    FROM load l CROSS JOIN tot t
+    """,
+    tags=("llm", "similarity", "dq"),
+)
+def q_sim_route_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving hot-cell audit: route every query vector to its
+    nprobe=3 nearest cells (the exact routing q_sim_ann_ivf serves
+    with) and report per-cell load — routed count, exact share ppm,
+    and absolute deviation from the uniform 1/k share.  A hot cell is
+    the IVF equivalent of join-key skew: its inverted list dominates
+    every probe's latency, and the fix (splitting the cell, re-seeding
+    its centroid) needs this table first.  All integer arithmetic
+    after the deterministic distance argsort.
+
+    100 TB shape: the same broadcast ×k fan-out every ANN key uses,
+    one per-vector top-nprobe window (partitioned by vec_id — no
+    global sort), then a k-row agg; the audit costs one routing pass
+    over the query log, output k rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("p"),
+        F.floor(F.col("v").cast("double") * 1000).alias("sv"),
+    )
+    sums = comp.groupBy("label", "p").agg(
+        F.sum("sv").alias("s"), F.count("*").alias("n")
+    )
+    cents = sums.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s", "n"))),
+            lambda x: x["s"].cast("double") / (1000.0 * x["n"]),
+        ).alias("centroid")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "centroid",
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    routed = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "clabel",
+            F.row_number()
+            .over(
+                Window.partitionBy("vec_id").orderBy(
+                    d2.asc(), F.col("clabel").asc()
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    load = routed.groupBy("clabel").agg(F.count("*").alias("n_routed"))
+    tot = load.agg(
+        F.sum("n_routed").alias("total"), F.count("*").alias("k")
+    )
+    return load.crossJoin(F.broadcast(tot)).select(
+        "clabel",
+        "n_routed",
+        F.expr("n_routed * 1000000 div total").alias("share_ppm"),
+        F.expr("abs(n_routed * 1000000 div total - 1000000 div k)").alias(
+            "dev_ppm"
+        ),
+    )
+
+
+@query(
     "q_embed_drift_centroid",
     oracle="""
     WITH halves AS (
@@ -4322,6 +4428,93 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("lp").alias("sum_log2p"),
         F.count("*").alias("n_bigrams"),
         (F.sum("lp") * 1.0 / F.count("*")).alias("mean_log2p"),
+    )
+
+
+@query(
+    "q_source_overlap_jaccard",
+    oracle=f"""
+    WITH ss AS (
+        SELECT DISTINCT source, sh FROM (
+            SELECT source,
+                   unnest({duck_shingles("str_split(lower(text), ' ')")})
+                       AS sh
+            FROM documents
+        )
+    ),
+    sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM ss GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM ss a JOIN ss b
+          ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, i.n_inter,
+           CAST(i.n_inter * 1000000
+                // (sa.n_sh + sb.n_sh - i.n_inter) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+    tags=("llm", "curation", "dedup"),
+)
+def q_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-SOURCE overlap matrix — the mixture-planning counterpart
+    of document-level dedup: exact shingle-set Jaccard between every
+    pair of sources that share at least one shingle.  Two sources with
+    high overlap double-count the same content in the training mix
+    (q_curate_mix_weights / q_curate_epoch_plan would overweight it);
+    this matrix is the input to collapsing or down-weighting them.
+
+    100 TB shape: the corpus collapses to DISTINCT (source, shingle)
+    rows first (one map-side-combined distinct — vocabulary-scale, not
+    corpus-scale); the intersection self-join fans out per shingle by
+    at most the source count k, so candidate volume is ≤ k²·|vocab|
+    with k in the tens — never document-pair-shaped.  Output is at
+    most C(k,2) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    ss = (
+        d.select(
+            "source", F.explode(shingles(tokens("text"))).alias("sh")
+        )
+        .distinct()
+    )
+    sizes = ss.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = ss.select(F.col("source").alias("src_a"), "sh")
+    b = ss.select(F.col("source").alias("src_b"), F.col("sh").alias("shb"))
+    inter = (
+        a.join(
+            b,
+            (F.col("sh") == F.col("shb"))
+            & (F.col("src_a") < F.col("src_b")),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_sh").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.expr("n_inter * 1000000 div (n_a + n_b - n_inter)").alias(
+                "jaccard_ppm"
+            ),
+        )
     )
 
 
