@@ -1250,6 +1250,100 @@ def q_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_cohort_ltv",
+    oracle=EVENTS_US
+    + """
+    , firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+        FROM events_us GROUP BY user_id
+    ),
+    sizes AS (
+        SELECT cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM firsts GROUP BY cohort_day
+    ),
+    rev AS (
+        SELECT f.cohort_day,
+               datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+                   AS day_offset,
+               CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM events_us e JOIN firsts f USING (user_id)
+        WHERE e.event_type = 'purchase'
+        GROUP BY f.cohort_day,
+                 datediff('day', f.cohort_day, CAST(e.ts AS DATE))
+    ),
+    cum AS (
+        SELECT cohort_day, day_offset, rev_cents,
+               CAST(SUM(rev_cents) OVER (
+                   PARTITION BY cohort_day ORDER BY day_offset
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_rev_cents
+        FROM rev
+    )
+    SELECT c.cohort_day, c.day_offset, s.cohort_users,
+           c.rev_cents, c.cum_rev_cents,
+           CAST(c.cum_rev_cents // s.cohort_users AS BIGINT)
+               AS ltv_cents_per_user
+    FROM cum c JOIN sizes s USING (cohort_day)
+    """,
+    tags=("analytics",),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — the revenue companion of
+    q_retention_cohort: per first-seen-day cohort, purchase revenue at
+    each day offset plus the running cumulative and the exact per-user
+    LTV (cum cents div cohort size) — the table a growth model reads
+    LTV(t) asymptotes from.  All exact integer cents; one floor
+    division per row.
+
+    100 TB shape: identical geometry to retention — the |users|-row
+    firsts table joins back to events broadcast-side so events never
+    shuffle; revenue aggregates at (cohort, offset) grain (bounded by
+    days², catalog-scale) and the cumsum window runs over that tiny
+    frame, not over events."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    firsts = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count("*").alias("cohort_users")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").alias("day_offset"),
+        )
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.select(
+        "cohort_day",
+        "day_offset",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_day").select(
+        "cohort_day",
+        "day_offset",
+        "cohort_users",
+        "rev_cents",
+        "cum_rev_cents",
+        F.expr("cum_rev_cents div cohort_users").alias(
+            "ltv_cents_per_user"
+        ),
+    )
+
+
 # EWMA kernel: dyadic weights 2^(K-1-j) for lag j — α=1/2 smoothing
 # truncated to K terms, exact in 64-bit integers in both engines.
 EWMA_K = 8

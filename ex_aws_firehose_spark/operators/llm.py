@@ -4432,6 +4432,60 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_cross_source",
+    oracle="""
+    WITH hashed AS (
+        SELECT doc_id, source, sha256(text) AS h FROM documents
+    ),
+    spans AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               MIN(doc_id) AS keeper_doc,
+               string_agg(DISTINCT source, ',' ORDER BY source)
+                   AS sources
+        FROM hashed GROUP BY h
+    )
+    SELECT h AS content_sha, n_copies, n_sources, keeper_doc, sources
+    FROM spans WHERE n_sources > 1
+    """,
+    tags=("llm", "dedup", "curation"),
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-source exact duplicates — the mixing-hygiene drill-down of
+    q_source_overlap_jaccard: content hashes that appear under MORE
+    THAN ONE source label, with copy count, source span, keeper
+    election, and the sorted source list.  Same-source dupes are
+    ordinary dedup (q_dedup_exact); cross-source dupes mean the
+    mixture weights double-count the content under two names — the
+    rows this emits are exactly the ones to collapse before
+    q_curate_mix_weights / q_curate_epoch_plan run.
+
+    100 TB shape: one sha256 at scan time (content never shuffles —
+    only the 32-byte hash + source), one hash-grain agg with a
+    distinct-source count folded in; output is only the offending
+    hashes."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("h")
+    )
+    g = hashed.groupBy("h").agg(
+        F.count("*").alias("n_copies"),
+        F.count_distinct("source").alias("n_sources"),
+        F.min("doc_id").alias("keeper_doc"),
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources"
+        ),
+    )
+    return g.filter(F.col("n_sources") > 1).select(
+        F.col("h").alias("content_sha"),
+        "n_copies",
+        "n_sources",
+        "keeper_doc",
+        "sources",
+    )
+
+
+@query(
     "q_source_overlap_jaccard",
     oracle=f"""
     WITH ss AS (
