@@ -1,0 +1,109 @@
+"""Semantic invariants for the round-7 session-3 operators — properties
+the oracle differential can't state (it only proves Spark == DuckDB,
+not that both are RIGHT).  Each invariant here is a law of the metric's
+definition, checked on the real sf0.01 fixture output."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
+
+load_all_operators()
+
+
+def test_position_attribution_conserves_credit(spark, sf_dir):
+    """U-shaped credits must sum to exactly 1000 permille per purchase:
+    Σ credit_permille over touch types == 1000 × n_purchases."""
+    out = REGISTRY["q_attribution_position"].fn(spark, sf_dir)
+    total = out.agg(F.sum("credit_permille")).collect()[0][0]
+    e = REGISTRY["q_attribution_position"].fn  # reuse spark fixture below
+    from ex_aws_firehose_spark.tables import load_table
+
+    n_purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert total == 1000 * n_purchases, (total, n_purchases)
+
+
+def test_silhouette_scores_bounded(spark, sf_dir):
+    """mean silhouette ppm ∈ [−1e6, 1e6]; misassigned ≤ n_vectors."""
+    rows = REGISTRY["q_sim_silhouette"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1_000_000 <= r.mean_s_ppm <= 1_000_000, r
+        assert 0 <= r.n_negative <= r.n_vectors, r
+
+
+def test_kmeans_movement_nonnegative_and_conserving(spark, sf_dir):
+    """Lloyd movement is a sum of squares (≥ 0) and the M-step must
+    conserve vectors: Σ n_assigned == corpus size."""
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = REGISTRY["q_sim_kmeans_iterate"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.movement_d2 is None or r.movement_d2 >= 0.0, r
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_assigned for r in rows) == n_vecs
+
+
+def test_tcloseness_emd_bounded(spark, sf_dir):
+    """EMD over normalized distributions is ≤ 1 → emd_x1m ≤ 1e6."""
+    rows = REGISTRY["q_anon_tcloseness"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.emd_x1m <= 1_000_000, r
+
+
+def test_er_blocking_pair_algebra(spark, sf_dir):
+    """n_pairs = C(n_records, 2) per block; exact+near ≤ pairs."""
+    rows = REGISTRY["q_er_blocking"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs == r.n_records * (r.n_records - 1) // 2, r
+        assert r.n_exact + r.n_near <= r.n_pairs, r
+
+
+def test_epoch_plan_caps_and_shortfall(spark, sf_dir):
+    """epochs ≤ 4.0; planned ≤ share; an UNCAPPED source's shortfall is
+    only the ×1000 fixed-point floor residue (< n_tokens/1000 + 1) —
+    a large shortfall implies the 4-epoch cap."""
+    rows = REGISTRY["q_curate_epoch_plan"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.epochs_x1000 <= 4000, r
+        assert r.planned_tokens <= r.share_tokens, r
+        if not r.capped:
+            assert r.shortfall_tokens <= r.n_tokens // 1000 + 1, r
+
+
+def test_route_balance_shares_sum(spark, sf_dir):
+    """Σ n_routed == 3 × n_vectors (every vector routes to exactly
+    nprobe=3 cells); shares sum to ~1e6 (floor-division remainder)."""
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = REGISTRY["q_sim_route_balance"].fn(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_routed for r in rows) == 3 * n_vecs
+    total_share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_share <= 1_000_000
+
+
+def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
+    """Per cohort, cum_rev_cents is nondecreasing in day_offset and
+    ends at the cohort's total revenue."""
+    rows = (
+        REGISTRY["q_cohort_ltv"].fn(spark, sf_dir)
+        .orderBy("cohort_day", "day_offset")
+        .collect()
+    )
+    assert rows
+    prev = {}
+    for r in rows:
+        last = prev.get(r.cohort_day, 0)
+        assert r.cum_rev_cents == last + r.rev_cents, r
+        prev[r.cohort_day] = r.cum_rev_cents
