@@ -2870,6 +2870,64 @@ def q_sim_route_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_embed_label_margin",
+    oracle=_CENTROID_CTE
+    + """
+    SELECT a.clabel AS label_a, b.clabel AS label_b,
+           list_reduce(list_transform(list_zip(a.centroid, b.centroid),
+               t -> (t[1] - t[2]) * (t[1] - t[2])),
+               (x, y) -> x + y) AS centroid_d2
+    FROM cents a JOIN cents b ON a.clabel < b.clabel
+    """,
+    tags=("llm", "embedding", "dq"),
+)
+def q_embed_label_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid margin matrix — which class pairs are
+    confusable in embedding space: squared-L2 distance between every
+    pair of label centroids (k×k upper triangle).  Small margins
+    predict exactly where q_sim_silhouette finds misassigned vectors
+    and where q_sim_centroid_assign's confusion matrix leaks; the pair
+    list is the input to merging labels or re-embedding.  Centroids
+    are the exact quantized sums every centroid key shares, so the
+    distance DOUBLEs hash-match DuckDB.
+
+    100 TB shape: one (label, dim)-grain agg over the corpus, then a
+    k-row self-join — C(k,2) output rows, corpus touched once."""
+    e = load_table(spark, sf_dir, "embeddings")
+    comp = e.select(
+        "label", F.posexplode("embedding").alias("p", "v")
+    ).select(
+        "label",
+        (F.col("p") + 1).alias("p"),
+        F.floor(F.col("v").cast("double") * 1000).alias("sv"),
+    )
+    sums = comp.groupBy("label", "p").agg(
+        F.sum("sv").alias("s"), F.count("*").alias("n")
+    )
+    cents = sums.groupBy(F.col("label").alias("clabel")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "s", "n"))),
+            lambda x: x["s"].cast("double") / (1000.0 * x["n"]),
+        ).alias("centroid")
+    )
+    a = cents.select(
+        F.col("clabel").alias("label_a"), F.col("centroid").alias("ca")
+    )
+    b = cents.select(
+        F.col("clabel").alias("label_b"), F.col("centroid").alias("cb")
+    )
+    d2 = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select("label_a", "label_b", d2.alias("centroid_d2"))
+    )
+
+
+@query(
     "q_embed_drift_centroid",
     oracle="""
     WITH halves AS (

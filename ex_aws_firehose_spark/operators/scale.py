@@ -3342,6 +3342,72 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_dq_monotonic",
+    oracle=EVENTS_US
+    + """
+    , seq AS (
+        SELECT user_id, event_type, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS prev_ts
+        FROM events_us
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inversions,
+           CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) * 1000000
+                // GREATEST(SUM(CASE WHEN prev_ts IS NOT NULL
+                                     THEN 1 ELSE 0 END), 1) AS BIGINT)
+               AS inversion_ppm
+    FROM seq GROUP BY event_type
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-vs-time consistency audit: within each user's stream,
+    are event ids assigned in timestamp order?  Count adjacent
+    inversions (ts decreases when stepping through ids) per event type
+    — the writer-side bug class (buffered out-of-order flush, clock
+    skew between shards, id wraparound) that silently breaks every
+    downstream asof join and sessionizer that trusts id order.  Exact
+    integer counts + one ppm division.
+
+    100 TB shape: ONE user_id window (the same exchange every
+    sessionize key pays) and a map-side-combined type-grain agg —
+    output is |event types| rows.  The check composes per partition:
+    run it per ingest day and inversions can only be missed across
+    partition boundaries, which the day-boundary overlap join covers."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    seq = e.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    )
+    inv = F.sum(
+        F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+    )
+    pairs = F.sum(
+        F.when(F.col("prev_ts").isNotNull(), 1).otherwise(0)
+    )
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        pairs.alias("n_pairs"),
+        inv.alias("n_inversions"),
+    ).select(
+        "event_type",
+        "n_events",
+        "n_pairs",
+        "n_inversions",
+        F.expr(
+            "n_inversions * 1000000 div greatest(n_pairs, 1)"
+        ).alias("inversion_ppm"),
+    )
+
+
 ER_NEAR_DIST = 3  # edit-distance verify threshold for near-duplicates
 
 
