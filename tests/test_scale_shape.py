@@ -331,3 +331,71 @@ def test_span_dedup_hits_scale_linearly(spark, sf_dir, replica_dir):
     c4 = _span_hits(spark, replica_dir)
     assert c1 > 0
     assert c4 <= R * c1 * 1.1, (c1, c4)
+
+
+@pytest.fixture(scope="module")
+def part_replica_dir(spark, sf_dir):
+    """4× part replication with a FIXED name vocabulary — the ER growth
+    model: more records, same value domain (unlike replica_dir's
+    independent-growth model). Only p_partkey shifts per replica."""
+    out = os.path.join(tempfile.mkdtemp(prefix="scale_shape_er_"), "4x")
+    parts_tbl = load_table(spark, sf_dir, "part")
+    reps = [
+        parts_tbl.withColumn(
+            "p_partkey", F.col("p_partkey") + F.lit(i * SHIFT)
+        )
+        for i in range(R)
+    ]
+    allp = reps[0]
+    for p in reps[1:]:
+        allp = allp.unionByName(p)
+    allp.coalesce(8).write.mode("overwrite").parquet(
+        os.path.join(out, "part.parquet")
+    )
+    return out
+
+
+def _er_work(spark, sf_dir):
+    """(distinct-name verify pairs, record-grain candidate pairs) for
+    the ER blocking key — the engine pays the first, the naive record
+    self-join would pay the second."""
+    p = load_table(spark, sf_dir, "part").select(
+        F.split("p_name", " ").getItem(0).alias("bw"),
+        F.substring(F.split("p_name", " ").getItem(1), 1, 1).alias("bi"),
+        "p_name",
+    )
+    names = p.groupBy("bw", "bi", "p_name").agg(F.count("*").alias("cnt"))
+    a = names.select("bw", "bi", F.col("p_name").alias("na"))
+    b = names.select(
+        F.col("bw").alias("bw2"),
+        F.col("bi").alias("bi2"),
+        F.col("p_name").alias("nb"),
+    )
+    verify_pairs = a.join(
+        b,
+        (F.col("bw") == F.col("bw2"))
+        & (F.col("bi") == F.col("bi2"))
+        & (F.col("na") < F.col("nb")),
+    ).count()
+    rec_pairs = (
+        p.groupBy("bw", "bi")
+        .agg(F.count("*").alias("n"))
+        .select(F.expr("sum(n * (n - 1) div 2)").alias("s"))
+        .collect()[0]["s"]
+    )
+    return verify_pairs, rec_pairs
+
+
+def test_er_value_grain_verify_is_growth_invariant(
+    spark, sf_dir, part_replica_dir
+):
+    """q_er_blocking's 100 TB claim, pinned: under 4× record growth
+    with a fixed name vocabulary, the distinct-name verify join the
+    ENGINE executes does not grow AT ALL (exact equality), while the
+    record-grain candidate volume the naive form would pay grows ~16×
+    (C(4n,2)/C(n,2) > 15 at these block sizes)."""
+    v1, r1 = _er_work(spark, sf_dir)
+    v4, r4 = _er_work(spark, part_replica_dir)
+    assert v1 > 0 and r1 > 0
+    assert v4 == v1, (v1, v4)
+    assert r4 >= 15 * r1, (r1, r4)
