@@ -18,7 +18,6 @@ def test_position_attribution_conserves_credit(spark, sf_dir):
     Σ credit_permille over touch types == 1000 × n_purchases."""
     out = REGISTRY["q_attribution_position"].fn(spark, sf_dir)
     total = out.agg(F.sum("credit_permille")).collect()[0][0]
-    e = REGISTRY["q_attribution_position"].fn  # reuse spark fixture below
     from ex_aws_firehose_spark.tables import load_table
 
     n_purchases = (
