@@ -92,6 +92,46 @@ def test_route_balance_shares_sum(spark, sf_dir):
     assert 1_000_000 - len(rows) <= total_share <= 1_000_000
 
 
+def test_source_overlap_bounds(spark, sf_dir):
+    """Jaccard laws: n_inter ≤ min(n_a, n_b); jaccard ≤ 1e6; the
+    bitmask rollup must cover every intersecting pair exactly once
+    (src_a < src_b, no duplicates)."""
+    rows = REGISTRY["q_source_overlap_jaccard"].fn(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.src_a < r.src_b, r
+        assert (r.src_a, r.src_b) not in seen
+        seen.add((r.src_a, r.src_b))
+        assert 0 < r.n_inter <= min(r.n_a, r.n_b), r
+        assert 0 < r.jaccard_ppm <= 1_000_000, r
+
+
+def test_monotonic_inversions_bounded(spark, sf_dir):
+    """Inversions are a subset of checked adjacent pairs."""
+    rows = REGISTRY["q_dq_monotonic"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_inversions <= r.n_pairs <= r.n_events, r
+        assert 0 <= r.inversion_ppm <= 1_000_000, r
+
+
+def test_label_margin_complete_triangle(spark, sf_dir):
+    """Exactly C(k,2) rows, all distances ≥ 0."""
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = REGISTRY["q_embed_label_margin"].fn(spark, sf_dir).collect()
+    k = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("label")
+        .distinct()
+        .count()
+    )
+    assert len(rows) == k * (k - 1) // 2, (len(rows), k)
+    for r in rows:
+        assert r.centroid_d2 >= 0.0, r
+
+
 def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
     """Per cohort, cum_rev_cents is nondecreasing in day_offset and
     ends at the cohort's total revenue."""
