@@ -662,6 +662,167 @@ def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Deterministic URL fixture shared by both engines: scheme, user-shard
+# host, type path segment, id leaf, integer query param — every piece
+# exact-integer or column-derived so the parse is fully checkable.
+_URL_SQL = (
+    "'https://h' || CAST(user_id % 50 AS VARCHAR) || '.example.com/'"
+    " || event_type || '/' || CAST(event_id % 100 AS VARCHAR)"
+    " || '?v=' || CAST(CAST(ROUND(value * 100) AS BIGINT) AS VARCHAR)"
+)
+# Shared regexes — identical semantics under Java regex and RE2.
+_URL_HOST_RX = r"^[a-z]+://([^/?#]+)"
+_URL_PATH_RX = r"^[a-z]+://[^/?#]+(/[^?#]*)"
+_URL_QV_RX = r"[?&]v=([0-9]+)"
+
+
+@query(
+    "q_scalar_url",
+    oracle=EVENTS_US
+    + f"""
+    , u AS (SELECT event_id, {_URL_SQL} AS url FROM events_us)
+    SELECT regexp_extract(url, '{_URL_HOST_RX}', 1) AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT regexp_extract(url, '{_URL_PATH_RX}', 1))
+                AS BIGINT) AS n_paths,
+           CAST(SUM(CAST(regexp_extract(url, '{_URL_QV_RX}', 1) AS BIGINT))
+                AS BIGINT) AS sum_v
+    FROM u GROUP BY regexp_extract(url, '{_URL_HOST_RX}', 1)
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL parsing family — host / path / query-parameter extraction
+    with one shared regex set per component (anchored, RE2-compatible,
+    so Java and RE2 agree byte-for-byte), rolled up per host: URL
+    count, distinct paths, and the exact integer sum of the parsed
+    query parameter (proving the numeric round-trip through the URL).
+    The fixture URL is synthesized deterministically from events in
+    BOTH engines, so the oracle checks the parser, not the fixture.
+
+    100 TB shape: parsing is pure codegen regexp on the scan (domain
+    extraction for web-corpus curation runs map-side at ingest); the
+    only shuffle is the |hosts|-grain rollup."""
+    e = load_table(spark, sf_dir, "events")
+    url = F.concat(
+        F.lit("https://h"),
+        (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.com/"),
+        F.col("event_type"),
+        F.lit("/"),
+        (F.col("event_id") % 100).cast("string"),
+        F.lit("?v="),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+    )
+    u = e.select(url.alias("url"))
+    host = F.regexp_extract("url", _URL_HOST_RX, 1)
+    path = F.regexp_extract("url", _URL_PATH_RX, 1)
+    qv = F.regexp_extract("url", _URL_QV_RX, 1).cast("long")
+    return u.groupBy(host.alias("host")).agg(
+        F.count("*").alias("n_urls"),
+        F.count_distinct(path).alias("n_paths"),
+        F.sum(qv).alias("sum_v"),
+    )
+
+
+# Correlation-matrix measures in exact integer units: quantity (whole
+# units), extendedprice in HUNDREDS of dollars (cents div 10000 —
+# Pearson r is scale-invariant, and the coarser unit keeps the
+# n·Σx² cross-product < 2^63: x ≤ 1e3 → n·Σx² safe past 1e8 rows;
+# beyond that, pre-center on the integer mean and coarsen again),
+# discount (percent points).
+@query(
+    "q_agg_corr_matrix",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 10000 AS p,
+               CAST(ROUND(l_discount * 100) AS BIGINT) AS d
+        FROM lineitem
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq, CAST(SUM(p) AS BIGINT) AS sp,
+               CAST(SUM(d) AS BIGINT) AS sd,
+               CAST(SUM(q * q) AS BIGINT) AS sqq,
+               CAST(SUM(p * p) AS BIGINT) AS spp,
+               CAST(SUM(d * d) AS BIGINT) AS sdd,
+               CAST(SUM(q * p) AS BIGINT) AS sqp,
+               CAST(SUM(q * d) AS BIGINT) AS sqd,
+               CAST(SUM(p * d) AS BIGINT) AS spd
+        FROM m
+    )
+    SELECT n,
+           CAST(n * sqp - sq * sp AS BIGINT) AS cov_qp_num,
+           CAST(n * sqd - sq * sd AS BIGINT) AS cov_qd_num,
+           CAST(n * spd - sp * sd AS BIGINT) AS cov_pd_num,
+           CAST(n * sqp - sq * sp AS DOUBLE)
+               / SQRT(CAST(n * sqq - sq * sq AS DOUBLE)
+                      * CAST(n * spp - sp * sp AS DOUBLE)) AS r_qp,
+           CAST(n * sqd - sq * sd AS DOUBLE)
+               / SQRT(CAST(n * sqq - sq * sq AS DOUBLE)
+                      * CAST(n * sdd - sd * sd AS DOUBLE)) AS r_qd,
+           CAST(n * spd - sp * sd AS DOUBLE)
+               / SQRT(CAST(n * spp - sp * sp AS DOUBLE)
+                      * CAST(n * sdd - sd * sd AS DOUBLE)) AS r_pd
+    FROM s
+    """,
+    tags=("relational", "agg"),
+)
+def q_agg_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix over three fact measures
+    (quantity, price hundreds-of-dollars, discount points) — the multi-measure
+    upgrade of the windowed rolling-corr recipe: ALL ten co-moment
+    sums accumulate in ONE map-side-combined pass over exact integer
+    units, and each r is two IEEE ops (one division, one sqrt — both
+    correctly-rounded per IEEE 754, so bit-identical cross-engine) on
+    those integers.  Exact covariance numerators ride along for
+    float-free threshold checks.
+
+    100 TB shape: one scan, one 1-row aggregate — the matrix never
+    shuffles data; adding a measure adds co-moment columns, not
+    passes.  Int64 bound documented above the decorator."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.select(
+        F.col("l_quantity").cast("long").alias("q"),
+        F.expr(
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) div 10000"
+        ).alias("p"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("d"),
+    )
+    s = m.agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def r(cov: str, vx: str, vy: str):
+        return F.expr(
+            f"CAST({cov} AS DOUBLE)"
+            f" / SQRT(CAST({vx} AS DOUBLE) * CAST({vy} AS DOUBLE))"
+        )
+
+    return s.select(
+        "n",
+        F.expr("n * sqp - sq * sp").alias("cov_qp_num"),
+        F.expr("n * sqd - sq * sd").alias("cov_qd_num"),
+        F.expr("n * spd - sp * sd").alias("cov_pd_num"),
+        r("n * sqp - sq * sp", "n * sqq - sq * sq", "n * spp - sp * sp")
+        .alias("r_qp"),
+        r("n * sqd - sq * sd", "n * sqq - sq * sq", "n * sdd - sd * sd")
+        .alias("r_qd"),
+        r("n * spd - sp * sd", "n * spp - sp * sp", "n * sdd - sd * sd")
+        .alias("r_pd"),
+    )
+
+
 @query(
     "q_scalar_date",
     oracle="""
