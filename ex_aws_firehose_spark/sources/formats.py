@@ -532,6 +532,80 @@ def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TEXT_CACHE: SessionCache = SessionCache()
+_FIXEDW_CACHE: SessionCache = SessionCache()
+
+# Fixed-width column layout (byte offsets, 1-based): the mainframe/
+# COBOL copybook shape. Widths chosen to hold the extreme values of
+# each field with room (epoch micros ≤ 20 digits, cents ≤ 14).
+_FW_TS, _FW_TYPE, _FW_USER, _FW_ID, _FW_CENTS = 20, 10, 12, 12, 14
+
+
+@query(
+    "src_format_fixed_width",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           CAST(SUM(user_id) AS BIGINT) AS sum_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "format"),
+)
+def src_format_fixed_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-WIDTH text ingestion (mainframe / COBOL-copybook extract
+    shape — still how bank and telco batch feeds arrive): events
+    serialized as space-padded fixed-offset lines, read back with
+    ``spark.read.text`` and sliced by byte position (substring + trim
+    + cast — no delimiter scan at all), then aggregated.  The
+    round-trip is value-exact because every numeric field travels as
+    an integer (epoch micros, cents).
+
+    100 TB shape: fixed-width is the BEST-splitting text format —
+    every record is exactly the same byte length, so split boundaries
+    never tear a record and the parse is pure positional substring in
+    whole-stage codegen (cheaper than CSV's quote/escape state
+    machine).  Like all ingest-boundary formats: first pass converts
+    to parquet; no pushdown exists in a text scan."""
+    key = _FIXEDW_CACHE.scoped_key(spark, sf_dir)
+    if key not in _FIXEDW_CACHE:
+        path = _tracked_mkdtemp(prefix="events_fixedw_") + "/data"
+        pad = lambda c, w: F.lpad(c.cast("string"), w, " ")  # noqa: E731
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                F.concat(
+                    pad(F.unix_micros("ts"), _FW_TS),
+                    F.rpad(F.col("event_type"), _FW_TYPE, " "),
+                    pad(F.col("user_id"), _FW_USER),
+                    pad(F.col("event_id"), _FW_ID),
+                    pad(
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                        _FW_CENTS,
+                    ),
+                ).alias("value")
+            )
+            .write.text(path)
+        )
+        _FIXEDW_CACHE[key] = path
+    lines = spark.read.text(_FIXEDW_CACHE[key])
+    o_type = _FW_TS + 1
+    o_user = o_type + _FW_TYPE
+    o_cents = o_user + _FW_USER + _FW_ID
+    parsed = lines.select(
+        F.trim(F.substring("value", o_type, _FW_TYPE)).alias("event_type"),
+        F.trim(F.substring("value", o_user, _FW_USER))
+        .cast("long")
+        .alias("user_id"),
+        F.trim(F.substring("value", o_cents, _FW_CENTS))
+        .cast("long")
+        .alias("cents"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("value_cents"),
+        F.sum("user_id").alias("sum_users"),
+    )
 
 
 @query(
