@@ -66,6 +66,15 @@ backends):
   numeric comparisons against numeric JSON values).
 - ``*`` wildcards (string values, ``=`` / ``!=`` only, as documented by
   AWS) compile to ``LIKE`` with ``%``/``_`` escaped.
+- ``%regex%`` patterns (AWS, 2023+) are accepted as terms
+  (``%ERROR|WARN%``), JSON values (``$.type = %Up(date|grade)%``) and
+  column values; the body must stay in the Java-regex ∩ RE2 common
+  subset (no lookaround/backreferences — RE2 lacks them), matched
+  unanchored by both backends (``rlike`` / ``regexp_matches``).
+- ``...`` (ellipsis, column family): absorbs ≥0 unnamed fields; slots
+  after it index from the END of the token list and the field-count
+  gate relaxes to ``>=`` — ``[ip, ..., status = 404, size]`` matches
+  any log line whose last-but-one field is 404.
 """
 
 from __future__ import annotations
@@ -89,11 +98,16 @@ class FilterPatternError(ValueError):
 
 @dataclass(frozen=True)
 class Term:
-    """One term of a term pattern: ``kind`` ∈ {'and', 'or', 'not'}."""
+    """One term of a term pattern: ``kind`` ∈ {'and', 'or', 'not'}.
+
+    ``regex=True`` marks a ``%regex%`` term (AWS, 2023+): ``text`` is
+    the raw regex between the percent signs, matched unanchored.
+    """
 
     kind: str
     text: str
     quoted: bool
+    regex: bool = False
 
 
 @dataclass(frozen=True)
@@ -114,6 +128,7 @@ class Comparison:
     op: str  # '=', '!=', '<', '<=', '>', '>=', 'exists', 'not_exists'
     value: Union[str, float, bool, None] = None
     wildcard: bool = False  # value is a string containing '*'
+    regex: bool = False  # value is a %regex% body (= / != only)
 
 
 @dataclass(frozen=True)
@@ -133,6 +148,7 @@ class FieldComparison:
     op: str  # '=', '!=', '<', '<=', '>', '>='
     value: Union[str, float]
     wildcard: bool = False
+    regex: bool = False  # value is a %regex% body (= / != only)
 
 
 ColNode = Union[FieldComparison, BoolExpr]
@@ -145,10 +161,16 @@ class ColumnPattern:
     ``fields`` holds the slot names in positional order; ``condition``
     is the conjunction of every slot's condition chain (``None`` when
     all slots are bare names — then only the field COUNT must match).
+
+    ``ellipsis_at`` (AWS's ``...`` slot, at most one): the index in
+    ``fields`` where any number (≥0) of unnamed fields sit. Fields
+    before it index from the START of the token list, fields at/after
+    it index from the END; the count gate relaxes to ``>= len(fields)``.
     """
 
     fields: tuple[str, ...]
     condition: ColNode | None
+    ellipsis_at: int | None = None
 
 
 PatternAst = Union[TermPattern, JsonNode, ColumnPattern, None]  # None = ""
@@ -236,6 +258,9 @@ def _parse_terms(text: str) -> TermPattern:
                 raise FilterPatternError(f"unterminated quote in {text!r}")
             term_text, quoted = text[cur.pos : end], True
             cur.pos = end + 1
+        elif cur.peek() == "%":
+            terms.append(Term(kind, _scan_regex(cur), False, regex=True))
+            continue
         else:
             word = cur.match_re(_WORD_RE)
             if not word:
@@ -247,6 +272,25 @@ def _parse_terms(text: str) -> TermPattern:
             raise FilterPatternError(f"empty term in {text!r}")
         terms.append(Term(kind, term_text, quoted))
     return TermPattern(tuple(terms))
+
+
+def _scan_regex(cur: _Cursor) -> str:
+    """``%regex%`` body (AWS regex patterns, 2023+): cursor on the
+    opening ``%``; returns the inner regex, cursor past the closer.
+    The body is restricted to the syntax common to Java regex (Spark)
+    and RE2 (DuckDB) — no lookaround/backreferences; both engines
+    match unanchored."""
+    assert cur.peek() == "%"
+    end = cur.text.find("%", cur.pos + 1)
+    if end < 0:
+        raise FilterPatternError(
+            f"unterminated %regex% at position {cur.pos} in {cur.text!r}"
+        )
+    body = cur.text[cur.pos + 1 : end]
+    if not body:
+        raise FilterPatternError(f"empty %regex% in {cur.text!r}")
+    cur.pos = end + 1
+    return body
 
 
 # Unquoted column-pattern value: anything up to a delimiter.
@@ -267,8 +311,22 @@ def _parse_columns(text: str) -> ColumnPattern:
     cur.expect("[")
     fields: list[str] = []
     conds: list[ColNode] = []
+    ellipsis_at: int | None = None
     while True:
         cur.skip_ws()
+        if cur.startswith("..."):
+            if ellipsis_at is not None:
+                raise FilterPatternError(
+                    f"at most one '...' allowed in {text!r}"
+                )
+            ellipsis_at = len(fields)
+            cur.pos += 3
+            cur.skip_ws()
+            if cur.peek() == ",":
+                cur.pos += 1
+                continue
+            cur.expect("]")
+            break
         name = cur.match_re(_IDENT_RE)
         if name is None:
             raise FilterPatternError(
@@ -298,7 +356,7 @@ def _parse_columns(text: str) -> ColumnPattern:
         condition = conds[0]
     else:
         condition = BoolExpr("and", tuple(conds))
-    return ColumnPattern(tuple(fields), condition)
+    return ColumnPattern(tuple(fields), condition, ellipsis_at)
 
 
 def _parse_col_chain(cur: _Cursor, first: str, declared: list[str]) -> ColNode:
@@ -364,6 +422,12 @@ def _parse_col_cmp(cur: _Cursor, name: str) -> FieldComparison:
                 f"'*' wildcard only valid with = / != (got {sym!r})"
             )
         return FieldComparison(name, sym, raw, wildcard)
+    if cur.peek() == "%":
+        if sym not in ("=", "!="):
+            raise FilterPatternError(
+                f"%regex% only valid with = / != (got {sym!r})"
+            )
+        return FieldComparison(name, sym, _scan_regex(cur), regex=True)
     tok = cur.match_re(_COL_VALUE_RE)
     if tok is None:
         raise FilterPatternError(
@@ -481,6 +545,12 @@ def _parse_value(cur: _Cursor, sel: Selector, op: str) -> Comparison:
                 f"'*' wildcard only valid with = / != (got {op!r})"
             )
         return Comparison(sel, op, raw, wildcard)
+    if cur.peek() == "%":
+        if op not in ("=", "!="):
+            raise FilterPatternError(
+                f"%regex% only valid with = / != (got {op!r})"
+            )
+        return Comparison(sel, op, _scan_regex(cur), regex=True)
     for kw, val in (("true", True), ("false", False), ("null", None)):
         if cur.startswith(kw):
             cur.pos += len(kw)
@@ -505,7 +575,10 @@ def _term_regex(term: Term) -> str:
 
     ``\\b`` guards are applied only where the term edge is a word
     character (a ``\\b`` next to punctuation would invert its meaning).
+    ``%regex%`` terms pass through verbatim (unanchored, both engines).
     """
+    if term.regex:
+        return term.text
     body = re.escape(term.text)
     pre = r"\b" if _WORD_CHAR.match(term.text[0]) else ""
     post = r"\b" if _WORD_CHAR.match(term.text[-1]) else ""
@@ -628,6 +701,9 @@ class CompiledPattern:
             # DuckDB's TRY_CAST) yield NULL → row excluded
             lhs = raw if numeric else raw.try_cast("double")
             rhs = F.lit(val)
+        elif node.regex:
+            m = raw.cast("string").rlike(val)
+            return m if op == "=" else raw.isNotNull() & ~m
         elif node.wildcard:
             # Spark's LIKE escape char defaults to backslash; the oracle
             # side says ESCAPE '\' explicitly (DuckDB default is none).
@@ -652,7 +728,13 @@ class CompiledPattern:
         substr — so the whole predicate stays in codegen; Spark's
         subexpression elimination shares the repeated tokenize."""
         toks = F.regexp_extract_all(message, F.lit(_COL_TOKEN_RX), F.lit(0))
-        pred = F.size(toks) == len(cp.fields)
+        nf = len(cp.fields)
+        if cp.ellipsis_at is None:
+            pred = F.size(toks) == nf
+        else:
+            # '...' absorbs ≥0 unnamed fields: relax the gate and index
+            # post-ellipsis slots from the END of the token list
+            pred = F.size(toks) >= nf
         if cp.condition is not None:
             pos = {n: i for i, n in enumerate(cp.fields)}
 
@@ -661,7 +743,11 @@ class CompiledPattern:
                 # message has fewer tokens than the referenced slot —
                 # ANSI mode makes element_at throw on out-of-bounds,
                 # and the count gate's AND does not short-circuit.
-                tok = F.get(toks, pos[name])
+                i = pos[name]
+                if cp.ellipsis_at is not None and i >= cp.ellipsis_at:
+                    tok = F.get(toks, F.size(toks) - (nf - i))
+                else:
+                    tok = F.get(toks, i)
                 grouped = (
                     (tok.startswith('"') & tok.endswith('"'))
                     | (tok.startswith("[") & tok.endswith("]"))
@@ -683,6 +769,9 @@ class CompiledPattern:
         if isinstance(node.value, float):
             lhs: Column = raw.try_cast("double")
             rhs = F.lit(node.value)
+        elif node.regex:
+            m = raw.rlike(node.value)
+            return m if node.op == "=" else ~m
         elif node.wildcard:
             m = raw.like(_like_pattern(node.value))
             return m if node.op == "=" else ~m
@@ -773,6 +862,11 @@ class CompiledPattern:
         elif isinstance(val, float):
             lhs = raw if numeric else f"TRY_CAST({raw} AS DOUBLE)"
             rhs = repr(val)
+        elif node.regex:
+            m = f"regexp_matches(CAST({raw} AS VARCHAR), {_sql_quote(val)})"
+            if op == "=":
+                return m
+            return f"({raw} IS NOT NULL AND NOT ({m}))"
         elif node.wildcard:
             like = _sql_quote(_like_pattern(val))
             m = f"CAST({raw} AS VARCHAR) LIKE {like} ESCAPE '\\'"
@@ -787,12 +881,19 @@ class CompiledPattern:
 
     def _columns_sql(self, cp: ColumnPattern, message: str) -> str:
         toks = f"regexp_extract_all({message}, {_sql_quote(_COL_TOKEN_RX)})"
-        parts = [f"len({toks}) = {len(cp.fields)}"]
+        nf = len(cp.fields)
+        cmp_op = "=" if cp.ellipsis_at is None else ">="
+        parts = [f"len({toks}) {cmp_op} {nf}"]
         if cp.condition is not None:
             pos = {n: i for i, n in enumerate(cp.fields)}
 
             def field(name: str) -> str:
-                tok = f"list_extract({toks}, {pos[name] + 1})"
+                i = pos[name]
+                if cp.ellipsis_at is not None and i >= cp.ellipsis_at:
+                    idx = f"len({toks}) - {nf - i - 1}"
+                else:
+                    idx = str(i + 1)
+                tok = f"list_extract({toks}, {idx})"
                 grouped = (
                     f"((starts_with({tok}, '\"') AND ends_with({tok}, '\"'))"
                     f" OR (starts_with({tok}, '[') AND ends_with({tok}, ']')))"
@@ -815,6 +916,9 @@ class CompiledPattern:
         raw = field(node.name)
         if isinstance(node.value, float):
             lhs, rhs = f"TRY_CAST({raw} AS DOUBLE)", repr(node.value)
+        elif node.regex:
+            m = f"regexp_matches({raw}, {_sql_quote(node.value)})"
+            return m if node.op == "=" else f"NOT ({m})"
         elif node.wildcard:
             like = _sql_quote(_like_pattern(node.value))
             m = f"{raw} LIKE {like} ESCAPE '\\'"

@@ -1071,7 +1071,18 @@ WITH logl AS (
 """
 
 
+_COL_LOG_CACHE: SessionCache = SessionCache()
+
+
 def _col_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesized access-log lines, localCheckpointed once per
+    (session, sf): three q_filter_pattern_column* keys filter the same
+    frame — sharing it keeps the bench measuring the predicates, not
+    repeated fixture synthesis (VERDICT r7 ask #8)."""
+    key = _COL_LOG_CACHE.scoped_key(spark, sf_dir)
+    cached = _COL_LOG_CACHE.get(key)
+    if cached is not None:
+        return cached
     e = load_table(spark, sf_dir, "events")
     status = (
         F.when(F.col("event_id") % 7 == 0, "404")
@@ -1079,7 +1090,7 @@ def _col_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_id") % 7 == 2, "500")
         .otherwise("200")
     )
-    return e.select(
+    lines = e.select(
         "event_id",
         F.concat(
             F.lit("h"),
@@ -1097,7 +1108,9 @@ def _col_log_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" "),
             F.round(F.col("value") * 100).cast("long").cast("string"),
         ).alias("log_line"),
-    )
+    ).localCheckpoint()
+    _COL_LOG_CACHE[key] = lines
+    return lines
 
 
 @query(
@@ -1148,6 +1161,85 @@ def q_filter_pattern_columns_or(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact-field-count gate."""
     lines = _col_log_lines(spark, sf_dir)
     return lines.filter(_FP_COLUMNS_OR.column(message=F.col("log_line")))
+
+
+_FP_ELLIPSIS = compile_pattern("[host, ..., status != 200, size >= 5000]")
+_FP_REGEX_TERMS = compile_pattern(
+    '%Hel+o (purch|sign)[a-z]+% -%"k": [0-4]?[0-9]}%'
+)
+_FP_JSON_REGEX = compile_pattern(
+    "{ $.event_type = %^(purch|sign)% && $.k != %[0-9][0-9]% }"
+)
+
+
+@query(
+    "q_filter_pattern_ellipsis",
+    oracle=_COL_LOG_SQL
+    + f"""
+    SELECT event_id, log_line FROM logl
+    WHERE {_FP_ELLIPSIS.duckdb_sql(message="log_line")}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_ellipsis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The '...' ellipsis slot of the column family (AWS: "use an
+    ellipsis to reference unnamed fields"): '[host, ..., status != 200,
+    size >= 5000]' — `host` indexes from the START of the token list,
+    `status`/`size` from the END, '...' absorbs however many fields sit
+    between (user, session, request here), and the count gate relaxes
+    to >=. Also exercises the column family's `!=` comparator. Same
+    one-AST-two-backends compiler (functions/filter_pattern.py), so the
+    oracle checks the from-end indexing arithmetic in both engines.
+
+    100 TB shape: identical to the other column keys — one
+    regexp tokenization + positional predicates, pure map-side
+    codegen, zero shuffle."""
+    lines = _col_log_lines(spark, sf_dir)
+    return lines.filter(_FP_ELLIPSIS.column(message=F.col("log_line")))
+
+
+@query(
+    "q_filter_pattern_regex",
+    oracle=ORACLE_CTE
+    + f"""
+    SELECT record_id, event_id_str, message FROM data_events
+    WHERE {_FP_REGEX_TERMS.duckdb_sql(message="message")}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'%regex%' term patterns (AWS, 2023+):
+    '%Hel+o (purch|sign)[a-z]+% -%"k": [0-4]?[0-9]}%' — a positive and
+    a negated regex term conjoined with the classic term algebra. The
+    body is restricted to the Java-regex ∩ RE2 common subset
+    (alternation, classes, greedy quantifiers — no lookaround), matched
+    unanchored by `rlike` (Spark) and `regexp_matches` (DuckDB), so one
+    pattern string stays one semantics across engine and oracle."""
+    ev = explode_events(decoded_records(spark, sf_dir))
+    return ev.filter(_FP_REGEX_TERMS.column(message=F.col("message"))).select(
+        "record_id", "event_id_str", "message"
+    )
+
+
+@query(
+    "q_filter_pattern_json_regex",
+    oracle=f"""
+    SELECT event_id, event_type, props FROM events
+    WHERE {_FP_JSON_REGEX.duckdb_sql(json="props")}
+    """,
+    tags=("firehose", "filter-pattern"),
+)
+def q_filter_pattern_json_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'%regex%' as a JSON-selector VALUE:
+    '{{ $.event_type = %^(purch|sign)% && $.k != %[0-9][0-9]% }}' —
+    `= %re%` matches where the extracted value matches; `!= %re%`
+    matches present-AND-not-matching (absent keys never match,
+    mirroring the wildcard `!=` semantics). Anchors (^) behave
+    identically under Java regex and RE2."""
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(_FP_JSON_REGEX.column(json=F.col("props"))).select(
+        "event_id", "event_type", "props"
+    )
 
 
 @query(

@@ -14,8 +14,25 @@ Two halves:
   the same extension point ``src_python_datasource`` proves out
   (sources/formats.py): ``schema()`` is derived ON THE DRIVER from the
   container's embedded writer schema (true schema-on-read — the file
-  is self-describing), ``partitions()`` yields one input split per
-  file, and ``read()`` walks blocks with a zigzag-varint decoder.
+  is self-describing), ``partitions()`` yields **sync-marker byte-range
+  splits** (``split_size`` option, default 128 MiB), and ``read()``
+  walks blocks with a zigzag-varint decoder, emitting one
+  ``pyarrow.RecordBatch`` per Avro block (Arrow-batched crossing, not
+  per-row tuples).
+
+Split contract (the Hadoop/Avro ``FileInputFormat`` convention): the
+driver emits plain byte ranges ``[k*S, (k+1)*S)`` from the file SIZE
+alone — no header read, no driver-side scan. Each task seeks to
+``max(start, data_start) - 16``, scans forward for the 16-byte sync
+marker, and reads every block whose start offset lies in
+``[start, end)``; the block that straddles ``end`` belongs to the
+split that contains its START. Because each block is framed
+``…sync | count | len | payload | sync…``, scanning from ``start-16``
+finds a block starting exactly at ``start`` (its sync ends there)
+while the previous split stops at ``block_start < end`` — every block
+is read exactly once, no coordination. This is what the 16-byte sync
+marker exists for (Avro spec §"Object Container Files"): a 100 TB lake
+of few giant files parallelizes to ``size/S`` tasks per file.
 
 Binary encoding implemented (spec §"Binary encoding"): zigzag-varint
 ``long``/``int``, length-prefixed ``string``/``bytes``, little-endian
@@ -155,48 +172,99 @@ _AVRO_TO_DDL = {
 }
 
 
-def _read_header(f) -> tuple[dict, str, bytes, bytes]:
-    """Returns (schema dict, codec, sync marker, remaining bytes)."""
+def _read_header(f) -> tuple[dict, str, bytes, int]:
+    """Parse the OCF header from an open binary file.
+
+    Returns ``(schema dict, codec, sync marker, data_start)`` and
+    leaves ``f`` positioned at ``data_start`` (the offset just past
+    the header's sync marker, where the first block begins). Reads
+    only the header bytes — split tasks on a giant file never pull
+    the whole file through this path.
+    """
     if f.read(4) != _MAGIC:
         raise ValueError("not an Avro object container file")
-    buf = io.BytesIO(f.read())  # header map is tiny; fixture files are MBs
     meta: dict[str, bytes] = {}
     while True:
-        n = _decode_long(buf)
+        n = _decode_long(f)
         if n == 0:
             break
         if n < 0:  # negative block count: abs count + byte length
             n = -n
-            _decode_long(buf)
+            _decode_long(f)
         for _ in range(n):
-            k = _decode_bytes(buf).decode("utf-8")
-            meta[k] = _decode_bytes(buf)
+            k = _decode_bytes(f).decode("utf-8")
+            meta[k] = _decode_bytes(f)
     schema = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode("utf-8")
-    sync = buf.read(16)
-    rest = buf.read()
-    return schema, codec, sync, rest
+    sync = f.read(16)
+    return schema, codec, sync, f.tell()
 
 
-def _iter_ocf_rows(path: str) -> Iterator[tuple]:
-    with open(path, "rb") as f:
-        schema, codec, sync, rest = _read_header(f)
-    decoders = [_FIELD_DECODERS[fld["type"]] for fld in schema["fields"]]
-    buf = io.BytesIO(rest)
+def _scan_to_block_start(f, sync: bytes) -> int | None:
+    """Scan forward from the current position for the next sync
+    marker; seek to just past it and return that offset (a block
+    start), or ``None`` if no marker remains before EOF.
+
+    Chunked search with a 15-byte overlap so a marker straddling a
+    chunk boundary is still found. Same collision caveat as Avro's own
+    ``DataFileReader.sync()``: a 16-byte marker appearing by chance
+    inside block data misaligns the scan (probability 2^-128 per
+    position with random markers).
+    """
+    tail = b""
+    tail_abs = f.tell()  # absolute offset of tail[0]
     while True:
-        head = buf.read(1)
-        if not head:
+        chunk = f.read(1 << 16)
+        if not chunk:
+            return None
+        data = tail + chunk
+        idx = data.find(sync)
+        if idx != -1:
+            block_start = tail_abs + idx + 16
+            f.seek(block_start)
+            return block_start
+        keep = min(15, len(data))
+        tail = data[-keep:]
+        tail_abs += len(data) - keep
+
+
+def _iter_ocf_blocks(
+    path: str, start: int | None = None, end: int | None = None
+) -> Iterator[tuple[dict, int, bytes]]:
+    """Yield ``(schema, n_rows, decompressed payload)`` for every block
+    whose start offset lies in ``[start, end)`` (defaults: whole file).
+    """
+    with open(path, "rb") as f:
+        schema, codec, sync, data_start = _read_header(f)
+        size = os.fstat(f.fileno()).st_size
+        s = data_start if start is None else max(start, data_start)
+        e = size if end is None else min(end, size)
+        if s >= e:
             return
-        buf.seek(-1, io.SEEK_CUR)
-        n_rows = _decode_long(buf)
-        n_bytes = _decode_long(buf)
-        body = buf.read(n_bytes)
-        if codec == "deflate":
-            body = zlib.decompress(body, -15)
-        elif codec != "null":
-            raise ValueError(f"unsupported codec {codec!r}")
-        if buf.read(16) != sync:
-            raise ValueError("sync marker mismatch (corrupt block)")
+        # scan from s-16: a block starting exactly at s has its sync
+        # ending at s, which this window catches; anything earlier
+        # belongs to the previous split (which stops at block_start < s)
+        f.seek(max(s - 16, data_start - 16))
+        pos = _scan_to_block_start(f, sync)
+        while pos is not None and pos < e:
+            n_rows = _decode_long(f)
+            n_bytes = _decode_long(f)
+            body = f.read(n_bytes)
+            if codec == "deflate":
+                body = zlib.decompress(body, -15)
+            elif codec != "null":
+                raise ValueError(f"unsupported codec {codec!r}")
+            if f.read(16) != sync:
+                raise ValueError("sync marker mismatch (corrupt block)")
+            yield schema, n_rows, body
+            pos = f.tell()
+
+
+def _iter_ocf_rows(
+    path: str, start: int | None = None, end: int | None = None
+) -> Iterator[tuple]:
+    for schema, n_rows, body in _iter_ocf_blocks(path, start, end):
+        decoders = [_FIELD_DECODERS[fld["type"]] for fld in schema["fields"]]
         rb = io.BytesIO(body)
         for _ in range(n_rows):
             yield tuple(dec(rb) for dec in decoders)
@@ -212,6 +280,50 @@ _FIELD_DECODERS = {
 }
 
 
+_AVRO_TO_ARROW = {
+    "long": "int64",
+    "int": "int32",
+    "string": "string",
+    "double": "float64",
+    "float": "float32",
+    "boolean": "bool_",
+}
+
+DEFAULT_SPLIT_SIZE = 128 * 1024 * 1024  # maxPartitionBytes-shaped
+
+
+def _iter_ocf_arrow_batches(path: str, start: int, end: int):
+    """Yield one ``pyarrow.RecordBatch`` per Avro block in the byte
+    range — the rows cross Python→JVM as Arrow columns, not tuples."""
+    import pyarrow as pa
+
+    arrow_schema = None
+    for schema, n_rows, body in _iter_ocf_blocks(path, start, end):
+        if arrow_schema is None:
+            arrow_schema = pa.schema(
+                [
+                    (f["name"], getattr(pa, _AVRO_TO_ARROW[f["type"]])())
+                    for f in schema["fields"]
+                ]
+            )
+            decoders = [
+                _FIELD_DECODERS[fld["type"]] for fld in schema["fields"]
+            ]
+            ncols = len(decoders)
+        cols: list[list] = [[] for _ in range(ncols)]
+        rb = io.BytesIO(body)
+        for _ in range(n_rows):
+            for c, dec in zip(cols, decoders):
+                c.append(dec(rb))
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(c, type=arrow_schema.field(i).type)
+                for i, c in enumerate(cols)
+            ],
+            schema=arrow_schema,
+        )
+
+
 def register_avro_datasource(spark) -> None:
     """Register the ``avro_ocf`` Python DataSource (idempotent)."""
     from pyspark.sql.datasource import (
@@ -221,16 +333,27 @@ def register_avro_datasource(spark) -> None:
     )
 
     class _AvroReader(DataSourceReader):
-        def __init__(self, paths: list[str]) -> None:
+        def __init__(self, paths: list[str], split_size: int) -> None:
             self._paths = paths
+            self._split_size = split_size
 
         def partitions(self):
-            # one split per container file; giant files would split on
-            # sync markers (same contract, seek-based)
-            return [InputPartition(p) for p in self._paths]
+            # sync-marker byte-range splits: driver work is one
+            # getsize() per file; tasks align to block boundaries
+            # themselves (see module docstring for the contract)
+            parts = []
+            for p in self._paths:
+                size = os.path.getsize(p)
+                step = self._split_size if self._split_size > 0 else size
+                for off in range(0, max(size, 1), max(step, 1)):
+                    parts.append(
+                        InputPartition((p, off, min(off + step, size)))
+                    )
+            return parts
 
         def read(self, partition):
-            yield from _iter_ocf_rows(partition.value)
+            path, start, end = partition.value
+            yield from _iter_ocf_arrow_batches(path, start, end)
 
     class AvroOCFSource(DataSource):
         @classmethod
@@ -250,7 +373,7 @@ def register_avro_datasource(spark) -> None:
         def schema(self) -> str:
             # schema-on-read: the container is self-describing
             with open(self._paths()[0], "rb") as f:
-                schema, _codec, _sync, _rest = _read_header(f)
+                schema, _codec, _sync, _data_start = _read_header(f)
             cols = []
             for fld in schema["fields"]:
                 t = fld["type"]
@@ -263,6 +386,9 @@ def register_avro_datasource(spark) -> None:
             return ", ".join(cols)
 
         def reader(self, schema):
-            return _AvroReader(self._paths())
+            split_size = int(
+                self.options.get("split_size", DEFAULT_SPLIT_SIZE)
+            )
+            return _AvroReader(self._paths(), split_size)
 
     spark.dataSource.register(AvroOCFSource)

@@ -59,9 +59,52 @@ def register_bus_datasource(spark) -> None:
     )
 
     class _BusStreamReader(DataSourceStreamReader):
-        def __init__(self, root: str, chunk: int) -> None:
+        def __init__(self, root: str, chunk: int, group: str) -> None:
             self._root = root
             self._chunk = chunk
+            self._group = group
+
+        # -- consumer-group admission cursor (broker-side, like Kafka's)
+        #
+        # The Python streaming API never hands a reader its restart
+        # position (the JVM admission-control API passes startOffset to
+        # latestOffset; DataSourceStreamReader does not), so a throttled
+        # reader that kept its cursor only in memory would re-admit
+        # [0, chunk) after every restart, find it already committed, and
+        # livelock at no-progress. Kafka keeps consumer-GROUP offsets on
+        # the broker — mirrored here as a sidecar file in the topic dir.
+        #
+        # The cursor is a RATE-LIMIT cursor, not the exactly-once
+        # ledger: correctness always comes from Spark's checkpoint (a
+        # batch's START offset is the checkpointed commit, never this
+        # file). It is therefore written WRITE-AHEAD at batch-planning
+        # time (partitions()), because the engine only invokes
+        # commit(end) for batch N while constructing batch N+1 — an
+        # ack-time-only cursor would permanently lag one batch and
+        # re-livelock on the final chunk. Worst case after a crash
+        # between planning and execution: the next poll admits one
+        # extra chunk — over-admission is safe (the batch still reads
+        # from the checkpointed start), under-admission is the hazard.
+
+        def _cursor_path(self) -> str:
+            return os.path.join(self._root, f".group-{self._group}.offsets")
+
+        def _load_cursor(self) -> dict:
+            import json
+
+            try:
+                with open(self._cursor_path()) as f:
+                    return {k: int(v) for k, v in json.load(f).items()}
+            except (OSError, ValueError):
+                return {}
+
+        def _store_cursor(self, cursor: dict) -> None:
+            import json
+
+            tmp = self._cursor_path() + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(cursor, f)
+            os.replace(tmp, self._cursor_path())  # atomic ack
 
         def _counts(self) -> dict[str, int]:
             import pyarrow.parquet as pq
@@ -80,21 +123,33 @@ def register_bus_datasource(spark) -> None:
                 # unthrottled: the true topic end — deterministic under
                 # processAllAvailable (the registered key's mode)
                 return counts
-            # throttled: advance each shard by at most `chunk` per poll
-            # — a bus delivering in pieces. Deterministic ONLY under
-            # Trigger.AvailableNow (latest is captured once per run);
-            # with a continuous trigger the poll/quiesce race makes
-            # drain boundaries timing-dependent, so the replay tests
-            # drive this mode as a sequence of availableNow runs.
-            if not hasattr(self, "_last"):
-                self._last = self.initialOffset()
+            # throttled: advance each shard by at most `chunk` past the
+            # consumer-group cursor per poll — a bus delivering in
+            # pieces. Deterministic ONLY under Trigger.AvailableNow
+            # (latest is captured once per run); with a continuous
+            # trigger the poll/quiesce race makes drain boundaries
+            # timing-dependent, so the replay tests drive this mode as
+            # a sequence of availableNow runs. Within a run the cursor
+            # lives in memory; across restarts it comes from the
+            # group-offsets file commit() maintains (see above).
+            base = getattr(self, "_last", None) or self._load_cursor()
             self._last = {
-                p: min(counts[p], self._last.get(p, 0) + self._chunk)
+                p: min(counts[p], base.get(p, 0) + self._chunk)
                 for p in counts
             }
             return dict(self._last)
 
         def partitions(self, start: dict, end: dict):
+            if self._chunk > 0:
+                # write-ahead advance of the group admission cursor
+                # (see the cursor contract above)
+                cursor = self._load_cursor()
+                merged = {
+                    p: max(cursor.get(p, 0), int(e)) for p, e in end.items()
+                }
+                if merged != {k: cursor.get(k, 0) for k in merged}:
+                    cursor.update(merged)
+                    self._store_cursor(cursor)
             return [
                 InputPartition(repr((p, start.get(p, 0), e)))
                 for p, e in end.items()
@@ -114,9 +169,14 @@ def register_bus_datasource(spark) -> None:
             yield from table.to_batches()
 
         def commit(self, end: dict) -> None:
-            # ack point: a broker would trim/advance consumer-group
-            # offsets; the file topic retains for replay
-            pass
+            # ack point: advance the consumer-group offsets (a broker
+            # trims/advances group offsets here; the file topic retains
+            # records for replay). Monotonic max-merge: commit never
+            # moves a cursor backwards.
+            cursor = self._load_cursor()
+            for p, e in end.items():
+                cursor[p] = max(cursor.get(p, 0), int(e))
+            self._store_cursor(cursor)
 
     class BusTopicSource(DataSource):
         @classmethod
@@ -130,6 +190,7 @@ def register_bus_datasource(spark) -> None:
             return _BusStreamReader(
                 self.options["path"],
                 int(self.options.get("chunk", DEFAULT_CHUNK)),
+                self.options.get("group", "default"),
             )
 
     spark.dataSource.register(BusTopicSource)

@@ -103,7 +103,7 @@ def test_unsupported_type_raises_at_schema_time(tmp_path, spark):
 
 
 def test_spark_reads_shards_in_parallel(tmp_path, spark):
-    """One input split per container file: 3 files → 3 partitions."""
+    """Files below split_size: 3 files → 3 partitions (one each)."""
     from ex_aws_firehose_spark.sources.avro import register_avro_datasource
 
     for i in range(3):
@@ -119,3 +119,88 @@ def test_spark_reads_shards_in_parallel(tmp_path, spark):
     assert df.schema.simpleString() == (
         "struct<a:bigint,s:string,d:double,b:boolean>"
     )
+
+
+# ---------------------------------------------------------------------------
+# sync-marker byte-range splits (round 8): exactly-once block coverage
+# ---------------------------------------------------------------------------
+
+
+def _write_big(tmp_path, n=20_000, rows_per_block=256):
+    p = str(tmp_path / "big.avro")
+    rows = [(i, f"s{i}", i / 7.0, i % 3 == 0) for i in range(n)]
+    write_avro_ocf(p, SCHEMA, rows, rows_per_block=rows_per_block)
+    return p, rows
+
+
+@pytest.mark.parametrize("split", [777, 4096, 30_000, 10**9])
+def test_byte_range_splits_cover_exactly_once(tmp_path, split):
+    """Every block is read by exactly one [start,end) range — the
+    Hadoop FileSplit contract, at split sizes that land mid-block,
+    mid-sync, and beyond-EOF."""
+    import os
+
+    p, rows = _write_big(tmp_path)
+    size = os.path.getsize(p)
+    got = []
+    for off in range(0, size, split):
+        got.extend(_iter_ocf_rows(p, off, min(off + split, size)))
+    assert sorted(got) == rows
+
+
+def test_split_boundary_at_exact_block_start(tmp_path):
+    """A split starting exactly at a block start owns that block (its
+    sync ends at `start`); the previous split must not re-read it."""
+    from ex_aws_firehose_spark.sources.avro import _iter_ocf_blocks
+
+    p, rows = _write_big(tmp_path, n=2_000, rows_per_block=100)
+    # enumerate true block starts from a full scan
+    starts = []
+    pos = None
+    with open(p, "rb") as f:
+        from ex_aws_firehose_spark.sources.avro import (
+            _decode_long,
+            _read_header,
+        )
+
+        _schema, _codec, sync, data_start = _read_header(f)
+        pos = data_start
+        import os as _os
+        import zlib as _zlib  # noqa: F401
+
+        size = _os.fstat(f.fileno()).st_size
+        while pos < size:
+            starts.append(pos)
+            f.seek(pos)
+            _decode_long(f)
+            nb = _decode_long(f)
+            pos = f.tell() + nb + 16
+    assert len(starts) >= 3
+    cut = starts[2]  # a genuine block start
+    left = list(_iter_ocf_rows(p, 0, cut))
+    right = list(_iter_ocf_rows(p, cut, 10**9))
+    assert left + right == rows
+    # the cut block is in `right` only
+    n_blocks_right = sum(1 for _ in _iter_ocf_blocks(p, cut, 10**9))
+    assert n_blocks_right == len(starts) - 2
+
+
+def test_spark_splits_one_big_file(tmp_path, spark):
+    """A single multi-block container file with a small split_size
+    yields >1 input partition AND the exact row set — the 100 TB
+    few-giant-files shape."""
+    from ex_aws_firehose_spark.sources.avro import register_avro_datasource
+
+    p, rows = _write_big(tmp_path, n=30_000)
+    register_avro_datasource(spark)
+    df = (
+        spark.read.format("avro_ocf")
+        .option("split_size", 16384)
+        .load(p)
+    )
+    nparts = df.rdd.getNumPartitions()
+    assert nparts > 4, f"expected many byte-range splits, got {nparts}"
+    got = sorted(
+        (r.a, r.s, r.d, r.b) for r in df.collect()
+    )
+    assert got == rows

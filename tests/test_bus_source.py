@@ -33,10 +33,15 @@ def topic(spark, smoke_dir):
 
 
 def _available_now_run(spark, root, chunk, out, ckpt) -> None:
+    # consumer-group id derived from the checkpoint dir: each test's
+    # checkpoint is its own consumer group (Kafka: fresh group.id =
+    # fresh consumption; the group cursor lives topic-side)
+    group = os.path.basename(os.path.dirname(ckpt))
     stream = (
         spark.readStream.format("bus_topic")
         .option("path", root)
         .option("chunk", str(chunk))
+        .option("group", group)
         .load()
     )
     q = (
@@ -71,6 +76,7 @@ def test_chunked_polls_drain_in_multiple_batches(spark, topic):
         spark.readStream.format("bus_topic")
         .option("path", topic)
         .option("chunk", "100")
+        .option("group", os.path.basename(base))
         .load()
     )
     q = (
@@ -119,3 +125,72 @@ def test_mid_topic_stop_then_unthrottled_resume(spark, topic):
     got = spark.read.parquet(out)
     assert got.count() == N_SMOKE
     assert got.agg(F.count_distinct("event_id")).first()[0] == N_SMOKE
+
+
+def _write_shard(root: str, shard: int, lo: int, hi: int) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ids = list(range(lo, hi))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "user_id": pa.array([i % 50 for i in ids], pa.int64()),
+                "event_type": pa.array(
+                    ["view" if i % 2 else "click" for i in ids]
+                ),
+                "cents": pa.array([i * 7 for i in ids], pa.int64()),
+            }
+        ),
+        os.path.join(root, f"shard-{shard}.parquet"),
+    )
+
+
+def test_shard_added_between_runs_no_loss_no_duplication(spark):
+    """Shard REBALANCE (the Kafka add-partition event every consumer
+    must survive): a new shard file appears between availableNow runs.
+    The next run's latestOffset includes it; partitions() starts the
+    unseen shard at offset 0 (start.get default) while resuming the
+    old shards at their committed offsets — exactly-once across the
+    topology change, in both unthrottled and throttled modes."""
+    register_bus_datasource(spark)
+    base = tempfile.mkdtemp(prefix="bus_rebalance_")
+    root = os.path.join(base, "topic")
+    os.makedirs(root)
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    _write_shard(root, 0, 0, 300)
+    _write_shard(root, 1, 300, 600)
+    _write_shard(root, 2, 600, 800)
+    _available_now_run(spark, root, 0, out, ckpt)
+    assert _count(spark, out) == 800
+    _write_shard(root, 3, 800, 1000)  # rebalance: shard-3 appears
+    _available_now_run(spark, root, 0, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 1000
+    assert got.agg(F.count_distinct("event_id")).first()[0] == 1000
+    # idempotence after the topology change
+    _available_now_run(spark, root, 0, out, ckpt)
+    assert _count(spark, out) == 1000
+
+
+def test_shard_added_mid_throttled_drain(spark):
+    """Rebalance while a THROTTLED consumer is mid-topic: committed
+    offsets for old shards carry over, the new shard drains from 0 in
+    chunked polls — total lands exactly once."""
+    register_bus_datasource(spark)
+    base = tempfile.mkdtemp(prefix="bus_rebalance_thr_")
+    root = os.path.join(base, "topic")
+    os.makedirs(root)
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    _write_shard(root, 0, 0, 500)
+    _write_shard(root, 1, 500, 900)
+    _available_now_run(spark, root, 150, out, ckpt)  # one chunk/shard
+    partial = _count(spark, out)
+    assert 0 < partial < 900, partial
+    _write_shard(root, 2, 900, 1200)  # rebalance mid-drain
+    for _ in range(8):  # chunked runs until drained
+        _available_now_run(spark, root, 150, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 1200
+    assert got.agg(F.count_distinct("event_id")).first()[0] == 1200

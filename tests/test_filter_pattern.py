@@ -105,6 +105,9 @@ def test_wildcard_only_on_equality():
         '"unterminated',
         "{ $.a == 1 }x",
         "{ $.a[x] = 1 }",
+        "%unterminated regex",
+        "%%",                      # empty regex body
+        "{ $.a > %[0-9]% }",       # regex with ordering comparator
     ],
 )
 def test_parse_errors(bad):
@@ -156,6 +159,8 @@ def test_columns_wildcard_and_quoted():
         "[w1 > 4*]",                # wildcard with ordering comparator
         "[w1 = a, ]",               # dangling comma
         "[w1] trailing",
+        "[..., w1, ..., w2]",       # two ellipses
+        "[w1 > %re%, w2]",          # regex with ordering comparator
     ],
 )
 def test_columns_parse_errors(bad):
@@ -195,6 +200,12 @@ PATTERNS = [
     "{ $.k = null }",
     "{ $.k != null }",
     "",
+    # %regex% forms (AWS, 2023+): terms and JSON values
+    "%ERRORs? % -%Ignore%",
+    "%^(ERROR|WARN)% %(exceed|retry)[a-z]+%",
+    "{ $.tag = %Update(Item)?$% }",
+    "{ $.tag != %Item% }",
+    "{ $.k = %^[0-9]$% || $.tag = %^Up% }",
 ]
 
 
@@ -240,6 +251,13 @@ COL_PATTERNS = [
     "[ip, user, ts, request, status, size >= 100 && size < 500]",
     '[ip = 10.0.0.*, user != bob, ts, request, status, size]',
     "[ip, user, ts, request, status, size > 0]",  # non-numeric size → no match
+    # '...' ellipsis: from-end indexing, relaxed count gate
+    "[ip, ..., status = 404, size]",
+    "[ip, ..., size >= 100]",
+    "[..., status != 200, size]",
+    "[ip, user, ...]",
+    "[ip, ..., request = %GET /api/(users|items)%, status, size]",
+    "[ip, user, ts, request != %POST%, status, size]",
 ]
 
 
@@ -263,8 +281,10 @@ def test_columns_spark_duckdb_agree(spark, pattern):
     sql = cp.duckdb_sql(message="message")
     want = {r[0] for r in con.execute(f"SELECT message FROM t WHERE {sql}").fetchall()}
     assert got == want, f"pattern {pattern!r}: spark={got} duckdb={want}"
-    # field-count gate: the 2-token and 6-token lines never co-match
-    assert "short line" not in got or len(got) == 1
+    # exact field-count gate: the 2-token and 6-token lines never
+    # co-match — unless an ellipsis relaxed the gate to >=
+    if "..." not in pattern:
+        assert "short line" not in got or len(got) == 1
 
 
 def test_bound_columns_match_unbound(spark):

@@ -61,6 +61,22 @@ def test_filter_pattern_bound_predicates_reach_scan(spark, sf_dir):
     assert any("GreaterThan" in f for f in fs), fs
 
 
+def test_manifest_pruned_read_scans_fewer_files(spark, sf_dir):
+    """The manifest-planned scan must hand Spark ONLY the surviving
+    files: inputFiles() on the pruned frame is exactly the 3 Q1-1997
+    month files out of the ~80-file table — file skipping, not a
+    post-scan filter."""
+    df = REGISTRY["q_read_manifest_pruned"].fn(spark, sf_dir)
+    from ex_aws_firehose_spark.sources.formats import _MANIFEST_CACHE
+
+    key = _MANIFEST_CACHE.scoped_key(spark, sf_dir)
+    _root, _manifest, files_total = _MANIFEST_CACHE[key]
+    scanned = [f for f in df.inputFiles() if "orders_manifest_" in f]
+    assert 0 < len(scanned) < files_total, (len(scanned), files_total)
+    assert len(scanned) == 3, scanned  # Jan/Feb/Mar 1997 month files
+    assert all("month=1997-0" in f for f in scanned), scanned
+
+
 def test_persisted_index_probe_is_partition_pruned(spark, sf_dir):
     """The persisted inverted lists are partitioned by coarse cell; the
     ADC probe must reach them as a DYNAMIC partition-pruned scan (cell
