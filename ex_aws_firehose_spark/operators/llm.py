@@ -1352,6 +1352,192 @@ def q_sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPLIT_RATIO = 1.0  # split cells with occupancy > ratio × mean
+SPLIT_NPROBE = 12  # equal CANDIDATE budget: 12/15 fine cells ≈ 8/10 coarse
+_IVF_SPLIT_CACHE: SessionCache = SessionCache()
+
+
+def ivf_cell_split(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Act on the q_sim_route_balance audit: SPLIT the hot IVF cells.
+
+    Cells whose membership exceeds ``SPLIT_RATIO`` × mean occupancy are
+    replaced by two centroids seeded from the cell's two farthest
+    members — the member farthest from the centroid, then the member
+    farthest from THAT one (the deterministic 2-means init) — followed
+    by one full Lloyd round over the refined codebook. On this fixture
+    (near-balanced membership) ratio 1.0 splits 5 of 10 cells → 15;
+    production deployments set 2.0 so only true hot cells pay a
+    re-train. Measured at sf0.1: the split index serves recall@20 =
+    0.90 at the SAME candidate budget the coarse index spends for 0.85
+    (12/15 cells ≈ 1594 candidates vs 8/10 ≈ 1600), and matches 0.85
+    while scanning 19% fewer candidates at nprobe=10 — finer cells
+    shift the recall/scan-cost frontier (tests/test_ann_recall.py).
+
+    No driver-side collect anywhere: the mean is a 1-row broadcast,
+    hot cells a broadcast semi/anti join, seed election two windowed
+    argmins partitioned by cell. 100 TB shape: identical to ivf_train
+    (k×dim quantized partial sums shuffle; vectors never do)."""
+    key = _IVF_SPLIT_CACHE.scoped_key(spark, sf_dir)
+    cached = _IVF_SPLIT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    cb, members = ivf_train(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    occ = members.groupBy("cell").agg(F.count("*").alias("n"))
+    mean_n = occ.agg(F.avg("n").alias("mean_n"))
+    hot = (
+        occ.crossJoin(F.broadcast(mean_n))
+        .filter(F.col("n") > F.lit(SPLIT_RATIO) * F.col("mean_n"))
+        .select("cell")
+    )
+    memb_hot = members.join(F.broadcast(hot), "cell", "left_semi")
+    with_cent = memb_hot.join(F.broadcast(cb), "cell")
+    w1 = Window.partitionBy("cell").orderBy(
+        F.round(cosine(F.col("embedding"), F.col("cvec")), 6).asc(),
+        F.col("vec_id").asc(),
+    )
+    m1 = (
+        with_cent.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("embedding").alias("m1"))
+    )
+    w2 = Window.partitionBy("cell").orderBy(
+        F.round(cosine(F.col("embedding"), F.col("m1")), 6).asc(),
+        F.col("vec_id").asc(),
+    )
+    m2 = (
+        memb_hot.join(F.broadcast(m1), "cell")
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("embedding").alias("m2"))
+    )
+    seeds = m1.select(
+        "cell", F.col("m1").cast("array<double>").alias("cvec")
+    ).union(
+        m2.select(
+            (F.col("cell") + 1000).alias("cell"),
+            F.col("m2").cast("array<double>").alias("cvec"),
+        )
+    )
+    cb_seed = (
+        cb.join(F.broadcast(hot), "cell", "left_anti")
+        .union(seeds)
+        .localCheckpoint()
+    )
+    cb2 = _ivf_m_step(_ivf_e_step(e, cb_seed)).localCheckpoint()
+    members2 = _ivf_e_step(e, cb2).localCheckpoint()
+    _IVF_SPLIT_CACHE[key] = (cb2, members2)
+    return cb2, members2
+
+
+def _ivf_split_oracle() -> str:
+    """The whole split pipeline as one CTE chain: ivf_train's unrolled
+    rounds (reused via _ivf_ctes), occupancy → hot set → farthest-pair
+    seed election → seeded E-step → M-step → final members → probe →
+    serve. Same quantized arithmetic as the engine at every step."""
+    ctes, last_cb, last_asg, _probed = _ivf_ctes()
+    cos_qc = duck_cosine("e.embedding", "c.cvec")
+    estep = (
+        "SELECT vec_id, cell FROM ("
+        " SELECT e.vec_id, c.cell,"
+        f" row_number() OVER (PARTITION BY e.vec_id"
+        f" ORDER BY round({cos_qc}, 6) DESC, c.cell) AS rn"
+        " FROM embeddings e CROSS JOIN {cb} c) WHERE rn = 1"
+    )
+    ctes += [
+        f"s_occ AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n"
+        f" FROM {last_asg} GROUP BY cell)",
+        f"s_hot AS (SELECT cell FROM s_occ"
+        f" WHERE n > (SELECT AVG(n) FROM s_occ) * {SPLIT_RATIO})",
+        f"s_mh AS (SELECT a.cell, e.vec_id, e.embedding"
+        f" FROM embeddings e JOIN {last_asg} a USING (vec_id)"
+        f" WHERE a.cell IN (SELECT cell FROM s_hot))",
+        "s_m1 AS (SELECT cell, embedding FROM ("
+        " SELECT mh.cell, mh.vec_id, mh.embedding,"
+        " row_number() OVER (PARTITION BY mh.cell ORDER BY"
+        f" round({duck_cosine('mh.embedding', 'cb.cvec')}, 6) ASC,"
+        " mh.vec_id) AS rn"
+        f" FROM s_mh mh JOIN {last_cb} cb USING (cell)) WHERE rn = 1)",
+        "s_m2 AS (SELECT cell, embedding FROM ("
+        " SELECT mh.cell, mh.vec_id, mh.embedding,"
+        " row_number() OVER (PARTITION BY mh.cell ORDER BY"
+        f" round({duck_cosine('mh.embedding', 'm1.embedding')}, 6) ASC,"
+        " mh.vec_id) AS rn"
+        " FROM s_mh mh JOIN s_m1 m1 USING (cell)) WHERE rn = 1)",
+        f"s_cbseed AS (SELECT cell, cvec FROM {last_cb}"
+        " WHERE cell NOT IN (SELECT cell FROM s_hot)"
+        " UNION ALL SELECT cell,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM s_m1"
+        " UNION ALL SELECT cell + 1000,"
+        " list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM s_m2)",
+        "s_asg AS (" + estep.format(cb="s_cbseed") + ")",
+        "s_cent AS (SELECT a.cell, p.pos,"
+        " SUM(CAST(FLOOR(CAST(p.v AS DOUBLE) * 1000) AS BIGINT)) AS s,"
+        " CAST(COUNT(*) AS BIGINT) AS n"
+        " FROM pos p JOIN s_asg a USING (vec_id) GROUP BY a.cell, p.pos)",
+        "s_cb AS (SELECT cell,"
+        " list(CAST(s AS DOUBLE) / (1000.0 * n) ORDER BY pos) AS cvec"
+        " FROM s_cent GROUP BY cell)",
+        "s_members AS (" + estep.format(cb="s_cb") + ")",
+        "s_probed AS (SELECT cell FROM s_cb CROSS JOIN q"
+        f" ORDER BY round({duck_cosine('s_cb.cvec', 'q.qv')}, 6) DESC, cell"
+        f" LIMIT {SPLIT_NPROBE})",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.vec_id, a.cell,
+           round({duck_cosine("e.embedding", "q.qv")}, 6) AS cos_sim
+    FROM embeddings e JOIN s_members a USING (vec_id) CROSS JOIN q
+    WHERE a.cell IN (SELECT cell FROM s_probed) AND e.vec_id <> 0
+    ORDER BY round({duck_cosine("e.embedding", "q.qv")}, 6) DESC, e.vec_id
+    LIMIT {TOPK}
+    """
+    )
+
+
+@query(
+    "q_sim_ivf_cell_split",
+    oracle=_ivf_split_oracle(),
+    tags=("llm", "similarity", "iterative"),
+)
+def q_sim_ivf_cell_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF serving from the SPLIT index (see ivf_cell_split): probe the
+    SPLIT_NPROBE=12 best fine cells — the same candidate budget the
+    coarse index spends on 8 of 10 cells — and brute-force rank inside
+    the probed inverted lists. This is the consumer of the
+    q_sim_route_balance audit (VERDICT r7 ask #5): hot cells split,
+    recall@20 rises 0.85 → 0.90 at sf0.1 at unchanged scan cost
+    (contract in tests/test_ann_recall.py). Oracle replays training +
+    split + re-train + serve in exact quantized arithmetic."""
+    cb2, members2 = ivf_cell_split(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    probed = (
+        cb2.crossJoin(qv)
+        .select(
+            "cell", F.round(cosine(F.col("cvec"), F.col("qv")), 6).alias("pc")
+        )
+        .orderBy(F.col("pc").desc(), F.col("cell"))
+        .limit(SPLIT_NPROBE)
+        .select("cell")
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    return (
+        members2.join(F.broadcast(probed), "cell", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select("vec_id", "cell", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
 PQ_M = 4  # product-quantization subspaces (64-dim → 4 × 16)
 PQ_K = 8  # codes per subspace codebook
 PQ_ITERS = 2  # Lloyd rounds per subspace after the modulo-seeded init
@@ -9007,4 +9193,242 @@ def q_sim_mrl_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(n_hits * 1000000 div n_full AS BIGINT)").alias(
             "recall_ppm"
         ),
+    )
+
+
+DSIR_BUCKETS = 256
+DSIR_KEEP_PCT = 20
+
+
+@query(
+    "q_curate_dsir",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, str_split(lower(text), ' ') AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(
+                   unnest(list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i + 1]))), 1, 8))
+                   AS BIGINT) % {DSIR_BUCKETS} AS bucket
+        FROM tok
+    ),
+    tgt AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS ct FROM big
+        WHERE lang = 'en' GROUP BY bucket
+    ),
+    raw AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cr FROM big
+        GROUP BY bucket
+    ),
+    score AS (
+        SELECT r.bucket,
+               CAST(length(printf('%b', COALESCE(t.ct, 0) + 1))
+                    - length(printf('%b', r.cr + 1)) AS BIGINT) AS s
+        FROM raw r LEFT JOIN tgt t USING (bucket)
+    ),
+    docw AS (
+        SELECT b.doc_id,
+               CAST(SUM(s.s) AS BIGINT) AS weight,
+               CAST(COUNT(*) AS BIGINT) AS n_feats
+        FROM big b JOIN score s USING (bucket)
+        GROUP BY b.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, weight, n_feats,
+               weight * 1.0 / n_feats AS mean_weight,
+               ROW_NUMBER() OVER (
+                   ORDER BY weight * 1.0 / n_feats DESC, doc_id) AS rn,
+               COUNT(*) OVER () AS n_docs
+        FROM docw
+    )
+    SELECT doc_id, weight, n_feats, mean_weight,
+           rn <= (n_docs * {DSIR_KEEP_PCT}) // 100 AS selected
+    FROM ranked
+    """,
+    tags=("llm", "curation"),
+)
+def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling" — public method):
+    importance weight per raw document = sum over its hashed-bigram
+    OCCURRENCES of the target-vs-raw log-likelihood ratio, here with
+    ⌊log₂(count+1)⌋-quantized likelihoods (bit-length − via conv/printf
+    '%b' — the q_text_logfreq_score integer-exact pattern: no float log
+    whose last bit could differ across engines). Target distribution =
+    the lang='en' slice (the high-quality-corpus stand-in); features =
+    hashed bigrams WITH multiplicity into {DSIR_BUCKETS} buckets. The
+    top {DSIR_KEEP_PCT}% by per-feature mean weight are `selected` —
+    importance RANKING rather than Xie's gumbel resampling, so the
+    output is deterministic and oracle-checkable. Sub-2-token docs have
+    no features and drop out, as in the published pipeline.
+
+    100 TB shape: bucket tables are {DSIR_BUCKETS} rows (broadcast
+    everywhere); the doc-grain weight is one map-side-combinable agg
+    over the bigram stream. The global selection sort is documents-
+    grain; at real scale replace rank-selection with an approx-quantile
+    weight THRESHOLD (one pass, no global sort) — the q_curate_quality
+    _bins pattern."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = d.select(
+        "doc_id", "lang", F.explode(bigrams).alias("bg")
+    ).select(
+        "doc_id", "lang", (hex_hash(F.col("bg")) % DSIR_BUCKETS).alias("bucket")
+    )
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    tgt = (
+        big.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count("*").alias("ct"))
+    )
+    raw = big.groupBy("bucket").agg(F.count("*").alias("cr"))
+    score = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        (
+            bitlen(F.coalesce(F.col("ct"), F.lit(0)) + 1)
+            - bitlen(F.col("cr") + 1)
+        )
+        .cast("long")
+        .alias("s"),
+    )
+    docw = (
+        big.join(F.broadcast(score), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum("s").alias("weight"), F.count("*").alias("n_feats"))
+    )
+    w = Window.orderBy(
+        (F.col("weight") * 1.0 / F.col("n_feats")).desc(), F.col("doc_id")
+    )
+    ranked = docw.select(
+        "doc_id",
+        "weight",
+        "n_feats",
+        (F.col("weight") * 1.0 / F.col("n_feats")).alias("mean_weight"),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy()).alias("n_docs"),
+    )
+    return ranked.select(
+        "doc_id",
+        "weight",
+        "n_feats",
+        "mean_weight",
+        (
+            F.col("rn")
+            <= F.expr(f"n_docs * {DSIR_KEEP_PCT} div 100")
+        ).alias("selected"),
+    )
+
+
+def _ndcg_gain_table() -> list[tuple[int, int]]:
+    """(rank, gain) rows for ranks 1..TOPK with gain = round(1e9 /
+    log2(rank+1)) — computed ONCE in Python and embedded as literal
+    constants in BOTH backends, so no engine evaluates a float log
+    (the last-bit-of-log2 cross-engine hazard); everything downstream
+    is exact int64 arithmetic."""
+    import math
+
+    return [(i, round(1e9 / math.log2(i + 1))) for i in range(1, TOPK + 1)]
+
+
+def _ndcg_oracle() -> str:
+    gains = _ndcg_gain_table()
+    idcg = sum(g for _, g in gains)
+    values = ", ".join(f"({r}, {g})" for r, g in gains)
+    ctes, final = _adc_parts()
+    ctes = ctes + [
+        "adc AS (" + final + ")",
+        """nranked AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        FROM adc
+    )""",
+        f"ngain(rn, g) AS (SELECT * FROM (VALUES {values}))",
+        f"""nex AS (
+        SELECT e.vec_id FROM embeddings e CROSS JOIN iv_q
+        WHERE e.vec_id <> 0
+        ORDER BY round({duck_cosine("e.embedding", "iv_q.qv")}, 6) DESC,
+                 e.vec_id
+        LIMIT {TOPK}
+    )""",
+        """nhits AS (
+        SELECT g.g FROM nranked r JOIN nex USING (vec_id)
+        JOIN ngain g USING (rn)
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST({TOPK} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(g), 0) AS BIGINT) AS dcg_scaled,
+           CAST({idcg} AS BIGINT) AS idcg_scaled,
+           CAST(COALESCE(SUM(g), 0) * 1000000 // {idcg} AS BIGINT)
+               AS ndcg_ppm
+    FROM nhits
+    """
+    )
+
+
+@query(
+    "q_eval_ndcg",
+    oracle=_ndcg_oracle(),
+    tags=("llm", "similarity", "audit"),
+)
+def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k for the ANN serving stack — completes the retrieval-eval
+    family (recall audit, precision/MRR) with the rank-position-aware
+    metric every retrieval leaderboard reports: DCG = Σ over hits of
+    1/log2(rank+1), against the exact-cosine top-k as the binary
+    relevance set (IDCG = all k relevant at the top). The 1/log2 gain
+    table is Python-computed integer constants (×1e9) shared verbatim
+    by both backends — no float log in either engine; DCG/IDCG/NDCG
+    are exact int64 sums and one integer division to ppm.
+
+    100 TB shape: rank window over a k-row frame, k-row gain-table
+    broadcast join, 1-row output — eval cost is serving cost, the
+    metric itself is free."""
+    gains = _ndcg_gain_table()
+    idcg = sum(g for _, g in gains)
+    adc = q_sim_ivf_pq_adc(spark, sf_dir)
+    wr = Window.orderBy("adc_dist", "vec_id")
+    ranked = adc.select("vec_id", "adc_dist").withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    exact = (
+        e.crossJoin(qv)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos, 6).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+    )
+    gain = F.broadcast(
+        spark.createDataFrame(_ndcg_gain_table(), "rn int, g long")
+    )
+    hits = ranked.join(exact, "vec_id").join(gain, "rn")
+    return hits.agg(
+        F.lit(TOPK).cast("long").alias("k"),
+        F.count("*").alias("n_hits"),
+        F.coalesce(F.sum("g"), F.lit(0)).alias("dcg_scaled"),
+        F.lit(idcg).cast("long").alias("idcg_scaled"),
+        F.expr(f"CAST(coalesce(sum(g), 0) * 1000000 DIV {idcg} AS LONG)")
+        .alias("ndcg_ppm"),
     )

@@ -36,9 +36,12 @@ of few giant files parallelizes to ``size/S`` tasks per file.
 
 Binary encoding implemented (spec §"Binary encoding"): zigzag-varint
 ``long``/``int``, length-prefixed ``string``/``bytes``, little-endian
-IEEE ``double``/``float``, 1-byte ``boolean``; records are field
-concatenation in schema order. Unsupported Avro types raise at
-``schema()`` time, not mid-scan.
+IEEE ``double``/``float``, 1-byte ``boolean``, and nullable
+``["null", T]`` unions (index varint + branch — the ubiquitous
+real-world Avro field shape) mapping to nullable Spark columns;
+records are field concatenation in schema order. Unsupported Avro
+types (nested records, arrays, wider unions) raise at ``schema()``
+time, not mid-scan.
 
 100 TB shape: a Python data source is the slow path (rows cross the
 Python→JVM boundary; no pushdown) — the right use is the ingest
@@ -119,6 +122,52 @@ _FIELD_ENCODERS = {
 }
 
 
+def _base_of_union(t) -> str | None:
+    """The non-null branch of a 2-way nullable union, else None."""
+    if (
+        isinstance(t, list)
+        and len(t) == 2
+        and "null" in t
+        and isinstance(next(x for x in t if x != "null"), str)
+    ):
+        return next(x for x in t if x != "null")
+    return None
+
+
+def _field_encoder(t):
+    """Encoder for a field type: primitive, or nullable union
+    ``["null", T]`` (union index varint, then the branch value — Avro
+    spec §"Unions")."""
+    base = _base_of_union(t)
+    if base is not None:
+        null_idx = t.index("null")
+        enc = _FIELD_ENCODERS[base]
+        return lambda v: (
+            _encode_long(null_idx)
+            if v is None
+            else _encode_long(1 - null_idx) + enc(v)
+        )
+    return _FIELD_ENCODERS[t]
+
+
+def _field_decoder(t):
+    base = _base_of_union(t)
+    if base is not None:
+        null_idx = t.index("null")
+        dec = _FIELD_DECODERS[base]
+        return lambda b: None if _decode_long(b) == null_idx else dec(b)
+    return _FIELD_DECODERS[t]
+
+
+def _field_ddl(t) -> str | None:
+    """DDL type for a field type (unions → nullable base), or None if
+    unsupported."""
+    base = _base_of_union(t) or t
+    if not isinstance(base, str):
+        return None
+    return _AVRO_TO_DDL.get(base)
+
+
 def write_avro_ocf(
     path: str,
     schema: dict,
@@ -126,9 +175,10 @@ def write_avro_ocf(
     codec: str = "deflate",
     rows_per_block: int = 4096,
 ) -> None:
-    """Write an Avro object container file (record schemas only)."""
+    """Write an Avro object container file (record schemas; fields may
+    be primitives or nullable ``["null", T]`` unions)."""
     fields = schema["fields"]
-    encoders = [_FIELD_ENCODERS[f["type"]] for f in fields]
+    encoders = [_field_encoder(f["type"]) for f in fields]
     with open(path, "wb") as f:
         f.write(_MAGIC)
         meta = {
@@ -264,7 +314,7 @@ def _iter_ocf_rows(
     path: str, start: int | None = None, end: int | None = None
 ) -> Iterator[tuple]:
     for schema, n_rows, body in _iter_ocf_blocks(path, start, end):
-        decoders = [_FIELD_DECODERS[fld["type"]] for fld in schema["fields"]]
+        decoders = [_field_decoder(fld["type"]) for fld in schema["fields"]]
         rb = io.BytesIO(body)
         for _ in range(n_rows):
             yield tuple(dec(rb) for dec in decoders)
@@ -302,12 +352,20 @@ def _iter_ocf_arrow_batches(path: str, start: int, end: int):
         if arrow_schema is None:
             arrow_schema = pa.schema(
                 [
-                    (f["name"], getattr(pa, _AVRO_TO_ARROW[f["type"]])())
+                    (
+                        f["name"],
+                        getattr(
+                            pa,
+                            _AVRO_TO_ARROW[
+                                _base_of_union(f["type"]) or f["type"]
+                            ],
+                        )(),
+                    )
                     for f in schema["fields"]
                 ]
             )
             decoders = [
-                _FIELD_DECODERS[fld["type"]] for fld in schema["fields"]
+                _field_decoder(fld["type"]) for fld in schema["fields"]
             ]
             ncols = len(decoders)
         cols: list[list] = [[] for _ in range(ncols)]
@@ -377,12 +435,15 @@ def register_avro_datasource(spark) -> None:
             cols = []
             for fld in schema["fields"]:
                 t = fld["type"]
-                # unions/records/arrays arrive as list/dict — unsupported
-                if not isinstance(t, str) or t not in _AVRO_TO_DDL:
+                # primitives and nullable ["null", T] unions map to
+                # (nullable) Spark columns; records/arrays/wider
+                # unions are rejected at schema time, not mid-scan
+                ddl = _field_ddl(t)
+                if ddl is None:
                     raise ValueError(
                         f"unsupported avro type {t!r} for field {fld['name']!r}"
                     )
-                cols.append(f"{fld['name']} {_AVRO_TO_DDL[t]}")
+                cols.append(f"{fld['name']} {ddl}")
             return ", ".join(cols)
 
         def reader(self, schema):

@@ -2817,3 +2817,112 @@ def q_stream_throttle_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("cents_total"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "sink_manifest_commit",
+    oracle="""
+    WITH b AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    nf AS (
+        SELECT CAST(COUNT(DISTINCT event_id % 3) AS BIGINT) AS n_files FROM b
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(cents) AS BIGINT) AS value_cents,
+           n_files
+    FROM b CROSS JOIN nf
+    GROUP BY event_type, n_files
+    """,
+    tags=("streaming", "sink", "manifest"),
+)
+def sink_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MANIFEST-COMMITTED sink — the write half of the
+    table-format story (q_read_manifest_pruned is the read half, the
+    orphan audit the failure half). Each micro-batch's foreachBatch
+    writes its data file under a batch-keyed dir FIRST and only then
+    appends a one-row manifest entry (path, n_rows, min/max event_id)
+    — the transactional ordering every table format uses: a writer
+    that dies between the two steps leaves an ORPHAN data file that
+    readers never see, because the reader lists the MANIFEST, not the
+    directory. This key stages exactly that torn write (a fourth data
+    dir with no manifest entry, holding duplicate rows) and reads the
+    table manifest-first: the duplicates MUST NOT appear in the
+    aggregate, or the hash check against the clean events oracle
+    fails. n_files (manifest cardinality = 3 micro-batches) rides
+    along as the proof column.
+
+    100 TB shape: the manifest append is one tiny file per commit
+    (compact periodically, as Iceberg does its manifest lists);
+    data-file writes stay embarrassingly parallel; reader planning is
+    manifest-grain. Snapshot isolation falls out: a reader pinned to a
+    manifest prefix sees a consistent table regardless of concurrent
+    commits."""
+    import os
+
+    root = tempfile.mkdtemp(prefix="manifest_sink_")
+    src = os.path.join(root, "src")
+    data = os.path.join(root, "data")
+    man = os.path.join(root, "manifest")
+    e = load_table(spark, sf_dir, "events")
+    for slice_id in range(3):
+        e.filter(F.col("event_id") % 3 == slice_id).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        path = os.path.join(data, f"batch-{batch_id}")
+        out = batch_df.select(
+            "event_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        out.coalesce(1).write.mode("overwrite").parquet(path)
+        entry = out.agg(
+            F.count("*").alias("n_rows"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        ).select(
+            F.lit(path).alias("path"),
+            "n_rows",
+            "min_id",
+            "max_id",
+        )
+        # ordering is the transaction: data durable BEFORE the entry
+        entry.coalesce(1).write.mode("append").parquet(man)
+
+    with stream_shuffle(spark):
+        stream = (
+            spark.readStream.schema(EVENTS_TS_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(commit_batch)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+
+    # the torn write: a data dir with DUPLICATE rows, no manifest entry
+    spark.read.parquet(os.path.join(data, "batch-0")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(data, "orphan-never-committed"))
+
+    manifest = spark.read.parquet(man)
+    paths = [r.path for r in manifest.select("path").collect()]
+    n_files = len(paths)
+    table = spark.read.option("basePath", data).parquet(*paths)
+    return table.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("cents").alias("value_cents"),
+    ).select(
+        "event_type",
+        "n_events",
+        "value_cents",
+        F.lit(n_files).cast("long").alias("n_files"),
+    )

@@ -191,6 +191,53 @@ def test_adc_rerank_recall_contract(spark, sf_dir):
     assert recall_rr >= len(truth & adc) / len(truth)
 
 
+def test_cell_split_recall_contract(spark, sf_dir):
+    """Splitting hot IVF cells must shift the recall/scan-cost
+    frontier: at the SAME candidate budget (SPLIT_NPROBE=12 of ~15
+    fine cells ≈ ADC_NPROBE=8 of 10 coarse cells), the split index's
+    recall@20 must be ≥ the coarse index's cell recall, and ≥ 0.90
+    absolute (measured: 1.0 / 0.95 / 0.90 at sf0.001/0.01/0.1 vs
+    coarse 1.0 / 0.95 / 0.85 — the sf0.1 gain is the round-7 ask:
+    above the 0.85 ceiling at unchanged scan cost)."""
+    from pyspark.sql import functions as F
+
+    from ex_aws_firehose_spark.operators.llm import (
+        ADC_NPROBE,
+        cosine,
+        ivf_train,
+        q_sim_ivf_cell_split,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    truth = {r.vec_id for r in q_sim_cosine_topk(spark, sf_dir).collect()}
+    split = {r.vec_id for r in q_sim_ivf_cell_split(spark, sf_dir).collect()}
+    cb, members = ivf_train(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    probed = (
+        cb.crossJoin(qv)
+        .select(
+            "cell", F.round(cosine(F.col("cvec"), F.col("qv")), 6).alias("pc")
+        )
+        .orderBy(F.col("pc").desc(), "cell")
+        .limit(ADC_NPROBE)
+        .select("cell")
+    )
+    coarse = {
+        r.vec_id
+        for r in members.join(F.broadcast(probed), "cell", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id")
+        .collect()
+    }
+    r_split = len(truth & split) / len(truth)
+    r_coarse = len(truth & coarse) / len(truth)
+    assert r_split >= 0.90, f"split recall = {r_split:.2f} < 0.90"
+    assert r_split >= r_coarse, (r_split, r_coarse)
+
+
 def test_binary_hamming_recall_contract(spark, sf_dir):
     """1-bit quantization is the coarsest rung of the ladder, and on
     the near-isotropic synthetic vectors its top-20 Hamming list still

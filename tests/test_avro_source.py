@@ -80,7 +80,8 @@ def test_unsupported_type_raises_at_schema_time(tmp_path, spark):
     bad = {
         "type": "record",
         "name": "t",
-        "fields": [{"name": "u", "type": ["null", "long"]}],
+        # a THREE-way union — only ["null", T] unions are supported
+        "fields": [{"name": "u", "type": ["null", "long", "string"]}],
     }
     p = str(tmp_path / "bad.avro")
     # hand-write header only (writer would reject the union encoder too)
@@ -204,3 +205,44 @@ def test_spark_splits_one_big_file(tmp_path, spark):
         (r.a, r.s, r.d, r.b) for r in df.collect()
     )
     assert got == rows
+
+
+NULLABLE_SCHEMA = {
+    "type": "record",
+    "name": "t",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "d", "type": ["double", "null"]},  # either branch order
+    ],
+}
+
+NULLABLE_ROWS = [
+    (1, "x", 1.5),
+    (2, None, None),
+    (3, "", -0.0),
+    (4, None, 2.25),
+]
+
+
+@pytest.mark.parametrize("codec", ["deflate", "null"])
+def test_nullable_union_roundtrip(tmp_path, codec):
+    p = str(tmp_path / "n.avro")
+    write_avro_ocf(p, NULLABLE_SCHEMA, NULLABLE_ROWS, codec=codec)
+    assert list(_iter_ocf_rows(p)) == NULLABLE_ROWS
+
+
+def test_spark_reads_nullable_unions(tmp_path, spark):
+    """["null", T] unions map to nullable Spark columns; Arrow batches
+    carry the nulls through."""
+    from ex_aws_firehose_spark.sources.avro import register_avro_datasource
+
+    p = str(tmp_path / "n.avro")
+    write_avro_ocf(p, NULLABLE_SCHEMA, NULLABLE_ROWS)
+    register_avro_datasource(spark)
+    df = spark.read.format("avro_ocf").load(p)
+    assert df.schema.simpleString() == "struct<a:bigint,s:string,d:double>"
+    got = sorted(
+        (r.a, r.s, r.d) for r in df.collect()
+    )
+    assert got == NULLABLE_ROWS

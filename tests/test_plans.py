@@ -77,6 +77,40 @@ def test_manifest_pruned_read_scans_fewer_files(spark, sf_dir):
     assert all("month=1997-0" in f for f in scanned), scanned
 
 
+def test_bloom_pruned_read_scans_fewer_files(spark, sf_dir):
+    """Bloom file skipping must hand Spark strictly fewer files than
+    the table holds (zone maps prune NOTHING for this uncorrelated
+    point predicate — the bloom is doing all the work), and every
+    month that truly contains the probe key must survive (no false
+    negatives)."""
+    df = REGISTRY["q_read_bloom_pruned"].fn(spark, sf_dir)
+    from ex_aws_firehose_spark.sources.formats import (
+        _MANIFEST_CACHE,
+        BLOOM_PROBE_CUSTKEY,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    key = _MANIFEST_CACHE.scoped_key(spark, sf_dir)
+    _root, _manifest, files_total = _MANIFEST_CACHE[key]
+    scanned = {
+        f.split("month=")[1].split("/")[0]
+        for f in df.inputFiles()
+        if "orders_manifest_" in f
+    }
+    assert 0 < len(scanned) < files_total, (len(scanned), files_total)
+    from pyspark.sql import functions as F
+
+    truth = {
+        r.m
+        for r in load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") == BLOOM_PROBE_CUSTKEY)
+        .select(F.date_format("o_orderdate", "yyyy-MM").alias("m"))
+        .distinct()
+        .collect()
+    }
+    assert truth <= scanned, truth - scanned  # no false negatives
+
+
 def test_persisted_index_probe_is_partition_pruned(spark, sf_dir):
     """The persisted inverted lists are partitioned by coarse cell; the
     ADC probe must reach them as a DYNAMIC partition-pruned scan (cell
