@@ -9432,3 +9432,188 @@ def q_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(coalesce(sum(g), 0) * 1000000 DIV {idcg} AS LONG)")
         .alias("ndcg_ppm"),
     )
+
+
+WMH_CAP = 3  # per-token multiplicity cap in the weighted multiset
+WMH_H = 8  # minhash permutations: 4 bands x 2 rows
+WMH_BANDS = 4
+WMH_THRESH_PPM = 600000
+
+
+def _wmh_oracle() -> str:
+    rows = WMH_H // WMH_BANDS
+    sig_parts = []
+    for h in range(WMH_H):
+        salted = f"'s{h}:' || feat"
+        sig_parts.append(f"MIN({duck_hex_hash(salted)}) AS m{h}")
+    sig_cols = ", ".join(sig_parts)
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {k} AS band, {expr} AS bsig FROM wsig".format(
+            k=k,
+            expr=" || ':' || ".join(
+                f"CAST(m{k * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for k in range(WMH_BANDS)
+    )
+    return f"""
+    WITH wdoc AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS toks FROM documents
+    ),
+    wtok AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks)),
+                      i -> toks[i] || ' ' || toks[i + 1])) AS tok
+        FROM wdoc
+    ),
+    wtc AS (
+        SELECT doc_id, tok,
+               CAST(LEAST(COUNT(*), {WMH_CAP}) AS BIGINT) AS c
+        FROM wtok GROUP BY doc_id, tok
+    ),
+    wfeats AS (
+        SELECT doc_id, tok || '#' || CAST(i AS VARCHAR) AS feat
+        FROM wtc, UNNEST(range(1, c + 1)) AS t(i)
+    ),
+    wsig AS (SELECT doc_id, {sig_cols} FROM wfeats GROUP BY doc_id),
+    wbands AS ({band_selects}),
+    wcand AS (
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM wbands a JOIN wbands b
+          ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    wtot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS t FROM wtc GROUP BY 1),
+    winter AS (
+        SELECT c.da, c.db, CAST(SUM(LEAST(ta.c, tb.c)) AS BIGINT) AS num
+        FROM wcand c
+        JOIN wtc ta ON ta.doc_id = c.da
+        JOIN wtc tb ON tb.doc_id = c.db AND ta.tok = tb.tok
+        GROUP BY 1, 2
+    )
+    SELECT i.da AS doc_a, i.db AS doc_b,
+           CAST(i.num * 1000000 // (a.t + b.t - i.num) AS BIGINT) AS jac_ppm
+    FROM winter i
+    JOIN wtot a ON a.doc_id = i.da
+    JOIN wtot b ON b.doc_id = i.db
+    WHERE i.num * 1000000 // (a.t + b.t - i.num) >= {WMH_THRESH_PPM}
+    """
+
+
+@query("q_dedup_minhash_weighted", oracle=_wmh_oracle(), tags=("llm", "dedup"))
+def q_dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED near-dup detection — multiset Jaccard, the rung the
+    unweighted family misses: two docs sharing vocabulary but with very
+    different token FREQUENCIES (one says 'buy' once, the spam variant
+    says it 40 times) score high under set-Jaccard but low under
+    Σmin(cₐ,c_b)/Σmax(cₐ,c_b). Features are 2-token shingles WITH
+    multiplicity — raw tokens degenerate under minhash (the Zipf head
+    makes every doc's min the globally-smallest-hash stopword feature;
+    measured: a 1577-doc LSH bucket at sf0.1), while the bigram
+    universe is high-cardinality so buckets stay small. Capped-multiset
+    expansion (each bigram replicated min(count, {WMH_CAP}) times as
+    'bg#i') reduces weighted minhash to plain minhash over expanded
+    features (the integer-exact
+    alternative to ICWS, whose gumbel/log draws no two engines compute
+    bit-identically); candidates come from {WMH_BANDS}x2 LSH banding
+    over the expanded-feature signatures, then every candidate is
+    verified with the EXACT capped multiset Jaccard in integer ppm
+    (Σmax = tot_a + tot_b − Σmin, no float anywhere).
+
+    100 TB shape: expansion ≤ {WMH_CAP}× the token stream (a pure
+    map); signature is one map-side-combinable agg; the band self-join
+    buckets on high-cardinality (band, bsig); verification joins only
+    candidate pairs on token — never all-pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tc = (
+        d.select("doc_id", F.explode(bigrams).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.least(F.count("*"), F.lit(WMH_CAP)).cast("long").alias("c"))
+    )
+    feats = tc.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("c")),
+                lambda i: F.concat(
+                    F.col("tok"), F.lit("#"), i.cast("string")
+                ),
+            )
+        ).alias("feat"),
+    )
+    sig = feats.groupBy("doc_id").agg(
+        *[
+            F.min(
+                hex_hash(F.concat(F.lit(f"s{h}:"), F.col("feat")))
+            ).alias(f"m{h}")
+            for h in range(WMH_H)
+        ]
+    )
+    rows = WMH_H // WMH_BANDS
+    bands = None
+    for k in range(WMH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(k).alias("band"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"m{k * rows + r}").cast("string")
+                    for r in range(rows)
+                ],
+            ).alias("bsig"),
+        )
+        bands = part if bands is None else bands.union(part)
+    bands = bands.repartition("band", "bsig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db")
+        )
+        .distinct()
+    )
+    tot = tc.groupBy("doc_id").agg(F.sum("c").alias("t"))
+    ta, tb = tc.alias("ta"), tc.alias("tb")
+    inter = (
+        cand.join(ta, F.col("ta.doc_id") == F.col("da"))
+        .join(
+            tb,
+            (F.col("tb.doc_id") == F.col("db"))
+            & (F.col("ta.tok") == F.col("tb.tok")),
+        )
+        .groupBy("da", "db")
+        .agg(F.sum(F.least(F.col("ta.c"), F.col("tb.c"))).alias("num"))
+    )
+    jac = F.expr("num * 1000000 div (at + bt - num)")
+    return (
+        inter.join(
+            tot.select(F.col("doc_id").alias("da"), F.col("t").alias("at")),
+            "da",
+        )
+        .join(
+            tot.select(F.col("doc_id").alias("db"), F.col("t").alias("bt")),
+            "db",
+        )
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            jac.cast("long").alias("jac_ppm"),
+        )
+        .filter(F.col("jac_ppm") >= WMH_THRESH_PPM)
+    )

@@ -2926,3 +2926,106 @@ def sink_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value_cents",
         F.lit(n_files).cast("long").alias("n_files"),
     )
+
+
+_BUS_REBALANCE_CACHE = None  # lazily-created SessionCache
+
+
+@query(
+    "src_stream_bus_rebalance",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "source", "python", "fault"),
+)
+def src_stream_bus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bus SHARD REBALANCE as an oracle-checked key (the Kafka
+    add-partition event, promoted from tests/test_bus_source.py into
+    the correctness artifacts): a 3-shard topic drains under one
+    checkpoint; a FOURTH shard file then appears (repartitioning
+    mid-consumption) and a second run over the SAME checkpoint drains
+    it. The new shard starts at offset 0 (partitions() start.get
+    default), the old shards resume their committed offsets, and the
+    union must equal the events table exactly — n_events AND
+    n_distinct per type hash-checked, so either a lost record or a
+    double-delivery across the topology change breaks the key.
+
+    100 TB shape: rebalance handling is pure offset-dict algebra on
+    the driver (new keys appear in latestOffset, absent keys default
+    to 0 in partitions()); no executor coordination, no state
+    migration — the file-backed topic retains, a broker would trim."""
+    import os
+
+    from ex_aws_firehose_spark.caching import SessionCache
+    from ex_aws_firehose_spark.sources.bus import (
+        BUS_SHARDS,
+        register_bus_datasource,
+    )
+
+    global _BUS_REBALANCE_CACHE
+    if _BUS_REBALANCE_CACHE is None:
+        _BUS_REBALANCE_CACHE = SessionCache()
+    key = _BUS_REBALANCE_CACHE.scoped_key(spark, sf_dir)
+    if key not in _BUS_REBALANCE_CACHE:
+        import duckdb
+
+        base = tempfile.mkdtemp(prefix="bus_rebalance_key_")
+        root = os.path.join(base, "topic")
+        os.makedirs(root, exist_ok=True)
+        out = os.path.join(base, "out")
+        ckpt = os.path.join(base, "ckpt")
+        con = duckdb.connect()
+        try:
+
+            def write_shard(shard: int) -> None:
+                con.execute(
+                    f"""
+                    COPY (
+                        SELECT event_id, user_id, event_type,
+                               CAST(ROUND(value * 100) AS BIGINT) AS cents
+                        FROM read_parquet('{sf_dir}/events.parquet')
+                        WHERE event_id % {BUS_SHARDS} = {shard}
+                        ORDER BY event_id
+                    ) TO '{root}/shard-{shard}.parquet'
+                    """
+                )
+
+            for shard in range(BUS_SHARDS - 1):
+                write_shard(shard)
+            register_bus_datasource(spark)
+
+            def drain() -> None:
+                stream = (
+                    spark.readStream.format("bus_topic")
+                    .option("path", root)
+                    .load()
+                )
+                q = (
+                    stream.writeStream.format("parquet")
+                    .option("path", out)
+                    .option("checkpointLocation", ckpt)
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination()
+
+            with stream_shuffle(spark):
+                drain()
+                write_shard(BUS_SHARDS - 1)  # the rebalance event
+                drain()
+        finally:
+            con.close()
+        _BUS_REBALANCE_CACHE[key] = out
+    return (
+        spark.read.parquet(_BUS_REBALANCE_CACHE[key])
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_id").alias("n_distinct"),
+            F.sum("cents").alias("cents"),
+        )
+    )
