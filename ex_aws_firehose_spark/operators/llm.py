@@ -9617,3 +9617,92 @@ def q_dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jac_ppm") >= WMH_THRESH_PPM)
     )
+
+
+def _ap_oracle() -> str:
+    ctes, final = _adc_parts()
+    ctes = ctes + [
+        "adc AS (" + final + ")",
+        """apr AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY adc_dist, vec_id) AS rn
+        FROM adc
+    )""",
+        f"""apx AS (
+        SELECT e.vec_id FROM embeddings e CROSS JOIN iv_q
+        WHERE e.vec_id <> 0
+        ORDER BY round({duck_cosine("e.embedding", "iv_q.qv")}, 6) DESC,
+                 e.vec_id
+        LIMIT {TOPK}
+    )""",
+        """aph AS (
+        SELECT r.rn,
+               row_number() OVER (ORDER BY r.rn) AS hit_idx
+        FROM apr r JOIN apx USING (vec_id)
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST({TOPK} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(hit_idx * 1000000 // rn), 0) AS BIGINT)
+               AS sum_prec_ppm,
+           CAST(COALESCE(SUM(hit_idx * 1000000 // rn), 0) // {TOPK}
+               AS BIGINT) AS ap_ppm
+    FROM aph
+    """
+    )
+
+
+@query(
+    "q_eval_average_precision",
+    oracle=_ap_oracle(),
+    tags=("llm", "similarity", "audit"),
+)
+def q_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average Precision@k for the ANN stack — the last of the four
+    standard ranking metrics (recall, precision/MRR, NDCG, AP): mean
+    over hits of precision-at-that-hit's-rank, i.e. Σ (hit_idx / rn)
+    / R with R = k relevant. Each precision term is quantized to ppm
+    by INTEGER division (hit_idx·10⁶ div rn — per-term deterministic,
+    summation order irrelevant for ints), then one division by R: no
+    float anywhere, the silhouette quantize-then-sum rule.
+
+    100 TB shape: two k-row rank windows and a 1-row agg — free next
+    to the serving cost it evaluates."""
+    adc = q_sim_ivf_pq_adc(spark, sf_dir)
+    wr = Window.orderBy("adc_dist", "vec_id")
+    ranked = adc.select("vec_id", "adc_dist").withColumn(
+        "rn", F.row_number().over(wr)
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    exact = (
+        e.crossJoin(qv)
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos, 6).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+    )
+    hits = ranked.join(exact, "vec_id").withColumn(
+        "hit_idx", F.row_number().over(Window.orderBy("rn"))
+    )
+    return hits.agg(
+        F.lit(TOPK).cast("long").alias("k"),
+        F.count("*").alias("n_hits"),
+        F.coalesce(
+            F.sum(F.expr("hit_idx * 1000000 div rn")), F.lit(0)
+        )
+        .cast("long")
+        .alias("sum_prec_ppm"),
+        F.expr(
+            f"CAST(coalesce(sum(hit_idx * 1000000 div rn), 0)"
+            f" div {TOPK} AS LONG)"
+        ).alias("ap_ppm"),
+    )

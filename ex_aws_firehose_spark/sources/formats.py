@@ -1643,3 +1643,215 @@ def q_layout_zorder_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("zorder").alias("layout"), *out_cols[1:])
     )
     return lin.union(zo)
+
+
+# ---------------------------------------------------------------------------
+# Secondary-index read (exact point-lookup pruning)
+# ---------------------------------------------------------------------------
+
+IDX_PROBE_CUSTKEY = 77
+_SECIDX_CACHE: SessionCache = SessionCache()
+
+
+def _secondary_index(spark: SparkSession, sf_dir: str) -> str:
+    """Inverted secondary index on o_custkey: the DISTINCT (custkey,
+    month-file) pairs of the staged table, written once as an index
+    parquet (built in the same pass as the stats manifest). Unlike the
+    bloom (probabilistic, fixed-size) this is the exact structure —
+    bigger (|distinct pairs| rows) but zero false positives; the two
+    keys together price the classic index-vs-sketch trade."""
+    key = _SECIDX_CACHE.scoped_key(spark, sf_dir)
+    cached = _SECIDX_CACHE.get(key)
+    if cached is not None:
+        return cached
+    root, _manifest, _n = _stage_manifest_table(spark, sf_dir)
+    idx_dir = _tracked_mkdtemp(prefix="orders_secidx_") + "/index"
+    (
+        spark.read.parquet(root)
+        .select("o_custkey", F.col("month").cast("string").alias("month"))
+        .distinct()
+        .repartition(4, "o_custkey")
+        .write.parquet(idx_dir)
+    )
+    _SECIDX_CACHE[key] = idx_dir
+    return idx_dir
+
+
+@query(
+    "q_read_secondary_index",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents_total
+        FROM orders WHERE o_custkey = {IDX_PROBE_CUSTKEY}
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+            AS files_total
+        FROM orders
+    ),
+    sc AS (SELECT CAST(COUNT(*) AS BIGINT) AS files_scanned FROM m)
+    SELECT month, n_rows, cents_total, files_scanned, files_total
+    FROM m, tot, sc
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_read_secondary_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Secondary-INDEX point lookup — the exact counterpart to
+    q_read_bloom_pruned's probabilistic skipping: an inverted index of
+    DISTINCT (o_custkey, month-file) pairs, built once alongside the
+    stats manifest and stored as its own parquet (hash-distributed on
+    the key). A point predicate reads the INDEX first (a pushed-down
+    key filter on a structure ~|distinct pairs| rows, not the data),
+    collects the exactly-correct file list — zero false positives, so
+    files_scanned here = the true month count, which the oracle
+    derives from the raw table — then scans only those files. Bloom
+    vs index is the classic space/exactness trade: the bloom is
+    O(files x bits) regardless of cardinality; the index is exact but
+    grows with |distinct (key, file)| — this engine provides both.
+
+    100 TB shape: index build is one distinct + write in the staging
+    pass; lookup is an index-partition read (key-pruned) + file-count
+    planning + a pruned scan."""
+    root, _manifest, files_total = _stage_manifest_table(spark, sf_dir)
+    idx = spark.read.parquet(_secondary_index(spark, sf_dir))
+    months = [
+        r.month
+        for r in idx.filter(F.col("o_custkey") == IDX_PROBE_CUSTKEY)
+        .select("month")
+        .distinct()
+        .collect()
+    ]
+    paths = [f"{root}/month={m}" for m in sorted(months)]
+    pruned = (
+        spark.read.option("basePath", root).parquet(*paths)
+        if paths
+        else spark.createDataFrame(
+            [], "month string, o_custkey long, cents long"
+        )
+    )
+    return (
+        pruned.filter(F.col("o_custkey") == IDX_PROBE_CUSTKEY)
+        .groupBy(F.col("month").cast("string").alias("month"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .select(
+            "month",
+            "n_rows",
+            "cents_total",
+            F.lit(len(paths)).cast("long").alias("files_scanned"),
+            F.lit(files_total).cast("long").alias("files_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-isolation read over a manifest-committed table
+# ---------------------------------------------------------------------------
+
+_SNAPSHOT_CACHE: SessionCache = SessionCache()
+SNAP_GROUPS = 5  # staged commits (one per o_orderkey % SNAP_GROUPS slice)
+SNAP_PIN = 3  # the snapshot reads only the first SNAP_PIN commits
+
+
+def _stage_committed_table(spark: SparkSession, sf_dir: str):
+    """Stage a manifest-committed orders table as SNAP_GROUPS ordered
+    commits: data file first, then a manifest entry carrying a
+    monotonically increasing commit_id — the append-only commit log
+    every table format keeps."""
+    key = _SNAPSHOT_CACHE.scoped_key(spark, sf_dir)
+    cached = _SNAPSHOT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import os
+
+    base = _tracked_mkdtemp(prefix="orders_snap_")
+    data, man = os.path.join(base, "data"), os.path.join(base, "manifest")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("cents")
+    )
+    for commit_id in range(SNAP_GROUPS):
+        path = os.path.join(data, f"commit-{commit_id}")
+        part = o.filter(F.col("o_orderkey") % SNAP_GROUPS == commit_id)
+        part.coalesce(1).write.parquet(path)
+        spark.createDataFrame(
+            [(commit_id, path)], "commit_id long, path string"
+        ).coalesce(1).write.mode("append").parquet(man)
+    _SNAPSHOT_CACHE[key] = (data, man)
+    return _SNAPSHOT_CACHE[key]
+
+
+@query(
+    "q_read_snapshot_isolation",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderkey % {SNAP_GROUPS} AS commit_id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    snap AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS cents_total,
+               CAST({SNAP_PIN} AS BIGINT) AS n_commits
+        FROM g WHERE commit_id < {SNAP_PIN}
+    ),
+    head AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS cents_total,
+               CAST({SNAP_GROUPS} AS BIGINT) AS n_commits
+        FROM g
+    )
+    SELECT 'snapshot' AS version, n_rows, cents_total, n_commits FROM snap
+    UNION ALL
+    SELECT 'head', n_rows, cents_total, n_commits FROM head
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_read_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT-ISOLATION read over the manifest-committed table: a
+    reader pinned to commit_id < {SNAP_PIN} plans from a PREFIX of the
+    commit log and sees a consistent historical version — files from
+    commits that landed after the pin are never listed, opened, or
+    scanned, no matter how many arrive (this is how Iceberg snapshot
+    reads and Delta time travel actually work: version = manifest
+    prefix, not file mtimes). The key serves BOTH versions' aggregates
+    — pinned snapshot and current head — and the oracle recomputes
+    each from the raw table, so a snapshot that leaked a later commit
+    (or dropped an early one) hash-fails. Completes the table-format
+    story: manifest read planning (q_read_manifest_pruned), bloom/
+    index skipping, transactional streaming commits
+    (sink_manifest_commit), torn-write invisibility (orphan audit),
+    and now versioned reads.
+
+    100 TB shape: version resolution is a commit-log prefix filter
+    (metadata grain); both scans read only their version's files."""
+    data, man = _stage_committed_table(spark, sf_dir)
+    log = spark.read.parquet(man)
+    snap_paths = [
+        r.path
+        for r in log.filter(F.col("commit_id") < SNAP_PIN)
+        .select("path")
+        .collect()
+    ]
+    head_paths = [r.path for r in log.select("path").collect()]
+
+    def version(label: str, paths: list[str]) -> DataFrame:
+        t = spark.read.option("basePath", data).parquet(*sorted(paths))
+        return t.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ).select(
+            F.lit(label).alias("version"),
+            "n_rows",
+            "cents_total",
+            F.lit(len(paths)).cast("long").alias("n_commits"),
+        )
+
+    return version("snapshot", snap_paths).union(
+        version("head", head_paths)
+    )
