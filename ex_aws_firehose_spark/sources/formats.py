@@ -1134,9 +1134,24 @@ def _stage_manifest_table(spark: SparkSession, sf_dir: str):
                  max(maxs).isoformat(sep=" "), nrows)
             )
     mdir = _tracked_mkdtemp(prefix="orders_manifest_meta_")
-    spark.createDataFrame(
-        manifest, "path string, min_date string, max_date string, n_rows long"
-    ).coalesce(1).write.parquet(mdir + "/manifest")
+    os.makedirs(mdir + "/manifest", exist_ok=True)
+    # the manifest is driver-side METADATA — write it with pyarrow
+    # directly (a createDataFrame-backed write pays a ~5 s/job
+    # Python-runner tax in local mode; a real catalog writes its
+    # manifest files the same way, outside the query engine)
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.table(
+            {
+                "path": pa.array([m[0] for m in manifest], pa.string()),
+                "min_date": pa.array([m[1] for m in manifest], pa.string()),
+                "max_date": pa.array([m[2] for m in manifest], pa.string()),
+                "n_rows": pa.array([m[3] for m in manifest], pa.int64()),
+            }
+        ),
+        mdir + "/manifest/part-0.parquet",
+    )
     _MANIFEST_CACHE[key] = (root, mdir + "/manifest", len(manifest))
     return _MANIFEST_CACHE[key]
 
@@ -1772,16 +1787,33 @@ def _stage_committed_table(spark: SparkSession, sf_dir: str):
 
     base = _tracked_mkdtemp(prefix="orders_snap_")
     data, man = os.path.join(base, "data"), os.path.join(base, "manifest")
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", _cents("o_totalprice").alias("cents")
+    # localCheckpoint: each commit's coalesce(1) write would otherwise
+    # re-run the full scan lineage — 5 commits cost 5 table scans
+    # (measured 22 s at sf0.1; 6 s with the one materialization)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", _cents("o_totalprice").alias("cents"))
+        .localCheckpoint()
     )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(man, exist_ok=True)
     for commit_id in range(SNAP_GROUPS):
         path = os.path.join(data, f"commit-{commit_id}")
         part = o.filter(F.col("o_orderkey") % SNAP_GROUPS == commit_id)
         part.coalesce(1).write.parquet(path)
-        spark.createDataFrame(
-            [(commit_id, path)], "commit_id long, path string"
-        ).coalesce(1).write.mode("append").parquet(man)
+        # commit-log entry: driver-side metadata, written directly
+        # (data durable FIRST — the transactional ordering)
+        pq.write_table(
+            pa.table(
+                {
+                    "commit_id": pa.array([commit_id], pa.int64()),
+                    "path": pa.array([path], pa.string()),
+                }
+            ),
+            os.path.join(man, f"commit-{commit_id}.parquet"),
+        )
     _SNAPSHOT_CACHE[key] = (data, man)
     return _SNAPSHOT_CACHE[key]
 
