@@ -9500,30 +9500,10 @@ def _wmh_oracle() -> str:
     """
 
 
-@query("q_dedup_minhash_weighted", oracle=_wmh_oracle(), tags=("llm", "dedup"))
-def q_dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WEIGHTED near-dup detection — multiset Jaccard, the rung the
-    unweighted family misses: two docs sharing vocabulary but with very
-    different token FREQUENCIES (one says 'buy' once, the spam variant
-    says it 40 times) score high under set-Jaccard but low under
-    Σmin(cₐ,c_b)/Σmax(cₐ,c_b). Features are 2-token shingles WITH
-    multiplicity — raw tokens degenerate under minhash (the Zipf head
-    makes every doc's min the globally-smallest-hash stopword feature;
-    measured: a 1577-doc LSH bucket at sf0.1), while the bigram
-    universe is high-cardinality so buckets stay small. Capped-multiset
-    expansion (each bigram replicated min(count, {WMH_CAP}) times as
-    'bg#i') reduces weighted minhash to plain minhash over expanded
-    features (the integer-exact
-    alternative to ICWS, whose gumbel/log draws no two engines compute
-    bit-identically); candidates come from {WMH_BANDS}x2 LSH banding
-    over the expanded-feature signatures, then every candidate is
-    verified with the EXACT capped multiset Jaccard in integer ppm
-    (Σmax = tot_a + tot_b − Σmin, no float anywhere).
 
-    100 TB shape: expansion ≤ {WMH_CAP}× the token stream (a pure
-    map); signature is one map-side-combinable agg; the band self-join
-    buckets on high-cardinality (band, bsig); verification joins only
-    candidate pairs on token — never all-pairs."""
+
+def _wmh_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bigram, capped count) — the weighted feature multiset."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
     n = F.size(toks)
@@ -9535,11 +9515,16 @@ def q_dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x, y: F.concat_ws(" ", x, y),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    tc = (
+    return (
         d.select("doc_id", F.explode(bigrams).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.least(F.count("*"), F.lit(WMH_CAP)).cast("long").alias("c"))
     )
+
+
+def _wmh_bands(tc: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) LSH band frame over the expanded multiset —
+    shared by the registry key and the scale-shape linearity gate."""
     feats = tc.select(
         "doc_id",
         F.explode(
@@ -9574,7 +9559,35 @@ def q_dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bsig"),
         )
         bands = part if bands is None else bands.union(part)
-    bands = bands.repartition("band", "bsig")
+    return bands
+
+
+@query("q_dedup_minhash_weighted", oracle=_wmh_oracle(), tags=("llm", "dedup"))
+def q_dedup_minhash_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED near-dup detection — multiset Jaccard, the rung the
+    unweighted family misses: two docs sharing vocabulary but with very
+    different token FREQUENCIES (one says 'buy' once, the spam variant
+    says it 40 times) score high under set-Jaccard but low under
+    Σmin(cₐ,c_b)/Σmax(cₐ,c_b). Features are 2-token shingles WITH
+    multiplicity — raw tokens degenerate under minhash (the Zipf head
+    makes every doc's min the globally-smallest-hash stopword feature;
+    measured: a 1577-doc LSH bucket at sf0.1), while the bigram
+    universe is high-cardinality so buckets stay small. Capped-multiset
+    expansion (each bigram replicated min(count, {WMH_CAP}) times as
+    'bg#i') reduces weighted minhash to plain minhash over expanded
+    features (the integer-exact
+    alternative to ICWS, whose gumbel/log draws no two engines compute
+    bit-identically); candidates come from {WMH_BANDS}x2 LSH banding
+    over the expanded-feature signatures, then every candidate is
+    verified with the EXACT capped multiset Jaccard in integer ppm
+    (Σmax = tot_a + tot_b − Σmin, no float anywhere).
+
+    100 TB shape: expansion ≤ {WMH_CAP}× the token stream (a pure
+    map); signature is one map-side-combinable agg; the band self-join
+    buckets on high-cardinality (band, bsig); verification joins only
+    candidate pairs on token — never all-pairs."""
+    tc = _wmh_counts(spark, sf_dir)
+    bands = _wmh_bands(tc).repartition("band", "bsig")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -399,3 +399,37 @@ def test_er_value_grain_verify_is_growth_invariant(
     assert v1 > 0 and r1 > 0
     assert v4 == v1, (v1, v4)
     assert r4 >= 15 * r1, (r1, r4)
+
+
+def _wmh_candidates(spark, dirpath) -> int:
+    from ex_aws_firehose_spark.operators.llm import _wmh_bands, _wmh_counts
+
+    bands = _wmh_bands(_wmh_counts(spark, dirpath)).repartition(
+        "band", "bsig"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+
+
+def test_weighted_minhash_candidates_scale_linearly(
+    spark, sf_dir, replica_dir
+):
+    """The weighted (capped-multiset bigram) banding must stay O(rows)
+    under independent growth, like the unweighted family — this is the
+    gate that would have caught the raw-token degeneracy (a Zipf-head
+    min collapses every doc into one bucket → quadratic candidates) had
+    the first cut shipped."""
+    c1 = _wmh_candidates(spark, sf_dir)
+    c4 = _wmh_candidates(spark, replica_dir)
+    assert c1 > 0
+    assert c4 <= R * c1 * 1.25, (c1, c4)
