@@ -274,12 +274,20 @@ def _parse_terms(text: str) -> TermPattern:
     return TermPattern(tuple(terms))
 
 
+# Constructs outside the Java-regex ∩ RE2 common subset: lookahead
+# (?= (?!, lookbehind/Java named groups (?<, and \1–\9 backreferences.
+# RE2 (DuckDB) rejects all of them at query time with an engine error,
+# so accepting them here would defer a parse bug to a confusing
+# downstream failure — or worse, to silent cross-engine divergence.
+_REGEX_UNSUPPORTED = re.compile(r"\(\?=|\(\?!|\(\?<|\\[1-9]")
+
+
 def _scan_regex(cur: _Cursor) -> str:
     """``%regex%`` body (AWS regex patterns, 2023+): cursor on the
     opening ``%``; returns the inner regex, cursor past the closer.
     The body is restricted to the syntax common to Java regex (Spark)
-    and RE2 (DuckDB) — no lookaround/backreferences; both engines
-    match unanchored."""
+    and RE2 (DuckDB) — lookaround and backreferences are REJECTED at
+    parse time (both engines match unanchored)."""
     assert cur.peek() == "%"
     end = cur.text.find("%", cur.pos + 1)
     if end < 0:
@@ -289,6 +297,13 @@ def _scan_regex(cur: _Cursor) -> str:
     body = cur.text[cur.pos + 1 : end]
     if not body:
         raise FilterPatternError(f"empty %regex% in {cur.text!r}")
+    bad = _REGEX_UNSUPPORTED.search(body)
+    if bad:
+        raise FilterPatternError(
+            f"unsupported regex construct {bad.group(0)!r} in %{body}%: "
+            "the body must stay in the Java-regex ∩ RE2 common "
+            "subset (no lookaround, no backreferences)"
+        )
     cur.pos = end + 1
     return body
 

@@ -1168,7 +1168,7 @@ _FP_REGEX_TERMS = compile_pattern(
     '%Hel+o (purch|sign)[a-z]+% -%"k": [0-4]?[0-9]}%'
 )
 _FP_JSON_REGEX = compile_pattern(
-    "{ $.event_type = %^(purch|sign)% && $.k != %[0-9][0-9]% }"
+    "{ $.k = %^[0-4]% || $.k != %[0-9][0-9]% }"
 )
 
 
@@ -1231,11 +1231,17 @@ def q_filter_pattern_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_filter_pattern_json_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """'%regex%' as a JSON-selector VALUE:
-    '{{ $.event_type = %^(purch|sign)% && $.k != %[0-9][0-9]% }}' —
-    `= %re%` matches where the extracted value matches; `!= %re%`
-    matches present-AND-not-matching (absent keys never match,
-    mirroring the wildcard `!=` semantics). Anchors (^) behave
-    identically under Java regex and RE2."""
+    '{{ $.k = %^[0-4]% || $.k != %[0-9][0-9]% }}' — `$.k` is the key
+    every events.props fixture row carries (value 0–99), so the key
+    selects a non-empty, discriminating row set exercising BOTH arms:
+    `= %re%` matches where the extracted value matches (first digit
+    0–4 → k ∈ 0–4 ∪ 40–49); `!= %re%` matches present-AND-NOT-matching
+    (no two consecutive digits → the single-digit k). Absent keys never
+    match either arm, mirroring the wildcard `!=` semantics. Anchors
+    (^) behave identically under Java regex and RE2.
+    tests/test_filter_pattern.py pins n > 0 for every filter-pattern
+    registry key so a fixture drift can never silently re-trivialize
+    the oracle to the empty set."""
     e = load_table(spark, sf_dir, "events")
     return e.filter(_FP_JSON_REGEX.column(json=F.col("props"))).select(
         "event_id", "event_type", "props"

@@ -1413,11 +1413,15 @@ def ivf_cell_split(
         .filter(F.col("rn") == 1)
         .select("cell", F.col("embedding").alias("m2"))
     )
+    # New-cell ids offset by max(cell)+1 derived FROM the codebook (a
+    # 1-row broadcast over the k-row frame), so split ids can never
+    # collide with existing cells however large the coarse codebook.
+    max_cell = cb.agg(F.max("cell").alias("max_cell"))
     seeds = m1.select(
         "cell", F.col("m1").cast("array<double>").alias("cvec")
     ).union(
-        m2.select(
-            (F.col("cell") + 1000).alias("cell"),
+        m2.crossJoin(F.broadcast(max_cell)).select(
+            (F.col("max_cell") + 1 + F.col("cell")).alias("cell"),
             F.col("m2").cast("array<double>").alias("cvec"),
         )
     )
@@ -1470,7 +1474,7 @@ def _ivf_split_oracle() -> str:
         " WHERE cell NOT IN (SELECT cell FROM s_hot)"
         " UNION ALL SELECT cell,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM s_m1"
-        " UNION ALL SELECT cell + 1000,"
+        f" UNION ALL SELECT (SELECT MAX(cell) + 1 FROM {last_cb}) + cell,"
         " list_transform(embedding, x -> CAST(x AS DOUBLE)) FROM s_m2)",
         "s_asg AS (" + estep.format(cb="s_cbseed") + ")",
         "s_cent AS (SELECT a.cell, p.pos,"
@@ -4431,7 +4435,12 @@ def q_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity: range search (all neighbors above a similarity floor)
 # ---------------------------------------------------------------------------
 
-RANGE_SEARCH_COS = 0.6
+# τ sits just above the fixture's p99 query-cosine (max ≈ 0.37/0.41 at
+# sf0.01/sf0.1, p99 ≈ 0.29) so the radius selects a non-empty ~top-1%
+# shell — a 0.6 floor matched NOTHING at any SF, trivially validating
+# both engines on the empty set (the r8 json_regex lesson;
+# tests/test_new_key_invariants.py pins n > 0).
+RANGE_SEARCH_COS = 0.3
 
 
 @query(
@@ -5508,18 +5517,27 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # distinct documents before it is flagged.
 BOILERPLATE_MIN_DOCS = 3
 BOILERPLATE_MIN_CHARS = 20
+BOILERPLATE_LINE_TOKENS = 5  # fixture has no punctuation: fixed token rows
 
 
 @query(
     "q_text_boilerplate_lines",
     oracle=f"""
     WITH s AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    lines AS (
         SELECT doc_id,
-               trim(unnest(str_split(lower(text), '. '))) AS sent
-        FROM documents
+               unnest(list_transform(
+                   range(0, CAST(len(t) // {BOILERPLATE_LINE_TOKENS} AS INT)),
+                   i -> array_to_string(
+                       t[i * {BOILERPLATE_LINE_TOKENS} + 1
+                         : i * {BOILERPLATE_LINE_TOKENS}
+                           + {BOILERPLATE_LINE_TOKENS}], ' '))) AS sent
+        FROM s WHERE len(t) >= {BOILERPLATE_LINE_TOKENS}
     ),
     f AS (
-        SELECT DISTINCT doc_id, sent FROM s
+        SELECT DISTINCT doc_id, sent FROM lines
         WHERE length(sent) >= {BOILERPLATE_MIN_CHARS}
     )
     SELECT sent,
@@ -5531,26 +5549,36 @@ BOILERPLATE_MIN_CHARS = 20
     tags=("llm", "text"),
 )
 def q_text_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document boilerplate detection: sentences (normalized,
+    """Cross-document boilerplate detection: "lines" (normalized,
     ≥20 chars) that recur in ≥3 distinct documents — the repeated
     header/footer/cookie-banner screen every web-corpus pipeline
-    (C4, RefinedWeb) runs before training, at sentence grain rather
+    (C4, RefinedWeb) runs before training, at line grain rather
     than document grain so partial-page duplication is visible.
+    The fixture corpus carries no sentence punctuation, so line grain
+    here = consecutive NON-overlapping {BOILERPLATE_LINE_TOKENS}-token
+    rows (15 recurring lines at sf0.01 / 99 at sf0.1 — a non-empty,
+    discriminating set at both SFs; overlapping shingle grain is the
+    separate q_dedup_spans family).
 
-    100 TB shape: sentence explode is a map; the per-doc DISTINCT and
-    the recurrence count hash on the sentence string — one shuffle
-    whose width is |distinct sentences|, with map-side combine eating
+    100 TB shape: line chunking is a map; the per-doc DISTINCT and
+    the recurrence count hash on the line string — one shuffle
+    whose width is |distinct lines|, with map-side combine eating
     the heavy hitters (exactly the rows we are hunting). The HAVING
     prunes the long tail before any further join; feeding the flagged
     set back as a broadcast anti-join filter is the removal step
     (q_contamination_ngram pattern)."""
     d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    k = BOILERPLATE_LINE_TOKENS
+    line_arr = F.transform(
+        F.sequence(F.lit(0), (F.size(t) / k).cast("int") - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(t, i * k + 1, k)
+        ),
+    )
     f = (
-        d.select(
-            "doc_id",
-            F.explode(F.split(F.lower("text"), r"\. ")).alias("raw"),
-        )
-        .select("doc_id", F.trim("raw").alias("sent"))
+        d.filter(F.size(t) >= k)
+        .select("doc_id", F.explode(line_arr).alias("sent"))
         .filter(F.length("sent") >= BOILERPLATE_MIN_CHARS)
         .distinct()
     )
@@ -9238,13 +9266,14 @@ DSIR_KEEP_PCT = 20
     ),
     ranked AS (
         SELECT doc_id, weight, n_feats,
-               weight * 1.0 / n_feats AS mean_weight,
+               CAST(weight * 1000000 // n_feats AS BIGINT)
+                   AS mean_weight_ppm,
                ROW_NUMBER() OVER (
-                   ORDER BY weight * 1.0 / n_feats DESC, doc_id) AS rn,
+                   ORDER BY weight * 1000000 // n_feats DESC, doc_id) AS rn,
                COUNT(*) OVER () AS n_docs
         FROM docw
     )
-    SELECT doc_id, weight, n_feats, mean_weight,
+    SELECT doc_id, weight, n_feats, mean_weight_ppm,
            rn <= (n_docs * {DSIR_KEEP_PCT}) // 100 AS selected
     FROM ranked
     """,
@@ -9260,7 +9289,8 @@ def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose last bit could differ across engines). Target distribution =
     the lang='en' slice (the high-quality-corpus stand-in); features =
     hashed bigrams WITH multiplicity into {DSIR_BUCKETS} buckets. The
-    top {DSIR_KEEP_PCT}% by per-feature mean weight are `selected` —
+    top {DSIR_KEEP_PCT}% by per-feature mean weight (ppm-quantized:
+    weight*1e6 div n_feats, exact int64 in both engines) are `selected` —
     importance RANKING rather than Xie's gumbel resampling, so the
     output is deterministic and oracle-checkable. Sub-2-token docs have
     no features and drop out, as in the published pipeline.
@@ -9308,14 +9338,16 @@ def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("s").alias("weight"), F.count("*").alias("n_feats"))
     )
-    w = Window.orderBy(
-        (F.col("weight") * 1.0 / F.col("n_feats")).desc(), F.col("doc_id")
+    docw = docw.withColumn(
+        "mean_weight_ppm",
+        F.expr("CAST(weight * 1000000 div n_feats AS BIGINT)"),
     )
+    w = Window.orderBy(F.col("mean_weight_ppm").desc(), F.col("doc_id"))
     ranked = docw.select(
         "doc_id",
         "weight",
         "n_feats",
-        (F.col("weight") * 1.0 / F.col("n_feats")).alias("mean_weight"),
+        "mean_weight_ppm",
         F.row_number().over(w).alias("rn"),
         F.count("*").over(Window.partitionBy()).alias("n_docs"),
     )
@@ -9323,7 +9355,7 @@ def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "weight",
         "n_feats",
-        "mean_weight",
+        "mean_weight_ppm",
         (
             F.col("rn")
             <= F.expr(f"n_docs * {DSIR_KEEP_PCT} div 100")

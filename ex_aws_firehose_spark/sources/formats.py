@@ -758,7 +758,7 @@ _DPP_CACHE: SessionCache = SessionCache()
     oracle="""
     WITH dim AS (
         SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS ship_month
-        FROM orders WHERE year(o_orderdate) = 1994
+        FROM orders WHERE year(o_orderdate) = 1996
     )
     SELECT l.ship_month,
            CAST(COUNT(*) AS BIGINT) AS n_items,
@@ -775,7 +775,9 @@ _DPP_CACHE: SessionCache = SessionCache()
 def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning: lineitem is laid out partitioned by
     ship month (the dominant time filter), then joined to a month
-    "dimension" whose filter (order year = 1994) is only knowable at
+    "dimension" whose filter (order year = 1996 — mid-range of the
+    fixture's 1995–2001 calendar; 1994 predates it and matched NOTHING,
+    trivially validating the empty set) is only knowable at
     runtime through the join — Spark plants a dynamicpruning subquery
     on the fact scan (plan-gated in tests/test_plans.py), so only the
     ~12 matching month directories are ever opened, even though no
@@ -803,7 +805,7 @@ def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = spark.read.parquet(_DPP_CACHE[key])
     dim = (
         load_table(spark, sf_dir, "orders")
-        .filter(F.year("o_orderdate") == 1994)
+        .filter(F.year("o_orderdate") == 1996)
         .select(F.date_format("o_orderdate", "yyyy-MM").alias("ship_month"))
         .distinct()
     )

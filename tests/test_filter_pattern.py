@@ -108,11 +108,30 @@ def test_wildcard_only_on_equality():
         "%unterminated regex",
         "%%",                      # empty regex body
         "{ $.a > %[0-9]% }",       # regex with ordering comparator
+        "%(?=x)y%",                # lookahead: not in Java∩RE2 subset
+        "%(?!x)y%",                # negative lookahead
+        "%(?<=a)b%",               # lookbehind
+        "%(?<name>x)%",            # Java-style named group (RE2 rejects)
+        r"%(x)\1%",                # backreference
+        r"{ $.a = %(ab)\2% }",     # backreference in JSON value position
     ],
 )
 def test_parse_errors(bad):
     with pytest.raises(FilterPatternError):
         parse(bad)
+
+
+def test_regex_common_subset_still_accepted():
+    """The rejection is surgical: alternation, classes, quantifiers,
+    anchors, and non-capturing groups — the documented common subset —
+    all still parse."""
+    for ok in (
+        "%Hel+o (purch|sign)[a-z]+%",
+        "%^[0-4]$%",
+        "%(?:ab)+c{2,3}%",
+        r"%\d+\.\d+%",
+    ):
+        parse(ok)
 
 
 def test_columns_bare_fields():
@@ -166,6 +185,33 @@ def test_columns_wildcard_and_quoted():
 def test_columns_parse_errors(bad):
     with pytest.raises(FilterPatternError):
         parse(bad)
+
+
+# ---------------------------------------------------------------------------
+# non-triviality: every registered filter-pattern key selects rows
+# ---------------------------------------------------------------------------
+
+
+def _filter_pattern_keys():
+    from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    return sorted(
+        k for k, q in REGISTRY.items() if "filter-pattern" in q.tags
+    )
+
+
+@pytest.mark.parametrize("key", _filter_pattern_keys())
+def test_registered_pattern_selects_rows(spark, sf_dir, key):
+    """A filter-pattern key whose probe misses the fixture entirely
+    validates nothing — both engines trivially agree on the empty set
+    (the r8 q_filter_pattern_json_regex bug probed $.event_type, which
+    events.props never contains). Pin every registered pattern key to
+    a NON-EMPTY result so fixture drift can't re-trivialize an oracle."""
+    from ex_aws_firehose_spark.registry import REGISTRY
+
+    n = REGISTRY[key].fn(spark, sf_dir).count()
+    assert n > 0, f"{key} selects 0 rows — its pattern misses the fixture"
 
 
 # ---------------------------------------------------------------------------

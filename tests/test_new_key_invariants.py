@@ -146,3 +146,23 @@ def test_cohort_ltv_cumulative_monotone(spark, sf_dir):
         last = prev.get(r.cohort_day, 0)
         assert r.cum_rev_cents == last + r.rev_cents, r
         prev[r.cohort_day] = r.cum_rev_cents
+
+
+# Keys whose entire point is SELECTING rows (a radius, a recurrence
+# threshold, a runtime-pruned join): if the probe misses the fixture,
+# both engines trivially agree on the empty set and the oracle
+# validates nothing (the r8 q_filter_pattern_json_regex lesson — it
+# probed a JSON key the fixture never contains).  TPC-H spec queries
+# are exempt: their selectivity is fixed by the public spec and some
+# are legitimately empty below sf1.
+NON_TRIVIAL_KEYS = [
+    "q_sim_range_search",
+    "q_text_boilerplate_lines",
+    "q_join_dpp",
+]
+
+
+@pytest.mark.parametrize("key", NON_TRIVIAL_KEYS)
+def test_selection_keys_non_trivial(spark, sf_dir, key):
+    n = REGISTRY[key].fn(spark, sf_dir).count()
+    assert n > 0, f"{key} selects 0 rows — its probe misses the fixture"
