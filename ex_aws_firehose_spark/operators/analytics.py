@@ -3304,3 +3304,149 @@ def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.col("n") >= MIN_ACF_PAIRS).select(
         "user_id", "lag", "n", acf.alias("acf")
     )
+
+
+# ---------------------------------------------------------------------------
+# Time series: LTTB downsampling (largest-triangle-three-buckets)
+# ---------------------------------------------------------------------------
+
+LTTB_BUCKETS = 30
+
+
+@query(
+    "q_timeseries_lttb",
+    oracle=EVENTS_US
+    + f"""
+    , pts AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) AS x_us,
+               CAST(epoch_us(ts) - MIN(epoch_us(ts)) OVER (
+                   PARTITION BY event_type) AS BIGINT) AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events_us
+    ),
+    bk AS (
+        SELECT *, CAST((rn - 1) * {LTTB_BUCKETS} // n AS BIGINT) AS bucket
+        FROM pts
+    ),
+    agg AS (
+        SELECT event_type, bucket,
+               CAST(SUM(x) // COUNT(*) AS BIGINT) AS ax,
+               CAST(SUM(y) // COUNT(*) AS BIGINT) AS ay
+        FROM bk GROUP BY event_type, bucket
+    ),
+    mid AS (
+        SELECT b.event_type, b.bucket, b.event_id, b.x_us, b.y,
+               abs((p.ax - nx.ax) * (b.y - p.ay)
+                   - (p.ax - b.x) * (nx.ay - p.ay)) AS area2,
+               ROW_NUMBER() OVER (
+                   PARTITION BY b.event_type, b.bucket
+                   ORDER BY abs((p.ax - nx.ax) * (b.y - p.ay)
+                                - (p.ax - b.x) * (nx.ay - p.ay)) DESC,
+                            b.event_id) AS rk
+        FROM bk b
+        JOIN agg p ON p.event_type = b.event_type
+                  AND p.bucket = b.bucket - 1
+        JOIN agg nx ON nx.event_type = b.event_type
+                   AND nx.bucket = b.bucket + 1
+    ),
+    sel AS (
+        SELECT event_type, bucket, event_id, x_us, y,
+               CAST(area2 AS BIGINT) AS area2
+        FROM mid WHERE rk = 1
+        UNION ALL
+        SELECT event_type, bucket, event_id, x_us, y,
+               CAST(-1 AS BIGINT) AS area2
+        FROM bk WHERE rn = 1 OR rn = n
+    )
+    SELECT event_type, bucket, event_id, x_us, y AS value_cents, area2
+    FROM sel
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB downsampling (Steinarsson 2013, "Downsampling Time Series
+    for Visual Representation"): per series, partition points into
+    {LTTB_BUCKETS} equal-count buckets and keep, per interior bucket,
+    the point forming the LARGEST TRIANGLE with its neighbor buckets —
+    the standard dashboard downsampler that preserves spikes and
+    inflections a per-bucket mean would erase. This is the bucket-mean
+    -anchor variant (anchors = neighbor-bucket centroids rather than
+    the previously-selected point), which drops LTTB's sequential
+    dependency so every bucket elects independently — the only form
+    that parallelizes, and the one vis pipelines ship at scale. First
+    and last points are always kept (area2 = -1 marks them), per the
+    published algorithm. All arithmetic exact int64: x re-based per
+    series (translation-invariant areas; re-basing keeps bucket sums
+    far from overflow at any SF), y in cents, area kept doubled (the
+    cross product, never /2) so it stays integral.
+
+    100 TB shape: ONE shuffle on the series key for the windows, a
+    {LTTB_BUCKETS}-per-series centroid agg (map-side combined), then a
+    broadcast-size join back. Output is |series|·{LTTB_BUCKETS} rows —
+    the whole point of the operator: petabytes in, kilobytes out."""
+    e = load_table(spark, sf_dir, "events")
+    wt = Window.partitionBy("event_type")
+    wo = wt.orderBy("ts", "event_id")
+    pts = e.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("x_us"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.row_number().over(wo).alias("rn"),
+        F.count("*").over(wt).alias("n"),
+    ).withColumn(
+        "x", (F.col("x_us") - F.min("x_us").over(wt)).cast("long")
+    )
+    bk = pts.withColumn(
+        "bucket", F.expr(f"CAST((rn - 1) * {LTTB_BUCKETS} div n AS LONG)")
+    )
+    agg = bk.groupBy("event_type", "bucket").agg(
+        F.expr("CAST(sum(x) div count(*) AS LONG)").alias("ax"),
+        F.expr("CAST(sum(y) div count(*) AS LONG)").alias("ay"),
+    )
+    p = agg.select(
+        "event_type",
+        (F.col("bucket") + 1).alias("bucket"),
+        F.col("ax").alias("axp"),
+        F.col("ay").alias("ayp"),
+    )
+    nx = agg.select(
+        "event_type",
+        (F.col("bucket") - 1).alias("bucket"),
+        F.col("ax").alias("axn"),
+        F.col("ay").alias("ayn"),
+    )
+    area2 = F.abs(
+        (F.col("axp") - F.col("axn")) * (F.col("y") - F.col("ayp"))
+        - (F.col("axp") - F.col("x")) * (F.col("ayn") - F.col("ayp"))
+    )
+    wb = Window.partitionBy("event_type", "bucket").orderBy(
+        F.desc("area2"), "event_id"
+    )
+    mid = (
+        bk.join(F.broadcast(p), ["event_type", "bucket"])
+        .join(F.broadcast(nx), ["event_type", "bucket"])
+        .withColumn("area2", area2)
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type", "bucket", "event_id", "x_us", "y",
+            F.col("area2").cast("long"),
+        )
+    )
+    ends = bk.filter((F.col("rn") == 1) | (F.col("rn") == F.col("n"))).select(
+        "event_type", "bucket", "event_id", "x_us", "y",
+        F.lit(-1).cast("long").alias("area2"),
+    )
+    return mid.unionByName(ends).select(
+        "event_type",
+        "bucket",
+        "event_id",
+        "x_us",
+        F.col("y").alias("value_cents"),
+        "area2",
+    )

@@ -5698,10 +5698,7 @@ def _duck_trunc_div(a: str, b: str) -> str:
     return f"(CASE WHEN ({a}) >= 0 THEN ({a}) // ({b}) ELSE -((-({a})) // ({b})) END)"
 
 
-@query(
-    "q_embed_top_pc",
-    oracle=f"""
-    WITH base AS (
+_TOP_PC_CTES = f"""base AS (
         SELECT vec_id,
                list_aggregate(list_transform(embedding, x -> abs(x)), 'max')
                    AS amax,
@@ -5764,32 +5761,23 @@ def _duck_trunc_div(a: str, b: str) -> str:
     v3 AS (SELECT w3.i AS j,
                   {_duck_trunc_div(f'w3.w * {PC_SCALE}', 'x3.mx')} AS v
            FROM w3 CROSS JOIN x3)
-    SELECT CAST(j AS BIGINT) AS pos, CAST(v AS BIGINT) AS v_scaled
-    FROM v3
-    """,
-    tags=("llm", "vector"),
-)
-def q_embed_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top principal component of the embedding matrix — distributed
-    PCA's first step (drift monitoring, whitening, the IVF/OPQ rotation
-    seed), computed as: int8-quantize (q_embed_quantize_int8 formula) →
-    exact integer second-moment matrix via per-vector outer products →
-    centered covariance Ĉ = (n·S − m·mᵀ) div n² → 3 power iterations in
-    1e6-fixed-point with per-step max-abs renormalization. Every step
-    is exact 64-bit integer arithmetic (sign-aware truncating division
-    matched between engines), so a 3-iteration eigenvector is
-    bit-reproducible — no float summation order anywhere.
+"""
 
-    100 TB shape: the only pass over the data computes S = QᵀQ, m, n —
-    emitted as PER-PARTITION partials by an Arrow-batched mapInPandas
-    doing one exact numpy int64 matmul per batch (dense linear algebra
-    is the one place Python belongs: BLAS beats a 2080-way explode
-    through codegen by an order of magnitude, and int64 matmul is
-    bit-exact). Each partition ships d²+d+1 ≈ 4 k partial rows — the
-    mergeable-summary shape of the Misra–Gries sketch — so the shuffle
-    is O(partitions·d²), independent of row count. The power iteration
-    then runs on a d×d = 4096-row frame (broadcast joins,
-    localCheckpoint per step — the q_dedup_clusters loop pattern)."""
+
+_TOP_PC_CACHE: SessionCache = SessionCache()
+
+
+def _top_pc_frames(spark: SparkSession, sf_dir: str):
+    """Shared top-PC machinery (see q_embed_top_pc): returns
+    (qv, v) where qv = (vec_id, q int8-quantized array) and
+    v = (j 1-based dim, v 1e6-fixed-point eigenvector component),
+    both exact int64 and session-cached so the residual key
+    reuses one Gram pass + power iteration."""
+    key = _TOP_PC_CACHE.scoped_key(spark, sf_dir)
+    cached = _TOP_PC_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     from collections.abc import Iterator
 
     import pandas as pd
@@ -5893,6 +5881,42 @@ def q_embed_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    qv = qv.localCheckpoint()
+    _TOP_PC_CACHE[key] = (qv, v)
+    return qv, v
+
+
+@query(
+    "q_embed_top_pc",
+    oracle=f"""
+    WITH {_TOP_PC_CTES}
+    SELECT CAST(j AS BIGINT) AS pos, CAST(v AS BIGINT) AS v_scaled
+    FROM v3
+    """,
+    tags=("llm", "vector"),
+)
+def q_embed_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding matrix — distributed
+    PCA's first step (drift monitoring, whitening, the IVF/OPQ rotation
+    seed), computed as: int8-quantize (q_embed_quantize_int8 formula) →
+    exact integer second-moment matrix via per-vector outer products →
+    centered covariance Ĉ = (n·S − m·mᵀ) div n² → 3 power iterations in
+    1e6-fixed-point with per-step max-abs renormalization. Every step
+    is exact 64-bit integer arithmetic (sign-aware truncating division
+    matched between engines), so a 3-iteration eigenvector is
+    bit-reproducible — no float summation order anywhere.
+
+    100 TB shape: the only pass over the data computes S = QᵀQ, m, n —
+    emitted as PER-PARTITION partials by an Arrow-batched mapInPandas
+    doing one exact numpy int64 matmul per batch (dense linear algebra
+    is the one place Python belongs: BLAS beats a 2080-way explode
+    through codegen by an order of magnitude, and int64 matmul is
+    bit-exact). Each partition ships d²+d+1 ≈ 4 k partial rows — the
+    mergeable-summary shape of the Misra–Gries sketch — so the shuffle
+    is O(partitions·d²), independent of row count. The power iteration
+    then runs on a d×d = 4096-row frame (broadcast joins,
+    localCheckpoint per step — the q_dedup_clusters loop pattern)."""
+    qv, v = _top_pc_frames(spark, sf_dir)
     return v.select(
         F.col("j").cast("long").alias("pos"),
         F.col("v").cast("long").alias("v_scaled"),
@@ -9750,4 +9774,351 @@ def q_eval_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(coalesce(sum(hit_idx * 1000000 div rn), 0)"
             f" div {TOPK} AS LONG)"
         ).alias("ap_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation: per-domain token cap (RefinedWeb-style source balancing)
+# ---------------------------------------------------------------------------
+
+# The fixture's 20 sources each hold ~5% of corpus tokens (measured at
+# both SFs), so a 4% cap truncates EVERY source's tail — both kept=true
+# and kept=false rows exist at any SF, and the cap mechanism
+# demonstrably fires (the r7 route-balance lesson: measure the fixture
+# shape first, then set the threshold so the operator discriminates).
+DOMAIN_CAP_PCT = 4
+
+
+@query(
+    "q_curate_domain_cap",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(len(str_split(lower(text), ' ')) AS BIGINT) AS n_toks
+        FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS tot FROM base),
+    cum AS (
+        SELECT doc_id, source, n_toks,
+               CAST(SUM(n_toks) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_toks
+        FROM base
+    )
+    SELECT doc_id, source, n_toks, cum_toks,
+           CAST(tot * {DOMAIN_CAP_PCT} // 100 AS BIGINT) AS cap_toks,
+           cum_toks <= tot * {DOMAIN_CAP_PCT} // 100 AS kept
+    FROM cum CROSS JOIN tot
+    """,
+    tags=("llm", "curation"),
+)
+def q_curate_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token cap — the source-balancing step of web-corpus
+    curation (RefinedWeb / Dolma cap any single domain's share so one
+    crawl-heavy site can't dominate the mixture): each source admits
+    documents in deterministic doc_id order until its running token
+    total exceeds {DOMAIN_CAP_PCT}% of the corpus; the remainder is
+    marked dropped. Output is the full per-document admission ledger
+    (n_toks, running total, cap, kept) so the downstream mix step can
+    join it as a filter.
+
+    100 TB shape: token counting is map-only; the ledger is ONE
+    shuffle partitioned by source (the window's partition key), and
+    the corpus total is a 1-row broadcast. Skewed sources are exactly
+    the ones the cap truncates — the window scan still walks their
+    full partition, so at extreme skew pre-prune with a per-source
+    running APPROXIMATE total first (two-pass cap, same output)."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    )
+    tot = base.agg(F.sum("n_toks").alias("tot"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "source",
+        "n_toks",
+        "cum_toks",
+        F.expr(f"tot * {DOMAIN_CAP_PCT} div 100").alias("cap_toks"),
+        (
+            F.col("cum_toks")
+            <= F.expr(f"tot * {DOMAIN_CAP_PCT} div 100")
+        ).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer: WordPiece merge scoring (likelihood ratio, not raw count)
+# ---------------------------------------------------------------------------
+
+WORDPIECE_TOPK = 10
+
+
+@query(
+    "q_tokenizer_wordpiece_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    big AS (
+        SELECT unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM toks WHERE len(t) >= 2
+    ),
+    uni AS (SELECT unnest(t) AS tok FROM toks),
+    c12 AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c_pair
+            FROM big GROUP BY pair),
+    c1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    scored AS (
+        SELECT p.pair, p.c_pair,
+               ca.c AS c_left, cb.c AS c_right,
+               CAST((p.c_pair * 1000000000 // ca.c) // cb.c AS BIGINT)
+                   AS score_ppb
+        FROM c12 p
+        JOIN c1 ca ON ca.tok = str_split(p.pair, ' ')[1]
+        JOIN c1 cb ON cb.tok = str_split(p.pair, ' ')[2]
+        WHERE str_split(p.pair, ' ')[1] <> str_split(p.pair, ' ')[2]
+    )
+    SELECT pair, c_pair, c_left, c_right, score_ppb
+    FROM scored ORDER BY score_ppb DESC, pair LIMIT {WORDPIECE_TOPK}
+    """,
+    tags=("llm", "tokenizer"),
+)
+def q_tokenizer_wordpiece_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece merge selection (Schuster & Nakajima 2012; the BERT
+    tokenizer's criterion): rank candidate merges by the LIKELIHOOD
+    RATIO count(ab) / (count(a)·count(b)) instead of BPE's raw
+    count(ab) — a pair whose parts rarely appear apart wins over a
+    merely frequent pair, which is why WordPiece and BPE grow
+    different vocabularies from the same corpus. Scores are exact
+    integer parts-per-billion via two sequential truncating divisions
+    (identical order in both engines — never one division by the
+    c_a·c_b product, whose int64 product can overflow at corpus
+    scale); top {WORDPIECE_TOPK} merges reported. Self-pairs are
+    excluded (the q_bpe_merge_round convention).
+
+    100 TB shape: identical to q_bpe_pair_counts — two map-side-
+    combinable count tables (pair, unigram), the scoring join hashes
+    on the unigram key (Zipf head broadcasts under AQE), and the
+    top-k is a TakeOrderedAndProject, never a global sort
+    materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    big = d.filter(n >= 2).select(F.explode(bigrams).alias("pair"))
+    uni = d.select(F.explode(t).alias("tok"))
+    c12 = big.groupBy("pair").agg(F.count("*").alias("c_pair"))
+    c1 = uni.groupBy("tok").agg(F.count("*").alias("c"))
+    scored = (
+        c12.withColumn("left", F.split("pair", " ").getItem(0))
+        .withColumn("right", F.split("pair", " ").getItem(1))
+        .filter(F.col("left") != F.col("right"))
+        .join(c1.select(F.col("tok"), F.col("c").alias("c_left")),
+              F.col("left") == F.col("tok"))
+        .drop("tok")
+        .join(c1.select(F.col("tok"), F.col("c").alias("c_right")),
+              F.col("right") == F.col("tok"))
+        .select(
+            "pair",
+            "c_pair",
+            "c_left",
+            "c_right",
+            F.expr(
+                "CAST((c_pair * 1000000000 div c_left) div c_right AS LONG)"
+            ).alias("score_ppb"),
+        )
+    )
+    return scored.orderBy(
+        F.col("score_ppb").desc(), "pair"
+    ).limit(WORDPIECE_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Eval: classifier calibration bins (ECE decomposition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_eval_calibration_bins",
+    oracle=_LANGID_SCORED_CTE
+    + """
+    , conf AS (
+        SELECT doc_id, actual_lang, pred_lang,
+               CAST(CASE pred_lang WHEN 'en' THEN s_en
+                                   WHEN 'fr' THEN s_fr
+                                   ELSE s_de END * 1000000
+                    // (s_en + s_fr + s_de) AS BIGINT) AS conf_ppm
+        FROM pred JOIN scored USING (doc_id)
+        WHERE pred_lang <> 'und'
+    ),
+    binned AS (
+        SELECT LEAST(conf_ppm // 100000, 9) AS bin,
+               conf_ppm,
+               CASE WHEN pred_lang = actual_lang THEN 1 ELSE 0 END AS ok
+        FROM conf
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(conf_ppm) // COUNT(*) AS BIGINT) AS mean_conf_ppm,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           CAST(SUM(ok) * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm,
+           CAST(abs(SUM(conf_ppm) // COUNT(*)
+                    - SUM(ok) * 1000000 // COUNT(*)) AS BIGINT) AS gap_ppm
+    FROM binned GROUP BY bin
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-bin table for the lang-ID classifier — the Expected
+    Calibration Error decomposition (Guo et al. 2017): confidence =
+    winning stopword score over total score (exact ppm), bucketed into
+    10 equal-width bins; each bin reports mean confidence vs empirical
+    accuracy and their gap. ECE = Σ n·gap / Σ n is one more weighted
+    sum over these ≤10 rows. A well-calibrated quality/language filter
+    shows gap≈0 per bin — the audit every heuristic gate feeding
+    training data should publish alongside its confusion matrix.
+    'und' predictions carry no confidence and are excluded (they also
+    have a zero score total, which neither engine may divide by).
+
+    100 TB shape: per-doc scoring is map-only (stopword literals in
+    the expression), binning is a 10-ary hash agg with map-side
+    combine — the corpus scan dominates; the calibration table is
+    free. Same shape audits ANY per-row scorer against ANY label."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[
+            F.size(
+                F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+            ).alias(f"s_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_fr") >= F.col("s_de")) & (F.col("s_fr") > 0), "fr")
+        .when(F.col("s_de") > 0, "de")
+        .otherwise("und")
+    )
+    conf = (
+        scored.withColumn("pred_lang", pred)
+        .filter(F.col("pred_lang") != "und")
+        .select(
+            "actual_lang",
+            "pred_lang",
+            F.expr(
+                "CAST(CASE pred_lang WHEN 'en' THEN s_en"
+                " WHEN 'fr' THEN s_fr ELSE s_de END * 1000000"
+                " div (s_en + s_fr + s_de) AS LONG)"
+            ).alias("conf_ppm"),
+        )
+    )
+    binned = conf.select(
+        F.least(F.expr("conf_ppm div 100000"), F.lit(9))
+        .cast("long")
+        .alias("bin"),
+        "conf_ppm",
+        F.when(F.col("pred_lang") == F.col("actual_lang"), 1)
+        .otherwise(0)
+        .alias("ok"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.expr("CAST(sum(conf_ppm) div count(*) AS LONG)").alias(
+            "mean_conf_ppm"
+        ),
+        F.sum("ok").alias("n_correct"),
+        F.expr("CAST(sum(ok) * 1000000 div count(*) AS LONG)").alias(
+            "acc_ppm"
+        ),
+        F.expr(
+            "CAST(abs(sum(conf_ppm) div count(*)"
+            " - sum(ok) * 1000000 div count(*)) AS LONG)"
+        ).alias("gap_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding: residual after top-PC removal (anisotropy / outlier audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_pca_residual",
+    oracle=f"""
+    WITH {_TOP_PC_CTES}
+    , perdim AS (
+        SELECT q.vec_id, v.j, q.qv[v.j] AS qi, v.v
+        FROM q, v3 v
+    ),
+    withp AS (
+        SELECT vec_id, j, qi, v,
+               CAST(SUM(qi * v) OVER (PARTITION BY vec_id) AS BIGINT) AS p
+        FROM perdim
+    ),
+    vn AS (SELECT CAST(SUM(v * v) AS BIGINT) AS vn2 FROM v3),
+    rd AS (
+        SELECT vec_id, p,
+               {_duck_trunc_div('qi * vn.vn2 - v * p', '100000000')} AS rd
+        FROM withp CROSS JOIN vn
+    )
+    SELECT vec_id, CAST(MIN(p) AS BIGINT) AS proj,
+           CAST(SUM(rd * rd) AS BIGINT) AS residual2
+    FROM rd GROUP BY vec_id
+    """,
+    tags=("llm", "vector"),
+)
+def q_embed_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual energy after removing the top principal component —
+    the all-but-the-top-direction norm ‖x − (x·v/v·v)v‖² that
+    anisotropy work (Mu & Viswanath 2018, "All-but-the-Top") removes
+    before cosine retrieval, and the outlier score that flags vectors
+    NOT explained by the corpus's dominant direction. Shares the
+    Gram pass + 1e6-fixed-point power iteration with q_embed_top_pc
+    (session-cached _top_pc_frames); the residual is computed in
+    cleared-denominator integer form rd_i = (q_i·‖v‖² − v_i·(q·v))
+    div 1e8, so proj and residual2 are exact int64 in both engines —
+    magnitudes bounded by 127·64·10¹² ≈ 8·10¹⁵ per term and
+    64·(1.6·10⁸)² ≈ 1.6·10¹⁸ for the sum, inside int64 at any corpus
+    size (per-vector arithmetic never grows with row count).
+
+    100 TB shape: one posexplode to vector×dim grain, the d-row
+    eigenvector broadcast, ONE vec_id window shuffle for the
+    projection, and a vec-grain agg — O(n·d) map work, no pairwise
+    anything."""
+    qv, v = _top_pc_frames(spark, sf_dir)
+    per = qv.select(
+        "vec_id", F.posexplode("q").alias("pos0", "qi")
+    ).select("vec_id", (F.col("pos0") + 1).alias("j"), "qi")
+    perv = per.join(F.broadcast(v.select("j", "v")), "j")
+    wv = Window.partitionBy("vec_id")
+    withp = perv.withColumn(
+        "p", F.sum(F.expr("qi * v")).over(wv).cast("long")
+    )
+    vn2 = v.agg(F.sum(F.expr("v * v")).cast("long").alias("vn2"))
+    rd = withp.crossJoin(F.broadcast(vn2)).withColumn(
+        "rd", F.expr("(qi * vn2 - v * p) div 100000000")
+    )
+    return rd.groupBy("vec_id").agg(
+        F.min("p").alias("proj"),
+        F.sum(F.expr("rd * rd")).cast("long").alias("residual2"),
     )

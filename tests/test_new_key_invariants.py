@@ -166,3 +166,97 @@ NON_TRIVIAL_KEYS = [
 def test_selection_keys_non_trivial(spark, sf_dir, key):
     n = REGISTRY[key].fn(spark, sf_dir).count()
     assert n > 0, f"{key} selects 0 rows — its probe misses the fixture"
+
+
+def test_hilbert_transform_matches_published_reference():
+    """The unrolled div/%/CASE chain equals the textbook xy2d (Hacker's
+    Delight / Wikipedia) on a point sample, and the curve is bijective
+    on a subgrid — the property that makes Hilbert ordering a valid
+    clustering key at all."""
+    import duckdb
+
+    from ex_aws_firehose_spark.operators.scale import (
+        HILBERT_BITS,
+        _hilbert_rounds,
+    )
+
+    n = 1 << HILBERT_BITS
+
+    def xy2d(x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(i, (i * 37) % n, (i * 91) % n) for i in range(300)]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE base AS SELECT * FROM (VALUES "
+        + ",".join(f"({i},{x},{y},0)" for i, x, y in pts)
+        + ") t(event_id, x, y, d)"
+    )
+    prev, ctes = "base", []
+    for i, (a, b, c) in enumerate(_hilbert_rounds("//")):
+        ctes.append(
+            f"r{i}a AS (SELECT event_id, x, y, d, "
+            + a.replace("@@", ", ")
+            + f" FROM {prev})"
+        )
+        ctes.append(
+            f"r{i}b AS (SELECT event_id, "
+            + b.replace("@@", ", ")
+            + f" FROM r{i}a)"
+        )
+        ctes.append(
+            f"r{i}c AS (SELECT event_id, "
+            + c.replace("@@", ", ")
+            + f" FROM r{i}b)"
+        )
+        prev = f"r{i}c"
+    got = dict(
+        con.execute(
+            "WITH " + ",".join(ctes) + f" SELECT event_id, d FROM {prev}"
+        ).fetchall()
+    )
+    for i, x, y in pts:
+        assert got[i] == xy2d(x, y), (i, x, y)
+    sub = {xy2d(x, y) for x in range(32) for y in range(32)}
+    assert len(sub) == 32 * 32
+
+
+def test_lttb_selects_one_point_per_bucket_and_pins_endpoints(
+    spark, sf_dir
+):
+    from ex_aws_firehose_spark.operators.analytics import LTTB_BUCKETS
+
+    rows = REGISTRY["q_timeseries_lttb"].fn(spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for r in rows:
+        per.setdefault(r.event_type, {}).setdefault(r.bucket, []).append(r)
+    for etype, buckets in per.items():
+        # ≤ 1 interior pick + endpoint pins per bucket; endpoints live
+        # in the first and last buckets
+        assert 0 in buckets and (LTTB_BUCKETS - 1) in buckets, etype
+        ends = [r for bs in buckets.values() for r in bs if r.area2 == -1]
+        assert len(ends) == 2, (etype, len(ends))
+        for b, rs in buckets.items():
+            interior = [r for r in rs if r.area2 >= 0]
+            assert len(interior) <= 1, (etype, b)
+
+
+def test_sparse_dup_keys_non_trivial_at_sf0_1(spark):
+    """Cross-source / multimodal exact-dup keys are legitimately empty
+    at sf0.01 (the fixture plants no exact dups that small) but MUST
+    select rows at sf0.1 — otherwise the oracle never exercises their
+    non-trivial arm at any driver-checked scale."""
+    for key in ("q_dedup_cross_source", "q_multimodal_dedup", "q_join_anti"):
+        n = REGISTRY[key].fn(spark, "/root/testdata/sf0.1").count()
+        assert n > 0, f"{key} empty even at sf0.1"
