@@ -3320,8 +3320,8 @@ LTTB_BUCKETS = 30
     , pts AS (
         SELECT event_type, event_id,
                epoch_us(ts) AS x_us,
-               CAST(epoch_us(ts) - MIN(epoch_us(ts)) OVER (
-                   PARTITION BY event_type) AS BIGINT) AS x,
+               CAST((epoch_us(ts) - MIN(epoch_us(ts)) OVER (
+                   PARTITION BY event_type)) // 1000000 AS BIGINT) AS x,
                CAST(ROUND(value * 100) AS BIGINT) AS y,
                ROW_NUMBER() OVER (
                    PARTITION BY event_type ORDER BY ts, event_id) AS rn,
@@ -3380,8 +3380,10 @@ def q_timeseries_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
     that parallelizes, and the one vis pipelines ship at scale. First
     and last points are always kept (area2 = -1 marks them), per the
     published algorithm. All arithmetic exact int64: x re-based per
-    series (translation-invariant areas; re-basing keeps bucket sums
-    far from overflow at any SF), y in cents, area kept doubled (the
+    series THEN coarsened to seconds (translation-invariant areas;
+    the 4x replica gate caught µs-grain areas overflowing int64 once
+    a series spans decades — seconds keep the worst-case area term
+    below 10^14 at century span), y in cents, area kept doubled (the
     cross product, never /2) so it stays integral.
 
     100 TB shape: ONE shuffle on the series key for the windows, a
@@ -3399,7 +3401,11 @@ def q_timeseries_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wo).alias("rn"),
         F.count("*").over(wt).alias("n"),
     ).withColumn(
-        "x", (F.col("x_us") - F.min("x_us").over(wt)).cast("long")
+        "x",
+        F.expr(
+            "CAST((x_us - min(x_us) OVER"
+            " (PARTITION BY event_type)) div 1000000 AS LONG)"
+        ),
     )
     bk = pts.withColumn(
         "bucket", F.expr(f"CAST((rn - 1) * {LTTB_BUCKETS} div n AS LONG)")

@@ -433,3 +433,26 @@ def test_weighted_minhash_candidates_scale_linearly(
     c4 = _wmh_candidates(spark, replica_dir)
     assert c1 > 0
     assert c4 <= R * c1 * 1.25, (c1, c4)
+
+
+def test_lttb_output_size_is_scale_invariant(spark, sf_dir, replica_dir):
+    """LTTB's contract IS the shape: |series| × buckets rows out no
+    matter how many rows come in ("petabytes in, kilobytes out").
+    The 4× replica keeps the same event_type series (ts shifted, ids
+    offset), so the downsampled output must not grow at all."""
+    from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    base = REGISTRY["q_timeseries_lttb"].fn(spark, sf_dir).count()
+    grown = REGISTRY["q_timeseries_lttb"].fn(spark, replica_dir).count()
+    assert base == grown, (base, grown)
+
+
+def test_calibration_bins_bounded_at_scale(spark, sf_dir, replica_dir):
+    """The calibration table is ≤10 rows at any corpus size — the
+    audit must stay free next to the scan."""
+    from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    for d in (sf_dir, replica_dir):
+        assert REGISTRY["q_eval_calibration_bins"].fn(spark, d).count() <= 10
