@@ -672,6 +672,16 @@ def q_sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    WHERE o_orderstatus NOT IN ('O', 'F', 'P')
                ) AS BIGINT)
         FROM orders
+        UNION ALL
+        SELECT 'totalprice_under_450k',
+               CAST(COUNT(*) FILTER (WHERE o_totalprice >= 450000)
+                    AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orderdate_within_2000',
+               CAST(COUNT(*) FILTER (WHERE year(o_orderdate) > 2000)
+                    AS BIGINT)
+        FROM orders
     )
     SELECT constraint_name, violations, violations = 0 AS passed
     FROM checks
@@ -738,11 +748,29 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
+    # Two constraints the fixture GENUINELY violates (totalprice tail
+    # above 450k, orders dated past 2000) so the audit's failing arm —
+    # non-zero violations, passed=false — is validated cross-engine,
+    # not just the all-green path of a clean load.
+    tail = check(
+        "totalprice_under_450k",
+        o.agg(
+            F.count_if(F.col("o_totalprice") >= 450_000).alias("violations")
+        ),
+    )
+    horizon = check(
+        "orderdate_within_2000",
+        o.agg(
+            F.count_if(F.year("o_orderdate") > 2000).alias("violations")
+        ),
+    )
     return (
         not_null.unionByName(unique)
         .unionByName(referential)
         .unionByName(in_range)
         .unionByName(domain)
+        .unionByName(tail)
+        .unionByName(horizon)
         .withColumn("passed", F.col("violations") == 0)
     )
 
@@ -1564,6 +1592,14 @@ def q_anon_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHERE NOT EXISTS (SELECT 1 FROM nation n
                                        WHERE n.n_nationkey = c.c_nationkey))
                     AS BIGINT)
+        UNION ALL
+        SELECT 'orders->customer_canary99',
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM orders o
+                     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                       WHERE c.c_custkey = o.o_custkey
+                                         AND c.c_custkey % 100 <> 0))
+                    AS BIGINT)
     ) ORDER BY relation
     """,
     tags=("scale", "dq"),
@@ -1602,11 +1638,20 @@ def q_dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part")
+    # Canary relation: the same orders->customer edge against a
+    # dimension with every 100th key dropped — the partial-dimension-
+    # load fault this audit exists to catch, injected deterministically
+    # so the NON-ZERO arm of the detector is validated cross-engine at
+    # every SF (the clean fixture keeps all real relations at 0, which
+    # alone would never exercise it).
+    c99 = c.filter(F.col("c_custkey") % 100 != 0)
     return (
         audit(l, "l_orderkey", o, "o_orderkey", "lineitem->orders", False)
         .unionByName(audit(l, "l_partkey", p, "p_partkey", "lineitem->part", True))
         .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders->customer", True))
         .unionByName(audit(c, "c_nationkey", n, "n_nationkey", "customer->nation", True))
+        .unionByName(audit(o, "o_custkey", c99, "c_custkey",
+                           "orders->customer_canary99", True))
     )
 
 
@@ -2082,8 +2127,14 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(LINKPRED_TOP)
 
 
-# Chi-square drift split point: orders up to 1994 vs after.
-CHISQ_SPLIT_YEAR = 1994
+# Chi-square drift split point: orders up to 1997 vs after — mid-range
+# of the fixture's 1995-2001 calendar. A 1994 split left the 'before'
+# period EMPTY, which zeroes every chi-square contribution (o*N equals
+# row_total*col_total when only one period exists): the key validated
+# the trivial all-zero statistic at every SF. Both periods now carry
+# ~half the orders; tests/test_new_key_invariants.py pins both periods
+# present and a non-zero total.
+CHISQ_SPLIT_YEAR = 1997
 
 
 @query(
@@ -3347,58 +3398,83 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=EVENTS_US
     + """
     , seq AS (
-        SELECT user_id, event_type, ts,
-               LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id)
-                   AS prev_ts
+        SELECT 'events_id_vs_ts' AS sequence_name,
+               event_type AS grp, CAST(ts AS TIMESTAMP) AS v,
+               LAG(CAST(ts AS TIMESTAMP)) OVER (
+                   PARTITION BY user_id ORDER BY event_id) AS prev_v
         FROM events_us
+        UNION ALL
+        SELECT 'orders_key_vs_date' AS sequence_name,
+               o_orderpriority AS grp, CAST(o_orderdate AS TIMESTAMP) AS v,
+               LAG(CAST(o_orderdate AS TIMESTAMP)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_v
+        FROM orders
     )
-    SELECT event_type,
+    SELECT sequence_name, grp,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CASE WHEN prev_ts IS NOT NULL THEN 1 ELSE 0 END)
+           CAST(SUM(CASE WHEN prev_v IS NOT NULL THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_pairs,
-           CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN v < prev_v THEN 1 ELSE 0 END) AS BIGINT)
                AS n_inversions,
-           CAST(SUM(CASE WHEN ts < prev_ts THEN 1 ELSE 0 END) * 1000000
-                // GREATEST(SUM(CASE WHEN prev_ts IS NOT NULL
+           CAST(SUM(CASE WHEN v < prev_v THEN 1 ELSE 0 END) * 1000000
+                // GREATEST(SUM(CASE WHEN prev_v IS NOT NULL
                                      THEN 1 ELSE 0 END), 1) AS BIGINT)
                AS inversion_ppm
-    FROM seq GROUP BY event_type
+    FROM seq GROUP BY sequence_name, grp
     """,
     tags=("scale", "dq"),
 )
 def q_dq_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence-vs-time consistency audit: within each user's stream,
-    are event ids assigned in timestamp order?  Count adjacent
-    inversions (ts decreases when stepping through ids) per event type
-    — the writer-side bug class (buffered out-of-order flush, clock
-    skew between shards, id wraparound) that silently breaks every
-    downstream asof join and sessionizer that trusts id order.  Exact
-    integer counts + one ppm division.
+    """Sequence-vs-order consistency audit, TWO sequences in one pass:
+    (a) within each user's event stream, are event ids assigned in
+    timestamp order? (the fixture's writer IS monotone — this section
+    pins the clean arm at 0 inversions); (b) within each customer, are
+    order keys assigned in order-date order? (the fixture's keys are
+    NOT date-ordered — this section exercises the detector's firing
+    arm with real inversions at every SF). The writer-side bug class
+    (buffered out-of-order flush, clock skew between shards, id
+    wraparound) silently breaks every downstream asof join and
+    sessionizer that trusts id order. Exact integer counts + one ppm
+    division; both arms validated cross-engine.
 
-    100 TB shape: ONE user_id window (the same exchange every
-    sessionize key pays) and a map-side-combined type-grain agg —
-    output is |event types| rows.  The check composes per partition:
-    run it per ingest day and inversions can only be missed across
-    partition boundaries, which the day-boundary overlap join covers."""
+    100 TB shape: ONE partition-key window per sequence (the same
+    exchange every sessionize key pays) and a map-side-combined
+    group-grain agg — output is |groups| rows. The check composes per
+    partition: run it per ingest day and inversions can only be
+    missed across partition boundaries, which the day-boundary
+    overlap join covers."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("event_id")
-    seq = e.select(
-        "event_type",
-        "ts",
-        F.lag("ts").over(w).alias("prev_ts"),
+    we = Window.partitionBy("user_id").orderBy("event_id")
+    seq_e = e.select(
+        F.lit("events_id_vs_ts").alias("sequence_name"),
+        F.col("event_type").alias("grp"),
+        F.col("ts").alias("v"),
+        F.lag("ts").over(we).alias("prev_v"),
     )
+    o = load_table(spark, sf_dir, "orders")
+    wo = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    seq_o = o.select(
+        F.lit("orders_key_vs_date").alias("sequence_name"),
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_orderdate").cast("timestamp").alias("v"),
+        F.lag(F.col("o_orderdate").cast("timestamp"))
+        .over(wo)
+        .alias("prev_v"),
+    )
+    seq = seq_e.unionByName(seq_o)
     inv = F.sum(
-        F.when(F.col("ts") < F.col("prev_ts"), 1).otherwise(0)
+        F.when(F.col("v") < F.col("prev_v"), 1).otherwise(0)
     )
     pairs = F.sum(
-        F.when(F.col("prev_ts").isNotNull(), 1).otherwise(0)
+        F.when(F.col("prev_v").isNotNull(), 1).otherwise(0)
     )
-    return seq.groupBy("event_type").agg(
+    return seq.groupBy("sequence_name", "grp").agg(
         F.count("*").alias("n_events"),
         pairs.alias("n_pairs"),
         inv.alias("n_inversions"),
     ).select(
-        "event_type",
+        "sequence_name",
+        "grp",
         "n_events",
         "n_pairs",
         "n_inversions",

@@ -260,3 +260,36 @@ def test_sparse_dup_keys_non_trivial_at_sf0_1(spark):
     for key in ("q_dedup_cross_source", "q_multimodal_dedup", "q_join_anti"):
         n = REGISTRY[key].fn(spark, "/root/testdata/sf0.1").count()
         assert n > 0, f"{key} empty even at sf0.1"
+
+
+def test_chisq_drift_has_both_periods_and_nonzero_stat(spark, sf_dir):
+    """A split year outside the fixture calendar empties one period and
+    zeroes the whole statistic (the r9 CHISQ_SPLIT_YEAR=1994 bug —
+    orders start 1995). Pin: both periods populated, chi2 total > 0."""
+    rows = REGISTRY["q_dq_chisq_drift"].fn(spark, sf_dir).collect()
+    periods = {r.period for r in rows}
+    assert periods == {"before", "after"}, periods
+    assert all(r.o > 0 for r in rows)
+    assert rows[0].chi2_total_ppm > 0
+
+
+def test_dq_detectors_exercise_both_arms(spark, sf_dir):
+    """Each reworked DQ detector must show BOTH a clean arm and a
+    firing arm on the fixture — an all-zero audit validates only the
+    trivial path (the r9 chisq/orphans/constraints/monotonic sweep)."""
+    mono = REGISTRY["q_dq_monotonic"].fn(spark, sf_dir).collect()
+    by_seq = {}
+    for r in mono:
+        by_seq.setdefault(r.sequence_name, []).append(r)
+    assert all(r.n_inversions == 0 for r in by_seq["events_id_vs_ts"])
+    assert any(r.n_inversions > 0 for r in by_seq["orders_key_vs_date"])
+
+    orph = REGISTRY["q_dq_referential_orphans"].fn(spark, sf_dir).collect()
+    zeros = [r for r in orph if r.n_orphans == 0]
+    fired = [r for r in orph if r.n_orphans > 0]
+    assert len(zeros) == 4 and len(fired) == 1, orph
+    assert fired[0].relation == "orders->customer_canary99"
+
+    cons = REGISTRY["q_dq_constraints"].fn(spark, sf_dir).collect()
+    assert any(r.passed for r in cons)
+    assert any(not r.passed and r.violations > 0 for r in cons)
