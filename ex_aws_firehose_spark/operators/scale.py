@@ -843,18 +843,26 @@ ANOMALY_PCT = 50  # flag days deviating >50% from trailing-7-day median
     "q_dq_volume_anomaly",
     oracle=EVENTS_US
     + """
-    , daily AS (
+    , daily0 AS (
         SELECT date_trunc('day', ts) AS day,
                CAST(COUNT(*) AS BIGINT) AS n
         FROM events_us GROUP BY 1
     ),
+    daily AS (
+        SELECT 'observed' AS series, day, n FROM daily0
+        UNION ALL
+        SELECT 'incident_sim' AS series, day,
+               CASE WHEN day = TIMESTAMP '2024-01-20' THEN n // 3
+                    ELSE n END AS n
+        FROM daily0
+    ),
     scored AS (
-        SELECT day, n,
-               list_sort(list(n) OVER (ORDER BY day
+        SELECT series, day, n,
+               list_sort(list(n) OVER (PARTITION BY series ORDER BY day
                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)) AS win
         FROM daily
     )
-    SELECT day, n,
+    SELECT series, day, n,
            CAST(win[(len(win) + 1) // 2] AS BIGINT) AS med7,
            CAST(ABS(n - win[(len(win) + 1) // 2]) * 100
                 > 50 * win[(len(win) + 1) // 2] AS BOOLEAN) AS is_anomaly
@@ -886,7 +894,27 @@ def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
         F.count("*").alias("n")
     )
-    w = Window.orderBy("day").rowsBetween(-7, -1)
+    # Two series through the SAME detector: the observed counts (clean
+    # at every SF — Poisson noise shrinks as 1/sqrt(n), so the 50%
+    # gate must NOT fire) and a deterministic incident simulation with
+    # one day cut to a third (the drop the alarm exists for). The
+    # planted arm validates the firing path cross-engine at every SF;
+    # the observed arm pins the false-positive rate at zero.
+    daily = daily.select(
+        F.lit("observed").alias("series"), "day", "n"
+    ).unionByName(
+        daily.select(
+            F.lit("incident_sim").alias("series"),
+            "day",
+            F.when(
+                F.col("day") == F.lit("2024-01-20").cast("timestamp"),
+                F.expr("n div 3"),
+            )
+            .otherwise(F.col("n"))
+            .alias("n"),
+        )
+    )
+    w = Window.partitionBy("series").orderBy("day").rowsBetween(-7, -1)
     scored = daily.withColumn(
         "win", F.sort_array(F.collect_list("n").over(w))
     )
@@ -895,6 +923,7 @@ def q_dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dev = F.abs(F.col("n") - med7)
     return scored.filter(F.size("win") > 0).select(
+        "series",
         "day",
         "n",
         med7.alias("med7"),
@@ -1515,6 +1544,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 K_ANON = 5
+KANON_COHORT = 400  # signup-cohort QI width: SF-invariant class sizes
 
 
 @query(
@@ -1522,10 +1552,11 @@ K_ANON = 5
     oracle=f"""
     WITH g AS (
         SELECT c_nationkey, c_mktsegment,
+               c_custkey // {KANON_COHORT} AS cohort,
                CAST(COUNT(*) AS BIGINT) AS group_size
-        FROM customer GROUP BY c_nationkey, c_mktsegment
+        FROM customer GROUP BY 1, 2, 3
     )
-    SELECT c_nationkey, c_mktsegment, group_size,
+    SELECT c_nationkey, c_mktsegment, cohort, group_size,
            group_size >= {K_ANON} AS is_k_anon
     FROM g
     """,
@@ -1538,6 +1569,11 @@ def q_anon_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (classes below k re-identify individuals and must be suppressed or
     generalized before export). This is the measurement half of a
     privacy pipeline; the enforcement half is a filter on the flag.
+    The QI includes the signup cohort (custkey div {KANON_COHORT}),
+    which keeps equivalence-class size CONSTANT as the table grows —
+    so the below-k arm exists at every SF (with QI = nation × segment
+    alone, classes grow with the data and the flag was constant-true
+    at every SF, validating only the trivial path).
 
     100 TB shape: one map-side-combined hash agg at QI grain — the
     audit costs a scan regardless of table size; generalization
@@ -1545,11 +1581,16 @@ def q_anon_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     same agg on coarser keys."""
     c = load_table(spark, sf_dir, "customer")
     return (
-        c.groupBy("c_nationkey", "c_mktsegment")
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(f"c_custkey div {KANON_COHORT}").alias("cohort"),
+        )
         .agg(F.count("*").alias("group_size"))
         .select(
             "c_nationkey",
             "c_mktsegment",
+            "cohort",
             "group_size",
             (F.col("group_size") >= K_ANON).alias("is_k_anon"),
         )
@@ -1821,7 +1862,15 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-FRESHNESS_SLA_SECONDS = 6 * 3600
+# Stale = the stream's high-water lag exceeds FRESH_MISSED expected
+# inter-arrivals (lag_seconds x n_rows > FRESH_MISSED x span_seconds).
+# A density-RELATIVE SLA: the fixture's lags shrink ~1/SF (denser
+# traffic -> smaller trailing gap), so any absolute threshold (the old
+# 6 h) is either never or always stale depending on SF — the relative
+# form keeps both verdict arms populated at every SF (a normalized
+# final gap is ~Exponential(1) regardless of n). Seconds x rows keeps
+# the cross-multiply < 2^63 out to 10^9-row streams.
+FRESH_MISSED = 1
 
 
 @query(
@@ -1833,22 +1882,29 @@ FRESHNESS_SLA_SECONDS = 6 * 3600
                CAST(COUNT(*) AS BIGINT) AS n_rows
         FROM events_us GROUP BY event_type
     ),
-    g AS (SELECT MAX(ts) AS global_ts FROM events_us)
+    g AS (SELECT MAX(ts) AS global_ts, MIN(ts) AS min_ts FROM events_us)
     SELECT per.event_type, per.last_ts, per.n_rows,
            CAST((epoch_us(g.global_ts) - epoch_us(per.last_ts)) // 1000000
                AS BIGINT) AS lag_seconds,
            CAST((epoch_us(g.global_ts) - epoch_us(per.last_ts)) // 1000000
-                > {FRESHNESS_SLA_SECONDS} AS BOOLEAN) AS is_stale
+                    * per.n_rows
+                > {FRESH_MISSED}
+                  * ((epoch_us(g.global_ts) - epoch_us(g.min_ts)) // 1000000)
+                AS BOOLEAN) AS is_stale
     FROM per CROSS JOIN g
     """,
     tags=("scale", "dq"),
 )
 def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-stream freshness audit: each event type's high-water mark,
-    its lag behind the global high-water mark in whole seconds, and an
-    SLA verdict (stale if > 6 h behind) — the first alarm a delivery
-    pipeline wires up, because a silently-stuck upstream shows up as
-    freshness lag long before volume anomalies trip.
+    its lag behind the global high-water mark in whole seconds, and a
+    DENSITY-RELATIVE SLA verdict — stale when the lag exceeds
+    {FRESH_MISSED} expected inter-arrival(s) of that stream (lag x
+    n_rows > span, integer cross-multiply) — the first alarm a
+    delivery pipeline wires up, because a silently-stuck upstream
+    shows up as freshness lag long before volume anomalies trip, and
+    the relative form keeps the alarm meaningful at any traffic
+    density (both verdict arms fire on the fixture at every SF).
 
     100 TB shape: two MAX aggregations — per-type (map-side combined
     to ~5 rows) and global (1 row, broadcast via crossJoin). With a
@@ -1859,19 +1915,26 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = e.groupBy("event_type").agg(
         F.max("ts").alias("last_ts"), F.count("*").alias("n_rows")
     )
-    g = F.broadcast(e.agg(F.max("ts").alias("global_ts")))
+    g = F.broadcast(
+        e.agg(F.max("ts").alias("global_ts"), F.min("ts").alias("min_ts"))
+    )
     # Exact µs difference floored to whole seconds — identical to the
     # oracle's epoch_us // 1e6 (per-side second truncation would skew
     # by one when the two timestamps' sub-second fractions straddle).
     lag = F.expr(
         "(unix_micros(global_ts) - unix_micros(last_ts)) div 1000000"
     )
+    span = F.expr(
+        "(unix_micros(global_ts) - unix_micros(min_ts)) div 1000000"
+    )
     return per.crossJoin(g).select(
         "event_type",
         "last_ts",
         "n_rows",
         lag.cast("long").alias("lag_seconds"),
-        (lag > FRESHNESS_SLA_SECONDS).alias("is_stale"),
+        (lag * F.col("n_rows") > F.lit(FRESH_MISSED) * span).alias(
+            "is_stale"
+        ),
     )
 
 
@@ -3064,12 +3127,13 @@ _ACCTBAL_BAND = 1000  # sensitive attribute: account-balance band width
     oracle=f"""
     WITH g AS (
         SELECT c_nationkey, c_mktsegment,
+               c_custkey // {KANON_COHORT} AS cohort,
                CAST(COUNT(*) AS BIGINT) AS group_size,
                CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / {_ACCTBAL_BAND})
                                         AS BIGINT)) AS BIGINT) AS l_distinct
-        FROM customer GROUP BY c_nationkey, c_mktsegment
+        FROM customer GROUP BY 1, 2, 3
     )
-    SELECT c_nationkey, c_mktsegment, group_size, l_distinct,
+    SELECT c_nationkey, c_mktsegment, cohort, group_size, l_distinct,
            l_distinct >= {L_DIVERSITY} AS is_l_diverse
     FROM g
     """,
@@ -3079,7 +3143,10 @@ def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """l-diversity audit — the privacy check k-anonymity
     (q_anon_kanonymity) cannot express: a QI group can be large yet
     still leak if every member shares the SAME sensitive value.  Per
-    quasi-identifier group (nation, market segment), count DISTINCT
+    quasi-identifier group (nation, market segment, signup cohort —
+    the same SF-invariant QI as q_anon_kanonymity, so groups with too
+    FEW distinct sensitive values exist at every SF; the coarse QI's
+    growing groups made the flag constant-true), count DISTINCT
     sensitive values (account-balance band) and flag groups below
     l = {L_DIVERSITY}.  Banding is FLOOR of an exact double division —
     IEEE-deterministic, so DuckDB reproduces every band bit-for-bit.
@@ -3092,7 +3159,11 @@ def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     band = F.floor(F.col("c_acctbal") / _ACCTBAL_BAND).cast("long")
     return (
-        c.groupBy("c_nationkey", "c_mktsegment")
+        c.groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(f"c_custkey div {KANON_COHORT}").alias("cohort"),
+        )
         .agg(
             F.count("*").alias("group_size"),
             F.count_distinct(band).alias("l_distinct"),
@@ -3100,6 +3171,7 @@ def q_anon_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "c_nationkey",
             "c_mktsegment",
+            "cohort",
             "group_size",
             "l_distinct",
             (F.col("l_distinct") >= L_DIVERSITY).alias("is_l_diverse"),
@@ -4065,3 +4137,135 @@ def q_layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction (degree-discounted common neighbors)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_adamic_adar",
+    oracle=EVENTS_US
+    + f"""
+    , e AS (
+        SELECT user_id, event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr
+        FROM events_us
+    ),
+    pairs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e a JOIN e b
+          ON a.hr = b.hr AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (SELECT ua, ub FROM pairs WHERE w >= {TRI_MIN_COOCCUR}),
+    adj AS (
+        SELECT ua AS src, ub AS dst FROM edges
+        UNION ALL
+        SELECT ub AS src, ua AS dst FROM edges
+    ),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY src),
+    centers AS (
+        SELECT a.src, a.dst, deg.d FROM adj a JOIN deg ON deg.v = a.src
+        WHERE deg.d <= {LINKPRED_MAX_DEGREE}
+    ),
+    cand AS (
+        SELECT c1.dst AS user_a, c2.dst AS user_b,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(1000000 // length(printf('%b', c1.d)))
+                    AS BIGINT) AS aa_score_ppm
+        FROM centers c1 JOIN centers c2
+          ON c1.src = c2.src AND c1.dst < c2.dst
+        GROUP BY c1.dst, c2.dst
+    )
+    SELECT user_a, user_b, common_neighbors, aa_score_ppm
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM edges
+                      WHERE edges.ua = cand.user_a
+                        AND edges.ub = cand.user_b)
+    ORDER BY aa_score_ppm DESC, user_a, user_b
+    LIMIT {LINKPRED_TOP}
+    """,
+    tags=("scale", "graph"),
+)
+def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic–Adar link prediction (Adamic & Adar 2003) — the degree-
+    DISCOUNTED upgrade of q_graph_link_prediction: each common
+    neighbor z contributes 1/log(deg z) instead of 1, so evidence
+    through a selective mutual friend outweighs evidence through a
+    hub everyone touches — the discount that makes AA beat raw
+    common-neighbor counting on every link-prediction benchmark. The
+    log is the ⌊log₂⌋ bit-length proxy (conv-to-binary ↔ printf('%b'),
+    the q_text_logfreq integer-exact pattern), summed as exact ppm;
+    wedge centers carry their own degree through the join, so the
+    discount costs nothing extra. Ranking DIFFERS from the raw-count
+    key on this fixture — the two keys cross-check each other's wedge
+    machinery.
+
+    100 TB shape: identical to q_graph_link_prediction — degree-capped
+    wedge centers (the documented hub cap), one wedge self-join on the
+    center key, broadcast edge anti-join, TakeOrdered top-k."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COOCCUR)
+        .select("ua", "ub")
+        .persist()
+    )
+    adj = edges.select(
+        F.col("ua").alias("src"), F.col("ub").alias("dst")
+    ).unionByName(
+        edges.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+    )
+    deg = adj.groupBy("src").agg(F.count("*").alias("d"))
+    centers = (
+        adj.join(deg, "src")
+        .filter(F.col("d") <= LINKPRED_MAX_DEGREE)
+        .select("src", "dst", "d")
+        .persist()
+    )
+    c1, c2 = centers.alias("c1"), centers.alias("c2")
+    cand = (
+        c1.join(
+            c2,
+            (F.col("c1.src") == F.col("c2.src"))
+            & (F.col("c1.dst") < F.col("c2.dst")),
+        )
+        .groupBy(
+            F.col("c1.dst").alias("user_a"), F.col("c2.dst").alias("user_b")
+        )
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(
+                F.expr(
+                    "1000000 div length(conv(cast(c1.d AS STRING), 10, 2))"
+                )
+            ).alias("aa_score_ppm"),
+        )
+    )
+    new_links = cand.join(
+        edges,
+        (cand.user_a == edges.ua) & (cand.user_b == edges.ub),
+        "left_anti",
+    )
+    return new_links.orderBy(
+        F.desc("aa_score_ppm"), "user_a", "user_b"
+    ).limit(LINKPRED_TOP)

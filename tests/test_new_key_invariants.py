@@ -159,6 +159,7 @@ NON_TRIVIAL_KEYS = [
     "q_sim_range_search",
     "q_text_boilerplate_lines",
     "q_join_dpp",
+    "q_join_anti",
 ]
 
 
@@ -257,7 +258,7 @@ def test_sparse_dup_keys_non_trivial_at_sf0_1(spark):
     at sf0.01 (the fixture plants no exact dups that small) but MUST
     select rows at sf0.1 — otherwise the oracle never exercises their
     non-trivial arm at any driver-checked scale."""
-    for key in ("q_dedup_cross_source", "q_multimodal_dedup", "q_join_anti"):
+    for key in ("q_dedup_cross_source", "q_multimodal_dedup"):
         n = REGISTRY[key].fn(spark, "/root/testdata/sf0.1").count()
         assert n > 0, f"{key} empty even at sf0.1"
 
@@ -293,3 +294,63 @@ def test_dq_detectors_exercise_both_arms(spark, sf_dir):
     cons = REGISTRY["q_dq_constraints"].fn(spark, sf_dir).collect()
     assert any(r.passed for r in cons)
     assert any(not r.passed and r.violations > 0 for r in cons)
+
+
+def test_detector_simulation_series_fire(spark, sf_dir):
+    """The r9 second-wave detector rework: every audit that is
+    legitimately clean on this fixture carries a deterministic fault
+    simulation; pin that each simulation fires AND each observed arm
+    stays clean."""
+    va = REGISTRY["q_dq_volume_anomaly"].fn(spark, sf_dir).collect()
+    assert any(r.is_anomaly for r in va if r.series == "incident_sim")
+    assert not any(r.is_anomaly for r in va if r.series == "observed")
+
+    no = REGISTRY["q_embed_norm_outliers"].fn(spark, sf_dir).collect()
+    assert sum(r.n_outliers for r in no if r.series == "exploded_sim") > 0
+    assert sum(r.n_outliers for r in no if r.series == "observed") == 0
+
+    dv = REGISTRY["q_embed_dim_variance"].fn(spark, sf_dir).collect()
+    assert any(r.is_dead for r in dv if r.series == "zeropad_sim")
+    assert not any(r.is_dead for r in dv if r.series == "observed")
+
+    pa = REGISTRY["q_multimodal_pair_audit"].fn(spark, sf_dir).collect()
+    assert all(r.n_orphan_vectors == 0 for r in pa)
+    assert all(r.n_orphan_vectors_canary > 0 for r in pa)
+    assert any(r.coverage_sim_ppm < 1_000_000 for r in pa)
+
+    fresh = REGISTRY["q_dq_freshness"].fn(spark, sf_dir).collect()
+    assert any(r.is_stale for r in fresh)
+    assert any(not r.is_stale for r in fresh)
+
+    gopher = REGISTRY["q_quality_gopher_rules"].fn(spark, sf_dir).collect()
+    assert sum(r.fail_count for r in gopher) > 0
+    assert sum(r.fail_mean_len for r in gopher) > 0
+    assert sum(r.n_pass for r in gopher) > 0
+
+    bots = REGISTRY["q_sessionize_bot_detect"].fn(spark, sf_dir).collect()
+    assert any(r.is_bot for r in bots) and any(not r.is_bot for r in bots)
+
+    kan = REGISTRY["q_anon_kanonymity"].fn(spark, sf_dir).collect()
+    assert any(r.is_k_anon for r in kan) and any(not r.is_k_anon for r in kan)
+
+    ldiv = REGISTRY["q_anon_ldiversity"].fn(spark, sf_dir).collect()
+    assert any(r.is_l_diverse for r in ldiv)
+    assert any(not r.is_l_diverse for r in ldiv)
+
+
+def test_gopher_symbol_alpha_arms_on_planted_rows(spark):
+    """The fixture corpus is punctuation-free, so the symbol and alpha
+    rules can never fire on it; validate their rejecting arm on
+    planted rows through the SAME flag expressions the key uses."""
+    from ex_aws_firehose_spark.operators.llm import gopher_ok_flags
+
+    rows = [
+        ("clean", "the quick brown fox jumps over the lazy dog table order and a"),
+        ("symbols", "$$$ %%% ### !!! @@@ ((( ))) &&& *** ^^^ ~~~ ``` ??? ... ;;;"),
+        ("nonalpha", "123 456 789 000 111 222 333 444 555 666 777 888 999 101 202"),
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {r.source: r for r in df.select("source", *gopher_ok_flags()).collect()}
+    assert got["clean"].ok_symbol and got["clean"].ok_alpha
+    assert not got["symbols"].ok_symbol
+    assert not got["nonalpha"].ok_alpha
