@@ -10176,3 +10176,90 @@ def q_embed_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p").alias("proj"),
         F.sum(F.expr("rd * rd")).cast("long").alias("residual2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer: unigram-LM seed vocabulary (frequent substrings)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_SEED_TOPK = 30
+UNIGRAM_PIECE_LENS = (2, 3, 4)
+
+
+@query(
+    "q_tokenizer_unigram_seed",
+    oracle=f"""
+    WITH tk AS (
+        SELECT unnest(str_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    pieces AS (
+        SELECT unnest(
+            {" || ".join(
+                f'''CASE WHEN length(tok) >= {L}
+                    THEN list_transform(range(1, length(tok) - {L} + 2),
+                                        i -> substr(tok, i, {L}))
+                    ELSE CAST([] AS VARCHAR[]) END'''
+                for L in UNIGRAM_PIECE_LENS
+            )}
+        ) AS piece FROM tk
+    ),
+    pc AS (
+        SELECT piece, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM pieces GROUP BY piece
+    ),
+    tot AS (SELECT CAST(SUM(n_occ) AS BIGINT) AS total FROM pc)
+    SELECT piece, n_occ,
+           CAST(length(printf('%b', tot.total))
+                - length(printf('%b', n_occ)) AS BIGINT) AS neg_log2p_bits
+    FROM pc CROSS JOIN tot
+    ORDER BY n_occ DESC, piece LIMIT {UNIGRAM_SEED_TOPK}
+    """,
+    tags=("llm", "tokenizer"),
+)
+def q_tokenizer_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer SEED vocabulary (Kudo 2018, SentencePiece
+    §3.2): the candidate piece set the unigram tokenizer's EM pruning
+    starts from — the most frequent substrings of the corpus tokens,
+    each with its occurrence count and ⌊log₂⌋-quantized negative log
+    probability (bit-length of total minus bit-length of count — the
+    integer-exact log proxy shared with q_curate_dsir). Kudo seeds
+    from suffix-array substrings; the bounded piece length
+    ({UNIGRAM_PIECE_LENS}) is the documented scale cap — it makes the
+    piece stream O(tokens × Σ(len−L+1)) with NO suffix structure to
+    build, which is the form that distributes. Completes the
+    tokenizer-training family: BPE counts pairs, WordPiece scores
+    likelihood ratios, unigram seeds substrings.
+
+    100 TB shape: substring fan-out is a per-row transform + explode
+    (map-only), the count is one map-side-combinable hash agg on the
+    piece key (Zipf head combines before the shuffle), the total is a
+    1-row broadcast, and top-k is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("tok"))
+    parts = [
+        F.expr(
+            f"CASE WHEN length(tok) >= {L}"
+            f" THEN transform(sequence(1, length(tok) - {L} + 1),"
+            f" i -> substring(tok, i, {L}))"
+            f" ELSE CAST(array() AS array<string>) END"
+        )
+        for L in UNIGRAM_PIECE_LENS
+    ]
+    pieces = tok.select(
+        F.explode(F.concat(*parts)).alias("piece")
+    )
+    pc = pieces.groupBy("piece").agg(F.count("*").alias("n_occ"))
+    tot = F.broadcast(pc.agg(F.sum("n_occ").alias("total")))
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    return (
+        pc.crossJoin(tot)
+        .select(
+            "piece",
+            "n_occ",
+            (bitlen(F.col("total")) - bitlen(F.col("n_occ")))
+            .cast("long")
+            .alias("neg_log2p_bits"),
+        )
+        .orderBy(F.desc("n_occ"), "piece")
+        .limit(UNIGRAM_SEED_TOPK)
+    )
