@@ -3462,3 +3462,90 @@ def q_timeseries_lttb(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").alias("value_cents"),
         "area2",
     )
+
+
+# ---------------------------------------------------------------------------
+# Time series: Mann-Kendall trend statistic (exact integer S / tau-a)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_timeseries_mann_kendall",
+    oracle=EVENTS_US
+    + """
+    , daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events_us GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CASE WHEN b.cents > a.cents THEN 1
+                    WHEN b.cents < a.cents THEN -1 ELSE 0 END AS sgn
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(sgn) AS BIGINT) AS s_stat,
+           CAST(SUM(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_concordant,
+           CAST(SUM(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_discordant,
+           CAST(SUM(sgn) * 1000000 // COUNT(*) AS BIGINT) AS tau_a_ppm
+    FROM pairs GROUP BY event_type
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend statistic (Mann 1945, Kendall 1975) per
+    series: S = Σ_{i<j} sign(x_j − x_i) over the daily-revenue
+    sequence, with concordant/discordant counts and Kendall's τ-a in
+    exact ppm — the NON-parametric trend screen (no linearity or
+    normality assumed, ties handled by sign = 0) that complements the
+    OLS slope (q_regression_ols) and the CUSUM/changepoint family.
+    Every term is an integer sign on exact cents; S and τ are int64.
+
+    100 TB shape: the pairwise join runs at DAY grain, AFTER the
+    map-side-combined daily rollup — |days|² per series (30 days →
+    435 pairs here), catalog-sized and independent of event volume;
+    the event-grain table is touched exactly once. For multi-year
+    windows the published O(n log n) merge-sort inversion count is
+    the refinement; the day-grain quadratic is the honest cost at
+    dashboard horizons."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    sgn = (
+        F.when(F.col("b.cents") > F.col("a.cents"), 1)
+        .when(F.col("b.cents") < F.col("a.cents"), -1)
+        .otherwise(0)
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(F.col("a.event_type").alias("event_type"), sgn.alias("sgn"))
+    return pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("sgn").alias("s_stat"),
+        F.sum(F.when(F.col("sgn") == 1, 1).otherwise(0)).alias(
+            "n_concordant"
+        ),
+        F.sum(F.when(F.col("sgn") == -1, 1).otherwise(0)).alias(
+            "n_discordant"
+        ),
+        F.expr(
+            "CAST(sum(sgn) * 1000000 div count(*) AS LONG)"
+        ).alias("tau_a_ppm"),
+    )

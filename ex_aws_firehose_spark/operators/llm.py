@@ -10263,3 +10263,92 @@ def q_tokenizer_unigram_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "piece")
         .limit(UNIGRAM_SEED_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval: ROC AUC via the Mann-Whitney rank statistic (integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_eval_auc",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id,
+               len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+                   ['the', 'a', 'and', 'order', 'table'])) AS s,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    ranked AS (
+        SELECT y,
+               2 * (RANK() OVER (ORDER BY s) - 1)
+                   + COUNT(*) OVER (PARTITION BY s) + 1 AS mr2
+        FROM scored
+    ),
+    agg AS (
+        SELECT CAST(SUM(y) AS BIGINT) AS p,
+               CAST(SUM(1 - y) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT)
+                   AS sum_mr2_pos
+        FROM ranked
+    )
+    SELECT p, n, sum_mr2_pos,
+           CAST((sum_mr2_pos - p * (p + 1)) * 1000000 // (2 * p * n)
+                AS BIGINT) AS auc_ppm
+    FROM agg
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC for the English-ness scorer (stopword hits vs the
+    labeled lang column) via the Mann–Whitney U identity
+    AUC = (Σ_pos midrank − P(P+1)/2) / (P·N) — the threshold-free
+    ranking metric that completes the eval family (confusion matrix,
+    calibration bins, retrieval metrics, now discrimination). Tie
+    handling is the textbook MID-rank, kept integral by carrying
+    2·midrank = 2·(rank−1) + ties + 1 — crucial here because the
+    stopword score takes few distinct values, so almost everything is
+    a tie and naive rank() would bias AUC by engine-specific tie
+    order. Everything is exact int64; one final integer division to
+    ppm.
+
+    100 TB shape: one global sort exchange for the rank (the same
+    cost class as any percentile), a |distinct scores|-width tie
+    count on the identical partitioning, and a 1-row agg. P·N in the
+    denominator passes 2⁶³ near ~10⁹ balanced rows — at that scale
+    run per-shard AUCs and average (the standard sharded-AUC
+    estimator), or sample; the docstring IS the capacity note."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens("text"))
+    en = STOPWORDS["en"]
+    scored = d.select(
+        F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in en]))
+        ).alias("s"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+    )
+    ranked = scored.select(
+        "y",
+        (
+            2 * (F.rank().over(Window.orderBy("s")) - 1)
+            + F.count("*").over(Window.partitionBy("s"))
+            + 1
+        ).alias("mr2"),
+    )
+    agg = ranked.agg(
+        F.sum("y").alias("p"),
+        F.sum(1 - F.col("y")).alias("n"),
+        F.sum(F.when(F.col("y") == 1, F.col("mr2")).otherwise(0)).alias(
+            "sum_mr2_pos"
+        ),
+    )
+    return agg.select(
+        "p",
+        "n",
+        "sum_mr2_pos",
+        F.expr(
+            "CAST((sum_mr2_pos - p * (p + 1)) * 1000000"
+            " div (2 * p * n) AS LONG)"
+        ).alias("auc_ppm"),
+    )
