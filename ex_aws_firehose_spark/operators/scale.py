@@ -4269,3 +4269,162 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_links.orderBy(
         F.desc("aa_score_ppm"), "user_a", "user_b"
     ).limit(LINKPRED_TOP)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1999), integer fixed-point
+# ---------------------------------------------------------------------------
+
+_HITS_SCALE = 1_000_000
+_HITS_ITERS = 3
+
+
+def _hits_oracle() -> str:
+    ctes = [
+        """edges0 AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    )""",
+        """outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS ow
+                    FROM edges0 GROUP BY src)""",
+        """edges AS (
+        SELECT e.src, e.dst, CAST(e.w * 1000 // o.ow AS BIGINT) AS wpm
+        FROM edges0 e JOIN outw o USING (src)
+    )""",
+        "nodes AS (SELECT n_nationkey AS node FROM nation)",
+        f"h0 AS (SELECT node, CAST({_HITS_SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    prev_h = "h0"
+    for i in range(1, _HITS_ITERS + 1):
+        ctes += [
+            f"""ar{i} AS (
+        SELECT e.dst AS node, CAST(SUM(p.h * e.wpm) AS BIGINT) AS raw
+        FROM edges e JOIN {prev_h} p ON p.node = e.src GROUP BY e.dst
+    )""",
+            f"am{i} AS (SELECT GREATEST(MAX(raw), 1) AS mx FROM ar{i})",
+            f"""a{i} AS (
+        SELECT n.node,
+               CAST(COALESCE(r.raw, 0) * {_HITS_SCALE} // am{i}.mx
+                    AS BIGINT) AS a
+        FROM nodes n LEFT JOIN ar{i} r ON r.node = n.node
+        CROSS JOIN am{i}
+    )""",
+            f"""hr{i} AS (
+        SELECT e.src AS node, CAST(SUM(q.a * e.wpm) AS BIGINT) AS raw
+        FROM edges e JOIN a{i} q ON q.node = e.dst GROUP BY e.src
+    )""",
+            f"hm{i} AS (SELECT GREATEST(MAX(raw), 1) AS mx FROM hr{i})",
+            f"""h{i} AS (
+        SELECT n.node,
+               CAST(COALESCE(r.raw, 0) * {_HITS_SCALE} // hm{i}.mx
+                    AS BIGINT) AS h
+        FROM nodes n LEFT JOIN hr{i} r ON r.node = n.node
+        CROSS JOIN hm{i}
+    )""",
+        ]
+        prev_h = f"h{i}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT h.node, h.h AS hub_scaled, a.a AS auth_scaled
+    FROM h{_HITS_ITERS} h JOIN a{_HITS_ITERS} a USING (node)
+    """
+    )
+
+
+@query("q_graph_hits", oracle=_hits_oracle(), tags=("scale", "graph"))
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the trade graph —
+    the directional complement of q_graph_pagerank: a nation is a good
+    HUB when it buys from good authorities, a good AUTHORITY when good
+    hubs buy from it; {_HITS_ITERS} alternating power rounds. All
+    arithmetic is integer fixed-point: edge weights are per-source
+    out-normalized to ≤1000 permille FIRST (so h·w ≤ 10⁹ per term and
+    every renormalization numerator stays < 10¹⁷ at ANY corpus scale
+    — the raw-weight form overflows int64 once per-pair lineitem
+    counts reach ~10⁶), and each half-step renormalizes by max-abs to
+    {_HITS_SCALE} fixed point (the q_embed_top_pc pattern), so both
+    engines agree bit-for-bit with no float summation anywhere.
+
+    100 TB shape: edge extraction (the only fact-scale work) runs
+    once and localCheckpoints; each half-iteration is a broadcast
+    join of the |nodes|-row score frame against the ≤|nodes|² edge
+    frame + one hash agg. Web-scale: partition edges by the join-side
+    key per half-step and co-partition scores — same loop."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    edges0 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    outw = edges0.groupBy("src").agg(F.sum("w").alias("ow"))
+    edges = (
+        edges0.join(outw, "src")
+        .select("src", "dst", F.expr("CAST(w * 1000 div ow AS LONG)").alias("wpm"))
+        .localCheckpoint()
+    )
+    nodes = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("node")
+    )
+    h = nodes.select(
+        "node", F.lit(_HITS_SCALE).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            edges.join(F.broadcast(h), edges.src == h.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("h * wpm")).alias("raw"))
+        )
+        am = ar.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+        a = (
+            nodes.join(ar, "node", "left")
+            .crossJoin(F.broadcast(am))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(coalesce(raw, 0) * {_HITS_SCALE} div mx AS LONG)"
+                ).alias("a"),
+            )
+            .localCheckpoint()
+        )
+        hr = (
+            edges.join(F.broadcast(a), edges.dst == a.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum(F.expr("a * wpm")).alias("raw"))
+        )
+        hm = hr.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+        h = (
+            nodes.join(hr, "node", "left")
+            .crossJoin(F.broadcast(hm))
+            .select(
+                "node",
+                F.expr(
+                    f"CAST(coalesce(raw, 0) * {_HITS_SCALE} div mx AS LONG)"
+                ).alias("h"),
+            )
+            .localCheckpoint()
+        )
+    return h.select("node", F.col("h").alias("hub_scaled")).join(
+        a.select("node", F.col("a").alias("auth_scaled")), "node"
+    )
