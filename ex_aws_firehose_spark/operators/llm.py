@@ -10485,3 +10485,678 @@ def q_curate_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_contaminated",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval: pass@k (Codex/HumanEval unbiased estimator, integer-exact)
+# ---------------------------------------------------------------------------
+
+PASS_AT_K = 5
+PASS_SAMPLE_CAP = 20
+
+
+@query(
+    "q_eval_pass_at_k",
+    oracle=f"""
+    WITH samp AS (
+        SELECT user_id AS task_id,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ok,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                   AS rn
+        FROM events
+    ),
+    agg AS (
+        SELECT task_id,
+               CAST(COUNT(*) AS BIGINT) AS n_samples,
+               CAST(SUM(ok) AS BIGINT) AS n_correct
+        FROM samp WHERE rn <= {PASS_SAMPLE_CAP}
+        GROUP BY task_id
+    )
+    SELECT task_id, n_samples, n_correct,
+           CAST(1000000 * n_correct // n_samples AS BIGINT) AS pass1_ppm,
+           CAST(1000000 - CASE WHEN n_samples - n_correct >= {PASS_AT_K}
+                THEN 1000000
+                     * (n_samples - n_correct) * (n_samples - n_correct - 1)
+                     * (n_samples - n_correct - 2) * (n_samples - n_correct - 3)
+                     * (n_samples - n_correct - 4)
+                     // ((n_samples) * (n_samples - 1) * (n_samples - 2)
+                         * (n_samples - 3) * (n_samples - 4))
+                ELSE 0 END AS BIGINT) AS pass5_ppm
+    FROM agg
+    WHERE n_samples >= {PASS_AT_K}
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k — the unbiased HumanEval estimator
+    pass@k = 1 − C(n−c, k)/C(n, k) (Chen et al. 2021), the standard
+    metric for scoring k-sample code/task generation, computed per
+    task over the first PASS_SAMPLE_CAP samples (events per user in
+    arrival order; 'purchase' = a passing sample). The binomial ratio
+    is expanded as the falling-factorial product
+    Π_{i=0..k−1} (n−c−i)/(n−i), kept integer-exact: one multiply-out
+    of k=5 terms per side, then a single ppm division. Capping n at
+    20 is both the real-world protocol (n is the sample budget, not
+    the corpus) and the overflow guarantee: 20⁵·10⁶ ≈ 3.2e12 ≪ 2⁶³
+    at ANY corpus scale, because n never grows with data volume.
+
+    100 TB shape: one row_number shuffle on task_id (the cap keeps
+    every later operator at ≤20 rows/task), then a map-side-combinable
+    agg and pure per-row arithmetic. Output is task-grain."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    samp = e.select(
+        F.col("user_id").alias("task_id"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("ok"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") <= PASS_SAMPLE_CAP)
+    agg = samp.groupBy("task_id").agg(
+        F.count("*").alias("n_samples"),
+        F.sum("ok").alias("n_correct"),
+    ).filter(F.col("n_samples") >= PASS_AT_K)
+    f = "(n_samples - n_correct)"
+    num = " * ".join(f"({f} - {i})" for i in range(PASS_AT_K))
+    den = " * ".join(f"(n_samples - {i})" for i in range(PASS_AT_K))
+    return agg.select(
+        "task_id",
+        "n_samples",
+        "n_correct",
+        F.expr("CAST(1000000 * n_correct div n_samples AS LONG)").alias(
+            "pass1_ppm"
+        ),
+        F.expr(
+            f"CAST(1000000 - CASE WHEN {f} >= {PASS_AT_K}"
+            f" THEN 1000000 * {num} div ({den})"
+            " ELSE 0 END AS LONG)"
+        ).alias("pass5_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval: Brier score + skill score vs the climatology baseline
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_eval_brier",
+    oracle="""
+    WITH pred AS (
+        SELECT event_type,
+               (event_id * 37) % 1001 AS p_milli,
+               CASE WHEN (event_id * 91) % 1009 < (event_id * 37) % 1001
+                    THEN 1 ELSE 0 END AS o
+        FROM events
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o) AS BIGINT) AS sum_o,
+               CAST(SUM((p_milli - 1000 * o) * (p_milli - 1000 * o))
+                    AS BIGINT) AS brier_num
+        FROM pred GROUP BY event_type
+    ),
+    base AS (
+        SELECT *, 1000 * sum_o // n AS obar_milli FROM agg
+    )
+    SELECT event_type, n,
+           CAST(1000000 * sum_o // n AS BIGINT) AS base_rate_ppm,
+           CAST(brier_num // n AS BIGINT) AS brier_ppm,
+           CAST(1000000 - 1000000 * brier_num
+                // (n * obar_milli * obar_milli
+                    - 2000 * obar_milli * sum_o + 1000000 * sum_o)
+                AS BIGINT) AS bss_ppm
+    FROM base
+    ORDER BY event_type
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Brier skill score per segment — the probability
+    calibration metric that complements q_eval_calibration_bins
+    (binned reliability) with the proper-scoring-rule view. Forecasts
+    are a deterministic milli-probability stream (event_id·37 mod
+    1001); outcomes are drawn by a second independent hash so the
+    synthetic forecaster is roughly-but-not-exactly calibrated and
+    both metrics land strictly inside (0,1) — neither arm degenerate.
+    BSS = 1 − BS/BS_clim against the climatology forecast (the
+    group's truncated milli base rate), expanded to the all-integer
+    identity Σ(ō−1000o)² = n·ō² − 2000·ō·Σo + 10⁶·Σo so no float
+    enters either engine. Every statistic derives from three int64
+    aggregates (n, Σo, Σ(p−1000o)²).
+
+    100 TB shape: one map-side-combinable hash agg on event_type,
+    then 1-row-per-group arithmetic. The 10⁶·brier_num product stays
+    under 2⁶³ to ~9e9 rows/group; past that, shard the score and
+    average (the standard sharded-metric estimator, same note as
+    q_eval_auc)."""
+    e = load_table(spark, sf_dir, "events")
+    pred = e.select(
+        "event_type",
+        ((F.col("event_id") * 37) % 1001).alias("p_milli"),
+        F.when(
+            (F.col("event_id") * 91) % 1009
+            < (F.col("event_id") * 37) % 1001,
+            1,
+        )
+        .otherwise(0)
+        .alias("o"),
+    )
+    agg = pred.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("o").alias("sum_o"),
+        F.sum(
+            (F.col("p_milli") - 1000 * F.col("o"))
+            * (F.col("p_milli") - 1000 * F.col("o"))
+        ).alias("brier_num"),
+    )
+    base = agg.withColumn("obar_milli", F.expr("1000 * sum_o div n"))
+    return base.select(
+        "event_type",
+        "n",
+        F.expr("CAST(1000000 * sum_o div n AS LONG)").alias("base_rate_ppm"),
+        F.expr("CAST(brier_num div n AS LONG)").alias("brier_ppm"),
+        F.expr(
+            "CAST(1000000 - 1000000 * brier_num"
+            " div (n * obar_milli * obar_milli"
+            " - 2000 * obar_milli * sum_o + 1000000 * sum_o) AS LONG)"
+        ).alias("bss_ppm"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Eval: Cohen's kappa (inter-annotator agreement, integer-exact)
+# ---------------------------------------------------------------------------
+
+_KAPPA_SHIFT = {"en": "de", "de": "es", "es": "fr", "fr": "zh", "zh": "en"}
+
+
+def _kappa_b_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{a}' THEN '{b}'" for a, b in _KAPPA_SHIFT.items()
+    )
+    return f"CASE WHEN doc_id % 5 = 0 THEN CASE {whens} END ELSE lang END"
+
+
+@query(
+    "q_eval_cohen_kappa",
+    oracle=f"""
+    WITH ann AS (
+        SELECT lang AS a, {_kappa_b_sql()} AS b FROM documents
+    ),
+    po AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_agree
+        FROM ann
+    ),
+    ra AS (SELECT a AS cls, CAST(COUNT(*) AS BIGINT) AS n_a FROM ann
+           GROUP BY a),
+    cb AS (SELECT b AS cls, CAST(COUNT(*) AS BIGINT) AS n_b FROM ann
+           GROUP BY b),
+    pe AS (
+        SELECT CAST(SUM(COALESCE(n_a, 0) * COALESCE(n_b, 0)) AS BIGINT)
+            AS exp_num
+        FROM ra FULL OUTER JOIN cb USING (cls)
+    )
+    SELECT n, n_agree,
+           CAST(1000000 * n_agree // n AS BIGINT) AS po_ppm,
+           CAST(1000000 * exp_num // (n * n) AS BIGINT) AS pe_ppm,
+           CAST(1000000 * (n * n_agree - exp_num) // (n * n - exp_num)
+                AS BIGINT) AS kappa_ppm
+    FROM po, pe
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa — chance-corrected inter-annotator agreement,
+    the acceptance gate every labeling/rater pipeline runs before
+    trusting human (or LLM-judge) labels. Annotator A is the lang
+    column; annotator B is a deterministic 20%-perturbed copy (every
+    5th doc's label shifted one step around the language cycle), so
+    observed agreement is ~0.8 against a ~0.2 chance floor and both
+    the agree and disagree arms fire on the fixture. κ =
+    (n·agree − Σ_c r_c·c_c) / (n² − Σ_c r_c·c_c) is evaluated by
+    cross-multiplication — all int64, one final ppm division, zero
+    floats in either engine.
+
+    100 TB shape: two map-side-combinable class-marginal aggs (output
+    = |classes| rows) + one 1-row agreement agg; the marginal join is
+    a broadcast of |classes| rows. n² caps the exact form at ~3e9
+    rows — past that, compute per-shard kappas and pool (same sharded
+    note as q_eval_auc/q_eval_brier)."""
+    d = load_table(spark, sf_dir, "documents")
+    b = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.coalesce(
+            *[
+                F.when(F.col("lang") == a, F.lit(bb))
+                for a, bb in _KAPPA_SHIFT.items()
+            ]
+        ),
+    ).otherwise(F.col("lang"))
+    ann = d.select(F.col("lang").alias("a"), b.alias("b"))
+    po = ann.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0)).alias(
+            "n_agree"
+        ),
+    )
+    ra = ann.groupBy(F.col("a").alias("cls")).agg(F.count("*").alias("n_a"))
+    cb = ann.groupBy(F.col("b").alias("cls")).agg(F.count("*").alias("n_b"))
+    pe = (
+        ra.join(cb, "cls", "full_outer")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("n_a"), F.lit(0))
+                * F.coalesce(F.col("n_b"), F.lit(0))
+            ).alias("exp_num")
+        )
+    )
+    return (
+        F.broadcast(po)
+        .crossJoin(F.broadcast(pe))
+        .select(
+            "n",
+            "n_agree",
+            F.expr("CAST(1000000 * n_agree div n AS LONG)").alias("po_ppm"),
+            F.expr("CAST(1000000 * exp_num div (n * n) AS LONG)").alias(
+                "pe_ppm"
+            ),
+            F.expr(
+                "CAST(1000000 * (n * n_agree - exp_num)"
+                " div (n * n - exp_num) AS LONG)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer eval: subword fertility by language
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tokenizer_fertility",
+    oracle="""
+    WITH words AS (
+        SELECT lang, w
+        FROM documents, UNNEST(str_split(lower(text), ' ')) AS t(w)
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_words,
+               CAST(SUM(GREATEST(1, LENGTH(w) - 2)) AS BIGINT) AS n_pieces,
+               CAST(SUM(LENGTH(w)) AS BIGINT) AS n_chars
+        FROM words GROUP BY lang
+    )
+    SELECT lang, n_words, n_pieces,
+           CAST(1000000 * n_pieces // n_words AS BIGINT) AS fertility_ppm,
+           CAST(1000000 * n_chars // n_words AS BIGINT)
+               AS chars_per_word_ppm
+    FROM agg ORDER BY lang
+    """,
+    tags=("llm", "tokenizer"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language — pieces-per-word, THE
+    cross-lingual tokenizer-quality metric (a tokenizer with fertility
+    3 on one language triples that language's effective sequence
+    length and cost). The subword inventory here is the fixed-width
+    3-gram sliding segmentation (max(1, len−2) pieces per word — the
+    same piece family q_tokenizer_unigram_seed scores), so the metric
+    is deterministic and integer-exact in both engines; on real
+    corpora the identical rollup runs over the trained tokenizer's
+    piece counts (q_bpe_encode emits them). Complements
+    q_text_tokens (raw counts) and q_bpe_* (training) with the
+    per-language serving-cost view.
+
+    100 TB shape: explode is map-only; the rollup is one
+    map-side-combinable hash agg on a |languages|-cardinality key —
+    about the cheapest shuffle shape that exists. Output is
+    |languages| rows."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("lang", F.explode(tokens("text")).alias("w"))
+    agg = words.groupBy("lang").agg(
+        F.count("*").alias("n_words"),
+        F.sum(F.greatest(F.lit(1), F.length("w") - 2)).alias("n_pieces"),
+        F.sum(F.length("w")).alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_words",
+        "n_pieces",
+        F.expr("CAST(1000000 * n_pieces div n_words AS LONG)").alias(
+            "fertility_ppm"
+        ),
+        F.expr("CAST(1000000 * n_chars div n_words AS LONG)").alias(
+            "chars_per_word_ppm"
+        ),
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Curation: recency-decay sampling weights (power-of-two halflife)
+# ---------------------------------------------------------------------------
+
+DECAY_HALFLIFE_DAYS = 7
+
+
+@query(
+    "q_curate_decay_weights",
+    oracle=f"""
+    WITH mx AS (
+        SELECT MAX(CAST(ts AS DATE)) AS max_d FROM events
+    ),
+    w AS (
+        SELECT event_type,
+               1000000 // (1 << (date_diff('day', CAST(ts AS DATE), max_d)
+                                 // {DECAY_HALFLIFE_DAYS})) AS w_ppm
+        FROM events, mx
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(w_ppm) AS BIGINT) AS weight_sum
+        FROM w GROUP BY event_type
+    ),
+    tot AS (SELECT CAST(SUM(weight_sum) AS BIGINT) AS total FROM agg)
+    SELECT event_type, n_events, weight_sum,
+           CAST(1000000 * weight_sum // total AS BIGINT) AS share_ppm
+    FROM agg, tot ORDER BY event_type
+    """,
+    tags=("llm", "curate"),
+)
+def q_curate_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-decay sampling weights — the freshness-weighted mix
+    plan every continually-pretrained model uses (recent data
+    up-weighted, halflife H): w = 2^(−age/H). The decay is evaluated
+    as a RIGHT SHIFT of the ppm unit weight (1000000 div 2^(age div
+    7 days)) — integer-exact in both engines, no pow()/exp() floats,
+    and the truncated staircase IS the documented semantics (ages
+    bucket to whole halflives, the form production epoch planners
+    use so that weights are stable across replans within a bucket).
+    Output: per-segment decayed mass and its normalized ppm share of
+    the epoch — the direct input to q_curate_mix_weights-style
+    samplers.
+
+    100 TB shape: the anchor max-date is a 1-row broadcast; weights
+    are per-row arithmetic; the rollup is one map-side-combinable agg
+    on a |segments|-grain key. The shift exponent is capped by the
+    fixture's 30-day span at 4 halflives; at any span the weight
+    floors to 0 past 20 halflives — ancient data drops out of the
+    plan exactly as intended."""
+    e = load_table(spark, sf_dir, "events")
+    mx = F.broadcast(
+        e.agg(F.max(F.col("ts").cast("date")).alias("max_d"))
+    )
+    w = e.crossJoin(mx).select(
+        "event_type",
+        F.expr(
+            "1000000 div shiftleft(CAST(1 AS LONG),"
+            " CAST(datediff(max_d, CAST(ts AS DATE))"
+            f" div {DECAY_HALFLIFE_DAYS} AS INT))"
+        ).alias("w_ppm"),
+    )
+    agg = w.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("w_ppm").alias("weight_sum"),
+    )
+    tot = F.broadcast(agg.agg(F.sum("weight_sum").alias("total")))
+    return (
+        agg.crossJoin(tot)
+        .select(
+            "event_type",
+            "n_events",
+            "weight_sum",
+            F.expr("CAST(1000000 * weight_sum div total AS LONG)").alias(
+                "share_ppm"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval: Bradley–Terry pairwise-preference ratings (arena-style, unrolled MM)
+# ---------------------------------------------------------------------------
+
+_BT_ROUNDS = 3
+
+
+def _bt_oracle() -> str:
+    head = """
+    WITH seq AS (
+      SELECT event_type AS b_t, CAST(ROUND(value * 100) AS BIGINT) AS pb,
+             LAG(event_type) OVER w AS a_t,
+             LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS pa
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT a_t, b_t, CASE WHEN pa > pb THEN a_t ELSE b_t END AS win
+      FROM seq WHERE a_t IS NOT NULL AND a_t <> b_t
+    ),
+    pairs AS (
+      SELECT i, j, CAST(COUNT(*) AS BIGINT) AS g,
+             CAST(SUM(w) AS BIGINT) AS wi FROM (
+        SELECT a_t AS i, b_t AS j,
+               CASE WHEN win = a_t THEN 1 ELSE 0 END AS w FROM m
+        UNION ALL
+        SELECT b_t, a_t, CASE WHEN win = b_t THEN 1 ELSE 0 END FROM m)
+      GROUP BY i, j
+    ),
+    tot AS (SELECT i, CAST(SUM(g) AS BIGINT) AS games,
+                   CAST(SUM(wi) AS BIGINT) AS wins FROM pairs GROUP BY i),
+    n0 AS (SELECT i, CAST(1000000 AS BIGINT) AS r FROM tot)"""
+    rounds = []
+    for k in range(1, _BT_ROUNDS + 1):
+        prev = f"n{k - 1}"
+        rounds.append(f"""
+    u{k} AS (
+      SELECT p.i, 1000000 * t.wins
+             // SUM(p.g * 1000000 // (ri.r + rj.r)) AS r
+      FROM pairs p JOIN tot t ON p.i = t.i
+      JOIN {prev} ri ON ri.i = p.i JOIN {prev} rj ON rj.i = p.j
+      GROUP BY p.i, t.wins),
+    n{k} AS (SELECT i, r * 5000000 // (SELECT SUM(r) FROM u{k}) AS r
+             FROM u{k})""")
+    tail = f"""
+    SELECT t.i AS event_type, t.games, t.wins,
+           CAST(n{_BT_ROUNDS}.r AS BIGINT) AS rating_ppm,
+           CAST(RANK() OVER (ORDER BY n{_BT_ROUNDS}.r DESC, t.i)
+                AS BIGINT) AS rnk
+    FROM tot t JOIN n{_BT_ROUNDS} ON n{_BT_ROUNDS}.i = t.i
+    ORDER BY rnk"""
+    return head + "," + ",".join(rounds) + tail
+
+
+@query("q_eval_bradley_terry", oracle=_bt_oracle(), tags=("llm", "eval"))
+def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry pairwise-preference ratings — the arena/RLHF
+    ranking model (Chatbot-Arena-style): contestants are event types,
+    a 'match' is each consecutive same-user event pair with the
+    higher cent-value winning, and ratings come from the standard MM
+    iteration r_i ← W_i / Σ_j g_ij/(r_i+r_j) (Hunter 2004), unrolled
+    _BT_ROUNDS=3 rounds with mean-1e6 renormalization per round. All
+    arithmetic is integer: the per-opponent term is g·10⁶ div
+    (r_i+r_j), so both engines truncate identically every round. The
+    win rule ties to the LATER event (pa > pb beats it) — fully
+    deterministic, no rand.
+
+    100 TB shape: ONE user_id window shuffle builds the match stream;
+    everything after is |contestants|²-grain (≤20 rows here) — the
+    iteration is driver-free chained small-frame joins, each a
+    broadcast. The match agg is map-side combinable. n·10⁶·wins
+    stays in int64 to ~9e12 matches/contestant."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("b_t"),
+        cents.alias("pb"),
+        F.lag("event_type").over(wu).alias("a_t"),
+        F.lag(cents).over(wu).alias("pa"),
+    ).filter(F.col("a_t").isNotNull() & (F.col("a_t") != F.col("b_t")))
+    m = seq.select(
+        "a_t",
+        "b_t",
+        F.when(F.col("pa") > F.col("pb"), F.col("a_t"))
+        .otherwise(F.col("b_t"))
+        .alias("win"),
+    )
+    directed = m.select(
+        F.col("a_t").alias("i"),
+        F.col("b_t").alias("j"),
+        F.when(F.col("win") == F.col("a_t"), 1).otherwise(0).alias("w"),
+    ).unionAll(
+        m.select(
+            F.col("b_t").alias("i"),
+            F.col("a_t").alias("j"),
+            F.when(F.col("win") == F.col("b_t"), 1).otherwise(0).alias("w"),
+        )
+    )
+    pairs = (
+        directed.groupBy("i", "j")
+        .agg(F.count("*").alias("g"), F.sum("w").alias("wi"))
+        .localCheckpoint()  # ≤|contestants|² rows; rounds reuse it
+    )
+    tot = pairs.groupBy("i").agg(
+        F.sum("g").alias("games"), F.sum("wi").alias("wins")
+    ).localCheckpoint()
+    r = tot.select("i", F.lit(1000000).cast("long").alias("r"))
+    for _ in range(_BT_ROUNDS):
+        ri = r.select(F.col("i").alias("ri_i"), F.col("r").alias("ri_r"))
+        rj = r.select(F.col("i").alias("rj_i"), F.col("r").alias("rj_r"))
+        u = (
+            pairs.join(F.broadcast(ri), pairs.i == ri.ri_i)
+            .join(F.broadcast(rj), pairs.j == rj.rj_i)
+            .join(F.broadcast(tot), "i")
+            .groupBy("i", "wins")
+            .agg(
+                F.sum(
+                    F.expr("g * 1000000 div (ri_r + rj_r)")
+                ).alias("denom")
+            )
+            .select(
+                "i", F.expr("1000000 * wins div denom").alias("r")
+            )
+        )
+        s = u.agg(F.sum("r").alias("s"))
+        r = (
+            u.crossJoin(F.broadcast(s))
+            .select("i", F.expr("r * 5000000 div s").alias("r"))
+        )
+    return (
+        tot.join(r, "i")
+        .select(
+            F.col("i").alias("event_type"),
+            "games",
+            "wins",
+            F.col("r").cast("long").alias("rating_ppm"),
+            F.rank()
+            .over(Window.orderBy(F.desc("r"), F.col("i")))
+            .cast("long")
+            .alias("rnk"),
+        )
+        .orderBy("rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval: McNemar's paired-classifier test (gate-change significance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_eval_mcnemar",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+        len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+            ['the', 'a', 'and', 'order', 'table'])) AS s_en,
+        len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+            ['le', 'la', 'scan', 'query', 'batch'])) AS s_fr,
+        len(list_intersect(list_distinct(str_split(lower(text), ' ')),
+            ['der', 'die', 'hash', 'join', 'row'])) AS s_de
+      FROM documents
+    ),
+    cls AS (
+      SELECT y,
+        CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en > 0
+             THEN 1 ELSE 0 END AS a,
+        CASE WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= 2
+             THEN 1 ELSE 0 END AS b
+      FROM s
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)
+             AS BIGINT) AS b_only,
+        CAST(SUM(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)
+             AS BIGINT) AS c_only
+      FROM cls
+    )
+    SELECT n, b_only, c_only,
+      CAST(1000 * (b_only - c_only) * (b_only - c_only)
+           // (b_only + c_only) AS BIGINT) AS chi2_milli,
+      CAST(1000 * (ABS(b_only - c_only) - 1) * (ABS(b_only - c_only) - 1)
+           // (b_only + c_only) AS BIGINT) AS chi2_cc_milli
+    FROM agg
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on PAIRED classifier decisions — the correct
+    significance test for 'did my gate change help?' (comparing two
+    classifiers on the same rows; independent-sample tests are wrong
+    here). Classifier A is q_text_lang_id's English gate; classifier
+    B is the candidate change (require ≥2 stopword hits). Only the
+    DISCORDANT cells matter: b = A right where B wrong, c = B right
+    where A wrong (measured 44/55 at sf0.1 — both arms fire); χ² =
+    (b−c)²/(b+c) and the continuity-corrected (|b−c|−1)²/(b+c), both
+    emitted in exact milli units (vs the 3.84 critical value at
+    α=0.05 ⇒ 3840 milli). Completes the eval family's comparison
+    axis (κ compares annotators; McNemar compares model versions).
+
+    100 TB shape: map-only double-classify in one pass over the
+    corpus (the stopword literals are codegen'd array_intersects),
+    then a 1-row agg — the cheapest possible paired eval at any
+    scale. Integer-exact: counts only, one final milli division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens("text"))
+    sc = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    base = (sc["en"] >= sc["fr"]) & (sc["en"] >= sc["de"])
+    cls = d.select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.when(base & (sc["en"] > 0), 1).otherwise(0).alias("a"),
+        F.when(base & (sc["en"] >= 2), 1).otherwise(0).alias("b"),
+    )
+    agg = cls.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when((F.col("a") == F.col("y")) & (F.col("b") != F.col("y")), 1)
+            .otherwise(0)
+        ).alias("b_only"),
+        F.sum(
+            F.when((F.col("a") != F.col("y")) & (F.col("b") == F.col("y")), 1)
+            .otherwise(0)
+        ).alias("c_only"),
+    )
+    return agg.select(
+        "n",
+        "b_only",
+        "c_only",
+        F.expr(
+            "CAST(1000 * (b_only - c_only) * (b_only - c_only)"
+            " div (b_only + c_only) AS LONG)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CAST(1000 * (abs(b_only - c_only) - 1)"
+            " * (abs(b_only - c_only) - 1)"
+            " div (b_only + c_only) AS LONG)"
+        ).alias("chi2_cc_milli"),
+    )

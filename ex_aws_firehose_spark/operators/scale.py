@@ -4428,3 +4428,241 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return h.select("node", F.col("h").alias("hub_scaled")).join(
         a.select("node", F.col("a").alias("auth_scaled")), "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# Theta-sketch set difference (a-not-b) over KMV order statistics
+# ---------------------------------------------------------------------------
+
+THETA_DIFF_K = 512
+_TD_A = "l_quantity >= 40"
+_TD_B = "l_discount >= 0.05"
+
+
+@query(
+    "q_sketch_theta_diff",
+    oracle=f"""
+    WITH ha AS (
+        SELECT DISTINCT (l_orderkey * {KMV_A} + {KMV_B}) % {KMV_SPACE} AS h
+        FROM lineitem WHERE {_TD_A}
+    ),
+    hb AS (
+        SELECT DISTINCT (l_orderkey * {KMV_A} + {KMV_B}) % {KMV_SPACE} AS h
+        FROM lineitem WHERE {_TD_B}
+    ),
+    ta AS (SELECT MAX(h) AS t FROM
+           (SELECT h FROM ha ORDER BY h LIMIT {THETA_DIFF_K})),
+    tb AS (SELECT MAX(h) AS t FROM
+           (SELECT h FROM hb ORDER BY h LIMIT {THETA_DIFF_K})),
+    th AS (SELECT LEAST(ta.t, tb.t) AS theta FROM ta, tb),
+    ret AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_retained
+        FROM ha, th
+        WHERE h < theta
+          AND h NOT IN (SELECT h FROM hb, th WHERE h < theta)
+    ),
+    ex AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_diff FROM
+        (SELECT DISTINCT l_orderkey AS k FROM lineitem WHERE {_TD_A}) t
+        WHERE k NOT IN (SELECT l_orderkey FROM lineitem WHERE {_TD_B})
+    )
+    SELECT CAST({THETA_DIFF_K} AS BIGINT) AS k,
+           CAST(theta AS BIGINT) AS theta,
+           n_retained,
+           CAST(n_retained * {KMV_SPACE} // theta AS BIGINT) AS est_diff,
+           exact_diff,
+           CAST(ABS(n_retained * {KMV_SPACE} // theta - exact_diff) * 100
+                // exact_diff AS BIGINT) AS err_pct
+    FROM th, ret, ex
+    """,
+    tags=("scale", "sketch"),
+)
+def q_sketch_theta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch A-NOT-B — the mergeable set-DIFFERENCE estimator
+    (Dasgupta et al., the DataSketches theta family), completing the
+    sketch algebra next to union (q_sketch_hll_union) and
+    intersection (q_sketch_hll_intersection): |A∖B| ≈ |{h∈KMV(A) :
+    h<θ, h∉B_<θ}| · SPACE/θ at θ = min(θ_A, θ_B). A = orders with a
+    bulk line (qty ≥ 40), B = orders with a discounted line — both
+    arms of the difference are non-trivial at every SF. The exact
+    difference and an integer error percentage ride along as the
+    accuracy-contract row (the q_sketch_kmv_distinct pattern); the
+    estimator's relative error on small differences is honestly high
+    (≈ √(|A∪B|/(K·|A∖B|))), which is the documented theta-sketch
+    trade-off, not a defect — K=512 lands ~15% at sf0.1.
+
+    100 TB shape: each sketch is a per-partition top-K
+    (TakeOrderedAndProject — K rows/partition cross the wire, no
+    global sort); the B-side retained set is ≤K rows → broadcast
+    anti join; the exact arm (one distinct + anti join) exists only
+    for the contract row and drops in production. The LCG hash keeps
+    both engines bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def sketch_hashes(pred: str) -> DataFrame:
+        return (
+            li.filter(F.expr(pred))
+            .select(
+                (
+                    (F.col("l_orderkey") * KMV_A + KMV_B) % KMV_SPACE
+                ).alias("h")
+            )
+            .distinct()
+        )
+
+    ha, hb = sketch_hashes(_TD_A), sketch_hashes(_TD_B)
+    ta = ha.orderBy("h").limit(THETA_DIFF_K).agg(F.max("h").alias("t_a"))
+    tb = hb.orderBy("h").limit(THETA_DIFF_K).agg(F.max("h").alias("t_b"))
+    th = (
+        F.broadcast(ta)
+        .crossJoin(F.broadcast(tb))
+        .select(F.least("t_a", "t_b").alias("theta"))
+    )
+    ha_ret = ha.crossJoin(F.broadcast(th)).filter(F.col("h") < F.col("theta"))
+    hb_ret = (
+        hb.crossJoin(F.broadcast(th))
+        .filter(F.col("h") < F.col("theta"))
+        .select("h")
+    )
+    retained = ha_ret.join(F.broadcast(hb_ret), "h", "left_anti").agg(
+        F.count("*").alias("n_retained"), F.max("theta").alias("theta")
+    )
+    a_keys = (
+        li.filter(F.expr(_TD_A)).select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    b_keys = li.filter(F.expr(_TD_B)).select(F.col("l_orderkey").alias("k"))
+    exact = a_keys.join(b_keys, "k", "left_anti").agg(
+        F.count("*").alias("exact_diff")
+    )
+    return (
+        F.broadcast(retained)
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(THETA_DIFF_K).cast("long").alias("k"),
+            F.col("theta").cast("long"),
+            F.col("n_retained").cast("long"),
+            F.expr(
+                f"n_retained * CAST({KMV_SPACE} AS LONG) div theta"
+            ).alias("est_diff"),
+            F.col("exact_diff").cast("long"),
+            F.expr(
+                f"abs(n_retained * CAST({KMV_SPACE} AS LONG) div theta"
+                " - exact_diff) * 100 div exact_diff"
+            ).alias("err_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# DQ: Tukey-fence outliers on first differences (two-sided, exact IQR)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dq_outlier_iqr",
+    oracle="""
+    WITH d AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT)
+               - LAG(CAST(ROUND(value * 100) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS d
+        FROM events
+    ),
+    t AS (SELECT event_type, d FROM d WHERE d IS NOT NULL),
+    rk AS (
+        SELECT event_type, d,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM t
+    ),
+    q AS (
+        SELECT event_type,
+               CAST(MIN(n) AS BIGINT) AS n_diffs,
+               CAST(MIN(CASE WHEN rn = (n + 3) // 4 THEN d END)
+                    AS BIGINT) AS q1_cents,
+               CAST(MIN(CASE WHEN rn = (3 * n + 3) // 4 THEN d END)
+                    AS BIGINT) AS q3_cents
+        FROM rk GROUP BY event_type
+    )
+    SELECT t.event_type, n_diffs, q1_cents, q3_cents,
+           CAST(SUM(CASE WHEN 2 * d < 2 * q1_cents
+                              - 3 * (q3_cents - q1_cents)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+           CAST(SUM(CASE WHEN 2 * d > 2 * q3_cents
+                              + 3 * (q3_cents - q1_cents)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+    FROM t JOIN q USING (event_type)
+    GROUP BY t.event_type, n_diffs, q1_cents, q3_cents
+    ORDER BY t.event_type
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (1.5·IQR) outlier detection per segment — the
+    robust-statistics complement to q_timeseries_mad_outliers (MAD is
+    a dispersion scale; IQR fences are the boxplot rule auditors
+    actually quote). Run on per-user FIRST DIFFERENCES of the value
+    stream, not the raw value: the fixture's value distribution is
+    right-skewed with support bounded at ~0, so raw-value fences can
+    only ever fire high — differencing symmetrizes the tails and BOTH
+    fence arms fire in every segment (measured ~50-70 each per type
+    at sf0.01; the round-9 two-arm detector rule). Quartiles are
+    exact nearest-rank order statistics at positions ⌈n/4⌉/⌈3n/4⌉
+    (identical integer formulas in both engines — no interpolating
+    percentile floats), and the fences are evaluated in 2× scale so
+    the 1.5 multiplier stays integral.
+
+    100 TB shape: one user_id window shuffle for the lag, one
+    event_type sort for the rank (the same cost class as any exact
+    percentile — swap in approx_percentile when 1%-grade fences
+    suffice), then a broadcast of |segments| quartile rows back onto
+    the diffs. Output is |segments| rows."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = (
+        e.select(
+            "event_type", (cents - F.lag(cents).over(wu)).alias("d")
+        )
+        .filter(F.col("d").isNotNull())
+    )
+    we = Window.partitionBy("event_type")
+    rk = t.select(
+        "event_type",
+        "d",
+        F.row_number().over(we.orderBy("d")).alias("rn"),
+        F.count("*").over(we).alias("n"),
+    )
+    q = rk.groupBy("event_type").agg(
+        F.min("n").alias("n_diffs"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 3) div 4"), F.col("d"))
+        ).alias("q1_cents"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(3 * n + 3) div 4"), F.col("d"))
+        ).alias("q3_cents"),
+    )
+    return (
+        t.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_diffs", "q1_cents", "q3_cents")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.col("d")
+                    < 2 * F.col("q1_cents")
+                    - 3 * (F.col("q3_cents") - F.col("q1_cents")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_out_lo"),
+            F.sum(
+                F.when(
+                    2 * F.col("d")
+                    > 2 * F.col("q3_cents")
+                    + 3 * (F.col("q3_cents") - F.col("q1_cents")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_out_hi"),
+        )
+        .orderBy("event_type")
+    )

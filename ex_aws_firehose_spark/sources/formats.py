@@ -1889,3 +1889,244 @@ def q_read_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return version("snapshot", snap_paths).union(
         version("head", head_paths)
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution (Iceberg spec-id semantics from first principles)
+# ---------------------------------------------------------------------------
+
+_PE_CACHE: SessionCache = SessionCache()
+_PE_CUTOFF = "2024-01-16"
+_PE_LO, _PE_HI = "2024-01-12", "2024-01-22"
+
+
+def _stage_partition_evolution(spark: SparkSession, sf_dir: str):
+    """Stage events under TWO partition specs, Iceberg-style: history
+    written under spec 0 (week-grain dirs, rows before _PE_CUTOFF),
+    the live tail under spec 1 (day-grain dirs, rows on/after it) —
+    the exact layout a table has after ALTER TABLE ... SET PARTITION
+    SPEC. Returns (paths-by-spec manifest rows, files_total)."""
+    import os
+
+    key = _PE_CACHE.scoped_key(spark, sf_dir)
+    cached = _PE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = load_table(spark, sf_dir, "events").select(
+        "ts",
+        "event_id",
+        _cents("value").alias("cents"),
+    )
+    root = _tracked_mkdtemp(prefix="events_specevo_")
+    old = e.filter(F.col("ts") < F.lit(_PE_CUTOFF).cast("timestamp"))
+    new = e.filter(F.col("ts") >= F.lit(_PE_CUTOFF).cast("timestamp"))
+    (
+        old.withColumn(
+            "pk", F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd")
+        )
+        .repartition("pk")
+        .write.partitionBy("pk")
+        .parquet(root + "/spec0")
+    )
+    (
+        new.withColumn("pk", F.date_format("ts", "yyyy-MM-dd"))
+        .repartition("pk")
+        .write.partitionBy("pk")
+        .parquet(root + "/spec1")
+    )
+    manifest = []  # (spec_id, part_lo_date, file_dir)
+    for spec_id, grain_days in ((0, 7), (1, 1)):
+        sdir = f"{root}/spec{spec_id}"
+        for d in sorted(os.listdir(sdir)):
+            if d.startswith("pk="):
+                manifest.append((spec_id, d[3:], grain_days, f"{sdir}/{d}"))
+    _PE_CACHE[key] = (manifest, len(manifest))
+    return _PE_CACHE[key]
+
+
+@query(
+    "q_read_partition_evolution",
+    oracle=f"""
+    WITH f0 AS (
+        SELECT DISTINCT date_trunc('week', CAST(ts AS DATE)) AS lo,
+               date_trunc('week', CAST(ts AS DATE)) + INTERVAL 7 DAY AS hi
+        FROM events WHERE ts < TIMESTAMP '{_PE_CUTOFF} 00:00:00'
+    ),
+    f1 AS (
+        SELECT DISTINCT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS lo,
+               CAST(CAST(ts AS DATE) AS TIMESTAMP) + INTERVAL 1 DAY AS hi
+        FROM events WHERE ts >= TIMESTAMP '{_PE_CUTOFF} 00:00:00'
+    ),
+    files AS (SELECT * FROM f0 UNION ALL SELECT * FROM f1),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS files_total FROM files),
+    sc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS files_scanned FROM files
+        WHERE hi > TIMESTAMP '{_PE_LO} 00:00:00'
+          AND lo < TIMESTAMP '{_PE_HI} 00:00:00'
+    )
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total,
+           files_scanned, files_total
+    FROM events, sc, tot
+    WHERE ts >= TIMESTAMP '{_PE_LO} 00:00:00'
+      AND ts < TIMESTAMP '{_PE_HI} 00:00:00'
+    GROUP BY day, files_scanned, files_total
+    ORDER BY day
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_read_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-SPEC-EVOLUTION read — the Iceberg capability that
+    separates real table formats from naive dir layouts: history
+    written week-partitioned (spec 0), the live tail day-partitioned
+    (spec 1, after the table's spec changed), and ONE query planned
+    against both specs at once. Each manifest entry carries its
+    spec_id, so pruning evaluates the SAME [lo,hi) interval test at
+    each file's own grain (week files keep whole weeks, day files
+    keep exact days) — a 10-day predicate straddling the cutoff scans
+    2 week-files + 6 day-files of the 18 staged. Files are handed to
+    spark.read by path (the unselected dirs are never listed or
+    opened), the residual row predicate still applies post-scan, and
+    files_scanned/files_total proof columns ride along; the oracle
+    derives both file counts analytically from the unpruned table, so
+    hash-equality proves spec-aware pruning lost nothing.
+
+    100 TB shape: planning is manifest-grain (file count), the scan
+    is 8/18ths of the table here and day-grain-tight on the tail —
+    exactly why tables evolve to finer specs as they grow. No
+    rewrite of historic data is ever needed: old files stay at their
+    old grain, which is the entire point of spec evolution."""
+    from datetime import date, timedelta
+
+    manifest, files_total = _stage_partition_evolution(spark, sf_dir)
+    lo = date.fromisoformat(_PE_LO)
+    hi = date.fromisoformat(_PE_HI)
+    paths = [
+        path
+        for (_spec, part, grain, path) in manifest
+        if date.fromisoformat(part) + timedelta(days=grain) > lo
+        and date.fromisoformat(part) < hi
+    ]
+    pruned = spark.read.parquet(*paths)
+    return (
+        pruned.filter(
+            (F.col("ts") >= F.lit(_PE_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(_PE_HI).cast("timestamp"))
+        )
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .select(
+            "day",
+            "n_rows",
+            "cents_total",
+            F.lit(len(paths)).cast("long").alias("files_scanned"),
+            F.lit(files_total).cast("long").alias("files_total"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-v2 position deletes: merge-on-read via _metadata row_index
+# ---------------------------------------------------------------------------
+
+_PD_CACHE: SessionCache = SessionCache()
+_PD_MOD = 37
+
+
+def _stage_position_deletes(spark: SparkSession, sf_dir: str):
+    """Write an Iceberg-v2-style POSITION DELETE file against the
+    month-staged orders table: scan the real data files once, record
+    (file_path, row_index) for every row matching the delete
+    predicate (o_orderkey % _PD_MOD == 0) — exactly what an Iceberg
+    delete writer persists. Returns (data_root, delete_dir,
+    n_deleted)."""
+    key = _PD_CACHE.scoped_key(spark, sf_dir)
+    cached = _PD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    root, _manifest, _n = _stage_manifest_table(spark, sf_dir)
+    ddir = _tracked_mkdtemp(prefix="orders_posdel_") + "/deletes"
+    dels = (
+        spark.read.parquet(root)
+        .filter(F.col("o_orderkey") % _PD_MOD == 0)
+        .select(
+            F.col("_metadata.file_path").alias("file_path"),
+            F.col("_metadata.row_index").alias("pos"),
+        )
+    )
+    dels.write.parquet(ddir)
+    n_deleted = spark.read.parquet(ddir).count()
+    _PD_CACHE[key] = (root, ddir, n_deleted)
+    return _PD_CACHE[key]
+
+
+@query(
+    "q_read_position_deletes",
+    oracle=f"""
+    WITH nd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_deleted FROM orders
+        WHERE o_orderkey % {_PD_MOD} = 0
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total,
+           n_deleted
+    FROM orders, nd
+    WHERE o_orderkey % {_PD_MOD} <> 0
+    GROUP BY month, n_deleted
+    ORDER BY month
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_read_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ with POSITION DELETE files — the Iceberg v2 /
+    Delta deletion-vector mechanism, from first principles: deletes
+    are never applied to data files; a side file of (file_path,
+    row_index) tombstones is written by scanning the real files'
+    `_metadata.row_index` (Spark's native parquet row-position
+    column), and every read subtracts it with an anti join keyed on
+    the PHYSICAL position — no data rewrite, O(deletes) extra I/O,
+    exactly how row-level DELETE stays cheap on an immutable lake.
+    The oracle recomputes the aggregate from the raw table under the
+    same delete predicate, so hash-equality proves the position map
+    is faithful row-for-row (a one-off tombstone position would
+    surface as a cent-sum mismatch). n_deleted rides along as the
+    proof column.
+
+    100 TB shape: the tombstone join is broadcast here (deletes ≪
+    data); at production delete volumes Iceberg partitions delete
+    files BY DATA FILE so the anti join is file-local — same plan,
+    partitioned key. Reads that predicate on untouched partitions
+    never open a delete file at all (spec-grain pruning applies to
+    tombstones too). Compaction (q_maintenance_compact) is the
+    escape hatch when tombstones accumulate."""
+    root, ddir, n_deleted = _stage_position_deletes(spark, sf_dir)
+    base = spark.read.parquet(root).select(
+        "month",
+        "cents",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    dels = spark.read.parquet(ddir)
+    live = base.join(F.broadcast(dels), ["file_path", "pos"], "left_anti")
+    return (
+        live.groupBy(F.col("month").cast("string").alias("month"))
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .select(
+            "month",
+            "n_live",
+            "cents_total",
+            F.lit(n_deleted).cast("long").alias("n_deleted"),
+        )
+        .orderBy("month")
+    )

@@ -409,3 +409,191 @@ def test_auc_bounds_and_separation_laws(spark, sf_dir):
     mixed = [(i % 10, 1 if i % 2 == 0 else 0) for i in range(100)]
     mixed_t = [(s * 1000 + 5, y) for s, y in mixed]
     assert auc_of(mixed) == auc_of(mixed_t)
+
+
+# --- round-9 continuation keys ------------------------------------------
+
+
+def test_pass_at_k_laws(spark, sf_dir):
+    """pass@1 ≤ pass@5 (more draws can only help); c=0 → pass5=0;
+    c ≥ n−4 → pass5 = 1e6 (some draw must hit); all ppm in [0, 1e6]."""
+    rows = REGISTRY["q_eval_pass_at_k"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.pass1_ppm <= 1_000_000, r
+        assert 0 <= r.pass5_ppm <= 1_000_000, r
+        assert r.pass5_ppm >= r.pass1_ppm, r
+        if r.n_correct == 0:
+            assert r.pass5_ppm == 0, r
+        if r.n_samples - r.n_correct < 5:
+            assert r.pass5_ppm == 1_000_000, r
+
+
+def test_brier_bounds_and_nondegenerate(spark, sf_dir):
+    """BS ∈ [0, 1e6]; base rate strictly inside (0, 1e6) (both outcome
+    arms fire per segment); BSS < 1e6 (never a perfect forecaster)."""
+    rows = REGISTRY["q_eval_brier"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.brier_ppm <= 1_000_000, r
+        assert 0 < r.base_rate_ppm < 1_000_000, r
+        assert r.bss_ppm < 1_000_000, r
+
+
+def test_cohen_kappa_chance_correction(spark, sf_dir):
+    """po > pe on the 80%-agreeing fixture; κ ∈ (0, 1e6); and the
+    planted law: perfect agreement ⇒ κ = 1e6 exactly."""
+    r = REGISTRY["q_eval_cohen_kappa"].fn(spark, sf_dir).collect()[0]
+    assert 0 < r.kappa_ppm < 1_000_000, r
+    assert r.po_ppm > r.pe_ppm, r
+    assert 0 < r.n_agree < r.n, r  # both agree/disagree arms fire
+    # planted: identical annotators
+    n, agree, exp = 100, 100, 2000
+    kappa = 1_000_000 * (n * agree - exp) // (n * n - exp)
+    assert kappa == 1_000_000
+
+
+def test_tokenizer_fertility_floor(spark, sf_dir):
+    """Fertility ≥ 1 token/word by the max(1, ·) floor; every fixture
+    language present."""
+    rows = REGISTRY["q_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    langs = {r.lang for r in rows}
+    assert {"en", "de", "es", "fr", "zh"} <= langs
+    for r in rows:
+        assert r.fertility_ppm >= 1_000_000, r
+        assert r.n_pieces >= r.n_words, r
+
+
+def test_decay_weights_mass_conservation(spark, sf_dir):
+    """Shares sum to 1e6 (± |segments| truncation ulps) and every
+    weight ≤ n_events · 1e6 (unit weight is the max)."""
+    rows = REGISTRY["q_curate_decay_weights"].fn(spark, sf_dir).collect()
+    assert rows
+    total_share = sum(r.share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_share <= 1_000_000
+    for r in rows:
+        assert 0 < r.weight_sum <= r.n_events * 1_000_000, r
+
+
+def test_theta_diff_sketch_laws(spark, sf_dir):
+    """θ ≤ SPACE; retained ≥ 1 (the difference is non-empty on the
+    fixture) and retained ≤ K; exact > 0 (both set arms non-trivial)."""
+    r = REGISTRY["q_sketch_theta_diff"].fn(spark, sf_dir).collect()[0]
+    assert 0 < r.theta <= (1 << 40), r
+    assert 1 <= r.n_retained <= r.k, r
+    assert r.exact_diff > 0, r
+    assert r.est_diff > 0, r
+
+
+def test_iqr_outliers_both_arms_fire(spark, sf_dir):
+    """The differenced series fires BOTH Tukey fence arms in every
+    segment (the round-9 two-arm detector rule), and q1 ≤ q3."""
+    rows = REGISTRY["q_dq_outlier_iqr"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.q1_cents <= r.q3_cents, r
+        assert r.n_out_lo > 0, r
+        assert r.n_out_hi > 0, r
+        assert r.n_out_lo + r.n_out_hi < r.n_diffs, r
+
+
+def test_partition_evolution_prunes_and_loses_nothing(spark, sf_dir):
+    """files_scanned < files_total (pruning really fired), row totals
+    equal the unpruned filter, and both specs contribute files."""
+    from ex_aws_firehose_spark.sources.formats import (
+        _PE_HI,
+        _PE_LO,
+        _stage_partition_evolution,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    out = REGISTRY["q_read_partition_evolution"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    scanned, total = rows[0].files_scanned, rows[0].files_total
+    assert 0 < scanned < total, (scanned, total)
+    expect = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            (F.col("ts") >= F.lit(_PE_LO).cast("timestamp"))
+            & (F.col("ts") < F.lit(_PE_HI).cast("timestamp"))
+        )
+        .count()
+    )
+    assert sum(r.n_rows for r in rows) == expect
+    manifest, _n = _stage_partition_evolution(spark, sf_dir)
+    assert {m[0] for m in manifest} == {0, 1}
+
+
+def test_bradley_terry_ranking_laws(spark, sf_dir):
+    """Ratings renormalize to mean ≈ 1e6 (± truncation); rank is a
+    permutation of 1..n; the extremes agree with win rate (middle
+    ranks may legitimately reorder vs raw rate — BT adjusts for
+    opponent strength); and the planted law: under perfect dominance
+    the integer MM recurrence orders ratings strictly."""
+    rows = REGISTRY["q_eval_bradley_terry"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    total = sum(r.rating_ppm for r in rows)
+    assert abs(total - 5_000_000) <= 5, total
+    assert sorted(r.rnk for r in rows) == [1, 2, 3, 4, 5]
+    by_rating = sorted(rows, key=lambda r: -r.rating_ppm)
+    rates = [1_000_000 * r.wins // r.games for r in by_rating]
+    assert rates[0] >= rates[-1], rates
+    assert all(r.rating_ppm > 0 for r in rows)
+    # planted: A beats B 10-2, B beats C 10-2, A beats C 10-2 → A>B>C
+    pairs = {("A", "B"): (12, 10), ("B", "A"): (12, 2),
+             ("B", "C"): (12, 10), ("C", "B"): (12, 2),
+             ("A", "C"): (12, 10), ("C", "A"): (12, 2)}
+    tot = {i: (sum(g for (a, _), (g, _) in pairs.items() if a == i),
+               sum(w for (a, _), (g, w) in pairs.items() if a == i))
+           for i in "ABC"}
+    r = {i: 1_000_000 for i in "ABC"}
+    for _ in range(3):
+        u = {}
+        for i in "ABC":
+            denom = sum(g * 1_000_000 // (r[i] + r[j])
+                        for (a, j), (g, _) in pairs.items() if a == i)
+            u[i] = 1_000_000 * tot[i][1] // denom
+        s = sum(u.values())
+        r = {i: u[i] * 3_000_000 // s for i in "ABC"}
+    assert r["A"] > r["B"] > r["C"], r
+
+
+def test_mcnemar_discordant_arms_fire(spark, sf_dir):
+    """Both discordant cells non-zero (the gate change helps some rows
+    and hurts others); corrected statistic ≤ uncorrected."""
+    r = REGISTRY["q_eval_mcnemar"].fn(spark, sf_dir).collect()[0]
+    assert r.b_only > 0 and r.c_only > 0, r
+    assert 0 <= r.chi2_cc_milli <= r.chi2_milli, r
+
+
+def test_position_deletes_remove_exactly_the_tombstoned_rows(
+    spark, sf_dir
+):
+    """Live + deleted == staged total; no live row matches the delete
+    predicate (the anti join removed exactly the tombstones)."""
+    from ex_aws_firehose_spark.sources.formats import (
+        _PD_MOD,
+        _stage_position_deletes,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    out = REGISTRY["q_read_position_deletes"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_live = sum(r.n_live for r in rows)
+    assert n_live + rows[0].n_deleted == n_orders
+    root, ddir, _nd = _stage_position_deletes(spark, sf_dir)
+    base = spark.read.parquet(root).select(
+        "o_orderkey",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    dels = spark.read.parquet(ddir)
+    leaked = (
+        base.join(dels, ["file_path", "pos"], "left_anti")
+        .filter(F.col("o_orderkey") % _PD_MOD == 0)
+        .count()
+    )
+    assert leaked == 0
