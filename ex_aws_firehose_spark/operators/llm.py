@@ -11160,3 +11160,191 @@ def q_eval_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (b_only + c_only) AS LONG)"
         ).alias("chi2_cc_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Similarity: MMR diversified re-ranking (greedy, unrolled, oracle-exact)
+# ---------------------------------------------------------------------------
+
+MMR_QUERIES = 4
+MMR_CAND = 16
+MMR_SELECT = 5
+MMR_LAMBDA_MILLI = 700  # λ = 0.7
+
+
+def _mmr_oracle() -> str:
+    lam, com = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    cos_q = duck_cosine("b.embedding", "q.qv")
+    cos_ab = duck_cosine("ca.embedding", "cb.embedding")
+    head = f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {MMR_QUERIES}),
+    rel AS (
+        SELECT q.qid, b.vec_id, b.embedding,
+               ROUND({cos_q}, 6) AS rel
+        FROM embeddings b, q WHERE b.vec_id >= {MMR_QUERIES}
+    ),
+    cand AS (
+        SELECT qid, vec_id, embedding, rel FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY rel DESC, vec_id) AS rn FROM rel)
+        WHERE rn <= {MMR_CAND}
+    ),
+    sims AS (
+        SELECT ca.qid, ca.vec_id AS a, cb.vec_id AS b,
+               ROUND({cos_ab}, 6) AS s
+        FROM cand ca JOIN cand cb
+          ON ca.qid = cb.qid AND ca.vec_id <> cb.vec_id
+    ),
+    selall1 AS (
+        SELECT qid, vec_id, rel, 1 AS pick_rank, rel AS mmr FROM (
+            SELECT qid, vec_id, rel, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY rel DESC, vec_id) AS rn FROM cand)
+        WHERE rn = 1
+    )"""
+    rounds = []
+    for k in range(2, MMR_SELECT + 1):
+        p = k - 1
+        mexpr = f"({lam} * rel - {com} * msim) / 1000"
+        rounds.append(f"""
+    rem{k} AS (
+        SELECT c.qid, c.vec_id, c.rel FROM cand c
+        LEFT JOIN selall{p} s
+          ON s.qid = c.qid AND s.vec_id = c.vec_id
+        WHERE s.vec_id IS NULL
+    ),
+    ms{k} AS (
+        SELECT r.qid, r.vec_id, r.rel, MAX(s.s) AS msim
+        FROM rem{k} r
+        JOIN sims s ON s.qid = r.qid AND s.a = r.vec_id
+        JOIN selall{p} t ON t.qid = s.qid AND t.vec_id = s.b
+        GROUP BY r.qid, r.vec_id, r.rel
+    ),
+    pick{k} AS (
+        SELECT qid, vec_id, rel, {k} AS pick_rank, mmr FROM (
+            SELECT qid, vec_id, rel, {mexpr} AS mmr,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY {mexpr} DESC, vec_id) AS rn
+            FROM ms{k})
+        WHERE rn = 1
+    ),
+    selall{k} AS (
+        SELECT * FROM selall{p} UNION ALL SELECT * FROM pick{k}
+    )""")
+    tail = f"""
+    SELECT CAST(qid AS BIGINT) AS query_id,
+           CAST(pick_rank AS BIGINT) AS pick_rank,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           rel, ROUND(mmr, 6) AS mmr
+    FROM selall{MMR_SELECT}
+    ORDER BY query_id, pick_rank"""
+    return head + "," + ",".join(rounds) + tail
+
+
+@query("q_sim_mmr_rerank", oracle=_mmr_oracle(), tags=("llm", "sim"))
+def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR (maximal-marginal-relevance) diversified re-ranking
+    (Carbonell & Goldstein 1998) — the serving rung between top-k
+    retrieval and a context window: greedily pick S results
+    maximizing λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s), so the
+    answer set trades raw relevance for coverage. Per query: exact
+    cosine shortlist of C=16, then S=5 unrolled greedy rounds over
+    the shortlist's own 16×16 similarity matrix. Relevance and
+    pairwise sims are 6-dp-rounded doubles (the cosine parity
+    convention), and the MMR combination is the SAME IEEE expression
+    ((700·rel − 300·msim)/1000) in both engines, so every argmax is
+    bit-reproducible; ties break on vec_id.
+
+    100 TB shape: the only corpus-scale work is the shortlist (one
+    broadcast-queries scan + per-query top-C TakeOrdered); the greedy
+    loop never touches the corpus again — it runs on |Q|·C rows with
+    |Q|·C² pairwise sims, all broadcast-joined, and in production the
+    shortlist comes from the IVF/ADC rungs (q_sim_adc_rerank) with
+    MMR as a drop-in final stage."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.filter(F.col("vec_id") < MMR_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+    )
+    rel = (
+        e.filter(F.col("vec_id") >= MMR_QUERIES)
+        .crossJoin(q)
+        .select(
+            "qid",
+            "vec_id",
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("rel"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("rel"), "vec_id")
+    cand = (
+        rel.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MMR_CAND)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    ca = cand.select(
+        "qid", F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    cb = cand.select(
+        "qid", F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        ca.join(cb, "qid")
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "qid",
+            "a",
+            "b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("s"),
+        )
+        .localCheckpoint()
+    )
+    cand_slim = cand.select("qid", "vec_id", "rel")
+    sel = (
+        cand_slim.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "qid",
+            "vec_id",
+            "rel",
+            F.lit(1).alias("pick_rank"),
+            F.col("rel").alias("mmr"),
+        )
+    )
+    lam, com = MMR_LAMBDA_MILLI, 1000 - MMR_LAMBDA_MILLI
+    for k in range(2, MMR_SELECT + 1):
+        remaining = cand_slim.join(
+            sel.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+        )
+        selb = sel.select("qid", F.col("vec_id").alias("b"))
+        ms = (
+            remaining.join(
+                sims.withColumnRenamed("a", "vec_id"), ["qid", "vec_id"]
+            )
+            .join(F.broadcast(selb), ["qid", "b"])
+            .groupBy("qid", "vec_id", "rel")
+            .agg(F.max("s").alias("msim"))
+        )
+        scored = ms.withColumn(
+            "mmr",
+            (lam * F.col("rel") - com * F.col("msim")) / F.lit(1000),
+        )
+        wk = Window.partitionBy("qid").orderBy(F.desc("mmr"), "vec_id")
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") == 1)
+            .select(
+                "qid", "vec_id", "rel",
+                F.lit(k).alias("pick_rank"), "mmr",
+            )
+        )
+        sel = sel.unionByName(pick).localCheckpoint()
+    return sel.select(
+        F.col("qid").cast("long").alias("query_id"),
+        F.col("pick_rank").cast("long"),
+        F.col("vec_id").cast("long"),
+        "rel",
+        F.round("mmr", 6).alias("mmr"),
+    ).orderBy("query_id", "pick_rank")

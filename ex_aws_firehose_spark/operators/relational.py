@@ -3709,3 +3709,102 @@ def q_window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.filter(F.col("n") == ROLL_CORR_FRAME).select(
         "l_suppkey", "l_orderkey", "l_linenumber", corr.alias("roll_corr")
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar: IPv4 parse / CIDR-class routing (network-log analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_scalar_ip",
+    oracle="""
+    WITH ip AS (
+        SELECT CAST(concat('0x', substr(md5('ip:' ||
+                   CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) AS i
+        FROM events
+    ),
+    o AS (
+        SELECT i, i // 16777216 AS o1, (i // 65536) % 256 AS o2,
+               (i // 256) % 256 AS o3, i % 256 AS o4
+        FROM ip
+    ),
+    cls AS (
+        SELECT *,
+          CASE
+            WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                 OR (o1 = 192 AND o2 = 168) THEN 'private'
+            WHEN o1 = 127 THEN 'loopback'
+            WHEN o1 BETWEEN 224 AND 239 THEN 'multicast'
+            ELSE 'public'
+          END AS ip_class,
+          CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+            || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR) AS dotted
+        FROM o
+    )
+    SELECT ip_class,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT i) AS BIGINT) AS n_distinct_ip,
+           MIN(dotted) AS min_ip,
+           MAX(dotted) AS max_ip
+    FROM cls GROUP BY ip_class ORDER BY ip_class
+    """,
+    tags=("relational", "scalar"),
+)
+def q_scalar_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 parse + RFC-1918/CIDR classification — the network-log
+    scalar family (every firewall/VPC-flow pipeline starts here):
+    dotted-quad decomposition is pure div/mod on the uint32, and CIDR
+    membership is integer range tests on the octets (10/8, 172.16/12,
+    192.168/16, 127/8 loopback, 224/4 multicast). Addresses are
+    synthesized per event by the md5-prefix hash (deterministic in
+    both engines, uniform over the space so every class fires at
+    every SF). Reference lambda/main.py:55-163 transforms CloudWatch
+    VPC-style log records; this key supplies the address-typed scalar
+    toolkit those logs need.
+
+    100 TB shape: map-only octet arithmetic in whole-stage codegen +
+    one |classes|-grain agg carrying a partial/final COUNT(DISTINCT).
+    A production variant swaps the hash for the real address column;
+    the plan is unchanged."""
+    from ex_aws_firehose_spark.functions.text import hex_hash
+
+    e = load_table(spark, sf_dir, "events")
+    i = hex_hash(F.concat(F.lit("ip:"), F.col("event_id").cast("string")))
+    octs = e.select(i.alias("i")).select(
+        "i",
+        F.expr("i div 16777216").alias("o1"),
+        F.expr("(i div 65536) % 256").alias("o2"),
+        F.expr("(i div 256) % 256").alias("o3"),
+        F.expr("i % 256").alias("o4"),
+    )
+    cls = octs.select(
+        "i",
+        F.when(
+            (F.col("o1") == 10)
+            | ((F.col("o1") == 172) & F.col("o2").between(16, 31))
+            | ((F.col("o1") == 192) & (F.col("o2") == 168)),
+            "private",
+        )
+        .when(F.col("o1") == 127, "loopback")
+        .when(F.col("o1").between(224, 239), "multicast")
+        .otherwise("public")
+        .alias("ip_class"),
+        F.concat_ws(
+            ".",
+            F.col("o1").cast("string"),
+            F.col("o2").cast("string"),
+            F.col("o3").cast("string"),
+            F.col("o4").cast("string"),
+        ).alias("dotted"),
+    )
+    return (
+        cls.groupBy("ip_class")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("i").alias("n_distinct_ip"),
+            F.min("dotted").alias("min_ip"),
+            F.max("dotted").alias("max_ip"),
+        )
+        .orderBy("ip_class")
+    )

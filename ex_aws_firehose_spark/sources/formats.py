@@ -2130,3 +2130,98 @@ def q_read_position_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg-v2 equality deletes (the key-predicate complement to positions)
+# ---------------------------------------------------------------------------
+
+_ED_CACHE: SessionCache = SessionCache()
+_ED_MOD = 101
+
+
+def _stage_equality_deletes(spark: SparkSession, sf_dir: str):
+    """Write an Iceberg-v2 EQUALITY delete file against the
+    month-staged orders table: a parquet of o_custkey VALUES (no
+    positions — the delete applies wherever the key appears, which is
+    what makes equality deletes cheap to write for CDC upserts).
+    Returns (data_root, delete_dir, n_del_keys, n_del_rows)."""
+    key = _ED_CACHE.scoped_key(spark, sf_dir)
+    cached = _ED_CACHE.get(key)
+    if cached is not None:
+        return cached
+    root, _manifest, _n = _stage_manifest_table(spark, sf_dir)
+    ddir = _tracked_mkdtemp(prefix="orders_eqdel_") + "/deletes"
+    base = spark.read.parquet(root)
+    (
+        base.filter(F.col("o_custkey") % _ED_MOD == 0)
+        .select("o_custkey")
+        .distinct()
+        .write.parquet(ddir)
+    )
+    n_del_keys = spark.read.parquet(ddir).count()
+    n_del_rows = base.filter(F.col("o_custkey") % _ED_MOD == 0).count()
+    _ED_CACHE[key] = (root, ddir, n_del_keys, n_del_rows)
+    return _ED_CACHE[key]
+
+
+@query(
+    "q_read_equality_deletes",
+    oracle=f"""
+    WITH nd AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_del_keys,
+               CAST(COUNT(*) AS BIGINT) AS n_del_rows
+        FROM orders WHERE o_custkey % {_ED_MOD} = 0
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total,
+           n_del_keys, n_del_rows
+    FROM orders, nd
+    WHERE o_custkey % {_ED_MOD} <> 0
+    GROUP BY month, n_del_keys, n_del_rows
+    ORDER BY month
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_read_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ with EQUALITY delete files — Iceberg v2's second
+    delete type and the one CDC writers actually emit (writing a key
+    value is O(1); finding its positions would need a scan). The
+    delete file lists o_custkey VALUES; every read anti-joins the
+    data on the equality column. Together with
+    q_read_position_deletes this completes the v2 row-level-delete
+    story: equality deletes are cheap to WRITE and costlier to READ
+    (the anti join keys on a data column, so it can't be file-local);
+    position deletes are the opposite — and real compactors convert
+    the former into the latter, exactly the trade the two keys'
+    plans demonstrate side by side.
+
+    100 TB shape: the delete-key frame is broadcast while small (CDC
+    batches); at large delete volumes the anti join shuffles on the
+    equality column like any join — which is WHY Iceberg compacts
+    equality deletes into position deletes as they age. Proof
+    columns: n_del_keys (file contents) and n_del_rows (rows
+    suppressed), both oracle-recomputed from the raw table."""
+    root, ddir, n_del_keys, n_del_rows = _stage_equality_deletes(
+        spark, sf_dir
+    )
+    base = spark.read.parquet(root)
+    dels = spark.read.parquet(ddir)
+    live = base.join(F.broadcast(dels), "o_custkey", "left_anti")
+    return (
+        live.groupBy(F.col("month").cast("string").alias("month"))
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .select(
+            "month",
+            "n_live",
+            "cents_total",
+            F.lit(n_del_keys).cast("long").alias("n_del_keys"),
+            F.lit(n_del_rows).cast("long").alias("n_del_rows"),
+        )
+        .orderBy("month")
+    )

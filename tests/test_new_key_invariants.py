@@ -597,3 +597,76 @@ def test_position_deletes_remove_exactly_the_tombstoned_rows(
         .count()
     )
     assert leaked == 0
+
+
+def test_mmr_diversification_laws(spark, sf_dir):
+    """Each query yields exactly S distinct picks from its shortlist;
+    pick 1 is the relevance argmax; MMR scores are non-increasing in
+    pick order ONLY for rank ≥ 2 (rank-1 is raw relevance); every
+    later pick's mmr ≤ its own rel (the diversity penalty only
+    subtracts)."""
+    from ex_aws_firehose_spark.operators.llm import (
+        MMR_QUERIES,
+        MMR_SELECT,
+    )
+
+    rows = REGISTRY["q_sim_mmr_rerank"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == MMR_QUERIES
+    for qid, picks in by_q.items():
+        picks.sort(key=lambda r: r.pick_rank)
+        assert [p.pick_rank for p in picks] == list(
+            range(1, MMR_SELECT + 1)
+        )
+        assert len({p.vec_id for p in picks}) == MMR_SELECT
+        assert picks[0].mmr == picks[0].rel
+        for p in picks[1:]:
+            assert p.mmr <= p.rel + 1e-9, (qid, p)
+        tail = [p.mmr for p in picks[1:]]
+        assert tail == sorted(tail, reverse=True), (qid, tail)
+
+
+def test_equality_deletes_suppress_all_key_rows(spark, sf_dir):
+    """No live row carries a deleted key; live + deleted rows == total;
+    every delete key had ≥ 1 row (keys harvested from the data)."""
+    from ex_aws_firehose_spark.sources.formats import (
+        _ED_MOD,
+        _stage_equality_deletes,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    out = REGISTRY["q_read_equality_deletes"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    n_live = sum(r.n_live for r in rows)
+    assert n_live + rows[0].n_del_rows == n_orders
+    assert 0 < rows[0].n_del_keys <= rows[0].n_del_rows
+    root, ddir, _k, _r = _stage_equality_deletes(spark, sf_dir)
+    leaked = (
+        spark.read.parquet(root)
+        .join(spark.read.parquet(ddir), "o_custkey", "left_semi")
+        .count()
+    )
+    assert leaked == rows[0].n_del_rows  # join finds exactly those rows
+
+
+def test_scalar_ip_classes_partition_the_space(spark, sf_dir):
+    """Class counts sum to the event count; every class fires at this
+    SF; distinct IPs ≤ events; dotted strings parse back to 4 octets."""
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = REGISTRY["q_scalar_ip"].fn(spark, sf_dir).collect()
+    classes = {r.ip_class for r in rows}
+    assert {"private", "loopback", "multicast", "public"} == classes
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_events for r in rows) == n_events
+    for r in rows:
+        assert 0 < r.n_distinct_ip <= r.n_events, r
+        for ip in (r.min_ip, r.max_ip):
+            parts = ip.split(".")
+            assert len(parts) == 4 and all(
+                0 <= int(p) <= 255 for p in parts
+            ), ip
