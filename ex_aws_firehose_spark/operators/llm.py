@@ -11348,3 +11348,156 @@ def q_sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rel",
         F.round("mmr", 6).alias("mmr"),
     ).orderBy("query_id", "pick_rank")
+
+
+# ---------------------------------------------------------------------------
+# Similarity: attribute-FILTERED ANN (pre-filter vs post-filter recall)
+# ---------------------------------------------------------------------------
+
+ANN_FILTER_LABEL = 3
+
+
+def _ann_filtered_oracle() -> str:
+    ctes, _cb, last_asg, probed = _ivf_ctes()
+    cos = duck_cosine("e.embedding", "q.qv")
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f""",
+    truth AS (
+        SELECT e.vec_id FROM embeddings e CROSS JOIN q
+        WHERE e.label = {ANN_FILTER_LABEL} AND e.vec_id <> 0
+        ORDER BY round({cos}, 6) DESC, e.vec_id
+        LIMIT {TOPK}
+    ),
+    post AS (
+        SELECT vec_id, label FROM (
+            SELECT e.vec_id, e.label FROM embeddings e
+            JOIN {last_asg} a USING (vec_id) CROSS JOIN q
+            WHERE a.cell IN (SELECT cell FROM {probed})
+              AND e.vec_id <> 0
+            ORDER BY round({cos}, 6) DESC, e.vec_id
+            LIMIT {TOPK}
+        ) WHERE label = {ANN_FILTER_LABEL}
+    ),
+    pre AS (
+        SELECT e.vec_id FROM embeddings e
+        JOIN {last_asg} a USING (vec_id) CROSS JOIN q
+        WHERE a.cell IN (SELECT cell FROM {probed})
+          AND e.vec_id <> 0 AND e.label = {ANN_FILTER_LABEL}
+        ORDER BY round({cos}, 6) DESC, e.vec_id
+        LIMIT {TOPK}
+    ),
+    u AS (
+        SELECT 'post_filter' AS strategy,
+               CAST((SELECT COUNT(*) FROM post) AS BIGINT) AS n_returned,
+               CAST((SELECT COUNT(*) FROM post
+                     WHERE vec_id IN (SELECT vec_id FROM truth))
+                    AS BIGINT) AS n_hits
+        UNION ALL
+        SELECT 'pre_filter',
+               CAST((SELECT COUNT(*) FROM pre) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM pre
+                     WHERE vec_id IN (SELECT vec_id FROM truth))
+                    AS BIGINT)
+    )
+    SELECT strategy, n_returned, n_hits,
+           CAST(100 * n_hits // {TOPK} AS BIGINT) AS recall_pct
+    FROM u ORDER BY strategy
+    """
+    )
+
+
+@query(
+    "q_sim_ann_filtered",
+    oracle=_ann_filtered_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED vector search — the serving feature every
+    production ANN system must get right (metadata-constrained
+    retrieval): top-k restricted to label = 3, answered two ways over
+    the SAME trained IVF index and nprobe budget. POST-filter (rank
+    the probed cells unfiltered, then drop non-matching results) is
+    what a filter-unaware index does — with a 1/10-selective filter
+    it returns ~1 of k asked-for results. PRE-filter (push the
+    predicate into the inverted lists, then rank) returns a full k
+    and strictly dominates on recall at the same probe budget. Both
+    are scored against the exact filtered top-k; the two-row report
+    is the pre/post decision every vector store documents
+    (filter-aware search beats filter-after-search).
+
+    100 TB shape: identical to q_sim_ann_ivf — codebook broadcast,
+    probe scans nprobe/ncells of the lists — plus ONE pushed-down
+    predicate on the list scan for the pre-filter arm (free: it's a
+    parquet filter when lists are label-partitioned). The exact-truth
+    arm exists only for the contract row."""
+    cb, members = ivf_train(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    probe_cos = cosine(F.col("cvec"), F.col("qv"))
+    probed = (
+        cb.crossJoin(qv)
+        .select("cell", F.round(probe_cos, 6).alias("pc"))
+        .orderBy(F.col("pc").desc(), F.col("cell"))
+        .limit(ANN_NPROBE)
+        .select("cell")
+    )
+    cos = cosine(F.col("embedding"), F.col("qv"))
+    truth = (
+        e.filter(
+            (F.col("label") == ANN_FILTER_LABEL) & (F.col("vec_id") != 0)
+        )
+        .crossJoin(qv)
+        .select("vec_id", F.round(cos, 6).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("vec_id"))
+        .limit(TOPK)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    lists = (
+        members.join(F.broadcast(probed), "cell", "left_semi")
+        .filter(F.col("vec_id") != 0)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .crossJoin(qv)
+    )
+    post = (
+        lists.select("vec_id", "label", F.round(cos, 6).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("vec_id"))
+        .limit(TOPK)
+        .filter(F.col("label") == ANN_FILTER_LABEL)
+        .select("vec_id")
+    )
+    pre = (
+        lists.filter(F.col("label") == ANN_FILTER_LABEL)
+        .select("vec_id", F.round(cos, 6).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("vec_id"))
+        .limit(TOPK)
+        .select("vec_id")
+    )
+
+    def score(name: str, picks: DataFrame) -> DataFrame:
+        n_ret = picks.agg(F.count("*").alias("n_returned"))
+        n_hit = picks.join(truth, "vec_id", "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        return (
+            F.broadcast(n_ret)
+            .crossJoin(F.broadcast(n_hit))
+            .select(
+                F.lit(name).alias("strategy"),
+                "n_returned",
+                "n_hits",
+                F.expr(f"CAST(100 * n_hits div {TOPK} AS LONG)").alias(
+                    "recall_pct"
+                ),
+            )
+        )
+
+    return (
+        score("post_filter", post)
+        .unionByName(score("pre_filter", pre))
+        .orderBy("strategy")
+    )

@@ -752,3 +752,26 @@ def test_two_hop_reach_exact_on_collected_graph(spark, sf_dir):
         two.discard(r.user_id)
         assert r.n_2hop == len(two), (r, len(two))
         assert r.reach == r.deg + r.n_2hop
+
+
+def test_ann_filtered_pre_dominates_post(spark, sf_dir):
+    """Pre-filter returns a full k and never fewer hits than
+    post-filter at the same probe budget; post-filter returns ≤ k
+    after dropping non-matching results; hits ≤ returned."""
+    from ex_aws_firehose_spark.operators.llm import TOPK
+
+    rows = {
+        r.strategy: r
+        for r in REGISTRY["q_sim_ann_filtered"].fn(spark, sf_dir).collect()
+    }
+    pre, post = rows["pre_filter"], rows["post_filter"]
+    # post ⊆ pre (both rank by the same score over the same lists),
+    # so pre dominates on BOTH returned count and hits — the theorem,
+    # independent of how many filtered vectors the probed cells hold.
+    assert post.n_returned <= pre.n_returned <= TOPK
+    assert post.n_returned < TOPK  # the filter-unaware failure mode
+    assert pre.n_hits >= post.n_hits
+    assert pre.n_returned > post.n_returned  # strict on this fixture
+    for r in (pre, post):
+        assert 0 <= r.n_hits <= r.n_returned, r
+        assert r.recall_pct == 100 * r.n_hits // TOPK, r
