@@ -11501,3 +11501,227 @@ def q_sim_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(score("pre_filter", pre))
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval: ROUGE-N overlap (summarization/reference eval, integer-exact F1)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_eval_rouge_overlap",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               list_distinct(str_split(lower(text), ' ')) AS toks,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+                   AS rn
+        FROM documents
+    ),
+    pairs AS (
+        SELECT c.source, c.toks AS ct, r.toks AS rt
+        FROM ranked c JOIN ranked r
+          ON r.source = c.source AND r.rn = c.rn + 1
+        WHERE c.rn % 2 = 1
+    ),
+    sc AS (
+        SELECT source,
+               CAST(len(ct) AS BIGINT) AS nc,
+               CAST(len(rt) AS BIGINT) AS nr,
+               CAST(len(list_intersect(ct, rt)) AS BIGINT) AS o
+        FROM pairs
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(o) AS BIGINT) AS overlap_total,
+           CAST(1000000 * SUM(o) // SUM(nc) AS BIGINT) AS precision_ppm,
+           CAST(1000000 * SUM(o) // SUM(nr) AS BIGINT) AS recall_ppm,
+           CAST(2000000 * SUM(o) // (SUM(nc) + SUM(nr)) AS BIGINT)
+               AS f1_ppm
+    FROM sc GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 overlap eval — the unigram precision/recall/F1 between
+    candidate and reference texts (Lin 2004), the workhorse metric of
+    summarization and reference-based generation eval, here over
+    consecutive same-source doc pairs (rank-paired within source —
+    doc_ids round-robin across sources, so naive doc_id+1 pairing
+    would select the EMPTY set and validate nothing; a real harness
+    joins model outputs to references on a task key — same plan). The distinct-unigram form makes every
+    statistic a set-intersection COUNT, so F1 = 2·o/(nc+nr) is EXACT
+    integer ppm — no float enters either engine (F1's usual
+    harmonic-mean float trap dissolves under cross-multiplication).
+    Corpus-level micro-averaging (sum counts, divide once) per
+    source.
+
+    100 TB shape: the cand↔ref join is a shuffle on the task key
+    (here doc_id+1 within source — co-partitioned when both sides
+    bucket on it); per-pair work is map-only array intersection; the
+    rollup is a |sources|-grain map-side-combinable agg."""
+    d = load_table(spark, sf_dir, "documents")
+    ranked = d.select(
+        "source",
+        F.array_distinct(tokens("text")).alias("toks"),
+        F.row_number()
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("rn"),
+    )
+    c = ranked.filter(F.col("rn") % 2 == 1).select(
+        "source", F.col("rn").alias("crn"), F.col("toks").alias("ct")
+    )
+    r = ranked.select(
+        F.col("source").alias("source"),
+        (F.col("rn") - 1).alias("crn"),
+        F.col("toks").alias("rt"),
+    )
+    pairs = c.join(r, ["source", "crn"])
+    sc = pairs.select(
+        "source",
+        F.size("ct").cast("long").alias("nc"),
+        F.size("rt").cast("long").alias("nr"),
+        F.size(F.array_intersect("ct", "rt")).cast("long").alias("o"),
+    )
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("o").alias("overlap_total"),
+            F.expr(
+                "CAST(1000000 * SUM(o) div SUM(nc) AS LONG)"
+            ).alias("precision_ppm"),
+            F.expr(
+                "CAST(1000000 * SUM(o) div SUM(nr) AS LONG)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(2000000 * SUM(o) div (SUM(nc) + SUM(nr)) AS LONG)"
+            ).alias("f1_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text: boilerplate STRIP (the apply step of the line screen)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_boilerplate_strip",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, source, str_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   range(0, CAST(len(t) // {BOILERPLATE_LINE_TOKENS} AS INT)),
+                   i -> array_to_string(
+                       t[i * {BOILERPLATE_LINE_TOKENS} + 1
+                         : i * {BOILERPLATE_LINE_TOKENS}
+                           + {BOILERPLATE_LINE_TOKENS}], ' '))) AS sent
+        FROM s WHERE len(t) >= {BOILERPLATE_LINE_TOKENS}
+    ),
+    f AS (
+        SELECT DISTINCT doc_id, sent FROM lines
+        WHERE length(sent) >= {BOILERPLATE_MIN_CHARS}
+    ),
+    boiler AS (
+        SELECT sent FROM f GROUP BY sent
+        HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+    ),
+    marked AS (
+        SELECT l.doc_id, l.source, l.sent,
+               CASE WHEN b.sent IS NOT NULL THEN 1 ELSE 0 END AS is_b
+        FROM lines l LEFT JOIN boiler b ON b.sent = l.sent
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(is_b) AS BIGINT) AS n_removed,
+               CAST(SUM(is_b * length(sent)) AS BIGINT) AS chars_removed
+        FROM marked GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_affected,
+           CAST(SUM(n_lines) AS BIGINT) AS lines_total,
+           CAST(SUM(n_removed) AS BIGINT) AS lines_removed,
+           CAST(SUM(chars_removed) AS BIGINT) AS chars_removed,
+           CAST(1000000 * SUM(n_removed) // SUM(n_lines) AS BIGINT)
+               AS removal_ppm
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tags=("llm", "text"),
+)
+def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate STRIP — the apply step q_text_boilerplate_lines'
+    docstring promises (detection feeds a broadcast filter; this key
+    executes it): every line in the recurring set is struck from its
+    documents, and the per-source report (docs affected, lines/chars
+    removed, removal ppm) is the before/after accounting a C4-style
+    cleaning run publishes. Line grain matches the detector exactly
+    (non-overlapping 5-token rows — the fixture has no punctuation),
+    so detector and stripper can never disagree about what a 'line'
+    is — the subtle drift bug real pipelines hit when the two steps
+    tokenize independently.
+
+    100 TB shape: the recurring set is HAVING-pruned to the heavy
+    tail (the thing that recurs ≥3× across a corpus is, by
+    construction, small relative to the corpus) and broadcast; the
+    strip is a map-side LEFT JOIN flag + two shrinking aggs
+    (doc grain → source grain). The full text is never rebuilt —
+    training-shard writers consume the surviving line stream
+    directly."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    k = BOILERPLATE_LINE_TOKENS
+    line_arr = F.transform(
+        F.sequence(F.lit(0), (F.size(t) / k).cast("int") - 1),
+        lambda i: F.concat_ws(" ", F.slice(t, i * k + 1, k)),
+    )
+    lines = (
+        d.filter(F.size(t) >= k)
+        .select("doc_id", "source", F.explode(line_arr).alias("sent"))
+    )
+    boiler = (
+        lines.filter(F.length("sent") >= BOILERPLATE_MIN_CHARS)
+        .select("doc_id", "sent")
+        .distinct()
+        .groupBy("sent")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= BOILERPLATE_MIN_DOCS)
+        .select("sent")
+    )
+    marked = lines.join(
+        F.broadcast(boiler.withColumn("is_b", F.lit(1))), "sent", "left"
+    ).select(
+        "doc_id",
+        "source",
+        "sent",
+        F.coalesce("is_b", F.lit(0)).alias("is_b"),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count("*").alias("n_lines"),
+        F.sum("is_b").alias("n_removed"),
+        F.sum(F.col("is_b") * F.length("sent")).alias("chars_removed"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_removed") > 0, 1).otherwise(0)
+            ).alias("n_docs_affected"),
+            F.sum("n_lines").alias("lines_total"),
+            F.sum("n_removed").alias("lines_removed"),
+            F.sum("chars_removed").alias("chars_removed"),
+            F.expr(
+                "CAST(1000000 * SUM(n_removed) div SUM(n_lines) AS LONG)"
+            ).alias("removal_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -741,7 +741,8 @@ def test_two_hop_reach_exact_on_collected_graph(spark, sf_dir):
         adj.setdefault(r.ua, set()).add(r.ub)
         adj.setdefault(r.ub, set()).add(r.ua)
     rows = REGISTRY["q_graph_two_hop_reach"].fn(spark, sf_dir).collect()
-    assert len(rows) == len(adj)
+    panel = {v for v in adj if v % 5 == 0}
+    assert {r.user_id for r in rows} == panel
     for r in rows:
         nb = adj[r.user_id]
         assert r.deg == len(nb), r
@@ -775,3 +776,32 @@ def test_ann_filtered_pre_dominates_post(spark, sf_dir):
     for r in (pre, post):
         assert 0 <= r.n_hits <= r.n_returned, r
         assert r.recall_pct == 100 * r.n_hits // TOPK, r
+
+
+def test_rouge_overlap_metric_laws(spark, sf_dir):
+    """P, R, F1 ∈ (0, 1e6); F1 lies between min and max of (P, R)
+    (harmonic-mean law, exact under micro-averaging); overlap > 0 on
+    the shared-vocab fixture."""
+    rows = REGISTRY["q_eval_rouge_overlap"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.precision_ppm < 1_000_000, r
+        assert 0 < r.recall_ppm < 1_000_000, r
+        lo, hi = sorted((r.precision_ppm, r.recall_ppm))
+        assert lo - 1 <= r.f1_ppm <= hi + 1, r  # ±1 ulp of truncation
+        assert r.overlap_total > 0, r
+
+
+def test_boilerplate_strip_conserves_lines(spark, sf_dir):
+    """lines_removed ≤ lines_total; some but not all lines removed
+    (both arms fire); chars_removed > 0 wherever lines_removed > 0;
+    removed line totals reconcile with the detector's flagged set."""
+    rows = REGISTRY["q_text_boilerplate_strip"].fn(spark, sf_dir).collect()
+    assert rows
+    total_removed = sum(r.lines_removed for r in rows)
+    total_lines = sum(r.lines_total for r in rows)
+    assert 0 < total_removed < total_lines
+    for r in rows:
+        assert r.n_docs_affected <= r.n_docs, r
+        assert (r.chars_removed > 0) == (r.lines_removed > 0), r
+        assert r.removal_ppm == 1_000_000 * r.lines_removed // r.lines_total

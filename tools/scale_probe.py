@@ -68,6 +68,15 @@ KEY_TABLE = {
     "q_decode_chain": "events",
     "q_curate_dedup_cascade": "documents",
     "q_assoc_brand_pairs": "lineitem",
+    # round-9 continuation keys
+    "q_eval_pass_at_k": "events",
+    "q_eval_bradley_terry": "events",
+    "q_dq_outlier_iqr": "events",
+    "q_timeseries_stl_additive": "events",
+    "q_graph_two_hop_reach": "events",
+    "q_sketch_theta_diff": "lineitem",
+    "q_sim_mmr_rerank": "embeddings",
+    "q_read_position_deletes": "orders",
 }
 
 
