@@ -3808,3 +3808,66 @@ def q_scalar_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ip_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window: cumulative distribution + percent rank (the remaining rank pair)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_window_cume_dist",
+    oracle="""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 997 = 0
+    )
+    SELECT o_orderpriority, cents,
+           CAST(ROUND(CUME_DIST() OVER w * 1000000) AS BIGINT)
+               AS cume_dist_ppm,
+           CAST(ROUND(PERCENT_RANK() OVER w * 1000000) AS BIGINT)
+               AS pct_rank_ppm
+    FROM cents
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY cents)
+    ORDER BY o_orderpriority, cents
+    """,
+    tags=("relational", "window"),
+)
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST + PERCENT_RANK — the two distribution-position
+    window functions that complete the rank family next to
+    rank/dense_rank/ntile/ratio_to_report: per priority class, each
+    sampled order's cumulative-distribution position (fraction ≤ it)
+    and its percent rank ((rank−1)/(n−1)). Both are rank-over-count
+    rationals; the ppm values are ROUND(·×10⁶) of fractions whose
+    denominators are small sample counts, and Spark and DuckDB
+    produce the identical double before the one rounding (the
+    cosine-parity convention; ties collapse to equal positions by
+    SQL definition, so tie order can't leak in). The 1/997 key
+    sample keeps the output row-grain while exercising real window
+    mechanics.
+
+    100 TB shape: one shuffle on the partition key, one sort within —
+    the canonical window plan; the sample predicate is pushed to the
+    scan (plan-gated like every selective key)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("cents")
+    return (
+        o.filter(F.col("o_orderkey") % 997 == 0)
+        .select(
+            "o_orderpriority",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .select(
+            "o_orderpriority",
+            "cents",
+            F.round(F.cume_dist().over(w) * 1000000)
+            .cast("long")
+            .alias("cume_dist_ppm"),
+            F.round(F.percent_rank().over(w) * 1000000)
+            .cast("long")
+            .alias("pct_rank_ppm"),
+        )
+        .orderBy("o_orderpriority", "cents")
+    )

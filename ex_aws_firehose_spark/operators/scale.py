@@ -4912,3 +4912,87 @@ def q_graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph: bipartite projection (user×type → type co-engagement graph)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_graph_bipartite_projection",
+    oracle="""
+    WITH ut AS (
+        SELECT DISTINCT user_id, event_type FROM events
+    ),
+    deg AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM ut GROUP BY event_type
+    ),
+    proj AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_both,
+           da.n_users AS n_a, db.n_users AS n_b,
+           CAST(1000000 * n_both // (da.n_users + db.n_users - n_both)
+                AS BIGINT) AS jaccard_ppm
+    FROM proj JOIN deg da ON da.event_type = type_a
+              JOIN deg db ON db.event_type = type_b
+    ORDER BY type_a, type_b
+    """,
+    tags=("scale", "graph"),
+)
+def q_graph_bipartite_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BIPARTITE projection — the standard reduction from a two-mode
+    graph (user × event_type engagement) to a one-mode co-engagement
+    graph over the small side: edge weight = users engaging both
+    types, normalized to exact-ppm Jaccard over the type audiences.
+    This is the item-item graph every 'users who did X also did Y'
+    recommender starts from, and the projection direction matters:
+    projecting onto the SMALL side (|types|² pairs) is cheap; the
+    user-side projection is the co-occurrence graph the
+    triangle/k-core family already builds with a threshold.
+
+    100 TB shape: one DISTINCT to (user, type) grain — the only
+    data-scale shuffle — then a self-join keyed on user_id whose
+    output is bounded by |types|² per user (25 here), and a
+    |types|²-row rollup. Audience sizes broadcast back onto the
+    pair frame."""
+    e = load_table(spark, sf_dir, "events")
+    ut = e.select("user_id", "event_type").distinct().localCheckpoint()
+    deg = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    proj = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    da = deg.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    db = deg.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        proj.join(F.broadcast(da), "type_a")
+        .join(F.broadcast(db), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.expr(
+                "CAST(1000000 * n_both div (n_a + n_b - n_both) AS LONG)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2225,3 +2225,63 @@ def q_read_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental scan between snapshots (the CDC read of the commit log)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_read_incremental_scan",
+    oracle=f"""
+    WITH g AS (
+        SELECT o_orderkey % {SNAP_GROUPS} AS commit_id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT CAST(commit_id AS BIGINT) AS commit_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM g WHERE commit_id >= {SNAP_PIN}
+    GROUP BY commit_id ORDER BY commit_id
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_read_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL scan between two snapshots — the Iceberg
+    incremental-read / Delta CDF consumption pattern that turns a
+    table into a change feed: everything q_read_snapshot_isolation's
+    pinned reader has NOT yet seen, i.e. exactly the commits in
+    (SNAP_PIN, head], resolved as a commit-log RANGE filter and read
+    per commit (the consumer's natural batch grain). Together the two
+    keys are the complete catch-up protocol: bootstrap from the
+    snapshot, then consume increments — with the guarantee that
+    snapshot ∪ increments = head with no overlap, which the oracle's
+    partition of the raw table enforces by hash.
+
+    100 TB shape: planning is a metadata-grain prefix/range filter on
+    the commit log; the scan reads ONLY the delta commits' files —
+    incremental consumers never rescan history, which is the entire
+    point. Per-commit output preserves the consumer's exactly-once
+    batch boundary."""
+    data, man = _stage_committed_table(spark, sf_dir)
+    log = spark.read.parquet(man)
+    delta = log.filter(F.col("commit_id") >= SNAP_PIN).collect()
+    frames = []
+    for r in sorted(delta, key=lambda r: r.commit_id):
+        t = spark.read.option("basePath", data).parquet(r.path)
+        frames.append(
+            t.agg(
+                F.count("*").alias("n_rows"),
+                F.sum("cents").alias("cents_total"),
+            ).select(
+                F.lit(r.commit_id).cast("long").alias("commit_id"),
+                "n_rows",
+                "cents_total",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("commit_id")

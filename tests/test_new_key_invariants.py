@@ -805,3 +805,61 @@ def test_boilerplate_strip_conserves_lines(spark, sf_dir):
         assert r.n_docs_affected <= r.n_docs, r
         assert (r.chars_removed > 0) == (r.lines_removed > 0), r
         assert r.removal_ppm == 1_000_000 * r.lines_removed // r.lines_total
+
+
+def test_incremental_scan_completes_the_snapshot(spark, sf_dir):
+    """snapshot ∪ increments = head, no overlap: the pinned snapshot's
+    rows plus the delta commits' rows must equal the full table in
+    both count and cent-sum."""
+    snap = {
+        r.version: r
+        for r in REGISTRY["q_read_snapshot_isolation"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    inc = REGISTRY["q_read_incremental_scan"].fn(spark, sf_dir).collect()
+    from ex_aws_firehose_spark.sources.formats import SNAP_GROUPS, SNAP_PIN
+
+    assert [r.commit_id for r in inc] == list(range(SNAP_PIN, SNAP_GROUPS))
+    assert (
+        snap["snapshot"].n_rows + sum(r.n_rows for r in inc)
+        == snap["head"].n_rows
+    )
+    assert (
+        snap["snapshot"].cents_total + sum(r.cents_total for r in inc)
+        == snap["head"].cents_total
+    )
+
+
+def test_bipartite_projection_complete_and_bounded(spark, sf_dir):
+    """All C(5,2)=10 type pairs present (every pair co-engaged on this
+    fixture); n_both ≤ min(n_a, n_b); jaccard ∈ (0, 1e6]."""
+    rows = REGISTRY["q_graph_bipartite_projection"].fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.type_a < r.type_b
+        assert 0 < r.n_both <= min(r.n_a, r.n_b), r
+        assert 0 < r.jaccard_ppm <= 1_000_000, r
+
+
+def test_cume_dist_window_laws(spark, sf_dir):
+    """Within each partition: cume_dist is nondecreasing, ends at 1e6;
+    percent_rank starts at 0, ends at 1e6 (for n>1); both in [0,1e6]."""
+    rows = REGISTRY["q_window_cume_dist"].fn(spark, sf_dir).collect()
+    assert rows
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r.o_orderpriority, []).append(r)
+    for _p, rs in by_p.items():
+        cd = [r.cume_dist_ppm for r in rs]
+        assert cd == sorted(cd)
+        assert cd[-1] == 1_000_000
+        pr = [r.pct_rank_ppm for r in rs]
+        assert pr[0] == 0
+        if len(rs) > 1:
+            assert pr[-1] == 1_000_000
+        for r in rs:
+            assert 0 <= r.cume_dist_ppm <= 1_000_000
+            assert 0 <= r.pct_rank_ppm <= 1_000_000
