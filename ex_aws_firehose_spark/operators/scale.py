@@ -4923,7 +4923,8 @@ def q_graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_graph_bipartite_projection",
     oracle="""
     WITH ut AS (
-        SELECT DISTINCT user_id, event_type FROM events
+        SELECT user_id, event_type FROM events
+        GROUP BY user_id, event_type HAVING COUNT(*) >= 16
     ),
     deg AS (
         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
@@ -4951,21 +4952,32 @@ def q_graph_bipartite_projection(
 ) -> DataFrame:
     """BIPARTITE projection — the standard reduction from a two-mode
     graph (user × event_type engagement) to a one-mode co-engagement
-    graph over the small side: edge weight = users engaging both
-    types, normalized to exact-ppm Jaccard over the type audiences.
+    graph over the small side: edge weight = users HABITUALLY engaging
+    both types (≥16 events of the type — the 75th percentile of the
+    measured per-(user,type) frequency, SF-stable because events/user
+    is density-constant; a raw any-engagement projection is a
+    complete graph on this fixture, every Jaccard 1.0 — the
+    degenerate-detector sweep caught it), normalized to exact-ppm
+    Jaccard over the type audiences.
     This is the item-item graph every 'users who did X also did Y'
     recommender starts from, and the projection direction matters:
     projecting onto the SMALL side (|types|² pairs) is cheap; the
     user-side projection is the co-occurrence graph the
     triangle/k-core family already builds with a threshold.
 
-    100 TB shape: one DISTINCT to (user, type) grain — the only
+    100 TB shape: one hash agg to (user, type) grain — the only
     data-scale shuffle — then a self-join keyed on user_id whose
     output is bounded by |types|² per user (25 here), and a
     |types|²-row rollup. Audience sizes broadcast back onto the
     pair frame."""
     e = load_table(spark, sf_dir, "events")
-    ut = e.select("user_id", "event_type").distinct().localCheckpoint()
+    ut = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 16)
+        .select("user_id", "event_type")
+        .localCheckpoint()
+    )
     deg = ut.groupBy("event_type").agg(F.count("*").alias("n_users"))
     a = ut.select("user_id", F.col("event_type").alias("type_a"))
     b = ut.select("user_id", F.col("event_type").alias("type_b"))

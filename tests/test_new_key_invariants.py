@@ -832,8 +832,10 @@ def test_incremental_scan_completes_the_snapshot(spark, sf_dir):
 
 
 def test_bipartite_projection_complete_and_bounded(spark, sf_dir):
-    """All C(5,2)=10 type pairs present (every pair co-engaged on this
-    fixture); n_both ≤ min(n_a, n_b); jaccard ∈ (0, 1e6]."""
+    """All C(5,2)=10 type pairs present; n_both ≤ min(n_a, n_b);
+    jaccard strictly inside (0, 1e6) and NON-CONSTANT across pairs —
+    the habitual-engagement threshold must break the complete-graph
+    degeneracy the raw projection has on this fixture."""
     rows = REGISTRY["q_graph_bipartite_projection"].fn(
         spark, sf_dir
     ).collect()
@@ -841,7 +843,9 @@ def test_bipartite_projection_complete_and_bounded(spark, sf_dir):
     for r in rows:
         assert r.type_a < r.type_b
         assert 0 < r.n_both <= min(r.n_a, r.n_b), r
-        assert 0 < r.jaccard_ppm <= 1_000_000, r
+        assert 0 < r.jaccard_ppm < 1_000_000, r
+    assert len({r.jaccard_ppm for r in rows}) > 1
+    assert len({r.n_both for r in rows}) > 1
 
 
 def test_cume_dist_window_laws(spark, sf_dir):
