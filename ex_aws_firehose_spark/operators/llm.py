@@ -11725,3 +11725,132 @@ def q_text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: hard-negative mining for retrieval training
+# ---------------------------------------------------------------------------
+
+HARDNEG_K = 5
+
+
+def _hardneg_oracle() -> str:
+    cos = duck_cosine("e.embedding", "cb.cvec")
+    return f"""
+    WITH pos AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+               unnest(embedding) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS cell, pos,
+               SUM(CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM pos GROUP BY label, pos
+    ),
+    cb AS (
+        SELECT cell, list(CAST(s AS DOUBLE) / (1000.0 * n) ORDER BY pos)
+            AS cvec
+        FROM cent GROUP BY cell
+    ),
+    scored AS (
+        SELECT cb.cell, e.vec_id, e.label,
+               CAST(FLOOR(round({cos}, 6) * 1000000) AS BIGINT) AS c_ppm
+        FROM embeddings e CROSS JOIN cb
+    ),
+    pospick AS (
+        SELECT cell, c_ppm FROM (
+            SELECT cell, c_ppm, ROW_NUMBER() OVER (PARTITION BY cell
+                ORDER BY c_ppm DESC, vec_id) AS rn
+            FROM scored WHERE label = cell)
+        WHERE rn <= {HARDNEG_K}
+    ),
+    negpick AS (
+        SELECT cell, c_ppm FROM (
+            SELECT cell, c_ppm, ROW_NUMBER() OVER (PARTITION BY cell
+                ORDER BY c_ppm DESC, vec_id) AS rn
+            FROM scored WHERE label <> cell)
+        WHERE rn <= {HARDNEG_K}
+    ),
+    pm AS (SELECT cell, CAST(SUM(c_ppm) // COUNT(*) AS BIGINT)
+               AS pos_mean_ppm FROM pospick GROUP BY cell),
+    nm AS (SELECT cell, CAST(SUM(c_ppm) // COUNT(*) AS BIGINT)
+               AS hard_neg_mean_ppm FROM negpick GROUP BY cell)
+    SELECT CAST(pm.cell AS BIGINT) AS label, pos_mean_ppm,
+           hard_neg_mean_ppm,
+           pos_mean_ppm - hard_neg_mean_ppm AS margin_ppm
+    FROM pm JOIN nm ON nm.cell = pm.cell
+    ORDER BY label
+    """
+
+
+@query(
+    "q_curate_hard_negatives",
+    oracle=_hardneg_oracle(),
+    tags=("llm", "similarity", "curate"),
+)
+def q_curate_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-NEGATIVE mining — the contrastive-training data step
+    (DPR/SimCSE lineage): per class, the top-K other-class vectors
+    closest to the class centroid are the hard negatives a retrieval
+    trainer pairs with the top-K in-class positives, and the
+    pos-minus-hardneg MARGIN is the curriculum signal (near-zero or
+    negative margin = the class is not linearly separable in this
+    space — train on it carefully). Centroids reuse the exact
+    milli-quantized M-step (order-independent integer sums); cosines
+    floor to ppm ints BEFORE the mean so no double is ever summed
+    distributed. On this fixture margins hover near zero and some go
+    negative — the honest read of embeddings whose labels are not
+    cosine clusters (measured in round 9), which is precisely what
+    the audit exists to catch before training wastes compute.
+
+    100 TB shape: one k×dim centroid agg (map-side partial sums),
+    one broadcast-codebook scoring pass, and per-class top-K
+    (TakeOrdered, K rows/partition). The all-class scoring is one
+    scan; production narrows to candidate classes via the IVF route
+    table first."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = _ivf_m_step(
+        e.select("vec_id", F.col("label").alias("cell"), "embedding")
+    )
+    c_ppm = F.floor(
+        F.round(cosine(F.col("embedding"), F.col("cvec")), 6) * 1000000
+    ).cast("long")
+    scored = (
+        e.crossJoin(F.broadcast(cb))
+        .select("cell", "vec_id", "label", c_ppm.alias("c_ppm"))
+        .localCheckpoint()
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.desc("c_ppm"), F.col("vec_id")
+    )
+
+    def pick(cond) -> DataFrame:
+        return (
+            scored.filter(cond)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HARDNEG_K)
+            .groupBy("cell")
+            .agg(
+                F.expr("CAST(SUM(c_ppm) div COUNT(*) AS LONG)").alias("m")
+            )
+        )
+
+    pm = pick(F.col("label") == F.col("cell")).withColumnRenamed(
+        "m", "pos_mean_ppm"
+    )
+    nm = pick(F.col("label") != F.col("cell")).withColumnRenamed(
+        "m", "hard_neg_mean_ppm"
+    )
+    return (
+        pm.join(nm, "cell")
+        .select(
+            F.col("cell").cast("long").alias("label"),
+            "pos_mean_ppm",
+            "hard_neg_mean_ppm",
+            (
+                F.col("pos_mean_ppm") - F.col("hard_neg_mean_ppm")
+            ).alias("margin_ppm"),
+        )
+        .orderBy("label")
+    )

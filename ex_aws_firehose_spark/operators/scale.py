@@ -5008,3 +5008,149 @@ def q_graph_bipartite_projection(
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# DQ: Earth-mover (1-D Wasserstein) distribution drift, dual-arm
+# ---------------------------------------------------------------------------
+
+EMD_BIN_CENTS = 500  # 5.00-unit histogram bins
+EMD_BIN_CAP = 99
+
+
+@query(
+    "q_dq_emd_drift",
+    oracle=f"""
+    WITH base AS (
+        SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 0 ELSE 1 END
+                   AS half,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               event_id
+        FROM events
+    ),
+    arms AS (
+        SELECT 'observed' AS relation, half,
+               LEAST(cents // {EMD_BIN_CENTS}, {EMD_BIN_CAP}) AS bin
+        FROM base
+        UNION ALL
+        SELECT 'shifted_sim', half,
+               LEAST(CASE WHEN half = 1 THEN cents * 6 // 5
+                          ELSE cents END // {EMD_BIN_CENTS},
+                     {EMD_BIN_CAP}) AS bin
+        FROM base
+    ),
+    g AS (
+        SELECT relation, bin,
+               CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c0,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c1
+        FROM arms GROUP BY relation, bin
+    ),
+    n AS (
+        SELECT relation, CAST(SUM(c0) AS BIGINT) AS n0,
+               CAST(SUM(c1) AS BIGINT) AS n1
+        FROM g GROUP BY relation
+    ),
+    cum AS (
+        SELECT relation, bin,
+               SUM(c0) OVER (PARTITION BY relation ORDER BY bin) AS k0,
+               SUM(c1) OVER (PARTITION BY relation ORDER BY bin) AS k1
+        FROM g
+    )
+    SELECT cum.relation,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           n.n0, n.n1,
+           CAST(1000000 * SUM(ABS(k0 * n.n1 - k1 * n.n0))
+                // (COUNT(*) * n.n0 * n.n1) AS BIGINT) AS emd_x1m
+    FROM cum JOIN n ON n.relation = cum.relation
+    GROUP BY cum.relation, n.n0, n.n1
+    ORDER BY cum.relation
+    """,
+    tags=("scale", "dq"),
+)
+def q_dq_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover (1-D Wasserstein) drift between the two half-month
+    value distributions — the third drift lens next to χ² (bin
+    independence) and KS (max ECDF gap): EMD integrates the WHOLE
+    cumulative gap, so a small shift spread across every quantile —
+    invisible to χ² at fixed bins and understated by KS's single max
+    — accumulates. Closed form over sorted histograms: Σ|F₀−F₁|/B,
+    exact by cross-multiplying the two sample sizes (|k₀n₁ − k₁n₀|
+    sums in int64; one final normalization division). The fixture's
+    halves are identically distributed, so the observed arm honestly
+    reads ~0 — and the SAME detector runs over a deterministic
+    'shifted_sim' arm (second-half values ×1.2) where it fires, the
+    round-9 dual-arm fault-injection pattern.
+
+    100 TB shape: one hash agg to (relation, bin) grain — ≤2·(cap+1)
+    rows — then windows on that catalog-grain frame; the cross-
+    multiplied numerator caps the exact form near n₀·n₁·B < 2⁶³
+    (~10⁸ rows/half at B=100); past that, pre-normalize per-shard
+    counts to ppm before differencing (documented downgrade)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    base = e.select(
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("half"),
+        cents.alias("cents"),
+    )
+    obs = base.select(
+        F.lit("observed").alias("relation"),
+        "half",
+        F.least(
+            F.expr(f"cents div {EMD_BIN_CENTS}"), F.lit(EMD_BIN_CAP)
+        ).alias("bin"),
+    )
+    sim = base.select(
+        F.lit("shifted_sim").alias("relation"),
+        "half",
+        F.least(
+            F.expr(
+                "CASE WHEN half = 1 THEN cents * 6 div 5 ELSE cents END"
+                f" div {EMD_BIN_CENTS}"
+            ),
+            F.lit(EMD_BIN_CAP),
+        ).alias("bin"),
+    )
+    g = (
+        obs.unionByName(sim)
+        .groupBy("relation", "bin")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+        )
+    )
+    n = g.groupBy("relation").agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    wr = Window.partitionBy("relation").orderBy("bin")
+    cum = g.select(
+        "relation",
+        "bin",
+        F.sum("c0").over(wr).alias("k0"),
+        F.sum("c1").over(wr).alias("k1"),
+    )
+    return (
+        cum.join(F.broadcast(n), "relation")
+        .groupBy("relation", "n0", "n1")
+        .agg(
+            F.count("*").alias("n_bins"),
+            F.sum(
+                F.abs(F.col("k0") * F.col("n1") - F.col("k1") * F.col("n0"))
+            ).alias("num"),
+        )
+        .select(
+            "relation",
+            "n_bins",
+            "n0",
+            "n1",
+            F.expr(
+                "CAST(1000000 * num div (n_bins * n0 * n1) AS LONG)"
+            ).alias("emd_x1m"),
+        )
+        .orderBy("relation")
+    )

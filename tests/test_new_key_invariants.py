@@ -867,3 +867,32 @@ def test_cume_dist_window_laws(spark, sf_dir):
         for r in rs:
             assert 0 <= r.cume_dist_ppm <= 1_000_000
             assert 0 <= r.pct_rank_ppm <= 1_000_000
+
+
+def test_hard_negatives_structure(spark, sf_dir):
+    """One row per label; margins vary (not constant — the audit's
+    entire point on a non-separable space); all means in [−1e6, 1e6];
+    at least one class has a non-positive or small margin (labels are
+    not cosine clusters on this fixture)."""
+    rows = REGISTRY["q_curate_hard_negatives"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert -1_000_000 <= r.hard_neg_mean_ppm <= 1_000_000, r
+        assert -1_000_000 <= r.pos_mean_ppm <= 1_000_000, r
+        assert r.margin_ppm == r.pos_mean_ppm - r.hard_neg_mean_ppm
+    assert len({r.margin_ppm for r in rows}) > 1
+    assert min(r.margin_ppm for r in rows) < 100_000
+
+
+def test_emd_drift_dual_arm(spark, sf_dir):
+    """Observed arm ~0 (identically distributed halves); shifted_sim
+    arm fires well above it; EMD ∈ [0, 1e6]; both halves populated."""
+    rows = {
+        r.relation: r
+        for r in REGISTRY["q_dq_emd_drift"].fn(spark, sf_dir).collect()
+    }
+    obs, sim = rows["observed"], rows["shifted_sim"]
+    for r in (obs, sim):
+        assert 0 <= r.emd_x1m <= 1_000_000, r
+        assert r.n0 > 0 and r.n1 > 0, r
+    assert sim.emd_x1m > 10 * max(obs.emd_x1m, 1), (obs, sim)
