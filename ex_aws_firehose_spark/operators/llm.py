@@ -11854,3 +11854,250 @@ def q_curate_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval: Fleiss' kappa (multi-rater agreement) + preference transitivity
+# ---------------------------------------------------------------------------
+
+_FLEISS_N = 3  # raters
+
+
+def _fleiss_raters_sql() -> list[str]:
+    w1 = " ".join(
+        f"WHEN lang = '{a}' THEN '{b}'" for a, b in _KAPPA_SHIFT.items()
+    )
+    two = {a: _KAPPA_SHIFT[_KAPPA_SHIFT[a]] for a in _KAPPA_SHIFT}
+    w2 = " ".join(f"WHEN lang = '{a}' THEN '{b}'" for a, b in two.items())
+    return [
+        "lang",
+        f"CASE WHEN doc_id % 5 = 0 THEN CASE {w1} END ELSE lang END",
+        f"CASE WHEN doc_id % 7 = 0 THEN CASE {w2} END ELSE lang END",
+    ]
+
+
+@query(
+    "q_eval_fleiss_kappa",
+    oracle=f"""
+    WITH votes AS (
+        {" UNION ALL ".join(f"SELECT doc_id, {r} AS cat FROM documents" for r in _fleiss_raters_sql())}
+    ),
+    cell AS (
+        SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n_ic
+        FROM votes GROUP BY doc_id, cat
+    ),
+    s AS (
+        SELECT CAST(SUM(n_ic * n_ic) AS BIGINT) AS s,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_items
+        FROM cell
+    ),
+    t AS (
+        SELECT CAST(SUM(tc * tc) AS BIGINT) AS t FROM (
+            SELECT cat, CAST(SUM(n_ic) AS BIGINT) AS tc
+            FROM cell GROUP BY cat)
+    )
+    SELECT n_items,
+           CAST({_FLEISS_N} AS BIGINT) AS n_raters,
+           s AS sum_sq_cells,
+           t AS sum_sq_marginals,
+           CAST(1000000 *
+                ((s - n_items * {_FLEISS_N})
+                   * (n_items * {_FLEISS_N}) * (n_items * {_FLEISS_N})
+                 - t * n_items * {_FLEISS_N} * {_FLEISS_N - 1})
+                // ((n_items * {_FLEISS_N}) * {_FLEISS_N - 1}
+                    * ((n_items * {_FLEISS_N}) * (n_items * {_FLEISS_N})
+                       - t))
+                AS BIGINT) AS kappa_ppm
+    FROM s, t
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLEISS' kappa — chance-corrected agreement for MORE than two
+    raters (the panel-labeling acceptance gate; Cohen's κ only
+    handles pairs): three deterministic raters (the lang column, the
+    20% one-step-shifted copy, and a 14% two-step-shifted copy), so
+    agreement is high but imperfect and every algebraic piece is
+    non-degenerate. κ = (P̄ − P̄e)/(1 − P̄e) is evaluated fully
+    cross-multiplied — with S = Σ n_ic², T = Σ_c (Σ n_ic)², N items,
+    n raters: κ = ((S−Nn)(Nn)² − T·Nn(n−1)) / (Nn(n−1)((Nn)² − T)) —
+    all int64, one ppm division, zero floats in either engine.
+
+    100 TB shape: one (item, category) hash agg over the vote stream
+    (map-side combinable; the UNION ALL of raters is a map), a
+    |categories|-row marginal agg, and 1-row arithmetic. The (Nn)³
+    term passes 2⁶³ near ~10⁵·10³ items·raters... precisely: at
+    n=3, N ≲ 2·10⁵ for the exact form — past that compute per-shard
+    κ and pool (the standing sharded-metric note of this family)."""
+    d = load_table(spark, sf_dir, "documents")
+    shift1 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.coalesce(
+            *[
+                F.when(F.col("lang") == a, F.lit(b))
+                for a, b in _KAPPA_SHIFT.items()
+            ]
+        ),
+    ).otherwise(F.col("lang"))
+    two = {a: _KAPPA_SHIFT[_KAPPA_SHIFT[a]] for a in _KAPPA_SHIFT}
+    shift2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.coalesce(
+            *[
+                F.when(F.col("lang") == a, F.lit(b))
+                for a, b in two.items()
+            ]
+        ),
+    ).otherwise(F.col("lang"))
+    votes = (
+        d.select("doc_id", F.col("lang").alias("cat"))
+        .unionByName(d.select("doc_id", shift1.alias("cat")))
+        .unionByName(d.select("doc_id", shift2.alias("cat")))
+    )
+    cell = votes.groupBy("doc_id", "cat").agg(F.count("*").alias("n_ic"))
+    s = cell.agg(
+        F.sum(F.col("n_ic") * F.col("n_ic")).alias("s"),
+        F.countDistinct("doc_id").alias("n_items"),
+    )
+    t = (
+        cell.groupBy("cat")
+        .agg(F.sum("n_ic").alias("tc"))
+        .agg(F.sum(F.col("tc") * F.col("tc")).alias("t"))
+    )
+    n = _FLEISS_N
+    return (
+        F.broadcast(s)
+        .crossJoin(F.broadcast(t))
+        .select(
+            "n_items",
+            F.lit(n).cast("long").alias("n_raters"),
+            F.col("s").alias("sum_sq_cells"),
+            F.col("t").alias("sum_sq_marginals"),
+            F.expr(
+                f"CAST(1000000 * ((s - n_items * {n})"
+                f" * (n_items * {n}) * (n_items * {n})"
+                f" - t * n_items * {n} * {n - 1})"
+                f" div ((n_items * {n}) * {n - 1}"
+                f" * ((n_items * {n}) * (n_items * {n}) - t))"
+                " AS LONG)"
+            ).alias("kappa_ppm"),
+        )
+    )
+
+
+@query(
+    "q_eval_pref_transitivity",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS b_t, CAST(ROUND(value * 100) AS BIGINT) AS pb,
+             LAG(event_type) OVER w AS a_t,
+             LAG(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS pa
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+      SELECT a_t, b_t, CASE WHEN pa > pb THEN a_t ELSE b_t END AS win
+      FROM seq WHERE a_t IS NOT NULL AND a_t <> b_t
+    ),
+    maj AS (  -- i -> j iff i beats j strictly more often (no edge on tie)
+      SELECT i, j FROM (
+        SELECT LEAST(a_t, b_t) AS x, GREATEST(a_t, b_t) AS y,
+               CAST(SUM(CASE WHEN win = LEAST(a_t, b_t)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS wx,
+               CAST(COUNT(*) AS BIGINT) AS g
+        FROM m GROUP BY x, y
+      ), LATERAL (SELECT CASE WHEN 2 * wx > g THEN x ELSE y END AS i,
+                         CASE WHEN 2 * wx > g THEN y ELSE x END AS j)
+      WHERE 2 * wx <> g
+    ),
+    tri AS (
+      SELECT a.i AS p, a.j AS q, b.j AS r
+      FROM maj a JOIN maj b ON b.i = a.j
+      WHERE a.i <> b.j
+    ),
+    cyc AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_cyclic FROM tri
+      JOIN maj c ON c.i = tri.r AND c.j = tri.p
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM maj),
+    chains AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chains FROM tri)
+    SELECT n_edges, n_chains,
+           CAST(n_cyclic // 3 AS BIGINT) AS n_cycles,
+           CAST(1000000 * (n_cyclic // 3)
+                // GREATEST(n_chains, 1) AS BIGINT) AS cycle_ppm
+    FROM tot, chains, cyc
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_pref_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference TRANSITIVITY audit — the assumption check behind
+    every Bradley-Terry/Elo fit (q_eval_bradley_terry): a rating
+    model presumes i≻j≻k ⟹ i≻k, and panels violate it. Over the
+    same match stream, build the strict-majority tournament digraph
+    (no edge on exact ties), count directed 2-chains and the cyclic
+    triangles among them (each 3-cycle appears once per rotation →
+    divide by 3), and report the cycle rate. A high rate means the
+    single-scalar rating is the wrong model for this preference
+    data — the audit that says whether the arena leaderboard means
+    anything.
+
+    100 TB shape: identical first shuffle to the BT key (ONE user_id
+    window); everything after is |contestants|²-grain (≤20 rows) —
+    chain/cycle counting is broadcast self-joins on a tiny frame at
+    any match volume."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("b_t"),
+        cents.alias("pb"),
+        F.lag("event_type").over(wu).alias("a_t"),
+        F.lag(cents).over(wu).alias("pa"),
+    ).filter(F.col("a_t").isNotNull() & (F.col("a_t") != F.col("b_t")))
+    m = seq.select(
+        F.least("a_t", "b_t").alias("x"),
+        F.greatest("a_t", "b_t").alias("y"),
+        F.when(
+            F.when(F.col("pa") > F.col("pb"), F.col("a_t"))
+            .otherwise(F.col("b_t"))
+            == F.least("a_t", "b_t"),
+            1,
+        )
+        .otherwise(0)
+        .alias("wx"),
+    )
+    pair = m.groupBy("x", "y").agg(
+        F.sum("wx").alias("wx"), F.count("*").alias("g")
+    )
+    maj = (
+        pair.filter(2 * F.col("wx") != F.col("g"))
+        .select(
+            F.when(2 * F.col("wx") > F.col("g"), F.col("x"))
+            .otherwise(F.col("y"))
+            .alias("i"),
+            F.when(2 * F.col("wx") > F.col("g"), F.col("y"))
+            .otherwise(F.col("x"))
+            .alias("j"),
+        )
+        .localCheckpoint()
+    )
+    a = maj.select(F.col("i").alias("p"), F.col("j").alias("q"))
+    b = maj.select(F.col("i").alias("q"), F.col("j").alias("r"))
+    tri = a.join(b, "q").filter(F.col("p") != F.col("r"))
+    c = maj.select(F.col("i").alias("r"), F.col("j").alias("p"))
+    cyc = tri.join(c, ["r", "p"]).agg(F.count("*").alias("n_cyclic"))
+    tot = maj.agg(F.count("*").alias("n_edges"))
+    chains = tri.agg(F.count("*").alias("n_chains"))
+    return (
+        F.broadcast(tot)
+        .crossJoin(F.broadcast(chains))
+        .crossJoin(F.broadcast(cyc))
+        .select(
+            "n_edges",
+            "n_chains",
+            F.expr("CAST(n_cyclic div 3 AS LONG)").alias("n_cycles"),
+            F.expr(
+                "CAST(1000000 * (n_cyclic div 3)"
+                " div GREATEST(n_chains, 1) AS LONG)"
+            ).alias("cycle_ppm"),
+        )
+    )

@@ -896,3 +896,41 @@ def test_emd_drift_dual_arm(spark, sf_dir):
         assert 0 <= r.emd_x1m <= 1_000_000, r
         assert r.n0 > 0 and r.n1 > 0, r
     assert sim.emd_x1m > 10 * max(obs.emd_x1m, 1), (obs, sim)
+
+
+def test_fleiss_kappa_laws(spark, sf_dir):
+    """κ ∈ (0, 1e6) on the mostly-agreeing panel; planted law: three
+    identical raters ⇒ κ = 1e6 exactly under the integer algebra."""
+    r = REGISTRY["q_eval_fleiss_kappa"].fn(spark, sf_dir).collect()[0]
+    assert 0 < r.kappa_ppm < 1_000_000, r
+    assert r.n_raters == 3
+    # planted: N=100 items, all three raters agree, 2 categories 50/50
+    N, n = 100, 3
+    S = N * n * n  # every item: one cell with n_ic = n → n² each
+    T = 2 * (50 * n) ** 2
+    Nn = N * n
+    kappa = 1_000_000 * ((S - Nn) * Nn * Nn - T * Nn * (n - 1)) // (
+        Nn * (n - 1) * (Nn * Nn - T)
+    )
+    assert kappa == 1_000_000, kappa
+
+
+def test_pref_transitivity_counting_algebra(spark, sf_dir):
+    """Cycles ≤ chains; each cycle counted once (÷3 rotations);
+    planted law: rock-paper-scissors = exactly 1 cycle among 3
+    chains. Fixture: edges exist at every SF; the cycle arm fires at
+    sf0.1 (3/16 measured) and is honestly 0 at sf0.01 (sparse)."""
+    r = REGISTRY["q_eval_pref_transitivity"].fn(spark, sf_dir).collect()[0]
+    assert r.n_edges > 0
+    assert 0 <= r.n_cycles <= max(r.n_chains, 1)
+    assert r.cycle_ppm == 1_000_000 * r.n_cycles // max(r.n_chains, 1)
+    # planted rock-paper-scissors: A->B, B->C, C->A
+    maj = {("A", "B"), ("B", "C"), ("C", "A")}
+    chains = [
+        (p, q, rr)
+        for (p, q) in maj
+        for (q2, rr) in maj
+        if q2 == q and p != rr
+    ]
+    cyc = sum(1 for (p, _q, rr) in chains if (rr, p) in maj)
+    assert len(chains) == 3 and cyc // 1 == 3 and cyc // 3 == 1
