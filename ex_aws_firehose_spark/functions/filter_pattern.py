@@ -297,7 +297,15 @@ def _scan_regex(cur: _Cursor) -> str:
     body = cur.text[cur.pos + 1 : end]
     if not body:
         raise FilterPatternError(f"empty %regex% in {cur.text!r}")
-    bad = _REGEX_UNSUPPORTED.search(body)
+    # Blank out escape pairs (length-preserving) before scanning: in
+    # `a\\1` the `\\` is an escaped backslash and the `1` a literal
+    # digit — valid in both engines — but a raw scan would see the
+    # pair's second backslash + digit and falsely reject it as a
+    # backreference. Likewise `\(?=` is an escaped paren, not a
+    # lookahead. Pairs whose escaped char IS a digit 1-9 are kept:
+    # left-to-right tokenization means a surviving `\1` is a genuine
+    # backreference, exactly what the scan must flag.
+    bad = _REGEX_UNSUPPORTED.search(re.sub(r"\\[^1-9]", "\x00\x00", body))
     if bad:
         raise FilterPatternError(
             f"unsupported regex construct {bad.group(0)!r} in %{body}%: "

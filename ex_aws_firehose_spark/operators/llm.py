@@ -10320,9 +10320,11 @@ def q_eval_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: one global sort exchange for the rank (the same
     cost class as any percentile), a |distinct scores|-width tie
-    count on the identical partitioning, and a 1-row agg. P·N in the
-    denominator passes 2⁶³ near ~10⁹ balanced rows — at that scale
-    run per-shard AUCs and average (the standard sharded-AUC
+    count on the identical partitioning, and a 1-row agg. The
+    binding int64 term is the ppm-scaled numerator
+    (Σ2·midrank_pos − P(P+1))·10⁶ ≈ (N²/2)·10⁶ at balanced classes,
+    which passes 2⁶³ near N ≈ 4·10⁶ rows — at that scale run
+    per-shard AUCs and average (the standard sharded-AUC
     estimator), or sample; the docstring IS the capacity note."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(tokens("text"))
@@ -10625,8 +10627,9 @@ def q_eval_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (n, Σo, Σ(p−1000o)²).
 
     100 TB shape: one map-side-combinable hash agg on event_type,
-    then 1-row-per-group arithmetic. The 10⁶·brier_num product stays
-    under 2⁶³ to ~9e9 rows/group; past that, shard the score and
+    then 1-row-per-group arithmetic. brier_num = Σ(p−1000o)² is
+    itself ≤ 10⁶·n, so the 10⁶·brier_num product stays under 2⁶³
+    only to ~9·10⁶ rows/group; past that, shard the score and
     average (the standard sharded-metric estimator, same note as
     q_eval_auc)."""
     e = load_table(spark, sf_dir, "events")
@@ -11901,10 +11904,9 @@ def _fleiss_raters_sql() -> list[str]:
            s AS sum_sq_cells,
            t AS sum_sq_marginals,
            CAST(1000000 *
-                ((s - n_items * {_FLEISS_N})
-                   * (n_items * {_FLEISS_N}) * (n_items * {_FLEISS_N})
-                 - t * n_items * {_FLEISS_N} * {_FLEISS_N - 1})
-                // ((n_items * {_FLEISS_N}) * {_FLEISS_N - 1}
+                ((s - n_items * {_FLEISS_N}) * (n_items * {_FLEISS_N})
+                 - t * {_FLEISS_N - 1})
+                // ({_FLEISS_N - 1}
                     * ((n_items * {_FLEISS_N}) * (n_items * {_FLEISS_N})
                        - t))
                 AS BIGINT) AS kappa_ppm
@@ -11919,16 +11921,18 @@ def q_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     20% one-step-shifted copy, and a 14% two-step-shifted copy), so
     agreement is high but imperfect and every algebraic piece is
     non-degenerate. κ = (P̄ − P̄e)/(1 − P̄e) is evaluated fully
-    cross-multiplied — with S = Σ n_ic², T = Σ_c (Σ n_ic)², N items,
-    n raters: κ = ((S−Nn)(Nn)² − T·Nn(n−1)) / (Nn(n−1)((Nn)² − T)) —
+    cross-multiplied with the common factor Nn cancelled — with
+    S = Σ n_ic², T = Σ_c (Σ n_ic)², N items, n raters:
+    κ = ((S−Nn)·Nn − T(n−1)) / ((n−1)((Nn)² − T)) —
     all int64, one ppm division, zero floats in either engine.
 
     100 TB shape: one (item, category) hash agg over the vote stream
     (map-side combinable; the UNION ALL of raters is a map), a
-    |categories|-row marginal agg, and 1-row arithmetic. The (Nn)³
-    term passes 2⁶³ near ~10⁵·10³ items·raters... precisely: at
-    n=3, N ≲ 2·10⁵ for the exact form — past that compute per-shard
-    κ and pool (the standing sharded-metric note of this family)."""
+    |categories|-row marginal agg, and 1-row arithmetic. Binding
+    int64 term is 10⁶·((S−Nn)·Nn − T(n−1)) ≲ 1.8·10⁷·N² at n=3, so
+    the exact form holds to N ≈ 7·10⁵ items (past sf1's ~5·10⁵
+    docs) — beyond that compute per-shard κ and pool (the standing
+    sharded-metric note of this family)."""
     d = load_table(spark, sf_dir, "documents")
     shift1 = F.when(
         F.col("doc_id") % 5 == 0,
@@ -11975,9 +11979,9 @@ def q_eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t").alias("sum_sq_marginals"),
             F.expr(
                 f"CAST(1000000 * ((s - n_items * {n})"
-                f" * (n_items * {n}) * (n_items * {n})"
-                f" - t * n_items * {n} * {n - 1})"
-                f" div ((n_items * {n}) * {n - 1}"
+                f" * (n_items * {n})"
+                f" - t * {n - 1})"
+                f" div ({n - 1}"
                 f" * ((n_items * {n}) * (n_items * {n}) - t))"
                 " AS LONG)"
             ).alias("kappa_ppm"),

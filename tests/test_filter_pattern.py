@@ -130,6 +130,14 @@ def test_regex_common_subset_still_accepted():
         "%^[0-4]$%",
         "%(?:ab)+c{2,3}%",
         r"%\d+\.\d+%",
+        # Escape pairs must be neutralized before the backreference /
+        # lookaround scan: `a\\1` is an escaped backslash + a literal
+        # digit (valid in Java regex AND RE2) — the raw scan used to
+        # see the pair's second backslash + `1` and falsely reject it
+        # as a \1 backreference. Same for an escaped paren before `?=`.
+        r"%a\\1%",
+        r"%x\(?=y%",
+        r"{ $.a = %b\\2c% }",
     ):
         parse(ok)
 
@@ -252,6 +260,7 @@ PATTERNS = [
     "{ $.tag = %Update(Item)?$% }",
     "{ $.tag != %Item% }",
     "{ $.k = %^[0-9]$% || $.tag = %^Up% }",
+    r"%Err\(?or% %a\\1%",  # escape pairs: \(? optional paren, \\1 literal
 ]
 
 
