@@ -2285,3 +2285,335 @@ def q_read_incremental_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out.orderBy("commit_id")
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO as ONE atomic manifest commit (updates + deletes + inserts)
+# ---------------------------------------------------------------------------
+
+_MERGE_CACHE: SessionCache = SessionCache()
+_MERGE_MOD = 7  # source batch: ~1/7 updated, ~1/7 deleted, ~1/7 inserted
+_MERGE_BUMP = 1000  # cents added by the update branch
+
+
+def _stage_merge_commit(spark: SparkSession, sf_dir: str):
+    """Apply a MERGE INTO source batch against the manifest-committed
+    orders table as ONE atomic commit, Iceberg-MoR style: the commit
+    consists of exactly one new DATA file (the updated row images plus
+    the brand-new inserts), one EQUALITY-DELETE file (the keys whose
+    old images must disappear — every updated key and every deleted
+    key), and one MANIFEST row binding both under the next commit_id.
+    Nothing in the base table is rewritten. The merge manifest lives
+    in its OWN directory so the base table's commit log (shared with
+    the snapshot/incremental keys) is untouched; a reader's version is
+    the union of manifest dirs it consults — consulting only the base
+    log IS the pre-merge pin.
+
+    Source batch (deterministic from the table itself): keys with
+    o_orderkey % 7 == 1 are UPDATEd (cents + 1000), == 2 are DELETEd,
+    and for every key % 7 == 3 a new row with key -o_orderkey (the
+    negative range is provably vacant) is INSERTed at the old cents.
+
+    Returns (data_root, base_manifest, merge_dir, n_updated,
+    n_deleted, n_inserted) where merge_dir holds data/, deletes/ and
+    manifest/."""
+    import os
+
+    key = _MERGE_CACHE.scoped_key(spark, sf_dir)
+    cached = _MERGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    data, man = _stage_committed_table(spark, sf_dir)
+    mdir = _tracked_mkdtemp(prefix="orders_merge_")
+    base = merge_read(spark, data, man, None).localCheckpoint()
+    mod = F.col("o_orderkey") % _MERGE_MOD
+    upserts = (
+        base.filter(mod == 1)
+        .select("o_orderkey", (F.col("cents") + _MERGE_BUMP).alias("cents"))
+        .unionByName(
+            base.filter(mod == 3).select(
+                (-F.col("o_orderkey")).alias("o_orderkey"), "cents"
+            )
+        )
+    )
+    upserts.coalesce(1).write.parquet(mdir + "/data")
+    dels = base.filter((mod == 1) | (mod == 2)).select("o_orderkey")
+    dels.coalesce(1).write.parquet(mdir + "/deletes")
+    n_updated = base.filter(mod == 1).count()
+    n_deleted = base.filter(mod == 2).count()
+    n_inserted = base.filter(mod == 3).count()
+    # the ATOMIC step: data + delete files durable FIRST, then one
+    # manifest row makes the whole merge visible at once (the
+    # torn-write test pins that without this row readers see the
+    # exact pre-merge table)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(mdir + "/manifest", exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "commit_id": pa.array([SNAP_GROUPS], pa.int64()),
+                "data_path": pa.array([mdir + "/data"], pa.string()),
+                "delete_path": pa.array([mdir + "/deletes"], pa.string()),
+            }
+        ),
+        mdir + "/manifest/commit.parquet",
+    )
+    _MERGE_CACHE[key] = (
+        data, man, mdir, n_updated, n_deleted, n_inserted,
+    )
+    return _MERGE_CACHE[key]
+
+
+def merge_read(
+    spark: SparkSession, data: str, man: str, merge_manifest: str | None
+) -> DataFrame:
+    """Read the merged table at a manifest pin: the base commit log
+    plus, when ``merge_manifest`` is given, the merge commit's delete
+    file (anti-joined on the equality key) and data file (unioned in).
+    With merge_manifest=None — or a manifest directory holding no
+    committed row yet (the torn-write window: data + delete files
+    durable, manifest append not) — this is the exact pre-merge
+    table: the reader plans from the MANIFEST, never the directory."""
+    import os
+
+    log = spark.read.parquet(man)
+    paths = sorted(r.path for r in log.select("path").collect())
+    base = spark.read.option("basePath", data).parquet(*paths).select(
+        "o_orderkey", "cents"
+    )
+    if merge_manifest is not None and (
+        not os.path.isdir(merge_manifest)
+        or not any(
+            f.endswith(".parquet") and not f.startswith(".")
+            for f in os.listdir(merge_manifest)
+        )
+    ):
+        merge_manifest = None
+    if merge_manifest is None:
+        return base
+    mrow = spark.read.parquet(merge_manifest).collect()[0]
+    dels = spark.read.parquet(mrow.delete_path)
+    adds = spark.read.parquet(mrow.data_path).select("o_orderkey", "cents")
+    return base.join(
+        F.broadcast(dels), "o_orderkey", "left_anti"
+    ).unionByName(adds)
+
+
+@query(
+    "q_table_merge_into",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    counts AS (
+        SELECT CAST(SUM(CASE WHEN k % {_MERGE_MOD} = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_updated,
+               CAST(SUM(CASE WHEN k % {_MERGE_MOD} = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_deleted,
+               CAST(SUM(CASE WHEN k % {_MERGE_MOD} = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_inserted
+        FROM base
+    ),
+    post_rows AS (
+        SELECT k, CASE WHEN k % {_MERGE_MOD} = 1
+                       THEN cents + {_MERGE_BUMP} ELSE cents END AS cents
+        FROM base WHERE k % {_MERGE_MOD} <> 2
+        UNION ALL
+        SELECT -k, cents FROM base WHERE k % {_MERGE_MOD} = 3
+    ),
+    versions AS (
+        SELECT 'pre' AS version, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS cents_total FROM base
+        UNION ALL
+        SELECT 'post', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(cents) AS BIGINT) FROM post_rows
+    )
+    SELECT version, n_rows, cents_total, n_updated, n_deleted, n_inserted
+    FROM versions, counts ORDER BY version
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_table_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as ONE atomic manifest commit — the unification of
+    the upsert, v2-delete and transactional-commit keys (r9 ask #2):
+    a CDC source batch of updates + deletes + inserts lands as exactly
+    one data file, one equality-delete file, and one manifest row, and
+    BOTH table versions stay serveable — the reader pinned before the
+    merge commit sees the untouched base table, the reader at head
+    sees every branch of the merge applied, and the two are served
+    from the same immutable files (no rewrite, merge-on-read). Proof
+    columns n_updated / n_deleted / n_inserted count the three merge
+    branches; the oracle recomputes both versions and the counts from
+    the raw table, so a merge that double-applied a branch, leaked a
+    pre-image, or lost an insert hash-fails. Atomicity is pinned by
+    tests/test_streaming.py: with the merge's data and delete files
+    durable but the manifest row absent, the pre-merge read is
+    bit-identical — the commit IS the manifest row.
+
+    100 TB shape: MERGE cost is O(source batch) writes + one metadata
+    row — never a base-table rewrite; the post-merge read adds one
+    broadcast anti join (delete keys ≪ data) and a union of the new
+    file, the standard MoR read amplification that
+    q_maintenance_delete_compaction later repays."""
+    data, man, mdir, n_upd, n_del, n_ins = _stage_merge_commit(
+        spark, sf_dir
+    )
+
+    def agg(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ).select(
+            F.lit(label).alias("version"),
+            "n_rows",
+            "cents_total",
+            F.lit(n_upd).cast("long").alias("n_updated"),
+            F.lit(n_del).cast("long").alias("n_deleted"),
+            F.lit(n_ins).cast("long").alias("n_inserted"),
+        )
+
+    pre = agg("pre", merge_read(spark, data, man, None))
+    post = agg("post", merge_read(spark, data, man, mdir + "/manifest"))
+    return pre.unionByName(post).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# Delete compaction: equality deletes -> position deletes (v2 maintenance)
+# ---------------------------------------------------------------------------
+
+_DC_CACHE: SessionCache = SessionCache()
+
+
+def _stage_delete_compaction(spark: SparkSession, sf_dir: str):
+    """Run the equality→position delete compaction that real v2
+    compactors perform as equality deletes age: scan the data ONCE,
+    resolve every equality key (o_custkey % _ED_MOD == 0, the file
+    q_read_equality_deletes serves) to its physical (file_path,
+    row_index) tombstones via Spark's native `_metadata` columns,
+    write them as a position-delete file, and drop the equality file
+    from the live delete set. Returns (data_root, posdel_dir,
+    n_eq_keys_in, n_pos_rows_out, n_files_touched, n_files_total)."""
+    import os
+
+    key = _DC_CACHE.scoped_key(spark, sf_dir)
+    cached = _DC_CACHE.get(key)
+    if cached is not None:
+        return cached
+    root, eq_dir, n_eq_keys, _n_del_rows = _stage_equality_deletes(
+        spark, sf_dir
+    )
+    pdir = _tracked_mkdtemp(prefix="orders_delcompact_") + "/pos_deletes"
+    base = spark.read.parquet(root).select(
+        "o_custkey",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    eq = spark.read.parquet(eq_dir)
+    resolved = base.join(F.broadcast(eq), "o_custkey", "left_semi").select(
+        "file_path", "pos"
+    )
+    # position deletes are written CLUSTERED BY DATA FILE — that is
+    # what makes the post-compaction read file-local
+    resolved.repartition("file_path").write.parquet(pdir)
+    pos = spark.read.parquet(pdir)
+    n_pos_rows = pos.count()
+    n_files_touched = pos.select("file_path").distinct().count()
+    n_files_total = sum(
+        1
+        for d in os.listdir(root)
+        if d.startswith("month=")
+        for f in os.listdir(os.path.join(root, d))
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    _DC_CACHE[key] = (
+        root, pdir, n_eq_keys, n_pos_rows, n_files_touched, n_files_total,
+    )
+    return _DC_CACHE[key]
+
+
+@query(
+    "q_maintenance_delete_compaction",
+    oracle=f"""
+    WITH nd AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_eq_keys_in,
+               CAST(COUNT(*) AS BIGINT) AS n_pos_rows_out,
+               CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                    AS BIGINT) AS n_files_touched
+        FROM orders WHERE o_custkey % {_ED_MOD} = 0
+    ),
+    ft AS (
+        SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m'))
+                    AS BIGINT) AS n_files_total
+        FROM orders
+    )
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_live,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_total,
+           n_eq_keys_in, n_pos_rows_out, n_files_touched, n_files_total
+    FROM orders, nd, ft
+    WHERE o_custkey % {_ED_MOD} <> 0
+    GROUP BY month, n_eq_keys_in, n_pos_rows_out, n_files_touched,
+             n_files_total
+    ORDER BY month
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_maintenance_delete_compaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELETE COMPACTION, equality → position (r9 ask #3): the
+    maintenance pass that repays q_read_equality_deletes' read debt.
+    Equality deletes are O(1) to write but every reader of every file
+    must probe the whole key list on a DATA column; this pass scans
+    the table once, resolves each key to physical (file_path,
+    row_index) tombstones, writes them clustered by data file, and
+    retires the equality file. The served aggregate is computed from
+    the POSITION deletes only, and the oracle recomputes it from the
+    raw table under the original equality predicate — hash-equality
+    is the read-equivalence proof (a tombstone pointing at the wrong
+    row flips a cent-sum). Proof columns: n_eq_keys_in (keys
+    consumed), n_pos_rows_out (tombstones emitted — the key↦row
+    fan-out), n_files_touched / n_files_total (the post-compaction
+    read is file-local: files with no tombstones never open a delete
+    file, which tests/test_new_key_invariants.py pins alongside
+    pre/post read-set equality).
+
+    100 TB shape: the resolve pass is one scan + broadcast semi-join
+    (key list ≪ data) with NO shuffle of data rows; the tombstone
+    write shuffles only the matched (file, pos) pairs, clustered by
+    file so a reader's anti join partitions file-locally. Run it on
+    the cadence at which CDC equality files accumulate — the
+    compactor amortizes its single scan against every future read."""
+    root, pdir, n_keys, n_pos, n_touched, n_total = (
+        _stage_delete_compaction(spark, sf_dir)
+    )
+    base = spark.read.parquet(root).select(
+        "month",
+        "cents",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    pos = spark.read.parquet(pdir)
+    live = base.join(F.broadcast(pos), ["file_path", "pos"], "left_anti")
+    return (
+        live.groupBy(F.col("month").cast("string").alias("month"))
+        .agg(
+            F.count("*").alias("n_live"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .select(
+            "month",
+            "n_live",
+            "cents_total",
+            F.lit(n_keys).cast("long").alias("n_eq_keys_in"),
+            F.lit(n_pos).cast("long").alias("n_pos_rows_out"),
+            F.lit(n_touched).cast("long").alias("n_files_touched"),
+            F.lit(n_total).cast("long").alias("n_files_total"),
+        )
+        .orderBy("month")
+    )

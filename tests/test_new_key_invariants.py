@@ -934,3 +934,95 @@ def test_pref_transitivity_counting_algebra(spark, sf_dir):
     ]
     cyc = sum(1 for (p, _q, rr) in chains if (rr, p) in maj)
     assert len(chains) == 3 and cyc // 1 == 3 and cyc // 3 == 1
+
+
+def test_merge_commit_torn_write_invisibility(spark, sf_dir):
+    """The MERGE commit is the manifest row, nothing else: with the
+    merge's data AND delete files fully durable but the manifest row
+    absent (the torn-write window), the reader must return the
+    bit-identical pre-merge table — and once the row lands, the post
+    image differs by exactly the three merge branches."""
+    import os
+
+    from ex_aws_firehose_spark.sources.formats import (
+        _stage_merge_commit,
+        merge_read,
+    )
+
+    data, man, mdir, n_upd, n_del, n_ins = _stage_merge_commit(
+        spark, sf_dir
+    )
+    pre = {(r.o_orderkey, r.cents) for r in merge_read(
+        spark, data, man, None
+    ).collect()}
+    # torn state: same data/delete files, EMPTY manifest dir
+    torn = mdir + "/torn_manifest"
+    os.makedirs(torn, exist_ok=True)
+    torn_read = {(r.o_orderkey, r.cents) for r in merge_read(
+        spark, data, man, torn
+    ).collect()}
+    assert torn_read == pre
+    post = {(r.o_orderkey, r.cents) for r in merge_read(
+        spark, data, man, mdir + "/manifest"
+    ).collect()}
+    assert post != pre
+    assert len(post) == len(pre) - n_del + n_ins
+    # every branch did exactly its job: deleted keys gone, inserted
+    # negative keys present, updated keys re-imaged
+    pre_keys = {k for k, _ in pre}
+    post_keys = {k for k, _ in post}
+    assert not {k for k in post_keys if k > 0 and k % 7 == 2}
+    assert {k for k in pre_keys if k % 7 == 3} == {
+        -k for k in post_keys if k < 0
+    }
+    pre_map = dict(pre)
+    assert all(
+        post_cents == pre_map[k] + 1000
+        for k, post_cents in post
+        if k > 0 and k % 7 == 1
+    )
+
+
+def test_delete_compaction_read_equivalence(spark, sf_dir):
+    """Equality→position compaction must be invisible to readers: the
+    live row set served through the position tombstones is EXACTLY
+    the set served through the original equality file, the tombstone
+    count equals the rows the equality keys suppressed, and the
+    post-compaction read is file-local (strictly fewer files carry
+    tombstones than exist — untouched files never open a delete
+    file)."""
+    from pyspark.sql import functions as F
+
+    from ex_aws_firehose_spark.sources.formats import (
+        _stage_delete_compaction,
+        _stage_equality_deletes,
+    )
+
+    root, pdir, n_keys, n_pos, n_touched, n_total = (
+        _stage_delete_compaction(spark, sf_dir)
+    )
+    _root, eq_dir, _nk, n_del_rows = _stage_equality_deletes(spark, sf_dir)
+    base = spark.read.parquet(root).select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("pos"),
+    )
+    eq = spark.read.parquet(eq_dir)
+    pos = spark.read.parquet(pdir)
+    via_eq = {
+        (r.o_orderkey, r.cents)
+        for r in base.join(
+            F.broadcast(eq), "o_custkey", "left_anti"
+        ).collect()
+    }
+    via_pos = {
+        (r.o_orderkey, r.cents)
+        for r in base.join(
+            F.broadcast(pos), ["file_path", "pos"], "left_anti"
+        ).collect()
+    }
+    assert via_pos == via_eq
+    assert n_pos == n_del_rows
+    assert 0 < n_touched < n_total, (n_touched, n_total)
