@@ -3720,3 +3720,883 @@ def q_timeseries_stl_additive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 additions: rank-based A/B testing, uplift, survival analysis,
+# robust/linear trend estimation, and exponential-smoothing forecasting.
+# ---------------------------------------------------------------------------
+
+_BIG_TICKET_CENTS = 20_000  # "big-ticket" purchase: value >= $200
+
+
+@query(
+    "q_ab_mannwhitney",
+    oracle=EVENTS_US
+    + """
+    , um AS (
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m
+        FROM events_us GROUP BY 1
+    ),
+    ua AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm, m
+        FROM um
+    ),
+    vals AS (
+        SELECT m, CAST(COUNT(*) AS BIGINT) AS cnt,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        FROM ua GROUP BY m
+    ),
+    ranked AS (
+        SELECT m, cnt, c0, c1,
+               COALESCE(SUM(cnt) OVER (ORDER BY m
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prior
+        FROM vals
+    ),
+    agg AS (
+        SELECT CAST(SUM(c0) AS BIGINT) AS n0,
+               CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c0 * (2 * prior + cnt + 1)) AS BIGINT) AS r2_0,
+               CAST(SUM(c1 * (2 * prior + cnt + 1)) AS BIGINT) AS r2_1
+        FROM ranked
+    )
+    SELECT n0, n1,
+           CAST(r2_0 - n0 * (n0 + 1) AS BIGINT) AS u2_ctrl,
+           CAST(r2_1 - n1 * (n1 + 1) AS BIGINT) AS u2_treat,
+           CAST((r2_1 - n1 * (n1 + 1)) * 1000000 // (2 * n0 * n1) AS BIGINT)
+               AS auc_ppm,
+           (r2_0 - n0 * (n0 + 1)) + (r2_1 - n1 * (n1 + 1)) = 2 * n0 * n1
+               AS u_identity_ok
+    FROM agg
+    """,
+    tags=("analytics", "experiment"),
+)
+def q_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test between the two hash-assigned
+    experiment arms on the per-user revenue metric — the
+    distribution-free companion to q_ab_srm_check for skewed revenue
+    metrics where a t-test's normality assumption fails.  Ties are
+    handled exactly with average ranks kept as INTEGER doubled ranks
+    (2·avgrank = 2·prior + cnt + 1, always odd+even integer), so both
+    engines compute identical int64 rank sums; U is recovered per arm
+    and the identity U0 + U1 = n0·n1 (×2 here) is emitted as a
+    self-audit column.  The effect size is the Wilcoxon AUC
+    P(treat > ctrl) in exact ppm.
+
+    Int64 bound: doubled rank sums are ≤ N·(2N+1) — safe past 1e9
+    users.  100 TB shape: one user-grain hash agg, then the rank table
+    is |distinct metric values| rows (≤ users, typically ≪), windowed
+    cumulative-count over THAT compact table, 1-row output — events
+    are touched once, never globally sorted."""
+    e = load_table(spark, sf_dir, "events")
+    um = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("m")
+    )
+    ua = um.select(
+        F.pmod(hex_hash(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+        "m",
+    )
+    vals = ua.groupBy("m").agg(
+        F.count("*").alias("cnt"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn(
+        "prior", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("c0").alias("n0"),
+        F.sum("c1").alias("n1"),
+        F.sum(F.expr("c0 * (2 * prior + cnt + 1)")).alias("r2_0"),
+        F.sum(F.expr("c1 * (2 * prior + cnt + 1)")).alias("r2_1"),
+    )
+    return agg.select(
+        "n0",
+        "n1",
+        F.expr("r2_0 - n0 * (n0 + 1)").alias("u2_ctrl"),
+        F.expr("r2_1 - n1 * (n1 + 1)").alias("u2_treat"),
+        F.expr(
+            "(r2_1 - n1 * (n1 + 1)) * 1000000 div (2 * n0 * n1)"
+        ).alias("auc_ppm"),
+        F.expr(
+            "(r2_0 - n0 * (n0 + 1)) + (r2_1 - n1 * (n1 + 1)) = 2 * n0 * n1"
+        ).alias("u_identity_ok"),
+    )
+
+
+@query(
+    "q_ab_uplift_segments",
+    oracle=EVENTS_US
+    + """
+    , conv AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ROUND(value * 100) AS BIGINT) >= 10000
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events_us GROUP BY 1
+    ),
+    ua AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(concat('0x', substr(md5(CAST(u.user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               u.converted
+        FROM conv u JOIN customer c ON u.user_id = c.c_custkey
+    ),
+    seg AS (
+        SELECT segment,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treat,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ctrl,
+               CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS BIGINT)
+                   AS conv_treat,
+               CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS BIGINT)
+                   AS conv_ctrl
+        FROM ua GROUP BY 1
+    )
+    SELECT segment, n_treat, n_ctrl, conv_treat, conv_ctrl,
+           CAST(conv_treat * 1000000 // n_treat AS BIGINT) AS conv_treat_ppm,
+           CAST(conv_ctrl * 1000000 // n_ctrl AS BIGINT) AS conv_ctrl_ppm,
+           CAST(conv_treat * 1000000 // n_treat
+                - conv_ctrl * 1000000 // n_ctrl AS BIGINT) AS uplift_ppm
+    FROM seg
+    """,
+    tags=("analytics", "experiment"),
+)
+def q_ab_uplift_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level uplift readout: the experiment's conversion lift
+    (treatment − control, exact ppm, signed) per customer market
+    segment — the heterogeneous-treatment-effect table every growth
+    team reads after the global number, and the input to uplift-model
+    targeting (treat only segments with positive lift).  Conversion is
+    a ≥$100 purchase so neither arm saturates; arm assignment is the
+    same portable md5 hash as q_ab_srm_check, so the two keys audit
+    the SAME experiment.
+
+    100 TB shape: user-grain conversion agg (map-side combined), then
+    a broadcast join to the customer dim for the segment attribute —
+    events never shuffle on a non-key; output is |segments| rows."""
+    e = load_table(spark, sf_dir, "events")
+    conv = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.round(F.col("value") * 100, 0).cast("long") >= 10000),
+                1,
+            ).otherwise(0)
+        ).alias("converted")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ua = conv.join(F.broadcast(c), "user_id").select(
+        "segment",
+        F.pmod(hex_hash(F.col("user_id").cast("string")), F.lit(2)).alias("arm"),
+        "converted",
+    )
+    seg = ua.groupBy("segment").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_ctrl"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0)).alias(
+            "conv_treat"
+        ),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0)).alias(
+            "conv_ctrl"
+        ),
+    )
+    return seg.select(
+        "segment",
+        "n_treat",
+        "n_ctrl",
+        "conv_treat",
+        "conv_ctrl",
+        F.expr("conv_treat * 1000000 div n_treat").alias("conv_treat_ppm"),
+        F.expr("conv_ctrl * 1000000 div n_ctrl").alias("conv_ctrl_ppm"),
+        F.expr(
+            "conv_treat * 1000000 div n_treat - conv_ctrl * 1000000 div n_ctrl"
+        ).alias("uplift_ppm"),
+    )
+
+
+@query(
+    "q_survival_nelson_aalen",
+    oracle=EVENTS_US
+    + f"""
+    , u AS (
+        SELECT user_id,
+               MIN(CAST(ts AS DATE)) AS entry_day,
+               MIN(CASE WHEN event_type = 'purchase'
+                         AND CAST(ROUND(value * 100) AS BIGINT)
+                             >= {_BIG_TICKET_CENTS}
+                        THEN CAST(ts AS DATE) END) AS event_day,
+               MAX(CAST(ts AS DATE)) AS last_day
+        FROM events_us GROUP BY 1
+    ),
+    dur AS (
+        SELECT datediff('day', entry_day,
+                        COALESCE(event_day, last_day)) AS t,
+               CASE WHEN event_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM u
+    ),
+    byt AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS n_all,
+               CAST(SUM(ev) AS BIGINT) AS d_events
+        FROM dur GROUP BY t
+    ),
+    risk AS (
+        SELECT t, n_all, d_events,
+               CAST((SELECT COUNT(*) FROM dur)
+                   - COALESCE(SUM(n_all) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS n_risk
+        FROM byt
+    ),
+    haz AS (
+        SELECT t, n_risk, d_events, n_all - d_events AS n_censored,
+               CAST(SUM(d_events * 1000000 // n_risk)
+                    OVER (ORDER BY t) AS BIGINT) AS cum_hazard_ppm
+        FROM risk
+    )
+    SELECT CAST(t AS BIGINT) AS t_day, n_risk, d_events,
+           CAST(n_censored AS BIGINT) AS n_censored, cum_hazard_ppm
+    FROM haz
+    """,
+    tags=("analytics", "survival"),
+)
+def q_survival_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator for time-to-first
+    big-ticket purchase (≥$200) with right censoring at last observed
+    activity — the survival-analysis primitive behind churn and
+    conversion-latency dashboards.  H(t) = Σ_{s≤t} d_s/n_s over event
+    times; each increment is an exact integer ppm division (d·1e6 div
+    n_risk) and the cumulative sum is associative, so both engines
+    agree bit-for-bit — unlike Kaplan-Meier's product form, which
+    would need cross-engine float multiplication.  The risk set n(t)
+    is derived from the duration histogram (N − #finished before t),
+    never a per-user scan per time point.
+
+    100 TB shape: one user-grain agg (entry/event/censor in a single
+    pass), then ALL survival math runs on the |distinct durations|
+    histogram — window cumsum over ≤ study-length rows.  Output is one
+    row per distinct duration (event AND censor times, the classic
+    life-table form), so the censoring pattern is auditable."""
+    e = load_table(spark, sf_dir, "events")
+    big = (
+        (F.col("event_type") == "purchase")
+        & (F.round(F.col("value") * 100, 0).cast("long") >= _BIG_TICKET_CENTS)
+    )
+    u = e.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("entry_day"),
+        F.min(F.when(big, F.to_date("ts"))).alias("event_day"),
+        F.max(F.to_date("ts")).alias("last_day"),
+    )
+    dur = u.select(
+        F.datediff(
+            F.coalesce("event_day", "last_day"), F.col("entry_day")
+        ).alias("t"),
+        F.when(F.col("event_day").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    byt = dur.groupBy("t").agg(
+        F.count("*").alias("n_all"), F.sum("ev").alias("d_events")
+    )
+    total = dur.agg(F.count("*").alias("n_total"))
+    w_prior = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    w_cum = Window.orderBy("t")
+    risk = byt.crossJoin(F.broadcast(total)).withColumn(
+        "n_risk",
+        F.col("n_total") - F.coalesce(F.sum("n_all").over(w_prior), F.lit(0)),
+    )
+    haz = risk.select(
+        "t",
+        "n_risk",
+        "d_events",
+        (F.col("n_all") - F.col("d_events")).alias("n_censored"),
+        F.sum(F.expr("d_events * 1000000 div n_risk"))
+        .over(w_cum)
+        .alias("cum_hazard_ppm"),
+    )
+    return haz.select(
+        F.col("t").cast("long").alias("t_day"),
+        "n_risk",
+        "d_events",
+        F.col("n_censored").cast("long"),
+        "cum_hazard_ppm",
+    )
+
+
+@query(
+    "q_timeseries_theil_sen",
+    oracle=EVENTS_US
+    + """
+    , daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events_us GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.event_type,
+               CAST((b.cents - a.cents) * 1000000
+                    // datediff('day', a.day, b.day) AS BIGINT) AS slope_ppm
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    ranked AS (
+        SELECT event_type, slope_ppm,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY slope_ppm) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM slopes
+    ),
+    nd AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days FROM daily
+        GROUP BY 1
+    )
+    SELECT r.event_type, nd.n_days, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+           r.slope_ppm AS sen_slope_ppm_per_day
+    FROM ranked r JOIN nd ON r.event_type = nd.event_type
+    WHERE r.rn = (r.n_pairs + 1) // 2
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per event-type daily-revenue
+    series: the LOWER MEDIAN of all pairwise slopes (cents/day in exact
+    ppm, signed — engine-portable because Spark ``div`` and DuckDB
+    ``//`` both truncate toward zero).  Breakdown point 29.3%: a third
+    of the days can be corrupted (outages, backfills) before the trend
+    moves, which is why it's the standard robust complement to the OLS
+    slope (q_regress_ols_daily) and the Mann-Kendall direction test
+    (q_timeseries_mann_kendall) — the three share one series spec.
+
+    100 TB shape: the pair join is over the DAILY aggregate (n_days²/2
+    pairs per series, bounded by the calendar not the data), computed
+    per series in parallel; the raw events contribute one map-side
+    combined agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("cents").alias("ca")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("day").alias("db"),
+        F.col("cents").alias("cb"),
+    )
+    slopes = a.join(
+        b, (F.col("event_type") == F.col("et2")) & (F.col("da") < F.col("db"))
+    ).select(
+        "event_type",
+        F.expr(
+            "(cb - ca) * 1000000 div datediff(db, da)"
+        ).alias("slope_ppm"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_ppm")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope_ppm",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wc).alias("n_pairs"),
+    )
+    nd = daily.groupBy("event_type").agg(F.count("*").alias("n_days"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(n_pairs + 1) div 2"))
+        .join(F.broadcast(nd), "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            F.col("n_pairs").cast("long"),
+            F.col("slope_ppm").alias("sen_slope_ppm_per_day"),
+        )
+    )
+
+
+SES_K = 20  # trailing window for exponential smoothing (α = 1/2, dyadic)
+
+
+@query(
+    "q_timeseries_ses_forecast",
+    oracle=EVENTS_US
+    + f"""
+    , daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events_us GROUP BY 1, 2
+    ),
+    tail AS (
+        SELECT event_type, day, cents,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY day DESC) AS rn,
+               LEAST(COUNT(*) OVER (PARTITION BY event_type),
+                     {SES_K}) AS used
+        FROM daily
+    ),
+    win AS (SELECT * FROM tail WHERE rn <= used),
+    agg AS (
+        SELECT event_type, CAST(MAX(used) AS BIGINT) AS n_days_used,
+               CAST(SUM(cents * (CAST(1 AS BIGINT) << (used - rn)))
+                    AS BIGINT) AS s_all,
+               CAST(SUM(CASE WHEN rn >= 2 THEN
+                        cents * (CAST(1 AS BIGINT) << (used - rn))
+                        ELSE 0 END) AS BIGINT) AS s_prev,
+               CAST(MAX(CASE WHEN rn = 1 THEN cents END) AS BIGINT)
+                   AS last_cents,
+               MAX(CASE WHEN rn = 1 THEN day END) AS last_day
+        FROM win GROUP BY event_type
+    )
+    SELECT event_type, n_days_used, last_day, last_cents,
+           CAST(s_all // ((CAST(1 AS BIGINT) << n_days_used) - 1) AS BIGINT)
+               AS forecast_cents,
+           CAST(ABS(s_prev // ((CAST(1 AS BIGINT) << (n_days_used - 1)) - 1)
+                    - last_cents) AS BIGINT) AS backtest_abs_err_cents
+    FROM agg
+    """,
+    tags=("analytics", "timeseries", "forecast"),
+)
+def q_timeseries_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-exponential-smoothing one-step forecast per event-type
+    daily-revenue series, in CLOSED FORM with α = 1/2 over the trailing
+    K=20 days: ŷ = Σ_j y_j·2^(K−j) / (2^K − 1) (j=1 newest) — the
+    dyadic weights make the geometric smoothing EXACT int64 arithmetic
+    (shift-left + one division), with no recursive state and no float
+    pow in either engine.  A backtest column re-runs the same form
+    excluding the newest day and reports |forecast − actual| — the
+    one-step validation error a forecast consumer checks before
+    trusting the number.
+
+    Int64 bound: Σ cents·2^19 ≤ 5·10^5·daily-cents — safe to ~$170 B/
+    day per series.  100 TB shape: one map-side-combined daily agg;
+    the smoothing itself touches K rows per series (window row_number
+    + one grouped sum), independent of raw event count."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    wd = Window.partitionBy("event_type").orderBy(F.col("day").desc())
+    wc = Window.partitionBy("event_type")
+    tail = daily.select(
+        "event_type",
+        "day",
+        "cents",
+        F.row_number().over(wd).alias("rn"),
+        F.least(F.count("*").over(wc), F.lit(SES_K)).alias("used"),
+    )
+    win = tail.filter(F.col("rn") <= F.col("used"))
+    agg = win.groupBy("event_type").agg(
+        F.max("used").cast("long").alias("n_days_used"),
+        F.sum(
+            F.expr("cents * shiftleft(cast(1 as bigint), "
+                   "cast(used - rn as int))")
+        ).alias("s_all"),
+        F.sum(
+            F.expr(
+                "CASE WHEN rn >= 2 THEN cents * shiftleft("
+                "cast(1 as bigint), cast(used - rn as int)) ELSE 0 END"
+            )
+        ).alias("s_prev"),
+        F.max(F.when(F.col("rn") == 1, F.col("cents"))).alias("last_cents"),
+        F.max(F.when(F.col("rn") == 1, F.col("day"))).alias("last_day"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days_used",
+        "last_day",
+        "last_cents",
+        F.expr(
+            "s_all div (shiftleft(cast(1 as bigint), "
+            "cast(n_days_used as int)) - 1)"
+        ).alias("forecast_cents"),
+        F.expr(
+            "abs(s_prev div (shiftleft(cast(1 as bigint), "
+            "cast(n_days_used as int) - 1) - 1) - last_cents)"
+        ).alias("backtest_abs_err_cents"),
+    )
+
+
+@query(
+    "q_regress_ols_daily",
+    oracle=EVENTS_US
+    + """
+    , daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events_us GROUP BY 1, 2
+    ),
+    xy AS (
+        SELECT event_type,
+               CAST(datediff('day',
+                    MIN(day) OVER (PARTITION BY event_type), day)
+                    AS BIGINT) AS x,
+               cents AS y
+        FROM daily
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM xy GROUP BY event_type
+    )
+    SELECT event_type, n AS n_days,
+           CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                AS BIGINT) AS slope_microcents_per_day,
+           CAST((sy * 1000000
+                 - ((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)) * sx)
+                // (n * 1000000) AS BIGINT) AS intercept_cents
+    FROM s
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_regress_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series ordinary-least-squares trend line over the daily
+    revenue series, in closed form from the five sufficient statistics
+    (n, Σx, Σy, Σx², Σxy): slope = (nΣxy − ΣxΣy)/(nΣxx − Σx²) as exact
+    signed micro-cents/day (both engines truncate toward zero), and
+    the intercept back-solved from the SAME truncated slope so the two
+    engines share every intermediate.  The sufficient statistics are
+    the distributed-OLS canon — they fold associatively in one
+    map-side-combined pass, which is why this form (not a solver)
+    is how regression runs on a 1000-executor cluster.
+
+    Int64 bound — two terms bind: the moment product n·Σxy ≤ n³·y_max
+    (y in cents), and the slope numerator ×1e6 ≈ slope·(n⁴/12)·1e6.
+    At daily grain and $100k/day series with ~$1k/day-scale slopes
+    both stay under 2^63 to ~5-year series (n ≈ 2000); for longer
+    horizons re-base x to week indices (n⁴ shrinks 2400×) or shard by
+    year and POOL the five statistics — they add exactly.  Complements
+    q_timeseries_theil_sen (robust median slope) on the same series
+    spec."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"))
+    wmin = Window.partitionBy("event_type")
+    xy = daily.select(
+        "event_type",
+        F.datediff(F.col("day"), F.min("day").over(wmin))
+        .cast("long")
+        .alias("x"),
+        F.col("cents").alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.expr(
+            "(n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+        ).alias("slope_microcents_per_day"),
+        F.expr(
+            "(sy * 1000000 - ((n * sxy - sx * sy) * 1000000 div "
+            "(n * sxx - sx * sx)) * sx) div (n * 1000000)"
+        ).alias("intercept_cents"),
+    )
+
+
+@query(
+    "q_agg_simpson_diversity",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT source,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_langs,
+               CAST(SUM(n * (n - 1)) AS BIGINT) AS same_pairs2,
+               CAST(MAX(n) AS BIGINT) AS top_n
+        FROM c GROUP BY 1
+    )
+    SELECT source, n_docs, n_langs,
+           CAST(1000000 - same_pairs2 * 1000000 // (n_docs * (n_docs - 1))
+                AS BIGINT) AS simpson_ppm,
+           CAST(top_n * 1000000 // n_docs AS BIGINT) AS top_share_ppm
+    FROM s
+    """,
+    tags=("analytics", "diversity"),
+)
+def q_agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index per corpus source over the language
+    distribution — the probability two documents drawn WITHOUT
+    replacement differ in language: D = 1 − Σnᵢ(nᵢ−1)/(N(N−1)).  The
+    unbiased finite-sample (Hurlbert PIE) form is an exact integer
+    rational, unlike Shannon entropy's transcendental log — which is
+    why diversity dashboards that must reconcile across engines ship
+    Simpson, not Shannon.  Emitted next to the dominant-language share
+    (the concentration complement): a curation guardrail pair — a
+    source whose D collapses or top-share spikes drifted monolingual.
+
+    100 TB shape: one (source, lang) hash agg (map-side combined),
+    then per-source math on the |sources|×|langs| grid — catalog
+    grain, no second pass over documents."""
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    s = c.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.sum(F.expr("n * (n - 1)")).alias("same_pairs2"),
+        F.max("n").alias("top_n"),
+    )
+    return s.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.expr(
+            "1000000 - same_pairs2 * 1000000 div (n_docs * (n_docs - 1))"
+        ).alias("simpson_ppm"),
+        F.expr("top_n * 1000000 div n_docs").alias("top_share_ppm"),
+    )
+
+
+_CUPED_SPLIT_DAY = "2024-01-16"  # pre-period X: days 1-15; post Y: 16-30
+
+
+@query(
+    "q_ab_cuped",
+    oracle=EVENTS_US
+    + f"""
+    , u AS (
+        SELECT user_id,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               CAST(SUM(CASE WHEN ts < TIMESTAMP '{_CUPED_SPLIT_DAY}'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                    // 100 AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_CUPED_SPLIT_DAY}'
+                        THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END)
+                    // 100 AS BIGINT) AS y
+        FROM events_us GROUP BY 1
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM u
+    ),
+    arms AS (
+        SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy
+        FROM u GROUP BY 1
+    ),
+    k AS (
+        SELECT CAST((m.n * m.sxy - m.sx * m.sy) * 1000
+                    // (m.n * m.sxx - m.sx * m.sx) AS BIGINT) AS k_x1000
+        FROM m
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 0 THEN sx END) AS sx0,
+               MAX(CASE WHEN arm = 1 THEN sx END) AS sx1,
+               MAX(CASE WHEN arm = 0 THEN sy END) AS sy0,
+               MAX(CASE WHEN arm = 1 THEN sy END) AS sy1
+        FROM arms
+    )
+    SELECT w.n0, w.n1, k.k_x1000,
+           CAST(w.sy1 * 1000 // w.n1 - w.sy0 * 1000 // w.n0 AS BIGINT)
+               AS raw_diff_mdollar,
+           CAST(w.sy1 * 1000 // w.n1 - w.sy0 * 1000 // w.n0
+                - k.k_x1000 * (w.sx1 * 1000 // w.n1 - w.sx0 * 1000 // w.n0)
+                  // 1000 AS BIGINT) AS cuped_diff_mdollar,
+           CAST(k.k_x1000 * (w.sx1 * 1000 // w.n1 - w.sx0 * 1000 // w.n0)
+                // 1000 AS BIGINT) AS pre_bias_mdollar
+    FROM w, k
+    """,
+    tags=("analytics", "experiment"),
+)
+def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the control
+    -variates readout modern experiment platforms apply before calling
+    a winner: the post-period metric Y is adjusted by the PRE-period
+    covariate X via θ = Y − k·(X − X̄), k = cov(X,Y)/var(X), removing
+    the variance users brought with them into the experiment.  k is
+    built from the five associative moment sums (same distributed form
+    as q_regress_ols_daily) as an exact ×1000 integer; the adjusted
+    treatment effect and the pre-period bias it subtracts are emitted
+    in milli-dollars next to the raw difference.  Under hash
+    assignment pre-period balance makes the adjustment small but
+    nonzero — exactly what CUPED corrects.
+
+    Int64 bound: n·Σxy in whole DOLLARS ×1000 — safe to ~500k users
+    at these revenue scales; past that, shard users by hash into
+    strata and POOL the moment sums (they add exactly).  100 TB
+    shape: one user-grain agg (both period sums fold into one pass),
+    then all math on one moment row and a 2-row arm pivot."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.expr(
+            f"CAST(sum(CASE WHEN ts < timestamp'{_CUPED_SPLIT_DAY}' "
+            "THEN CAST(round(value * 100, 0) AS LONG) ELSE 0 END) "
+            "div 100 AS LONG)"
+        ).alias("x"),
+        F.expr(
+            f"CAST(sum(CASE WHEN ts >= timestamp'{_CUPED_SPLIT_DAY}' "
+            "THEN CAST(round(value * 100, 0) AS LONG) ELSE 0 END) "
+            "div 100 AS LONG)"
+        ).alias("y"),
+    ).select(
+        F.pmod(hex_hash(F.col("user_id").cast("string")), F.lit(2)).alias(
+            "arm"
+        ),
+        "x",
+        "y",
+    )
+    m = u.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    ).select(
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) "
+            "AS LONG)"
+        ).alias("k_x1000")
+    )
+    arms = u.groupBy("arm").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sx"))).alias("sx0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("arm") == 0, F.col("sy"))).alias("sy0"),
+        F.max(F.when(F.col("arm") == 1, F.col("sy"))).alias("sy1"),
+    )
+    return w.crossJoin(F.broadcast(m)).select(
+        "n0",
+        "n1",
+        "k_x1000",
+        F.expr("sy1 * 1000 div n1 - sy0 * 1000 div n0").alias(
+            "raw_diff_mdollar"
+        ),
+        F.expr(
+            "sy1 * 1000 div n1 - sy0 * 1000 div n0 "
+            "- k_x1000 * (sx1 * 1000 div n1 - sx0 * 1000 div n0) div 1000"
+        ).alias("cuped_diff_mdollar"),
+        F.expr(
+            "k_x1000 * (sx1 * 1000 div n1 - sx0 * 1000 div n0) div 1000"
+        ).alias("pre_bias_mdollar"),
+    )
+
+
+_QTE_PS = (25, 50, 75, 90)
+
+
+def _qte_oracle() -> str:
+    rows = []
+    for p in _QTE_PS:
+        rows.append(f"""
+        SELECT CAST({p} AS BIGINT) AS p_x100,
+               quantile_cont(CASE WHEN arm = 0 THEN m END, {p / 100}) / 100.0
+                   AS q_ctrl,
+               quantile_cont(CASE WHEN arm = 1 THEN m END, {p / 100}) / 100.0
+                   AS q_treat,
+               quantile_cont(CASE WHEN arm = 1 THEN m END, {p / 100}) / 100.0
+               - quantile_cont(CASE WHEN arm = 0 THEN m END, {p / 100}) / 100.0
+                   AS qte
+        FROM ua""")
+    return (
+        "WITH events_us AS (SELECT user_id, value FROM events), "
+        """um AS (
+        SELECT user_id,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS m
+        FROM events_us GROUP BY 1
+    ),
+    ua AS (
+        SELECT CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm, m
+        FROM um
+    )
+    """
+        + " UNION ALL ".join(rows)
+    )
+
+
+@query(
+    "q_ab_quantile_effects",
+    oracle=_qte_oracle(),
+    tags=("analytics", "experiment"),
+)
+def q_ab_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects — the distributional readout that
+    catches what the mean hides (a treatment helping the p25 while
+    hurting the p90 averages to nothing): per-arm user-revenue
+    quantiles at p25/50/75/90 and their differences.  Quantiles are
+    type-7 linear interpolation over EXACT integer cents (the
+    q_agg_percentile parity recipe — both engines interpolate the
+    same int64 order statistics, then one constant division), so QTE
+    subtraction is bit-deterministic.  Completes the experiment
+    family: SRM guardrail → mean lift (uplift/CUPED) → rank test
+    (Mann-Whitney) → THIS, the full-distribution view.
+
+    100 TB shape: one user-grain agg, then per-arm quantiles — exact
+    percentile is a sort-based agg (at real scale swap in
+    approx_percentile's mergeable sketch, same output contract); 4
+    rows out."""
+    e = load_table(spark, sf_dir, "events")
+    um = e.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("m")
+    )
+    ua = um.select(
+        F.pmod(hex_hash(F.col("user_id").cast("string")), F.lit(2)).alias(
+            "arm"
+        ),
+        "m",
+    )
+    parts = []
+    for p in _QTE_PS:
+        parts.append(
+            ua.agg(
+                F.lit(p).cast("long").alias("p_x100"),
+                (
+                    F.expr(
+                        f"percentile(CASE WHEN arm = 0 THEN m END, {p / 100})"
+                    )
+                    / 100.0
+                ).alias("q_ctrl"),
+                (
+                    F.expr(
+                        f"percentile(CASE WHEN arm = 1 THEN m END, {p / 100})"
+                    )
+                    / 100.0
+                ).alias("q_treat"),
+                (
+                    F.expr(
+                        f"percentile(CASE WHEN arm = 1 THEN m END, {p / 100})"
+                    )
+                    / 100.0
+                    - F.expr(
+                        f"percentile(CASE WHEN arm = 0 THEN m END, {p / 100})"
+                    )
+                    / 100.0
+                ).alias("qte"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.union(pdf)
+    return out

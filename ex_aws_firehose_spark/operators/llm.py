@@ -12405,3 +12405,148 @@ def q_eval_pref_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cycle_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of a lexical and a vector arm
+# ---------------------------------------------------------------------------
+
+RRF_K0 = 60  # the standard RRF damping constant (Cormack et al. 2009)
+RRF_LIST_K = 50  # depth of each input ranking
+RRF_FUSE_K = 10  # fused results served
+
+
+def _rrf_gain_table() -> list[tuple[int, int]]:
+    """(rank, gain) with gain = round(1e9/(K0+rank)) — Python-computed
+    integer constants shared verbatim by both engines (the q_eval_ndcg
+    trick), so no engine divides floats."""
+    return [(r, round(1e9 / (RRF_K0 + r))) for r in range(1, RRF_LIST_K + 1)]
+
+
+def _rrf_oracle() -> str:
+    values = ", ".join(f"({r}, {g})" for r, g in _rrf_gain_table())
+    return f"""
+    WITH dt AS (
+        SELECT doc_id, str_split(lower(text), ' ') AS t FROM documents
+    ),
+    tok AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(t) AS tok FROM dt)
+    ),
+    dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY 1),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    qt AS (SELECT tok FROM tok WHERE doc_id = 0),
+    lex AS (
+        SELECT t.doc_id, CAST(SUM(nd.n_docs // f.df) AS BIGINT) AS s
+        FROM tok t JOIN qt USING (tok) JOIN dfq f USING (tok) CROSS JOIN nd
+        WHERE t.doc_id <> 0 GROUP BY 1
+    ),
+    lexr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS lrank
+        FROM lex
+    ),
+    qv AS (SELECT embedding AS v FROM embeddings WHERE vec_id = 0),
+    vec AS (
+        SELECT e.vec_id AS doc_id,
+               round({duck_cosine('e.embedding', 'qv.v')}, 6) AS c
+        FROM embeddings e CROSS JOIN qv WHERE e.vec_id <> 0
+    ),
+    vecr AS (
+        SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS vrank
+        FROM vec
+    ),
+    g(rnk, gain) AS (SELECT * FROM (VALUES {values})),
+    fused AS (
+        SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+               CAST(COALESCE(l.lrank, 0) AS BIGINT) AS lex_rank,
+               CAST(COALESCE(v.vrank, 0) AS BIGINT) AS vec_rank,
+               CAST(COALESCE(gl.gain, 0) + COALESCE(gv.gain, 0) AS BIGINT)
+                   AS rrf_x1e9
+        FROM (SELECT * FROM lexr WHERE lrank <= {RRF_LIST_K}) l
+        FULL OUTER JOIN (SELECT * FROM vecr WHERE vrank <= {RRF_LIST_K}) v
+          ON l.doc_id = v.doc_id
+        LEFT JOIN g gl ON gl.rnk = l.lrank
+        LEFT JOIN g gv ON gv.rnk = v.vrank
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_x1e9
+    FROM fused ORDER BY rrf_x1e9 DESC, doc_id LIMIT {RRF_FUSE_K}
+    """
+
+
+@query(
+    "q_sim_rrf_fusion",
+    oracle=_rrf_oracle(),
+    tags=("llm", "similarity", "retrieval"),
+)
+def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (Cormack et al.
+    2009) — THE production pattern for RAG serving: a lexical arm
+    (shared-token match, rarity-weighted by the exact integer
+    idf-proxy N div df) and a vector arm (exact cosine) each produce a
+    top-50 ranking for the query document, and fusion scores each hit
+    Σ 1/(60+rank) over the lists it appears in.  The 1/(60+r) gains
+    are Python-precomputed integer constants (×1e9) shared verbatim by
+    both engines, so fusion is exact int64 addition; absent-from-list
+    is rank 0 / gain 0 (never NULL — keeps both engines' dtypes
+    integral).
+
+    100 TB shape: the lexical arm is an inverted-index join (query
+    tokens broadcast, df table shuffles on token — the vocabulary
+    grain); the vector arm is the broadcast-query cosine scan; each
+    arm keeps k rows, so fusion joins two 50-row tables with a 50-row
+    broadcast gain table.  Swapping either arm for its ANN/index
+    variant (q_sim_ann_ivf, q_read_secondary_index) changes recall,
+    not the fusion algebra."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    dfq = tok.groupBy("tok").agg(F.count("*").alias("df"))
+    nd = d.agg(F.count("*").alias("n_docs"))
+    qt = tok.filter(F.col("doc_id") == 0).select("tok")
+    lex = (
+        tok.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qt), "tok")
+        .join(dfq, "tok")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("n_docs div df")).alias("s"))
+    )
+    wl = Window.orderBy(F.col("s").desc(), "doc_id")
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).alias("lrank")
+    ).filter(F.col("lrank") <= RRF_LIST_K)
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("v"))
+    )
+    vec = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(qv)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine(F.col("embedding"), F.col("v")), 6).alias("c"),
+        )
+    )
+    wv = Window.orderBy(F.col("c").desc(), "doc_id")
+    vecr = vec.select(
+        "doc_id", F.row_number().over(wv).alias("vrank")
+    ).filter(F.col("vrank") <= RRF_LIST_K)
+    gain = F.broadcast(
+        spark.createDataFrame(_rrf_gain_table(), "rnk int, gain long")
+    )
+    fused = (
+        lexr.join(vecr, "doc_id", "full_outer")
+        .join(gain.alias("gl"), F.col("lrank") == F.col("gl.rnk"), "left")
+        .join(gain.alias("gv"), F.col("vrank") == F.col("gv.rnk"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("lrank", F.lit(0)).cast("long").alias("lex_rank"),
+            F.coalesce("vrank", F.lit(0)).cast("long").alias("vec_rank"),
+            (
+                F.coalesce(F.col("gl.gain"), F.lit(0))
+                + F.coalesce(F.col("gv.gain"), F.lit(0))
+            ).alias("rrf_x1e9"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_x1e9").desc(), "doc_id").limit(RRF_FUSE_K)

@@ -3871,3 +3871,292 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "cents")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 ML-feature and incremental-view-maintenance operators
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_feature_target_encode_loo",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderpriority AS cat,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    g AS (
+        SELECT cat, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s
+        FROM o GROUP BY 1
+    ),
+    enc AS (
+        SELECT o.cat, g.n, g.s,
+               CAST((g.s - o.y) * 1000000 // (g.n - 1) AS BIGINT) AS loo
+        FROM o JOIN g USING (cat)
+    )
+    SELECT cat, n,
+           CAST(s * 1000000 // n AS BIGINT) AS mean_microcents,
+           CAST(SUM(loo) // n AS BIGINT) AS loo_mean_microcents,
+           CAST(MIN(loo) AS BIGINT) AS loo_min,
+           CAST(MAX(loo) AS BIGINT) AS loo_max
+    FROM enc GROUP BY cat, n, s
+    """,
+    tags=("relational", "feature"),
+)
+def q_feature_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature every tabular-ML pipeline ships: each row's encode is the
+    category's target mean EXCLUDING the row itself, (Σy − yᵢ)/(n−1),
+    in exact integer micro-cents.  The per-category audit emitted here
+    pins the estimator's defining identity — the mean of the LOO
+    encodes equals the plain category mean exactly in rationals (Σ(S −
+    yᵢ) = (n−1)S), so the two mean columns agree up to integer-truncation
+    residue — plus the encode's min/max spread (its leakage-variance
+    signature).
+
+    Int64 bound: (S − yᵢ)·1e6 with S the category cents sum — safe to
+    ~$90 B per category (≈ sf1 here); past that switch the unit to
+    whole dollars (the category sums S, n pool exactly across shards,
+    so the encode itself never needs a global pass).  100 TB shape: one hash agg to category grain, broadcast
+    back, one map-side encode pass folded into a second agg on the
+    SAME key — category cardinality is catalog-scale, rows stream
+    through."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        _cents("o_totalprice").alias("y"),
+    )
+    g = o.groupBy("cat").agg(
+        F.count("*").alias("n"), F.sum("y").alias("s")
+    )
+    enc = o.join(F.broadcast(g), "cat").select(
+        "cat",
+        "n",
+        "s",
+        F.expr("(s - y) * 1000000 div (n - 1)").alias("loo"),
+    )
+    return enc.groupBy("cat", "n", "s").agg(
+        F.expr("CAST(sum(loo) div n AS LONG)").alias("loo_mean_microcents"),
+        F.min("loo").alias("loo_min"),
+        F.max("loo").alias("loo_max"),
+    ).select(
+        "cat",
+        "n",
+        F.expr("s * 1000000 div n").alias("mean_microcents"),
+        "loo_mean_microcents",
+        "loo_min",
+        "loo_max",
+    )
+
+
+HASH_TRICK_BUCKETS = 64
+
+
+@query(
+    "q_feature_hashing_trick",
+    oracle=f"""
+    WITH tok AS (
+        SELECT unnest(str_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    b AS (
+        SELECT CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT)
+                   % {HASH_TRICK_BUCKETS} AS bucket,
+               tok
+        FROM tok
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens
+    FROM b GROUP BY bucket
+    """,
+    tags=("relational", "feature", "text"),
+)
+def q_feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009) — fixed-width
+    feature vectors without a vocabulary: every token maps to
+    bucket = md5 % 64 (the engine-portable hash), and the emitted
+    per-bucket load (occurrences) and collision census (distinct
+    tokens sharing the bucket) are exactly the diagnostics a feature
+    platform monitors before shrinking the width.  No dictionary, no
+    OOV path, merge-free across shards — the property that makes it
+    THE text featurizer at streaming scale.
+
+    100 TB shape: one map-side hash per token + one agg at bucket
+    grain (64 groups — perfectly combinable); the distinct-count
+    shuffles (bucket, token) pairs, bounded by vocabulary size."""
+    from ex_aws_firehose_spark.functions.text import hex_hash, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("tok"))
+    b = tok.select(
+        (hex_hash(F.col("tok")) % HASH_TRICK_BUCKETS).alias("bucket"), "tok"
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("tok").alias("n_distinct_tokens"),
+    )
+
+
+@query(
+    "q_ivm_merge_aggregates",
+    oracle="""
+    WITH l AS (
+        SELECT l_returnflag AS rf,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+    )
+    SELECT rf,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(MIN(cents) AS BIGINT) AS min_cents,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           CAST(SUM(cents) * 1000000 // COUNT(*) AS BIGINT)
+               AS mean_microcents
+    FROM l GROUP BY rf
+    """,
+    tags=("relational", "incremental"),
+)
+def q_ivm_merge_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance by PARTIAL-AGGREGATE MERGE: the
+    table is split into a 'materialized base' and an 'arriving delta'
+    (l_orderkey parity), each aggregated INDEPENDENTLY to mergeable
+    state (count, sum, min, max — the commutative-monoid folds), and
+    the view is refreshed by merging the two state sets: n₀+n₁, s₀+s₁,
+    least/greatest.  The oracle recomputes from scratch, so the
+    differential proves merge ≡ recompute — the algebraic fact that
+    makes map-side combine, AQE partial aggregation, and streaming
+    state stores correct, here surfaced as a first-class refresh
+    operator (a 100 TB view updates by folding the new partition's
+    state, never rescanning history).
+
+    100 TB shape: each side is one map-side-combined agg; the merge
+    touches 2×|groups| state rows — the whole point."""
+    l = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        (F.col("l_orderkey") % 2).alias("side"),
+        _cents("l_extendedprice").alias("cents"),
+    )
+    partial = l.groupBy("rf", "side").agg(
+        F.count("*").alias("pn"),
+        F.sum("cents").alias("ps"),
+        F.min("cents").alias("pmin"),
+        F.max("cents").alias("pmax"),
+    )
+    merged = partial.groupBy("rf").agg(
+        F.sum("pn").alias("n"),
+        F.sum("ps").alias("sum_cents"),
+        F.min("pmin").alias("min_cents"),
+        F.max("pmax").alias("max_cents"),
+    )
+    return merged.select(
+        "rf",
+        "n",
+        "sum_cents",
+        "min_cents",
+        "max_cents",
+        F.expr("sum_cents * 1000000 div n").alias("mean_microcents"),
+    )
+
+
+_PROFILE_COLS = (
+    "event_id",
+    "user_id",
+    "event_type",
+    "value_cents",
+    "prop_k",
+    "prop_missing",
+)
+
+
+def _profile_oracle() -> str:
+    aggs = []
+    for c in _PROFILE_COLS:
+        aggs.append(
+            f"COUNT({c}) AS nn_{c}, COUNT(DISTINCT {c}) AS nd_{c}, "
+            f"COALESCE(MIN(length(CAST({c} AS VARCHAR))), -1) AS lo_{c}, "
+            f"COALESCE(MAX(length(CAST({c} AS VARCHAR))), -1) AS hi_{c}"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS col, n_rows, "
+        f"CAST(n_rows - nn_{c} AS BIGINT) AS n_null, "
+        f"CAST(nd_{c} AS BIGINT) AS n_distinct, "
+        f"CAST(lo_{c} AS BIGINT) AS min_strlen, "
+        f"CAST(hi_{c} AS BIGINT) AS max_strlen FROM a"
+        for c in _PROFILE_COLS
+    )
+    return f"""
+    WITH p AS (
+        SELECT event_id, user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS prop_k,
+               CAST(json_extract(props, '$.missing') AS BIGINT)
+                   AS prop_missing
+        FROM events
+    ),
+    a AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows, {", ".join(aggs)}
+        FROM p
+    )
+    {rows}
+    """
+
+
+@query(
+    "q_dq_profile",
+    oracle=_profile_oracle(),
+    tags=("relational", "dq"),
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column-completeness profile — the Deequ/
+    great-expectations 'profile' primitive that runs BEFORE anyone
+    writes constraints: per column, null count, exact distinct count,
+    and min/max rendered string length (the cheap width/format screen
+    that catches truncation and scientific-notation regressions).
+    The profiled projection includes two JSON extractions — a present
+    key and an absent one — so both the zero-null and the all-null
+    arms of the null detector demonstrably fire; -1 sentinels stand in
+    for the empty min/max of the all-null column (never NULL — keeps
+    dtypes integral).
+
+    100 TB shape: ONE scan computes every column's aggregates
+    simultaneously (a wide map-side-combined agg — 6 columns × 4
+    states fold in the same pass); the per-column rows are unstacked
+    from the single result row, so profiling cost is one table read
+    regardless of column count."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("value_cents"),
+        F.get_json_object("props", "$.k").cast("long").alias("prop_k"),
+        F.get_json_object("props", "$.missing")
+        .cast("long")
+        .alias("prop_missing"),
+    )
+    exprs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        exprs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.coalesce(
+                F.min(F.length(F.col(c).cast("string"))), F.lit(-1)
+            ).alias(f"lo_{c}"),
+            F.coalesce(
+                F.max(F.length(F.col(c).cast("string"))), F.lit(-1)
+            ).alias(f"hi_{c}"),
+        ]
+    a = p.agg(*exprs)
+    stack_args = ", ".join(
+        f"'{c}', CAST(n_rows - nn_{c} AS LONG), CAST(nd_{c} AS LONG), "
+        f"CAST(lo_{c} AS LONG), CAST(hi_{c} AS LONG)"
+        for c in _PROFILE_COLS
+    )
+    return a.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_args}) AS "
+            "(col, n_null, n_distinct, min_strlen, max_strlen)"
+        ),
+    ).select("col", "n_rows", "n_null", "n_distinct", "min_strlen", "max_strlen")

@@ -5154,3 +5154,126 @@ def q_dq_emd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("relation")
     )
+
+
+# ---------------------------------------------------------------------------
+# Local differential privacy: randomized response with exact debiasing
+# ---------------------------------------------------------------------------
+
+RR_EPS_X1M = 1_098_612  # ε = ln 3 (×1e6), fixed by the ¾/¼ mechanism
+_RR_CONV_CENTS = 10_000  # conversion bit: any purchase ≥ $100
+
+
+def _rr_oracle() -> str:
+    from ex_aws_firehose_spark.functions.text import duck_hex_hash
+
+    h = duck_hex_hash("CAST(user_id AS VARCHAR)")
+    return f"""
+    WITH events_us AS (
+        SELECT user_id, event_type, value FROM events
+    ),
+    u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ROUND(value * 100) AS BIGINT)
+                             >= {_RR_CONV_CENTS}
+                        THEN 1 ELSE 0 END) AS truth
+        FROM events_us GROUP BY 1
+    ),
+    coins AS (
+        SELECT truth,
+               {h} % 2 AS honest_tail,
+               ({h} // 2) % 2 AS lie_bit
+        FROM u
+    ),
+    rep AS (
+        SELECT truth,
+               CASE WHEN honest_tail = 0 THEN truth ELSE lie_bit END AS r
+        FROM coins
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(truth) AS BIGINT) AS n_true,
+               CAST(SUM(r) AS BIGINT) AS n_reported
+        FROM rep
+    )
+    SELECT n_users, n_true, n_reported,
+           CAST(n_true * 1000000 // n_users AS BIGINT) AS true_ppm,
+           CAST((4 * n_reported - n_users) * 1000000 // (2 * n_users)
+                AS BIGINT) AS est_ppm,
+           CAST(ABS(n_true * 1000000 // n_users
+                    - (4 * n_reported - n_users) * 1000000 // (2 * n_users))
+                AS BIGINT) AS abs_err_ppm,
+           CAST({RR_EPS_X1M} AS BIGINT) AS epsilon_x1m
+    FROM agg
+    """
+
+
+@query(
+    "q_anon_randomized_response",
+    oracle=_rr_oracle(),
+    tags=("anonymization", "privacy"),
+)
+def q_anon_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response — the LOCAL differential-privacy
+    mechanism (ε = ln 3): each user reports their true conversion bit
+    with probability ½, otherwise a uniform coin, so any single report
+    is 3:1-deniable; the aggregate is then debiased EXACTLY via
+    π̂ = (4·Σreports − n)/(2n), emitted in signed integer ppm next to
+    the ground-truth rate and the realized |error|.  Coins are the
+    engine-portable md5 hash bits of the user id — deterministic for
+    the differential test, and the exact shape of production
+    seeded-RR audit pipelines (RAPPOR's permanent randomized
+    response).  Completes the privacy family: k-anonymity /
+    l-diversity / t-closeness audit the OUTPUT, this key perturbs the
+    INPUT.
+
+    100 TB shape: one user-grain hash agg (the truth bit and both
+    coins fold into the same map-side pass), 1-row output — the
+    mechanism adds zero shuffle."""
+    from ex_aws_firehose_spark.functions.text import hex_hash
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (
+                    F.round(F.col("value") * 100, 0).cast("long")
+                    >= _RR_CONV_CENTS
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("truth")
+    )
+    h = hex_hash(F.col("user_id").cast("string"))
+    coins = u.select(
+        "truth",
+        (h % 2).alias("honest_tail"),
+        (F.shiftright(h, 1) % 2).alias("lie_bit"),
+    )
+    rep = coins.select(
+        "truth",
+        F.when(F.col("honest_tail") == 0, F.col("truth"))
+        .otherwise(F.col("lie_bit"))
+        .alias("r"),
+    )
+    agg = rep.agg(
+        F.count("*").alias("n_users"),
+        F.sum("truth").alias("n_true"),
+        F.sum("r").alias("n_reported"),
+    )
+    return agg.select(
+        "n_users",
+        "n_true",
+        "n_reported",
+        F.expr("n_true * 1000000 div n_users").alias("true_ppm"),
+        F.expr(
+            "(4 * n_reported - n_users) * 1000000 div (2 * n_users)"
+        ).alias("est_ppm"),
+        F.expr(
+            "abs(n_true * 1000000 div n_users - "
+            "(4 * n_reported - n_users) * 1000000 div (2 * n_users))"
+        ).alias("abs_err_ppm"),
+        F.lit(RR_EPS_X1M).cast("long").alias("epsilon_x1m"),
+    )

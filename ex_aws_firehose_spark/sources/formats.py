@@ -2617,3 +2617,542 @@ def q_maintenance_delete_compaction(
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot expiry + orphan-file GC (Iceberg expireSnapshots /
+# deleteOrphanFiles semantics from first principles)
+# ---------------------------------------------------------------------------
+
+_EXPIRE_CACHE: SessionCache = SessionCache()
+EXP_SLICES = 4  # o_orderkey % EXP_SLICES partitions the base table
+EXP_RETAIN = 2  # retention policy: keep the newest 2 snapshots
+
+
+def _stage_expire_table(spark: SparkSession, sf_dir: str):
+    """Stage a committed table whose history makes GC non-trivial:
+    appends f0, f1 → a COMPACTION rewriting both into C → appends f2,
+    f3.  Snapshot manifests are COMPLETE file lists (the Iceberg
+    model), and the file-stats manifest carries per-file row counts
+    and cents (the column stats real manifests embed) so expiry can
+    plan without touching data.
+
+    snapshots: s0={f0} s1={f0,f1} s2={C} s3={C,f2} s4={C,f2,f3}."""
+    import os
+
+    key = _EXPIRE_CACHE.scoped_key(spark, sf_dir)
+    cached = _EXPIRE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _tracked_mkdtemp(prefix="orders_expire_")
+    data = os.path.join(base, "data")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderkey") % EXP_SLICES).alias("sl"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+    members = {
+        "f0": [0],
+        "f1": [1],
+        "C": [0, 1],
+        "f2": [2],
+        "f3": [3],
+    }
+    stats = []
+    for fid, slices in members.items():
+        path = os.path.join(data, fid)
+        part = o.filter(F.col("sl").isin(slices)).select("cents")
+        part.coalesce(1).write.parquet(path)
+        agg = part.agg(
+            F.count("*").alias("n"), F.sum("cents").alias("c")
+        ).collect()[0]
+        stats.append((fid, path, int(agg.n), int(agg.c)))
+    pq.write_table(
+        pa.table(
+            {
+                "file_id": pa.array([s[0] for s in stats], pa.string()),
+                "path": pa.array([s[1] for s in stats], pa.string()),
+                "n_rows": pa.array([s[2] for s in stats], pa.int64()),
+                "cents": pa.array([s[3] for s in stats], pa.int64()),
+            }
+        ),
+        os.path.join(base, "files.parquet"),
+    )
+    snapshots = [
+        (0, "f0"),
+        (1, "f0"), (1, "f1"),
+        (2, "C"),
+        (3, "C"), (3, "f2"),
+        (4, "C"), (4, "f2"), (4, "f3"),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "snapshot_id": pa.array([s[0] for s in snapshots], pa.int64()),
+                "file_id": pa.array([s[1] for s in snapshots], pa.string()),
+            }
+        ),
+        os.path.join(base, "snapshots.parquet"),
+    )
+    _EXPIRE_CACHE[key] = base
+    return base
+
+
+@query(
+    "q_maintenance_expire_snapshots",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderkey % {EXP_SLICES} AS sl,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS c
+        FROM s
+    ),
+    old AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS c
+        FROM s WHERE sl IN (0, 1)
+    )
+    SELECT 'live' AS category, CAST(3 AS BIGINT) AS n_files,
+           tot.n AS n_rows, tot.c AS cents_total,
+           CAST(5 AS BIGINT) AS n_snapshots_total,
+           CAST(3 AS BIGINT) AS n_snapshots_expired
+    FROM tot
+    UNION ALL
+    SELECT 'deletable', CAST(2 AS BIGINT), old.n, old.c,
+           CAST(5 AS BIGINT), CAST(3 AS BIGINT)
+    FROM old
+    UNION ALL
+    SELECT 'head_scan_post_gc', CAST(3 AS BIGINT), tot.n, tot.c,
+           CAST(5 AS BIGINT), CAST(3 AS BIGINT)
+    FROM tot
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_maintenance_expire_snapshots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Snapshot expiry + orphan-file GC — the LAST lifecycle stage of
+    the manifest-committed table family (commit → snapshot read →
+    compaction → delete compaction → EXPIRY): retain the newest
+    EXP_RETAIN snapshots, drop the rest from the log, and a file
+    becomes deletable iff NO retained snapshot references it.  On the
+    staged history (appends f0,f1 → compaction C → appends f2,f3) the
+    originals f0,f1 are reclaimed while C,f2,f3 stay live — the exact
+    reclaim pattern after a compaction ages out of retention.  Expiry
+    plans ENTIRELY from manifest metadata (per-file stats rows — GC
+    never opens a data file); the deletable files are then physically
+    removed and the head snapshot is re-scanned, proving the GC took
+    nothing a live reader needs: its rows+cents hash-match the raw
+    table via the oracle.
+
+    Parity: Iceberg `expireSnapshots().retainLast(2)` +
+    `deleteOrphanFiles` (reference lambda/main.py has no table
+    maintenance; [EXT] scale surface).  100 TB shape: planning is a
+    set-difference over the snapshot⋈file manifest (metadata grain,
+    KB-scale); the only data touched is the verify scan a reader pays
+    anyway."""
+    import os
+    import shutil
+
+    base = _stage_expire_table(spark, sf_dir)
+    snaps = spark.read.parquet(os.path.join(base, "snapshots.parquet"))
+    files = spark.read.parquet(os.path.join(base, "files.parquet"))
+    max_snap = snaps.agg(F.max("snapshot_id")).collect()[0][0]
+    cutoff = max_snap - EXP_RETAIN + 1
+    live_ids = snaps.filter(F.col("snapshot_id") >= cutoff).select(
+        "file_id"
+    ).distinct()
+    n_snapshots = snaps.select("snapshot_id").distinct().count()
+
+    live = files.join(F.broadcast(live_ids), "file_id")
+    deletable = files.join(F.broadcast(live_ids), "file_id", "left_anti")
+
+    # physical GC (idempotent — staging is session-cached)
+    for r in deletable.select("path").collect():
+        if os.path.exists(r.path):
+            shutil.rmtree(r.path)
+
+    head_paths = sorted(
+        r.path
+        for r in files.join(
+            F.broadcast(
+                snaps.filter(F.col("snapshot_id") == max_snap).select(
+                    "file_id"
+                )
+            ),
+            "file_id",
+        )
+        .select("path")
+        .collect()
+    )
+    consts = [
+        F.lit(n_snapshots).cast("long").alias("n_snapshots_total"),
+        F.lit(int(cutoff)).cast("long").alias("n_snapshots_expired"),
+    ]
+
+    def meta_row(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count("*").cast("long").alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ).select(F.lit(label).alias("category"), "n_files", "n_rows",
+                 "cents_total", *consts)
+
+    head_scan = (
+        spark.read.parquet(*head_paths)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        )
+        .select(
+            F.lit("head_scan_post_gc").alias("category"),
+            F.lit(len(head_paths)).cast("long").alias("n_files"),
+            "n_rows",
+            "cents_total",
+            *consts,
+        )
+    )
+    return meta_row("live", live).union(meta_row("deletable", deletable)).union(
+        head_scan
+    )
+
+
+# ---------------------------------------------------------------------------
+# Write-audit-publish (WAP): branch-staged commits gated by data-quality
+# audits (the Netflix/Iceberg WAP pattern from first principles)
+# ---------------------------------------------------------------------------
+
+_WAP_CACHE: SessionCache = SessionCache()
+WAP_SLICES = 4  # o_orderkey % WAP_SLICES
+
+
+def _stage_wap_table(spark: SparkSession, sf_dir: str):
+    """Stage the WAP fixture: a published base (slices 0,1), a CLEAN
+    incoming batch (slice 2), and a CORRUPT batch (slice 1 again — its
+    keys all collide with the base, the classic double-delivery
+    replay).  All three land as data files plus an audit-branch
+    manifest; nothing is on the main branch but the base."""
+    import os
+
+    key = _WAP_CACHE.scoped_key(spark, sf_dir)
+    cached = _WAP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    base = _tracked_mkdtemp(prefix="orders_wap_")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % WAP_SLICES).alias("sl"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+    members = {
+        "base": [0, 1],
+        "batch_clean": [2],
+        "batch_corrupt": [1],
+    }
+    paths = {}
+    for fid, slices in members.items():
+        path = os.path.join(base, "data", fid)
+        o.filter(F.col("sl").isin(slices)).select(
+            "o_orderkey", "cents"
+        ).coalesce(1).write.parquet(path)
+        paths[fid] = path
+    _WAP_CACHE[key] = (base, paths)
+    return _WAP_CACHE[key]
+
+
+@query(
+    "q_table_wap_publish",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderkey % {WAP_SLICES} AS sl,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    per AS (
+        SELECT sl, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS c
+        FROM s GROUP BY sl
+    ),
+    base AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS c
+        FROM per WHERE sl IN (0, 1)
+    ),
+    b1 AS (SELECT n, c FROM per WHERE sl = 1),
+    b2 AS (SELECT n, c FROM per WHERE sl = 2)
+    SELECT 'base' AS category, base.n AS n_rows,
+           CAST(0 AS BIGINT) AS n_dup_keys, base.c AS cents_total,
+           TRUE AS published
+    FROM base
+    UNION ALL
+    SELECT 'batch_clean', b2.n, CAST(0 AS BIGINT), b2.c, TRUE FROM b2
+    UNION ALL
+    SELECT 'batch_corrupt', b1.n, b1.n, b1.c, FALSE FROM b1
+    UNION ALL
+    SELECT 'main_after', base.n + b2.n, CAST(0 AS BIGINT),
+           base.c + b2.c, TRUE
+    FROM base, b2
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish — the deployment gate real lakehouse
+    pipelines put in front of every commit (Iceberg WAP branches /
+    Delta CDF staging): incoming batches land on an AUDIT branch,
+    data-quality checks run against the staged files, and only a
+    passing batch's manifest entry is promoted to main — a
+    metadata-only pointer move, never a data rewrite.  The fixture
+    replays the classic failure: a clean append (publishes) and a
+    double-delivered batch whose every key already exists in the base
+    (audit counts the collisions via a key anti-join and quarantines
+    it).  The final row re-reads the MAIN branch after the decisions
+    and hash-matches base+clean recomputed from the raw table —
+    proving the corrupt batch is invisible to readers while its file
+    sits intact on the audit branch for forensics.
+
+    100 TB shape: the duplicate-key audit is one broadcast/shuffle
+    semi-join between the batch and the published key set (at real
+    scale, a bloom-filter or manifest min-max prescan bounds it);
+    publish/reject are O(1) manifest writes.  Completes the commit
+    lifecycle: WAP gate → snapshot reads → compaction → expiry."""
+    import os
+
+    root, paths = _stage_wap_table(spark, sf_dir)
+    base_df = spark.read.parquet(paths["base"])
+    base_keys = base_df.select("o_orderkey")
+    published = [("base", paths["base"])]
+    report = []
+
+    def stats(df: DataFrame):
+        r = df.agg(
+            F.count("*").alias("n"), F.sum("cents").alias("c")
+        ).collect()[0]
+        return int(r.n), int(r.c)
+
+    bn, bc = stats(base_df)
+    report.append(("base", bn, 0, bc, True))
+    for batch in ("batch_clean", "batch_corrupt"):
+        bdf = spark.read.parquet(paths[batch])
+        n, c = stats(bdf)
+        n_dup = bdf.join(F.broadcast(base_keys), "o_orderkey", "semi").count()
+        ok = n > 0 and n_dup == 0
+        if ok:
+            published.append((batch, paths[batch]))
+        report.append((batch, n, n_dup, c, ok))
+
+    main_after = spark.read.parquet(*[p for _, p in published])
+    mn, mc = stats(main_after)
+    report.append(("main_after", mn, 0, mc, True))
+    return spark.createDataFrame(
+        report,
+        "category string, n_rows long, n_dup_keys long, "
+        "cents_total long, published boolean",
+    )
+
+
+@query(
+    "q_meta_snapshot_changelog",
+    oracle=f"""
+    WITH s AS (
+        SELECT o_orderkey % {EXP_SLICES} AS sl,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    per AS (
+        SELECT sl, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS c
+        FROM s GROUP BY sl
+    ),
+    sl01 AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n, CAST(SUM(c) AS BIGINT) AS c
+        FROM per WHERE sl IN (0, 1)
+    ),
+    sl0 AS (SELECT n, c FROM per WHERE sl = 0),
+    sl2 AS (SELECT n, c FROM per WHERE sl = 2),
+    sl3 AS (SELECT n, c FROM per WHERE sl = 3)
+    SELECT CAST(0 AS BIGINT) AS snapshot_id, CAST(1 AS BIGINT) AS n_files,
+           sl0.n AS n_rows, sl0.c AS cents_total,
+           CAST(1 AS BIGINT) AS n_added, CAST(0 AS BIGINT) AS n_removed
+    FROM sl0
+    UNION ALL
+    SELECT 1, 2, sl01.n, sl01.c, 1, 0 FROM sl01
+    UNION ALL
+    SELECT 2, 1, sl01.n, sl01.c, 1, 2 FROM sl01
+    UNION ALL
+    SELECT 3, 2, sl01.n + sl2.n, sl01.c + sl2.c, 1, 0 FROM sl01, sl2
+    UNION ALL
+    SELECT 4, 3, sl01.n + sl2.n + sl3.n, sl01.c + sl2.c + sl3.c, 1, 0
+    FROM sl01, sl2, sl3
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_meta_snapshot_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table-history METADATA TABLE (Iceberg `table.snapshots` /
+    Delta `DESCRIBE HISTORY`) computed purely from manifests: per
+    snapshot, the live file count, exact row/cents totals read from
+    the per-file manifest STATS (no data file is ever opened — the
+    compaction snapshot s2 proves it, reporting identical rows across
+    a 2-file → 1-file rewrite), and the commit's churn as
+    added/removed file counts from consecutive-snapshot anti-joins.
+    This is the audit surface operators read before trusting a table:
+    unexpected n_removed spikes mean rewrites, row-count regressions
+    mean a bad commit.
+
+    Shares the q_maintenance_expire_snapshots fixture (appends →
+    compaction → appends) and is immune to its physical GC because it
+    touches only metadata.  100 TB shape: everything runs on the
+    snapshot⋈file manifest (KB grain) — two broadcast anti-joins and
+    one agg, independent of table size."""
+    import os
+
+    base = _stage_expire_table(spark, sf_dir)
+    snaps = spark.read.parquet(os.path.join(base, "snapshots.parquet"))
+    files = spark.read.parquet(os.path.join(base, "files.parquet"))
+    per_snap = (
+        snaps.join(F.broadcast(files), "file_id")
+        .groupBy("snapshot_id")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        )
+    )
+    cur = snaps.select("snapshot_id", "file_id")
+    prev = cur.select(
+        (F.col("snapshot_id") + 1).alias("snapshot_id"), "file_id"
+    )
+    sids = snaps.select("snapshot_id").distinct()
+    added = (
+        cur.join(prev, ["snapshot_id", "file_id"], "left_anti")
+        .groupBy("snapshot_id")
+        .agg(F.count("*").alias("n_added"))
+    )
+    removed = (
+        prev.join(F.broadcast(sids), "snapshot_id")  # drop the max+1 ghost
+        .join(cur, ["snapshot_id", "file_id"], "left_anti")
+        .groupBy("snapshot_id")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    return (
+        per_snap.join(added, "snapshot_id", "left")
+        .join(removed, "snapshot_id", "left")
+        .select(
+            "snapshot_id",
+            "n_files",
+            "n_rows",
+            "cents_total",
+            F.coalesce("n_added", F.lit(0)).cast("long").alias("n_added"),
+            F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
+@query(
+    "q_read_changelog_cdc",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    upd AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        FROM base WHERE k % {_MERGE_MOD} = 1
+    ),
+    del_ AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        FROM base WHERE k % {_MERGE_MOD} = 2
+    ),
+    ins AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        FROM base WHERE k % {_MERGE_MOD} = 3
+    )
+    SELECT 'delete' AS change_type, del_.n AS n_rows,
+           del_.s AS cents_before, CAST(0 AS BIGINT) AS cents_after,
+           CAST(-del_.s AS BIGINT) AS net_cents
+    FROM del_
+    UNION ALL
+    SELECT 'insert', ins.n, CAST(0 AS BIGINT), ins.s, ins.s FROM ins
+    UNION ALL
+    SELECT 'update', upd.n, upd.s,
+           upd.s + upd.n * {_MERGE_BUMP},
+           upd.n * {_MERGE_BUMP}
+    FROM upd
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_read_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog read between two table versions (Iceberg
+    changelog scan / Delta Change Data Feed) — the incremental-
+    consumption pattern that feeds downstream materializations without
+    rescanning the table: the change set is derived from the MERGE
+    COMMIT'S OWN FILES (its equality-delete file D and data file A),
+    never by diffing two full snapshots — updated keys are D ∩
+    keys(A), pure deletes D \\ keys(A), pure inserts keys(A) \\ D; only
+    the pre-images of affected keys touch the base table, via one
+    broadcast semi-join.  Emits per change type the row count and the
+    exact cents before/after/net — the oracle recomputes all three
+    branches from the raw table, so a changelog that misclassified an
+    update as delete+insert (the classic CDF bug) hash-fails on the
+    net column.
+
+    Shares q_table_merge_into's fixture and completes its story: the
+    merge WRITES one commit; this key READS that commit back as
+    change rows.  100 TB shape: cost is O(commit files) + one
+    broadcast semi-join for pre-images — independent of table size."""
+    data, man, mdir, n_upd, n_del, n_ins = _stage_merge_commit(spark, sf_dir)
+    dels = spark.read.parquet(mdir + "/deletes")  # affected keys
+    adds = spark.read.parquet(mdir + "/data")  # updated images + inserts
+    base = merge_read(spark, data, man, None)
+    pre_imgs = base.join(F.broadcast(dels), "o_orderkey", "semi")
+    add_keys = adds.select("o_orderkey")
+    upd = pre_imgs.join(
+        adds.select("o_orderkey", F.col("cents").alias("after")),
+        "o_orderkey",
+    )
+    del_rows = pre_imgs.join(F.broadcast(add_keys), "o_orderkey", "left_anti")
+    ins_rows = adds.join(F.broadcast(dels), "o_orderkey", "left_anti")
+
+    deleted = del_rows.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("cents_before"),
+    ).select(
+        F.lit("delete").alias("change_type"),
+        "n_rows",
+        "cents_before",
+        F.lit(0).cast("long").alias("cents_after"),
+        (-F.col("cents_before")).alias("net_cents"),
+    )
+    inserted = ins_rows.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("cents_after"),
+    ).select(
+        F.lit("insert").alias("change_type"),
+        "n_rows",
+        F.lit(0).cast("long").alias("cents_before"),
+        "cents_after",
+        F.col("cents_after").alias("net_cents"),
+    )
+    updated = upd.agg(
+        F.count("*").alias("n_rows"),
+        F.sum("cents").alias("cents_before"),
+        F.sum("after").alias("cents_after"),
+    ).select(
+        F.lit("update").alias("change_type"),
+        "n_rows",
+        "cents_before",
+        "cents_after",
+        (F.col("cents_after") - F.col("cents_before")).alias("net_cents"),
+    )
+    return deleted.unionByName(inserted).unionByName(updated)

