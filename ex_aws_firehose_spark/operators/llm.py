@@ -12550,3 +12550,89 @@ def q_sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_x1e9").desc(), "doc_id").limit(RRF_FUSE_K)
+
+
+# ---------------------------------------------------------------------------
+# Linear quality-classifier inference over hashed features
+# ---------------------------------------------------------------------------
+
+CLF_BUCKETS = 64  # shares the hashing-trick feature space
+CLF_W_RANGE = 1001  # weights uniform in [-500, +500]
+
+
+def _clf_oracle() -> str:
+    bucket = f"({duck_hex_hash('tok')} % {CLF_BUCKETS})"
+    salted = "'w:' || CAST(" + bucket + " AS VARCHAR)"
+    wt = f"({duck_hex_hash(salted)} % {CLF_W_RANGE}) - 500"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, lang, unnest(str_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    w AS (SELECT doc_id, lang, {wt} AS wt FROM tok),
+    ds AS (
+        SELECT doc_id, lang,
+               CAST(SUM(wt) * 1000 // COUNT(*) AS BIGINT) AS score
+        FROM w GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep,
+           CAST(SUM(CASE WHEN score >= 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS keep_ppm,
+           CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score_x1000,
+           CAST(MIN(score) AS BIGINT) AS min_score_x1000,
+           CAST(MAX(score) AS BIGINT) AS max_score_x1000
+    FROM ds GROUP BY lang
+    """
+
+
+@query(
+    "q_text_classifier_linear",
+    oracle=_clf_oracle(),
+    tags=("llm", "text", "curation"),
+)
+def q_text_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier INFERENCE at corpus scale — the
+    fastText-style filter every LLM data pipeline runs between crawl
+    and train: each document scores Σ w[h(token)] / n_tokens over a
+    hashed feature space (the q_feature_hashing_trick buckets), and
+    keep/drop is a threshold on the score.  The weight vector is a
+    deterministic function of the bucket id (md5-derived integers in
+    [−500, 500]) standing in for trained weights — the INFERENCE
+    dataflow (hash → weight lookup → per-doc mean → threshold → per-
+    language keep-rate report) is exactly production's, and is the
+    part that must scale.  Scores are exact integer ×1000; per-lang
+    keep ppm, mean/min/max scores emitted.
+
+    100 TB shape: weights are a 64-row broadcast (a real model is a
+    few-MB broadcast — same plan); scoring folds into one map-side
+    agg at doc grain, the report into a second at lang grain; docs
+    stream through once, nothing driver-side."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    bucket = hex_hash(F.col("tok")) % CLF_BUCKETS
+    wt = (
+        hex_hash(F.concat(F.lit("w:"), bucket.cast("string")))
+        % CLF_W_RANGE
+        - 500
+    )
+    ds = tok.select("doc_id", "lang", wt.alias("wt")).groupBy(
+        "doc_id", "lang"
+    ).agg(F.expr("CAST(sum(wt) * 1000 div count(*) AS LONG)").alias("score"))
+    return ds.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("score") >= 0, 1).otherwise(0)).alias("n_keep"),
+        F.expr(
+            "CAST(sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END) * 1000000 "
+            "div count(*) AS LONG)"
+        ).alias("keep_ppm"),
+        F.expr("CAST(sum(score) div count(*) AS LONG)").alias(
+            "mean_score_x1000"
+        ),
+        F.min("score").alias("min_score_x1000"),
+        F.max("score").alias("max_score_x1000"),
+    )

@@ -5277,3 +5277,131 @@ def q_anon_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("abs_err_ppm"),
         F.lit(RR_EPS_X1M).cast("long").alias("epsilon_x1m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponential (powers-of-2) histogram: mergeable relative-error quantiles
+# ---------------------------------------------------------------------------
+
+_EXPH_PCTS = (50, 90, 99)
+
+
+def _exph_oracle() -> str:
+    pvals = ", ".join(f"({p})" for p in _EXPH_PCTS)
+    return f"""
+    WITH e AS (
+        SELECT CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+    ),
+    b AS (
+        SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket FROM e
+    ),
+    hist AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS nb FROM b GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e),
+    cumh AS (
+        SELECT bucket,
+               CAST(SUM(nb) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+                    AS BIGINT) AS cum
+        FROM hist
+    ),
+    pcts AS (SELECT * FROM (VALUES {pvals}) AS t(p)),
+    est AS (
+        SELECT p, CAST(MIN(bucket) AS BIGINT) AS bucket
+        FROM pcts, cumh, tot WHERE cum * 100 >= p * n GROUP BY p
+    ),
+    ex AS (
+        {" UNION ALL ".join(
+            f"SELECT CAST({p} AS BIGINT) AS p, "
+            f"CAST(quantile_disc(cents, {p / 100}) AS BIGINT) AS exact_c "
+            "FROM e"
+            for p in _EXPH_PCTS
+        )}
+    )
+    SELECT est.p AS p, est.bucket,
+           CAST(CASE WHEN est.bucket = 1 THEN 0
+                     ELSE (CAST(1 AS BIGINT) << CAST(est.bucket - 1
+                                                     AS INTEGER)) END
+                AS BIGINT) AS lo_cents,
+           CAST((CAST(1 AS BIGINT) << CAST(est.bucket AS INTEGER)) - 1
+                AS BIGINT) AS hi_cents,
+           ex.exact_c AS exact_cents,
+           ex.exact_c
+               BETWEEN CASE WHEN est.bucket = 1 THEN 0
+                            ELSE (CAST(1 AS BIGINT)
+                                  << CAST(est.bucket - 1 AS INTEGER)) END
+                   AND (CAST(1 AS BIGINT) << CAST(est.bucket AS INTEGER)) - 1
+               AS within_bounds
+    FROM est JOIN ex USING (p)
+    """
+
+
+@query(
+    "q_sketch_exp_histogram",
+    oracle=_exph_oracle(),
+    tags=("scale", "sketch"),
+)
+def q_sketch_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential (powers-of-2) histogram quantiles — the DDSketch
+    idea with γ = 2 in pure integer ops: bucket = bit-length of the
+    cents value (length(bin(x)) in BOTH engines), so every quantile
+    estimate carries a RELATIVE-error guarantee (true value within
+    [2^(b−1), 2^b−1], i.e. ≤ 2×) regardless of the value range —
+    where q_sketch_histogram_quantile's linear bins give absolute
+    error and saturate on heavy tails.  Buckets are trivially
+    mergeable (counts add across shards/windows) and the emitted
+    within_bounds column audits the guarantee against the exact
+    order statistic per percentile.
+
+    100 TB shape: the sketch is a ≤64-row histogram per group — one
+    map-side-combined agg however large the input; quantile lookup is
+    a window over those ≤64 rows.  The exact-audit arm is the only
+    sort and exists only to prove the bound."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents")
+    )
+    hist = e.select(
+        F.length(F.bin(F.col("cents"))).cast("long").alias("bucket")
+    ).groupBy("bucket").agg(F.count("*").alias("nb"))
+    tot = e.agg(F.count("*").alias("n"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cumh = hist.select(
+        "bucket", F.sum("nb").over(w).alias("cum")
+    ).crossJoin(F.broadcast(tot))
+    pcts = spark.createDataFrame([(p,) for p in _EXPH_PCTS], "p long")
+    est = (
+        F.broadcast(pcts)
+        .join(cumh, F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    wide = e.agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({p / 100}) WITHIN GROUP "
+                "(ORDER BY cents) AS LONG)"
+            ).alias(f"e{p}")
+            for p in _EXPH_PCTS
+        ]
+    )
+    stack_args = ", ".join(f"{p}L, e{p}" for p in _EXPH_PCTS)
+    ex = wide.select(
+        F.expr(
+            f"stack({len(_EXPH_PCTS)}, {stack_args}) AS (p, exact_c)"
+        )
+    )
+    lo = F.expr(
+        "CASE WHEN bucket = 1 THEN CAST(0 AS LONG) "
+        "ELSE shiftleft(CAST(1 AS LONG), CAST(bucket - 1 AS INT)) END"
+    )
+    hi = F.expr("shiftleft(CAST(1 AS LONG), CAST(bucket AS INT)) - 1")
+    return est.join(ex, "p").select(
+        "p",
+        "bucket",
+        lo.alias("lo_cents"),
+        hi.alias("hi_cents"),
+        F.col("exact_c").alias("exact_cents"),
+        ((F.col("exact_c") >= lo) & (F.col("exact_c") <= hi)).alias(
+            "within_bounds"
+        ),
+    )

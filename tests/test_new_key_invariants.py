@@ -1412,3 +1412,68 @@ def test_changelog_cdc_conservation(spark, sf_dir):
     assert ch["update"].net_cents == ch["update"].n_rows * 1000  # bump spec
     for r in ch.values():
         assert r.net_cents == r.cents_after - r.cents_before, r
+
+
+def test_classifier_linear_report_algebra(spark, sf_dir):
+    """keep counts within doc counts; keep_ppm closes; score bounds
+    bracket the mean; both keep and drop arms fire somewhere."""
+    rows = REGISTRY["q_text_classifier_linear"].fn(spark, sf_dir).collect()
+    assert rows
+    some_drop = False
+    for r in rows:
+        assert 0 <= r.n_keep <= r.n_docs, r
+        assert r.keep_ppm == r.n_keep * 1_000_000 // r.n_docs, r
+        assert r.min_score_x1000 <= r.mean_score_x1000 <= r.max_score_x1000, r
+        if r.n_keep < r.n_docs:
+            some_drop = True
+    assert some_drop and any(r.n_keep > 0 for r in rows)
+
+
+def test_exp_histogram_relative_error_bound(spark, sf_dir):
+    """The DDSketch-γ=2 contract: every exact order statistic lies in
+    its reported [2^(b−1), 2^b−1] bucket (within_bounds true), and the
+    bound width is a ≤2× relative error."""
+    rows = REGISTRY["q_sketch_exp_histogram"].fn(spark, sf_dir).collect()
+    assert {r.p for r in rows} == {50, 90, 99}
+    for r in rows:
+        assert r.within_bounds, r
+        assert r.lo_cents <= r.exact_cents <= r.hi_cents, r
+        if r.lo_cents > 0:
+            assert r.hi_cents < 2 * r.lo_cents, r  # relative error <= 2x
+
+
+def test_interval_bin_join_equivalence_and_pruning(spark, sf_dir):
+    """The bucketed equi join must reproduce the naive theta join
+    exactly (recomputed here driver-side), and candidates must prune
+    hard vs the cross product while covering every true match."""
+    from ex_aws_firehose_spark.operators.relational import (
+        _IVB_THR_CENTS,
+        _IVB_US,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    r = REGISTRY["q_join_interval_bin"].fn(spark, sf_dir).collect()[0]
+    assert r.n_matched > 0
+    assert r.n_matched <= r.n_candidate_pairs <= r.naive_pairs
+    assert r.n_candidate_pairs < r.naive_pairs // 10  # real pruning
+    e = load_table(spark, sf_dir, "events")
+    iv = [
+        (x.us, x.us + _IVB_US)
+        for x in e.filter(
+            (F.col("event_type") == "error")
+            & (F.round(F.col("value") * 100, 0).cast("long") >= _IVB_THR_CENTS)
+        )
+        .selectExpr("unix_micros(ts) AS us")
+        .collect()
+    ]
+    pts = (
+        e.filter(F.col("event_type") == "purchase")
+        .selectExpr("event_id", "unix_micros(ts) AS us")
+        .collect()
+    )
+    matched = {
+        p.event_id
+        for p in pts
+        if any(s <= p.us < t for s, t in iv)
+    }
+    assert r.n_matched == len(matched)
