@@ -12636,3 +12636,162 @@ def q_text_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score").alias("min_score_x1000"),
         F.max("score").alias("max_score_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Krippendorff's alpha: agreement under MISSING ratings
+# ---------------------------------------------------------------------------
+
+
+def _kripp_rater_sqls() -> list[str]:
+    """The three Fleiss raters as SQL value expressions."""
+    w1 = " ".join(
+        f"WHEN lang = '{a}' THEN '{b}'" for a, b in _KAPPA_SHIFT.items()
+    )
+    two = {a: _KAPPA_SHIFT[_KAPPA_SHIFT[a]] for a in _KAPPA_SHIFT}
+    w2 = " ".join(f"WHEN lang = '{a}' THEN '{b}'" for a, b in two.items())
+    return [
+        "lang",
+        f"CASE WHEN doc_id % 5 = 0 THEN CASE {w1} END ELSE lang END",
+        f"CASE WHEN doc_id % 7 = 0 THEN CASE {w2} END ELSE lang END",
+    ]
+
+
+def _kripp_oracle() -> str:
+    arms = []
+    for r, expr in enumerate(_kripp_rater_sqls()):
+        present = duck_hex_hash(f"'kr{r}:' || CAST(doc_id AS VARCHAR)")
+        arms.append(
+            f"SELECT doc_id, {expr} AS cat FROM documents "
+            f"WHERE {present} % 4 <> 0"
+        )
+    votes = " UNION ALL ".join(arms)
+    return f"""
+    WITH votes AS ({votes}),
+    per_cat AS (
+        SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS n
+        FROM votes GROUP BY 1, 2
+    ),
+    per_unit AS (
+        SELECT doc_id, CAST(SUM(n) AS BIGINT) AS m,
+               CAST(SUM(n * n) AS BIGINT) AS s
+        FROM per_cat GROUP BY 1
+    ),
+    pairable AS (SELECT * FROM per_unit WHERE m >= 2),
+    a AS (
+        SELECT CAST(SUM((m * m - s) // (m - 1)) AS BIGINT) AS do_num,
+               CAST(SUM(m) AS BIGINT) AS n_pairable,
+               CAST(COUNT(*) AS BIGINT) AS n_units
+        FROM pairable
+    ),
+    marg AS (
+        SELECT p.cat, CAST(SUM(p.n) AS BIGINT) AS nc
+        FROM per_cat p JOIN pairable u ON p.doc_id = u.doc_id
+        GROUP BY 1
+    ),
+    de AS (
+        SELECT CAST((SELECT n_pairable FROM a) * (SELECT n_pairable FROM a)
+                    - SUM(nc * nc) AS BIGINT) AS de_num
+        FROM marg
+    ),
+    excl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_excluded
+        FROM (SELECT doc_id FROM documents
+              EXCEPT SELECT doc_id FROM pairable)
+    )
+    SELECT a.n_units, excl.n_excluded, a.n_pairable, a.do_num, de.de_num,
+           CAST(1000000 - 1000000 * a.do_num * (a.n_pairable - 1)
+                // de.de_num AS BIGINT) AS alpha_ppm
+    FROM a, de, excl
+    """
+
+
+@query(
+    "q_eval_krippendorff_alpha",
+    oracle=_kripp_oracle(),
+    tags=("llm", "eval"),
+)
+def q_eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha — the agreement coefficient that handles
+    MISSING ratings, which is why real annotation campaigns report it
+    over Fleiss' κ (raters never label every unit): the three Fleiss
+    raters each skip ~25% of documents (hash-deterministic), units
+    with <2 remaining ratings are excluded (the Krippendorff
+    pairability rule — n_excluded emitted as the arm Fleiss cannot
+    have), and nominal-metric disagreement is computed from the
+    coincidence matrix: α = 1 − (n..−1)·Σᵤ[(mᵤ²−Sᵤ)/(mᵤ−1)] /
+    (n..² − Σ_c n_c²).  With ≤3 raters every per-unit term divides
+    exactly (mᵤ²−Sᵤ counts ordered disagreeing pairs), so the whole
+    statistic is exact int64 and one ppm division — zero floats in
+    either engine.
+
+    Int64 bound: 1e6·A·(n..−1) with A ≤ n.. — safe past 10⁶ rated
+    units; shard-and-pool per the family note beyond.  100 TB shape:
+    one (unit, category) hash agg over the vote stream, a marginal
+    agg at category grain, 1-row arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    shift1 = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.coalesce(
+            *[
+                F.when(F.col("lang") == a, F.lit(b))
+                for a, b in _KAPPA_SHIFT.items()
+            ]
+        ),
+    ).otherwise(F.col("lang"))
+    two = {a: _KAPPA_SHIFT[_KAPPA_SHIFT[a]] for a in _KAPPA_SHIFT}
+    shift2 = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.coalesce(
+            *[F.when(F.col("lang") == a, F.lit(b)) for a, b in two.items()]
+        ),
+    ).otherwise(F.col("lang"))
+    arms = []
+    for r, cat in enumerate([F.col("lang"), shift1, shift2]):
+        present = (
+            hex_hash(
+                F.concat(F.lit(f"kr{r}:"), F.col("doc_id").cast("string"))
+            )
+            % 4
+            != 0
+        )
+        arms.append(d.filter(present).select("doc_id", cat.alias("cat")))
+    votes = arms[0].unionByName(arms[1]).unionByName(arms[2])
+    per_cat = votes.groupBy("doc_id", "cat").agg(F.count("*").alias("n"))
+    per_unit = per_cat.groupBy("doc_id").agg(
+        F.sum("n").alias("m"), F.sum(F.expr("n * n")).alias("s")
+    )
+    pairable = per_unit.filter(F.col("m") >= 2)
+    a = pairable.agg(
+        F.sum(F.expr("(m * m - s) div (m - 1)")).alias("do_num"),
+        F.sum("m").alias("n_pairable"),
+        F.count("*").alias("n_units"),
+    )
+    marg = per_cat.join(pairable.select("doc_id"), "doc_id").groupBy(
+        "cat"
+    ).agg(F.sum("n").alias("nc"))
+    de = marg.crossJoin(F.broadcast(a.select("n_pairable"))).agg(
+        F.expr(
+            "CAST(max(n_pairable) * max(n_pairable) - sum(nc * nc) AS LONG)"
+        ).alias("de_num")
+    )
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    excl = (
+        n_docs.crossJoin(a.select(F.col("n_units").alias("nu")))
+        .select((F.col("n_docs") - F.col("nu")).alias("n_excluded"))
+    )
+    return (
+        a.crossJoin(F.broadcast(de))
+        .crossJoin(F.broadcast(excl))
+        .select(
+            "n_units",
+            "n_excluded",
+            "n_pairable",
+            "do_num",
+            "de_num",
+            F.expr(
+                "CAST(1000000 - 1000000 * do_num * (n_pairable - 1) "
+                "div de_num AS LONG)"
+            ).alias("alpha_ppm"),
+        )
+    )

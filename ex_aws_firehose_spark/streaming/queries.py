@@ -3029,3 +3029,179 @@ def src_stream_bus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").alias("cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming exponential-histogram sketch (count-mergeable state)
+# ---------------------------------------------------------------------------
+
+_SEXPH_PCTS = (50, 90)
+
+
+def _stream_exph_oracle() -> str:
+    ex_rows = " UNION ALL ".join(
+        f"SELECT event_type, CAST({p} AS BIGINT) AS p, "
+        f"CAST(quantile_disc(cents, {p / 100}) AS BIGINT) AS exact_c "
+        "FROM e GROUP BY event_type"
+        for p in _SEXPH_PCTS
+    )
+    pvals = ", ".join(f"({p})" for p in _SEXPH_PCTS)
+    return """
+    WITH e AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, CAST(length(bin(cents)) AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS nb
+        FROM e GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1
+    ),
+    cumh AS (
+        SELECT event_type, bucket,
+               CAST(SUM(nb) OVER (PARTITION BY event_type ORDER BY bucket
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM hist
+    ),
+    """ + f"""
+    pcts AS (SELECT * FROM (VALUES {pvals}) AS t(p)),
+    est AS (
+        SELECT c.event_type, pcts.p, CAST(MIN(c.bucket) AS BIGINT) AS bucket
+        FROM pcts, cumh c JOIN tot t ON c.event_type = t.event_type
+        WHERE c.cum * 100 >= pcts.p * t.n GROUP BY 1, 2
+    ),
+    ex AS ({ex_rows})
+    SELECT est.event_type, est.p, est.bucket,
+           CAST(CASE WHEN est.bucket = 1 THEN 0
+                ELSE (CAST(1 AS BIGINT)
+                      << CAST(est.bucket - 1 AS INTEGER)) END AS BIGINT)
+               AS lo_cents,
+           CAST((CAST(1 AS BIGINT) << CAST(est.bucket AS INTEGER)) - 1
+                AS BIGINT) AS hi_cents,
+           ex.exact_c AS exact_cents
+    FROM est JOIN ex ON est.event_type = ex.event_type AND est.p = ex.p
+    """
+
+
+@query(
+    "q_stream_exp_histogram",
+    oracle=_stream_exph_oracle(),
+    tags=("streaming", "sketch"),
+)
+def q_stream_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exponential-histogram sketch — the COUNT-mergeable
+    complement to q_stream_sketch_kmv's order-statistic merge: each
+    micro-batch folds its per-(event_type, bit-length-bucket) counts
+    into the stored state by pure ADDITION (the commutative-monoid
+    merge that also fans across datacenters), and the drained state
+    answers p50/p90 with the ≤2× relative-error guarantee of
+    q_sketch_exp_histogram.  Because count-merge is exact, stream
+    state ≡ the one-pass batch histogram, and the oracle recomputes
+    the same quantile walk plus the exact order statistics from the
+    raw table.  Replay safety: versioned state — a replayed batch
+    rewrites ITS version from the same predecessor, so addition never
+    double-applies.
+
+    100 TB shape: state is ≤64 rows per group forever; each batch's
+    update is one map-side-combined agg + a state-table add.  The
+    same sketch serves tumbling windows by keeping one histogram per
+    window — eviction is dropping rows, never rescaling."""
+    import os
+
+    from pyspark.sql import Window as W
+
+    root = tempfile.mkdtemp(prefix="exph_stream_")
+    src = _time_split_events_dir(spark, sf_dir)
+    state_dir = os.path.join(root, "state")
+
+    def exph_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hb = (
+            batch_df.filter(F.col("event_type") != "flush")
+            .select(
+                "event_type",
+                F.length(
+                    F.bin(F.round(F.col("value") * 100, 0).cast("long"))
+                )
+                .cast("long")
+                .alias("bucket"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.count("*").alias("nb"))
+        )
+        prev_dir = os.path.join(state_dir, f"v{batch_id - 1}")
+        if os.path.isdir(prev_dir):
+            hb = hb.unionByName(spark.read.parquet(prev_dir))
+        merged = hb.groupBy("event_type", "bucket").agg(
+            F.sum("nb").alias("nb")
+        )
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    stream = (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(exph_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    last = max(
+        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
+    )
+    state = spark.read.parquet(os.path.join(state_dir, f"v{last}"))
+    tot = state.groupBy("event_type").agg(F.sum("nb").alias("n"))
+    wcum = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    cumh = state.select(
+        "event_type", "bucket", F.sum("nb").over(wcum).alias("cum")
+    )
+    pcts = spark.createDataFrame([(p,) for p in _SEXPH_PCTS], "p long")
+    est = (
+        cumh.join(F.broadcast(tot), "event_type")
+        .crossJoin(F.broadcast(pcts))
+        .filter(F.col("cum") * 100 >= F.col("p") * F.col("n"))
+        .groupBy("event_type", "p")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    wide = e.groupBy("event_type").agg(
+        *[
+            F.expr(
+                f"CAST(percentile_disc({p / 100}) WITHIN GROUP "
+                "(ORDER BY cents) AS LONG)"
+            ).alias(f"e{p}")
+            for p in _SEXPH_PCTS
+        ]
+    )
+    stack_args = ", ".join(f"{p}L, e{p}" for p in _SEXPH_PCTS)
+    ex = wide.select(
+        "event_type",
+        F.expr(
+            f"stack({len(_SEXPH_PCTS)}, {stack_args}) AS (p, exact_c)"
+        ),
+    )
+    lo = F.expr(
+        "CASE WHEN bucket = 1 THEN CAST(0 AS LONG) "
+        "ELSE shiftleft(CAST(1 AS LONG), CAST(bucket - 1 AS INT)) END"
+    )
+    hi = F.expr("shiftleft(CAST(1 AS LONG), CAST(bucket AS INT)) - 1")
+    return est.join(ex, ["event_type", "p"]).select(
+        "event_type",
+        "p",
+        "bucket",
+        lo.alias("lo_cents"),
+        hi.alias("hi_cents"),
+        F.col("exact_c").alias("exact_cents"),
+    )

@@ -1477,3 +1477,54 @@ def test_interval_bin_join_equivalence_and_pruning(spark, sf_dir):
         if any(s <= p.us < t for s, t in iv)
     }
     assert r.n_matched == len(matched)
+
+
+def test_stream_exp_histogram_matches_batch_sketch(spark, sf_dir):
+    """Count-merge exactness: the drained stream state's quantile
+    buckets must equal a direct batch computation of the same sketch,
+    and every exact order statistic must respect the bucket bound."""
+    rows = REGISTRY["q_stream_exp_histogram"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 event types x 2 percentiles
+    for r in rows:
+        assert r.lo_cents <= r.exact_cents <= r.hi_cents, r
+        if r.lo_cents > 0:
+            assert r.hi_cents < 2 * r.lo_cents, r
+    from ex_aws_firehose_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.length(F.bin(F.round(F.col("value") * 100, 0).cast("long")))
+        .cast("long")
+        .alias("bucket"),
+    )
+    batch = {
+        (x.event_type, x.bucket): x.nb
+        for x in e.groupBy("event_type", "bucket")
+        .agg(F.count("*").alias("nb"))
+        .collect()
+    }
+    # re-derive each reported bucket from the batch histogram
+    for r in rows:
+        keys = sorted(b for (t, b) in batch if t == r.event_type)
+        n = sum(v for (t, _), v in batch.items() if t == r.event_type)
+        cum = 0
+        for b in keys:
+            cum += batch[(r.event_type, b)]
+            if cum * 100 >= r.p * n:
+                assert r.bucket == b, (r, b)
+                break
+
+
+def test_krippendorff_alpha_laws(spark, sf_dir):
+    """Missingness actually fires (n_excluded > 0); unit accounting
+    closes (units + excluded = corpus); alpha in [-1e6, 1e6] and HIGH
+    on this mostly-agreeing fixture; do/de positive."""
+    from ex_aws_firehose_spark.tables import load_table
+
+    r = REGISTRY["q_eval_krippendorff_alpha"].fn(spark, sf_dir).collect()[0]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert r.n_units + r.n_excluded == n_docs
+    assert r.n_excluded > 0  # the feature Fleiss lacks
+    assert r.n_units > 0 and 2 * r.n_units <= r.n_pairable <= 3 * r.n_units
+    assert r.do_num >= 0 and r.de_num > 0
+    assert 500_000 <= r.alpha_ppm <= 1_000_000, r  # raters mostly agree

@@ -456,3 +456,22 @@ def test_calibration_bins_bounded_at_scale(spark, sf_dir, replica_dir):
     load_all_operators()
     for d in (sf_dir, replica_dir):
         assert REGISTRY["q_eval_calibration_bins"].fn(spark, d).count() <= 10
+
+
+def test_interval_bin_candidates_scale_linearly(spark, sf_dir, replica_dir):
+    """q_join_interval_bin's pruning claim is a scale-shape claim:
+    under 4× INDEPENDENT growth (replica time ranges >20 years apart,
+    so cross-replica bucket collisions are impossible) the naive cross
+    product grows R², but the bucketed candidates — and the true
+    matches — grow exactly R."""
+    from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
+
+    load_all_operators()
+    fn = REGISTRY["q_join_interval_bin"].fn
+    base = fn(spark, sf_dir).collect()[0]
+    big = fn(spark, replica_dir).collect()[0]
+    assert big.n_intervals == R * base.n_intervals
+    assert big.n_points == R * base.n_points
+    assert big.naive_pairs == R * R * base.naive_pairs
+    assert big.n_candidate_pairs == R * base.n_candidate_pairs
+    assert big.n_matched == R * base.n_matched
