@@ -4600,3 +4600,162 @@ def q_ab_quantile_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pdf in parts[1:]:
         out = out.union(pdf)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Exact Shapley-value attribution over 4 channels
+# ---------------------------------------------------------------------------
+
+_SHAP_CHANNELS = (("click", 1), ("view", 2), ("signup", 4), ("error", 8))
+_SHAP_THR = 14  # habitual-engagement exposure: >= 14 events of the type
+_SHAP_W24 = {0: 6, 1: 2, 2: 2, 3: 6}  # |S|!(3-|S|)! = 24·w(|S|)
+
+
+def _shap_coalitions() -> list[tuple[str, int, int, int]]:
+    """(channel, mask_without, mask_with, w24) for all 4 channels × 8
+    subsets not containing the channel — Python-enumerated constants
+    shared by both engines."""
+    rows = []
+    for name, bit in _SHAP_CHANNELS:
+        for mask in range(16):
+            if mask & bit:
+                continue
+            size = bin(mask).count("1")
+            rows.append((name, mask, mask | bit, _SHAP_W24[size]))
+    return rows
+
+
+def _shap_oracle() -> str:
+    conds = " + ".join(
+        f"(CASE WHEN n_{name} >= {_SHAP_THR} THEN {bit} ELSE 0 END)"
+        for name, bit in _SHAP_CHANNELS
+    )
+    counters = ", ".join(
+        f"SUM(CASE WHEN event_type = '{name}' THEN 1 ELSE 0 END) AS n_{name}"
+        for name, _ in _SHAP_CHANNELS
+    )
+    coal = ", ".join(
+        f"('{c}', {s0}, {s1}, {w})" for c, s0, s1, w in _shap_coalitions()
+    )
+    return f"""
+    WITH pc AS (
+        SELECT user_id, {counters},
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ROUND(value * 100) AS BIGINT) >= 20000
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1
+    ),
+    masks AS (SELECT {conds} AS mask, conv FROM pc),
+    v AS (
+        SELECT mask, CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT)
+                   AS v_ppm
+        FROM masks GROUP BY 1
+    ),
+    coal(channel, s0, s1, w24) AS (SELECT * FROM (VALUES {coal})),
+    phi AS (
+        SELECT coal.channel,
+               CAST(SUM(coal.w24 * (COALESCE(v1.v_ppm, 0)
+                                    - COALESCE(v0.v_ppm, 0))) AS BIGINT)
+                   AS phi24
+        FROM coal
+        LEFT JOIN v v0 ON v0.mask = coal.s0
+        LEFT JOIN v v1 ON v1.mask = coal.s1
+        GROUP BY 1
+    ),
+    ends AS (
+        SELECT CAST(COALESCE((SELECT v_ppm FROM v WHERE mask = 15), 0)
+                    AS BIGINT) AS v_full_ppm,
+               CAST(COALESCE((SELECT v_ppm FROM v WHERE mask = 0), 0)
+                    AS BIGINT) AS v_empty_ppm
+    )
+    SELECT phi.channel, CAST(phi.phi24 // 24 AS BIGINT) AS phi_ppm,
+           ends.v_full_ppm, ends.v_empty_ppm
+    FROM phi, ends
+    """
+
+
+@query(
+    "q_attribution_shapley",
+    oracle=_shap_oracle(),
+    tags=("analytics", "attribution"),
+)
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Shapley-value attribution — the game-theoretic credit
+    split (the only one satisfying efficiency/symmetry/dummy/
+    additivity) that Markov-removal approximates: with 4 channels the
+    2⁴ coalition values are all estimable, so φ_c = Σ_{S∌c}
+    |S|!(n−|S|−1)!/n! · (v(S∪c) − v(S)) is computed EXACTLY from the
+    16-cell table.  Exposure is the habitual-engagement threshold
+    (≥14 events of the type — every cell populated at test SFs, no
+    window-censoring artifact); v(S) = big-ticket conversion ppm of
+    users with exposure set exactly S; the 32 coalition weights
+    (×24) are Python-enumerated constants shared by both engines, so
+    φ is integer arithmetic end-to-end.  v(full)/v(∅) are emitted for
+    the efficiency audit Σφ ≈ v(full) − v(∅) (exact in rationals;
+    ≤ a few ppm truncation drift here).
+
+    100 TB shape: one user-grain agg (4 counters + the conversion
+    flag in a single pass) → a 16-row v table → a 32-row broadcast
+    coalition join; attribution cost is the user agg, the game theory
+    is free."""
+    e = load_table(spark, sf_dir, "events")
+    counters = [
+        F.sum(
+            F.when(F.col("event_type") == name, 1).otherwise(0)
+        ).alias(f"n_{name}")
+        for name, _ in _SHAP_CHANNELS
+    ]
+    pc = e.groupBy("user_id").agg(
+        *counters,
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.round(F.col("value") * 100, 0).cast("long") >= 20000),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+    )
+    mask = None
+    for name, bit in _SHAP_CHANNELS:
+        term = F.when(F.col(f"n_{name}") >= _SHAP_THR, bit).otherwise(0)
+        mask = term if mask is None else mask + term
+    v = (
+        pc.select(mask.alias("mask"), "conv")
+        .groupBy("mask")
+        .agg(F.expr("CAST(sum(conv) * 1000000 div count(*) AS LONG)").alias("v_ppm"))
+    )
+    coal = F.broadcast(
+        spark.createDataFrame(
+            _shap_coalitions(), "channel string, s0 int, s1 int, w24 long"
+        )
+    )
+    v0 = v.select(F.col("mask").alias("s0"), F.col("v_ppm").alias("vp0"))
+    v1 = v.select(F.col("mask").alias("s1"), F.col("v_ppm").alias("vp1"))
+    phi = (
+        coal.join(v0, "s0", "left")
+        .join(v1, "s1", "left")
+        .groupBy("channel")
+        .agg(
+            F.sum(
+                F.col("w24")
+                * (
+                    F.coalesce("vp1", F.lit(0))
+                    - F.coalesce("vp0", F.lit(0))
+                )
+            ).alias("phi24")
+        )
+    )
+    ends = v.agg(
+        F.coalesce(
+            F.max(F.when(F.col("mask") == 15, F.col("v_ppm"))), F.lit(0)
+        ).cast("long").alias("v_full_ppm"),
+        F.coalesce(
+            F.max(F.when(F.col("mask") == 0, F.col("v_ppm"))), F.lit(0)
+        ).cast("long").alias("v_empty_ppm"),
+    )
+    return phi.crossJoin(F.broadcast(ends)).select(
+        "channel",
+        F.expr("phi24 div 24").alias("phi_ppm"),
+        "v_full_ppm",
+        "v_empty_ppm",
+    )

@@ -4279,3 +4279,96 @@ def q_join_interval_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "matched_cents",
         F.expr("n_intervals * n_points").alias("naive_pairs"),
     )
+
+
+_HT_SCALE = 50  # inclusion ppm = min(1e6, cents / 50): ~$500 ⇒ certainty
+
+
+@query(
+    "q_sample_horvitz_thompson",
+    oracle=f"""
+    WITH o AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    s AS (
+        SELECT k, cents,
+               LEAST(1000000, cents // {_HT_SCALE}) AS p_ppm,
+               CAST(concat('0x', substr(md5('ht:' || CAST(k AS VARCHAR)),
+                    1, 8)) AS BIGINT) % 1000000 AS h
+        FROM o
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+               CAST(SUM(CASE WHEN h < p_ppm THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_sampled,
+               CAST(SUM(cents) AS BIGINT) AS true_cents,
+               CAST(SUM(CASE WHEN h < p_ppm
+                        THEN cents * 1000000 // p_ppm ELSE 0 END) AS BIGINT)
+                   AS ht_est_cents
+        FROM s
+    )
+    SELECT n_pop, n_sampled, true_cents, ht_est_cents,
+           CAST(ABS(ht_est_cents - true_cents) * 1000000 // true_cents
+                AS BIGINT) AS err_ppm
+    FROM agg
+    """,
+    tags=("relational", "sampling"),
+)
+def q_sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Horvitz-Thompson estimation under probability-proportional-to-
+    size sampling — the approximate-query-processing primitive behind
+    every 'estimate the total from a 5% sample' dashboard: each order
+    is included with probability ∝ its value (π capped at 1, decided
+    by the portable md5 hash — deterministic, replayable, and
+    coordinated across runs), and the total is debiased EXACTLY by
+    weighting each sampled row 1/π: Σ cents·1e6 div p_ppm.  PPS makes
+    the estimator low-variance precisely because big rows (which
+    dominate the total) are sampled with near-certainty; the emitted
+    err_ppm audits it (~0.1% here at a ~50% row sample, far tighter
+    than uniform sampling at the same rate).
+
+    100 TB shape: inclusion is a stateless map-side predicate at scan
+    time — the sample never materializes globally; the estimate is
+    one map-side-combined agg.  The same hash makes the sample
+    CONSISTENT across queries (join two HT samples on key and the
+    inclusion events coincide)."""
+    from ex_aws_firehose_spark.functions.text import hex_hash
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    s = o.select(
+        "cents",
+        F.least(F.lit(1_000_000), F.expr(f"cents div {_HT_SCALE}")).alias(
+            "p_ppm"
+        ),
+        (
+            hex_hash(F.concat(F.lit("ht:"), F.col("k").cast("string")))
+            % 1_000_000
+        ).alias("h"),
+    )
+    agg = s.agg(
+        F.count("*").alias("n_pop"),
+        F.sum(F.when(F.col("h") < F.col("p_ppm"), 1).otherwise(0)).alias(
+            "n_sampled"
+        ),
+        F.sum("cents").alias("true_cents"),
+        F.sum(
+            F.when(
+                F.col("h") < F.col("p_ppm"),
+                F.expr("cents * 1000000 div p_ppm"),
+            ).otherwise(0)
+        ).alias("ht_est_cents"),
+    )
+    return agg.select(
+        "n_pop",
+        "n_sampled",
+        "true_cents",
+        "ht_est_cents",
+        F.expr(
+            "abs(ht_est_cents - true_cents) * 1000000 div true_cents"
+        ).alias("err_ppm"),
+    )

@@ -1528,3 +1528,25 @@ def test_krippendorff_alpha_laws(spark, sf_dir):
     assert r.n_units > 0 and 2 * r.n_units <= r.n_pairable <= 3 * r.n_units
     assert r.do_num >= 0 and r.de_num > 0
     assert 500_000 <= r.alpha_ppm <= 1_000_000, r  # raters mostly agree
+
+
+def test_horvitz_thompson_unbiasedness_shape(spark, sf_dir):
+    """The HT estimate must land within a tight band of the truth
+    (PPS: certainty strata contribute exactly), and the certainty
+    stratum (p = 1e6) must be fully included."""
+    r = REGISTRY["q_sample_horvitz_thompson"].fn(spark, sf_dir).collect()[0]
+    assert 0 < r.n_sampled < r.n_pop
+    assert r.err_ppm <= 20_000, r  # within 2% (measured ~0.1%)
+    assert r.ht_est_cents > 0
+
+
+def test_shapley_efficiency_and_symmetry_frame(spark, sf_dir):
+    """Shapley efficiency: Σφ = v(full) − v(∅) exactly in rationals —
+    with per-coalition ppm truncation the drift is bounded by the 32
+    truncated terms (≤ 32 ppm); exactly 4 channel rows."""
+    rows = REGISTRY["q_attribution_shapley"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert {r.channel for r in rows} == {"click", "view", "signup", "error"}
+    total_phi = sum(r.phi_ppm for r in rows)
+    target = rows[0].v_full_ppm - rows[0].v_empty_ppm
+    assert abs(total_phi - target) <= 32, (total_phi, target)
