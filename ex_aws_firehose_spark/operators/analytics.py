@@ -4759,3 +4759,147 @@ def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v_full_ppm",
         "v_empty_ppm",
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control over a battery of SRM tests
+# ---------------------------------------------------------------------------
+
+# chi2(1) upper critical values at alpha*i/m, alpha=0.05, m=6 tests,
+# i = rank 1..6 (x1e6) — (Phi^-1(alpha*i/12))^2, bisection on erfc.
+_BH_CRIT_X1M = (6960401, 5731139, 5023886, 4528577, 4148693, 3841459)
+
+
+def _bh_oracle() -> str:
+    crit = ", ".join(
+        f"({i + 1}, {c})" for i, c in enumerate(_BH_CRIT_X1M)
+    )
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) % 2 AS arm,
+               user_id % 10 < 7 AS skew_arm
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    seg AS (
+        SELECT c.c_mktsegment AS test_name,
+               CAST(SUM(CASE WHEN u.arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(SUM(CASE WHEN u.arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM u JOIN customer c ON u.user_id = c.c_custkey
+        GROUP BY 1
+        UNION ALL
+        SELECT 'CANARY_SKEW',
+               CAST(SUM(CASE WHEN skew_arm THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(SUM(CASE WHEN NOT skew_arm THEN 1 ELSE 0 END) AS BIGINT)
+        FROM u
+    ),
+    chi AS (
+        SELECT test_name,
+               CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT)
+                   AS chi2_x1m
+        FROM seg
+    ),
+    ranked AS (
+        SELECT test_name, chi2_x1m,
+               CAST(row_number() OVER (ORDER BY chi2_x1m DESC, test_name)
+                    AS BIGINT) AS rnk
+        FROM chi
+    ),
+    crit(rnk, crit_x1m) AS (SELECT * FROM (VALUES {crit})),
+    j AS (
+        SELECT r.test_name, r.chi2_x1m, r.rnk,
+               CAST(c.crit_x1m AS BIGINT) AS crit_x1m,
+               CASE WHEN r.chi2_x1m >= c.crit_x1m THEN r.rnk END AS hit
+        FROM ranked r JOIN crit c ON r.rnk = c.rnk
+    ),
+    kmax AS (SELECT COALESCE(MAX(hit), 0) AS k FROM j)
+    SELECT j.test_name, j.chi2_x1m, j.rnk, j.crit_x1m,
+           j.rnk <= kmax.k AS reject_bh,
+           j.chi2_x1m >= {_BH_CRIT_X1M[0]} AS reject_bonferroni
+    FROM j, kmax
+    """
+
+
+@query(
+    "q_ab_fdr_bh",
+    oracle=_bh_oracle(),
+    tags=("analytics", "experiment"),
+)
+def q_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over a BATTERY of guardrail
+    tests — what an experimentation platform actually runs (one SRM
+    χ² per segment plus platform canaries) where per-test α would
+    false-alarm constantly: tests are ranked by evidence (χ² DESC ≡
+    p ASC) and the step-up rule rejects ranks ≤ max{k: p₍ₖ₎ ≤ αk/m},
+    evaluated in pure integers against Python-precomputed χ²₁
+    critical values at α·k/m (bisection on erfc — no distribution
+    functions in either engine).  A deterministic 70/30 planted skew
+    (CANARY_SKEW) fires the reject arm while the five real segments
+    stay null — the canary-arm convention of this suite; Bonferroni
+    (α/m) is emitted beside BH to show the power difference at the
+    margin.
+
+    100 TB shape: the battery is one user-grain hash agg + a
+    |tests|-row rank window + a |tests|-row broadcast critical-value
+    join — multiple-testing control costs nothing beyond the tests
+    themselves."""
+    e = load_table(spark, sf_dir, "events")
+    u = (
+        e.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.pmod(hex_hash(F.col("user_id").cast("string")), F.lit(2)).alias(
+                "arm"
+            ),
+            (F.col("user_id") % 10 < 7).alias("skew_arm"),
+        )
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("test_name"),
+    )
+    seg = (
+        u.join(F.broadcast(c), "user_id")
+        .groupBy("test_name")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+        )
+    )
+    canary = u.agg(
+        F.lit("CANARY_SKEW").alias("test_name"),
+        F.sum(F.when(F.col("skew_arm"), 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(~F.col("skew_arm"), 1).otherwise(0)).alias("n1"),
+    )
+    chi = seg.unionByName(canary).select(
+        "test_name",
+        F.expr(
+            "CAST((n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1) AS LONG)"
+        ).alias("chi2_x1m"),
+    )
+    w = Window.orderBy(F.col("chi2_x1m").desc(), "test_name")
+    ranked = chi.withColumn("rnk", F.row_number().over(w).cast("long"))
+    crit = F.broadcast(
+        spark.createDataFrame(
+            [(i + 1, c) for i, c in enumerate(_BH_CRIT_X1M)],
+            "rnk long, crit_x1m long",
+        )
+    )
+    j = ranked.join(crit, "rnk").withColumn(
+        "hit", F.when(F.col("chi2_x1m") >= F.col("crit_x1m"), F.col("rnk"))
+    )
+    kmax = j.agg(F.coalesce(F.max("hit"), F.lit(0)).alias("k"))
+    return j.crossJoin(F.broadcast(kmax)).select(
+        "test_name",
+        "chi2_x1m",
+        "rnk",
+        "crit_x1m",
+        (F.col("rnk") <= F.col("k")).alias("reject_bh"),
+        (F.col("chi2_x1m") >= F.lit(_BH_CRIT_X1M[0])).alias(
+            "reject_bonferroni"
+        ),
+    )

@@ -1550,3 +1550,24 @@ def test_shapley_efficiency_and_symmetry_frame(spark, sf_dir):
     total_phi = sum(r.phi_ppm for r in rows)
     target = rows[0].v_full_ppm - rows[0].v_empty_ppm
     assert abs(total_phi - target) <= 32, (total_phi, target)
+
+
+def test_fdr_bh_stepup_laws(spark, sf_dir):
+    """BH dominance: everything Bonferroni rejects, BH rejects; the
+    planted canary is rejected by both; null segments are rejected by
+    neither; rejections form a rank-prefix (step-up)."""
+    rows = sorted(
+        REGISTRY["q_ab_fdr_bh"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rnk,
+    )
+    assert len(rows) == 6
+    by_name = {r.test_name: r for r in rows}
+    assert by_name["CANARY_SKEW"].reject_bh
+    assert by_name["CANARY_SKEW"].reject_bonferroni
+    for r in rows:
+        if r.reject_bonferroni:
+            assert r.reject_bh, r
+        if r.test_name != "CANARY_SKEW":
+            assert not r.reject_bh, r  # hash arms are null
+    flags = [r.reject_bh for r in rows]
+    assert flags == sorted(flags, reverse=True)  # prefix property
