@@ -4903,3 +4903,100 @@ def q_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reject_bonferroni"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Power analysis: required sample size across an MDE sweep
+# ---------------------------------------------------------------------------
+
+# (z_{alpha/2} + z_beta)^2 x1e6 at alpha=0.05 two-sided, power=0.8:
+# (1.959964 + 0.841621)^2 = 7.848886 — fixed by the design, not the data.
+_PWR_ZSUM2_X1M = 7_848_886
+_PWR_MDES_PPM = (10_000, 100_000, 500_000)  # 1%, 10%, 50% absolute lift
+
+
+def _power_oracle() -> str:
+    rows = " UNION ALL ".join(
+        f"""SELECT CAST({mde} AS BIGINT) AS mde_ppm,
+               b.p_ppm,
+               CAST({_PWR_ZSUM2_X1M} * 2 * b.p_ppm * (1000000 - b.p_ppm)
+                    // ({mde} * CAST({mde} AS BIGINT) * 1000000) AS BIGINT)
+                   AS n_required_per_arm,
+               b.n_users,
+               b.n_users // 2 >= {_PWR_ZSUM2_X1M} * 2 * b.p_ppm
+                   * (1000000 - b.p_ppm)
+                   // ({mde} * CAST({mde} AS BIGINT) * 1000000) AS powered
+        FROM b"""
+        for mde in _PWR_MDES_PPM
+    )
+    return f"""
+    WITH u AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'purchase'
+                         AND CAST(ROUND(value * 100) AS BIGINT) >= 10000
+                        THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY 1
+    ),
+    b AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               CAST(SUM(conv) * 1000000 // COUNT(*) AS BIGINT) AS p_ppm
+        FROM u
+    )
+    {rows}
+    """
+
+
+@query(
+    "q_ab_power_mde_sweep",
+    oracle=_power_oracle(),
+    tags=("analytics", "experiment"),
+)
+def q_ab_power_mde_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis BEFORE the experiment — the design step the rest
+    of the A/B family assumes: for a sweep of minimum detectable
+    effects (1%/10%/50% absolute lift), the required per-arm sample
+    size n = (z_{α/2}+z_β)²·2·p(1−p)/Δ² from the measured baseline
+    conversion rate, in exact integers — the z-constant is fixed by
+    the design (α=0.05, power 0.8) and Python-precomputed, p(1−p) is
+    an integer ppm product, and Δ² divides out in one truncated
+    division.  A `powered` verdict compares available users per arm
+    against the requirement: the small-MDE rows are honestly
+    underpowered at test scale while the 50% row is powered — both
+    verdict arms fire by construction.
+
+    Int64 bound: z²·2·p(1−p) ≤ 7.85e6·2·2.5e11 ≈ 3.9e18 — inside
+    int64 for any p; the formula is scale-free (only the baseline
+    rate enters).  100 TB shape: one user-grain agg for (n, p), then
+    3 rows of constant arithmetic — design costs nothing."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.round(F.col("value") * 100, 0).cast("long") >= 10000),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    )
+    b = u.agg(
+        F.count("*").alias("n_users"),
+        F.expr("CAST(sum(conv) * 1000000 div count(*) AS LONG)").alias(
+            "p_ppm"
+        ),
+    )
+    mdes = F.broadcast(
+        spark.createDataFrame([(m,) for m in _PWR_MDES_PPM], "mde_ppm long")
+    )
+    return b.crossJoin(mdes).select(
+        "mde_ppm",
+        "p_ppm",
+        F.expr(
+            f"CAST({_PWR_ZSUM2_X1M} * 2 * p_ppm * (1000000 - p_ppm) "
+            "div (mde_ppm * mde_ppm * 1000000) AS LONG)"
+        ).alias("n_required_per_arm"),
+        "n_users",
+        F.expr(
+            f"n_users div 2 >= {_PWR_ZSUM2_X1M} * 2 * p_ppm "
+            "* (1000000 - p_ppm) div (mde_ppm * mde_ppm * 1000000)"
+        ).alias("powered"),
+    )

@@ -1571,3 +1571,29 @@ def test_fdr_bh_stepup_laws(spark, sf_dir):
             assert not r.reject_bh, r  # hash arms are null
     flags = [r.reject_bh for r in rows]
     assert flags == sorted(flags, reverse=True)  # prefix property
+
+
+def test_power_mde_sweep_laws(spark, sf_dir):
+    """n_required is strictly decreasing in MDE (quadratically); both
+    powered verdicts fire (small MDE underpowered, large powered);
+    the closed form reproduces driver-side."""
+    from ex_aws_firehose_spark.operators.analytics import (
+        _PWR_MDES_PPM,
+        _PWR_ZSUM2_X1M,
+    )
+
+    rows = sorted(
+        REGISTRY["q_ab_power_mde_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.mde_ppm,
+    )
+    assert [r.mde_ppm for r in rows] == sorted(_PWR_MDES_PPM)
+    reqs = [r.n_required_per_arm for r in rows]
+    assert reqs == sorted(reqs, reverse=True) and reqs[0] > reqs[-1]
+    assert any(r.powered for r in rows) and not all(r.powered for r in rows)
+    for r in rows:
+        expect = (
+            _PWR_ZSUM2_X1M * 2 * r.p_ppm * (1_000_000 - r.p_ppm)
+            // (r.mde_ppm * r.mde_ppm * 1_000_000)
+        )
+        assert r.n_required_per_arm == expect, r
+        assert r.powered == (r.n_users // 2 >= expect), r
