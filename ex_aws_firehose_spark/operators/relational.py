@@ -4372,3 +4372,165 @@ def q_sample_horvitz_thompson(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abs(ht_est_cents - true_cents) * 1000000 div true_cents"
         ).alias("err_ppm"),
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH a AS (
+        SELECT CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0
+                    THEN NULL
+                    ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+        FROM events WHERE event_type = 'click'
+    ),
+    b AS (
+        SELECT CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0
+                    THEN NULL
+                    ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+        FROM events WHERE event_type = 'view'
+    ),
+    c AS (
+        SELECT CAST((SELECT COUNT(*) FROM a WHERE k IS NULL) AS BIGINT)
+                   AS n_null_a,
+               CAST((SELECT COUNT(*) FROM b WHERE k IS NULL) AS BIGINT)
+                   AS n_null_b,
+               CAST((SELECT COUNT(*) FROM a JOIN b ON a.k = b.k) AS BIGINT)
+                   AS n_matched_equi,
+               CAST((SELECT COUNT(*) FROM a JOIN b
+                     ON a.k IS NOT DISTINCT FROM b.k) AS BIGINT)
+                   AS n_matched_null_safe
+    )
+    SELECT n_null_a, n_null_b, n_matched_equi, n_matched_null_safe,
+           n_matched_null_safe - n_matched_equi AS n_null_pairs,
+           n_matched_null_safe = n_matched_equi + n_null_a * n_null_b
+               AS null_pair_identity_ok
+    FROM c
+    """,
+    tags=("relational", "join"),
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the
+    semantics fork every SQL engine must expose and every CDC merge
+    hits (NULL business keys): the same nullable key joined with `=`
+    silently DROPS every NULL row (NULL = NULL is not true), while
+    `<=>` matches NULL to NULL.  Both joins run on a key extracted
+    from the JSON props with a deterministic NULL-out rule, and the
+    identity n_null_safe = n_equi + n_nullA·n_nullB is emitted as a
+    self-audit — the NULL bucket forms a full cross product, which is
+    ALSO the scale warning this key documents: a hot NULL key is the
+    canonical skew cell (salt it or route NULLs around the join).
+
+    100 TB shape: both joins hash-partition on the key; the `<=>`
+    form hashes NULL to one partition — the reason engines rewrite it
+    as (a.k = b.k OR (a.k IS NULL AND b.k IS NULL)) with a NULL-split
+    union when the NULL bucket is hot."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    key = F.when(k % 7 == 0, F.lit(None).cast("long")).otherwise(k)
+    a = e.filter(F.col("event_type") == "click").select(key.alias("k"))
+    b = e.filter(F.col("event_type") == "view").select(key.alias("kb"))
+    n_null_a = a.filter(F.col("k").isNull()).count()
+    n_null_b = b.filter(F.col("kb").isNull()).count()
+    n_equi = a.join(b, F.col("k") == F.col("kb")).count()
+    n_ns = a.join(b, F.col("k").eqNullSafe(F.col("kb"))).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_null_a,
+                n_null_b,
+                n_equi,
+                n_ns,
+                n_ns - n_equi,
+                n_ns == n_equi + n_null_a * n_null_b,
+            )
+        ],
+        "n_null_a long, n_null_b long, n_matched_equi long, "
+        "n_matched_null_safe long, n_null_pairs long, "
+        "null_pair_identity_ok boolean",
+    )
+
+
+SPEARMAN_PAIRS = ("chars_vs_tokens", "chars_vs_docid")
+
+
+def _spearman_oracle() -> str:
+    def pair_sql(name: str, y_rank_order: str) -> str:
+        return f"""
+        SELECT '{name}' AS pair_name, CAST(n AS BIGINT) AS n,
+               CAST(sum_d2 AS BIGINT) AS sum_d2,
+               CAST(1000000 - 6000000 * sum_d2
+                    // (n * (n * n - 1)) AS BIGINT) AS rho_ppm
+        FROM (
+            SELECT COUNT(*) AS n,
+                   SUM((rx - ry) * (rx - ry)) AS sum_d2
+            FROM (
+                SELECT row_number() OVER (ORDER BY n_chars, doc_id) AS rx,
+                       row_number() OVER (ORDER BY {y_rank_order}) AS ry
+                FROM documents
+            )
+        )"""
+
+    return (
+        pair_sql(
+            "chars_vs_tokens",
+            "len(str_split(lower(text), ' ')), doc_id",
+        )
+        + " UNION ALL "
+        + pair_sql("chars_vs_docid", "doc_id")
+    )
+
+
+@query(
+    "q_eval_spearman_rho",
+    oracle=_spearman_oracle(),
+    tags=("relational", "eval"),
+)
+def q_eval_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation in the exact d² form ρ = 1 −
+    6Σd²/(n(n²−1)) — valid because both rankings are TOTAL orders
+    (doc_id tie-break), so no tie correction is needed and the whole
+    statistic is int64 with one ppm division.  Two pairs anchor the
+    scale: document length vs token count (near-perfect monotone
+    association — the sanity pole) and length vs doc_id (null pole,
+    near zero) — the monotone-association screen used when Pearson's
+    linearity assumption can't be defended.
+
+    Int64 bound: 6e6·Σd² with Σd² < n³/3 — exact to n ≈ 16k rows;
+    past that rank in ppm-quantile buckets or shard and use the
+    family's pooled-moments Pearson on ranks.  100 TB shape: two
+    global rank windows (sort-bounded, shareable with any other
+    ranked consumer) + one map-side agg."""
+    from ex_aws_firehose_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "n_chars",
+        F.size(tokens("text")).alias("n_tokens"),
+    )
+    out = []
+    for name, order in (
+        ("chars_vs_tokens", [F.col("n_tokens"), F.col("doc_id")]),
+        ("chars_vs_docid", [F.col("doc_id")]),
+    ):
+        wx = Window.orderBy("n_chars", "doc_id")
+        wy = Window.orderBy(*order)
+        ranked = base.select(
+            F.row_number().over(wx).alias("rx"),
+            F.row_number().over(wy).alias("ry"),
+        )
+        out.append(
+            ranked.agg(
+                F.count("*").alias("n"),
+                F.sum(F.expr("(rx - ry) * (rx - ry)")).alias("sum_d2"),
+            ).select(
+                F.lit(name).alias("pair_name"),
+                "n",
+                "sum_d2",
+                F.expr(
+                    "CAST(1000000 - 6000000 * sum_d2 "
+                    "div (n * (n * n - 1)) AS LONG)"
+                ).alias("rho_ppm"),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -1597,3 +1597,28 @@ def test_power_mde_sweep_laws(spark, sf_dir):
         )
         assert r.n_required_per_arm == expect, r
         assert r.powered == (r.n_users // 2 >= expect), r
+
+
+def test_null_safe_join_identity(spark, sf_dir):
+    """The emitted identity column must be true, null pairs positive
+    (the fork actually forks), and equi strictly below null-safe."""
+    r = REGISTRY["q_join_null_safe"].fn(spark, sf_dir).collect()[0]
+    assert r.null_pair_identity_ok
+    assert r.n_null_a > 0 and r.n_null_b > 0
+    assert r.n_null_pairs == r.n_null_a * r.n_null_b
+    assert r.n_matched_null_safe > r.n_matched_equi
+
+
+def test_spearman_rho_poles(spark, sf_dir):
+    """ρ ∈ [−1e6, 1e6]; the monotone pair sits near +1, the null pair
+    near 0; Σd² = 0 ⇔ ρ = 1e6."""
+    rows = {
+        r.pair_name: r
+        for r in REGISTRY["q_eval_spearman_rho"].fn(spark, sf_dir).collect()
+    }
+    hi, lo = rows["chars_vs_tokens"], rows["chars_vs_docid"]
+    assert hi.rho_ppm > 950_000, hi
+    assert abs(lo.rho_ppm) < 200_000, lo
+    for r in rows.values():
+        assert -1_000_000 <= r.rho_ppm <= 1_000_000
+        assert (r.sum_d2 == 0) == (r.rho_ppm == 1_000_000)
