@@ -4534,3 +4534,94 @@ def q_eval_spearman_rho(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return out[0].unionByName(out[1])
+
+
+@query(
+    "q_filter_not_in_null_trap",
+    oracle="""
+    WITH probe AS (
+        SELECT event_id,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        FROM events WHERE event_type = 'click'
+    ),
+    keyset AS (
+        SELECT CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0
+                    THEN NULL
+                    ELSE CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+        FROM events WHERE event_type = 'view'
+    ),
+    clean AS (SELECT k FROM keyset WHERE k IS NOT NULL),
+    c AS (
+        SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+               CAST((SELECT COUNT(*) FROM keyset WHERE k IS NULL) AS BIGINT)
+                   AS n_null_keys,
+               CAST((SELECT COUNT(*) FROM probe
+                     WHERE k NOT IN (SELECT k FROM keyset)) AS BIGINT)
+                   AS n_not_in_nullable,
+               CAST((SELECT COUNT(*) FROM probe
+                     WHERE k NOT IN (SELECT k FROM clean)) AS BIGINT)
+                   AS n_not_in_clean,
+               CAST((SELECT COUNT(*) FROM probe p
+                     WHERE NOT EXISTS (SELECT 1 FROM keyset s
+                                       WHERE s.k = p.k)) AS BIGINT)
+                   AS n_not_exists
+    )
+    SELECT n_probe, n_null_keys, n_not_in_nullable, n_not_in_clean,
+           n_not_exists,
+           n_not_in_nullable = 0 AS not_in_vanishes,
+           n_not_exists = n_not_in_clean AS anti_equals_clean_not_in
+    FROM c
+    """,
+    tags=("relational", "filter"),
+)
+def q_filter_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap — the three-valued-logic fork that silently
+    empties production queries: when the subquery key set contains ONE
+    NULL, `k NOT IN (set)` is never TRUE for any row (every comparison
+    chain ends UNKNOWN per the SQL standard, honored identically by
+    Spark and DuckDB), while `NOT EXISTS` — the anti-join the optimizer
+    actually plans — keeps its intuitive semantics.  Emitted side by
+    side: NOT IN against the nullable set (vanishes — the
+    `not_in_vanishes` proof column), NOT IN against the NULL-filtered
+    set, and NOT EXISTS, with the identity that the last two agree.
+    Pairs with q_join_null_safe as the two NULL-semantics forks every
+    CDC/dim pipeline must get right.
+
+    100 TB shape: NOT EXISTS plans as a left-anti hash join (one
+    shuffle or broadcast); NOT IN against a nullable column forces a
+    null-aware anti join — Spark's NAAJ is a broadcast-only plan, the
+    documented reason to IS NOT NULL the subquery at scale."""
+    e = load_table(spark, sf_dir, "events")
+    e.filter(F.col("event_type") == "click").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).createOrReplaceTempView("nit_probe")
+    k = F.get_json_object("props", "$.k").cast("long")
+    e.filter(F.col("event_type") == "view").select(
+        F.when(k % 7 == 0, F.lit(None).cast("long")).otherwise(k).alias("k")
+    ).createOrReplaceTempView("nit_keyset")
+    return spark.sql(
+        """
+        WITH clean AS (SELECT k FROM nit_keyset WHERE k IS NOT NULL),
+        c AS (
+            SELECT CAST((SELECT COUNT(*) FROM nit_probe) AS LONG) AS n_probe,
+                   CAST((SELECT COUNT(*) FROM nit_keyset WHERE k IS NULL)
+                        AS LONG) AS n_null_keys,
+                   CAST((SELECT COUNT(*) FROM nit_probe
+                         WHERE k NOT IN (SELECT k FROM nit_keyset))
+                        AS LONG) AS n_not_in_nullable,
+                   CAST((SELECT COUNT(*) FROM nit_probe
+                         WHERE k NOT IN (SELECT k FROM clean)) AS LONG)
+                       AS n_not_in_clean,
+                   CAST((SELECT COUNT(*) FROM nit_probe p
+                         WHERE NOT EXISTS (SELECT 1 FROM nit_keyset s
+                                           WHERE s.k = p.k)) AS LONG)
+                       AS n_not_exists
+        )
+        SELECT n_probe, n_null_keys, n_not_in_nullable, n_not_in_clean,
+               n_not_exists,
+               n_not_in_nullable = 0 AS not_in_vanishes,
+               n_not_exists = n_not_in_clean AS anti_equals_clean_not_in
+        FROM c
+        """
+    )

@@ -1622,3 +1622,14 @@ def test_spearman_rho_poles(spark, sf_dir):
     for r in rows.values():
         assert -1_000_000 <= r.rho_ppm <= 1_000_000
         assert (r.sum_d2 == 0) == (r.rho_ppm == 1_000_000)
+
+
+def test_not_in_null_trap_semantics(spark, sf_dir):
+    """The trap fires: nullable NOT IN returns zero rows while clean
+    NOT IN == NOT EXISTS > 0; the NULL key actually exists."""
+    r = REGISTRY["q_filter_not_in_null_trap"].fn(spark, sf_dir).collect()[0]
+    assert r.n_null_keys > 0
+    assert r.n_not_in_nullable == 0 and r.not_in_vanishes
+    assert r.n_not_exists == r.n_not_in_clean
+    assert r.anti_equals_clean_not_in
+    assert 0 < r.n_not_exists < r.n_probe
