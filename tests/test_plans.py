@@ -957,3 +957,123 @@ def test_markov_chain_edges_broadcast(spark, sf_dir):
     )
     step_plan = physical_plan(_mk_step(flowing, scen))
     assert "BroadcastHashJoin" in step_plan, step_plan
+
+
+# ---------------------------------------------------------------------------
+# Round-10 key plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_mannwhitney_rank_window_not_on_users(spark, sf_dir):
+    """The global rank window must run on the distinct-metric table,
+    downstream of BOTH aggs — the plan shows window after (user, then
+    metric) aggregation, and no sort of the raw events."""
+    from ex_aws_firehose_spark.plans.audit import (
+        physical_plan,
+        shuffle_count,
+    )
+
+    df = REGISTRY["q_ab_mannwhitney"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    # user-grain agg + metric-grain agg + single-partition window +
+    # final 1-row agg: the shuffle budget is small and fixed
+    assert shuffle_count(df) <= 5, plan
+
+
+def test_interval_bin_join_is_equi_not_bnlj(spark, sf_dir):
+    """The bucketed rewrite's whole point: the candidate join must be
+    hash-equi on the bucket, never BroadcastNestedLoop over iv×pt."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_join_interval_bin"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only BNLJ allowed is the 1-row count cross-joins at the top
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, plan  # 1-row stat assembly only
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_rrf_fusion_gain_table_broadcasts(spark, sf_dir):
+    """Both 50-row gain joins and the query-token set must broadcast;
+    no cartesian anywhere in the fusion."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sim_rrf_fusion"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_horvitz_thompson_is_map_only_plus_one_agg(spark, sf_dir):
+    """PPS inclusion is a scan-time predicate: the whole estimator is
+    one map-side-combined aggregate — at most one shuffle, no join,
+    no window, no Python."""
+    from ex_aws_firehose_spark.plans.audit import (
+        physical_plan,
+        python_eval_operators,
+        shuffle_count,
+    )
+
+    df = REGISTRY["q_sample_horvitz_thompson"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert shuffle_count(df) <= 1, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert not python_eval_operators(df)
+
+
+def test_shapley_coalition_join_broadcasts(spark, sf_dir):
+    """The 32-row coalition table and 16-row v-table joins must all be
+    broadcast — the game theory must cost nothing."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_attribution_shapley"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_target_encode_category_stats_broadcast_back(spark, sf_dir):
+    """LOO encoding joins the catalog-sized category stats back to the
+    fact rows — that join must be broadcast, never a fact shuffle."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        REGISTRY["q_feature_target_encode_loo"].fn(spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_dq_profile_single_scan_single_exchange(spark, sf_dir):
+    """The whole multi-column profile is ONE wide aggregate over one
+    scan: exactly one shuffle, one file scan, no join."""
+    from ex_aws_firehose_spark.plans.audit import (
+        physical_plan,
+        shuffle_count,
+    )
+
+    df = REGISTRY["q_dq_profile"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert plan.count("FileScan") == 1, plan
+    assert "Join" not in plan, plan
+    assert shuffle_count(df) <= 2, plan  # partial/final agg split
+
+
+def test_exp_histogram_sketch_aggs_are_partial(spark, sf_dir):
+    """The histogram build must map-side combine (partial_count in the
+    agg) — the ≤64-row sketch is the only thing that shuffles."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sketch_exp_histogram"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_power_mde_design_rows_broadcast(spark, sf_dir):
+    """The 3-row MDE sweep crosses the 1-row baseline — broadcast
+    nested loop over single rows is the ONLY join machinery allowed."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_ab_power_mde_sweep"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, plan
