@@ -12795,3 +12795,303 @@ def q_eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("alpha_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer: unigram-LM EM round (Viterbi E-step + integer re-score M-step)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_EM_BIG = 1 << 40
+
+_UNIGRAM_EM_SEED_PARTS = " || ".join(
+    f"""CASE WHEN length(tok) >= {L}
+        THEN list_transform(range(1, length(tok) - {L} + 2),
+                            i -> substr(tok, CAST(i AS INT), {L}))
+        ELSE CAST([] AS VARCHAR[]) END"""
+    for L in UNIGRAM_PIECE_LENS
+)
+
+
+@query(
+    "q_tokenizer_unigram_em",
+    oracle=f"""
+    WITH RECURSIVE tk AS (
+        SELECT unnest(str_split(lower(text), ' ')) AS tok FROM documents
+    ),
+    toks AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_tok
+        FROM tk WHERE length(tok) >= 1 GROUP BY tok
+    ),
+    chars AS (
+        SELECT piece, CAST(SUM(n_tok) AS BIGINT) AS n_old
+        FROM (
+            SELECT unnest(list_transform(range(1, length(tok) + 1),
+                          i -> substr(tok, CAST(i AS INT), 1))) AS piece,
+                   n_tok
+            FROM toks
+        ) GROUP BY piece
+    ),
+    seed AS (
+        SELECT piece, CAST(SUM(n_tok) AS BIGINT) AS n_old
+        FROM (
+            SELECT unnest({_UNIGRAM_EM_SEED_PARTS}) AS piece, n_tok
+            FROM toks
+        ) GROUP BY piece
+        ORDER BY n_old DESC, piece LIMIT {UNIGRAM_SEED_TOPK}
+    ),
+    vocab0 AS (SELECT * FROM chars UNION ALL SELECT * FROM seed),
+    tot AS (SELECT CAST(SUM(n_old) AS BIGINT) AS total FROM vocab0),
+    vocab AS (
+        SELECT piece, n_old,
+               CAST(length(printf('%b', tot.total))
+                    - length(printf('%b', n_old)) AS BIGINT)
+                   AS neg_log2p_bits_old
+        FROM vocab0 CROSS JOIN tot
+    ),
+    vm AS (
+        SELECT MAP(list(piece ORDER BY piece),
+                   list(neg_log2p_bits_old ORDER BY piece)) AS m
+        FROM vocab
+    ),
+    dp AS (
+        SELECT tok, n_tok, 0 AS i,
+               [CAST(0 AS BIGINT)] AS dpv, CAST([] AS BIGINT[]) AS bp
+        FROM toks
+        UNION ALL
+        SELECT tok, n_tok, i + 1,
+               list_append(dpv, list_min(c)),
+               list_append(bp, CAST(list_position(c, list_min(c)) AS BIGINT))
+        FROM (
+            SELECT tok, n_tok, i, dpv, bp,
+                   [CASE WHEN L <= i + 1
+                         THEN dpv[i + 2 - L]
+                              + coalesce(map_extract(vm.m,
+                                    substr(tok, CAST(i + 2 - L AS INT),
+                                           CAST(L AS INT)))[1],
+                                  CAST({UNIGRAM_EM_BIG} AS BIGINT))
+                         ELSE CAST({UNIGRAM_EM_BIG} AS BIGINT) END
+                    FOR L IN [1, 2, 3, 4]] AS c
+            FROM dp, vm
+            WHERE i < length(tok)
+        ) s
+    ),
+    fin AS (SELECT tok, n_tok, bp FROM dp WHERE i = length(tok)),
+    bt AS (
+        SELECT tok, n_tok, CAST(length(tok) AS BIGINT) AS pos, bp,
+               CAST([] AS VARCHAR[]) AS pieces
+        FROM fin
+        UNION ALL
+        SELECT tok, n_tok, pos - bp[CAST(pos AS INT)], bp,
+               list_append(pieces,
+                   substr(tok, CAST(pos - bp[CAST(pos AS INT)] + 1 AS INT),
+                          CAST(bp[CAST(pos AS INT)] AS INT)))
+        FROM bt WHERE pos > 0
+    ),
+    used AS (SELECT unnest(pieces) AS piece, n_tok FROM bt WHERE pos = 0),
+    em AS (
+        SELECT piece, CAST(SUM(n_tok) AS BIGINT) AS n_em
+        FROM used GROUP BY piece
+    ),
+    ntot AS (SELECT CAST(SUM(n_em) AS BIGINT) AS total_em FROM em)
+    SELECT v.piece, v.n_old, v.neg_log2p_bits_old,
+           CAST(coalesce(e.n_em, 0) AS BIGINT) AS n_em,
+           CAST(CASE WHEN coalesce(e.n_em, 0) > 0
+                     THEN length(printf('%b', ntot.total_em))
+                          - length(printf('%b', e.n_em))
+                     ELSE -1 END AS BIGINT) AS neg_log2p_bits_em
+    FROM vocab v LEFT JOIN em e USING (piece) CROSS JOIN ntot
+    """,
+    tags=("llm", "tokenizer"),
+)
+def q_tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE unigram-LM EM re-estimation round (Kudo 2018, SentencePiece
+    §3.2) on top of q_tokenizer_unigram_seed's candidate vocabulary:
+    E-step = per-token Viterbi segmentation against the current
+    integer piece costs, M-step = maximum-likelihood re-score from the
+    segmentation's piece counts. The vocabulary is the seed's top-K
+    substrings (lengths {2,3,4}) UNION all single characters — the
+    SentencePiece invariant that keeps every token segmentable. Costs
+    are the integer-exact ⌊log₂⌋ proxy shared with the seed
+    (bit-length of the vocabulary total minus bit-length of the piece
+    count), so both engines run the SAME exact arithmetic — no float
+    log anywhere. Hard-EM (Viterbi counts, not lattice posteriors) is
+    the documented variant: expected counts need forward-backward in
+    rationals, while Viterbi counts keep the whole round integral, and
+    Gibbs' inequality still guarantees the re-scored model assigns the
+    segmentation no less likelihood than the old one (the monotone
+    invariant pinned in tests/test_new_key_invariants.py from the
+    emitted n_old/n_em columns). Viterbi ties break toward the
+    SHORTEST piece deterministically in both engines: the candidate
+    array is ordered by piece length 1..4 and first-minimum wins
+    (array_position / list_position both return the first match).
+    Unused pieces stay in the output with n_em = 0 and sentinel score
+    -1 (the rows SentencePiece's pruning step would drop) — sentinel,
+    not NULL, so the differential dtype stays int64 on both sides.
+
+    Scale shape (100 TB): the E-step runs at DISTINCT-TOKEN grain
+    weighted by occurrence count — Zipf bounds that table regardless
+    of corpus size — and the DP itself is a map-only higher-order
+    fold, O(len × 4) per token with NO per-position shuffle or
+    suffix structure. The vocabulary (|chars| + top-K ≈ 54 rows) is
+    the one driver-side collect — metadata-grain by construction
+    (same sanctioned class as bounded pivot-value discovery) — and
+    re-enters the plan as a literal map broadcast into codegen. The
+    M-step is one map-side-combinable hash agg on the piece key plus
+    a 1-row total broadcast. Counts are bounded by corpus token
+    occurrences (int64-safe past 10¹⁸ tokens).
+
+    Reference parity: the reference has no tokenizer trainer (its
+    lambda/main.py:74 chain stops at decode); this is [EXT] surface
+    mandated by the LLM-pipeline blueprint, completing the family
+    BPE (pair counts → merge → train → encode) / WordPiece / unigram
+    (seed → EM)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .where(F.length("tok") >= 1)
+        .groupBy("tok")
+        .agg(F.count("*").alias("n_tok"))
+    )
+    chars = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(tok)),"
+                    " i -> substring(tok, i, 1))"
+                )
+            ).alias("piece"),
+            "n_tok",
+        )
+        .groupBy("piece")
+        .agg(F.sum("n_tok").alias("n_old"))
+    )
+    parts = [
+        F.expr(
+            f"CASE WHEN length(tok) >= {L}"
+            f" THEN transform(sequence(1, length(tok) - {L} + 1),"
+            f" i -> substring(tok, i, {L}))"
+            f" ELSE CAST(array() AS array<string>) END"
+        )
+        for L in UNIGRAM_PIECE_LENS
+    ]
+    seed = (
+        toks.select(F.explode(F.concat(*parts)).alias("piece"), "n_tok")
+        .groupBy("piece")
+        .agg(F.sum("n_tok").alias("n_old"))
+        .orderBy(F.desc("n_old"), "piece")
+        .limit(UNIGRAM_SEED_TOPK)
+    )
+    vocab0 = chars.unionByName(seed)
+    tot = F.broadcast(vocab0.agg(F.sum("n_old").alias("total")))
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    vocab = vocab0.crossJoin(tot).select(
+        "piece",
+        "n_old",
+        (bitlen(F.col("total")) - bitlen(F.col("n_old")))
+        .cast("long")
+        .alias("neg_log2p_bits_old"),
+    )
+    # |chars| + top-K rows -> driver: the one bounded metadata-grain
+    # collect; the vocabulary re-enters the plan as a literal map.
+    ventries = {
+        r["piece"]: (int(r["n_old"]), int(r["neg_log2p_bits_old"]))
+        for r in vocab.collect()
+    }
+    cost_map = F.create_map(
+        *[
+            x
+            for p in sorted(ventries)
+            for x in (F.lit(p), F.lit(ventries[p][1]))
+        ]
+    )
+    big = F.lit(UNIGRAM_EM_BIG)
+    lens4 = F.array(*[F.lit(L) for L in (1, 2, 3, 4)])
+
+    def dp_step(acc, i):
+        cands = F.transform(
+            lens4,
+            lambda L: F.when(
+                L <= i,
+                F.element_at(acc["dp"], i - L + 1)
+                + F.coalesce(
+                    F.element_at(cost_map, F.col("tok").substr(i - L + 1, L)),
+                    big,
+                ),
+            ).otherwise(big),
+        )
+        return F.struct(
+            F.concat(acc["dp"], F.array(F.array_min(cands))).alias("dp"),
+            F.concat(
+                acc["bp"],
+                F.array(
+                    F.array_position(cands, F.array_min(cands)).cast("int")
+                ),
+            ).alias("bp"),
+        )
+
+    dp_init = F.struct(
+        F.array(F.lit(0).cast("long")).alias("dp"),
+        F.expr("CAST(array() AS array<int>)").alias("bp"),
+    )
+    vit = toks.select(
+        "tok",
+        "n_tok",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("tok")), dp_init, dp_step
+        ).alias("v"),
+    )
+
+    def bt_step(acc, _i):
+        piece_len = F.element_at(F.col("v.bp"), acc["pos"])
+        return F.when(
+            acc["pos"] > 0,
+            F.struct(
+                (acc["pos"] - piece_len).cast("int").alias("pos"),
+                F.concat(
+                    acc["pieces"],
+                    F.array(
+                        F.col("tok").substr(
+                            acc["pos"] - piece_len + 1, piece_len
+                        )
+                    ),
+                ).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    bt_init = F.struct(
+        F.length("tok").cast("int").alias("pos"),
+        F.expr("CAST(array() AS array<string>)").alias("pieces"),
+    )
+    seg = vit.select(
+        "n_tok",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("tok")), bt_init, bt_step
+        ).alias("s"),
+    )
+    em = (
+        seg.select(F.explode(F.col("s.pieces")).alias("piece"), "n_tok")
+        .groupBy("piece")
+        .agg(F.sum("n_tok").alias("n_em"))
+    )
+    vdf = spark.createDataFrame(
+        [(p, n, c) for p, (n, c) in sorted(ventries.items())],
+        "piece string, n_old long, neg_log2p_bits_old long",
+    )
+    ntot = F.broadcast(em.agg(F.sum("n_em").alias("total_em")))
+    return (
+        vdf.join(F.broadcast(em), "piece", "left")
+        .crossJoin(ntot)
+        .select(
+            "piece",
+            "n_old",
+            "neg_log2p_bits_old",
+            F.coalesce(F.col("n_em"), F.lit(0)).cast("long").alias("n_em"),
+            F.when(
+                F.coalesce(F.col("n_em"), F.lit(0)) > 0,
+                bitlen(F.col("total_em")) - bitlen(F.col("n_em")),
+            )
+            .otherwise(F.lit(-1))
+            .cast("long")
+            .alias("neg_log2p_bits_em"),
+        )
+    )

@@ -1633,3 +1633,47 @@ def test_not_in_null_trap_semantics(spark, sf_dir):
     assert r.n_not_exists == r.n_not_in_clean
     assert r.anti_equals_clean_not_in
     assert 0 < r.n_not_exists < r.n_probe
+
+
+def test_unigram_em_monotone_likelihood_and_conservation(spark, sf_dir):
+    """Laws of the hard-EM round (q_tokenizer_unigram_em):
+
+    1. Gibbs / monotone likelihood: re-scoring the Viterbi
+       segmentation's counts at their ML estimates cannot lower the
+       segmentation's log-likelihood.  In exact terms, with
+       p_old = n_old/N_old and p_em = n_em/N_em over used pieces:
+       Σ n_em·log p_em ≥ Σ n_em·log p_old (cross-entropy is minimized
+       by the empirical distribution).  Checked in exact float from
+       the emitted integer counts — not the quantized bit scores.
+    2. Character conservation: Viterbi pieces tile each token exactly,
+       so Σ n_em·len(piece) == total character count of the token
+       stream.
+    3. Support: every used piece (n_em > 0) is a vocabulary row with
+       n_old > 0, and unused pieces carry the -1 sentinel score.
+    """
+    import math
+
+    rows = REGISTRY["q_tokenizer_unigram_em"].fn(spark, sf_dir).collect()
+    assert rows
+    n_old_tot = sum(r.n_old for r in rows)
+    used = [r for r in rows if r.n_em > 0]
+    n_em_tot = sum(r.n_em for r in used)
+    ll_em = sum(r.n_em * math.log(r.n_em / n_em_tot) for r in used)
+    ll_old = sum(r.n_em * math.log(r.n_old / n_old_tot) for r in used)
+    assert ll_em >= ll_old - 1e-9, (ll_em, ll_old)
+
+    from ex_aws_firehose_spark.functions.text import tokens
+    from ex_aws_firehose_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.sum(F.length("tok")))
+        .collect()[0][0]
+    )
+    assert sum(r.n_em * len(r.piece) for r in used) == n_chars
+    for r in rows:
+        if r.n_em > 0:
+            assert r.n_old > 0 and r.neg_log2p_bits_em >= 0, r
+        else:
+            assert r.neg_log2p_bits_em == -1, r
