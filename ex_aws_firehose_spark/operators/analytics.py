@@ -4172,8 +4172,11 @@ def q_timeseries_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-step validation error a forecast consumer checks before
     trusting the number.
 
-    Int64 bound: Σ cents·2^19 ≤ 5·10^5·daily-cents — safe to ~$170 B/
-    day per series.  100 TB shape: one map-side-combined daily agg;
+    Int64 bound: the binding term is the weighted SUM, not the top
+    weight — Σ_j y_j·2^(K−j) ≤ cents_max·(2^K − 1) ≈ cents_max·2^20,
+    so overflow needs cents_max ≳ 2^63/2^20 ≈ 8.8·10^12 cents — safe
+    to ~$85 B/day per series (half the bound the single 2^19 top
+    weight would suggest).  100 TB shape: one map-side-combined daily agg;
     the smoothing itself touches K rows per series (window row_number
     + one grouped sum), independent of raw event count."""
     e = load_table(spark, sf_dir, "events")

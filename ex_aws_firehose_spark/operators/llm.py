@@ -4024,13 +4024,28 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("nrm") * F.col("hnrm")),
         6,
     )
+    # Score N x hubs ONCE; cell assignment (top-NCELL) and the descent
+    # edge family (top-K2 excluding self) both derive from this single
+    # scored frame through one window partitioning — rn is the plain
+    # row_number, rn_ns the running count of non-self rows, which on
+    # the same total order equals row_number over the self-filtered
+    # frame. The identical exchange under both consumers is deduped by
+    # ReuseExchange, so the broadcast scoring pass runs once instead of
+    # twice (it dominated the build cost).
     wv = Window.partitionBy("vec_id").orderBy(F.desc("c"), "hub_id")
-    asg = (
+    scored = (
         e.crossJoin(F.broadcast(hubs))
         .select("vec_id", "hub_id", hub_cos.alias("c"))
         .withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") <= GRAPH_NCELL)
-        .select("vec_id", "hub_id")
+        .withColumn(
+            "rn_ns",
+            F.sum(
+                F.when(F.col("vec_id") != F.col("hub_id"), 1).otherwise(0)
+            ).over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    asg = scored.filter(F.col("rn") <= GRAPH_NCELL).select(
+        "vec_id", "hub_id"
     )
     pairs = (
         asg.alias("x")
@@ -4063,16 +4078,13 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     e2 = (
-        e.crossJoin(F.broadcast(hubs))
-        .filter(F.col("vec_id") != F.col("hub_id"))
-        .select(
-            F.col("vec_id").alias("src"),
-            F.col("hub_id").alias("dst"),
-            hub_cos.alias("c"),
+        scored.filter(
+            (F.col("vec_id") != F.col("hub_id"))
+            & (F.col("rn_ns") <= GRAPH_K2)
         )
-        .withColumn("rn", F.row_number().over(ws))
-        .filter(F.col("rn") <= GRAPH_K2)
-        .select("src", "dst")
+        .select(
+            F.col("vec_id").alias("src"), F.col("hub_id").alias("dst")
+        )
     )
     hh_cos = F.round(
         dot(F.col("a.hvec"), F.col("b.hvec"))

@@ -2624,6 +2624,15 @@ def q_maintenance_delete_compaction(
 # deleteOrphanFiles semantics from first principles)
 # ---------------------------------------------------------------------------
 
+# CONSUMED-FIXTURE CONTRACT: q_maintenance_expire_snapshots physically
+# deletes (rmtree) the data files of expired snapshots from this staged
+# directory as part of its GC semantics, and the staging is
+# session-cached — so after that key has run once in a session, the f0/
+# f1 pre-compaction DATA files are gone while the manifests still list
+# them for historical snapshots. Any future key sharing _EXPIRE_CACHE
+# must read through the MANIFESTS of retained snapshots only (or
+# re-stage into its own cache) — never the expired snapshots' data
+# paths, whose presence depends on execution order within the session.
 _EXPIRE_CACHE: SessionCache = SessionCache()
 EXP_SLICES = 4  # o_orderkey % EXP_SLICES partitions the base table
 EXP_RETAIN = 2  # retention policy: keep the newest 2 snapshots
@@ -3156,3 +3165,258 @@ def q_read_changelog_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents_after") - F.col("cents_before")).alias("net_cents"),
     )
     return deleted.unionByName(inserted).unionByName(updated)
+
+
+# ---------------------------------------------------------------------------
+# Optimistic-concurrency commit conflict (Iceberg/Delta commit validation
+# from first principles): two writers off one base snapshot — rebase the
+# disjoint one, abort the overlapping one
+# ---------------------------------------------------------------------------
+
+_CONFLICT_CACHE: SessionCache = SessionCache()
+CC_SLICES = 4  # o_orderkey % CC_SLICES partitions the table into files
+
+
+def _stage_conflict_scenario(spark: SparkSession, sf_dir: str):
+    """Stage the full two-writer optimistic-concurrency scenario ONCE
+    per (session, sf) and cache the resulting artifacts — the staging
+    is the TRANSACTION SCRIPT, so it must not replay on a second call:
+
+    commits 0..3: base table, one file per o_orderkey%4 slice, each
+      commit-log entry carrying (commit_id, adds, removes, slice) —
+      the key-range metadata every real manifest embeds and the ONLY
+      thing conflict validation reads.
+    writer A  (base snapshot 3, touches slice 1): rewrites f1 at
+      cents*105 div 100, validates an EMPTY log suffix, commits -> 4.
+    writer B1 (base snapshot 3, touches slice 3): rewrites f3 at
+      cents*110 div 100; validation sees suffix {4} touching slice 1
+      — DISJOINT from {3} — so it REBASES (its data file is still
+      valid; only the base pointer moves) and commits -> 5.
+    writer B2 (base snapshot 3, touches slice 1): rewrites the
+      ORIGINAL f1 at cents*120 div 100; validation sees suffix {4,5}
+      touching {1,3} — commit 4 REPLACED the very file B2 read — so
+      it ABORTS. Its staged file stays on disk as an orphan the
+      manifest never lists (q_maintenance_orphan_audit's GC class).
+
+    Returns (data_dir, manifest_dir, per-writer decision rows)."""
+    key = _CONFLICT_CACHE.scoped_key(spark, sf_dir)
+    cached = _CONFLICT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = _tracked_mkdtemp(prefix="orders_occ_")
+    data, man = os.path.join(base, "data"), os.path.join(base, "manifest")
+    os.makedirs(man, exist_ok=True)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % CC_SLICES).alias("slice"),
+            _cents("o_totalprice").alias("cents"),
+        )
+        .localCheckpoint()
+    )
+
+    def log_entry(commit_id: int, adds: str, removes, slice_id: int):
+        pq.write_table(
+            pa.table(
+                {
+                    "commit_id": pa.array([commit_id], pa.int64()),
+                    "adds": pa.array([adds], pa.string()),
+                    "removes": pa.array([removes], pa.string()),
+                    "slice": pa.array([slice_id], pa.int64()),
+                }
+            ),
+            os.path.join(man, f"commit-{commit_id}.parquet"),
+        )
+
+    for slice_id in range(CC_SLICES):
+        path = os.path.join(data, f"f{slice_id}")
+        o.filter(F.col("slice") == slice_id).coalesce(1).write.parquet(path)
+        log_entry(slice_id, path, None, slice_id)
+
+    def read_log():
+        return spark.read.parquet(man)
+
+    def live_files(log_df, upto: int):
+        """Manifest replay: adds minus removes over commits <= upto —
+        metadata-grain (one row per commit)."""
+        rows = sorted(
+            (r.commit_id, r.adds, r.removes)
+            for r in log_df.filter(F.col("commit_id") <= upto).collect()
+        )
+        live = []
+        for _cid, adds, removes in rows:
+            if removes is not None and removes in live:
+                live.remove(removes)
+            live.append(adds)
+        return live
+
+    def validate(log_df, base_commit: int, touched: set[int],
+                 read_files: set[str]):
+        """Optimistic commit validation, exactly what Iceberg's
+        validateNoConflicting* does: scan the commit-log SUFFIX since
+        the writer's read snapshot; a suffix commit conflicts when it
+        touched one of the writer's key slices. n_conflicting_files
+        counts the files the writer READ that a conflicting suffix
+        commit replaced — the writer's inputs are stale."""
+        suffix = log_df.filter(F.col("commit_id") > base_commit).collect()
+        conf = [r for r in suffix if int(r.slice) in touched]
+        stale = {
+            r.removes for r in conf if r.removes is not None
+        } & read_files
+        return len(suffix), len(stale)
+
+    decisions = []
+    base_commit = CC_SLICES - 1  # both writers read snapshot 3
+
+    # -- writer A: slice 1, multiplier 105 ---------------------------------
+    f1 = os.path.join(data, "f1")
+    a_path = os.path.join(data, "f1-a")
+    a_df = spark.read.parquet(f1).withColumn(
+        "cents", F.expr("cents * 105 div 100")
+    )
+    a_df.coalesce(1).write.parquet(a_path)
+    n_a = spark.read.parquet(a_path).count()
+    n_sx, n_cf = validate(read_log(), base_commit, {1}, {f1})
+    assert (n_sx, n_cf) == (0, 0)
+    log_entry(4, a_path, f1, 1)
+    decisions.append(("A", base_commit, "committed", 4, n_sx, n_cf, n_a))
+
+    # -- writer B1: slice 3, multiplier 110 — disjoint -> rebase -----------
+    f3 = os.path.join(data, "f3")
+    b1_path = os.path.join(data, "f3-b1")
+    spark.read.parquet(f3).withColumn(
+        "cents", F.expr("cents * 110 div 100")
+    ).coalesce(1).write.parquet(b1_path)
+    n_b1 = spark.read.parquet(b1_path).count()
+    n_sx, n_cf = validate(read_log(), base_commit, {3}, {f3})
+    outcome = (
+        "aborted" if n_cf > 0
+        else ("rebase_committed" if n_sx > 0 else "committed")
+    )
+    if outcome != "aborted":
+        log_entry(5, b1_path, f3, 3)
+    decisions.append(("B1", base_commit, outcome, 5, n_sx, n_cf, n_b1))
+
+    # -- writer B2: slice 1 again, multiplier 120 — conflict -> abort ------
+    b2_path = os.path.join(data, "f1-b2-staged")
+    spark.read.parquet(f1).withColumn(
+        "cents", F.expr("cents * 120 div 100")
+    ).coalesce(1).write.parquet(b2_path)
+    n_b2 = spark.read.parquet(b2_path).count()
+    n_sx, n_cf = validate(read_log(), base_commit, {1}, {f1})
+    outcome = (
+        "aborted" if n_cf > 0
+        else ("rebase_committed" if n_sx > 0 else "committed")
+    )
+    assert outcome == "aborted"
+    decisions.append(("B2", base_commit, outcome, -1, n_sx, n_cf, n_b2))
+
+    head = live_files(read_log(), 5)
+    _CONFLICT_CACHE[key] = (data, head, decisions)
+    return _CONFLICT_CACHE[key]
+
+
+@query(
+    "q_table_commit_conflict",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey % {CC_SLICES} AS slice,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    head AS (
+        SELECT CASE slice WHEN 1 THEN cents * 105 // 100
+                          WHEN 3 THEN cents * 110 // 100
+                          ELSE cents END AS c
+        FROM base
+    ),
+    h AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS head_rows,
+               CAST(SUM(c) AS BIGINT) AS head_cents
+        FROM head
+    ),
+    sl AS (
+        SELECT slice, CAST(COUNT(*) AS BIGINT) AS n FROM base GROUP BY slice
+    ),
+    w AS (
+        SELECT 'A' AS writer, 'committed' AS outcome,
+               CAST({CC_SLICES - 1} AS BIGINT) AS base_commit,
+               CAST(4 AS BIGINT) AS commit_id,
+               CAST(0 AS BIGINT) AS n_suffix_commits,
+               CAST(0 AS BIGINT) AS n_conflicting_files,
+               (SELECT n FROM sl WHERE slice = 1) AS n_rows_written
+        UNION ALL
+        SELECT 'B1', 'rebase_committed', {CC_SLICES - 1}, 5, 1, 0,
+               (SELECT n FROM sl WHERE slice = 3)
+        UNION ALL
+        SELECT 'B2', 'aborted', {CC_SLICES - 1}, -1, 2, 1,
+               (SELECT n FROM sl WHERE slice = 1)
+    )
+    SELECT writer, outcome, base_commit, commit_id,
+           n_suffix_commits, n_conflicting_files, n_rows_written,
+           h.head_rows, h.head_cents
+    FROM w CROSS JOIN h
+    """,
+    tags=("source", "maintenance", "manifest"),
+)
+def q_table_commit_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMISTIC-CONCURRENCY commit validation — the step every real
+    Iceberg/Delta commit performs and the last missing piece of the
+    table-format story (snapshot reads, incremental scan, MERGE, WAP,
+    expiry, CDC are all present): two writers read the SAME base
+    snapshot; the first commits; the second must detect, from the
+    commit-log suffix alone, whether its inputs went stale. Writer A
+    rewrites slice 1 and commits cleanly (empty suffix). Writer B1
+    rewrites slice 3; the suffix holds A's commit, but it touched a
+    DISJOINT key slice — B1 rebases (its staged file is still valid;
+    only the base pointer moves) and commits. Writer B2 rewrites
+    slice 1 from the file A's commit replaced — validation counts 1
+    stale input file and ABORTS; its staged file becomes an orphan
+    the manifest never lists (the GC class q_maintenance_orphan_audit
+    collects). The oracle recomputes both decisions' proof columns
+    AND the final head state (A's and B1's multiplicative updates
+    applied exactly once, B2's never) from raw orders — a torn or
+    double-applied commit hash-fails on head_cents.
+
+    100 TB shape: validation is METADATA-grain — one scan of the
+    commit-log suffix (rows = commits since the snapshot, never data
+    rows), exactly how Iceberg's validateNoConflictingAppends scales;
+    the key-slice column on each manifest entry is what makes the
+    overlap test O(suffix), not O(files). Data rewrites stay
+    file-parallel; the staged-then-aborted file costs one orphan GC.
+
+    Reference parity: [EXT] lakehouse surface; the reference's only
+    concurrency story is Firehose's at-least-once delivery
+    (lambda/main.py:101-153 re-ingest), which q_reingest_retry covers."""
+    data, head_files, decisions = _stage_conflict_scenario(spark, sf_dir)
+    head = (
+        spark.read.option("basePath", data)
+        .parquet(*sorted(head_files))
+        .agg(
+            F.count("*").cast("long").alias("head_rows"),
+            F.sum("cents").alias("head_cents"),
+        )
+    )
+    rows = spark.createDataFrame(
+        decisions,
+        "writer string, base_commit long, outcome string, commit_id long,"
+        " n_suffix_commits long, n_conflicting_files long,"
+        " n_rows_written long",
+    )
+    return rows.crossJoin(F.broadcast(head)).select(
+        "writer",
+        "outcome",
+        "base_commit",
+        "commit_id",
+        "n_suffix_commits",
+        "n_conflicting_files",
+        "n_rows_written",
+        "head_rows",
+        "head_cents",
+    )

@@ -53,6 +53,27 @@ EVENTS_TS_SCHEMA = (
 _EVENTS_DIR_CACHE: dict[str, str] = {}
 
 
+def _latest_state_version(state_dir: str, key: str) -> int:
+    """Highest v<N> directory under a versioned foreachBatch state dir,
+    with an explicit error when the drain produced NO batches (empty
+    staged source / sink never ran) — otherwise the bare max() raises
+    an unhelpful ValueError / FileNotFoundError."""
+    import os
+
+    versions = (
+        [d for d in os.listdir(state_dir) if d.startswith("v")]
+        if os.path.isdir(state_dir)
+        else []
+    )
+    if not versions:
+        raise RuntimeError(
+            f"{key}: the availableNow drain produced no state versions "
+            f"under {state_dir} — the staged source was empty or the "
+            "foreachBatch sink never ran"
+        )
+    return max(int(d[1:]) for d in versions)
+
+
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a file-source stream. File sources need a *directory*,
     so the single events.parquet is staged into a temp dir once per
@@ -2156,9 +2177,7 @@ def q_stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    last = max(
-        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
-    )
+    last = _latest_state_version(state_dir, "q_stream_sketch_kmv")
     state = spark.read.parquet(os.path.join(state_dir, f"v{last}"))
     w = W.partitionBy("event_type").orderBy("h")
     kth = (
@@ -3112,7 +3131,9 @@ def q_stream_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window as W
 
-    root = tempfile.mkdtemp(prefix="exph_stream_")
+    from ex_aws_firehose_spark.sources.formats import _tracked_mkdtemp
+
+    root = _tracked_mkdtemp(prefix="exph_stream_")
     src = _time_split_events_dir(spark, sf_dir)
     state_dir = os.path.join(root, "state")
 
@@ -3153,9 +3174,7 @@ def q_stream_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    last = max(
-        int(d[1:]) for d in os.listdir(state_dir) if d.startswith("v")
-    )
+    last = _latest_state_version(state_dir, "q_stream_exp_histogram")
     state = spark.read.parquet(os.path.join(state_dir, f"v{last}"))
     tot = state.groupBy("event_type").agg(F.sum("nb").alias("n"))
     wcum = W.partitionBy("event_type").orderBy("bucket").rowsBetween(

@@ -1677,3 +1677,54 @@ def test_unigram_em_monotone_likelihood_and_conservation(spark, sf_dir):
             assert r.n_old > 0 and r.neg_log2p_bits_em >= 0, r
         else:
             assert r.neg_log2p_bits_em == -1, r
+
+
+def test_commit_conflict_exactly_once_and_abort_invisibility(spark, sf_dir):
+    """Laws of optimistic-concurrency validation (q_table_commit_conflict):
+
+    1. Exactly-once: head_cents == base + A's delta + B1's delta,
+       recomputed here from raw orders — a double-applied rebase or a
+       leaked aborted write both break the equality.
+    2. Abort invisibility: B2's staged file physically exists (it is
+       the orphan GC will collect) but is NOT in the head file set.
+    3. Decision table: empty suffix -> committed; non-empty disjoint
+       suffix -> rebase_committed with 0 conflicting files; stale
+       input -> aborted with >= 1 conflicting file and commit_id -1.
+    """
+    import os
+
+    from ex_aws_firehose_spark.operators.relational import _cents
+    from ex_aws_firehose_spark.sources.formats import (
+        _stage_conflict_scenario,
+        CC_SLICES,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = {
+        r.writer: r
+        for r in REGISTRY["q_table_commit_conflict"].fn(spark, sf_dir).collect()
+    }
+    assert rows["A"].outcome == "committed" and rows["A"].n_suffix_commits == 0
+    assert rows["B1"].outcome == "rebase_committed"
+    assert rows["B1"].n_suffix_commits > 0 and rows["B1"].n_conflicting_files == 0
+    assert rows["B2"].outcome == "aborted" and rows["B2"].commit_id == -1
+    assert rows["B2"].n_conflicting_files >= 1
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % CC_SLICES).alias("slice"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    expect = o.select(
+        F.sum(
+            F.expr(
+                "CASE slice WHEN 1 THEN cents * 105 div 100"
+                " WHEN 3 THEN cents * 110 div 100 ELSE cents END"
+            )
+        )
+    ).collect()[0][0]
+    assert rows["A"].head_cents == expect, (rows["A"].head_cents, expect)
+
+    data, head_files, _ = _stage_conflict_scenario(spark, sf_dir)
+    staged = os.path.join(data, "f1-b2-staged")
+    assert os.path.isdir(staged)  # durable on disk ...
+    assert staged not in head_files  # ... but never visible
