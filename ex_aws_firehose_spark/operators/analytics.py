@@ -1038,9 +1038,12 @@ def q_regression_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios, so even the DOUBLEs hash-match DuckDB.  cov and var
     numerators are also emitted as exact integers — the form a driver
     compares against thresholds without float questions.  Int64 bound:
-    n·Σxy ≤ n²·x_max·y_max — safe while Σ day-cents < 3e9·n_days; past
-    that, pre-center y once (subtract the integer mean) as documented
-    for q_agg_gini.
+    the BINDING term is the r² denominator's n·Σy² ≤ n²·y_max², i.e.
+    n·y_max < 3·10⁹ jointly — ~300 days at $100k/day (10⁷ cents),
+    ~3000 days at $10k/day; the moment product n·Σxy ≤ n³·y_max binds
+    later.  Past that, pre-center y once (subtract the integer mean)
+    as documented for q_agg_gini, which shrinks Σy² to deviation
+    scale.
 
     100 TB shape: the fit consumes the key×day aggregate (catalog-
     sized), ONE row_number window per key for the x index, then a
@@ -1116,10 +1119,10 @@ AB_CHI2_X1M = 3_841_459  # 3.84 critical value (α=0.05, df=1), ×1e6
     SELECT n0, n1, c0, c1,
            CAST(c0 * 1000000 // n0 AS BIGINT) AS conv0_ppm,
            CAST(c1 * 1000000 // n1 AS BIGINT) AS conv1_ppm,
-           CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT)
-               AS srm_chi2_x1m,
-           CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT)
-               <= {AB_CHI2_X1M} AS srm_ok
+           CAST(CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000000
+                // (n0 + n1) AS BIGINT) AS srm_chi2_x1m,
+           CAST(CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000000
+                // (n0 + n1) AS BIGINT) <= {AB_CHI2_X1M} AS srm_ok
     FROM w
     """,
     tags=("analytics", "experiment"),
@@ -1133,9 +1136,11 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n0+n1)) against the 3.84 α=0.05 critical value — THE guardrail
     that invalidates an experiment before anyone reads the metric.
     Per-arm conversion rates land as exact integer ppm.  Int64 bound:
-    (n0−n1)²·1e6 — under SRM-null the diff is O(√n), safe to ~1e12
-    users; a true gross mismatch saturates the verdict long before
-    overflow matters.
+    the (n0−n1)²·1e6 cross-multiply runs in DECIMAL(38)/HUGEINT (the
+    q_agg_gini escape hatch) because a true gross mismatch has diff
+    O(n) and diff²·1e6 wraps int64 past |diff| ≈ 3·10⁶ — precisely
+    the failure the check must catch, so it must not overflow there;
+    the χ² OUTPUT is ≤ n·10⁶, inside int64 to ~9·10¹² users.
 
     100 TB shape: one user-grain hash agg (map-side combined, the
     conversion flag folds into the same pass), then a 2-row pivot —
@@ -1166,7 +1171,15 @@ def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("arm") == 0, F.col("n_converted"))).alias("c0"),
         F.max(F.when(F.col("arm") == 1, F.col("n_converted"))).alias("c1"),
     )
-    chi2 = F.expr("(n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1)")
+    # The (n0-n1)² cross-multiply runs in DECIMAL(38) (the q_agg_gini
+    # escape hatch): a GROSS mismatch has diff O(n), and diff²·1e6
+    # wraps int64 past |diff| ≈ 3e6 — exactly the regime the check
+    # exists to catch. The chi2 OUTPUT is ≤ n·1e6, back inside int64
+    # to ~9e12 users.
+    chi2 = F.expr(
+        "CAST(CAST(n0 - n1 AS DECIMAL(38, 0)) * (n0 - n1) * 1000000"
+        " div (n0 + n1) AS LONG)"
+    )
     return w.select(
         "n0",
         "n1",
@@ -3254,10 +3267,12 @@ def q_timeseries_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     three leads in a single Window operator; the per-(user, lag) sums
     map-side-combine before their exchange, so the only fact-scale
     shuffle is the window sort — the agg exchange carries ~3 rows per
-    user. Per-series int64 bound: |x| ≤ 10⁶
-    cents holds n·|sxy| within int64 up to ~10⁶ events per user —
-    beyond that, pre-center per series (the q_agg_gini documentation
-    pattern).  Lags are a constant, so cost is O(data), not O(data ×
+    user. Per-series int64 bound: n·|sxy| ≤ n²·x_typ² — at the
+    fixture's typical |x| ~ 3·10³ cents ($30) that holds to ~10⁶
+    events per user, but at the 10⁶-cent value CAP the worst case
+    binds already at n ≈ 3·10³ events; pre-center per series (the
+    q_agg_gini documentation pattern) before trusting longer heavy
+    series.  Lags are a constant, so cost is O(data), not O(data ×
     lags)."""
     e = load_table(spark, sf_dir, "events").select(
         "user_id",
@@ -3787,8 +3802,13 @@ def q_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-audit column.  The effect size is the Wilcoxon AUC
     P(treat > ctrl) in exact ppm.
 
-    Int64 bound: doubled rank sums are ≤ N·(2N+1) — safe past 1e9
-    users.  100 TB shape: one user-grain hash agg, then the rank table
+    Int64 bound: the doubled rank sums are ≤ N·(2N+1) (fine past 1e9
+    users), but the BINDING term is the AUC numerator u2·10⁶ ≤
+    2·n0·n1·10⁶ ≈ (N²/2)·10⁶ — it passes 2⁶³ near N ≈ 4·10⁶ users,
+    the same boundary q_eval_auc documents; past that run per-shard
+    U statistics and pool u2/n0/n1 (they add exactly across disjoint
+    shards of one arm only — or use the sharded-AUC estimator).
+    100 TB shape: one user-grain hash agg, then the rank table
     is |distinct metric values| rows (≤ users, typically ≪), windowed
     cumulative-count over THAT compact table, 1-row output — events
     are touched once, never globally sorted."""
@@ -4272,12 +4292,14 @@ def q_regress_ols_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combined pass, which is why this form (not a solver)
     is how regression runs on a 1000-executor cluster.
 
-    Int64 bound — two terms bind: the moment product n·Σxy ≤ n³·y_max
-    (y in cents), and the slope numerator ×1e6 ≈ slope·(n⁴/12)·1e6.
-    At daily grain and $100k/day series with ~$1k/day-scale slopes
-    both stay under 2^63 to ~5-year series (n ≈ 2000); for longer
-    horizons re-base x to week indices (n⁴ shrinks 2400×) or shard by
-    year and POOL the five statistics — they add exactly.  Complements
+    Int64 bound — the BINDING term is the micro-cents slope numerator
+    cov·1e6 = slope_cents·(n⁴/12)·1e6: at ~$1k/day-scale slopes it
+    passes 2⁶³ near n ≈ 180 days, and even $10/day slopes bind by
+    n ≈ 575 — the n⁴ growth, not the moment product n·Σxy ≤ n³·y_max
+    (safe to ~$100k/day at n=2000), is what caps the horizon.  For
+    longer series re-base x to week indices (n⁴ shrinks 2400×),
+    report micro-cents/week, or shard by year and POOL the five
+    statistics — they add exactly.  Complements
     q_timeseries_theil_sen (robust median slope) on the same series
     spec."""
     e = load_table(spark, sf_dir, "events")
@@ -4801,8 +4823,8 @@ def _bh_oracle() -> str:
     ),
     chi AS (
         SELECT test_name,
-               CAST((n0 - n1) * (n0 - n1) * 1000000 // (n0 + n1) AS BIGINT)
-                   AS chi2_x1m
+               CAST(CAST(n0 - n1 AS HUGEINT) * (n0 - n1) * 1000000
+                    // (n0 + n1) AS BIGINT) AS chi2_x1m
         FROM seg
     ),
     ranked AS (
@@ -4845,6 +4867,12 @@ def q_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (α/m) is emitted beside BH to show the power difference at the
     margin.
 
+    Int64 bound: the (n0−n1)²·1e6 cross-multiply runs in
+    DECIMAL(38)/HUGEINT (the q_ab_srm_check rationale — the canary
+    arm's planted 70/30 skew is EXACTLY the diff-O(n) regime that
+    wraps int64 past |diff| ≈ 3·10⁶); the χ² output is ≤ n·10⁶,
+    inside int64 to ~9·10¹² users per test.
+
     100 TB shape: the battery is one user-grain hash agg + a
     |tests|-row rank window + a |tests|-row broadcast critical-value
     join — multiple-testing control costs nothing beyond the tests
@@ -4881,7 +4909,8 @@ def q_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     chi = seg.unionByName(canary).select(
         "test_name",
         F.expr(
-            "CAST((n0 - n1) * (n0 - n1) * 1000000 div (n0 + n1) AS LONG)"
+            "CAST(CAST(n0 - n1 AS DECIMAL(38, 0)) * (n0 - n1) * 1000000"
+            " div (n0 + n1) AS LONG)"
         ).alias("chi2_x1m"),
     )
     w = Window.orderBy(F.col("chi2_x1m").desc(), "test_name")

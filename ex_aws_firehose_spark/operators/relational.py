@@ -744,9 +744,10 @@ def q_scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Correlation-matrix measures in exact integer units: quantity (whole
 # units), extendedprice in HUNDREDS of dollars (cents div 10000 —
 # Pearson r is scale-invariant, and the coarser unit keeps the
-# n·Σx² cross-product < 2^63: x ≤ 1e3 → n·Σx² safe past 1e8 rows;
-# beyond that, pre-center on the integer mean and coarsen again),
-# discount (percent points).
+# n·Σx² cross-product < 2^63: n·Σx² ≤ n²·x_typ², safe past 1e8 rows
+# at the fixture's typical x ~ tens of units; at the x ≈ 1e3 value
+# cap the worst case binds at n ≈ 3e6 — beyond either, pre-center on
+# the integer mean and coarsen again), discount (percent points).
 @query(
     "q_agg_corr_matrix",
     oracle="""
