@@ -1209,7 +1209,7 @@ _IVF_TRAIN_CACHE: SessionCache = SessionCache()
 
 
 def ivf_train(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, where: str | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Train the IVF coarse quantizer: label-seeded init, ``IVF_ITERS``
     Lloyd rounds, then a final E-step that builds the inverted lists
@@ -1218,13 +1218,15 @@ def ivf_train(
     embedding). Fixed iteration count — the driver loop makes no
     .collect() calls; each k-row codebook is localCheckpoint'd so plan
     lineage stays flat across rounds (the q_dedup_clusters pattern)."""
-    key = _IVF_TRAIN_CACHE.scoped_key(spark, sf_dir)
+    key = _IVF_TRAIN_CACHE.scoped_key(spark, sf_dir, where or "")
     cached = _IVF_TRAIN_CACHE.get(key)
     if cached is not None:
         return cached
     e = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
+    if where is not None:
+        e = e.filter(where)
     assigned = e.select(
         "vec_id", F.col("label").cast("long").alias("cell"), "embedding"
     )
@@ -1238,7 +1240,9 @@ def ivf_train(
 
 
 def _ivf_ctes(
-    prefix: str = "", nprobe: int = ANN_NPROBE
+    prefix: str = "",
+    nprobe: int = ANN_NPROBE,
+    src: str = "embeddings",
 ) -> tuple[list[str], str, str, str]:
     """DuckDB mirror of ivf_train + the single-query probe, unrolled as
     one CTE chain per Lloyd round. ``prefix`` namespaces every CTE so
@@ -1248,10 +1252,10 @@ def _ivf_ctes(
     P = prefix
     ctes = [
         f"{P}pos AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,"
-        " unnest(embedding) AS v FROM embeddings)",
-        f"{P}q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)",
+        f" unnest(embedding) AS v FROM {src})",
+        f"{P}q AS (SELECT embedding AS qv FROM {src} WHERE vec_id = 0)",
         f"{P}asg0 AS (SELECT vec_id, CAST(label AS BIGINT) AS cell"
-        " FROM embeddings)",
+        f" FROM {src})",
     ]
     for i in range(IVF_ITERS + 1):
         ctes.append(
@@ -1280,7 +1284,7 @@ def _ivf_ctes(
                                       6) DESC,
                                 c.cell
                    ) AS rn
-            FROM embeddings e CROSS JOIN {P}cb{i} c
+            FROM {src} e CROSS JOIN {P}cb{i} c
         ) WHERE rn = 1
     )"""
         )
@@ -1547,16 +1551,19 @@ PQ_K = 8  # codes per subspace codebook
 PQ_ITERS = 2  # Lloyd rounds per subspace after the modulo-seeded init
 
 
-def _pq_ctes(m: int = PQ_M, k: int = PQ_K) -> list[str]:
+def _pq_ctes(
+    m: int = PQ_M, k: int = PQ_K, src: str = "embeddings"
+) -> list[str]:
     """CTE chain reproducing pq training bit-for-bit in DuckDB; shared
     by q_embed_pq_codes' oracle and the ADC top-k oracle. Final codes
     live in asg{PQ_ITERS}; the codebook those codes refer to (the one
-    they were assigned against) is cent{PQ_ITERS - 1}."""
+    they were assigned against) is cent{PQ_ITERS - 1}.  ``src`` lets
+    the incremental-add oracle train on a base SUBSET CTE."""
     ctes = [
-        """pos0 AS (
+        f"""pos0 AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
                unnest(embedding) AS v, len(embedding) AS dlen
-        FROM embeddings
+        FROM {src}
     )""",
         f"""comp AS (
         SELECT vec_id, CAST((pos * {m}) // dlen AS INTEGER) AS subspace,
@@ -1618,7 +1625,11 @@ _PQ_TRAIN_CACHE: SessionCache = SessionCache()
 
 
 def pq_train(
-    spark: SparkSession, sf_dir: str, m: int = PQ_M, k: int = PQ_K
+    spark: SparkSession,
+    sf_dir: str,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    where: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Train the PQ codebooks (modulo-seeded init, PQ_ITERS Lloyd
     rounds, all arithmetic int64 milli-units — see q_embed_pq_codes).
@@ -1626,11 +1637,13 @@ def pq_train(
     (vec_id, subspace, pos, sv), the codebook the final assignment was
     made against (subspace, code, pos, icv), and the final per-vector
     codes (vec_id, subspace, code, dist)."""
-    key = _PQ_TRAIN_CACHE.scoped_key(spark, sf_dir, str(m), str(k))
+    key = _PQ_TRAIN_CACHE.scoped_key(spark, sf_dir, str(m), str(k), where or "")
     cached = _PQ_TRAIN_CACHE.get(key)
     if cached is not None:
         return cached
     e = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if where is not None:
+        e = e.filter(where)
     comp = (
         e.select(
             "vec_id",
@@ -13105,5 +13118,236 @@ def q_tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(-1))
             .cast("long")
             .alias("neg_log2p_bits_em"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN index maintenance: incremental vector-batch ADD to the persisted
+# IVF-PQ index (assign -> encode -> append -> occupancy-drift check)
+# ---------------------------------------------------------------------------
+
+INC_ADD_MOD = 8  # vec_id % INC_ADD_MOD == INC_ADD_MOD-1 is the new batch
+
+
+def _inc_add_oracle() -> str:
+    base_w = f"vec_id % {INC_ADD_MOD} <> {INC_ADD_MOD - 1}"
+    batch_w = f"vec_id % {INC_ADD_MOD} = {INC_ADD_MOD - 1}"
+    pq = _pq_ctes(ADC_M, ADC_K, src="base")
+    iv, iv_cb, iv_asg, iv_probed = _ivf_ctes(
+        "iv_", nprobe=ADC_NPROBE, src="base"
+    )
+    ctes = (
+        [
+            f"base AS (SELECT * FROM embeddings WHERE {base_w})",
+            f"batch AS (SELECT * FROM embeddings WHERE {batch_w})",
+        ]
+        + pq
+        + iv
+        + [
+            f"""newm AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY round({duck_cosine("e.embedding", "c.cvec")},
+                                      6) DESC,
+                                c.cell
+                   ) AS rn
+            FROM batch e CROSS JOIN {iv_cb} c
+        ) WHERE rn = 1
+    )""",
+            f"""allm AS (
+        SELECT vec_id, cell FROM {iv_asg}
+        UNION ALL SELECT vec_id, cell FROM newm
+    )""",
+            """bpos AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v, len(embedding) AS dlen
+        FROM batch
+    )""",
+            f"""bcomp AS (
+        SELECT vec_id, CAST((pos * {ADC_M}) // dlen AS INTEGER) AS subspace,
+               pos, CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS sv
+        FROM bpos
+    )""",
+            f"""bdist AS (
+        SELECT c.vec_id, c.subspace, t.code,
+               SUM((c.sv - t.icv) * (c.sv - t.icv)) AS dist
+        FROM bcomp c JOIN cent{PQ_ITERS - 1} t
+          ON t.subspace = c.subspace AND t.pos = c.pos
+        GROUP BY c.vec_id, c.subspace, t.code
+    )""",
+            """bcodes AS (
+        SELECT vec_id, subspace, code FROM (
+            SELECT vec_id, subspace, code,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dist, code) AS rn
+            FROM bdist
+        ) WHERE rn = 1
+    )""",
+            f"""allc AS (
+        SELECT vec_id, subspace, code FROM asg{PQ_ITERS}
+        UNION ALL SELECT vec_id, subspace, code FROM bcodes
+    )""",
+            """qc AS (
+        SELECT subspace, pos, sv AS qsv FROM comp WHERE vec_id = 0
+    )""",
+            f"""lut AS (
+        SELECT c.subspace, c.code,
+               SUM((q.qsv - c.icv) * (q.qsv - c.icv)) AS l
+        FROM cent{PQ_ITERS - 1} c
+        JOIN qc q ON q.subspace = c.subspace AND q.pos = c.pos
+        GROUP BY c.subspace, c.code
+    )""",
+            f"""cand AS (
+        SELECT a.vec_id, a.cell FROM allm a
+        WHERE a.cell IN (SELECT cell FROM {iv_probed}) AND a.vec_id <> 0
+    )""",
+            """occ AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM allm GROUP BY cell
+    )""",
+            """st AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total_after,
+               CAST(COUNT(*) AS BIGINT) AS n_cells
+        FROM occ
+    )""",
+            """pend AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells_split_pending
+        FROM occ, st WHERE occ.n * st.n_cells > st.n_total_after
+    )""",
+            """nb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_added FROM batch
+    )""",
+            f"""topk AS (
+        SELECT c.vec_id, c.cell, CAST(SUM(l.l) AS BIGINT) AS adc_dist
+        FROM cand c
+        JOIN allc pc ON pc.vec_id = c.vec_id
+        JOIN lut l ON l.subspace = pc.subspace AND l.code = pc.code
+        GROUP BY c.vec_id, c.cell
+        ORDER BY adc_dist, c.vec_id
+        LIMIT {TOPK}
+    )""",
+        ]
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT t.vec_id, t.cell, t.adc_dist,
+           nb.n_added, st.n_total_after, pend.n_cells_split_pending
+    FROM topk t, nb, st, pend
+    ORDER BY t.adc_dist, t.vec_id
+    """
+    )
+
+
+@query(
+    "q_sim_ivf_incremental_add",
+    oracle=_inc_add_oracle(),
+    tags=("llm", "similarity", "index", "maintenance"),
+)
+def q_sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance — the nightly job every production
+    vector store runs (Faiss add_with_ids / Milvus insert): a new
+    vector batch (vec_id % {INC_ADD_MOD} == {INC_ADD_MOD-1}, ~12% of
+    the corpus) is added to the ALREADY-TRAINED IVF-PQ index WITHOUT
+    retraining — each new vector is (1) assigned to its nearest
+    existing coarse cell (one broadcast of the k-row codebook), (2)
+    PQ-encoded against the frozen subspace codebooks (broadcast
+    min-distance code pick, the exact pq_train assignment arithmetic),
+    and (3) appended to the inverted lists and code table.  The SAME
+    ADC query then serves from the updated index, and the occupancy
+    drift check runs on the post-add lists: cells whose occupancy
+    exceeds the mean (the q_sim_ivf_cell_split SPLIT_RATIO=1.0
+    trigger, integer form n·n_cells > n_total) are counted as
+    split-pending — the signal that schedules the next retrain/split.
+    Proof columns: n_added, n_total_after (conservation: base + batch,
+    pinned in tests), n_cells_split_pending.  The serving-equivalence
+    law (add-then-serve finds the new vectors exactly where
+    full-membership assignment would put them, because assignment IS
+    the E-step against the same frozen codebook) is pinned in
+    tests/test_ann_recall.py.
+
+    100 TB shape: the add is O(batch) — batch × k-row codebook
+    broadcast for assignment, batch × (M·K)-row codebook broadcast
+    for encoding, two appends that in the persisted layout
+    (q_sim_index_persist) are partition-local parquet appends by
+    cell; the base index is NEVER rewritten or rescanned.  The drift
+    check is one |cells|-row agg.  Serving cost is unchanged: probe
+    ADC_NPROBE cells, M bytes/vector ADC scan."""
+    base_w = f"vec_id % {INC_ADD_MOD} != {INC_ADD_MOD - 1}"
+    comp, cent, codes = pq_train(
+        spark, sf_dir, ADC_M, ADC_K, where=base_w
+    )
+    cb, members = ivf_train(spark, sf_dir, where=base_w)
+    e = load_table(spark, sf_dir, "embeddings")
+    batch = e.filter(f"vec_id % {INC_ADD_MOD} = {INC_ADD_MOD - 1}")
+    # (1) assign: nearest existing cell — the E-step against the
+    # FROZEN codebook (no M-step: that is the point of incremental)
+    new_members = _ivf_e_step(
+        batch.select("vec_id", "embedding"), cb
+    )
+    # (2) encode: frozen PQ codebooks, same min-(dist, code) pick
+    bcomp = (
+        batch.select(
+            "vec_id",
+            F.size("embedding").alias("dlen"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .select(
+            "vec_id",
+            F.expr(f"CAST((pos * {ADC_M}) DIV dlen AS INT)").alias(
+                "subspace"
+            ),
+            "pos",
+            F.floor(F.col("v").cast("double") * 1000)
+            .cast("long")
+            .alias("sv"),
+        )
+    )
+    diff = F.col("sv") - F.col("icv")
+    bdist = (
+        bcomp.join(F.broadcast(cent), ["subspace", "pos"])
+        .groupBy("vec_id", "subspace", "code")
+        .agg(F.sum(diff * diff).alias("dist"))
+    )
+    bcodes = (
+        bdist.groupBy("vec_id", "subspace")
+        .agg(F.min(F.struct("dist", "code")).alias("p"))
+        .select(
+            "vec_id",
+            "subspace",
+            F.col("p.code").alias("code"),
+            F.col("p.dist").alias("dist"),
+        )
+    )
+    # (3) append — in the persisted layout these are cell-partitioned
+    # parquet appends; here the union is the logical equivalent
+    members2 = members.unionByName(new_members)
+    codes2 = codes.unionByName(bcodes)
+    served = _adc_serve(spark, sf_dir, cent, codes2, cb, members2, TOPK)
+    occ = members2.groupBy("cell").agg(F.count("*").alias("n"))
+    st = occ.agg(
+        F.sum("n").alias("n_total_after"),
+        F.count("*").alias("n_cells"),
+    )
+    pend = (
+        occ.crossJoin(F.broadcast(st))
+        .filter(F.expr("n * n_cells > n_total_after"))
+        .agg(F.count("*").alias("n_cells_split_pending"))
+    )
+    n_added = batch.agg(F.count("*").alias("n_added"))
+    return (
+        served.crossJoin(F.broadcast(n_added))
+        .crossJoin(F.broadcast(st.select("n_total_after")))
+        .crossJoin(F.broadcast(pend))
+        .select(
+            "vec_id",
+            "cell",
+            "adc_dist",
+            "n_added",
+            "n_total_after",
+            "n_cells_split_pending",
         )
     )

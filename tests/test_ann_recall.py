@@ -332,3 +332,89 @@ def test_graph_ann_recall_matched_budget(spark, sf_dir):
         f"graph recall {r_graph:.2f} < IVF recall {r_ivf:.2f} at matched "
         f"nprobe={nprobe} (graph scored {n_scored}, IVF budget {cum})"
     )
+
+
+def test_incremental_add_equals_bulk_reindex_at_frozen_codebook(spark, sf_dir):
+    """Laws of q_sim_ivf_incremental_add:
+
+    1. Conservation: post-add inverted lists hold every corpus vector
+       exactly once (base + batch, no loss, no duplication).
+    2. Frozen-codebook equivalence: adding the batch incrementally
+       (assign + encode against the trained-on-base codebooks) yields
+       the IDENTICAL index that a bulk reindex of ALL vectors against
+       the same frozen codebooks would — cell assignments and PQ codes
+       match vector-for-vector. This is the invariant that makes
+       nightly adds safe: the index never depends on arrival order.
+    """
+    from ex_aws_firehose_spark.operators.llm import (
+        ADC_K,
+        ADC_M,
+        INC_ADD_MOD,
+        _ivf_e_step,
+        ivf_train,
+        pq_train,
+    )
+    from ex_aws_firehose_spark.registry import REGISTRY
+    from ex_aws_firehose_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    base_w = f"vec_id % {INC_ADD_MOD} != {INC_ADD_MOD - 1}"
+    cb, members = ivf_train(spark, sf_dir, where=base_w)
+    _comp, cent, _codes = pq_train(spark, sf_dir, ADC_M, ADC_K, where=base_w)
+    e = load_table(spark, sf_dir, "embeddings")
+    n_all = e.count()
+
+    out = REGISTRY["q_sim_ivf_incremental_add"].fn(spark, sf_dir)
+    first = out.limit(1).collect()[0]
+    assert first.n_total_after == n_all
+
+    # bulk reindex at the frozen codebook: one E-step over ALL vectors
+    bulk = {
+        (r.vec_id, r.cell)
+        for r in _ivf_e_step(e.select("vec_id", "embedding"), cb).collect()
+    }
+    base_m = {(r.vec_id, r.cell) for r in members.collect()}
+    batch = e.filter(f"vec_id % {INC_ADD_MOD} = {INC_ADD_MOD - 1}")
+    inc_m = base_m | {
+        (r.vec_id, r.cell)
+        for r in _ivf_e_step(batch.select("vec_id", "embedding"), cb).collect()
+    }
+    assert inc_m == bulk
+    assert len(inc_m) == n_all
+
+    # frozen PQ codes: batch encode == bulk encode restricted to batch
+    def encode(frame):
+        bcomp = (
+            frame.select(
+                "vec_id",
+                F.size("embedding").alias("dlen"),
+                F.posexplode("embedding").alias("pos", "v"),
+            )
+            .select(
+                "vec_id",
+                F.expr(f"CAST((pos * {ADC_M}) DIV dlen AS INT)").alias(
+                    "subspace"
+                ),
+                "pos",
+                F.floor(F.col("v").cast("double") * 1000)
+                .cast("long")
+                .alias("sv"),
+            )
+        )
+        d = F.col("sv") - F.col("icv")
+        return {
+            (r.vec_id, r.subspace, r.code)
+            for r in (
+                bcomp.join(F.broadcast(cent), ["subspace", "pos"])
+                .groupBy("vec_id", "subspace", "code")
+                .agg(F.sum(d * d).alias("dist"))
+                .groupBy("vec_id", "subspace")
+                .agg(F.min(F.struct("dist", "code")).alias("p"))
+                .select("vec_id", "subspace", F.col("p.code").alias("code"))
+            ).collect()
+        }
+
+    batch_ids = {r.vec_id for r in batch.select("vec_id").collect()}
+    bulk_codes = encode(e)
+    inc_codes = encode(batch)
+    assert inc_codes == {t for t in bulk_codes if t[0] in batch_ids}
