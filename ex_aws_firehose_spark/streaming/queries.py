@@ -53,6 +53,34 @@ EVENTS_TS_SCHEMA = (
 _EVENTS_DIR_CACHE: dict[str, str] = {}
 
 
+_REPLAY_DIR_CACHE = None  # lazily-created SessionCache
+
+
+def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """events staged ONCE per (session, sf) as two arrival-ordered
+    micro-batch files — the full table, then a replayed 10% slice
+    (event_id % 10 == 0, the reference's at-least-once retry profile).
+    Shared by q_stream_dedup and q_stream_dedup_watermarked (r9 ask
+    #6 continuation: the drains differ, the staged source need not)."""
+    global _REPLAY_DIR_CACHE
+    if _REPLAY_DIR_CACHE is None:
+        from ex_aws_firehose_spark.caching import SessionCache
+
+        _REPLAY_DIR_CACHE = SessionCache()
+    key = _REPLAY_DIR_CACHE.scoped_key(spark, sf_dir)
+    if key not in _REPLAY_DIR_CACHE:
+        import os
+
+        src = os.path.join(tempfile.mkdtemp(prefix="events_replay_"), "src")
+        e = load_table(spark, sf_dir, "events")
+        e.coalesce(1).write.mode("append").parquet(src)
+        e.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        _REPLAY_DIR_CACHE[key] = src
+    return _REPLAY_DIR_CACHE[key]
+
+
 def _latest_state_version(state_dir: str, key: str) -> int:
     """Highest v<N> directory under a versioned foreachBatch state dir,
     with an explicit error when the drain produced NO batches (empty
@@ -453,10 +481,8 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     root = tempfile.mkdtemp(prefix="dedup_stream_")
-    src, out = os.path.join(root, "src"), os.path.join(root, "out")
-    e = load_table(spark, sf_dir, "events")
-    e.coalesce(1).write.mode("append").parquet(src)
-    e.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode("append").parquet(src)
+    out = os.path.join(root, "out")
+    src = _events_replay_dir(spark, sf_dir)
 
     stream = (
         spark.readStream.schema(EVENTS_TS_SCHEMA)
@@ -1189,12 +1215,8 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     root = tempfile.mkdtemp(prefix="dedup_wm_stream_")
-    src, out = os.path.join(root, "src"), os.path.join(root, "out")
-    e = load_table(spark, sf_dir, "events")
-    e.coalesce(1).write.mode("append").parquet(src)
-    e.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode(
-        "append"
-    ).parquet(src)
+    out = os.path.join(root, "out")
+    src = _events_replay_dir(spark, sf_dir)
 
     stream = (
         spark.readStream.schema(EVENTS_TS_SCHEMA)

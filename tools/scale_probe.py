@@ -68,6 +68,12 @@ KEY_TABLE = {
     "q_decode_chain": "events",
     "q_curate_dedup_cascade": "documents",
     "q_assoc_brand_pairs": "lineitem",
+    # round-10 heavies (VERDICT r10 ask #4)
+    "q_sim_graph_ann": "embeddings",
+    "q_table_merge_into": "orders",
+    "q_maintenance_expire_snapshots": "orders",
+    "q_stream_exp_histogram": "events",
+    "q_sim_ivf_incremental_add": "embeddings",
     # round-9 continuation keys
     "q_eval_pass_at_k": "events",
     "q_eval_bradley_terry": "events",
@@ -78,6 +84,11 @@ KEY_TABLE = {
     "q_sim_mmr_rerank": "embeddings",
     "q_read_position_deletes": "orders",
 }
+
+
+# keys whose first run builds a session-cached index: probe both the
+# cold (build+serve) and warm (serve-only) timings
+SPLIT_CACHE_KEYS = {"q_sim_graph_ann"}
 
 
 def build_probe_dir(out: str, factor: int) -> None:
@@ -232,6 +243,17 @@ def main() -> None:
             dt = time.time() - t
             row[label] = round(dt, 2)
             row[f"{label}_us_per_row"] = round(dt / nrows * 1e6, 3)
+            if key in SPLIT_CACHE_KEYS:
+                # second run hits the session-cached index: it times
+                # SERVE alone; first-run minus second-run is the BUILD
+                t = time.time()
+                fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                row[f"{label}_serve_s"] = round(time.time() - t, 2)
+                row[f"{label}_build_s"] = round(
+                    row[label] - row[f"{label}_serve_s"], 2
+                )
         row["ratio"] = round(
             row[f"sf0.1x{args.factor}_us_per_row"] / row["sf0.1_us_per_row"], 2
         )
