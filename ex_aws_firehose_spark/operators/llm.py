@@ -4037,25 +4037,24 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("nrm") * F.col("hnrm")),
         6,
     )
-    # Score N x hubs ONCE; cell assignment (top-NCELL) and the descent
-    # edge family (top-K2 excluding self) both derive from this single
-    # scored frame through one window partitioning — rn is the plain
-    # row_number, rn_ns the running count of non-self rows, which on
-    # the same total order equals row_number over the self-filtered
-    # frame. The identical exchange under both consumers is deduped by
-    # ReuseExchange, so the broadcast scoring pass runs once instead of
-    # twice (it dominated the build cost).
+    # Score N x hubs ONCE: cell assignment (top-NCELL) and the descent
+    # edge family (top-K2 excluding self) both derive from one
+    # top-max(NCELL, K2+1) window — K2+1 because at most ONE of the
+    # overall top-(K2+1) rows is the self hub, so the top-K2 non-self
+    # rows of the full ranking all survive the cap. Both consumers'
+    # exchange subtrees are then IDENTICAL (crossJoin scoring +
+    # partial WindowGroupLimit below the vec_id exchange), so
+    # ReuseExchange/AQE stage reuse runs the broadcast scoring pass —
+    # the build's dominant cost — once instead of twice; e2's re-rank
+    # of the <= cap surviving rows per vector adds a window on the
+    # SAME partitioning, no new exchange.
     wv = Window.partitionBy("vec_id").orderBy(F.desc("c"), "hub_id")
+    cap = max(GRAPH_NCELL, GRAPH_K2 + 1)
     scored = (
         e.crossJoin(F.broadcast(hubs))
         .select("vec_id", "hub_id", hub_cos.alias("c"))
         .withColumn("rn", F.row_number().over(wv))
-        .withColumn(
-            "rn_ns",
-            F.sum(
-                F.when(F.col("vec_id") != F.col("hub_id"), 1).otherwise(0)
-            ).over(wv.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-        )
+        .filter(F.col("rn") <= cap)
     )
     asg = scored.filter(F.col("rn") <= GRAPH_NCELL).select(
         "vec_id", "hub_id"
@@ -4091,10 +4090,9 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     e2 = (
-        scored.filter(
-            (F.col("vec_id") != F.col("hub_id"))
-            & (F.col("rn_ns") <= GRAPH_K2)
-        )
+        scored.filter(F.col("vec_id") != F.col("hub_id"))
+        .withColumn("rn2", F.row_number().over(wv))
+        .filter(F.col("rn2") <= GRAPH_K2)
         .select(
             F.col("vec_id").alias("src"), F.col("hub_id").alias("dst")
         )
