@@ -12835,9 +12835,7 @@ _UNIGRAM_EM_SEED_PARTS = " || ".join(
 )
 
 
-@query(
-    "q_tokenizer_unigram_em",
-    oracle=f"""
+_UNIGRAM_EM_CTES = f"""
     WITH RECURSIVE tk AS (
         SELECT unnest(str_split(lower(text), ' ')) AS tok FROM documents
     ),
@@ -12915,7 +12913,9 @@ _UNIGRAM_EM_SEED_PARTS = " || ".join(
         SELECT piece, CAST(SUM(n_tok) AS BIGINT) AS n_em
         FROM used GROUP BY piece
     ),
-    ntot AS (SELECT CAST(SUM(n_em) AS BIGINT) AS total_em FROM em)
+    ntot AS (SELECT CAST(SUM(n_em) AS BIGINT) AS total_em FROM em)"""
+
+_UNIGRAM_EM_FINAL = """
     SELECT v.piece, v.n_old, v.neg_log2p_bits_old,
            CAST(coalesce(e.n_em, 0) AS BIGINT) AS n_em,
            CAST(CASE WHEN coalesce(e.n_em, 0) > 0
@@ -12923,7 +12923,12 @@ _UNIGRAM_EM_SEED_PARTS = " || ".join(
                           - length(printf('%b', e.n_em))
                      ELSE -1 END AS BIGINT) AS neg_log2p_bits_em
     FROM vocab v LEFT JOIN em e USING (piece) CROSS JOIN ntot
-    """,
+"""
+
+
+@query(
+    "q_tokenizer_unigram_em",
+    oracle=_UNIGRAM_EM_CTES + _UNIGRAM_EM_FINAL,
     tags=("llm", "tokenizer"),
 )
 def q_tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13349,3 +13354,289 @@ def q_sim_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cells_split_pending",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN index maintenance: tombstone DELETE from the IVF-PQ index
+# (the symmetric half of incremental add)
+# ---------------------------------------------------------------------------
+
+DEL_MOD = 16  # vec_id % DEL_MOD == 3 joins the delete batch ...
+DEL_LABEL = 7  # ... plus ALL of label 7 — a skewed (cluster-hot) delete
+
+
+def _ivf_delete_oracle() -> str:
+    pq = _pq_ctes(ADC_M, ADC_K)
+    iv, _cb, iv_asg, iv_probed = _ivf_ctes("iv_", nprobe=ADC_NPROBE)
+    ctes = pq + iv + [
+        f"""tomb AS (
+        SELECT vec_id FROM embeddings
+        WHERE (vec_id % {DEL_MOD} = 3 OR label = {DEL_LABEL})
+          AND vec_id <> 0
+    )""",
+        """qc AS (
+        SELECT subspace, pos, sv AS qsv FROM comp WHERE vec_id = 0
+    )""",
+        f"""lut AS (
+        SELECT c.subspace, c.code,
+               SUM((q.qsv - c.icv) * (q.qsv - c.icv)) AS l
+        FROM cent{PQ_ITERS - 1} c
+        JOIN qc q ON q.subspace = c.subspace AND q.pos = c.pos
+        GROUP BY c.subspace, c.code
+    )""",
+        f"""cand AS (
+        SELECT a.vec_id, a.cell FROM {iv_asg} a
+        WHERE a.cell IN (SELECT cell FROM {iv_probed}) AND a.vec_id <> 0
+          AND a.vec_id NOT IN (SELECT vec_id FROM tomb)
+    )""",
+        f"""occ AS (
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_listed,
+               CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dead
+        FROM {iv_asg} a LEFT JOIN tomb t USING (vec_id)
+        GROUP BY cell
+    )""",
+        """st AS (
+        SELECT CAST(SUM(n_listed) AS BIGINT) AS n_listed,
+               CAST(SUM(n_dead) AS BIGINT) AS n_dead,
+               CAST(COUNT(CASE WHEN n_dead * 5 > n_listed THEN 1 END)
+                    AS BIGINT) AS n_cells_rewrite_pending
+        FROM occ
+    )""",
+        f"""topk AS (
+        SELECT c.vec_id, c.cell, CAST(SUM(l.l) AS BIGINT) AS adc_dist
+        FROM cand c
+        JOIN asg{PQ_ITERS} pc ON pc.vec_id = c.vec_id
+        JOIN lut l ON l.subspace = pc.subspace AND l.code = pc.code
+        GROUP BY c.vec_id, c.cell
+        ORDER BY adc_dist, c.vec_id
+        LIMIT {TOPK}
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT t.vec_id, t.cell, t.adc_dist,
+           st.n_listed, st.n_dead, st.n_cells_rewrite_pending
+    FROM topk t, st
+    ORDER BY t.adc_dist, t.vec_id
+    """
+    )
+
+
+@query(
+    "q_sim_ivf_delete",
+    oracle=_ivf_delete_oracle(),
+    tags=("llm", "similarity", "index", "maintenance"),
+)
+def q_sim_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE delete from the trained IVF-PQ index — the symmetric
+    half of q_sim_ivf_incremental_add and the same MoR trade the
+    table-format keys make (q_read_position_deletes): deleting a
+    SKEWED vector batch (a modular ~6% slice PLUS every label-
+    {DEL_LABEL} vector — the churn shape of dropping one customer or
+    one stale document cluster) does NOT rewrite the
+    inverted lists — a tombstone set is recorded, serving applies it
+    as a broadcast ANTI join on the probed candidates (never the full
+    index), and deleted vectors can no longer be returned.  The lists
+    keep the dead entries until the REWRITE trigger fires: cells whose
+    dead fraction exceeds 20% (integer form n_dead·5 > n_listed) are
+    counted rewrite-pending — the list-compaction scheduling signal,
+    exactly analogous to equality→position delete compaction
+    (q_maintenance_delete_compaction) on the lakehouse side.  Proof
+    columns: n_listed (lists still carry every vector), n_dead,
+    n_cells_rewrite_pending; the serving guarantee (no tombstoned id
+    in any top-k, and the survivors identical to serving an index
+    that never contained the deleted batch) is pinned in
+    tests/test_ann_recall.py.
+
+    100 TB shape: delete is O(batch) metadata — the tombstone set
+    broadcasts (bloom-filter form at billions); serving adds one
+    broadcast anti join on the PROBED candidates only (ADC_NPROBE
+    cells, never a full-index scan); the dead-fraction audit is one
+    |cells|-row agg off the membership table."""
+    comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
+    cb, members = ivf_train(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    tomb = e.filter(
+        f"(vec_id % {DEL_MOD} = 3 OR label = {DEL_LABEL}) AND vec_id != 0"
+    ).select("vec_id")
+    live_members = members.join(F.broadcast(tomb), "vec_id", "left_anti")
+    served = _adc_serve(spark, sf_dir, cent, codes, cb, live_members, TOPK)
+    occ = (
+        members.join(
+            F.broadcast(tomb.withColumn("dead", F.lit(1))), "vec_id", "left"
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_listed"),
+            F.sum(F.coalesce(F.col("dead"), F.lit(0))).alias("n_dead"),
+        )
+    )
+    st = occ.agg(
+        F.sum("n_listed").alias("n_listed"),
+        F.sum("n_dead").alias("n_dead"),
+        F.count(F.when(F.expr("n_dead * 5 > n_listed"), 1)).alias(
+            "n_cells_rewrite_pending"
+        ),
+    )
+    return served.crossJoin(F.broadcast(st)).select(
+        "vec_id",
+        "cell",
+        "adc_dist",
+        "n_listed",
+        "n_dead",
+        "n_cells_rewrite_pending",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer: unigram-LM vocabulary PRUNE (post-EM likelihood-loss ranking)
+# ---------------------------------------------------------------------------
+
+UNIGRAM_PRUNE_KEEP = 15  # multi-char pieces surviving the prune
+
+
+@query(
+    "q_tokenizer_unigram_prune",
+    oracle=_UNIGRAM_EM_CTES
+    + f""",
+    emtab AS ({_UNIGRAM_EM_FINAL}),
+    chcost AS (
+        SELECT piece AS ch,
+               CASE WHEN neg_log2p_bits_em >= 0 THEN neg_log2p_bits_em
+                    ELSE neg_log2p_bits_old END AS ccost
+        FROM emtab WHERE length(piece) = 1
+    ),
+    multi AS (
+        SELECT piece, n_em, neg_log2p_bits_em, neg_log2p_bits_old
+        FROM emtab WHERE length(piece) > 1
+    ),
+    alt AS (
+        SELECT m.piece,
+               CAST(SUM(c.ccost) AS BIGINT) AS alt_cost_bits
+        FROM (
+            SELECT piece,
+                   unnest(list_transform(range(1, length(piece) + 1),
+                          i -> substr(piece, CAST(i AS INT), 1))) AS ch
+            FROM multi
+        ) m JOIN chcost c USING (ch)
+        GROUP BY m.piece
+    ),
+    scoredp AS (
+        SELECT m.piece, m.n_em,
+               CAST(CASE WHEN m.n_em > 0 THEN m.neg_log2p_bits_em
+                         ELSE -1 END AS BIGINT) AS cost_bits,
+               a.alt_cost_bits,
+               CAST(CASE WHEN m.n_em > 0
+                         THEN m.n_em * (a.alt_cost_bits
+                                        - m.neg_log2p_bits_em)
+                         ELSE 0 END AS BIGINT) AS loss_bits
+        FROM multi m JOIN alt a USING (piece)
+    ),
+    rankedp AS (
+        SELECT *, row_number() OVER (ORDER BY loss_bits DESC, piece)
+                   AS rnk
+        FROM scoredp
+    )
+    SELECT piece, n_em, cost_bits, alt_cost_bits, loss_bits,
+           rnk <= {UNIGRAM_PRUNE_KEEP} AS kept
+    FROM rankedp
+    UNION ALL
+    SELECT piece, e.n_em,
+           CAST(CASE WHEN e.n_em > 0 THEN e.neg_log2p_bits_em
+                     ELSE e.neg_log2p_bits_old END AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(0 AS BIGINT), TRUE
+    FROM emtab e WHERE length(piece) = 1
+    """,
+    tags=("llm", "tokenizer"),
+)
+def q_tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM vocabulary PRUNE — the step after the EM round that
+    completes the SentencePiece trainer loop (seed → EM → prune, Kudo
+    2018 §3.2 step 3): every multi-character piece is scored by the
+    corpus likelihood LOSS its removal would cause, approximated the
+    way SentencePiece does — its occurrences fall back to the
+    cheapest guaranteed segmentation (single characters, which are
+    never pruned), so loss = n_em · (Σ char_costs − piece_cost) in
+    exact integer bits. Characters score with their EM cost, falling
+    back to the seed cost for any character the Viterbi pass absorbed
+    entirely into pieces (n_em = 0 — both engines apply the same
+    rule). The top {UNIGRAM_PRUNE_KEEP} loss-ranked multi-char pieces
+    are kept (ties by piece string — deterministic), the rest marked
+    dropped; unused pieces (n_em = 0) carry loss 0 and fall out
+    first, exactly the pruning order the EM docstring promises.
+    Single characters are always kept (the segmentability invariant).
+    Prune laws (chars kept, n_em=0 never outranks a used piece, kept
+    count exact) are pinned in tests/test_new_key_invariants.py.
+
+    100 TB shape: everything here runs on the VOCABULARY table (≤
+    |chars| + top-K rows — catalog grain, not corpus grain): the char
+    explode is over ≤4-char pieces, the cost join broadcasts the
+    ≤40-row char table, and the ranking window sorts ≤30 rows. The
+    corpus-scale work is the EM round it builds on (distinct-token
+    Viterbi, map-only), re-run through the same cached lineage."""
+    em = q_tokenizer_unigram_em(spark, sf_dir)
+    chcost = em.filter(F.length("piece") == 1).select(
+        F.col("piece").alias("ch"),
+        F.when(
+            F.col("neg_log2p_bits_em") >= 0, F.col("neg_log2p_bits_em")
+        )
+        .otherwise(F.col("neg_log2p_bits_old"))
+        .alias("ccost"),
+    )
+    multi = em.filter(F.length("piece") > 1)
+    alt = (
+        multi.select(
+            "piece",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(piece)),"
+                    " i -> substring(piece, i, 1))"
+                )
+            ).alias("ch"),
+        )
+        .join(F.broadcast(chcost), "ch")
+        .groupBy("piece")
+        .agg(F.sum("ccost").cast("long").alias("alt_cost_bits"))
+    )
+    scoredp = multi.join(alt, "piece").select(
+        "piece",
+        "n_em",
+        F.when(F.col("n_em") > 0, F.col("neg_log2p_bits_em"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("cost_bits"),
+        "alt_cost_bits",
+        F.when(
+            F.col("n_em") > 0,
+            F.col("n_em")
+            * (F.col("alt_cost_bits") - F.col("neg_log2p_bits_em")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("loss_bits"),
+    )
+    w = Window.orderBy(F.col("loss_bits").desc(), "piece")
+    rankedp = scoredp.withColumn("rnk", F.row_number().over(w)).select(
+        "piece",
+        "n_em",
+        "cost_bits",
+        "alt_cost_bits",
+        "loss_bits",
+        (F.col("rnk") <= UNIGRAM_PRUNE_KEEP).alias("kept"),
+    )
+    chars = em.filter(F.length("piece") == 1).select(
+        "piece",
+        "n_em",
+        F.when(F.col("n_em") > 0, F.col("neg_log2p_bits_em"))
+        .otherwise(F.col("neg_log2p_bits_old"))
+        .cast("long")
+        .alias("cost_bits"),
+        F.lit(-1).cast("long").alias("alt_cost_bits"),
+        F.lit(0).cast("long").alias("loss_bits"),
+        F.lit(True).alias("kept"),
+    )
+    return rankedp.unionByName(chars)

@@ -418,3 +418,60 @@ def test_incremental_add_equals_bulk_reindex_at_frozen_codebook(spark, sf_dir):
     bulk_codes = encode(e)
     inc_codes = encode(batch)
     assert inc_codes == {t for t in bulk_codes if t[0] in batch_ids}
+
+
+def test_ivf_delete_tombstone_invisibility_and_rewrite_trigger(spark, sf_dir):
+    """Laws of q_sim_ivf_delete:
+
+    1. Tombstone invisibility: no deleted vec_id appears in the served
+       top-k.
+    2. Serve-equivalence: serving with tombstones == serving an index
+       whose inverted lists simply never contained the deleted batch
+       (the MoR read contract — same law as position-delete reads).
+    3. Trigger arms: the skewed batch leaves BOTH populated — at least
+       one cell over the 20% dead fraction (rewrite-pending) and at
+       least one clean cell; n_dead == |tombstones|.
+    """
+    from ex_aws_firehose_spark.operators.llm import (
+        ADC_K,
+        ADC_M,
+        DEL_LABEL,
+        DEL_MOD,
+        TOPK,
+        _adc_serve,
+        ivf_train,
+        pq_train,
+    )
+    from ex_aws_firehose_spark.registry import REGISTRY
+    from ex_aws_firehose_spark.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["q_sim_ivf_delete"].fn(spark, sf_dir).collect()
+    assert rows
+    e = load_table(spark, sf_dir, "embeddings")
+    tomb_pred = f"(vec_id % {DEL_MOD} = 3 OR label = {DEL_LABEL}) AND vec_id != 0"
+    tomb_ids = {r.vec_id for r in e.filter(tomb_pred).select("vec_id").collect()}
+    assert tomb_ids
+    assert not ({r.vec_id for r in rows} & tomb_ids)
+
+    st = rows[0]
+    assert st.n_dead == len(tomb_ids)
+    assert 1 <= st.n_cells_rewrite_pending
+    # at least one clean cell remains (not every cell crossed 20%)
+    _comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
+    cb, members = ivf_train(spark, sf_dir)
+    n_cells = cb.count()
+    assert st.n_cells_rewrite_pending < n_cells
+
+    never = members.join(
+        F.broadcast(e.filter(tomb_pred).select("vec_id")),
+        "vec_id",
+        "left_anti",
+    )
+    baseline = [
+        (r.vec_id, r.cell, r.adc_dist)
+        for r in _adc_serve(
+            spark, sf_dir, cent, codes, cb, never, TOPK
+        ).collect()
+    ]
+    assert [(r.vec_id, r.cell, r.adc_dist) for r in rows] == baseline

@@ -1728,3 +1728,36 @@ def test_commit_conflict_exactly_once_and_abort_invisibility(spark, sf_dir):
     staged = os.path.join(data, "f1-b2-staged")
     assert os.path.isdir(staged)  # durable on disk ...
     assert staged not in head_files  # ... but never visible
+
+
+def test_unigram_prune_laws(spark, sf_dir):
+    """Laws of the prune step (q_tokenizer_unigram_prune):
+
+    1. Segmentability: every single-character piece is kept.
+    2. Budget: exactly UNIGRAM_PRUNE_KEEP multi-char pieces are kept
+       (the fixture has more candidates than the budget).
+    3. Order: no unused piece (n_em == 0, loss 0) is kept while a
+       used piece with positive loss is dropped.
+    4. Loss algebra: loss_bits == n_em * (alt - cost) for used
+       pieces, and alt >= the piece's own cost never forces a
+       negative kept loss ranking above a positive one.
+    """
+    from ex_aws_firehose_spark.operators.llm import UNIGRAM_PRUNE_KEEP
+
+    rows = REGISTRY["q_tokenizer_unigram_prune"].fn(spark, sf_dir).collect()
+    chars = [r for r in rows if len(r.piece) == 1]
+    multi = [r for r in rows if len(r.piece) > 1]
+    assert chars and multi
+    assert all(r.kept for r in chars)
+    assert sum(1 for r in multi if r.kept) == UNIGRAM_PRUNE_KEEP
+    max_dropped = max(
+        (r.loss_bits for r in multi if not r.kept), default=None
+    )
+    min_kept = min(r.loss_bits for r in multi if r.kept)
+    if max_dropped is not None:
+        assert min_kept >= max_dropped
+    for r in multi:
+        if r.n_em > 0:
+            assert r.loss_bits == r.n_em * (r.alt_cost_bits - r.cost_bits)
+        else:
+            assert r.loss_bits == 0
