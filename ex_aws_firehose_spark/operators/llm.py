@@ -12974,11 +12974,17 @@ def q_tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE (pair counts → merge → train → encode) / WordPiece / unigram
     (seed → EM)."""
     d = load_table(spark, sf_dir, "documents")
+    # localCheckpoint: the distinct-token table (Zipf-bounded, ~31 rows
+    # at every fixture SF) feeds chars, the seed top-k, AND the Viterbi
+    # pass — without the checkpoint each consumer re-runs the corpus
+    # token aggregation (measured 10x wall at sf0.1), the
+    # q_dedup_clusters flat-lineage pattern.
     toks = (
         d.select(F.explode(tokens("text")).alias("tok"))
         .where(F.length("tok") >= 1)
         .groupBy("tok")
         .agg(F.count("*").alias("n_tok"))
+        .localCheckpoint()
     )
     chars = (
         toks.select(
@@ -13096,10 +13102,14 @@ def q_tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.length("tok")), bt_init, bt_step
         ).alias("s"),
     )
+    # checkpoint the piece counts (<= vocab rows): ntot, the output
+    # join, and q_tokenizer_unigram_prune's four consumers all re-read
+    # this frame — without it each reference replays the Viterbi fold.
     em = (
         seg.select(F.explode(F.col("s.pieces")).alias("piece"), "n_tok")
         .groupBy("piece")
         .agg(F.sum("n_tok").alias("n_em"))
+        .localCheckpoint()
     )
     vdf = spark.createDataFrame(
         [(p, n, c) for p, (n, c) in sorted(ventries.items())],
