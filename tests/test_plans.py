@@ -1077,3 +1077,82 @@ def test_power_mde_design_rows_broadcast(spark, sf_dir):
 
     plan = physical_plan(REGISTRY["q_ab_power_mde_sweep"].fn(spark, sf_dir))
     assert "SortMergeJoin" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-11 additions
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_incremental_add_codebooks_broadcast(spark, sf_dir):
+    """The add path's joins must all be broadcast (k-row coarse
+    codebook for assignment, M*K-row PQ codebook for encoding, probed
+    cells, LUT) — a shuffle on the batch side would mean the base
+    index participates in a data exchange, which the add must never
+    cause."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(
+        REGISTRY["q_sim_ivf_incremental_add"].fn(spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line, plan  # scalar/codebook assembly only
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_ivf_delete_tombstones_apply_as_broadcast_anti(spark, sf_dir):
+    """Tombstones must land as a broadcast LEFT ANTI hash join — never
+    a shuffled anti join (the delete set is O(batch) metadata; the
+    lists must not shuffle to subtract it)."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_sim_ivf_delete"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan, plan
+    for line in plan.splitlines():
+        if "LeftAnti" in line:
+            assert "Broadcast" in line, line
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_em_is_python_free_and_vit_stays_map_only(spark, sf_dir):
+    """The whole EM round is Catalyst expressions (no Python eval
+    anywhere), and the Viterbi E-step runs at distinct-token grain off
+    the checkpointed toks table: past the corpus token agg the plan
+    adds no data-scale exchange — total shuffles stay bounded by the
+    small piece/count aggs."""
+    from ex_aws_firehose_spark.plans.audit import (
+        physical_plan,
+        python_eval_operators,
+        shuffle_count,
+    )
+
+    df = REGISTRY["q_tokenizer_unigram_em"].fn(spark, sf_dir)
+    assert not python_eval_operators(df)
+    # em-count agg + final small joins: everything downstream of the
+    # two checkpointed catalog-grain frames, hence a small constant
+    assert shuffle_count(df) <= 3, physical_plan(df)
+
+
+def test_commit_conflict_head_scans_only_live_files(spark, sf_dir):
+    """The head read must plan over exactly the manifest-live files —
+    the aborted writer's staged file (on disk!) must not be scanned."""
+    from ex_aws_firehose_spark.sources.formats import (
+        _stage_conflict_scenario,
+    )
+
+    data, head_files, _ = _stage_conflict_scenario(spark, sf_dir)
+    df = REGISTRY["q_table_commit_conflict"].fn(spark, sf_dir)
+    scans = [
+        f
+        for f in df.inputFiles()
+        if "orders_occ_" in f
+    ]
+    assert scans, "no staged-table scan found in the plan"
+    for f in scans:
+        assert "f1-b2-staged" not in f, f
+        assert any(f.startswith("file:" + h) or h in f for h in head_files), (
+            f,
+            head_files,
+        )
