@@ -13509,10 +13509,7 @@ def q_sim_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 UNIGRAM_PRUNE_KEEP = 15  # multi-char pieces surviving the prune
 
 
-@query(
-    "q_tokenizer_unigram_prune",
-    oracle=_UNIGRAM_EM_CTES
-    + f""",
+_UNIGRAM_PRUNE_CTES = _UNIGRAM_EM_CTES + f""",
     emtab AS ({_UNIGRAM_EM_FINAL}),
     chcost AS (
         SELECT piece AS ch,
@@ -13550,7 +13547,8 @@ UNIGRAM_PRUNE_KEEP = 15  # multi-char pieces surviving the prune
         SELECT *, row_number() OVER (ORDER BY loss_bits DESC, piece)
                    AS rnk
         FROM scoredp
-    )
+    ),
+    prunetab AS (
     SELECT piece, n_em, cost_bits, alt_cost_bits, loss_bits,
            rnk <= {UNIGRAM_PRUNE_KEEP} AS kept
     FROM rankedp
@@ -13560,7 +13558,12 @@ UNIGRAM_PRUNE_KEEP = 15  # multi-char pieces surviving the prune
                      ELSE e.neg_log2p_bits_old END AS BIGINT),
            CAST(-1 AS BIGINT), CAST(0 AS BIGINT), TRUE
     FROM emtab e WHERE length(piece) = 1
-    """,
+    )"""
+
+
+@query(
+    "q_tokenizer_unigram_prune",
+    oracle=_UNIGRAM_PRUNE_CTES + " SELECT * FROM prunetab",
     tags=("llm", "tokenizer"),
 )
 def q_tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -13650,3 +13653,170 @@ def q_tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(True).alias("kept"),
     )
     return rankedp.unionByName(chars)
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer: unigram-LM ENCODE with the pruned vocabulary (serving step)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tokenizer_unigram_encode",
+    oracle=_UNIGRAM_PRUNE_CTES
+    + f""",
+    km AS (
+        SELECT MAP(list(piece ORDER BY piece),
+                   list(cost_bits ORDER BY piece)) AS m
+        FROM prunetab WHERE kept
+    ),
+    tk2 AS (
+        SELECT source, unnest(str_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    st AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tk2 WHERE length(tok) >= 1 GROUP BY source, tok
+    ),
+    dtoks AS (SELECT DISTINCT tok FROM st),
+    dp2 AS (
+        SELECT tok, 0 AS i,
+               [CAST(0 AS BIGINT)] AS dpv, [CAST(0 AS INT)] AS npv
+        FROM dtoks
+        UNION ALL
+        SELECT tok, i + 1,
+               list_append(dpv, list_min(c)),
+               list_append(npv,
+                   CAST(npv[i + 2 - list_position(c, list_min(c))] + 1
+                        AS INT))
+        FROM (
+            SELECT tok, i, dpv, npv,
+                   [CASE WHEN L <= i + 1
+                         THEN dpv[i + 2 - L]
+                              + coalesce(map_extract(km.m,
+                                    substr(tok, CAST(i + 2 - L AS INT),
+                                           CAST(L AS INT)))[1],
+                                  CAST({UNIGRAM_EM_BIG} AS BIGINT))
+                         ELSE CAST({UNIGRAM_EM_BIG} AS BIGINT) END
+                    FOR L IN [1, 2, 3, 4]] AS c
+            FROM dp2, km
+            WHERE i < length(tok)
+        ) s2
+    ),
+    vitn AS (
+        SELECT tok, npv[length(tok) + 1] AS npieces
+        FROM dp2 WHERE i = length(tok)
+    )
+    SELECT s.source,
+           CAST(SUM(s.n) AS BIGINT) AS n_tokens,
+           CAST(SUM(s.n * length(s.tok)) AS BIGINT) AS n_chars,
+           CAST(SUM(s.n * v.npieces) AS BIGINT) AS n_pieces,
+           CAST(SUM(s.n * v.npieces) * 1000000 // SUM(s.n) AS BIGINT)
+               AS fertility_ppm,
+           CAST(SUM(s.n * length(s.tok)) * 1000000
+                // SUM(s.n * v.npieces) AS BIGINT) AS chars_per_piece_ppm
+    FROM st s JOIN vitn v USING (tok)
+    GROUP BY s.source
+    """,
+    tags=("llm", "tokenizer"),
+)
+def q_tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the PRUNED unigram vocabulary — the
+    serving step that closes the trainer loop (seed → EM → prune →
+    encode, the unigram mirror of q_bpe_encode): every token Viterbi-
+    segments against the kept pieces only (single characters always
+    kept → always segmentable), and the per-source rollup reports the
+    two numbers a tokenizer handoff is judged by — FERTILITY
+    (pieces per token, the sequence-length multiplier serving pays;
+    the per-language form is q_tokenizer_fertility's metric, here
+    produced by the actual trained tokenizer) and chars-per-piece
+    (compression). The segmentation DP carries (cost, piece-count)
+    pairs so fertility needs no backtrack pass; tie-break is the
+    family's deterministic first-minimum (shortest piece).
+
+    100 TB shape: corpus work is ONE (source, token) hash agg
+    (map-side combinable, Zipf-bounded output); the DP runs at
+    DISTINCT-token grain with the ≤40-row kept vocabulary broadcast
+    as a literal map, and the stats join back to the (source, token)
+    frame via a broadcast on the distinct-token side — no data-scale
+    shuffle beyond the one agg. The kept vocabulary comes from the
+    prune key's bounded metadata collect."""
+    pruned = q_tokenizer_unigram_prune(spark, sf_dir)
+    kmap = {
+        r["piece"]: int(r["cost_bits"])
+        for r in pruned.filter("kept").collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select(
+            "source", F.explode(tokens("text")).alias("tok")
+        )
+        .where(F.length("tok") >= 1)
+        .groupBy("source", "tok")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    dtoks = st.select("tok").distinct()
+    cost_map = F.create_map(
+        *[x for p in sorted(kmap) for x in (F.lit(p), F.lit(kmap[p]))]
+    )
+    big = F.lit(UNIGRAM_EM_BIG)
+    lens4 = F.array(*[F.lit(L) for L in (1, 2, 3, 4)])
+
+    def dp_step(acc, i):
+        cands = F.transform(
+            lens4,
+            lambda L: F.when(
+                L <= i,
+                F.element_at(acc["dp"], i - L + 1)
+                + F.coalesce(
+                    F.element_at(cost_map, F.col("tok").substr(i - L + 1, L)),
+                    big,
+                ),
+            ).otherwise(big),
+        )
+        best = F.array_min(cands)
+        bl = F.array_position(cands, best).cast("int")
+        return F.struct(
+            F.concat(acc["dp"], F.array(best)).alias("dp"),
+            F.concat(
+                acc["np"],
+                F.array(
+                    (F.element_at(acc["np"], i - bl + 1) + 1).cast("int")
+                ),
+            ).alias("np"),
+        )
+
+    dp_init = F.struct(
+        F.array(F.lit(0).cast("long")).alias("dp"),
+        F.array(F.lit(0).cast("int")).alias("np"),
+    )
+    vitn = dtoks.select(
+        "tok",
+        F.element_at(
+            F.aggregate(
+                F.sequence(F.lit(1), F.length("tok")), dp_init, dp_step
+            )["np"],
+            F.length("tok") + 1,
+        ).alias("npieces"),
+    )
+    return (
+        st.join(F.broadcast(vitn), "tok")
+        .groupBy("source")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.expr("n * length(tok)")).alias("n_chars"),
+            F.sum(F.expr("n * npieces")).alias("n_pieces"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_chars",
+            "n_pieces",
+            F.expr("n_pieces * 1000000 div n_tokens").alias(
+                "fertility_ppm"
+            ),
+            F.expr("n_chars * 1000000 div n_pieces").alias(
+                "chars_per_piece_ppm"
+            ),
+        )
+    )

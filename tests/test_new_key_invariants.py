@@ -1761,3 +1761,27 @@ def test_unigram_prune_laws(spark, sf_dir):
             assert r.loss_bits == r.n_em * (r.alt_cost_bits - r.cost_bits)
         else:
             assert r.loss_bits == 0
+
+
+def test_unigram_encode_bounds_and_conservation(spark, sf_dir):
+    """Laws of the encode step (q_tokenizer_unigram_encode): a Viterbi
+    segmentation tiles each token with 1..len(token) pieces, so per
+    source n_tokens <= n_pieces <= n_chars; the ppm ratios are exact
+    integer identities of the three sums; and the char totals across
+    sources conserve the corpus character count."""
+    from ex_aws_firehose_spark.functions.text import tokens
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = REGISTRY["q_tokenizer_unigram_encode"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_tokens <= r.n_pieces <= r.n_chars, r
+        assert r.fertility_ppm == r.n_pieces * 10**6 // r.n_tokens, r
+        assert r.chars_per_piece_ppm == r.n_chars * 10**6 // r.n_pieces, r
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .agg(F.sum(F.length("tok")))
+        .collect()[0][0]
+    )
+    assert sum(r.n_chars for r in rows) == n_chars
