@@ -4626,3 +4626,154 @@ def q_filter_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental view maintenance: JOIN-view delta rule
+# ---------------------------------------------------------------------------
+
+IVM_R_MOD, IVM_R_SLOT = 20, 7  # o_orderkey % 20 == 7 is the order delta
+IVM_S_MOD, IVM_S_SLOT = 10, 3  # c_custkey % 10 == 3 is the customer delta
+
+_IVM_JD_PART = """
+    {name} AS (
+        SELECT s.c_mktsegment AS seg, CAST(SUM(r.cents) AS BIGINT) AS c
+        FROM {r} r JOIN {s} s ON r.o_custkey = s.c_custkey
+        GROUP BY s.c_mktsegment
+    )"""
+
+
+@query(
+    "q_ivm_join_delta",
+    oracle=f"""
+    WITH r_old AS (
+        SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % {IVM_R_MOD} <> {IVM_R_SLOT}
+    ),
+    r_new AS (
+        SELECT o_custkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % {IVM_R_MOD} = {IVM_R_SLOT}
+    ),
+    s_old AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % {IVM_S_MOD} <> {IVM_S_SLOT}
+    ),
+    s_new AS (
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE c_custkey % {IVM_S_MOD} = {IVM_S_SLOT}
+    ),
+    {_IVM_JD_PART.format(name="p_old", r="r_old", s="s_old")},
+    {_IVM_JD_PART.format(name="p_dr", r="r_new", s="s_old")},
+    {_IVM_JD_PART.format(name="p_ds", r="r_old", s="s_new")},
+    {_IVM_JD_PART.format(name="p_drs", r="r_new", s="s_new")},
+    p_full AS (
+        SELECT c.c_mktsegment AS seg,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS c
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    )
+    SELECT f.seg AS mktsegment,
+           CAST(coalesce(p_old.c, 0) AS BIGINT) AS v_old_cents,
+           CAST(coalesce(p_dr.c, 0) AS BIGINT) AS d_new_orders_cents,
+           CAST(coalesce(p_ds.c, 0) AS BIGINT) AS d_new_customers_cents,
+           CAST(coalesce(p_drs.c, 0) AS BIGINT) AS d_both_new_cents,
+           CAST(coalesce(p_old.c, 0) + coalesce(p_dr.c, 0)
+                + coalesce(p_ds.c, 0) + coalesce(p_drs.c, 0) AS BIGINT)
+               AS v_incremental_cents,
+           f.c AS v_full_cents,
+           coalesce(p_old.c, 0) + coalesce(p_dr.c, 0)
+               + coalesce(p_ds.c, 0) + coalesce(p_drs.c, 0) = f.c
+               AS consistent
+    FROM p_full f
+    LEFT JOIN p_old USING (seg)
+    LEFT JOIN p_dr USING (seg)
+    LEFT JOIN p_ds USING (seg)
+    LEFT JOIN p_drs USING (seg)
+    """,
+    tags=("relational", "ivm"),
+)
+def q_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a JOIN view — the delta rule
+    Δ(R⋈S) = ΔR⋈S ∪ R⋈ΔS ∪ ΔR⋈ΔS that every streaming materialized
+    view (Flink retract streams, Materialize, Delta Live Tables)
+    applies instead of recomputing the join: the revenue-by-segment
+    view over orders⋈customer is maintained through a simultaneous
+    two-sided batch (new orders ΔR, new customers ΔS), each delta
+    term aggregated separately, and the incremental sum is emitted
+    NEXT TO the full recomputation with a per-segment `consistent`
+    proof column — the differential hash then pins the delta algebra,
+    not just the final totals. Complements q_ivm_merge_aggregates
+    (aggregate-merge IVM) with the join half of the IVM story.
+
+    100 TB shape: the whole point — the base⋈base term is the
+    EXISTING view (v_old, maintained, never recomputed at scale; it
+    is recomputed here only to serve as its own fixture), so an
+    update costs ΔR⋈S + R⋈ΔS + ΔR⋈ΔS where every term has at least
+    one DELTA side: broadcast the delta (batch-sized) against the
+    base's join key, map-side combine the per-segment partials, and
+    add — commutative-monoid addition, the same pooling law the
+    engine's moment statistics use. The full-join column exists only
+    as the proof oracle; a production maintainer drops it."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", _cents("o_totalprice").alias("cents")
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    r_old = o.filter(f"o_orderkey % {IVM_R_MOD} != {IVM_R_SLOT}")
+    r_new = o.filter(f"o_orderkey % {IVM_R_MOD} = {IVM_R_SLOT}")
+    s_old = c.filter(f"c_custkey % {IVM_S_MOD} != {IVM_S_SLOT}")
+    s_new = c.filter(f"c_custkey % {IVM_S_MOD} = {IVM_S_SLOT}")
+
+    def part(r: DataFrame, s: DataFrame, alias: str, bcast: str) -> DataFrame:
+        # broadcast the DELTA side — at scale the other side is the
+        # base table and must not shuffle for a batch-sized update
+        if bcast == "r":
+            j = F.broadcast(r).join(s, r.o_custkey == s.c_custkey)
+        elif bcast == "s":
+            j = r.join(F.broadcast(s), r.o_custkey == s.c_custkey)
+        else:
+            j = r.join(s, r.o_custkey == s.c_custkey)
+        return j.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+            F.sum("cents").alias(alias)
+        )
+
+    p_old = part(r_old, s_old, "v_old_cents", "none")
+    p_dr = part(r_new, s_old, "d_new_orders_cents", "r")
+    p_ds = part(r_old, s_new, "d_new_customers_cents", "s")
+    p_drs = part(r_new, s_new, "d_both_new_cents", "r")
+    p_full = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.sum("cents").alias("v_full_cents"))
+    )
+    z = F.lit(0).cast("long")
+    inc = (
+        F.coalesce(F.col("v_old_cents"), z)
+        + F.coalesce(F.col("d_new_orders_cents"), z)
+        + F.coalesce(F.col("d_new_customers_cents"), z)
+        + F.coalesce(F.col("d_both_new_cents"), z)
+    )
+    return (
+        p_full.join(F.broadcast(p_old), "seg", "left")
+        .join(F.broadcast(p_dr), "seg", "left")
+        .join(F.broadcast(p_ds), "seg", "left")
+        .join(F.broadcast(p_drs), "seg", "left")
+        .select(
+            F.col("seg").alias("mktsegment"),
+            F.coalesce(F.col("v_old_cents"), z).alias("v_old_cents"),
+            F.coalesce(F.col("d_new_orders_cents"), z).alias(
+                "d_new_orders_cents"
+            ),
+            F.coalesce(F.col("d_new_customers_cents"), z).alias(
+                "d_new_customers_cents"
+            ),
+            F.coalesce(F.col("d_both_new_cents"), z).alias(
+                "d_both_new_cents"
+            ),
+            inc.cast("long").alias("v_incremental_cents"),
+            "v_full_cents",
+            (inc == F.col("v_full_cents")).alias("consistent"),
+        )
+    )

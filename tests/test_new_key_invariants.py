@@ -1785,3 +1785,25 @@ def test_unigram_encode_bounds_and_conservation(spark, sf_dir):
         .collect()[0][0]
     )
     assert sum(r.n_chars for r in rows) == n_chars
+
+
+def test_ivm_join_delta_algebra(spark, sf_dir):
+    """The join-IVM delta rule must balance on every segment
+    (consistent = true), with all three delta terms genuinely
+    populated (the fixture split guarantees two-sided deltas — a
+    vacuous pass where some term is all-zero would hide a broken
+    join)."""
+    rows = REGISTRY["q_ivm_join_delta"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r.consistent for r in rows)
+    assert sum(r.d_new_orders_cents for r in rows) > 0
+    assert sum(r.d_new_customers_cents for r in rows) > 0
+    assert sum(r.d_both_new_cents for r in rows) > 0
+    assert all(
+        r.v_incremental_cents
+        == r.v_old_cents
+        + r.d_new_orders_cents
+        + r.d_new_customers_cents
+        + r.d_both_new_cents
+        for r in rows
+    )

@@ -1156,3 +1156,14 @@ def test_commit_conflict_head_scans_only_live_files(spark, sf_dir):
             f,
             head_files,
         )
+
+
+def test_ivm_join_delta_broadcasts_delta_sides(spark, sf_dir):
+    """Every delta term joins with a broadcast on its batch-sized
+    side — the base table must never shuffle for an incremental
+    update; no cartesian anywhere."""
+    from ex_aws_firehose_spark.plans.audit import physical_plan
+
+    plan = physical_plan(REGISTRY["q_ivm_join_delta"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6, plan  # 3 deltas + 4 assembly
