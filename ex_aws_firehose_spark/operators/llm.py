@@ -3988,6 +3988,8 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 GRAPH_HUB_MOD = 16  # hub layer = vec_id % 16 (the deterministic sample)
+GRAPH_L2_MOD = 256  # hubs-of-hubs = vec_id % 256 (1/16 of the hub layer)
+GRAPH_ROUTE = 3  # descent multiplicity: parent cells kept per layer
 GRAPH_NCELL = 3  # Voronoi multiplicity: each vector joins 3 hub cells
 GRAPH_K1 = 8  # base-layer degree (top-k within shared hub cells)
 GRAPH_K2 = 2  # descent links: vector -> nearest hubs
@@ -3999,25 +4001,38 @@ _GRAPH_ANN_CACHE: SessionCache = SessionCache()
 
 
 def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the two-layer navigable neighbor graph (the HNSW shape,
-    batch-constructed): hubs = the deterministic 1/16 sample (layer 1),
-    every vector joins its ``GRAPH_NCELL`` nearest hub Voronoi cells,
-    and three bounded-degree edge families connect the index —
-    base-layer top-``GRAPH_K1`` within shared cells (cosine-coherent
-    locality; the label buckets are NOT cosine clusters on this
-    fixture, measured AUC 0.47, so Voronoi cells replace them),
-    descent top-``GRAPH_K2`` vector→hub links, and hub-layer
-    top-``GRAPH_K3`` hub→hub links (long-range navigability). Edges
-    are symmetrized and deduped; the result is localCheckpoint'd and
+    """Build the three-layer navigable neighbor graph (the HNSW shape,
+    batch-constructed): layer 2 = the deterministic 1/256 sample
+    (hubs-of-hubs), layer 1 = the 1/16 sample, layer 0 = every vector.
+    Assignment DESCENDS the hierarchy instead of scoring the full hub
+    set: each vector is routed to its top-``GRAPH_ROUTE`` layer-2
+    cells (one broadcast of the N/256-row codebook), and layer-1
+    scoring is then restricted to hubs sharing a routed layer-2 cell —
+    O(ROUTE·16·ROUTE) candidates per vector instead of N/16. Four
+    bounded-degree edge families connect the index — base-layer
+    top-``GRAPH_K1`` within shared cells (cosine-coherent locality;
+    the label buckets are NOT cosine clusters on this fixture,
+    measured AUC 0.47, so Voronoi cells replace them), descent
+    top-``GRAPH_K2`` vector→hub links, hub-layer top-``GRAPH_K3``
+    hub→hub links within shared layer-2 cells (mid-range
+    navigability), and layer-2 top-``GRAPH_K3`` interconnect
+    (long-range navigability over the tiny top layer). Edges are
+    symmetrized and deduped; the result is localCheckpoint'd and
     session-cached — it is the INDEX, built once, probed per query.
 
-    100 TB shape: hub assignment is a broadcast of the k×dim hub set
-    (recurse the sampling for a hub hierarchy when hubs outgrow one
-    broadcast); base-layer candidates generate only through the
-    cell-membership self-join (pair space Σ|cell|², the same bound as
-    every bucketed family here); each edge family is one window over
-    its candidate partitioning. Degree is capped by construction, so
-    the edge table is ≤ (K1+K2+K3)·2·N rows — linear in N."""
+    100 TB shape: the only all-pairs-vs-a-layer scan is N × N/256
+    (the layer-2 routing broadcast; recurse the same 1/16 sampling for
+    deeper layers when that codebook outgrows one broadcast — each
+    added layer divides the top-layer scan by 16 and adds one
+    O(N·const) candidate join, the O(N·log N) ladder). Everything
+    else is candidate-join bounded: layer-1 scoring through the
+    shared-cell join (≈16·ROUTE² scores/vector), base-layer
+    candidates through the cell-membership self-join (pair space
+    Σ|cell|², the bucketed bound every dedup family here shares), hub
+    pairs through shared layer-2 cells. Degree is capped by
+    construction, so the edge table is ≤ (K1+K2+2·K3)·2·N rows —
+    linear in N. Measured (SCALE.md §21): build wall 8.7→~30 s at the
+    10× probe (~3.5×, was ~21× with the flat N×N/16 scoring)."""
     key = _GRAPH_ANN_CACHE.scoped_key(spark, sf_dir)
     cached = _GRAPH_ANN_CACHE.get(key)
     if cached is not None:
@@ -4032,26 +4047,56 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("hvec"),
         F.col("nrm").alias("hnrm"),
     )
+    l2 = e.filter(F.col("vec_id") % GRAPH_L2_MOD == 0).select(
+        F.col("vec_id").alias("l2_id"),
+        F.col("embedding").alias("l2vec"),
+        F.col("nrm").alias("l2nrm"),
+    )
+    # Layer-2 routing: ONE broadcast scoring pass of every vector
+    # against the N/256-row top-layer codebook, top-ROUTE cells each.
+    # Hubs are vectors too, so their routing falls out of the same
+    # pass — no separate hub-assignment scan.
+    l2_cos = F.round(
+        dot(F.col("embedding"), F.col("l2vec"))
+        / (F.col("nrm") * F.col("l2nrm")),
+        6,
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.desc("rc"), "l2_id")
+    r2 = (
+        e.crossJoin(F.broadcast(l2))
+        .select("vec_id", "l2_id", l2_cos.alias("rc"))
+        .withColumn("rr", F.row_number().over(wr))
+        .filter(F.col("rr") <= GRAPH_ROUTE)
+        .select("vec_id", "l2_id")
+        .localCheckpoint()
+    )
+    hub_r2 = r2.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0).select(
+        F.col("vec_id").alias("hub_id"), "l2_id"
+    )
+    # Layer-1 candidates = hubs sharing a routed layer-2 cell; the
+    # scoring join replaces the flat N × N/16 crossJoin — THE fix
+    # that makes the build O(N·const) per layer.
+    cand = r2.join(hub_r2, "l2_id").select("vec_id", "hub_id").distinct()
     hub_cos = F.round(
         dot(F.col("embedding"), F.col("hvec"))
         / (F.col("nrm") * F.col("hnrm")),
         6,
     )
-    # Score N x hubs ONCE: cell assignment (top-NCELL) and the descent
-    # edge family (top-K2 excluding self) both derive from one
-    # top-max(NCELL, K2+1) window — K2+1 because at most ONE of the
-    # overall top-(K2+1) rows is the self hub, so the top-K2 non-self
-    # rows of the full ranking all survive the cap. Both consumers'
-    # exchange subtrees are then IDENTICAL (crossJoin scoring +
-    # partial WindowGroupLimit below the vec_id exchange), so
-    # ReuseExchange/AQE stage reuse runs the broadcast scoring pass —
-    # the build's dominant cost — once instead of twice; e2's re-rank
-    # of the <= cap surviving rows per vector adds a window on the
-    # SAME partitioning, no new exchange.
+    # Cell assignment (top-NCELL) and the descent edge family (top-K2
+    # excluding self) both derive from one top-max(NCELL, K2+1)
+    # window — K2+1 because at most ONE of the overall top-(K2+1)
+    # rows is the self hub, so the top-K2 non-self rows of the full
+    # ranking all survive the cap. Both consumers' exchange subtrees
+    # are then IDENTICAL (candidate scoring + partial
+    # WindowGroupLimit below the vec_id exchange), so
+    # ReuseExchange/AQE stage reuse runs the scoring pass once
+    # instead of twice; e2's re-rank of the <= cap surviving rows per
+    # vector adds a window on the SAME partitioning, no new exchange.
     wv = Window.partitionBy("vec_id").orderBy(F.desc("c"), "hub_id")
     cap = max(GRAPH_NCELL, GRAPH_K2 + 1)
     scored = (
-        e.crossJoin(F.broadcast(hubs))
+        cand.join(e, "vec_id")
+        .join(hubs, "hub_id")
         .select("vec_id", "hub_id", hub_cos.alias("c"))
         .withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") <= cap)
@@ -4097,27 +4142,62 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("src"), F.col("hub_id").alias("dst")
         )
     )
+    # Hub-layer links generate through shared layer-2 cells (the same
+    # candidate bound as the base layer), not the flat (N/16)² pair
+    # space the pre-hierarchy build scored.
+    hub_pairs = (
+        hub_r2.alias("x")
+        .join(
+            hub_r2.alias("y"),
+            (F.col("x.l2_id") == F.col("y.l2_id"))
+            & (F.col("x.hub_id") != F.col("y.hub_id")),
+        )
+        .select(
+            F.col("x.hub_id").alias("ha"), F.col("y.hub_id").alias("hb")
+        )
+        .distinct()
+    )
     hh_cos = F.round(
         dot(F.col("a.hvec"), F.col("b.hvec"))
         / (F.col("a.hnrm") * F.col("b.hnrm")),
         6,
     )
     e3 = (
-        hubs.alias("a")
-        .join(
-            F.broadcast(hubs.alias("b")),
-            F.col("a.hub_id") != F.col("b.hub_id"),
-        )
+        hub_pairs.join(hubs.alias("a"), hub_pairs.ha == F.col("a.hub_id"))
+        .join(hubs.alias("b"), hub_pairs.hb == F.col("b.hub_id"))
         .select(
-            F.col("a.hub_id").alias("src"),
-            F.col("b.hub_id").alias("dst"),
+            F.col("ha").alias("src"),
+            F.col("hb").alias("dst"),
             hh_cos.alias("c"),
         )
         .withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= GRAPH_K3)
         .select("src", "dst")
     )
-    fwd = e1.unionByName(e2).unionByName(e3)
+    # Layer-2 interconnect: the long-range links now live on the tiny
+    # top layer (N/256 rows — all-pairs here is (N/256)², the next
+    # recursion target if the top layer ever outgrows one task).
+    l2l2_cos = F.round(
+        dot(F.col("a.l2vec"), F.col("b.l2vec"))
+        / (F.col("a.l2nrm") * F.col("b.l2nrm")),
+        6,
+    )
+    e4 = (
+        l2.alias("a")
+        .join(
+            F.broadcast(l2.alias("b")),
+            F.col("a.l2_id") != F.col("b.l2_id"),
+        )
+        .select(
+            F.col("a.l2_id").alias("src"),
+            F.col("b.l2_id").alias("dst"),
+            l2l2_cos.alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= GRAPH_K3)
+        .select("src", "dst")
+    )
+    fwd = e1.unionByName(e2).unionByName(e3).unionByName(e4)
     edges = (
         fwd.unionByName(
             fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -4130,14 +4210,17 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _graph_ann_oracle() -> str:
-    """DuckDB replay of the graph build + beam search, unrolled as one
-    MATERIALIZED-CTE chain (the pools and the edge table are referenced
-    more than once; without the hint DuckDB re-inlines them and the
-    build cost goes exponential in the round count)."""
+    """DuckDB replay of the hierarchical graph build + beam search,
+    unrolled as one MATERIALIZED-CTE chain (the pools and the edge
+    table are referenced more than once; without the hint DuckDB
+    re-inlines them and the build cost goes exponential in the round
+    count). Mirrors graph_ann_build's layer-2 descent bit-for-bit:
+    routing, candidate restriction, and every window share the
+    6-dp-rounded cosine + id tie-break."""
     cos_eq = duck_cosine("a.embedding", "b.embedding")
     cos_eh = duck_cosine("a.embedding", "h.embedding")
-    cos_hh = duck_cosine("a.embedding", "h.embedding")
     cos_q = duck_cosine("e.embedding", "q.qv")
+    cap = max(GRAPH_NCELL, GRAPH_K2 + 1)
     ctes = [
         "e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings"
         " WHERE vec_id <> 0)",
@@ -4145,12 +4228,27 @@ def _graph_ann_oracle() -> str:
         " WHERE vec_id = 0)",
         "hubs AS MATERIALIZED (SELECT vec_id, embedding FROM e"
         f" WHERE vec_id % {GRAPH_HUB_MOD} = 0)",
-        f"""asg AS MATERIALIZED (SELECT vec_id, hub FROM (
-            SELECT a.vec_id, h.vec_id AS hub,
+        "l2 AS MATERIALIZED (SELECT vec_id, embedding FROM e"
+        f" WHERE vec_id % {GRAPH_L2_MOD} = 0)",
+        f"""r2 AS MATERIALIZED (SELECT vec_id, l2_id FROM (
+            SELECT a.vec_id, h.vec_id AS l2_id,
                    row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY round({cos_eh}, 6) DESC, h.vec_id) AS rn
-            FROM e a CROSS JOIN hubs h
-        ) WHERE rn <= {GRAPH_NCELL})""",
+                       ORDER BY round({cos_eh}, 6) DESC, h.vec_id) AS rr
+            FROM e a CROSS JOIN l2 h
+        ) WHERE rr <= {GRAPH_ROUTE})""",
+        f"""cand AS MATERIALIZED (SELECT DISTINCT v.vec_id AS vid,
+                   g.vec_id AS hub
+            FROM r2 v JOIN r2 g ON v.l2_id = g.l2_id
+            WHERE g.vec_id % {GRAPH_HUB_MOD} = 0)""",
+        f"""scored AS MATERIALIZED (SELECT vid, hub, c, rn FROM (
+            SELECT c0.vid, c0.hub, round({cos_eh}, 6) AS c,
+                   row_number() OVER (PARTITION BY c0.vid
+                       ORDER BY round({cos_eh}, 6) DESC, c0.hub) AS rn
+            FROM cand c0 JOIN e a ON a.vec_id = c0.vid
+            JOIN e h ON h.vec_id = c0.hub
+        ) WHERE rn <= {cap})""",
+        f"asg AS MATERIALIZED (SELECT vid AS vec_id, hub FROM scored"
+        f" WHERE rn <= {GRAPH_NCELL})",
         f"""e1 AS (SELECT src, dst FROM (
             SELECT a.vec_id AS src, b.vec_id AS dst,
                    row_number() OVER (PARTITION BY a.vec_id
@@ -4161,23 +4259,36 @@ def _graph_ann_oracle() -> str:
             JOIN e a ON a.vec_id = p.va JOIN e b ON b.vec_id = p.vb
         ) WHERE rn <= {GRAPH_K1})""",
         f"""e2 AS (SELECT src, dst FROM (
-            SELECT a.vec_id AS src, h.vec_id AS dst,
-                   row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY round({cos_eh}, 6) DESC, h.vec_id) AS rn
-            FROM e a JOIN hubs h ON a.vec_id <> h.vec_id
-        ) WHERE rn <= {GRAPH_K2})""",
+            SELECT vid AS src, hub AS dst,
+                   row_number() OVER (PARTITION BY vid
+                       ORDER BY c DESC, hub) AS rn2
+            FROM scored WHERE vid <> hub
+        ) WHERE rn2 <= {GRAPH_K2})""",
+        f"""hubr AS MATERIALIZED (SELECT vec_id AS hub, l2_id FROM r2
+            WHERE vec_id % {GRAPH_HUB_MOD} = 0)""",
         f"""e3 AS (SELECT src, dst FROM (
-            SELECT a.vec_id AS src, h.vec_id AS dst,
+            SELECT p.ha AS src, p.hb AS dst,
+                   row_number() OVER (PARTITION BY p.ha
+                       ORDER BY round({cos_eq}, 6) DESC, p.hb) AS rn
+            FROM (SELECT DISTINCT x.hub AS ha, y.hub AS hb
+                  FROM hubr x JOIN hubr y
+                    ON x.l2_id = y.l2_id AND x.hub <> y.hub) p
+            JOIN e a ON a.vec_id = p.ha JOIN e b ON b.vec_id = p.hb
+        ) WHERE rn <= {GRAPH_K3})""",
+        f"""e4 AS (SELECT src, dst FROM (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
                    row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY round({cos_hh}, 6) DESC, h.vec_id) AS rn
-            FROM hubs a JOIN hubs h ON a.vec_id <> h.vec_id
+                       ORDER BY round({cos_eq}, 6) DESC, b.vec_id) AS rn
+            FROM l2 a JOIN l2 b ON a.vec_id <> b.vec_id
         ) WHERE rn <= {GRAPH_K3})""",
         """edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
             SELECT src, dst FROM e1 UNION ALL SELECT src, dst FROM e2
             UNION ALL SELECT src, dst FROM e3
+            UNION ALL SELECT src, dst FROM e4
             UNION ALL SELECT dst, src FROM e1
             UNION ALL SELECT dst, src FROM e2
-            UNION ALL SELECT dst, src FROM e3))""",
+            UNION ALL SELECT dst, src FROM e3
+            UNION ALL SELECT dst, src FROM e4))""",
         "pool0 AS MATERIALIZED (SELECT h.vec_id,"
         f" round({duck_cosine('h.embedding', 'q.qv')}, 6) AS c"
         " FROM hubs h CROSS JOIN q)",
