@@ -13613,6 +13613,184 @@ def q_sim_ivf_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_compact_oracle() -> str:
+    pq = _pq_ctes(ADC_M, ADC_K)
+    iv, _cb, iv_asg, iv_probed = _ivf_ctes("iv_", nprobe=ADC_NPROBE)
+    ctes = pq + iv + [
+        f"""tomb AS (
+        SELECT vec_id FROM embeddings
+        WHERE (vec_id % {DEL_MOD} = 3 OR label = {DEL_LABEL})
+          AND vec_id <> 0
+    )""",
+        f"""occ AS (
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_listed,
+               CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dead
+        FROM {iv_asg} a LEFT JOIN tomb t USING (vec_id)
+        GROUP BY cell
+    )""",
+        """rw AS (SELECT cell FROM occ WHERE n_dead * 5 > n_listed)""",
+        f"""mc AS (
+        SELECT a.vec_id, a.cell
+        FROM {iv_asg} a LEFT JOIN tomb t USING (vec_id)
+        WHERE NOT (a.cell IN (SELECT cell FROM rw)
+                   AND t.vec_id IS NOT NULL)
+    )""",
+        """occ2 AS (
+        SELECT cell,
+               CAST(COUNT(*) AS BIGINT) AS n_listed,
+               CAST(SUM(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dead
+        FROM mc a LEFT JOIN tomb t USING (vec_id)
+        GROUP BY cell
+    )""",
+        """st AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rw)
+                   AS n_cells_rewritten,
+               (SELECT CAST(SUM(n_dead) AS BIGINT) FROM occ
+                WHERE cell IN (SELECT cell FROM rw)) AS n_rows_purged,
+               CAST(SUM(n_listed) AS BIGINT) AS n_listed_after,
+               CAST(SUM(n_dead) AS BIGINT) AS n_dead_after,
+               CAST(COUNT(CASE WHEN n_dead * 5 > n_listed THEN 1 END)
+                    AS BIGINT) AS n_pending_after
+        FROM occ2
+    )""",
+        """qc AS (
+        SELECT subspace, pos, sv AS qsv FROM comp WHERE vec_id = 0
+    )""",
+        f"""lut AS (
+        SELECT c.subspace, c.code,
+               SUM((q.qsv - c.icv) * (q.qsv - c.icv)) AS l
+        FROM cent{PQ_ITERS - 1} c
+        JOIN qc q ON q.subspace = c.subspace AND q.pos = c.pos
+        GROUP BY c.subspace, c.code
+    )""",
+        f"""cand AS (
+        SELECT a.vec_id, a.cell FROM mc a
+        WHERE a.cell IN (SELECT cell FROM {iv_probed}) AND a.vec_id <> 0
+          AND a.vec_id NOT IN (SELECT vec_id FROM tomb)
+    )""",
+        f"""topk AS (
+        SELECT c.vec_id, c.cell, CAST(SUM(l.l) AS BIGINT) AS adc_dist
+        FROM cand c
+        JOIN asg{PQ_ITERS} pc ON pc.vec_id = c.vec_id
+        JOIN lut l ON l.subspace = pc.subspace AND l.code = pc.code
+        GROUP BY c.vec_id, c.cell
+        ORDER BY adc_dist, c.vec_id
+        LIMIT {TOPK}
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT t.vec_id, t.cell, t.adc_dist,
+           st.n_cells_rewritten, st.n_rows_purged,
+           st.n_listed_after, st.n_dead_after, st.n_pending_after
+    FROM topk t, st
+    ORDER BY t.adc_dist, t.vec_id
+    """
+    )
+
+
+@query(
+    "q_sim_ivf_compact",
+    oracle=_ivf_compact_oracle(),
+    tags=("llm", "similarity", "index", "maintenance"),
+)
+def q_sim_ivf_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIST COMPACTION — the step that completes the tombstone-delete
+    lifecycle q_sim_ivf_delete opened: every cell whose dead fraction
+    crossed the 20% trigger (the same integer ``n_dead·5 > n_listed``
+    audit the delete key emits as ``n_cells_rewrite_pending``) is
+    REWRITTEN without its tombstoned rows; clean cells keep their dead
+    entries (rewriting them would be write amplification for nothing —
+    the MoR trade, exactly the equality→position compaction economics
+    of q_maintenance_delete_compaction on the lakehouse side). Serving
+    after compaction applies the residual tombstone mask — now a
+    no-op on every rewritten cell — and returns EXACTLY what serving
+    with pure tombstones returned (the serve-equivalence law, pinned
+    with the post-compaction invariants in tests/test_ann_recall.py).
+    Proof columns: n_cells_rewritten, n_rows_purged (dead rows
+    physically dropped), n_listed_after, n_dead_after (dead entries
+    surviving in clean cells: n_dead − purged), and n_pending_after —
+    structurally zero, because rewritten cells have no dead rows and
+    clean cells were under the trigger by definition: compaction
+    always clears the audit.
+
+    100 TB shape: the trigger audit is one |cells|-row agg; the
+    rewrite touches ONLY the pending cells' list files (cell-
+    partitioned storage ⇒ a partition-pruned overwrite of the dead
+    fraction's partitions, never a full-index rewrite); the purge
+    predicate is a broadcast of the tombstone set against those cells
+    alone. Cite: reference keeps no vector index — this extends the
+    BASELINE.json LLM-pipeline mandate's ANN lifecycle family."""
+    comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
+    cb, members = ivf_train(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    tomb = e.filter(
+        f"(vec_id % {DEL_MOD} = 3 OR label = {DEL_LABEL}) AND vec_id != 0"
+    ).select("vec_id")
+    occ = (
+        members.join(
+            F.broadcast(tomb.withColumn("dead", F.lit(1))), "vec_id", "left"
+        )
+        .groupBy("cell")
+        .agg(
+            F.count("*").alias("n_listed"),
+            F.sum(F.coalesce(F.col("dead"), F.lit(0))).alias("n_dead"),
+        )
+        .localCheckpoint()  # metadata grain: |cells| rows, reused 3x
+    )
+    rw = occ.filter(F.expr("n_dead * 5 > n_listed")).select("cell")
+    # the physical rewrite: drop dead rows from pending cells only
+    mc = (
+        members.join(F.broadcast(rw.withColumn("rwf", F.lit(1))), "cell", "left")
+        .join(F.broadcast(tomb.withColumn("dead", F.lit(1))), "vec_id", "left")
+        .filter(
+            ~(
+                (F.coalesce(F.col("rwf"), F.lit(0)) == 1)
+                & (F.coalesce(F.col("dead"), F.lit(0)) == 1)
+            )
+        )
+        .select("vec_id", "cell", "dead")
+    )
+    occ2 = mc.groupBy("cell").agg(
+        F.count("*").alias("n_listed"),
+        F.sum(F.coalesce(F.col("dead"), F.lit(0))).alias("n_dead"),
+    )
+    purged = (
+        occ.join(F.broadcast(rw), "cell", "left_semi")
+        .agg(F.sum("n_dead").alias("n_rows_purged"))
+    )
+    st = (
+        occ2.agg(
+            F.sum("n_listed").alias("n_listed_after"),
+            F.sum("n_dead").alias("n_dead_after"),
+            F.count(F.when(F.expr("n_dead * 5 > n_listed"), 1)).alias(
+                "n_pending_after"
+            ),
+        )
+        .crossJoin(F.broadcast(rw.agg(F.count("*").alias("n_cells_rewritten"))))
+        .crossJoin(F.broadcast(purged))
+    )
+    live = mc.select("vec_id", "cell").join(
+        F.broadcast(tomb), "vec_id", "left_anti"
+    )
+    served = _adc_serve(spark, sf_dir, cent, codes, cb, live, TOPK)
+    return served.crossJoin(F.broadcast(st)).select(
+        "vec_id",
+        "cell",
+        "adc_dist",
+        "n_cells_rewritten",
+        "n_rows_purged",
+        "n_listed_after",
+        "n_dead_after",
+        "n_pending_after",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer: unigram-LM vocabulary PRUNE (post-EM likelihood-loss ranking)
 # ---------------------------------------------------------------------------

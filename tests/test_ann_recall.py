@@ -475,3 +475,34 @@ def test_ivf_delete_tombstone_invisibility_and_rewrite_trigger(spark, sf_dir):
         ).collect()
     ]
     assert [(r.vec_id, r.cell, r.adc_dist) for r in rows] == baseline
+
+
+def test_ivf_compact_serve_equivalence_and_audit_clears(spark, sf_dir):
+    """Laws of q_sim_ivf_compact (the delete-lifecycle close-out):
+
+    1. Serve-equivalence: the post-compaction top-k — compacted lists
+       plus the residual tombstone mask — is IDENTICAL to
+       q_sim_ivf_delete's tombstone-only serving (and hence to an
+       index that never contained the batch, by the delete law).
+    2. The audit clears: n_pending_after == 0 — rewritten cells hold
+       zero dead rows, clean cells were under the trigger already.
+    3. Conservation: n_listed_after == pre-compaction n_listed minus
+       n_rows_purged, and n_dead_after == n_dead minus n_rows_purged.
+    4. The rewrite actually fired: n_cells_rewritten equals the
+       delete key's n_cells_rewrite_pending (>= 1 on this fixture)
+       and n_rows_purged >= 1.
+    """
+    from ex_aws_firehose_spark.registry import REGISTRY
+
+    del_rows = REGISTRY["q_sim_ivf_delete"].fn(spark, sf_dir).collect()
+    cmp_rows = REGISTRY["q_sim_ivf_compact"].fn(spark, sf_dir).collect()
+    assert del_rows and cmp_rows
+    assert [(r.vec_id, r.cell, r.adc_dist) for r in cmp_rows] == [
+        (r.vec_id, r.cell, r.adc_dist) for r in del_rows
+    ]
+    d, c = del_rows[0], cmp_rows[0]
+    assert c.n_pending_after == 0
+    assert c.n_listed_after == d.n_listed - c.n_rows_purged
+    assert c.n_dead_after == d.n_dead - c.n_rows_purged
+    assert c.n_cells_rewritten == d.n_cells_rewrite_pending >= 1
+    assert c.n_rows_purged >= 1
