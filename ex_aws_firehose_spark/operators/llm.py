@@ -1218,7 +1218,7 @@ def ivf_train(
     embedding). Fixed iteration count — the driver loop makes no
     .collect() calls; each k-row codebook is localCheckpoint'd so plan
     lineage stays flat across rounds (the q_dedup_clusters pattern)."""
-    key = _IVF_TRAIN_CACHE.scoped_key(spark, sf_dir, where or "")
+    key = _IVF_TRAIN_CACHE.scoped_key(spark, sf_dir, repr(where))
     cached = _IVF_TRAIN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -1637,7 +1637,7 @@ def pq_train(
     (vec_id, subspace, pos, sv), the codebook the final assignment was
     made against (subspace, code, pos, icv), and the final per-vector
     codes (vec_id, subspace, code, dist)."""
-    key = _PQ_TRAIN_CACHE.scoped_key(spark, sf_dir, str(m), str(k), where or "")
+    key = _PQ_TRAIN_CACHE.scoped_key(spark, sf_dir, str(m), str(k), repr(where))
     cached = _PQ_TRAIN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -13954,8 +13954,11 @@ def q_tokenizer_unigram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_UNIGRAM_PRUNE_CTES
     + f""",
     km AS (
+        -- greatest(…, 0): a kept-but-EM-unused piece reports the -1
+        -- sentinel as cost_bits; clamped so the encoder can never
+        -- score it cheaper-than-free (ADVICE r12 #1, both engines)
         SELECT MAP(list(piece ORDER BY piece),
-                   list(cost_bits ORDER BY piece)) AS m
+                   list(greatest(cost_bits, 0) ORDER BY piece)) AS m
         FROM prunetab WHERE kept
     ),
     tk2 AS (
@@ -14030,8 +14033,11 @@ def q_tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle beyond the one agg. The kept vocabulary comes from the
     prune key's bounded metadata collect."""
     pruned = q_tokenizer_unigram_prune(spark, sf_dir)
+    # max(…, 0) mirrors the oracle's greatest(): a kept-but-EM-unused
+    # piece carries the -1 cost sentinel, which must never enter the
+    # Viterbi map as a cheaper-than-free score (ADVICE r12 #1).
     kmap = {
-        r["piece"]: int(r["cost_bits"])
+        r["piece"]: max(int(r["cost_bits"]), 0)
         for r in pruned.filter("kept").collect()
     }
     d = load_table(spark, sf_dir, "documents")

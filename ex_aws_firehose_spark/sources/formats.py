@@ -3283,7 +3283,14 @@ def _stage_conflict_scenario(spark: SparkSession, sf_dir: str):
     a_df.coalesce(1).write.parquet(a_path)
     n_a = spark.read.parquet(a_path).count()
     n_sx, n_cf = validate(read_log(), base_commit, {1}, {f1})
-    assert (n_sx, n_cf) == (0, 0)
+    if (n_sx, n_cf) != (0, 0):
+        # RuntimeError, not assert: the invariant must hold under
+        # `python -O` too — a drifted fixture must fail loudly, never
+        # silently stage wrong commit decisions (ADVICE r12 #3)
+        raise RuntimeError(
+            f"conflict fixture drifted: writer A expected a clean "
+            f"suffix, saw (n_suffix={n_sx}, n_conflicts={n_cf})"
+        )
     log_entry(4, a_path, f1, 1)
     decisions.append(("A", base_commit, "committed", 4, n_sx, n_cf, n_a))
 
@@ -3301,7 +3308,12 @@ def _stage_conflict_scenario(spark: SparkSession, sf_dir: str):
     )
     if outcome != "aborted":
         log_entry(5, b1_path, f3, 3)
-    decisions.append(("B1", base_commit, outcome, 5, n_sx, n_cf, n_b1))
+    # commit_id recorded only when a log entry was actually written —
+    # an aborted writer has no commit (ADVICE r12 #3)
+    decisions.append(
+        ("B1", base_commit, outcome,
+         5 if outcome != "aborted" else -1, n_sx, n_cf, n_b1)
+    )
 
     # -- writer B2: slice 1 again, multiplier 120 — conflict -> abort ------
     b2_path = os.path.join(data, "f1-b2-staged")
@@ -3314,7 +3326,12 @@ def _stage_conflict_scenario(spark: SparkSession, sf_dir: str):
         "aborted" if n_cf > 0
         else ("rebase_committed" if n_sx > 0 else "committed")
     )
-    assert outcome == "aborted"
+    if outcome != "aborted":
+        raise RuntimeError(
+            f"conflict fixture drifted: writer B2 must abort on the "
+            f"replayed slice-1 conflict, got {outcome!r} "
+            f"(n_suffix={n_sx}, n_conflicts={n_cf})"
+        )
     decisions.append(("B2", base_commit, outcome, -1, n_sx, n_cf, n_b2))
 
     head = live_files(read_log(), 5)

@@ -25,7 +25,6 @@ state is kept on the driver.
 from __future__ import annotations
 
 import os
-import tempfile
 from contextlib import contextmanager
 from dataclasses import dataclass
 
@@ -34,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ex_aws_firehose_spark.caching import SessionCache
+from ex_aws_firehose_spark.sources.formats import _tracked_mkdtemp
 from ex_aws_firehose_spark.operators.firehose import (
     decode_chain,
     route,
@@ -78,6 +78,7 @@ def stream_shuffle(spark: SparkSession, n: int = STREAM_SHUFFLE_PARTITIONS):
 @dataclass(frozen=True)
 class SinkPaths:
     source: str
+    routed: str
     primary: str
     backup: str
     errors: str
@@ -91,11 +92,18 @@ def prepare_source_files(
     file-source stream sees N micro-batches (maxFilesPerTrigger=1).
     Files are split by idx % N — stable across runs, unlike
     repartition's hash placement."""
+    routed = os.path.join(root, "routed")
     paths = SinkPaths(
         source=os.path.join(root, "source"),
-        primary=os.path.join(root, "primary"),
+        routed=routed,
+        # primary / error sinks are the partition subdirs of ONE
+        # result-partitioned write per batch (2 write jobs per batch,
+        # not 3 — the trim that matters when the per-batch data is
+        # small and job overhead dominates). Readers see the same
+        # directories-of-parquet contract as separate sinks.
+        primary=os.path.join(routed, "result=Ok"),
         backup=os.path.join(root, "backup"),
-        errors=os.path.join(root, "errors"),
+        errors=os.path.join(routed, "result=ProcessingFailed"),
         checkpoint=os.path.join(root, "checkpoint"),
     )
     records = synthesize_records(spark, sf_dir)
@@ -108,23 +116,21 @@ def prepare_source_files(
 
 def tri_sink_batch(batch_df: DataFrame, batch_id: int, paths: SinkPaths) -> None:
     """One micro-batch = one reference Lambda invocation: decode, route,
-    and fan out to the three sinks. The batch is cached for the duration
-    of the fan-out so decode/gzip runs once, not three times."""
+    and fan out to the three sinks. The primary and error sinks are the
+    two partitions of ONE result-partitioned write, so the decode/gzip
+    chain runs exactly once per batch inside a single job (no persist
+    round-trip, one less write job than sink-per-write — per-batch data
+    is tiny, so job count IS the cost)."""
     routed = route(decode_chain(batch_df)).withColumn(
         "batch_id", F.lit(batch_id)
     )
-    routed.persist()
-    try:
-        # backup: raw source records verbatim (main.tf:27-34 semantics)
-        batch_df.write.mode("append").parquet(paths.backup)
-        routed.filter(F.col("result") == "Ok").select(
-            "idx", "record_id", "payload", "batch_id"
-        ).write.mode("append").parquet(paths.primary)
-        routed.filter(F.col("result") == "ProcessingFailed").select(
-            "idx", "record_id", "kind", "batch_id"
-        ).write.mode("append").parquet(paths.errors)
-    finally:
-        routed.unpersist()
+    # backup: raw source records verbatim (main.tf:27-34 semantics)
+    batch_df.write.mode("append").parquet(paths.backup)
+    routed.filter(
+        F.col("result").isin("Ok", "ProcessingFailed")
+    ).select(
+        "idx", "record_id", "payload", "kind", "batch_id", "result"
+    ).write.partitionBy("result").mode("append").parquet(paths.routed)
 
 
 def run_stream(
@@ -166,8 +172,18 @@ _TRI_SINK_CACHE: SessionCache = SessionCache()
 def tri_sink_output(spark: SparkSession, sf_dir: str) -> SinkPaths:
     key = _TRI_SINK_CACHE.scoped_key(spark, sf_dir)
     if key not in _TRI_SINK_CACHE:
-        root = tempfile.mkdtemp(prefix="firehose_stream_")
+        root = _tracked_mkdtemp(prefix="firehose_stream_")
         paths = prepare_source_files(spark, sf_dir, root)
         run_stream(spark, paths)
+        # A result partition no batch produced would leave its subdir
+        # absent (partitioned writes create no empty partitions, unlike
+        # the old write-per-sink); readers expect a readable directory.
+        for d in (paths.primary, paths.errors):
+            if not os.path.isdir(d):
+                spark.createDataFrame(
+                    [],
+                    "idx long, record_id string, payload string,"
+                    " kind string, batch_id int",
+                ).write.parquet(d)
         _TRI_SINK_CACHE[key] = paths
     return _TRI_SINK_CACHE[key]

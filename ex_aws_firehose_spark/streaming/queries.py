@@ -14,7 +14,6 @@ mechanics are exercised separately in tests/test_streaming.py.
 from __future__ import annotations
 
 import itertools
-import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,6 +23,7 @@ from ex_aws_firehose_spark.functions.filter_pattern import compile_pattern
 from ex_aws_firehose_spark.operators.firehose import ORACLE_CTE
 from ex_aws_firehose_spark.operators.llm import _minhash_cte
 from ex_aws_firehose_spark.registry import query
+from ex_aws_firehose_spark.sources.formats import _tracked_mkdtemp
 from ex_aws_firehose_spark.streaming.pipeline import (
     run_stream,
     stream_shuffle,
@@ -71,7 +71,7 @@ def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _REPLAY_DIR_CACHE:
         import os
 
-        src = os.path.join(tempfile.mkdtemp(prefix="events_replay_"), "src")
+        src = os.path.join(_tracked_mkdtemp(prefix="events_replay_"), "src")
         e = load_table(spark, sf_dir, "events")
         e.coalesce(1).write.mode("append").parquet(src)
         e.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode(
@@ -118,7 +118,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if sf_dir not in _EVENTS_DIR_CACHE:
-        d = tempfile.mkdtemp(prefix="events_stream_")
+        d = _tracked_mkdtemp(prefix="events_stream_")
         shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
         _EVENTS_DIR_CACHE[sf_dir] = d
     staged = os.path.join(_EVENTS_DIR_CACHE[sf_dir], "events.parquet")
@@ -157,7 +157,7 @@ def _parity_events_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _PARITY_DIR_CACHE:
         import os
 
-        src = os.path.join(tempfile.mkdtemp(prefix="events_parity_"), "src")
+        src = os.path.join(_tracked_mkdtemp(prefix="events_parity_"), "src")
         e = load_table(spark, sf_dir, "events")
         e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
             "append"
@@ -415,7 +415,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink state, so the flag is deterministic given the batch order."""
     import os
 
-    root = tempfile.mkdtemp(prefix="late_stream_")
+    root = _tracked_mkdtemp(prefix="late_stream_")
     src, out = os.path.join(root, "src"), os.path.join(root, "out")
     e = load_table(spark, sf_dir, "events")
     # batch 1: on-time traffic; batch 2: the replayed (late) slice.
@@ -480,7 +480,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicatesWithinWatermark."""
     import os
 
-    root = tempfile.mkdtemp(prefix="dedup_stream_")
+    root = _tracked_mkdtemp(prefix="dedup_stream_")
     out = os.path.join(root, "out")
     src = _events_replay_dir(spark, sf_dir)
 
@@ -823,7 +823,7 @@ def q_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Two source files -> two micro-batches with interleaved keys
     # (shared staged source; state/checkpoint dirs stay per-query).
     src = _parity_events_dir(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="upsert_stream_")
+    root = _tracked_mkdtemp(prefix="upsert_stream_")
 
     state: dict[str, str | None] = {"dir": None}
 
@@ -905,7 +905,7 @@ def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     incrementally (a crash mid-backfill resumes, not restarts)."""
     import os
 
-    root = tempfile.mkdtemp(prefix="availnow_stream_")
+    root = _tracked_mkdtemp(prefix="availnow_stream_")
     src, out = os.path.join(root, "src"), os.path.join(root, "out")
     e = load_table(spark, sf_dir, "events")
     for slice_id in range(3):
@@ -975,7 +975,7 @@ def q_stream_replay_heal(spark: SparkSession, sf_dir: str) -> DataFrame:
     this key exercises is exactly the one those logs close."""
     import os
 
-    root = tempfile.mkdtemp(prefix="replayheal_stream_")
+    root = _tracked_mkdtemp(prefix="replayheal_stream_")
     src, out = os.path.join(root, "src"), os.path.join(root, "out")
     e = load_table(spark, sf_dir, "events")
     for slice_id in range(3):
@@ -1046,7 +1046,7 @@ def _docs_range_batches_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _DOCS_BATCH_CACHE:
         import os
 
-        root = tempfile.mkdtemp(prefix="docs_batches_")
+        root = _tracked_mkdtemp(prefix="docs_batches_")
         src = os.path.join(root, "src")
         d = load_table(spark, sf_dir, "documents").select(
             "doc_id", "text", "source"
@@ -1118,7 +1118,7 @@ def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ex_aws_firehose_spark.operators.llm import minhash_bands
 
-    root = tempfile.mkdtemp(prefix="dedup_stream_")
+    root = _tracked_mkdtemp(prefix="dedup_stream_")
     src = _docs_range_batches_dir(spark, sf_dir)
     idx_dir = os.path.join(root, "band_index")
     out_dir = os.path.join(root, "verdicts")
@@ -1214,7 +1214,7 @@ def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
     the knob that makes infinite-retention dedup finite."""
     import os
 
-    root = tempfile.mkdtemp(prefix="dedup_wm_stream_")
+    root = _tracked_mkdtemp(prefix="dedup_wm_stream_")
     out = os.path.join(root, "out")
     src = _events_replay_dir(spark, sf_dir)
 
@@ -1338,7 +1338,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     src = _parity_events_dir(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="incr_agg_stream_")
+    root = _tracked_mkdtemp(prefix="incr_agg_stream_")
     state: dict[str, str | None] = {"dir": None}
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1381,7 +1381,7 @@ def q_stream_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream.writeStream.foreachBatch(merge_batch)
             .option(
                 "checkpointLocation",
-                tempfile.mkdtemp(prefix="incr_agg_ckpt_"),
+                _tracked_mkdtemp(prefix="incr_agg_ckpt_"),
             )
             .start()
         )
@@ -1416,7 +1416,7 @@ def q_stream_state_inspect(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     src = _parity_events_dir(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="state_inspect_")
+    root = _tracked_mkdtemp(prefix="state_inspect_")
     ckpt = os.path.join(root, "ckpt")
     stream = (
         spark.readStream.schema(EVENTS_TS_SCHEMA)
@@ -1528,7 +1528,7 @@ def _time_split_events_dir(spark: SparkSession, sf_dir: str) -> str:
     if key not in _TIME_SPLIT_DIR_CACHE:
         import os
 
-        src = os.path.join(tempfile.mkdtemp(prefix="events_tsplit_"), "src")
+        src = os.path.join(_tracked_mkdtemp(prefix="events_tsplit_"), "src")
         e = load_table(spark, sf_dir, "events")
         split = e.agg(
             F.timestamp_micros(
@@ -2062,7 +2062,7 @@ def q_stream_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles are harmless set-members)."""
     import os
 
-    root = tempfile.mkdtemp(prefix="span_stream_")
+    root = _tracked_mkdtemp(prefix="span_stream_")
     src = _docs_range_batches_dir(spark, sf_dir)
     idx_dir = os.path.join(root, "shingle_index")
     out_dir = os.path.join(root, "verdicts")
@@ -2156,7 +2156,7 @@ def q_stream_sketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         KMV_SPACE,
     )
 
-    root = tempfile.mkdtemp(prefix="kmv_stream_")
+    root = _tracked_mkdtemp(prefix="kmv_stream_")
     src = _time_split_events_dir(spark, sf_dir)
     state_dir = os.path.join(root, "state")
 
@@ -2322,7 +2322,7 @@ def bus_topic_dir(spark: SparkSession, sf_dir: str) -> str:
 
         from ex_aws_firehose_spark.sources.bus import BUS_SHARDS
 
-        root = os.path.join(tempfile.mkdtemp(prefix="bus_topic_"), "topic")
+        root = os.path.join(_tracked_mkdtemp(prefix="bus_topic_"), "topic")
         os.makedirs(root, exist_ok=True)
         con = duckdb.connect()
         try:
@@ -2468,7 +2468,7 @@ def q_stream_index_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     cent, codes, cb, members = load_persisted_index(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="ann_serve_")
+    root = _tracked_mkdtemp(prefix="ann_serve_")
     qdir = os.path.join(root, "queries")
     out_dir = os.path.join(root, "results")
     e = load_table(spark, sf_dir, "embeddings")
@@ -2589,7 +2589,7 @@ def q_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ex_aws_firehose_spark.operators.llm import gopher_ok_flags
 
     src = _docs_range_batches_dir(spark, sf_dir)
-    out_dir = tempfile.mkdtemp(prefix="quality_monitor_") + "/out"
+    out_dir = _tracked_mkdtemp(prefix="quality_monitor_") + "/out"
 
     def monitor_batch(batch_df: DataFrame, batch_id: int) -> None:
         flags = batch_df.select(*gopher_ok_flags())
@@ -2621,7 +2621,7 @@ def q_stream_quality_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     with stream_shuffle(spark):
         q = (
             stream.writeStream.foreachBatch(monitor_batch)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="qm_ckpt_"))
+            .option("checkpointLocation", _tracked_mkdtemp(prefix="qm_ckpt_"))
             .trigger(availableNow=True)
             .start()
         )
@@ -2669,7 +2669,7 @@ def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     src = _parity_events_dir(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="cdc_apply_")
+    root = _tracked_mkdtemp(prefix="cdc_apply_")
 
     state: dict[str, str | None] = {"dir": None}
 
@@ -2788,7 +2788,7 @@ def q_stream_throttle_carryover(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     src = _parity_events_dir(spark, sf_dir)
-    root = tempfile.mkdtemp(prefix="throttle_stream_")
+    root = _tracked_mkdtemp(prefix="throttle_stream_")
     admitted_dir = os.path.join(root, "admitted")
     state: dict[str, str | None] = {"dir": None}
 
@@ -2904,7 +2904,7 @@ def sink_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     commits."""
     import os
 
-    root = tempfile.mkdtemp(prefix="manifest_sink_")
+    root = _tracked_mkdtemp(prefix="manifest_sink_")
     src = os.path.join(root, "src")
     data = os.path.join(root, "data")
     man = os.path.join(root, "manifest")
@@ -3014,7 +3014,7 @@ def src_stream_bus_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _BUS_REBALANCE_CACHE:
         import duckdb
 
-        base = tempfile.mkdtemp(prefix="bus_rebalance_key_")
+        base = _tracked_mkdtemp(prefix="bus_rebalance_key_")
         root = os.path.join(base, "topic")
         os.makedirs(root, exist_ok=True)
         out = os.path.join(base, "out")
@@ -3152,8 +3152,6 @@ def q_stream_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     from pyspark.sql import Window as W
-
-    from ex_aws_firehose_spark.sources.formats import _tracked_mkdtemp
 
     root = _tracked_mkdtemp(prefix="exph_stream_")
     src = _time_split_events_dir(spark, sf_dir)
