@@ -109,6 +109,38 @@ def main() -> None:
         print(f"bench: warm-up failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+
+    # Family-ordered prelude (VERDICT r11 ask #5): session-cached index
+    # TRAINING is timed under its own named row instead of being
+    # charged to whichever alphabetically-first key happens to call it
+    # (q_eval_average_precision was paying the whole IVF/PQ training
+    # bill). The training frames are eager (localCheckpoint'd), so
+    # calling the trainers materializes them.
+    def _preludes():
+        from ex_aws_firehose_spark.operators.llm import (
+            ADC_K,
+            ADC_M,
+            graph_ann_build,
+            ivf_train,
+            pq_train,
+        )
+
+        yield "_train_ivf_codebook", lambda: ivf_train(spark, sf_dir)
+        yield "_train_pq_codebook", lambda: pq_train(
+            spark, sf_dir, ADC_M, ADC_K
+        )
+        yield "_build_graph_ann_index", lambda: graph_ann_build(
+            spark, sf_dir
+        )
+
+    for key, thunk in _preludes():
+        t0 = time.perf_counter()
+        try:
+            thunk()
+            timings[key] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:
+            timings[key] = -1.0
+            print(f"bench: prelude {key} failed: {exc}", file=sys.stderr)
     for key in sorted(REGISTRY):
         fn = REGISTRY[key].fn
         t0 = time.perf_counter()
@@ -121,6 +153,9 @@ def main() -> None:
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     n_failed = sum(1 for t in timings.values() if t < 0)
+    # registry keys only — the _-prefixed prelude rows are attribution
+    # devices, not queries (their seconds still count in the total)
+    n_queries = sum(1 for k in timings if not k.startswith("_"))
     # Stream keys carry fixed Structured-Streaming machinery cost
     # (checkpoint dirs, micro-batch scheduling) that is ~flat in SF;
     # split them out so the batch rate is readable on its own.
@@ -140,7 +175,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
-        "n_queries": len(timings),
+        "n_queries": n_queries,
         "n_failed": n_failed,
         "batch_total": batch_total,
         "stream_total": stream_total,
@@ -164,7 +199,7 @@ def main() -> None:
         "unit": "sec",
         "queries": headline,
         "sf": sf,
-        "n_queries": len(timings),
+        "n_queries": n_queries,
         "n_failed": n_failed,
         "batch_total": batch_total,
         "stream_total": stream_total,

@@ -510,3 +510,53 @@ def test_crash_replay_span_index(spark, smoke_dir):
     crashed = run(_tf.mkdtemp(prefix="span_crash_"), crash_on_batch=1)
     assert clean == crashed
     assert len(clean) == n
+
+
+def test_crash_replay_ivm_join_state(spark, smoke_dir):
+    """Replay-heal contract of q_stream_ivm_join_delta: inject a crash
+    in batch 1 AFTER the state_v1 / deltas write but BEFORE the
+    checkpoint commit, restart from the same checkpoint+root. The
+    replayed batch rediscovers its prior state from DISK (highest
+    state_v<i> with i < batch_id — state_v0, never the half-committed
+    state_v1) and its copy-on-write overwrite is idempotent, so the
+    healed final view equals the one-shot orders⋈customer aggregate."""
+    from ex_aws_firehose_spark.operators.relational import _cents
+    from ex_aws_firehose_spark.streaming.queries import (
+        _ivm_join_stream_run,
+        _latest_state_version_prefixed,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    root = tempfile.mkdtemp(prefix="crash_ivm_join_")
+    crash_flag = os.path.join(root, "crash_armed")
+    open(crash_flag, "w").close()
+
+    with pytest.raises(Exception, match="injected crash|terminated"):
+        _ivm_join_stream_run(spark, smoke_dir, root, crash_flag=crash_flag)
+    assert not os.path.exists(crash_flag), "crash hook never fired"
+    # restart: same checkpoint -> batch 1 replays, then batch 2 drains
+    _ivm_join_stream_run(spark, smoke_dir, root, crash_flag=crash_flag)
+
+    last = _latest_state_version_prefixed(root, "test_ivm_join")
+    assert last == 2
+    healed = {
+        (r.seg, r.v_cents)
+        for r in spark.read.parquet(
+            os.path.join(root, f"state_v{last}", "view")
+        ).collect()
+    }
+    o = load_table(spark, smoke_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        _cents("o_totalprice").alias("cents"),
+    )
+    c = load_table(spark, smoke_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    truth = {
+        (r.c_mktsegment, r.s)
+        for r in o.join(c, "custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.sum("cents").alias("s"))
+        .collect()
+    }
+    assert healed == truth
