@@ -1807,3 +1807,55 @@ def test_ivm_join_delta_algebra(spark, sf_dir):
         + r.d_both_new_cents
         for r in rows
     )
+
+
+def test_multi_changepoint_partitions_calendar_and_cost_decreases(
+    spark, sf_dir
+):
+    """Laws of q_timeseries_multi_changepoint:
+
+    1. Completeness: every event type emits exactly MULTI_CP_ROUNDS
+       rows, rounds 1..k, with DISTINCT split days — so the sorted
+       splits partition the 30-day calendar into k+1 non-empty
+       segments (each split satisfied i < n within its segment).
+    2. Cost monotonicity: every committed gain is >= 0 (variance
+       decomposition), so the total within-segment cost is
+       non-increasing across rounds. (The raw gain SEQUENCE is not
+       monotone for binary segmentation — see the key docstring's
+       [0,10,0] counterexample — the cost is the monotone quantity.)
+    3. Each split day lies strictly inside the series' day span.
+    """
+    from ex_aws_firehose_spark.operators.analytics import MULTI_CP_ROUNDS
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = REGISTRY["q_timeseries_multi_changepoint"].fn(
+        spark, sf_dir
+    ).collect()
+    days = {
+        r.event_type: (r.lo, r.hi, r.n)
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type", F.col("ts").cast("date").alias("day"))
+        .groupBy("event_type")
+        .agg(
+            F.min("day").alias("lo"),
+            F.max("day").alias("hi"),
+            F.countDistinct("day").alias("n"),
+        )
+        .collect()
+    }
+    by = {}
+    for r in rows:
+        by.setdefault(r.event_type, []).append(r)
+    assert set(by) == set(days)
+    for et, lst in by.items():
+        lst.sort(key=lambda r: r.round_no)
+        assert [r.round_no for r in lst] == list(
+            range(1, MULTI_CP_ROUNDS + 1)
+        )
+        splits = [r.split_day for r in lst]
+        assert len(set(splits)) == MULTI_CP_ROUNDS, splits
+        lo, hi, n = days[et]
+        assert all(lo <= d < hi for d in splits), (et, splits, lo, hi)
+        assert all(r.r_gain >= 0 for r in lst), (et, lst)
+        # k distinct interior splits over n days -> k+1 non-empty parts
+        assert n >= MULTI_CP_ROUNDS + 1
