@@ -1892,6 +1892,152 @@ def q_read_snapshot_isolation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Named snapshot refs: branches advance, tags pin (Iceberg ref semantics)
+# ---------------------------------------------------------------------------
+
+# The ref LOG: (seq, ref_name, ref_type, commit_id) — an append-only
+# metadata stream beside the commit log. 'main' advances with every
+# commit; 'v1.0' is a tag pinned at snapshot 1 forever; 'audit' is a
+# slow branch created at 2, advanced to 3, never to 4. Resolution =
+# latest entry per ref (seq DESC).
+SNAP_REF_LOG = [
+    (0, "main", "branch", 0),
+    (1, "main", "branch", 1),
+    (1, "v1.0", "tag", 1),
+    (2, "main", "branch", 2),
+    (2, "audit", "branch", 2),
+    (3, "main", "branch", 3),
+    (3, "audit", "branch", 3),
+    (4, "main", "branch", 4),
+]
+
+_REFS_CACHE: SessionCache = SessionCache()
+
+
+def _stage_ref_log(spark: SparkSession, sf_dir: str) -> str:
+    """Write the ref log beside the committed table's manifest — the
+    same driver-side metadata write the commit log uses."""
+    import os
+
+    key = _REFS_CACHE.scoped_key(spark, sf_dir)
+    cached = _REFS_CACHE.get(key)
+    if cached is not None:
+        return cached
+    data, man = _stage_committed_table(spark, sf_dir)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    refs_dir = os.path.join(os.path.dirname(man), "refs")
+    os.makedirs(refs_dir, exist_ok=True)
+    seqs, names, types, cids = zip(*SNAP_REF_LOG)
+    pq.write_table(
+        pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "ref_name": pa.array(names, pa.string()),
+                "ref_type": pa.array(types, pa.string()),
+                "commit_id": pa.array(cids, pa.int64()),
+            }
+        ),
+        os.path.join(refs_dir, "reflog.parquet"),
+    )
+    _REFS_CACHE[key] = refs_dir
+    return refs_dir
+
+
+def _snap_refs_oracle() -> str:
+    reflog_rows = ", ".join(
+        f"({s}, '{n}', '{t}', {c})" for s, n, t, c in SNAP_REF_LOG
+    )
+    return f"""
+    WITH g AS (
+        SELECT o_orderkey % {SNAP_GROUPS} AS commit_id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    reflog(seq, ref_name, ref_type, commit_id) AS (
+        VALUES {reflog_rows}
+    ),
+    resolved AS (
+        SELECT ref_name, ref_type, commit_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY ref_name
+                          ORDER BY seq DESC, commit_id DESC) AS rn
+            FROM reflog
+        ) WHERE rn = 1
+    )
+    SELECT r.ref_name, r.ref_type,
+           CAST(r.commit_id AS BIGINT) AS resolved_commit_id,
+           CAST(r.commit_id + 1 AS BIGINT) AS n_commits,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(g.cents) AS BIGINT) AS cents_total
+    FROM resolved r JOIN g ON g.commit_id <= r.commit_id
+    GROUP BY r.ref_name, r.ref_type, r.commit_id
+    """
+
+
+@query(
+    "q_meta_snapshot_refs",
+    oracle=_snap_refs_oracle(),
+    tags=("source", "maintenance", "manifest"),
+)
+def q_meta_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NAMED SNAPSHOT REFS over the manifest-committed table — Iceberg
+    branch/tag semantics (VERDICT r11 ask #8): an append-only ref log
+    lives beside the commit log; a TAG pins one snapshot forever
+    ('v1.0' → commit 1), a BRANCH advances by appending entries
+    ('main' tracks the head, 'audit' lags at 3). Ref resolution is
+    latest-entry-per-ref (seq DESC window) — pure metadata — and a
+    read VIA a ref plans from the commit-log prefix ≤ the resolved
+    snapshot, byte-identical machinery to q_read_snapshot_isolation's
+    pinned read: later files are never listed, opened, or scanned.
+    Serves every ref's aggregate (rows + cents) with the resolved
+    snapshot id; the oracle recomputes resolution AND every prefix
+    aggregate from the raw table, so a ref that leaks a later commit
+    (the tag-mutation bug) or drops one hash-fails.
+
+    100 TB shape: the ref log and its resolution window are
+    metadata-grain (|refs| rows); each ref's scan reads only its
+    prefix's files — a lagging branch never pays head-sized I/O."""
+    data, man = _stage_committed_table(spark, sf_dir)
+    refs_dir = _stage_ref_log(spark, sf_dir)
+    from pyspark.sql import Window
+
+    reflog = spark.read.parquet(refs_dir)
+    wr = Window.partitionBy("ref_name").orderBy(
+        F.desc("seq"), F.desc("commit_id")
+    )
+    resolved = (
+        reflog.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("ref_name", "ref_type", "commit_id")
+        .collect()  # metadata grain: one row per ref
+    )
+    log = spark.read.parquet(man)
+    out = None
+    for r in sorted(resolved, key=lambda x: x.ref_name):
+        paths = sorted(
+            row.path
+            for row in log.filter(F.col("commit_id") <= r.commit_id)
+            .select("path")
+            .collect()
+        )
+        t = spark.read.option("basePath", data).parquet(*paths)
+        part = t.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ).select(
+            F.lit(r.ref_name).alias("ref_name"),
+            F.lit(r.ref_type).alias("ref_type"),
+            F.lit(r.commit_id).cast("long").alias("resolved_commit_id"),
+            F.lit(r.commit_id + 1).cast("long").alias("n_commits"),
+            "n_rows",
+            "cents_total",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Partition-spec evolution (Iceberg spec-id semantics from first principles)
 # ---------------------------------------------------------------------------
 
