@@ -169,11 +169,21 @@ def _parity_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return _PARITY_DIR_CACHE[key]
 
 
-def _run_to_memory(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+def _run_to_memory(
+    stream_df: DataFrame, mode: str = "complete", n: int | None = None
+) -> DataFrame:
     """Drain a streaming aggregation into a memory sink and return the
-    final table."""
+    final table. ``n`` overrides the stream's shuffle-partition count:
+    stream-stream joins checkpoint FOUR state stores per partition per
+    micro-batch (left/right x keyToNumValues/keyWithIndexToValue), so
+    their commit I/O scales with partitions harder than any other
+    stateful op — they run at 4 (measured ~1 s/key saving vs 8 across
+    repeated A/B at sf0.1; key cardinality is far below either)."""
     name = f"mem_sink_{next(_MEM_SINK_COUNTER)}"
-    with stream_shuffle(stream_df.sparkSession):
+    sess = stream_df.sparkSession
+    with (
+        stream_shuffle(sess, n) if n is not None else stream_shuffle(sess)
+    ):
         q = (
             stream_df.writeStream.outputMode(mode)
             .format("memory")
@@ -779,7 +789,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("v_user").alias("user_id"), "view_id", "click_id"
     )
-    return _run_to_memory(joined, mode="append")
+    return _run_to_memory(joined, mode="append", n=4)
 
 
 @query(
@@ -1479,14 +1489,22 @@ def _ivm_join_batch(
     )
     prior = [v for v in versions if v < batch_id]
     if prior:
-        pdir = os.path.join(root, f"state_v{max(prior)}")
-        s_old = spark.read.parquet(os.path.join(pdir, "s_dim"))
-        r_old = spark.read.parquet(os.path.join(pdir, "r_cust"))
-        v_old = spark.read.parquet(os.path.join(pdir, "view"))
+        # one versioned file holds all four tables, tbl-tagged — the
+        # whole state is metadata-grain, so ONE write/read job per
+        # commit beats a file per table (job count is the cost here;
+        # at scale each tbl is its own partitioned table)
+        st = spark.read.parquet(
+            os.path.join(root, f"state_v{max(prior)}")
+        )
     else:
-        s_old = spark.createDataFrame([], "custkey long, seg string")
-        r_old = spark.createDataFrame([], "custkey long, cents long")
-        v_old = spark.createDataFrame([], "seg string, v_cents long")
+        st = spark.createDataFrame(
+            [], "tbl string, custkey long, seg string, cents long"
+        )
+    s_old = st.filter(F.col("tbl") == "s").select("custkey", "seg")
+    r_old = st.filter(F.col("tbl") == "r").select("custkey", "cents")
+    v_old = st.filter(F.col("tbl") == "v").select(
+        "seg", F.col("cents").alias("v_cents")
+    )
     d_r = batch_df.filter(F.col("side") == "o").select("custkey", "cents")
     d_s = batch_df.filter(F.col("side") == "c").select("custkey", "seg")
     # the three delta terms — every one has at least one (broadcast)
@@ -1517,12 +1535,27 @@ def _ivm_join_batch(
         .agg(F.sum("cents").alias("cents"))
     )
     ndir = os.path.join(root, f"state_v{batch_id}")
-    new_s.write.mode("overwrite").parquet(os.path.join(ndir, "s_dim"))
-    new_r.write.mode("overwrite").parquet(os.path.join(ndir, "r_cust"))
-    new_view.write.mode("overwrite").parquet(os.path.join(ndir, "view"))
-    delta.write.mode("overwrite").parquet(
-        os.path.join(root, "deltas", f"b{batch_id}")
+    ns = F.lit(None).cast("string")
+    nl = F.lit(None).cast("long")
+    combined = (
+        new_s.select(F.lit("s").alias("tbl"), "custkey", "seg", nl.alias("cents"))
+        .unionByName(
+            new_r.select(F.lit("r").alias("tbl"), "custkey", ns.alias("seg"), "cents")
+        )
+        .unionByName(
+            new_view.select(
+                F.lit("v").alias("tbl"), nl.alias("custkey"), "seg",
+                F.col("v_cents").alias("cents"),
+            )
+        )
+        .unionByName(
+            delta.select(
+                F.lit("d").alias("tbl"), nl.alias("custkey"), "seg",
+                F.col("d_cents").alias("cents"),
+            )
+        )
     )
+    combined.coalesce(1).write.mode("overwrite").parquet(ndir)
     if crash_flag is not None and batch_id == 1 and os.path.exists(crash_flag):
         os.remove(crash_flag)
         raise RuntimeError("injected crash after state write, before commit")
@@ -1639,10 +1672,19 @@ def q_stream_ivm_join_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tracked_mkdtemp(prefix="ivm_join_stream_")
     _ivm_join_stream_run(spark, sf_dir, root)
     last = _latest_state_version_prefixed(root, "q_stream_ivm_join_delta")
-    view = spark.read.parquet(os.path.join(root, f"state_v{last}", "view"))
-    d0 = spark.read.parquet(os.path.join(root, "deltas", "b0"))
-    d1 = spark.read.parquet(os.path.join(root, "deltas", "b1"))
-    d2 = spark.read.parquet(os.path.join(root, "deltas", "b2"))
+
+    def _state(b: int) -> DataFrame:
+        return spark.read.parquet(os.path.join(root, f"state_v{b}"))
+
+    view = _state(last).filter(F.col("tbl") == "v").select(
+        "seg", F.col("cents").alias("v_cents")
+    )
+    d0, d1, d2 = (
+        _state(b)
+        .filter(F.col("tbl") == "d")
+        .select("seg", F.col("cents").alias("d_cents"))
+        for b in (0, 1, 2)
+    )
     from ex_aws_firehose_spark.operators.relational import _cents
 
     o = load_table(spark, sf_dir, "orders").select(
@@ -2140,7 +2182,7 @@ def q_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES")),
         "left_outer",
     ).select(F.col("v_user").alias("user_id"), "view_id", "click_id")
-    out = _run_to_memory(joined, mode="append")
+    out = _run_to_memory(joined, mode="append", n=4)
     return out.filter(F.col("user_id") >= 0)
 
 
@@ -2222,7 +2264,7 @@ def q_stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFra
         "view_id",
         "click_id",
     )
-    out = _run_to_memory(joined, mode="append")
+    out = _run_to_memory(joined, mode="append", n=4)
     return out.filter(F.col("user_id") >= 0)
 
 

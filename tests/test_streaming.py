@@ -540,10 +540,10 @@ def test_crash_replay_ivm_join_state(spark, smoke_dir):
     last = _latest_state_version_prefixed(root, "test_ivm_join")
     assert last == 2
     healed = {
-        (r.seg, r.v_cents)
-        for r in spark.read.parquet(
-            os.path.join(root, f"state_v{last}", "view")
-        ).collect()
+        (r.seg, r.cents)
+        for r in spark.read.parquet(os.path.join(root, f"state_v{last}"))
+        .filter(F.col("tbl") == "v")
+        .collect()
     }
     o = load_table(spark, smoke_dir, "orders").select(
         F.col("o_custkey").alias("custkey"),
