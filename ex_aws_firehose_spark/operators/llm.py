@@ -5125,6 +5125,125 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RHO_SEED_LANG = "en"  # the in-domain seed slice for contrastive selection
+RHO_KEEP_DEN = 4  # keep the top 1/4 by contrast score
+
+
+@query(
+    "q_curate_rho_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(str_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    c_in AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        WHERE lang = '{RHO_SEED_LANG}' GROUP BY tok
+    ),
+    c_gen AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(length(printf('%b', coalesce(i.c, 0) + 1))
+                        - length(printf('%b', g.c + 1))) AS BIGINT)
+                   AS delta_bits
+        FROM toks t
+        LEFT JOIN c_in i USING (tok)
+        JOIN c_gen g USING (tok)
+        GROUP BY t.doc_id
+    ),
+    ranked AS (
+        SELECT s.doc_id, d.lang, s.n_tokens, s.delta_bits,
+               CAST(s.delta_bits * 1000 // s.n_tokens AS BIGINT)
+                   AS mean_delta_milli,
+               ROW_NUMBER() OVER (
+                   ORDER BY s.delta_bits * 1000 // s.n_tokens DESC,
+                            s.doc_id) AS rn,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_docs
+        FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, n_tokens, delta_bits, mean_delta_milli,
+           (rn - 1) * {RHO_KEEP_DEN} < n_docs AS kept
+    FROM ranked
+    """,
+    tags=("llm", "curation"),
+)
+def q_curate_rho_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive (Moore–Lewis / rho) data selection — the two-LM
+    upgrade of q_curate_dsir's importance weighting: every token is
+    scored by ⌊log₂(c_in+1)⌋ − ⌊log₂(c_gen+1)⌋, the integer bit-length
+    contrast between an IN-DOMAIN unigram LM (the lang-'en' seed
+    slice, RHO_SEED_LANG) and the GENERAL corpus LM; a document's mean
+    contrast says whether the target LM likes it more than the
+    background LM — the classic cross-entropy-difference selection
+    signal, here in the engine's exact-int64 house form (add-one
+    smoothing on both sides, so unseen-in-seed tokens score the
+    maximal penalty instead of diverging). Keeps the global top
+    1/RHO_KEEP_DEN by milli-mean contrast (doc_id ties), the rho cut.
+    Selection laws (kept count = ceil(n/4), kept set = top-ranked
+    prefix, contrast ≤ 0 because the seed is a corpus subset) pinned
+    in tests/test_new_key_invariants.py; note the fixture's five lang
+    labels share ONE synthetic vocabulary (measured), so the
+    machinery is exercised structurally — on a real corpus the seed
+    slice's distinct distribution is what the contrast surfaces.
+
+    100 TB shape: two map-side-combined token-count tables (seed and
+    general — Zipf-bounded), one token-stream join back (head
+    broadcasts under AQE, tail shuffles on tok), one doc-grain agg;
+    the global rank is over doc-grain rows and at scale becomes the
+    documented approximate-quantile threshold cut instead of a total
+    order."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+    c_in = (
+        toks.filter(F.col("lang") == RHO_SEED_LANG)
+        .groupBy("tok")
+        .agg(F.count("*").alias("ci"))
+    )
+    c_gen = toks.groupBy("tok").agg(F.count("*").alias("cg"))
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    scored = (
+        toks.join(c_in, "tok", "left")
+        .join(c_gen, "tok")
+        .select(
+            "doc_id",
+            (
+                bitlen(F.coalesce(F.col("ci"), F.lit(0)) + 1)
+                - bitlen(F.col("cg") + 1)
+            )
+            .cast("long")
+            .alias("lp"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("lp").alias("delta_bits"),
+        )
+    )
+    ranked = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "delta_bits",
+        F.expr("delta_bits * 1000 div n_tokens").alias("mean_delta_milli"),
+    )
+    w = Window.orderBy(F.desc("mean_delta_milli"), "doc_id")
+    wall = Window.partitionBy()
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "delta_bits",
+        "mean_delta_milli",
+        (
+            (F.row_number().over(w) - 1) * RHO_KEEP_DEN
+            < F.count("*").over(wall)
+        ).alias("kept"),
+    )
+
+
 @query(
     "q_dedup_cross_source",
     oracle="""

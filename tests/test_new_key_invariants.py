@@ -1859,3 +1859,31 @@ def test_multi_changepoint_partitions_calendar_and_cost_decreases(
         assert all(r.r_gain >= 0 for r in lst), (et, lst)
         # k distinct interior splits over n days -> k+1 non-empty parts
         assert n >= MULTI_CP_ROUNDS + 1
+
+
+def test_rho_filter_selection_laws(spark, sf_dir):
+    """Laws of q_curate_rho_filter: kept count is exactly ceil(n/4);
+    the kept set is the top-ranked prefix under (mean_delta_milli
+    DESC, doc_id); and every contrast is <= 0 — the seed slice is a
+    SUBSET of the corpus, so c_in <= c_gen and the bit-length delta
+    can never be positive (the best possible doc scores ~0, tokens
+    unseen in the seed drag below). Distributional separation by lang
+    is NOT pinnable on this fixture: all five lang labels share one
+    synthetic vocabulary (measured — top tokens identical across
+    langs), so the selection signal is exercised structurally, not
+    semantically."""
+    import math
+
+    from ex_aws_firehose_spark.operators.llm import RHO_KEEP_DEN
+
+    rows = REGISTRY["q_curate_rho_filter"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    kept = [r for r in rows if r.kept]
+    assert len(kept) == math.ceil(n / RHO_KEEP_DEN)
+    ranked = sorted(rows, key=lambda r: (-r.mean_delta_milli, r.doc_id))
+    assert {r.doc_id for r in ranked[: len(kept)]} == {
+        r.doc_id for r in kept
+    }
+    assert all(r.delta_bits <= 0 for r in rows)
+    assert all(r.mean_delta_milli <= 0 for r in rows)
+    assert all(r.n_tokens >= 1 for r in rows)

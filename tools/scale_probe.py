@@ -83,6 +83,11 @@ KEY_TABLE = {
     "q_sketch_theta_diff": "lineitem",
     "q_sim_mmr_rerank": "embeddings",
     "q_read_position_deletes": "orders",
+    # round-12 keys (VERDICT r11 asks #2/#6/#7/#8)
+    "q_sim_ivf_compact": "embeddings",
+    "q_stream_ivm_join_delta": "orders",
+    "q_timeseries_multi_changepoint": "events",
+    "q_meta_snapshot_refs": "orders",
 }
 
 
