@@ -4438,6 +4438,150 @@ def q_timeseries_ses_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Holt fold over columns (ys: double array, n: count) — the fold
+# elements are (value, position) for t = 2..n, so the fold can freeze
+# the backtest state exactly when it applies element n-1 (Spark arrays
+# are 0-indexed; DuckDB's are 1-indexed — each side's position
+# arithmetic accounts for it). Module-level so the linear-series
+# exactness law (tests/test_new_key_invariants.py) drives the same
+# expression the key runs.
+HOLT_FOLD_EXPR = """aggregate(
+    transform(slice(ys, 2, CAST(n - 1 AS INT)),
+              (y, i) -> struct(y AS y, CAST(i + 2 AS BIGINT) AS p)),
+    struct(ys[0] AS l, ys[1] - ys[0] AS b,
+           CAST(NULL AS DOUBLE) AS fl, CAST(NULL AS DOUBLE) AS fb),
+    (acc, s) -> struct(
+        0.5D * s.y + 0.5D * (acc.l + acc.b) AS l,
+        0.5D * ((0.5D * s.y + 0.5D * (acc.l + acc.b)) - acc.l)
+            + 0.5D * acc.b AS b,
+        CASE WHEN s.p = n - 1
+             THEN 0.5D * s.y + 0.5D * (acc.l + acc.b)
+             ELSE acc.fl END AS fl,
+        CASE WHEN s.p = n - 1
+             THEN 0.5D * ((0.5D * s.y + 0.5D * (acc.l + acc.b))
+                          - acc.l) + 0.5D * acc.b
+             ELSE acc.fb END AS fb))"""
+
+
+@query(
+    "q_timeseries_holt_forecast",
+    oracle="""
+    WITH RECURSIVE events_us AS (
+        SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+               event_type, value, props FROM events
+    ),
+    daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events_us GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    arr AS (
+        SELECT event_type,
+               list(CAST(cents AS DOUBLE) ORDER BY day) AS ys,
+               list(cents ORDER BY day) AS yi,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               MAX(day) AS last_day
+        FROM daily GROUP BY event_type HAVING COUNT(*) >= 3
+    ),
+    holt AS (
+        SELECT event_type, ys, yi, n, last_day, CAST(1 AS BIGINT) AS t,
+               ys[1] AS l, ys[2] - ys[1] AS b,
+               CAST(NULL AS DOUBLE) AS fl, CAST(NULL AS DOUBLE) AS fb
+        FROM arr
+        UNION ALL
+        SELECT event_type, ys, yi, n, last_day, t + 1,
+               0.5 * ys[CAST(t + 1 AS INT)] + 0.5 * (l + b),
+               0.5 * ((0.5 * ys[CAST(t + 1 AS INT)] + 0.5 * (l + b)) - l)
+                   + 0.5 * b,
+               CASE WHEN t + 1 = n - 1
+                    THEN 0.5 * ys[CAST(t + 1 AS INT)] + 0.5 * (l + b)
+                    ELSE fl END,
+               CASE WHEN t + 1 = n - 1
+                    THEN 0.5 * ((0.5 * ys[CAST(t + 1 AS INT)]
+                                 + 0.5 * (l + b)) - l) + 0.5 * b
+                    ELSE fb END
+        FROM holt WHERE t < n
+    )
+    SELECT event_type, n AS n_days, last_day,
+           yi[CAST(n AS INT)] AS last_cents,
+           l AS level, b AS trend, l + b AS forecast_next,
+           abs((fl + fb) - ys[CAST(n AS INT)]) AS backtest_abs_err
+    FROM holt WHERE t = n
+    """,
+    tags=("analytics", "timeseries"),
+)
+def q_timeseries_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's LINEAR-TREND forecast (double exponential smoothing,
+    α = β = 1/2) per event-type daily-revenue series — the trend
+    upgrade of q_timeseries_ses_forecast, which a trending series
+    systematically lags: level l_t = ½y_t + ½(l_{t−1} + b_{t−1}),
+    trend b_t = ½(l_t − l_{t−1}) + ½b_{t−1}, init l₁ = y₁,
+    b₁ = y₂ − y₁; one-step forecast = l_n + b_n. The recursion is a
+    SEQUENTIAL LEFT FOLD over the day-ordered series with an
+    identical operation order in both engines (Spark ``F.aggregate``
+    over the sorted array, DuckDB recursive CTE), and every step is
+    IEEE doubles built from exact integer cents with halving —
+    bit-identical cross-engine, the Viterbi-DP parity pattern applied
+    to floats. A backtest column freezes the fold state at n−1 and
+    reports |forecast − actual| for the newest day — the
+    trust-but-verify number every forecast consumer checks.
+
+    100 TB shape: one map-side-combined daily agg; the fold runs at
+    key grain over ≤|days| elements per series (catalog-sized arrays,
+    never event rows); no shuffle beyond the one agg."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    arr = (
+        daily.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("day", "cents"))).alias(
+                "sarr"
+            ),
+            F.count("*").alias("n"),
+            F.max("day").alias("last_day"),
+        )
+        .filter(F.col("n") >= 3)
+        .select(
+            "event_type",
+            "n",
+            "last_day",
+            F.expr("transform(sarr, s -> CAST(s.cents AS DOUBLE))").alias(
+                "ys"
+            ),
+            F.expr("transform(sarr, s -> s.cents)").alias("yi"),
+        )
+    )
+    fold = F.expr(HOLT_FOLD_EXPR)
+    return arr.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "last_day",
+        F.expr("yi[CAST(n - 1 AS INT)]").alias("last_cents"),
+        fold.alias("h"),
+        F.expr("ys[CAST(n - 1 AS INT)]").alias("_yn"),
+    ).select(
+        "event_type",
+        "n_days",
+        "last_day",
+        "last_cents",
+        F.col("h.l").alias("level"),
+        F.col("h.b").alias("trend"),
+        (F.col("h.l") + F.col("h.b")).alias("forecast_next"),
+        F.abs((F.col("h.fl") + F.col("h.fb")) - F.col("_yn")).alias(
+            "backtest_abs_err"
+        ),
+    )
+
+
 @query(
     "q_regress_ols_daily",
     oracle=EVENTS_US

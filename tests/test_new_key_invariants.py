@@ -1887,3 +1887,33 @@ def test_rho_filter_selection_laws(spark, sf_dir):
     assert all(r.delta_bits <= 0 for r in rows)
     assert all(r.mean_delta_milli <= 0 for r in rows)
     assert all(r.n_tokens >= 1 for r in rows)
+
+
+def test_holt_fold_exact_on_linear_series(spark, sf_dir):
+    """Holt with l1=y1, b1=y2-y1 reproduces a LINEAR series exactly:
+    for y_t = a + c*t, level_n = a + c*n, trend_n = c, the one-step
+    forecast is a + c*(n+1), and the backtest error is 0 — all in
+    exact IEEE doubles because every quantity is a dyadic-rational
+    combination of integers. Drives the SAME fold expression the key
+    runs (HOLT_FOLD_EXPR). Also pins the fixture-run invariants:
+    forecast_next == level + trend and backtest_abs_err >= 0."""
+    from pyspark.sql import functions as F
+
+    from ex_aws_firehose_spark.operators.analytics import HOLT_FOLD_EXPR
+
+    a, c, n = 700.0, 100.0, 12
+    ys = [a + c * t for t in range(1, n + 1)]
+    df = spark.range(1).select(
+        F.array(*[F.lit(y) for y in ys]).alias("ys"),
+        F.lit(n).cast("long").alias("n"),
+    )
+    h = df.select(F.expr(HOLT_FOLD_EXPR).alias("h")).collect()[0].h
+    assert h.l == a + c * n
+    assert h.b == c
+    assert h.fl + h.fb == a + c * n  # forecast from n-1 == y_n exactly
+
+    rows = REGISTRY["q_timeseries_holt_forecast"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.forecast_next == r.level + r.trend
+        assert r.backtest_abs_err >= 0
