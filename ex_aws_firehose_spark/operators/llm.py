@@ -5125,6 +5125,77 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_text_char_entropy",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, unnest(str_split_regex(lower(text), '')) AS c
+        FROM documents
+    ),
+    cc AS (
+        SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ch WHERE c <> '' GROUP BY doc_id, c
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(SUM(cnt) AS BIGINT) AS n_chars,
+               CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+               CAST(SUM(cnt * length(printf('%b', cnt))) AS BIGINT)
+                   AS sum_c_bits
+        FROM cc GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars, distinct_chars,
+           CAST(n_chars * length(printf('%b', n_chars)) - sum_c_bits
+                AS BIGINT) AS entropy_proxy_bits,
+           CAST((n_chars * length(printf('%b', n_chars)) - sum_c_bits)
+                * 1000 // n_chars AS BIGINT) AS entropy_milli_bits_per_char
+    FROM agg
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level ENTROPY proxy per document — the
+    gibberish/keyboard-mash/base64-blob detector that token-level
+    quality scores miss (a blob is one giant "token"; its CHARACTER
+    distribution is what gives it away, unusually high for random
+    bytes, unusually low for aaaa-runs): the integer form
+    n·⌊log₂n⌋ − Σ_c cnt_c·⌊log₂cnt_c⌋ of the entropy sum n·H ≈
+    n·log n − Σ c·log c, exact int64 bit-length arithmetic end to end
+    (the q_text_bigram_lm house log), normalized to milli-bits per
+    character. Zero for a single-repeated-character document,
+    maximal for all-distinct characters — bounds pinned in
+    tests/test_new_key_invariants.py.
+
+    100 TB shape: counting is a (doc_id, char) hash agg whose partial
+    (map-side) combine collapses every document to ≤|alphabet| rows
+    before the exchange — shuffle volume is doc-grain × alphabet, not
+    character-grain; the per-doc rollup is a second tiny agg on the
+    same key prefix."""
+    d = load_table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "")).alias("c"),
+    ).filter(F.col("c") != "")
+    cc = ch.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    agg = cc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_chars"),
+        F.count("*").alias("distinct_chars"),
+        F.sum(F.col("cnt") * bitlen(F.col("cnt"))).alias("sum_c_bits"),
+    )
+    proxy = F.col("n_chars") * bitlen(F.col("n_chars")) - F.col("sum_c_bits")
+    return agg.select(
+        "doc_id",
+        "n_chars",
+        "distinct_chars",
+        proxy.cast("long").alias("entropy_proxy_bits"),
+        F.expr(
+            "(n_chars * length(conv(cast(n_chars AS string), 10, 2))"
+            " - sum_c_bits) * 1000 div n_chars"
+        ).alias("entropy_milli_bits_per_char"),
+    )
+
+
 RHO_SEED_LANG = "en"  # the in-domain seed slice for contrastive selection
 RHO_KEEP_DEN = 4  # keep the top 1/4 by contrast score
 

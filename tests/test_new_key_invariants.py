@@ -1917,3 +1917,21 @@ def test_holt_fold_exact_on_linear_series(spark, sf_dir):
     for r in rows:
         assert r.forecast_next == r.level + r.trend
         assert r.backtest_abs_err >= 0
+
+
+def test_char_entropy_proxy_bounds(spark, sf_dir):
+    """Bounds of q_text_char_entropy's integer proxy: 0 <= proxy
+    (cnt <= n makes every bit-length <= bitlen(n)); proxy == 0 iff
+    the doc has one distinct character (then cnt == n exactly);
+    milli-bits per char <= 1000 * bitlen(n); distinct_chars <= n."""
+    rows = REGISTRY["q_text_char_entropy"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.entropy_proxy_bits
+        assert r.distinct_chars <= r.n_chars
+        if r.distinct_chars == 1:
+            assert r.entropy_proxy_bits == 0
+        assert (
+            r.entropy_milli_bits_per_char
+            <= 1000 * r.n_chars.bit_length()
+        )
