@@ -5125,6 +5125,137 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_HELDOUT_MOD = 5  # doc_id % 5 == 4 is the held-out slice
+
+
+@query(
+    "q_eval_perplexity_heldout",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source, str_split(lower(text), ' ') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS bg
+        FROM toks WHERE len(t) >= 2
+    ),
+    c12 AS (
+        SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM big
+        WHERE doc_id % {PPL_HELDOUT_MOD} <> {PPL_HELDOUT_MOD - 1}
+        GROUP BY bg
+    ),
+    c1 AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT doc_id, unnest(t) AS tok FROM toks
+            WHERE doc_id % {PPL_HELDOUT_MOD} <> {PPL_HELDOUT_MOD - 1}
+        ) GROUP BY tok
+    ),
+    held AS (
+        SELECT b.source, b.bg,
+               coalesce(c12.c, 0) AS c12c,
+               coalesce(c1.c, 0) AS c1c
+        FROM big b
+        LEFT JOIN c12 ON c12.bg = b.bg
+        LEFT JOIN c1 ON c1.tok = str_split(b.bg, ' ')[1]
+        WHERE b.doc_id % {PPL_HELDOUT_MOD} = {PPL_HELDOUT_MOD - 1}
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c12c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN c12c = 0 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS oov_ppm,
+           CAST(SUM(length(printf('%b', c1c + 1))
+                    - length(printf('%b', c12c + 1))) AS BIGINT)
+               AS nll_bits,
+           CAST(SUM(length(printf('%b', c1c + 1))
+                    - length(printf('%b', c12c + 1))) * 1000
+                // COUNT(*) AS BIGINT) AS mean_nll_milli_bits
+    FROM held GROUP BY source
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HELD-OUT perplexity of the corpus bigram LM — the train/eval
+    separation q_text_bigram_lm (in-corpus scoring) deliberately does
+    not have, and the number that actually certifies an LM-based
+    quality filter: counts come ONLY from the training slice
+    (doc_id % 5 ≠ 4), scoring runs ONLY over the held-out slice, so
+    memorized bigrams earn nothing. Per-token negative log-likelihood
+    in the house integer form ⌊log₂(c₁+1)⌋ − ⌊log₂(c₁₂+1)⌋ (add-one
+    smoothing makes unseen bigrams cost the full ⌊log₂(c₁+1)⌋ bits
+    instead of diverging), rolled up per source with the OOV rate
+    (held-out bigrams never seen in training, ppm) — rising OOV is
+    the drift signal that retrains the filter. Laws (OOV ppm bounds,
+    nll ≥ 0, per-source totals conserve) pinned in
+    tests/test_new_key_invariants.py.
+
+    100 TB shape: identical to the bigram-LM key — two Zipf-bounded
+    map-side-combined count tables over the training slice, one join
+    back on the held-out bigram stream (head broadcasts under AQE),
+    one source-grain rollup; the slice predicates are scan filters."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens("text")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    big = (
+        d.filter(F.size(t) >= 2)
+        .select("doc_id", "source", F.explode(bigrams).alias("bg"))
+    )
+    train = F.col("doc_id") % PPL_HELDOUT_MOD != PPL_HELDOUT_MOD - 1
+    c12 = (
+        big.filter(train).groupBy("bg").agg(F.count("*").alias("c12"))
+    )
+    c1 = (
+        d.filter(train)
+        .select(F.explode(t).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c1"))
+    )
+    bitlen = lambda c: F.length(F.conv(c.cast("string"), 10, 2))  # noqa: E731
+    held = (
+        big.filter(~train)
+        .join(c12, "bg", "left")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(c1, F.col("w1") == c1.tok, "left")
+        .select(
+            "source",
+            F.coalesce(F.col("c12"), F.lit(0)).alias("c12c"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1c"),
+        )
+    )
+    nll = bitlen(F.col("c1c") + 1) - bitlen(F.col("c12c") + 1)
+    return (
+        held.groupBy("source")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum(F.when(F.col("c12c") == 0, 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+            F.sum(nll).cast("long").alias("nll_bits"),
+        )
+        .select(
+            "source",
+            "n_bigrams",
+            "n_oov",
+            # integer div, never float-then-truncate: a double quotient
+            # epsilon under the exact integer would round differently
+            # than DuckDB's //
+            F.expr("n_oov * 1000000 div n_bigrams").alias("oov_ppm"),
+            "nll_bits",
+            F.expr("nll_bits * 1000 div n_bigrams").alias(
+                "mean_nll_milli_bits"
+            ),
+        )
+    )
+
+
 @query(
     "q_text_char_entropy",
     oracle="""

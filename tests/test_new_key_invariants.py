@@ -1935,3 +1935,21 @@ def test_char_entropy_proxy_bounds(spark, sf_dir):
             r.entropy_milli_bits_per_char
             <= 1000 * r.n_chars.bit_length()
         )
+
+
+def test_heldout_perplexity_laws(spark, sf_dir):
+    """Laws of q_eval_perplexity_heldout: per-token NLL is >= 0
+    (a training bigram count can never exceed its first token's
+    unigram count, so the bit-length difference is non-negative),
+    hence nll_bits >= n_oov (each OOV bigram costs >= 1 bit via the
+    smoothed unigram term ... >= 1 whenever the unigram was seen, and
+    exactly 0 only if both counts are 0); 0 <= oov_ppm <= 1_000_000;
+    and mean_nll_milli_bits * n_bigrams never exceeds nll_bits * 1000
+    (floor-division conservation)."""
+    rows = REGISTRY["q_eval_perplexity_heldout"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.nll_bits >= 0
+        assert 0 <= r.oov_ppm <= 1_000_000
+        assert 0 <= r.n_oov <= r.n_bigrams
+        assert r.mean_nll_milli_bits * r.n_bigrams <= r.nll_bits * 1000
