@@ -3989,6 +3989,7 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 GRAPH_HUB_MOD = 16  # hub layer = vec_id % 16 (the deterministic sample)
 GRAPH_L2_MOD = 256  # hubs-of-hubs = vec_id % 256 (1/16 of the hub layer)
+GRAPH_L3_MOD = 4096  # third layer = vec_id % 4096; engages only when non-empty
 GRAPH_ROUTE = 3  # descent multiplicity: parent cells kept per layer
 GRAPH_NCELL = 3  # Voronoi multiplicity: each vector joins 3 hub cells
 GRAPH_K1 = 8  # base-layer degree (top-k within shared hub cells)
@@ -4020,19 +4021,29 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     symmetrized and deduped; the result is localCheckpoint'd and
     session-cached — it is the INDEX, built once, probed per query.
 
-    100 TB shape: the only all-pairs-vs-a-layer scan is N × N/256
-    (the layer-2 routing broadcast; recurse the same 1/16 sampling for
-    deeper layers when that codebook outgrows one broadcast — each
-    added layer divides the top-layer scan by 16 and adds one
-    O(N·const) candidate join, the O(N·log N) ladder). Everything
-    else is candidate-join bounded: layer-1 scoring through the
-    shared-cell join (≈16·ROUTE² scores/vector), base-layer
-    candidates through the cell-membership self-join (pair space
-    Σ|cell|², the bucketed bound every dedup family here shares), hub
-    pairs through shared layer-2 cells. Degree is capped by
-    construction, so the edge table is ≤ (K1+K2+2·K3)·2·N rows —
-    linear in N. Measured (SCALE.md §21): build wall 8.7→~30 s at the
-    10× probe (~3.5×, was ~21× with the flat N×N/16 scoring)."""
+    100 TB shape: the O(N·log N) ladder. When the ``GRAPH_L3_MOD``
+    layer is non-empty (N ≳ 4096 — an existence probe on the driver,
+    metadata-grain), layer-2 routing itself descends: every vector is
+    scored against the N/4096-row layer-3 codebook (one broadcast) and
+    layer-2 scoring is restricted to l2 entries sharing a routed
+    layer-3 cell — per-vector layer-2 work is bounded by
+    ROUTE · max-cell-occupancy (≈16·ROUTE²), not N/256. The only
+    full-layer scan left is N × N/4096; recurse the same 1/16
+    sampling again when THAT codebook outgrows one broadcast — each
+    added layer divides the top scan by 16 and adds one O(N·const)
+    candidate join. At the test SFs (N ≤ 2000) the layer-3 sample is
+    empty and routing falls back to the direct N × N/256 broadcast —
+    bit-identical to the two-layer build, so serving hashes are
+    unchanged where the ladder is not needed. Everything else is
+    candidate-join bounded: layer-1 scoring through the shared-cell
+    join (≈16·ROUTE² scores/vector), base-layer candidates through
+    the cell-membership self-join (pair space Σ|cell|², the bucketed
+    bound every dedup family here shares), hub pairs through shared
+    layer-2 cells. Degree is capped by construction, so the edge
+    table is ≤ (K1+K2+2·K3)·2·N rows — linear in N. Measured
+    (SCALE.md §21, two-layer descent): build wall 13.15 → 24.74 s at
+    the 10× probe (~1.9×, was ~21× with the flat N×N/16 scoring);
+    §23 measures the three-layer ladder."""
     key = _GRAPH_ANN_CACHE.scoped_key(spark, sf_dir)
     cached = _GRAPH_ANN_CACHE.get(key)
     if cached is not None:
@@ -4052,24 +4063,67 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("l2vec"),
         F.col("nrm").alias("l2nrm"),
     )
-    # Layer-2 routing: ONE broadcast scoring pass of every vector
-    # against the N/256-row top-layer codebook, top-ROUTE cells each.
-    # Hubs are vectors too, so their routing falls out of the same
-    # pass — no separate hub-assignment scan.
+    # Layer-2 routing. Hubs are vectors too, so their routing falls
+    # out of the same pass — no separate hub-assignment scan.
     l2_cos = F.round(
         dot(F.col("embedding"), F.col("l2vec"))
         / (F.col("nrm") * F.col("l2nrm")),
         6,
     )
     wr = Window.partitionBy("vec_id").orderBy(F.desc("rc"), "l2_id")
-    r2 = (
-        e.crossJoin(F.broadcast(l2))
-        .select("vec_id", "l2_id", l2_cos.alias("rc"))
-        .withColumn("rr", F.row_number().over(wr))
-        .filter(F.col("rr") <= GRAPH_ROUTE)
-        .select("vec_id", "l2_id")
-        .localCheckpoint()
+    l3 = e.filter(F.col("vec_id") % GRAPH_L3_MOD == 0).select(
+        F.col("vec_id").alias("l3_id"),
+        F.col("embedding").alias("l3vec"),
+        F.col("nrm").alias("l3nrm"),
     )
+    # Driver-side existence probe (metadata-grain: LIMIT 1 on the
+    # 1/4096 sample) decides whether the ladder has a third rung; a
+    # declarative gate can't prune the fallback's full-layer scan.
+    if l3.limit(1).count() == 0:
+        # N < L3_MOD: the direct broadcast IS the cheap plan.
+        r2 = (
+            e.crossJoin(F.broadcast(l2))
+            .select("vec_id", "l2_id", l2_cos.alias("rc"))
+            .withColumn("rr", F.row_number().over(wr))
+            .filter(F.col("rr") <= GRAPH_ROUTE)
+            .select("vec_id", "l2_id")
+            .localCheckpoint()
+        )
+    else:
+        # Three-layer descent: ONE broadcast scoring pass against the
+        # N/4096-row layer-3 codebook, then layer-2 scoring restricted
+        # to l2 entries sharing a routed layer-3 cell. Every routed
+        # cell contains at least its own center (an l2 member routed
+        # to itself at cosine 1.0), so no vector is left cell-less.
+        l3_cos = F.round(
+            dot(F.col("embedding"), F.col("l3vec"))
+            / (F.col("nrm") * F.col("l3nrm")),
+            6,
+        )
+        wr3 = Window.partitionBy("vec_id").orderBy(F.desc("rc3"), "l3_id")
+        r3 = (
+            e.crossJoin(F.broadcast(l3))
+            .select("vec_id", "l3_id", l3_cos.alias("rc3"))
+            .withColumn("rr3", F.row_number().over(wr3))
+            .filter(F.col("rr3") <= GRAPH_ROUTE)
+            .select("vec_id", "l3_id")
+            .localCheckpoint()
+        )
+        l2_r3 = r3.filter(F.col("vec_id") % GRAPH_L2_MOD == 0).select(
+            F.col("vec_id").alias("l2_id"), "l3_id"
+        )
+        cand2 = (
+            r3.join(l2_r3, "l3_id").select("vec_id", "l2_id").distinct()
+        )
+        r2 = (
+            cand2.join(e, "vec_id")
+            .join(l2, "l2_id")
+            .select("vec_id", "l2_id", l2_cos.alias("rc"))
+            .withColumn("rr", F.row_number().over(wr))
+            .filter(F.col("rr") <= GRAPH_ROUTE)
+            .select("vec_id", "l2_id")
+            .localCheckpoint()
+        )
     hub_r2 = r2.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0).select(
         F.col("vec_id").alias("hub_id"), "l2_id"
     )
@@ -4230,11 +4284,32 @@ def _graph_ann_oracle() -> str:
         f" WHERE vec_id % {GRAPH_HUB_MOD} = 0)",
         "l2 AS MATERIALIZED (SELECT vec_id, embedding FROM e"
         f" WHERE vec_id % {GRAPH_L2_MOD} = 0)",
-        f"""r2 AS MATERIALIZED (SELECT vec_id, l2_id FROM (
-            SELECT a.vec_id, h.vec_id AS l2_id,
+        # Three-layer ladder mirror: when the 1/4096 sample is
+        # non-empty, layer-2 candidates come from the layer-3 descent;
+        # otherwise the direct e × l2 cross (the two branches are
+        # mutually exclusive — r3 is empty exactly when l3 is).
+        "l3 AS MATERIALIZED (SELECT vec_id, embedding FROM e"
+        f" WHERE vec_id % {GRAPH_L3_MOD} = 0)",
+        f"""r3 AS MATERIALIZED (SELECT vec_id, l3_id FROM (
+            SELECT a.vec_id, h.vec_id AS l3_id,
                    row_number() OVER (PARTITION BY a.vec_id
-                       ORDER BY round({cos_eh}, 6) DESC, h.vec_id) AS rr
-            FROM e a CROSS JOIN l2 h
+                       ORDER BY round({cos_eh}, 6) DESC, h.vec_id) AS rr3
+            FROM e a CROSS JOIN l3 h
+        ) WHERE rr3 <= {GRAPH_ROUTE})""",
+        f"""r2cand AS MATERIALIZED (
+            SELECT DISTINCT v.vec_id AS vid, g.vec_id AS l2c
+            FROM r3 v JOIN (SELECT vec_id, l3_id FROM r3
+                            WHERE vec_id % {GRAPH_L2_MOD} = 0) g
+              ON v.l3_id = g.l3_id
+            UNION ALL
+            SELECT a.vec_id, h.vec_id FROM e a CROSS JOIN l2 h
+            WHERE NOT EXISTS (SELECT 1 FROM l3))""",
+        f"""r2 AS MATERIALIZED (SELECT vec_id, l2_id FROM (
+            SELECT c0.vid AS vec_id, c0.l2c AS l2_id,
+                   row_number() OVER (PARTITION BY c0.vid
+                       ORDER BY round({cos_eh}, 6) DESC, c0.l2c) AS rr
+            FROM r2cand c0 JOIN e a ON a.vec_id = c0.vid
+            JOIN e h ON h.vec_id = c0.l2c
         ) WHERE rr <= {GRAPH_ROUTE})""",
         f"""cand AS MATERIALIZED (SELECT DISTINCT v.vec_id AS vid,
                    g.vec_id AS hub

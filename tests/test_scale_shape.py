@@ -475,3 +475,95 @@ def test_interval_bin_candidates_scale_linearly(spark, sf_dir, replica_dir):
     assert big.naive_pairs == R * R * base.naive_pairs
     assert big.n_candidate_pairs == R * base.n_candidate_pairs
     assert big.n_matched == R * base.n_matched
+
+
+def test_graph_ann_ladder_routing_bounded_and_mirrored(spark):
+    """The three-layer graph-ANN ladder (round-13): with the layer
+    moduli patched down so the 1/``L3`` sample is non-empty at sf0.1
+    (7 layer-3 cells > ROUTE=3, so the restriction BINDS), the build
+    must (a) route layer-2 scoring through the layer-3 descent with
+    per-vector candidate work bounded by ROUTE × max-cell-occupancy —
+    NOT the full |l2| codebook — and (b) stay bit-identical to the
+    DuckDB oracle regenerated with the same moduli. Together these
+    gate the O(N·log N) ladder claim analytically: the only
+    full-layer scan is N × |l3|, and every deeper scoring stage is
+    candidate-join bounded."""
+    import ex_aws_firehose_spark.operators.llm as llm
+    from ex_aws_firehose_spark.caching import SessionCache
+    from ex_aws_firehose_spark.functions.vector import dot, norm
+    from ex_aws_firehose_spark.testing import (
+        compare_frames,
+        duckdb_connection,
+    )
+
+    sf10 = "/root/testdata/sf0.1"
+    saved = (llm.GRAPH_L2_MOD, llm.GRAPH_L3_MOD, llm._GRAPH_ANN_CACHE)
+    llm.GRAPH_L2_MOD, llm.GRAPH_L3_MOD = 64, 256
+    llm._GRAPH_ANN_CACHE = SessionCache()
+    try:
+        spark_pdf = llm.q_sim_graph_ann(spark, sf10).toPandas()
+        con = duckdb_connection(sf10)
+        try:
+            oracle_pdf = con.execute(llm._graph_ann_oracle()).df()
+        finally:
+            con.close()
+        res = compare_frames("graph_ann_ladder", spark_pdf, oracle_pdf)
+        assert res.ok, res.detail
+
+        # Analytic routing-work gate: rebuild the descent's candidate
+        # frame and bound it. Cells are few and small by construction.
+        e = (
+            load_table(spark, sf10, "embeddings")
+            .filter(F.col("vec_id") != 0)
+            .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+        )
+        n_vec = e.count()
+        l3 = e.filter(F.col("vec_id") % llm.GRAPH_L3_MOD == 0).select(
+            F.col("vec_id").alias("l3_id"),
+            F.col("embedding").alias("l3vec"),
+            F.col("nrm").alias("l3nrm"),
+        )
+        n_l3 = l3.count()
+        assert n_l3 > llm.GRAPH_ROUTE, "fixture must make restriction bind"
+        n_l2 = e.filter(F.col("vec_id") % llm.GRAPH_L2_MOD == 0).count()
+        l3_cos = F.round(
+            dot(F.col("embedding"), F.col("l3vec"))
+            / (F.col("nrm") * F.col("l3nrm")),
+            6,
+        )
+        wr3 = Window.partitionBy("vec_id").orderBy(
+            F.desc("rc3"), "l3_id"
+        )
+        r3 = (
+            e.crossJoin(F.broadcast(l3))
+            .select("vec_id", "l3_id", l3_cos.alias("rc3"))
+            .withColumn("rr3", F.row_number().over(wr3))
+            .filter(F.col("rr3") <= llm.GRAPH_ROUTE)
+            .select("vec_id", "l3_id")
+        )
+        l2_r3 = r3.filter(
+            F.col("vec_id") % llm.GRAPH_L2_MOD == 0
+        ).select(F.col("vec_id").alias("l2_id"), "l3_id")
+        occ = (
+            l2_r3.groupBy("l3_id")
+            .count()
+            .agg(F.max("count").alias("m"))
+            .collect()[0]
+            .m
+        )
+        cand2 = r3.join(l2_r3, "l3_id").select("vec_id", "l2_id").distinct()
+        per_vec = (
+            cand2.groupBy("vec_id")
+            .count()
+            .agg(F.max("count").alias("m"), F.count("*").alias("nv"))
+            .collect()[0]
+        )
+        # (a) every vector got candidates; (b) per-vector layer-2
+        # scoring ≤ ROUTE routed cells × densest cell — the fan-out
+        # bound; (c) the restricted total is strictly below the full
+        # N × |l2| scan the two-layer build would pay.
+        assert per_vec.nv == n_vec
+        assert per_vec.m <= llm.GRAPH_ROUTE * occ
+        assert cand2.count() < n_vec * n_l2
+    finally:
+        llm.GRAPH_L2_MOD, llm.GRAPH_L3_MOD, llm._GRAPH_ANN_CACHE = saved
