@@ -120,6 +120,7 @@ def main() -> None:
         from ex_aws_firehose_spark.operators.llm import (
             ADC_K,
             ADC_M,
+            INC_ADD_MOD,
             graph_ann_build,
             ivf_train,
             pq_train,
@@ -131,6 +132,21 @@ def main() -> None:
         )
         yield "_build_graph_ann_index", lambda: graph_ann_build(
             spark, sf_dir
+        )
+        # The where-filtered base fixtures (r12 ask #6): the
+        # incremental add/delete/compact keys train on the batchless /
+        # tombstone-free base, which misses the unfiltered cache above
+        # — without these rows the first such key eats the whole
+        # filtered-training bill.
+        base_w = f"vec_id % {INC_ADD_MOD} != {INC_ADD_MOD - 1}"
+        yield "_train_ivf_codebook_filtered", lambda: ivf_train(
+            spark, sf_dir, where=base_w
+        )
+        yield "_train_pq_codebook_filtered", lambda: pq_train(
+            spark, sf_dir, ADC_M, ADC_K, where=base_w
+        )
+        yield "_build_graph_ann_index_filtered", lambda: graph_ann_build(
+            spark, sf_dir, where=base_w
         )
 
     for key, thunk in _preludes():
@@ -152,9 +168,16 @@ def main() -> None:
             print(f"bench: {key} failed: {exc}", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
-    n_failed = sum(1 for t in timings.values() if t < 0)
     # registry keys only — the _-prefixed prelude rows are attribution
-    # devices, not queries (their seconds still count in the total)
+    # devices, not queries (their seconds still count in the total);
+    # their failures are likewise tracked apart from n_failed so both
+    # counters read against the same population (ADVICE r12).
+    n_failed = sum(
+        1 for k, t in timings.items() if t < 0 and not k.startswith("_")
+    )
+    n_prelude_failed = sum(
+        1 for k, t in timings.items() if t < 0 and k.startswith("_")
+    )
     n_queries = sum(1 for k in timings if not k.startswith("_"))
     # Stream keys carry fixed Structured-Streaming machinery cost
     # (checkpoint dirs, micro-batch scheduling) that is ~flat in SF;
@@ -177,6 +200,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": n_queries,
         "n_failed": n_failed,
+        "n_prelude_failed": n_prelude_failed,
         "batch_total": batch_total,
         "stream_total": stream_total,
     }
@@ -201,6 +225,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": n_queries,
         "n_failed": n_failed,
+        "n_prelude_failed": n_prelude_failed,
         "batch_total": batch_total,
         "stream_total": stream_total,
         "detail": "BENCH_DETAIL.json",

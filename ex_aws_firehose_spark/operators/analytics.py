@@ -988,7 +988,8 @@ def q_timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTI_CP_ROUNDS = 3  # binary-segmentation rounds (k = 3 changepoints)
+MULTI_CP_ROUNDS = 3  # binary-segmentation rounds (k = 3 candidates)
+MCP_PEN = 2  # BIC-style penalty multiplier: lambda = PEN * sigma2 * log2(n)
 
 
 def _multi_cp_oracle() -> str:
@@ -996,7 +997,10 @@ def _multi_cp_oracle() -> str:
     rounds: each round re-runs the single-changepoint window PER
     SEGMENT, takes the globally best split per event type (gain DESC,
     earliest day), and relabels segments copy-on-write (left = seg·2,
-    right = seg·2+1 — collision-free without knowing the split set)."""
+    right = seg·2+1 — collision-free without knowing the split set).
+    A penalized-cost epilogue (r12 ask #7) then chooses k per type:
+    argmin over k in 0..K of cost_k + k·lambda, with exact-HUGEINT
+    n·Σx²−S² cost seed and the house integer log2 in lambda."""
     parts = [
         EVENTS_US
         + """

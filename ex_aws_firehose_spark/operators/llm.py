@@ -3990,6 +3990,7 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_HUB_MOD = 16  # hub layer = vec_id % 16 (the deterministic sample)
 GRAPH_L2_MOD = 256  # hubs-of-hubs = vec_id % 256 (1/16 of the hub layer)
 GRAPH_L3_MOD = 4096  # third layer = vec_id % 4096; engages only when non-empty
+INC_ADD_MOD = 8  # vec_id % INC_ADD_MOD == INC_ADD_MOD-1 is the new batch
 GRAPH_ROUTE = 3  # descent multiplicity: parent cells kept per layer
 GRAPH_NCELL = 3  # Voronoi multiplicity: each vector joins 3 hub cells
 GRAPH_K1 = 8  # base-layer degree (top-k within shared hub cells)
@@ -4001,7 +4002,76 @@ GRAPH_ROUNDS = 5  # unrolled beam-expansion rounds
 _GRAPH_ANN_CACHE: SessionCache = SessionCache()
 
 
-def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _graph_route_l2(
+    vecs: DataFrame,
+    l2: DataFrame,
+    l3: DataFrame,
+    ladder: bool,
+    l2_cells: DataFrame | None = None,
+) -> tuple:
+    """Route ``vecs`` (vec_id, embedding, nrm) to their top-ROUTE
+    layer-2 cells; returns ``(routed, l2_cells)``. With ``ladder``
+    (the 1/``GRAPH_L3_MOD`` sample is non-empty), descend: one
+    broadcast against the layer-3 codebook, then layer-2 scoring
+    restricted to l2 entries sharing a routed layer-3 cell —
+    per-vector work bounded by ROUTE × cell occupancy. ``l2_cells``
+    (l2_id → l3_id membership) defaults to the routing of the l2
+    members inside ``vecs`` (the self-contained build); incremental
+    add passes the FROZEN base membership instead, because a new
+    batch contains no layer members of its own. Every routed cell
+    contains at least its own center (an l2 member routed to itself
+    at cosine 1.0), so no vector is left cell-less. Without the
+    ladder the direct broadcast IS the cheap plan."""
+    l2_cos = F.round(
+        dot(F.col("embedding"), F.col("l2vec"))
+        / (F.col("nrm") * F.col("l2nrm")),
+        6,
+    )
+    wr = Window.partitionBy("vec_id").orderBy(F.desc("rc"), "l2_id")
+    if not ladder:
+        routed = (
+            vecs.crossJoin(F.broadcast(l2))
+            .select("vec_id", "l2_id", l2_cos.alias("rc"))
+            .withColumn("rr", F.row_number().over(wr))
+            .filter(F.col("rr") <= GRAPH_ROUTE)
+            .select("vec_id", "l2_id")
+            .localCheckpoint()
+        )
+        return routed, None
+    l3_cos = F.round(
+        dot(F.col("embedding"), F.col("l3vec"))
+        / (F.col("nrm") * F.col("l3nrm")),
+        6,
+    )
+    wr3 = Window.partitionBy("vec_id").orderBy(F.desc("rc3"), "l3_id")
+    r3 = (
+        vecs.crossJoin(F.broadcast(l3))
+        .select("vec_id", "l3_id", l3_cos.alias("rc3"))
+        .withColumn("rr3", F.row_number().over(wr3))
+        .filter(F.col("rr3") <= GRAPH_ROUTE)
+        .select("vec_id", "l3_id")
+        .localCheckpoint()
+    )
+    if l2_cells is None:
+        l2_cells = r3.filter(F.col("vec_id") % GRAPH_L2_MOD == 0).select(
+            F.col("vec_id").alias("l2_id"), "l3_id"
+        )
+    cand2 = r3.join(l2_cells, "l3_id").select("vec_id", "l2_id").distinct()
+    routed = (
+        cand2.join(vecs, "vec_id")
+        .join(l2, "l2_id")
+        .select("vec_id", "l2_id", l2_cos.alias("rc"))
+        .withColumn("rr", F.row_number().over(wr))
+        .filter(F.col("rr") <= GRAPH_ROUTE)
+        .select("vec_id", "l2_id")
+        .localCheckpoint()
+    )
+    return routed, l2_cells
+
+
+def graph_ann_build(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> DataFrame:
     """Build the three-layer navigable neighbor graph (the HNSW shape,
     batch-constructed): layer 2 = the deterministic 1/256 sample
     (hubs-of-hubs), layer 1 = the 1/16 sample, layer 0 = every vector.
@@ -4043,8 +4113,20 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     table is ≤ (K1+K2+2·K3)·2·N rows — linear in N. Measured
     (SCALE.md §21, two-layer descent): build wall 13.15 → 24.74 s at
     the 10× probe (~1.9×, was ~21× with the flat N×N/16 scoring);
-    §23 measures the three-layer ladder."""
-    key = _GRAPH_ANN_CACHE.scoped_key(spark, sf_dir)
+    §23 measures the three-layer ladder.
+
+    ``where`` restricts the indexed base (the frozen-base fixture of
+    ``q_sim_graph_ann_add``, mirroring ``ivf_train``'s parameter)."""
+    return _graph_ann_parts(spark, sf_dir, where)["edges"]
+
+
+def _graph_ann_parts(
+    spark: SparkSession, sf_dir: str, where: str | None = None
+) -> dict:
+    """The build internals: returns {'edges', 'scored', 'r2', 'e'} so
+    incremental maintenance (``q_sim_graph_ann_add``) can reuse the
+    FROZEN layer routing and cell assignments without a rebuild."""
+    key = _GRAPH_ANN_CACHE.scoped_key(spark, sf_dir, repr(where))
     cached = _GRAPH_ANN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -4053,6 +4135,8 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "embedding", norm("embedding").alias("nrm"))
     )
+    if where:
+        e = e.filter(where)
     hubs = e.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0).select(
         F.col("vec_id").alias("hub_id"),
         F.col("embedding").alias("hvec"),
@@ -4063,14 +4147,6 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("l2vec"),
         F.col("nrm").alias("l2nrm"),
     )
-    # Layer-2 routing. Hubs are vectors too, so their routing falls
-    # out of the same pass — no separate hub-assignment scan.
-    l2_cos = F.round(
-        dot(F.col("embedding"), F.col("l2vec"))
-        / (F.col("nrm") * F.col("l2nrm")),
-        6,
-    )
-    wr = Window.partitionBy("vec_id").orderBy(F.desc("rc"), "l2_id")
     l3 = e.filter(F.col("vec_id") % GRAPH_L3_MOD == 0).select(
         F.col("vec_id").alias("l3_id"),
         F.col("embedding").alias("l3vec"),
@@ -4079,51 +4155,10 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Driver-side existence probe (metadata-grain: LIMIT 1 on the
     # 1/4096 sample) decides whether the ladder has a third rung; a
     # declarative gate can't prune the fallback's full-layer scan.
-    if l3.limit(1).count() == 0:
-        # N < L3_MOD: the direct broadcast IS the cheap plan.
-        r2 = (
-            e.crossJoin(F.broadcast(l2))
-            .select("vec_id", "l2_id", l2_cos.alias("rc"))
-            .withColumn("rr", F.row_number().over(wr))
-            .filter(F.col("rr") <= GRAPH_ROUTE)
-            .select("vec_id", "l2_id")
-            .localCheckpoint()
-        )
-    else:
-        # Three-layer descent: ONE broadcast scoring pass against the
-        # N/4096-row layer-3 codebook, then layer-2 scoring restricted
-        # to l2 entries sharing a routed layer-3 cell. Every routed
-        # cell contains at least its own center (an l2 member routed
-        # to itself at cosine 1.0), so no vector is left cell-less.
-        l3_cos = F.round(
-            dot(F.col("embedding"), F.col("l3vec"))
-            / (F.col("nrm") * F.col("l3nrm")),
-            6,
-        )
-        wr3 = Window.partitionBy("vec_id").orderBy(F.desc("rc3"), "l3_id")
-        r3 = (
-            e.crossJoin(F.broadcast(l3))
-            .select("vec_id", "l3_id", l3_cos.alias("rc3"))
-            .withColumn("rr3", F.row_number().over(wr3))
-            .filter(F.col("rr3") <= GRAPH_ROUTE)
-            .select("vec_id", "l3_id")
-            .localCheckpoint()
-        )
-        l2_r3 = r3.filter(F.col("vec_id") % GRAPH_L2_MOD == 0).select(
-            F.col("vec_id").alias("l2_id"), "l3_id"
-        )
-        cand2 = (
-            r3.join(l2_r3, "l3_id").select("vec_id", "l2_id").distinct()
-        )
-        r2 = (
-            cand2.join(e, "vec_id")
-            .join(l2, "l2_id")
-            .select("vec_id", "l2_id", l2_cos.alias("rc"))
-            .withColumn("rr", F.row_number().over(wr))
-            .filter(F.col("rr") <= GRAPH_ROUTE)
-            .select("vec_id", "l2_id")
-            .localCheckpoint()
-        )
+    # Layer-2 routing. Hubs are vectors too, so their routing falls
+    # out of the same pass — no separate hub-assignment scan.
+    ladder = l3.limit(1).count() > 0
+    r2, l2_cells = _graph_route_l2(e, l2, l3, ladder)
     hub_r2 = r2.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0).select(
         F.col("vec_id").alias("hub_id"), "l2_id"
     )
@@ -4154,6 +4189,7 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "hub_id", hub_cos.alias("c"))
         .withColumn("rn", F.row_number().over(wv))
         .filter(F.col("rn") <= cap)
+        .localCheckpoint()
     )
     asg = scored.filter(F.col("rn") <= GRAPH_NCELL).select(
         "vec_id", "hub_id"
@@ -4259,27 +4295,31 @@ def graph_ann_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    _GRAPH_ANN_CACHE[key] = edges
-    return edges
+    parts = {
+        "edges": edges,
+        "scored": scored,
+        "r2": r2,
+        "e": e,
+        "ladder": ladder,
+        "l2_cells": l2_cells,
+    }
+    _GRAPH_ANN_CACHE[key] = parts
+    return parts
 
 
-def _graph_ann_oracle() -> str:
-    """DuckDB replay of the hierarchical graph build + beam search,
-    unrolled as one MATERIALIZED-CTE chain (the pools and the edge
-    table are referenced more than once; without the hint DuckDB
-    re-inlines them and the build cost goes exponential in the round
-    count). Mirrors graph_ann_build's layer-2 descent bit-for-bit:
-    routing, candidate restriction, and every window share the
-    6-dp-rounded cosine + id tie-break."""
+def _graph_build_ctes(base_where: str = "") -> list:
+    """The build half of the DuckDB mirror: CTEs from the base frame
+    ``e`` through the symmetrized ``edges`` table, bit-for-bit with
+    ``_graph_ann_parts`` (routing branch, candidate restriction, and
+    every window share the 6-dp-rounded cosine + id tie-break).
+    ``base_where`` narrows the indexed base (the frozen-base fixture
+    of ``q_sim_graph_ann_add``)."""
     cos_eq = duck_cosine("a.embedding", "b.embedding")
     cos_eh = duck_cosine("a.embedding", "h.embedding")
-    cos_q = duck_cosine("e.embedding", "q.qv")
     cap = max(GRAPH_NCELL, GRAPH_K2 + 1)
     ctes = [
         "e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings"
-        " WHERE vec_id <> 0)",
-        "q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings"
-        " WHERE vec_id = 0)",
+        f" WHERE vec_id <> 0{base_where})",
         "hubs AS MATERIALIZED (SELECT vec_id, embedding FROM e"
         f" WHERE vec_id % {GRAPH_HUB_MOD} = 0)",
         "l2 AS MATERIALIZED (SELECT vec_id, embedding FROM e"
@@ -4364,6 +4404,20 @@ def _graph_ann_oracle() -> str:
             UNION ALL SELECT dst, src FROM e2
             UNION ALL SELECT dst, src FROM e3
             UNION ALL SELECT dst, src FROM e4))""",
+    ]
+    return ctes
+
+
+def _graph_serve_ctes(edges: str = "edges", score: str = "e") -> tuple:
+    """The serve half of the mirror: entry pool over the hub layer,
+    then GRAPH_ROUNDS unrolled beam rounds gathering through the
+    ``edges`` table and scoring candidates from the ``score`` frame
+    (the base for plain serve; base ∪ batch for serve-after-add).
+    Returns (ctes, final_pool_name)."""
+    cos_q = duck_cosine("e.embedding", "q.qv")
+    ctes = [
+        "q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings"
+        " WHERE vec_id = 0)",
         "pool0 AS MATERIALIZED (SELECT h.vec_id,"
         f" round({duck_cosine('h.embedding', 'q.qv')}, 6) AS c"
         " FROM hubs h CROSS JOIN q)",
@@ -4375,8 +4429,8 @@ def _graph_ann_oracle() -> str:
             f"""new{i} AS MATERIALIZED (
             SELECT e.vec_id, round({cos_q}, 6) AS c
             FROM (SELECT DISTINCT ed.dst AS vec_id
-                  FROM f{i} f JOIN edges ed ON ed.src = f.vec_id) cand
-            JOIN e USING (vec_id) CROSS JOIN q
+                  FROM f{i} f JOIN {edges} ed ON ed.src = f.vec_id) cand
+            JOIN {score} e USING (vec_id) CROSS JOIN q
             WHERE cand.vec_id NOT IN (SELECT vec_id FROM pool{i}))"""
         )
         ctes.append(
@@ -4387,7 +4441,18 @@ def _graph_ann_oracle() -> str:
             f"f{i + 1} AS (SELECT vec_id FROM new{i}"
             f" ORDER BY c DESC, vec_id LIMIT {GRAPH_BEAM})"
         )
-    last = f"pool{GRAPH_ROUNDS}"
+    return ctes, f"pool{GRAPH_ROUNDS}"
+
+
+def _graph_ann_oracle() -> str:
+    """DuckDB replay of the hierarchical graph build + beam search,
+    unrolled as one MATERIALIZED-CTE chain (the pools and the edge
+    table are referenced more than once; without the hint DuckDB
+    re-inlines them and the build cost goes exponential in the round
+    count). Composed from ``_graph_build_ctes`` + ``_graph_serve_ctes``
+    so ``q_sim_graph_ann_add`` mirrors the same machinery."""
+    serve, last = _graph_serve_ctes()
+    ctes = _graph_build_ctes() + serve
     return (
         "WITH "
         + ",\n    ".join(ctes)
@@ -4433,6 +4498,28 @@ def q_sim_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("vec_id") != 0)
         .select("vec_id", "embedding", norm("embedding").alias("nrm"))
     )
+    pool = _graph_beam_serve(spark, sf_dir, edges, e, e)
+    total = pool.agg(F.count("*").alias("n_scored"))
+    return (
+        pool.orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id", F.col("c").alias("cos_sim"))
+        .crossJoin(F.broadcast(total))
+    )
+
+
+def _graph_beam_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    score_e: DataFrame,
+    entry_e: DataFrame,
+) -> DataFrame:
+    """The beam search shared by plain serve and serve-after-add:
+    entry pool = the hub layer of ``entry_e`` (the indexed base —
+    a new batch never joins the layers), candidates scored from
+    ``score_e`` (base, or base ∪ batch after an add). Returns the
+    visited pool (vec_id, c)."""
     full = load_table(spark, sf_dir, "embeddings")
     qv = F.broadcast(
         full.filter(F.col("vec_id") == 0).select(
@@ -4444,7 +4531,7 @@ def q_sim_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     pool = (
-        e.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0)
+        entry_e.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0)
         .crossJoin(qv)
         .select("vec_id", score.alias("c"))
         .localCheckpoint()
@@ -4461,7 +4548,7 @@ def q_sim_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         new = (
             cand.join(pool, "vec_id", "left_anti")
-            .join(e, "vec_id")
+            .join(score_e, "vec_id")
             .crossJoin(qv)
             .select("vec_id", score.alias("c"))
             .localCheckpoint()
@@ -4470,12 +4557,257 @@ def q_sim_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         frontier = new.orderBy(F.desc("c"), "vec_id").limit(
             GRAPH_BEAM
         ).select("vec_id")
+    return pool
+
+
+def _graph_add_oracle() -> str:
+    """DuckDB replay of incremental graph-ANN add: the base build CTEs
+    (batch excluded), then the frozen-layer insert of the batch —
+    routing, cell assignment, descent + base-layer edge append — and
+    the beam serve over base ∪ appended edges with base ∪ batch
+    scoring. Bit-for-bit with ``q_sim_graph_ann_add``."""
+    cos_eq = duck_cosine("a.embedding", "b.embedding")
+    cos_eh = duck_cosine("a.embedding", "h.embedding")
+    cap = max(GRAPH_NCELL, GRAPH_K2 + 1)
+    base = _graph_build_ctes(
+        f" AND vec_id % {INC_ADD_MOD} <> {INC_ADD_MOD - 1}"
+    )
+    add = [
+        "nb AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings"
+        f" WHERE vec_id <> 0 AND vec_id % {INC_ADD_MOD}"
+        f" = {INC_ADD_MOD - 1})",
+        # Batch routing: the same ladder branch as the build, against
+        # the FROZEN base layers; l2→l3 membership comes from the
+        # BASE routing r3 (a batch has no layer members of its own).
+        f"""nr3 AS MATERIALIZED (SELECT vec_id, l3_id FROM (
+            SELECT a.vec_id, h.vec_id AS l3_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                       ORDER BY round({cos_eh}, 6) DESC, h.vec_id) AS rr3
+            FROM nb a CROSS JOIN l3 h
+        ) WHERE rr3 <= {GRAPH_ROUTE})""",
+        f"""nr2cand AS MATERIALIZED (
+            SELECT DISTINCT v.vec_id AS vid, g.vec_id AS l2c
+            FROM nr3 v JOIN (SELECT vec_id, l3_id FROM r3
+                             WHERE vec_id % {GRAPH_L2_MOD} = 0) g
+              ON v.l3_id = g.l3_id
+            UNION ALL
+            SELECT a.vec_id, h.vec_id FROM nb a CROSS JOIN l2 h
+            WHERE NOT EXISTS (SELECT 1 FROM l3))""",
+        f"""nr2 AS MATERIALIZED (SELECT vec_id, l2_id FROM (
+            SELECT c0.vid AS vec_id, c0.l2c AS l2_id,
+                   row_number() OVER (PARTITION BY c0.vid
+                       ORDER BY round({cos_eh}, 6) DESC, c0.l2c) AS rr
+            FROM nr2cand c0 JOIN nb a ON a.vec_id = c0.vid
+            JOIN e h ON h.vec_id = c0.l2c
+        ) WHERE rr <= {GRAPH_ROUTE})""",
+        f"""ncand AS MATERIALIZED (SELECT DISTINCT v.vec_id AS vid,
+                   g.vec_id AS hub
+            FROM nr2 v JOIN r2 g ON v.l2_id = g.l2_id
+            WHERE g.vec_id % {GRAPH_HUB_MOD} = 0)""",
+        f"""nscored AS MATERIALIZED (SELECT vid, hub, c, rn FROM (
+            SELECT c0.vid, c0.hub, round({cos_eh}, 6) AS c,
+                   row_number() OVER (PARTITION BY c0.vid
+                       ORDER BY round({cos_eh}, 6) DESC, c0.hub) AS rn
+            FROM ncand c0 JOIN nb a ON a.vec_id = c0.vid
+            JOIN e h ON h.vec_id = c0.hub
+        ) WHERE rn <= {cap})""",
+        f"nasg AS MATERIALIZED (SELECT vid AS vec_id, hub FROM nscored"
+        f" WHERE rn <= {GRAPH_NCELL})",
+        f"""ne1 AS (SELECT src, dst FROM (
+            SELECT p.va AS src, p.vb AS dst,
+                   row_number() OVER (PARTITION BY p.va
+                       ORDER BY round({cos_eq}, 6) DESC, p.vb) AS rn
+            FROM (SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+                  FROM nasg x JOIN asg y ON x.hub = y.hub) p
+            JOIN nb a ON a.vec_id = p.va JOIN e b ON b.vec_id = p.vb
+        ) WHERE rn <= {GRAPH_K1})""",
+        f"""ne2 AS (SELECT src, dst FROM (
+            SELECT vid AS src, hub AS dst,
+                   row_number() OVER (PARTITION BY vid
+                       ORDER BY c DESC, hub) AS rn2
+            FROM nscored WHERE vid <> hub
+        ) WHERE rn2 <= {GRAPH_K2})""",
+        """appended AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+            SELECT src, dst FROM ne1 UNION ALL SELECT src, dst FROM ne2
+            UNION ALL SELECT dst, src FROM ne1
+            UNION ALL SELECT dst, src FROM ne2))""",
+        """edges2 AS MATERIALIZED (SELECT src, dst FROM edges
+            UNION SELECT src, dst FROM appended)""",
+        "ea AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings"
+        " WHERE vec_id <> 0)",
+    ]
+    serve, last = _graph_serve_ctes(edges="edges2", score="ea")
+    ctes = base + add + serve
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT vec_id, c AS cos_sim,
+           (SELECT CAST(count(*) AS BIGINT) FROM nb) AS n_added,
+           (SELECT CAST(count(*) AS BIGINT) FROM appended)
+               AS n_edges_appended,
+           (SELECT CAST(count(*) AS BIGINT) FROM {last}) AS n_scored
+    FROM {last} ORDER BY c DESC, vec_id LIMIT {TOPK}"""
+    )
+
+
+@query(
+    "q_sim_graph_ann_add",
+    oracle=_graph_add_oracle(),
+    tags=("llm", "similarity", "index", "maintenance"),
+)
+def q_sim_graph_ann_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL graph-ANN maintenance — parity with the IVF
+    lifecycle (``q_sim_ivf_incremental_add``): a new vector batch
+    (vec_id % {INC_ADD_MOD} == {INC_ADD_MOD-1}, ~12% of the corpus)
+    is inserted into the ALREADY-BUILT navigable graph WITHOUT a
+    rebuild. Each new vector (1) routes through the FROZEN layer
+    descent (the same ladder as the build — layer-3 broadcast when
+    present, restricted layer-2 scoring), (2) scores only the base
+    hubs sharing a routed layer-2 cell (top-``GRAPH_NCELL`` cell
+    assignment + top-``GRAPH_K2`` descent links — the frozen E-step),
+    and (3) appends degree-bounded base-layer edges: top-``GRAPH_K1``
+    among base vectors sharing an assigned hub cell. Edges connect
+    new→base ONLY (batch members never interconnect and never join
+    the layers), which makes the insert ARRIVAL-ORDER-INDEPENDENT by
+    construction: splitting the batch into any sub-batches added
+    sequentially appends exactly the same edge set — the law pinned
+    in tests/test_ann_recall.py, alongside connectivity (every added
+    vector gets ≥1 edge: its assigned cells are non-empty — they
+    contain at least the hub itself). The SAME beam serve then runs
+    over base ∪ appended edges with base ∪ batch scoring — new
+    vectors are reachable one hop off their assigned cells. Proof
+    columns: n_added, n_edges_appended, n_scored.
+
+    100 TB shape: the insert is O(batch) — batch × layer-codebook
+    broadcasts for routing (never batch × N), candidate-join-bounded
+    hub scoring, one bounded-degree edge append that in a persisted
+    layout is a partition-local append by src bucket; the base index
+    is NEVER rewritten or rescanned. Serve cost is unchanged
+    (O(hubs + ROUNDS·BEAM·degree)). Reference lifecycle pattern:
+    ``q_sim_ivf_incremental_add``."""
+    base_w = f"vec_id % {INC_ADD_MOD} != {INC_ADD_MOD - 1}"
+    parts = _graph_ann_parts(spark, sf_dir, where=base_w)
+    appended = _graph_add_edges(spark, sf_dir, base_w, parts)
+    edges2 = parts["edges"].unionByName(appended).distinct()
+    e_all = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    pool = _graph_beam_serve(spark, sf_dir, edges2, e_all, parts["e"])
+    n_added = e_all.filter(
+        f"vec_id % {INC_ADD_MOD} = {INC_ADD_MOD - 1}"
+    ).agg(F.count("*").alias("n_added"))
+    n_app = appended.agg(F.count("*").alias("n_edges_appended"))
     total = pool.agg(F.count("*").alias("n_scored"))
     return (
         pool.orderBy(F.desc("c"), "vec_id")
         .limit(TOPK)
         .select("vec_id", F.col("c").alias("cos_sim"))
+        .crossJoin(F.broadcast(n_added))
+        .crossJoin(F.broadcast(n_app))
         .crossJoin(F.broadcast(total))
+    )
+
+
+def _graph_add_edges(
+    spark: SparkSession, sf_dir: str, base_where: str, parts: dict
+) -> DataFrame:
+    """The frozen-base edge append for a batch (the complement of
+    ``base_where``): routing → hub scoring → degree-bounded new→base
+    edges, symmetrized. Split out so the arrival-order-independence
+    law can run it per sub-batch."""
+    e_base = parts["e"]
+    l2 = e_base.filter(F.col("vec_id") % GRAPH_L2_MOD == 0).select(
+        F.col("vec_id").alias("l2_id"),
+        F.col("embedding").alias("l2vec"),
+        F.col("nrm").alias("l2nrm"),
+    )
+    l3 = e_base.filter(F.col("vec_id") % GRAPH_L3_MOD == 0).select(
+        F.col("vec_id").alias("l3_id"),
+        F.col("embedding").alias("l3vec"),
+        F.col("nrm").alias("l3nrm"),
+    )
+    hubs = e_base.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0).select(
+        F.col("vec_id").alias("hub_id"),
+        F.col("embedding").alias("hvec"),
+        F.col("nrm").alias("hnrm"),
+    )
+    batch = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .filter(f"NOT ({base_where})")
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    r2_nb, _ = _graph_route_l2(
+        batch, l2, l3, parts["ladder"], l2_cells=parts["l2_cells"]
+    )
+    hub_r2 = parts["r2"].filter(
+        F.col("vec_id") % GRAPH_HUB_MOD == 0
+    ).select(F.col("vec_id").alias("hub_id"), "l2_id")
+    cand_nb = (
+        r2_nb.join(hub_r2, "l2_id").select("vec_id", "hub_id").distinct()
+    )
+    hub_cos = F.round(
+        dot(F.col("embedding"), F.col("hvec"))
+        / (F.col("nrm") * F.col("hnrm")),
+        6,
+    )
+    wv = Window.partitionBy("vec_id").orderBy(F.desc("c"), "hub_id")
+    cap = max(GRAPH_NCELL, GRAPH_K2 + 1)
+    scored_nb = (
+        cand_nb.join(batch, "vec_id")
+        .join(hubs, "hub_id")
+        .select("vec_id", "hub_id", hub_cos.alias("c"))
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= cap)
+        .localCheckpoint()
+    )
+    asg_nb = scored_nb.filter(F.col("rn") <= GRAPH_NCELL).select(
+        "vec_id", "hub_id"
+    )
+    e2_nb = (
+        scored_nb.filter(F.col("vec_id") != F.col("hub_id"))
+        .withColumn("rn2", F.row_number().over(wv))
+        .filter(F.col("rn2") <= GRAPH_K2)
+        .select(
+            F.col("vec_id").alias("src"), F.col("hub_id").alias("dst")
+        )
+    )
+    base_asg = parts["scored"].filter(F.col("rn") <= GRAPH_NCELL).select(
+        F.col("vec_id").alias("bvec"), F.col("hub_id")
+    )
+    pairs = (
+        asg_nb.join(base_asg, "hub_id")
+        .select(F.col("vec_id").alias("va"), F.col("bvec").alias("vb"))
+        .distinct()
+    )
+    pair_cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    ws = Window.partitionBy("src").orderBy(F.desc("c"), "dst")
+    e1_nb = (
+        pairs.join(batch.alias("a"), pairs.va == F.col("a.vec_id"))
+        .join(e_base.alias("b"), pairs.vb == F.col("b.vec_id"))
+        .select(
+            F.col("va").alias("src"),
+            F.col("vb").alias("dst"),
+            pair_cos.alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= GRAPH_K1)
+        .select("src", "dst")
+    )
+    fwd = e1_nb.unionByName(e2_nb)
+    return (
+        fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
     )
 
 
@@ -5376,7 +5708,15 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (map-side) combine collapses every document to ≤|alphabet| rows
     before the exchange — shuffle volume is doc-grain × alphabet, not
     character-grain; the per-doc rollup is a second tiny agg on the
-    same key prefix."""
+    same key prefix.
+
+    Encoding note (ADVICE r12 investigated): Spark 4's
+    ``F.split(text, '')`` splits per CODE POINT (an astral char like
+    U+1F600 stays one element, ascii() = 128512), exactly like
+    DuckDB's ``str_split_regex(text, '')`` — verified empirically and
+    pinned beyond the ASCII fixture by
+    test_char_entropy_split_code_point_parity, so the suspected
+    UTF-16 surrogate mismatch does not exist on this engine pair."""
     d = load_table(spark, sf_dir, "documents")
     ch = d.select(
         "doc_id",
@@ -13647,7 +13987,7 @@ def q_tokenizer_unigram_em(spark: SparkSession, sf_dir: str) -> DataFrame:
 # IVF-PQ index (assign -> encode -> append -> occupancy-drift check)
 # ---------------------------------------------------------------------------
 
-INC_ADD_MOD = 8  # vec_id % INC_ADD_MOD == INC_ADD_MOD-1 is the new batch
+# INC_ADD_MOD moved next to the graph constants (shared fixture)
 
 
 def _inc_add_oracle() -> str:

@@ -2038,6 +2038,225 @@ def q_meta_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Commit-log + ref-log compaction (Iceberg rewrite_manifests semantics)
+# ---------------------------------------------------------------------------
+
+MAN_COMPACT_CUT = SNAP_PIN  # commits < CUT merge into one base manifest
+REF_COMPACT_SEQ = 2  # ref entries with seq <= this collapse to resolutions
+
+_MAN_COMPACT_CACHE: SessionCache = SessionCache()
+
+
+def _current_log_dirs(base: str) -> tuple:
+    """Resolve the live (manifest, refs) dir names through the CURRENT
+    pointer file — the atomic-publish mechanism: compaction stages new
+    log dirs and swaps the pointer LAST (os.replace), so a torn
+    compaction (staged dirs, no pointer) leaves every reader on the
+    original logs."""
+    import json as _json
+    import os
+
+    cur = os.path.join(base, "CURRENT")
+    if os.path.exists(cur):
+        with open(cur) as f:
+            d = _json.load(f)
+        return (
+            os.path.join(base, d["manifest"]),
+            os.path.join(base, d["refs"]),
+        )
+    return os.path.join(base, "manifest"), os.path.join(base, "refs")
+
+
+def _compact_logs(spark: SparkSession, sf_dir: str) -> dict:
+    """Iceberg ``rewrite_manifests`` over the committed table's commit
+    log AND ref log: merge the commit entries below ``MAN_COMPACT_CUT``
+    into ONE multi-row base manifest (small per-commit manifest files
+    are the metadata-scan bottleneck a streaming commit rate creates),
+    rewrite the tail per-commit files alongside, and collapse ref-log
+    entries with seq <= ``REF_COMPACT_SEQ`` to one resolved entry per
+    ref (latest wins) with the later tail preserved — then publish
+    atomically by swapping the CURRENT pointer. Data files are never
+    touched; the rewritten logs are snapshot-equivalent by
+    construction and pinned so by the pre/post law test."""
+    key = _MAN_COMPACT_CACHE.scoped_key(spark, sf_dir)
+    cached = _MAN_COMPACT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import json as _json
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data, man = _stage_committed_table(spark, sf_dir)
+    refs_dir = _stage_ref_log(spark, sf_dir)
+    base = os.path.dirname(man)
+
+    def _parquet_files(d: str) -> list:
+        return sorted(
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+
+    stats = {"n_manifest_files_before": len(_parquet_files(man))}
+    commits = sorted(
+        (r.commit_id, r.path)
+        for r in spark.read.parquet(man).collect()  # metadata grain
+    )
+    man2 = os.path.join(base, "manifest-rewrite")
+    os.makedirs(man2, exist_ok=True)
+    head = [(c, p) for c, p in commits if c < MAN_COMPACT_CUT]
+    tail = [(c, p) for c, p in commits if c >= MAN_COMPACT_CUT]
+    pq.write_table(
+        pa.table(
+            {
+                "commit_id": pa.array([c for c, _ in head], pa.int64()),
+                "path": pa.array([p for _, p in head], pa.string()),
+            }
+        ),
+        os.path.join(man2, "base-manifest.parquet"),
+    )
+    for c, p in tail:
+        pq.write_table(
+            pa.table(
+                {
+                    "commit_id": pa.array([c], pa.int64()),
+                    "path": pa.array([p], pa.string()),
+                }
+            ),
+            os.path.join(man2, f"commit-{c}.parquet"),
+        )
+    stats["n_manifest_files_after"] = len(_parquet_files(man2))
+
+    reflog = sorted(
+        (r.seq, r.ref_name, r.ref_type, r.commit_id)
+        for r in spark.read.parquet(refs_dir).collect()  # metadata grain
+    )
+    stats["n_reflog_rows_before"] = len(reflog)
+    prefix = [e for e in reflog if e[0] <= REF_COMPACT_SEQ]
+    ref_tail = [e for e in reflog if e[0] > REF_COMPACT_SEQ]
+    resolved = {}
+    for seq, name, rtype, cid in prefix:  # ordered: latest wins
+        resolved[name] = (seq, name, rtype, cid)
+    compacted = sorted(resolved.values()) + ref_tail
+    refs2 = os.path.join(base, "refs-rewrite")
+    os.makedirs(refs2, exist_ok=True)
+    seqs, names, types, cids = zip(*compacted)
+    pq.write_table(
+        pa.table(
+            {
+                "seq": pa.array(seqs, pa.int64()),
+                "ref_name": pa.array(names, pa.string()),
+                "ref_type": pa.array(types, pa.string()),
+                "commit_id": pa.array(cids, pa.int64()),
+            }
+        ),
+        os.path.join(refs2, "reflog.parquet"),
+    )
+    stats["n_reflog_rows_after"] = len(compacted)
+
+    # Publish: the pointer write IS the commit (os.replace is atomic);
+    # everything above is invisible staging until this line.
+    tmp = os.path.join(base, "CURRENT.tmp")
+    with open(tmp, "w") as f:
+        _json.dump({"manifest": "manifest-rewrite", "refs": "refs-rewrite"}, f)
+    os.replace(tmp, os.path.join(base, "CURRENT"))
+    out = {"base": base, "data": data, "stats": stats}
+    _MAN_COMPACT_CACHE[key] = out
+    return out
+
+
+def _rewrite_manifests_oracle() -> str:
+    n_files_after = 1 + (SNAP_GROUPS - MAN_COMPACT_CUT)
+    prefix = [e for e in SNAP_REF_LOG if e[0] <= REF_COMPACT_SEQ]
+    tail = [e for e in SNAP_REF_LOG if e[0] > REF_COMPACT_SEQ]
+    n_ref_after = len({e[1] for e in prefix}) + len(tail)
+    return f"""
+    SELECT t.*,
+           CAST({SNAP_GROUPS} AS BIGINT) AS n_manifest_files_before,
+           CAST({n_files_after} AS BIGINT) AS n_manifest_files_after,
+           CAST({len(SNAP_REF_LOG)} AS BIGINT) AS n_reflog_rows_before,
+           CAST({n_ref_after} AS BIGINT) AS n_reflog_rows_after
+    FROM ({_snap_refs_oracle()}) t
+    """
+
+
+@query(
+    "q_maintenance_rewrite_manifests",
+    oracle=_rewrite_manifests_oracle(),
+    tags=("source", "maintenance", "manifest"),
+)
+def q_maintenance_rewrite_manifests(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMMIT-LOG + REF-LOG COMPACTION (VERDICT r12 ask #2 — Iceberg
+    ``rewrite_manifests``): the manifest-committed table's metadata
+    grows one file per commit and one row per ref update forever; at
+    streaming commit rates the metadata scan that PLANS every read
+    becomes the read bottleneck. This key merges the commit entries
+    below ``MAN_COMPACT_CUT`` into one multi-row base manifest (tail
+    commits keep per-commit files, so incremental appends continue
+    unchanged), collapses ref-log entries at seq <= ``REF_COMPACT_SEQ``
+    to their per-ref resolutions (later entries preserved), and
+    publishes via an atomic CURRENT-pointer swap — a torn compaction
+    (staged dirs, pointer not yet swapped) leaves readers on the
+    original logs (law-pinned). It then serves EVERY ref's aggregate
+    by resolving through the compacted logs: bit-identical rows to
+    q_meta_snapshot_refs (the pre/post law), plus the compaction
+    proof columns (manifest files 5 -> 3, ref rows 8 -> 6). Data
+    files are never rewritten — this is pure metadata maintenance,
+    the complement of q_maintenance_expire_snapshots (which GCs data)
+    and q_maintenance_compact (which rewrites data layout).
+
+    100 TB shape: compaction is metadata-grain (|commits| + |refs|
+    rows through the driver, exactly like the commit writes
+    themselves); read planning afterwards opens O(tail) manifest
+    files instead of O(all commits). The pointer swap is one rename —
+    the same single-writer commit protocol the manifest sink uses."""
+    info = _compact_logs(spark, sf_dir)
+    man2, refs2 = _current_log_dirs(info["base"])
+    data, stats = info["data"], info["stats"]
+    from pyspark.sql import Window
+
+    reflog = spark.read.parquet(refs2)
+    wr = Window.partitionBy("ref_name").orderBy(
+        F.desc("seq"), F.desc("commit_id")
+    )
+    resolved = (
+        reflog.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("ref_name", "ref_type", "commit_id")
+        .collect()  # metadata grain: one row per ref
+    )
+    log = spark.read.parquet(man2)
+    out = None
+    for r in sorted(resolved, key=lambda x: x.ref_name):
+        paths = sorted(
+            row.path
+            for row in log.filter(F.col("commit_id") <= r.commit_id)
+            .select("path")
+            .collect()
+        )
+        t = spark.read.option("basePath", data).parquet(*paths)
+        part = t.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ).select(
+            F.lit(r.ref_name).alias("ref_name"),
+            F.lit(r.ref_type).alias("ref_type"),
+            F.lit(r.commit_id).cast("long").alias("resolved_commit_id"),
+            F.lit(r.commit_id + 1).cast("long").alias("n_commits"),
+            "n_rows",
+            "cents_total",
+        )
+        out = part if out is None else out.unionByName(part)
+    for col, val in stats.items():
+        out = out.withColumn(col, F.lit(val).cast("long"))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Partition-spec evolution (Iceberg spec-id semantics from first principles)
 # ---------------------------------------------------------------------------
 

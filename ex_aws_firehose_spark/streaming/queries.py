@@ -56,6 +56,29 @@ _EVENTS_DIR_CACHE: dict[str, str] = {}
 _REPLAY_DIR_CACHE = None  # lazily-created SessionCache
 
 
+def _pin_new_mtimes(src: str, seen: set, stamp: float) -> set:
+    """Stamp the parquet part files that appeared since ``seen`` with
+    an explicit mtime (ADVICE r12): sequential coalesce(1) appends are
+    drained by the file source in mtime order, but on a coarse-mtime
+    filesystem two batches can share a timestamp and the random-UUID
+    filename tie-break would swap batch identities. Call after each
+    staged write with a strictly increasing ``stamp``; returns the
+    updated seen-set."""
+    import os
+
+    files = {
+        os.path.join(src, f)
+        for f in os.listdir(src)
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    }
+    for f in sorted(files - seen):
+        os.utime(f, (stamp, stamp))
+    return files
+
+
+_BATCH_EPOCH = 1_700_000_000  # fixed base for staged-batch mtimes
+
+
 def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     """events staged ONCE per (session, sf) as two arrival-ordered
     micro-batch files — the full table, then a replayed 10% slice
@@ -73,10 +96,13 @@ def _events_replay_dir(spark: SparkSession, sf_dir: str) -> str:
 
         src = os.path.join(_tracked_mkdtemp(prefix="events_replay_"), "src")
         e = load_table(spark, sf_dir, "events")
+        seen = set()
         e.coalesce(1).write.mode("append").parquet(src)
+        seen = _pin_new_mtimes(src, seen, _BATCH_EPOCH)
         e.filter(F.col("event_id") % 10 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        _pin_new_mtimes(src, seen, _BATCH_EPOCH + 10)
         _REPLAY_DIR_CACHE[key] = src
     return _REPLAY_DIR_CACHE[key]
 
@@ -159,12 +185,15 @@ def _parity_events_dir(spark: SparkSession, sf_dir: str) -> str:
 
         src = os.path.join(_tracked_mkdtemp(prefix="events_parity_"), "src")
         e = load_table(spark, sf_dir, "events")
+        seen = set()
         e.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        seen = _pin_new_mtimes(src, seen, _BATCH_EPOCH)
         e.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        _pin_new_mtimes(src, seen, _BATCH_EPOCH + 10)
         _PARITY_DIR_CACHE[key] = src
     return _PARITY_DIR_CACHE[key]
 
@@ -918,10 +947,12 @@ def q_stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tracked_mkdtemp(prefix="availnow_stream_")
     src, out = os.path.join(root, "src"), os.path.join(root, "out")
     e = load_table(spark, sf_dir, "events")
+    seen = set()
     for slice_id in range(3):
         e.filter(F.col("event_id") % 3 == slice_id).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        seen = _pin_new_mtimes(src, seen, _BATCH_EPOCH + slice_id * 10)
 
     stream = (
         spark.readStream.schema(EVENTS_TS_SCHEMA)
@@ -988,10 +1019,12 @@ def q_stream_replay_heal(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tracked_mkdtemp(prefix="replayheal_stream_")
     src, out = os.path.join(root, "src"), os.path.join(root, "out")
     e = load_table(spark, sf_dir, "events")
+    seen = set()
     for slice_id in range(3):
         e.filter(F.col("event_id") % 3 == slice_id).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        seen = _pin_new_mtimes(src, seen, _BATCH_EPOCH + slice_id * 10)
 
     crash_flag = os.path.join(root, "crash_armed")
     open(crash_flag, "w").close()
@@ -1422,8 +1455,9 @@ def _ivm_two_sided_dir(spark: SparkSession, sf_dir: str) -> str:
     batch 0 = the base load (both sides), batches 1 and 2 = mixed
     deltas (new orders AND new customers in the same batch — the
     simultaneous two-sided arrival q_ivm_join_delta's algebra is
-    for). Write order pins mtime order, so the file source drains the
-    batches deterministically."""
+    for). Staged mtimes are pinned explicitly (``_pin_new_mtimes``,
+    ADVICE r12) so the file source drains the batches deterministically
+    even on a coarse-mtime filesystem."""
     global _IVM_TWO_SIDED_CACHE
     if _IVM_TWO_SIDED_CACHE is None:
         from ex_aws_firehose_spark.caching import SessionCache
@@ -1453,10 +1487,12 @@ def _ivm_two_sided_dir(spark: SparkSession, sf_dir: str) -> str:
             F.expr(_IVM_STREAM_BATCH.format(k="c_custkey")).alias("b"),
         )
         both = o.unionByName(c)
+        seen = set()
         for b in range(3):
             both.filter(F.col("b") == b).drop("b").coalesce(1).write.mode(
                 "append"
             ).parquet(src)
+            seen = _pin_new_mtimes(src, seen, _BATCH_EPOCH + b * 10)
         _IVM_TWO_SIDED_CACHE[key] = src
     return _IVM_TWO_SIDED_CACHE[key]
 
@@ -1908,8 +1944,11 @@ def _time_split_events_dir(spark: SparkSession, sf_dir: str) -> str:
         e1 = e.crossJoin(F.broadcast(split)).filter(F.col("ts") <= F.col("s"))
         e2 = e.crossJoin(F.broadcast(split)).filter(F.col("ts") > F.col("s"))
         cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+        seen = set()
         e1.select(cols).coalesce(1).write.mode("append").parquet(src)
+        seen = _pin_new_mtimes(src, seen, _BATCH_EPOCH)
         e2.select(cols).coalesce(1).write.mode("append").parquet(src)
+        seen = _pin_new_mtimes(src, seen, _BATCH_EPOCH + 10)
         flush = e.agg(F.max("ts").alias("m")).select(
             F.lit(-1).cast("long").alias("event_id"),
             F.expr("m + INTERVAL 100 HOURS").alias("ts"),
@@ -1919,6 +1958,7 @@ def _time_split_events_dir(spark: SparkSession, sf_dir: str) -> str:
             F.lit("").alias("props"),
         )
         flush.coalesce(1).write.mode("append").parquet(src)
+        _pin_new_mtimes(src, seen, _BATCH_EPOCH + 20)
         _TIME_SPLIT_DIR_CACHE[key] = src
     return _TIME_SPLIT_DIR_CACHE[key]
 
@@ -3276,10 +3316,12 @@ def sink_manifest_commit(spark: SparkSession, sf_dir: str) -> DataFrame:
     data = os.path.join(root, "data")
     man = os.path.join(root, "manifest")
     e = load_table(spark, sf_dir, "events")
+    seen = set()
     for slice_id in range(3):
         e.filter(F.col("event_id") % 3 == slice_id).coalesce(1).write.mode(
             "append"
         ).parquet(src)
+        seen = _pin_new_mtimes(src, seen, _BATCH_EPOCH + slice_id * 10)
 
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         path = os.path.join(data, f"batch-{batch_id}")

@@ -506,3 +506,54 @@ def test_ivf_compact_serve_equivalence_and_audit_clears(spark, sf_dir):
     assert c.n_dead_after == d.n_dead - c.n_rows_purged
     assert c.n_cells_rewritten == d.n_cells_rewrite_pending >= 1
     assert c.n_rows_purged >= 1
+
+
+def test_graph_ann_add_order_independent_connected_recall(spark, sf_dir):
+    """The round-13 incremental-insert laws (q_sim_graph_ann_add):
+
+    1. ARRIVAL-ORDER INDEPENDENCE — because inserts connect new→base
+       only against FROZEN layers, adding the batch as two interleaved
+       sub-batches appends exactly the same edge set as one shot.
+    2. CONNECTIVITY — every added vector gets ≥1 appended edge (its
+       assigned cells contain at least the hub itself).
+    3. RECALL — serve-after-add matches the full-rebuild serve's
+       measured recall@20 (1.00 at sf0.001/0.01, 0.65 at sf0.1)
+       against brute-force truth; floor pinned with slack."""
+    from ex_aws_firehose_spark.operators.llm import (
+        INC_ADD_MOD,
+        _graph_add_edges,
+        _graph_ann_parts,
+        q_sim_graph_ann_add,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    base_w = f"vec_id % {INC_ADD_MOD} != {INC_ADD_MOD - 1}"
+    parts = _graph_ann_parts(spark, sf_dir, where=base_w)
+    whole_df = _graph_add_edges(spark, sf_dir, base_w, parts)
+    whole = {(r.src, r.dst) for r in whole_df.collect()}
+    half_a = {
+        (r.src, r.dst)
+        for r in _graph_add_edges(
+            spark, sf_dir, f"({base_w}) OR (vec_id % 16 != 7)", parts
+        ).collect()
+    }
+    half_b = {
+        (r.src, r.dst)
+        for r in _graph_add_edges(
+            spark, sf_dir, f"({base_w}) OR (vec_id % 16 != 15)", parts
+        ).collect()
+    }
+    assert (half_a | half_b) == whole
+
+    batch_ids = {
+        r.vec_id
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(f"vec_id <> 0 AND NOT ({base_w})")
+        .select("vec_id")
+        .collect()
+    }
+    assert batch_ids <= {s for s, _ in whole}
+
+    truth = {r.vec_id for r in q_sim_cosine_topk(spark, sf_dir).collect()}
+    got = {r.vec_id for r in q_sim_graph_ann_add(spark, sf_dir).collect()}
+    assert len(truth & got) / len(truth) >= 0.9

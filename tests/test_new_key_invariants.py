@@ -1953,3 +1953,103 @@ def test_heldout_perplexity_laws(spark, sf_dir):
         assert 0 <= r.oov_ppm <= 1_000_000
         assert 0 <= r.n_oov <= r.n_bigrams
         assert r.mean_nll_milli_bits * r.n_bigrams <= r.nll_bits * 1000
+
+
+def test_char_entropy_split_code_point_parity(spark):
+    """ADVICE r12 suspected q_text_char_entropy's Spark F.split(text,
+    '') tokenizes UTF-16 code units (splitting surrogate pairs) while
+    DuckDB str_split_regex tokenizes code points. Investigated: Spark
+    4 splits per CODE POINT too — an astral char stays one element on
+    both engines. Pin that equivalence on a string the ASCII fixture
+    can't exercise, so an engine upgrade that regresses to
+    unit-splitting fails here instead of silently diverging on a
+    future non-BMP corpus."""
+    import duckdb
+
+    text = "a\U0001F600b\u00e9"  # astral emoji + accented BMP char
+    spark_chars = (
+        spark.createDataFrame([(text,)], ["text"])
+        .selectExpr("split(text, '') AS cs")
+        .collect()[0]
+        .cs
+    )
+    duck_chars = duckdb.sql(
+        "SELECT str_split_regex(?, '') AS cs", params=[text]
+    ).fetchone()[0]
+    assert spark_chars == [c for c in duck_chars if c != ""]
+    assert spark_chars == list(text)
+
+
+def test_rewrite_manifests_preserves_reads_and_torn_invisible(spark, sf_dir):
+    """q_maintenance_rewrite_manifests laws (VERDICT r12 ask #2):
+
+    1. TORN COMPACTION INVISIBLE — staged rewrite dirs without the
+       CURRENT pointer swap leave every reader on the original logs.
+    2. PRE/POST READ IDENTITY — after compaction, resolving every ref
+       through the compacted logs returns bit-identical rows to
+       q_meta_snapshot_refs over the original logs.
+    3. The compacted commit log is a real file-count reduction
+       (5 manifest files -> 3) with the snapshot-pinned read
+       (commit_id < SNAP_PIN) served by the ONE base manifest."""
+    import os
+
+    from ex_aws_firehose_spark.sources import formats as fmt
+
+    data, man = fmt._stage_committed_table(spark, sf_dir)
+    fmt._stage_ref_log(spark, sf_dir)
+    base = os.path.dirname(man)
+
+    # Reset to pre-compaction state (earlier tests in this session may
+    # already have compacted), then simulate the torn crash: staged
+    # dirs exist, pointer does not.
+    cur = os.path.join(base, "CURRENT")
+    if os.path.exists(cur):
+        os.remove(cur)
+    fmt._MAN_COMPACT_CACHE.clear()
+    torn = os.path.join(base, "manifest-rewrite")
+    os.makedirs(torn, exist_ok=True)
+    with open(os.path.join(torn, "base-manifest.parquet"), "wb") as f:
+        f.write(b"torn half-write")
+    m_dir, r_dir = fmt._current_log_dirs(base)
+    assert m_dir == man and r_dir == os.path.join(base, "refs")
+
+    orig = {
+        tuple(r)
+        for r in REGISTRY["q_meta_snapshot_refs"].fn(spark, sf_dir).collect()
+    }
+    got = REGISTRY["q_maintenance_rewrite_manifests"].fn(
+        spark, sf_dir
+    ).collect()
+    ref_cols = [
+        "ref_name",
+        "ref_type",
+        "resolved_commit_id",
+        "n_commits",
+        "n_rows",
+        "cents_total",
+    ]
+    assert {tuple(getattr(r, c) for c in ref_cols) for r in got} == orig
+
+    # Pointer swapped; compacted manifest is 1 base + tail files, and
+    # the pinned snapshot read plans entirely from the base manifest.
+    m_dir, _ = fmt._current_log_dirs(base)
+    assert m_dir.endswith("manifest-rewrite")
+    files = sorted(
+        f for f in os.listdir(m_dir) if f.endswith(".parquet")
+    )
+    assert len(files) == 1 + (fmt.SNAP_GROUPS - fmt.MAN_COMPACT_CUT)
+    base_man = spark.read.parquet(
+        os.path.join(m_dir, "base-manifest.parquet")
+    )
+    assert base_man.count() == fmt.MAN_COMPACT_CUT
+    snap_paths = sorted(r.path for r in base_man.collect())
+    pinned = (
+        spark.read.option("basePath", data).parquet(*snap_paths).count()
+    )
+    orig_snap = {
+        r.version: r.n_rows
+        for r in REGISTRY["q_read_snapshot_isolation"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    assert pinned == orig_snap["snapshot"]
