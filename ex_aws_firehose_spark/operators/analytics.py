@@ -1053,7 +1053,7 @@ def _multi_cp_oracle() -> str:
           ON b.event_type = d.event_type
     )"""
         )
-    finals = "\n    UNION ALL ".join(
+    finals = "\n        UNION ALL ".join(
         f"""SELECT event_type, CAST({r} AS BIGINT) AS round_no,
            day AS split_day, r_gain, n AS n_points,
            CAST(s_i // i AS BIGINT) AS left_mean_cents,
@@ -1061,7 +1061,56 @@ def _multi_cp_oracle() -> str:
     FROM best{r}"""
         for r in range(1, MULTI_CP_ROUNDS + 1)
     )
-    return "".join(parts) + "\n    " + finals
+    parts.append(
+        f""",
+    rounds AS ({finals}),
+    st AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS HUGEINT) AS s,
+               SUM(CAST(cents AS HUGEINT) * cents) AS ss
+        FROM daily0 GROUP BY event_type
+    ),
+    pen AS (
+        SELECT event_type, n,
+               CAST(n * ss - s * s AS DOUBLE) / n AS cost0,
+               CAST(n * ss - s * s AS DOUBLE) / n / n
+                   * length(printf('%b', n)) * {MCP_PEN} AS lam
+        FROM st
+    ),
+    cum AS (
+        SELECT event_type, round_no,
+               SUM(r_gain) OVER (PARTITION BY event_type ORDER BY round_no
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_gain
+        FROM rounds
+    ),
+    allk AS (
+        SELECT event_type, CAST(0 AS BIGINT) AS k, cost0 AS pcost FROM pen
+        UNION ALL
+        SELECT c.event_type, c.round_no AS k,
+               (p.cost0 - c.cum_gain) + c.round_no * p.lam AS pcost
+        FROM cum c JOIN pen p USING (event_type)
+    ),
+    chosen AS (
+        SELECT event_type, k AS chosen_k FROM (
+            SELECT event_type, k,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY pcost, k) AS rn
+            FROM allk
+        ) WHERE rn = 1
+    )
+    SELECT r.event_type, r.round_no, r.split_day, r.r_gain, r.n_points,
+           r.left_mean_cents, r.right_mean_cents,
+           ch.chosen_k, r.round_no <= ch.chosen_k AS accepted,
+           p.lam AS penalty_lambda, p.cost0 AS cost_k0,
+           (p.cost0 - c.cum_gain) + r.round_no * p.lam AS penalized_cost
+    FROM rounds r
+    JOIN chosen ch USING (event_type)
+    JOIN pen p USING (event_type)
+    JOIN cum c ON c.event_type = r.event_type
+               AND c.round_no = r.round_no"""
+    )
+    return "".join(parts)
 
 
 @query(
@@ -1084,6 +1133,19 @@ def q_timeseries_multi_changepoint(
     calendar. Emits one row per (event type, round): split day, gain,
     split-segment size, and exact integer sub-segment means.
 
+    STOP RULE (VERDICT r12 ask #7 — data-chosen round count): per
+    event type, chosen_k = argmin over k in 0..K of the penalized
+    cost cost_0 − Σ_{r≤k} gain_r + k·λ with the BIC-style penalty
+    λ = MCP_PEN · (cost_0/n) · ⌊log₂n⌋ (house integer log; cost seed
+    n·Σx²−S² exact in DECIMAL(38,0) / HUGEINT — cents² sums wrap
+    int64 in exactly the regime a stop rule matters). Rounds past
+    chosen_k are still emitted, flagged accepted=false. On this
+    fixture every type chooses k=0 — daily revenue is stationary
+    noise (measured gains ≈ 2σ̂² vs λ ≈ 10σ̂²), the refusal a
+    penalty exists to make; the law test constructs a level-shifted
+    series and pins that the rule then accepts round 1 (and the
+    argmin law over 0..K, recomputed from the emitted columns).
+
     Invariant note (pinned in tests/test_new_key_invariants.py): the
     monotone quantity across rounds is the total within-segment COST —
     every committed gain is ≥ 0 (variance decomposition), so cost_r =
@@ -1099,7 +1161,8 @@ def q_timeseries_multi_changepoint(
     at key×day grain (catalog-sized after the one events agg, which is
     map-side combinable); each round is two windows over ≤|days| rows
     per key and a broadcast of the ≤|event types|-row split table;
-    the events table is read ONCE regardless of round count."""
+    the events table is read ONCE regardless of round count; the stop
+    rule adds only |event types|-row aggregates and broadcasts."""
     e = load_table(spark, sf_dir, "events")
     daily = (
         e.select(
@@ -1112,6 +1175,32 @@ def q_timeseries_multi_changepoint(
         .withColumn("seg", F.lit(0).cast("long"))
         .localCheckpoint()
     )
+    # Penalized-cost seed (r12 ask #7): exact n·Σx²−S² in DECIMAL(38,0)
+    # (the house escape hatch — cents² sums can wrap int64 in exactly
+    # the regime a stop rule exists for), converted to DOUBLE once in
+    # a fixed expression order mirrored by the oracle's HUGEINT path.
+    dec = "decimal(38,0)"
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).alias("ss"),
+    )
+    cost0n = (
+        F.col("n").cast(dec) * F.col("ss")
+        - F.col("s").cast(dec) * F.col("s").cast(dec)
+    )
+    bl = F.length(F.conv(F.col("n").cast("string"), 10, 2))
+    pen = stats.select(
+        "event_type",
+        (cost0n.cast("double") / F.col("n")).alias("cost0"),
+        (
+            cost0n.cast("double")
+            / F.col("n")
+            / F.col("n")
+            * bl
+            * F.lit(MCP_PEN)
+        ).alias("lam"),
+    ).localCheckpoint()
     r_gain = (
         F.col("s_i").cast("double") * F.col("s_i") / F.col("i")
         + (F.col("s_tot") - F.col("s_i")).cast("double")
@@ -1183,7 +1272,62 @@ def q_timeseries_multi_changepoint(
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
-    return out
+    # Stop rule: chosen k = argmin over k in 0..K of penalized cost
+    # cost_0 − Σ_{r<=k} gain_r + k·λ (ties → smallest k). Rounds past
+    # chosen_k are emitted but flagged accepted=false — the caller's
+    # data-chosen round count.
+    wcumr = (
+        Window.partitionBy("event_type")
+        .orderBy("round_no")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = out.select(
+        "event_type",
+        "round_no",
+        F.sum("r_gain").over(wcumr).alias("cum_gain"),
+    )
+    pcost = (F.col("cost0") - F.col("cum_gain")) + F.col(
+        "round_no"
+    ) * F.col("lam")
+    allk = (
+        pen.select(
+            "event_type",
+            F.lit(0).cast("long").alias("k"),
+            F.col("cost0").alias("pcost"),
+        )
+        .unionByName(
+            cum.join(F.broadcast(pen), "event_type").select(
+                "event_type",
+                F.col("round_no").alias("k"),
+                pcost.alias("pcost"),
+            )
+        )
+    )
+    wmin = Window.partitionBy("event_type").orderBy("pcost", "k")
+    chosen = (
+        allk.withColumn("rn", F.row_number().over(wmin))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("k").alias("chosen_k"))
+    )
+    return (
+        out.join(F.broadcast(chosen), "event_type")
+        .join(F.broadcast(pen), "event_type")
+        .join(F.broadcast(cum), ["event_type", "round_no"])
+        .select(
+            "event_type",
+            "round_no",
+            "split_day",
+            "r_gain",
+            "n_points",
+            "left_mean_cents",
+            "right_mean_cents",
+            "chosen_k",
+            (F.col("round_no") <= F.col("chosen_k")).alias("accepted"),
+            F.col("lam").alias("penalty_lambda"),
+            F.col("cost0").alias("cost_k0"),
+            pcost.alias("penalized_cost"),
+        )
+    )
 
 
 @query(

@@ -2053,3 +2053,59 @@ def test_rewrite_manifests_preserves_reads_and_torn_invisible(spark, sf_dir):
         ).collect()
     }
     assert pinned == orig_snap["snapshot"]
+
+
+def test_multi_changepoint_penalized_stop_rule(spark, sf_dir, tmp_path):
+    """q_timeseries_multi_changepoint's data-chosen round count
+    (VERDICT r12 ask #7):
+
+    1. LAW — chosen_k = argmin over k in 0..K of the penalized cost
+       cost_0 − Σ_{r<=k} gain_r + k·λ, recomputed here from the
+       emitted columns (ties to smallest k).
+    2. SENSITIVITY — on the real fixture (stationary daily revenue)
+       the rule refuses to split noise; on a constructed series with
+       one strong level shift it accepts round 1 for the shifted type
+       and still refuses for the flat type."""
+    import math
+
+    fn = REGISTRY["q_timeseries_multi_changepoint"].fn
+    rows = fn(spark, sf_dir).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r.round_no)
+        lam, cost0 = rs[0].penalty_lambda, rs[0].cost_k0
+        pcs = {0: cost0}
+        cum = 0.0
+        for r in rs:
+            cum = cum + r.r_gain
+            pcs[r.round_no] = (cost0 - cum) + r.round_no * lam
+            assert math.isclose(
+                pcs[r.round_no], r.penalized_cost, rel_tol=1e-12
+            )
+        best = min(sorted(pcs), key=lambda k: (pcs[k], k))
+        assert rs[0].chosen_k == best
+        for r in rs:
+            assert r.accepted == (r.round_no <= r.chosen_k)
+
+    # Constructed shift: 40 days, 200 cents/day then 20200 cents/day.
+    import datetime
+
+    recs = []
+    for d in range(40):
+        ts = datetime.datetime(2024, 3, 1) + datetime.timedelta(days=d)
+        shift_val = 2.0 + (200.0 if d >= 20 else 0.0) + (d % 3) * 0.01
+        flat_val = 5.0 + (d % 5) * 0.01
+        recs.append((d * 2, ts, 1, "shift", shift_val, ""))
+        recs.append((d * 2 + 1, ts, 2, "flat", flat_val, ""))
+    df = spark.createDataFrame(
+        recs, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    )
+    syn = str(tmp_path / "syn")
+    df.write.mode("overwrite").parquet(syn + "/events.parquet")
+    syn_rows = fn(spark, syn).collect()
+    chosen = {r.event_type: r.chosen_k for r in syn_rows}
+    assert chosen["shift"] >= 1, chosen
+    assert chosen["flat"] == 0, chosen
