@@ -15160,3 +15160,149 @@ def q_tokenizer_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-ANN tombstone delete (completes the graph index lifecycle:
+# build -> add -> delete, parity with the IVF add/delete/compact family)
+# ---------------------------------------------------------------------------
+
+
+def _graph_delete_oracle() -> str:
+    """DuckDB replay of tombstoned graph serving: the full build +
+    beam serve, with deleted vectors kept as ROUTING WAYPOINTS (they
+    are scored and traversed — removing them would sever the paths
+    they anchor, the standard HNSW mark-delete trade) but excluded
+    from the answer; plus the dead-edge audit that schedules the
+    eventual prune rebuild."""
+    serve, last = _graph_serve_ctes()
+    ctes = _graph_build_ctes() + serve
+    ctes.append(
+        f"""tomb AS MATERIALIZED (
+        SELECT vec_id FROM embeddings
+        WHERE (vec_id % {DEL_MOD} = 3 OR label = {DEL_LABEL})
+          AND vec_id <> 0
+    )"""
+    )
+    ctes.append(
+        """edaudit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN ts.vec_id IS NOT NULL
+                              OR td.vec_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_edges_dead
+        FROM edges e2
+        LEFT JOIN tomb ts ON ts.vec_id = e2.src
+        LEFT JOIN tomb td ON td.vec_id = e2.dst
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT p.vec_id, p.c AS cos_sim,
+           (SELECT CAST(count(*) AS BIGINT) FROM {last}) AS n_scored,
+           (SELECT CAST(count(*) AS BIGINT) FROM {last} v
+            JOIN tomb t ON t.vec_id = v.vec_id) AS n_dead_visited,
+           (SELECT CAST(count(*) AS BIGINT) FROM tomb) AS n_tombstones,
+           (SELECT n_edges_dead FROM edaudit) AS n_edges_dead,
+           (SELECT CAST(CASE WHEN n_edges_dead * 5 > n_edges
+                             THEN 1 ELSE 0 END AS BIGINT)
+            FROM edaudit) AS prune_pending
+    FROM {last} p
+    WHERE p.vec_id NOT IN (SELECT vec_id FROM tomb)
+    ORDER BY p.c DESC, p.vec_id LIMIT {TOPK}"""
+    )
+
+
+@query(
+    "q_sim_graph_ann_delete",
+    oracle=_graph_delete_oracle(),
+    tags=("llm", "similarity", "index", "maintenance"),
+)
+def q_sim_graph_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOMBSTONE DELETE from the graph-ANN index — the third leg of
+    the graph lifecycle (build → add → delete), completing parity
+    with the IVF family (``q_sim_ivf_delete``), on the SAME skewed
+    delete fixture (vec_id % {DEL_MOD} == 3 plus all of label
+    {DEL_LABEL}). Deletion is O(1) metadata: the tombstone set is
+    written beside the index; the edge table is NOT rewritten.
+    Serving keeps tombstoned vectors as ROUTING WAYPOINTS — they are
+    scored and traversed exactly as before (cutting them out would
+    sever the paths they anchor and silently collapse recall — the
+    standard HNSW mark-delete trade) but are filtered from the
+    answer. Proof columns: n_scored (pool size, unchanged by
+    deletion), n_dead_visited (tombstones the walk actually passed
+    through — non-zero on this fixture, pinned in tests, proving the
+    waypoint semantics are load-bearing), n_tombstones, and the
+    dead-edge audit (n_edges_dead, prune_pending when >20% of edges
+    touch a tombstone — the integer n·5 > total trigger shared with
+    the IVF rewrite audit) that schedules the eventual prune rebuild.
+    Laws in tests/test_ann_recall.py: no tombstone in the answer;
+    pool ≡ the undeleted serve's pool (deletion changes results, not
+    traversal).
+
+    100 TB shape: delete is a metadata append (tombstone ids),
+    serve cost unchanged (same beam, same O(hubs + R·B·deg) scores,
+    plus one broadcast anti-join of the ≤k-row answer against the
+    tombstone set — at scale a bloom-filter side input); the audit
+    is one pass over the degree-bounded edge table at
+    (K1+K2+2·K3)·2·N rows, linear, run at maintenance cadence not
+    per query."""
+    edges = graph_ann_build(spark, sf_dir)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", "embedding", norm("embedding").alias("nrm"), "label"
+        )
+    )
+    tomb = (
+        e.filter(
+            (F.col("vec_id") % DEL_MOD == 3)
+            | (F.col("label") == DEL_LABEL)
+        )
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    ev = e.drop("label")
+    pool = _graph_beam_serve(spark, sf_dir, edges, ev, ev)
+    n_scored = pool.agg(F.count("*").alias("n_scored"))
+    n_dead = pool.join(F.broadcast(tomb), "vec_id").agg(
+        F.count("*").alias("n_dead_visited")
+    )
+    n_tomb = tomb.agg(F.count("*").alias("n_tombstones"))
+    audit = (
+        edges.join(
+            F.broadcast(tomb.select(F.col("vec_id").alias("src"))),
+            "src",
+            "left_semi",
+        )
+        .select("src", "dst")
+        .unionByName(
+            edges.join(
+                F.broadcast(tomb.select(F.col("vec_id").alias("dst"))),
+                "dst",
+                "left_semi",
+            ).select("src", "dst")
+        )
+        .distinct()
+        .agg(F.count("*").alias("n_edges_dead"))
+        .crossJoin(F.broadcast(edges.agg(F.count("*").alias("n_edges"))))
+        .select(
+            "n_edges_dead",
+            F.expr(
+                "CAST(CASE WHEN n_edges_dead * 5 > n_edges"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("prune_pending"),
+        )
+    )
+    return (
+        pool.join(F.broadcast(tomb), "vec_id", "left_anti")
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id", F.col("c").alias("cos_sim"))
+        .crossJoin(F.broadcast(n_scored))
+        .crossJoin(F.broadcast(n_dead))
+        .crossJoin(F.broadcast(n_tomb))
+        .crossJoin(F.broadcast(audit))
+    )

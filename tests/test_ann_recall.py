@@ -609,3 +609,36 @@ def test_opq_allocation_balances_variance(spark, sf_dir):
         [row.total_sse_unrot_milli, row.total_sse_rot_milli]
     )
     assert hi <= lo * 1.05, (lo, hi)
+
+
+def test_graph_ann_delete_waypoints_and_exclusion(spark, sf_dir):
+    """q_sim_graph_ann_delete laws: (a) no tombstoned id in the
+    answer; (b) the visited pool is IDENTICAL to the undeleted
+    serve's (n_scored equal — deletion filters results, never
+    traversal); (c) the walk actually passes through tombstones
+    (n_dead_visited > 0), proving the waypoint semantics carry
+    routing load on this fixture."""
+    from ex_aws_firehose_spark.operators.llm import (
+        DEL_LABEL,
+        DEL_MOD,
+        q_sim_graph_ann,
+        q_sim_graph_ann_delete,
+    )
+    from ex_aws_firehose_spark.tables import load_table
+
+    rows = q_sim_graph_ann_delete(spark, sf_dir).collect()
+    tomb = {
+        r.vec_id
+        for r in load_table(spark, sf_dir, "embeddings")
+        .filter(
+            f"(vec_id % {DEL_MOD} = 3 OR label = {DEL_LABEL})"
+            " AND vec_id <> 0"
+        )
+        .select("vec_id")
+        .collect()
+    }
+    assert not ({r.vec_id for r in rows} & tomb)
+    assert rows[0].n_dead_visited > 0
+    assert rows[0].n_tombstones == len(tomb)
+    plain = q_sim_graph_ann(spark, sf_dir).collect()
+    assert rows[0].n_scored == plain[0].n_scored
