@@ -4416,7 +4416,9 @@ def _graph_build_ctes(base_where: str = "") -> list:
     return ctes
 
 
-def _graph_serve_ctes(edges: str = "edges", score: str = "e") -> tuple:
+def _graph_serve_ctes(
+    edges: str = "edges", score: str = "e", hubs: str = "hubs"
+) -> tuple:
     """The serve half of the mirror: entry pool over the hub layer,
     then GRAPH_ROUNDS unrolled beam rounds gathering through the
     ``edges`` table and scoring candidates from the ``score`` frame
@@ -4428,7 +4430,7 @@ def _graph_serve_ctes(edges: str = "edges", score: str = "e") -> tuple:
         " WHERE vec_id = 0)",
         "pool0 AS MATERIALIZED (SELECT h.vec_id,"
         f" round({duck_cosine('h.embedding', 'q.qv')}, 6) AS c"
-        " FROM hubs h CROSS JOIN q)",
+        f" FROM {hubs} h CROSS JOIN q)",
         f"f0 AS (SELECT vec_id FROM pool0"
         f" ORDER BY c DESC, vec_id LIMIT {GRAPH_BEAM})",
     ]
@@ -15305,4 +15307,196 @@ def q_sim_graph_ann_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_dead))
         .crossJoin(F.broadcast(n_tomb))
         .crossJoin(F.broadcast(audit))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph-ANN prune compaction (acts on q_sim_graph_ann_delete's
+# prune_pending trigger: drop tombstones, repair only the wounded)
+# ---------------------------------------------------------------------------
+
+def _graph_compact_oracle() -> str:
+    """DuckDB replay of the graph prune rebuild: tombstoned endpoints
+    drop from the edge table; survivors that LOST an edge (wounded)
+    re-run the base-layer top-K1 linking restricted to surviving
+    cell-mates; everyone else's edges are untouched. Serve then runs
+    on the compacted graph with surviving hubs as the entry layer."""
+    cos_eq = duck_cosine("a.embedding", "b.embedding")
+    serve, last = _graph_serve_ctes(
+        edges="edges3", score="ee2", hubs="hubs2"
+    )
+    ctes = _graph_build_ctes() + [
+        f"""tomb AS MATERIALIZED (
+        SELECT vec_id FROM embeddings
+        WHERE (vec_id % {DEL_MOD} = 3 OR label = {DEL_LABEL})
+          AND vec_id <> 0
+    )""",
+        """kept AS MATERIALIZED (
+        SELECT src, dst FROM edges
+        WHERE src NOT IN (SELECT vec_id FROM tomb)
+          AND dst NOT IN (SELECT vec_id FROM tomb)
+    )""",
+        """wounded AS MATERIALIZED (
+        SELECT DISTINCT src AS vec_id FROM edges
+        WHERE src NOT IN (SELECT vec_id FROM tomb)
+          AND dst IN (SELECT vec_id FROM tomb)
+    )""",
+        f"""relink AS (SELECT src, dst FROM (
+            SELECT p.va AS src, p.vb AS dst,
+                   row_number() OVER (PARTITION BY p.va
+                       ORDER BY round({cos_eq}, 6) DESC, p.vb) AS rn
+            FROM (SELECT DISTINCT w.vec_id AS va, y.vec_id AS vb
+                  FROM wounded w
+                  JOIN asg x ON x.vec_id = w.vec_id
+                  JOIN asg y ON y.hub = x.hub
+                  WHERE y.vec_id <> w.vec_id
+                    AND y.vec_id NOT IN (SELECT vec_id FROM tomb)) p
+            JOIN e a ON a.vec_id = p.va JOIN e b ON b.vec_id = p.vb
+        ) WHERE rn <= {GRAPH_K1})""",
+        """edges3 AS MATERIALIZED (
+        SELECT src, dst FROM kept
+        UNION SELECT src, dst FROM relink
+        UNION SELECT dst, src FROM relink)""",
+        "ee2 AS MATERIALIZED (SELECT vec_id, embedding FROM e"
+        " WHERE vec_id NOT IN (SELECT vec_id FROM tomb))",
+        f"hubs2 AS MATERIALIZED (SELECT vec_id, embedding FROM ee2"
+        f" WHERE vec_id % {GRAPH_HUB_MOD} = 0)",
+    ] + serve
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT p.vec_id, p.c AS cos_sim,
+           (SELECT CAST(count(*) AS BIGINT) FROM {last}) AS n_scored,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges)
+               - (SELECT CAST(count(*) AS BIGINT) FROM kept)
+               AS n_edges_dropped,
+           (SELECT CAST(count(*) AS BIGINT) FROM wounded) AS n_wounded,
+           (SELECT CAST(count(*) AS BIGINT) FROM edges3) AS n_edges_after
+    FROM {last} p
+    ORDER BY p.c DESC, p.vec_id LIMIT {TOPK}"""
+    )
+
+
+@query(
+    "q_sim_graph_ann_compact",
+    oracle=_graph_compact_oracle(),
+    tags=("llm", "similarity", "index", "maintenance"),
+)
+def q_sim_graph_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRUNE COMPACTION of the graph-ANN index — the maintenance job
+    q_sim_graph_ann_delete's prune_pending trigger schedules,
+    completing the lifecycle symmetry with IVF (build → add →
+    tombstone → compact): every edge touching a tombstone drops, and
+    ONLY the WOUNDED survivors (those that lost at least one
+    neighbor) re-run the base-layer top-``GRAPH_K1`` linking among
+    their surviving hub-cell mates; the unwounded majority's edges
+    are byte-identical before and after — the incremental-repair
+    contract that makes compaction affordable (a full rebuild is what
+    the trigger exists to avoid). Serving then runs on the compacted
+    graph with surviving hubs as the entry layer and tombstones fully
+    gone — no waypoint filtering, no residual mask, the post-compact
+    mirror of q_sim_ivf_compact's "serving after ≡ serving with
+    tombstones" economics. Proof columns: n_edges_dropped, n_wounded,
+    n_edges_after. Laws (tests/test_ann_recall.py): zero tombstoned
+    endpoints after; unwounded survivors' edge sets untouched; every
+    wounded survivor keeps ≥1 edge (its surviving cell-mates include
+    a live neighbor on this fixture).
+
+    100 TB shape: the drop is one broadcast (bloom at scale)
+    anti-join over the degree-bounded edge table; the repair's pair
+    space is |wounded| × cell-mates (the same Σ|cell|² bucketed bound
+    as the build, restricted to the wounded slice) — compaction cost
+    scales with the DELETED fraction, not the corpus."""
+    parts = _graph_ann_parts(spark, sf_dir)
+    edges = parts["edges"]
+    e = parts["e"]
+    tomb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            f"(vec_id % {DEL_MOD} = 3 OR label = {DEL_LABEL})"
+            " AND vec_id <> 0"
+        )
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    tsrc = tomb.select(F.col("vec_id").alias("src"))
+    tdst = tomb.select(F.col("vec_id").alias("dst"))
+    kept = (
+        edges.join(F.broadcast(tsrc), "src", "left_anti")
+        .join(F.broadcast(tdst), "dst", "left_anti")
+        .select("src", "dst")
+    )
+    wounded = (
+        edges.join(F.broadcast(tsrc), "src", "left_anti")
+        .join(F.broadcast(tdst), "dst", "left_semi")
+        .select(F.col("src").alias("vec_id"))
+        .distinct()
+    )
+    asg = parts["scored"].filter(F.col("rn") <= GRAPH_NCELL).select(
+        "vec_id", "hub_id"
+    )
+    cand = (
+        wounded.join(asg, "vec_id")
+        .join(
+            asg.select(
+                F.col("vec_id").alias("vb"), F.col("hub_id")
+            ),
+            "hub_id",
+        )
+        .filter(F.col("vb") != F.col("vec_id"))
+        .join(
+            F.broadcast(tomb.select(F.col("vec_id").alias("vb"))),
+            "vb",
+            "left_anti",
+        )
+        .select(F.col("vec_id").alias("va"), "vb")
+        .distinct()
+    )
+    pair_cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
+    ws = Window.partitionBy("src").orderBy(F.desc("c"), "dst")
+    relink = (
+        cand.join(e.alias("a"), cand.va == F.col("a.vec_id"))
+        .join(e.alias("b"), cand.vb == F.col("b.vec_id"))
+        .select(
+            F.col("va").alias("src"),
+            F.col("vb").alias("dst"),
+            pair_cos.alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= GRAPH_K1)
+        .select("src", "dst")
+    )
+    edges3 = (
+        kept.unionByName(relink)
+        .unionByName(
+            relink.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    ee2 = e.join(F.broadcast(tomb), "vec_id", "left_anti")
+    pool = _graph_beam_serve(spark, sf_dir, edges3, ee2, ee2)
+    n_scored = pool.agg(F.count("*").alias("n_scored"))
+    n_drop = (
+        edges.agg(F.count("*").alias("a"))
+        .crossJoin(kept.agg(F.count("*").alias("b")))
+        .select((F.col("a") - F.col("b")).alias("n_edges_dropped"))
+    )
+    n_wnd = wounded.agg(F.count("*").alias("n_wounded"))
+    n_after = edges3.agg(F.count("*").alias("n_edges_after"))
+    return (
+        pool.orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id", F.col("c").alias("cos_sim"))
+        .crossJoin(F.broadcast(n_scored))
+        .crossJoin(F.broadcast(n_drop))
+        .crossJoin(F.broadcast(n_wnd))
+        .crossJoin(F.broadcast(n_after))
     )
