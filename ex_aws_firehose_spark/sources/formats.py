@@ -2037,6 +2037,162 @@ def q_meta_snapshot_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _branch_ff_oracle() -> str:
+    reflog_rows = ", ".join(
+        f"({s}, '{n}', '{t}', {c})" for s, n, t, c in SNAP_REF_LOG
+    )
+    return f"""
+    WITH g AS (
+        SELECT o_orderkey % {SNAP_GROUPS} AS commit_id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    reflog(seq, ref_name, ref_type, commit_id) AS (
+        VALUES {reflog_rows}
+    ),
+    resolved AS (
+        SELECT ref_name, ref_type, commit_id, seq FROM (
+            SELECT *, row_number() OVER (PARTITION BY ref_name
+                          ORDER BY seq DESC, commit_id DESC) AS rn
+            FROM reflog
+        ) WHERE rn = 1
+    ),
+    head AS (SELECT commit_id AS head_id, seq AS head_seq
+             FROM resolved WHERE ref_name = 'main'),
+    ff AS (
+        SELECT r.ref_name, r.ref_type,
+               CAST(r.commit_id AS BIGINT) AS from_commit_id,
+               CAST(CASE WHEN r.ref_type = 'branch'
+                         AND r.commit_id < h.head_id
+                    THEN h.head_id ELSE r.commit_id END AS BIGINT)
+                   AS to_commit_id,
+               CAST(CASE WHEN r.ref_type = 'branch'
+                         AND r.commit_id < h.head_id
+                    THEN 1 ELSE 0 END AS BIGINT) AS fast_forwarded,
+               CAST(CASE WHEN r.ref_type = 'tag'
+                         AND r.commit_id < h.head_id
+                    THEN 1 ELSE 0 END AS BIGINT) AS rejected_tag
+        FROM resolved r CROSS JOIN head h
+    )
+    SELECT f.ref_name, f.ref_type, f.from_commit_id, f.to_commit_id,
+           f.fast_forwarded, f.rejected_tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(g.cents) AS BIGINT) AS cents_total
+    FROM ff f JOIN g ON g.commit_id <= f.to_commit_id
+    GROUP BY f.ref_name, f.ref_type, f.from_commit_id, f.to_commit_id,
+             f.fast_forwarded, f.rejected_tag
+    """
+
+
+@query(
+    "q_table_branch_fast_forward",
+    oracle=_branch_ff_oracle(),
+    tags=("source", "maintenance", "manifest"),
+)
+def q_table_branch_fast_forward(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BRANCH FAST-FORWARD over the ref log — the Iceberg
+    ``fast_forward`` procedure (promote a lagging branch to the main
+    head after its audit/WAP validation passes): every BRANCH whose
+    resolved snapshot is strictly BEHIND main's head advances to the
+    head by APPENDING a ref-log entry (the log stays append-only —
+    the move is one metadata row, exactly like the commits
+    themselves); TAGS are immutable by definition, so a tag behind
+    head is REJECTED, not moved (the tag-mutation refusal, flagged in
+    the rejected_tag proof column). On this fixture: 'audit' (branch,
+    at 3) fast-forwards to 4; 'v1.0' (tag, at 1) is refused and
+    stays pinned; 'main' is already at head (no-op). The key serves
+    every ref's POST-operation aggregate through the same commit-log
+    prefix planning as q_meta_snapshot_refs, with
+    (from_commit_id, to_commit_id, fast_forwarded, rejected_tag) as
+    the operation's audit row. The oracle recomputes resolution, the
+    fast-forward decision table, and every prefix aggregate from the
+    raw table — a fast-forward that moved a tag, skipped an eligible
+    branch, or rewrote history instead of appending hash-fails.
+
+    100 TB shape: resolution + decision are |refs|-row metadata; the
+    appended entry is one row; each ref's read plans from its
+    (possibly advanced) commit prefix — the lagging branch pays
+    head-sized I/O only AFTER it chose to advance."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data, man = _stage_committed_table(spark, sf_dir)
+    refs_dir = _stage_ref_log(spark, sf_dir)
+    from pyspark.sql import Window
+
+    reflog = spark.read.parquet(refs_dir)
+    wr = Window.partitionBy("ref_name").orderBy(
+        F.desc("seq"), F.desc("commit_id")
+    )
+    resolved = (
+        reflog.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("ref_name", "ref_type", "commit_id", "seq")
+        .collect()  # metadata grain: one row per ref
+    )
+    head = next(r for r in resolved if r.ref_name == "main")
+    decisions = []
+    appended = []
+    for r in resolved:
+        can_ff = r.ref_type == "branch" and r.commit_id < head.commit_id
+        is_rejected_tag = r.ref_type == "tag" and r.commit_id < head.commit_id
+        to_id = head.commit_id if can_ff else r.commit_id
+        decisions.append(
+            (r.ref_name, r.ref_type, r.commit_id, to_id,
+             int(can_ff), int(is_rejected_tag))
+        )
+        if can_ff:
+            appended.append((head.seq + 1, r.ref_name, "branch", to_id))
+    if appended:
+        # append-only: the fast-forward IS a new ref-log entry file —
+        # staged in its OWN dir (this key's branch of the log) so the
+        # shared fixture other ref keys resolve stays pristine; a real
+        # table would append in place under its commit lock.
+        ff_dir = os.path.join(os.path.dirname(refs_dir), "refs-ff")
+        os.makedirs(ff_dir, exist_ok=True)
+        seqs, names, types, cids = zip(*appended)
+        pq.write_table(
+            pa.table(
+                {
+                    "seq": pa.array(seqs, pa.int64()),
+                    "ref_name": pa.array(names, pa.string()),
+                    "ref_type": pa.array(types, pa.string()),
+                    "commit_id": pa.array(cids, pa.int64()),
+                }
+            ),
+            os.path.join(ff_dir, "reflog-ff.parquet"),
+        )
+    log = spark.read.parquet(man)
+    out = None
+    for name, rtype, from_id, to_id, ff, rej in sorted(decisions):
+        paths = sorted(
+            row.path
+            for row in log.filter(F.col("commit_id") <= to_id)
+            .select("path")
+            .collect()
+        )
+        t = spark.read.option("basePath", data).parquet(*paths)
+        part = t.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ).select(
+            F.lit(name).alias("ref_name"),
+            F.lit(rtype).alias("ref_type"),
+            F.lit(from_id).cast("long").alias("from_commit_id"),
+            F.lit(to_id).cast("long").alias("to_commit_id"),
+            F.lit(ff).cast("long").alias("fast_forwarded"),
+            F.lit(rej).cast("long").alias("rejected_tag"),
+            "n_rows",
+            "cents_total",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Commit-log + ref-log compaction (Iceberg rewrite_manifests semantics)
 # ---------------------------------------------------------------------------
