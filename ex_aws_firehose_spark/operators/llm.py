@@ -15500,3 +15500,142 @@ def q_sim_graph_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_wnd))
         .crossJoin(F.broadcast(n_after))
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-data bias audit (position + length bias in pairwise labels)
+# ---------------------------------------------------------------------------
+
+PREF_CHI2_CRIT_MILLI = 3841  # chi-square 0.95, 1 dof, in milli-units
+
+
+@query(
+    "q_eval_pref_bias_audit",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type AS b_t,
+               CAST(ROUND(value * 100) AS BIGINT) AS pb,
+               len(props) AS lb,
+               lag(event_type) OVER w AS a_t,
+               lag(CAST(ROUND(value * 100) AS BIGINT)) OVER w AS pa,
+               lag(len(props)) OVER w AS la
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    m AS (
+        SELECT a_t, b_t,
+               CASE WHEN pa > pb THEN 1 ELSE 0 END AS first_win,
+               CASE WHEN (pa > pb AND la > lb)
+                     OR (pa <= pb AND lb > la) THEN 1 ELSE 0 END
+                   AS longer_win
+        FROM seq WHERE a_t IS NOT NULL AND a_t <> b_t
+    ),
+    per AS (
+        SELECT a_t AS first_contestant,
+               CAST(COUNT(*) AS BIGINT) AS n_matches,
+               CAST(SUM(first_win) AS BIGINT) AS first_wins,
+               CAST(SUM(longer_win) AS BIGINT) AS longer_wins
+        FROM m GROUP BY a_t
+        UNION ALL
+        SELECT 'ALL', CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(first_win) AS BIGINT),
+               CAST(SUM(longer_win) AS BIGINT)
+        FROM m
+    )
+    SELECT first_contestant, n_matches, first_wins, longer_wins,
+           CAST(first_wins * 1000000 // n_matches AS BIGINT)
+               AS position_win_ppm,
+           CAST(longer_wins * 1000000 // n_matches AS BIGINT)
+               AS length_win_ppm,
+           CAST(CASE WHEN (2 * first_wins - n_matches)
+                          * (2 * first_wins - n_matches) * 1000
+                          > {PREF_CHI2_CRIT_MILLI} * n_matches
+                THEN 1 ELSE 0 END AS BIGINT) AS position_biased,
+           CAST(CASE WHEN (2 * longer_wins - n_matches)
+                          * (2 * longer_wins - n_matches) * 1000
+                          > {PREF_CHI2_CRIT_MILLI} * n_matches
+                THEN 1 ELSE 0 END AS BIGINT) AS length_biased
+    FROM per
+    """,
+    tags=("llm", "eval"),
+)
+def q_eval_pref_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PREFERENCE-DATASET BIAS AUDIT — the hygiene check every RLHF /
+    reward-model pipeline runs before training on pairwise labels
+    (Chatbot-Arena-style analyses): on the SAME deterministic match
+    fixture as q_eval_bradley_terry (consecutive same-user event
+    pairs, higher cent-value wins), measure the two classic label
+    confounds: POSITION bias — the win rate of the first-shown arm,
+    which an unbiased labeling process keeps at ~50% — and LENGTH
+    bias — the rate at which the longer response (props length, the
+    axis INDEPENDENT of the win rule) wins. Each rate is flagged
+    against the exact-integer one-dof chi-square test at 0.95:
+    biased iff (2·wins − n)²·1000 > 3841·n — the cross-multiplied
+    form shared with q_ab_srm_check, no floats anywhere. Reported
+    per first-position contestant plus the 'ALL' rollup; length
+    ties count against the longer-wins rate (strict inequality),
+    documented and mirrored.
+
+    100 TB shape: ONE user_id window shuffle builds the match
+    stream (shared shape with the Bradley–Terry key — at scale the
+    two audits run off one materialized match frame); everything
+    after is a map-side-combinable agg to |contestants|+1 rows.
+    int64 holds to ~3e9 matches per cell ((2w−n)²·1000 ≲ 9e18 at
+    n ≈ 3e9 — the capacity-sweep bound class)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("b_t"),
+        cents.alias("pb"),
+        F.length("props").alias("lb"),
+        F.lag("event_type").over(wu).alias("a_t"),
+        F.lag(cents).over(wu).alias("pa"),
+        F.lag(F.length("props")).over(wu).alias("la"),
+    ).filter(F.col("a_t").isNotNull() & (F.col("a_t") != F.col("b_t")))
+    m = seq.select(
+        "a_t",
+        F.when(F.col("pa") > F.col("pb"), 1).otherwise(0).alias(
+            "first_win"
+        ),
+        F.when(
+            ((F.col("pa") > F.col("pb")) & (F.col("la") > F.col("lb")))
+            | ((F.col("pa") <= F.col("pb")) & (F.col("lb") > F.col("la"))),
+            1,
+        )
+        .otherwise(0)
+        .alias("longer_win"),
+    )
+    per = m.groupBy(F.col("a_t").alias("first_contestant")).agg(
+        F.count("*").alias("n_matches"),
+        F.sum("first_win").alias("first_wins"),
+        F.sum("longer_win").alias("longer_wins"),
+    )
+    allr = m.agg(
+        F.count("*").alias("n_matches"),
+        F.sum("first_win").alias("first_wins"),
+        F.sum("longer_win").alias("longer_wins"),
+    ).select(F.lit("ALL").alias("first_contestant"), "*")
+    crit = PREF_CHI2_CRIT_MILLI
+    return per.unionByName(allr).select(
+        "first_contestant",
+        "n_matches",
+        "first_wins",
+        "longer_wins",
+        F.expr("first_wins * 1000000 div n_matches").alias(
+            "position_win_ppm"
+        ),
+        F.expr("longer_wins * 1000000 div n_matches").alias(
+            "length_win_ppm"
+        ),
+        F.expr(
+            "CAST(CASE WHEN (2 * first_wins - n_matches)"
+            " * (2 * first_wins - n_matches) * 1000"
+            f" > {crit} * n_matches THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("position_biased"),
+        F.expr(
+            "CAST(CASE WHEN (2 * longer_wins - n_matches)"
+            " * (2 * longer_wins - n_matches) * 1000"
+            f" > {crit} * n_matches THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("length_biased"),
+    )

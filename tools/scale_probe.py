@@ -88,6 +88,13 @@ KEY_TABLE = {
     "q_stream_ivm_join_delta": "orders",
     "q_timeseries_multi_changepoint": "events",
     "q_meta_snapshot_refs": "orders",
+    # round-13 keys (VERDICT r12 asks #1/#2/#3/#5 + lifecycle closure)
+    "q_sim_graph_ann_add": "embeddings",
+    "q_sim_graph_ann_delete": "embeddings",
+    "q_sim_graph_ann_compact": "embeddings",
+    "q_maintenance_rewrite_manifests": "orders",
+    "q_embed_opq_rotate": "embeddings",
+    "q_table_branch_fast_forward": "orders",
 }
 
 
