@@ -95,6 +95,7 @@ KEY_TABLE = {
     "q_maintenance_rewrite_manifests": "orders",
     "q_embed_opq_rotate": "embeddings",
     "q_table_branch_fast_forward": "orders",
+    "q_eval_pref_bias_audit": "events",
 }
 
 
