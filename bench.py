@@ -126,10 +126,23 @@ def main() -> None:
             pq_train,
         )
 
+        from ex_aws_firehose_spark.operators.llm import (
+            _top_pc_frames,
+        )
+
         yield "_train_ivf_codebook", lambda: ivf_train(spark, sf_dir)
         yield "_train_pq_codebook", lambda: pq_train(
             spark, sf_dir, ADC_M, ADC_K
         )
+        # the PQ_M/PQ_K default-family training (q_embed_pq_codes /
+        # q_embed_opq_rotate) caches under a different key than the
+        # ADC_M/ADC_K row above
+        yield "_train_pq_codebook_default", lambda: pq_train(
+            spark, sf_dir
+        )
+        # top-PC Gram pass + power iteration (q_embed_top_pc /
+        # q_embed_pca_residual / q_embed_opq_rotate)
+        yield "_build_top_pc", lambda: _top_pc_frames(spark, sf_dir)
         yield "_build_graph_ann_index", lambda: graph_ann_build(
             spark, sf_dir
         )

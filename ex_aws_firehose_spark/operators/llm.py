@@ -15639,3 +15639,162 @@ def q_eval_pref_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > {crit} * n_matches THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("length_biased"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-ANN batch serving (multi-query beam search; the graph-route
+# counterpart of q_sim_ivf_pq_adc_batch, and the base the streaming
+# serve key replays)
+# ---------------------------------------------------------------------------
+
+
+def _graph_beam_serve_batch(
+    edges: DataFrame, e: DataFrame, bq: DataFrame
+) -> DataFrame:
+    """Beam search for a BATCH of queries: the single-query walk of
+    ``_graph_beam_serve`` with (qid, vec_id)-keyed pools — entry pool
+    = hubs × queries, per-round frontier/pool windows partition by
+    qid, candidate scores join the ≤``ADC_BATCH_Q``-row broadcast
+    query frame. Returns the visited pool (qid, vec_id, c)."""
+    score = F.round(
+        dot(F.col("embedding"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")),
+        6,
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
+    pool = (
+        e.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0)
+        .crossJoin(F.broadcast(bq))
+        .select("qid", "vec_id", score.alias("c"))
+        .localCheckpoint()
+    )
+    frontier = (
+        pool.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= GRAPH_BEAM)
+        .select("qid", "vec_id")
+    )
+    for _ in range(GRAPH_ROUNDS):
+        cand = (
+            F.broadcast(frontier)
+            .join(edges, frontier.vec_id == edges.src)
+            .select("qid", F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        new = (
+            cand.join(
+                pool.select("qid", "vec_id"), ["qid", "vec_id"], "left_anti"
+            )
+            .join(e, "vec_id")
+            .join(F.broadcast(bq), "qid")
+            .select("qid", "vec_id", score.alias("c"))
+            .localCheckpoint()
+        )
+        pool = pool.unionByName(new).localCheckpoint()
+        frontier = (
+            new.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= GRAPH_BEAM)
+            .select("qid", "vec_id")
+        )
+    return pool
+
+
+def _graph_batch_oracle() -> str:
+    """DuckDB replay of the multi-query beam: the build CTEs, then
+    per-qid-windowed pools/frontiers — bit-for-bit with
+    ``_graph_beam_serve_batch`` (6-dp cosine, vec_id tie-breaks)."""
+    cos_hq = duck_cosine("h.embedding", "q.qv")
+    cos_eq2 = duck_cosine("e.embedding", "q.qv")
+    ctes = _graph_build_ctes() + [
+        f"""bq AS MATERIALIZED (SELECT vec_id AS qid, embedding AS qv
+        FROM embeddings WHERE vec_id < {ADC_BATCH_Q})""",
+        f"""bpool0 AS MATERIALIZED (SELECT q.qid, h.vec_id,
+               round({cos_hq}, 6) AS c
+        FROM hubs h CROSS JOIN bq q)""",
+        f"""bf0 AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                ORDER BY c DESC, vec_id) AS rn
+            FROM bpool0) WHERE rn <= {GRAPH_BEAM})""",
+    ]
+    for i in range(GRAPH_ROUNDS):
+        ctes.append(
+            f"""bnew{i} AS MATERIALIZED (
+            SELECT cand.qid, e.vec_id, round({cos_eq2}, 6) AS c
+            FROM (SELECT DISTINCT f.qid, ed.dst AS vec_id
+                  FROM bf{i} f JOIN edges ed ON ed.src = f.vec_id) cand
+            JOIN e ON e.vec_id = cand.vec_id
+            JOIN bq q ON q.qid = cand.qid
+            WHERE NOT EXISTS (SELECT 1 FROM bpool{i} p
+                WHERE p.qid = cand.qid AND p.vec_id = cand.vec_id))"""
+        )
+        ctes.append(
+            f"bpool{i + 1} AS MATERIALIZED (SELECT * FROM bpool{i}"
+            f" UNION ALL SELECT * FROM bnew{i})"
+        )
+        ctes.append(
+            f"""bf{i + 1} AS (SELECT qid, vec_id FROM (
+            SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+                ORDER BY c DESC, vec_id) AS rn
+            FROM bnew{i}) WHERE rn <= {GRAPH_BEAM})"""
+        )
+    last = f"bpool{GRAPH_ROUNDS}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT p.qid, p.vec_id, p.c AS cos_sim, ns.n_scored
+    FROM (SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid
+              ORDER BY c DESC, vec_id) AS rn FROM {last}) p
+    JOIN (SELECT qid, CAST(count(*) AS BIGINT) AS n_scored
+          FROM {last} GROUP BY qid) ns ON ns.qid = p.qid
+    WHERE p.rn <= {TOPK}"""
+    )
+
+
+@query(
+    "q_sim_graph_ann_batch",
+    oracle=_graph_batch_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_graph_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH graph-ANN serving — {ADC_BATCH_Q} query vectors walk the
+    navigable graph TOGETHER (the graph-route counterpart of
+    q_sim_ivf_pq_adc_batch, closing the serving asymmetry between the
+    two index families): one (qid, vec_id)-keyed beam search shares
+    the entry scan and every expansion round across the batch, so the
+    edge table and the candidate point-gathers are touched once per
+    ROUND, not once per query — the amortization that makes offline
+    bulk kNN (contamination sweeps, dedup candidate recall audits)
+    affordable on the graph index. Per query: the same pool/beam
+    semantics as q_sim_graph_ann (6-dp cosine, vec_id tie-breaks,
+    n_scored budget column), and because per-query results are
+    independent of batching, the streaming serve key
+    (q_stream_graph_serve) replays THIS key's oracle verbatim.
+
+    100 TB shape: per round, one ≤Q·BEAM-row broadcast against the
+    degree-bounded edge table and one semi-join point-gather of the
+    batch's union candidate set — work O(Q·ROUNDS·BEAM·degree) total
+    with the constant shared, vs Q independent walks re-reading the
+    edge table Q times."""
+    edges = graph_ann_build(spark, sf_dir)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    bq = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < ADC_BATCH_Q)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qv"),
+            norm("embedding").alias("qnrm"),
+        )
+    )
+    pool = _graph_beam_serve_batch(edges, e, bq)
+    wq = Window.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
+    ns = pool.groupBy("qid").agg(F.count("*").alias("n_scored"))
+    return (
+        pool.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "vec_id", F.col("c").alias("cos_sim"))
+        .join(F.broadcast(ns), "qid")
+    )

@@ -3653,3 +3653,108 @@ def q_stream_exp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.alias("hi_cents"),
         F.col("exact_c").alias("exact_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming graph-ANN query serving (the graph-route twin of
+# q_stream_index_serve)
+# ---------------------------------------------------------------------------
+
+
+def _stream_graph_serve_oracle() -> str:
+    from ex_aws_firehose_spark.operators.llm import _graph_batch_oracle
+
+    return _graph_batch_oracle()
+
+
+@query(
+    "q_stream_graph_serve",
+    oracle=_stream_graph_serve_oracle(),
+    tags=("streaming", "llm", "similarity"),
+)
+def q_stream_graph_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING graph-ANN serving — live query vectors beam-search
+    the navigable graph index per micro-batch (the graph-route twin
+    of q_stream_index_serve, which serves the IVF-PQ route): the
+    session-built edge table loads once, each arriving batch of
+    query vectors walks it through the SAME multi-query beam as
+    q_sim_graph_ann_batch, results append to the sink. Per-query
+    serving is independent of how queries are batched, so the
+    drained results are bit-identical to the batch key — whose
+    oracle this key replays verbatim (the q_stream_index_serve
+    equivalence pattern).
+
+    100 TB / online shape: the index is read-only and shared across
+    batches (vec_id-bucketed at scale so each round's point-gather
+    prunes to touched buckets); per batch the walk costs
+    O(Q·ROUNDS·BEAM·degree) scores — state-free serving, scaling by
+    executor count alone."""
+    import os
+
+    from ex_aws_firehose_spark.operators.llm import (
+        ADC_BATCH_Q,
+        TOPK,
+        _graph_beam_serve_batch,
+        graph_ann_build,
+        norm,
+    )
+
+    edges = graph_ann_build(spark, sf_dir)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    root = _tracked_mkdtemp(prefix="graph_serve_")
+    qdir = os.path.join(root, "queries")
+    out_dir = os.path.join(root, "results")
+    bq = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < ADC_BATCH_Q
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    half = ADC_BATCH_Q // 2
+    for i, cond in enumerate((F.col("qid") < half, F.col("qid") >= half)):
+        part = os.path.join(root, f"scratch-{i}")
+        bq.filter(cond).coalesce(1).write.mode("overwrite").parquet(part)
+        f = next(
+            n
+            for n in os.listdir(part)
+            if n.endswith(".parquet") and not n.startswith(".")
+        )
+        os.makedirs(qdir, exist_ok=True)
+        staged = os.path.join(qdir, f"batch-{i}.parquet")
+        os.rename(os.path.join(part, f), staged)
+        t = 1_700_000_000 + i * 10
+        os.utime(staged, (t, t))
+
+    from pyspark.sql import Window as W
+
+    def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+        qb = batch_df.select(
+            "qid", "qv", norm("qv").alias("qnrm")
+        )
+        pool = _graph_beam_serve_batch(edges, e, qb)
+        wq = W.partitionBy("qid").orderBy(F.desc("c"), "vec_id")
+        ns = pool.groupBy("qid").agg(F.count("*").alias("n_scored"))
+        (
+            pool.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= TOPK)
+            .select("qid", "vec_id", F.col("c").alias("cos_sim"))
+            .join(F.broadcast(ns), "qid")
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        spark.readStream.schema("qid long, qv array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(qdir)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(serve_batch)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out_dir)
