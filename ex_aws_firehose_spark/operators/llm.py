@@ -15798,3 +15798,144 @@ def q_sim_graph_ann_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", F.col("c").alias("cos_sim"))
         .join(F.broadcast(ns), "qid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth (the q_text_zipf_fit companion)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_heaps_law",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, unnest(str_split(lower(text), ' ')) AS tok
+        FROM documents
+    ),
+    dtok AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM toks GROUP BY doc_id
+    ),
+    firsts AS (
+        SELECT MIN(doc_id) AS fdoc FROM toks GROUP BY tok
+    ),
+    newv AS (
+        SELECT fdoc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM firsts GROUP BY fdoc
+    ),
+    cum AS (
+        SELECT d.doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY d.doc_id) AS BIGINT)
+                   AS doc_rank,
+               CAST(SUM(d.n_toks) OVER (ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens,
+               CAST(SUM(COALESCE(v.n_new, 0)) OVER (ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS vocab
+        FROM dtok d LEFT JOIN newv v ON v.doc_id = d.doc_id
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cum),
+    anch AS (
+        SELECT q.q AS quartile, c.doc_id, c.cum_tokens, c.vocab
+        FROM (SELECT unnest([1, 2, 3, 4]) AS q) q
+        JOIN nn ON TRUE
+        JOIN cum c ON c.doc_rank = (nn.n * q.q + 3) // 4
+    )
+    SELECT a.quartile, a.doc_id AS anchor_doc_id, a.cum_tokens,
+           a.vocab,
+           CAST((a.vocab - COALESCE(p.vocab, 0)) * 1000000
+                // GREATEST(COALESCE(p.vocab, 0), 1) AS BIGINT)
+               AS vocab_growth_ppm,
+           CAST((a.cum_tokens - COALESCE(p.cum_tokens, 0)) * 1000000
+                // GREATEST(COALESCE(p.cum_tokens, 0), 1) AS BIGINT)
+               AS token_growth_ppm,
+           CAST(CASE WHEN p.quartile IS NULL THEN 0
+                WHEN a.vocab * p.cum_tokens < p.vocab * a.cum_tokens
+                THEN 1 ELSE 0 END AS BIGINT) AS sublinear
+    FROM anch a LEFT JOIN anch p ON p.quartile = a.quartile - 1
+    """,
+    tags=("llm", "text", "quality"),
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS-LAW vocabulary-growth audit — the companion to
+    q_text_zipf_fit and the standard corpus-health read a tokenizer
+    or dedup team checks before training (V(N) ≈ K·N^β, β < 1 for
+    natural language; β ≈ 1 means the 'vocabulary' never saturates —
+    the signature of ID-like tokens, boilerplate churn, or a corpus
+    of near-disjoint shards that dedup should have caught): tokens
+    are first-occurrence-marked (min doc_id per token — ONE agg at
+    token grain), so cumulative vocabulary V(d) is a running sum of
+    per-doc new-token counts, never a per-prefix distinct; anchors at
+    the doc-rank quartiles report (cum_tokens, vocab, inter-anchor
+    growth ppm) and the SUBLINEARITY flag as the exact integer
+    cross-multiply V₂·N₁ < V₁·N₂ ⟺ β < 1 on that segment — no
+    logarithms, both engines bit-identical.
+
+    100 TB shape: token grain collapses map-side to (tok → min doc)
+    then to per-doc new counts (|docs| rows); the cumulative window
+    runs at doc grain. The global doc-order window is the documented
+    rollup-grain pattern — range-partitioned cumulative sums take
+    over when |docs| outgrows one task's sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("tok")
+    )
+    dtok = toks.groupBy("doc_id").agg(F.count("*").alias("n_toks"))
+    newv = (
+        toks.groupBy("tok")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_new"))
+    )
+    wd = Window.orderBy("doc_id")
+    wcum = wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        dtok.join(newv, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.row_number().over(wd).cast("long").alias("doc_rank"),
+            F.sum("n_toks").over(wcum).alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(wcum)
+            .alias("vocab"),
+        )
+        .localCheckpoint()
+    )
+    nn = cum.agg(F.max("doc_rank").alias("n"))
+    anch = (
+        spark.range(1, 5)
+        .select(F.col("id").cast("long").alias("quartile"))
+        .crossJoin(F.broadcast(nn))
+        .join(
+            cum,
+            F.col("doc_rank")
+            == F.expr("(n * quartile + 3) div 4"),
+        )
+        .select("quartile", "doc_id", "cum_tokens", "vocab")
+    )
+    p = anch.select(
+        (F.col("quartile") + 1).alias("quartile"),
+        F.col("doc_id").alias("p_doc"),
+        F.col("cum_tokens").alias("p_cum"),
+        F.col("vocab").alias("p_vocab"),
+    )
+    return anch.join(F.broadcast(p), "quartile", "left").select(
+        "quartile",
+        F.col("doc_id").alias("anchor_doc_id"),
+        "cum_tokens",
+        "vocab",
+        F.expr(
+            "(vocab - COALESCE(p_vocab, 0)) * 1000000"
+            " div GREATEST(COALESCE(p_vocab, 0), 1)"
+        ).alias("vocab_growth_ppm"),
+        F.expr(
+            "(cum_tokens - COALESCE(p_cum, 0)) * 1000000"
+            " div GREATEST(COALESCE(p_cum, 0), 1)"
+        ).alias("token_growth_ppm"),
+        F.expr(
+            "CAST(CASE WHEN p_vocab IS NULL THEN 0"
+            " WHEN vocab * p_cum < p_vocab * cum_tokens"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("sublinear"),
+    )
