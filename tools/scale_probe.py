@@ -96,6 +96,9 @@ KEY_TABLE = {
     "q_embed_opq_rotate": "embeddings",
     "q_table_branch_fast_forward": "orders",
     "q_eval_pref_bias_audit": "events",
+    "q_sim_graph_ann_batch": "embeddings",
+    "q_stream_graph_serve": "embeddings",
+    "q_text_heaps_law": "documents",
 }
 
 
