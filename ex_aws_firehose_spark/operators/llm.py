@@ -4131,9 +4131,10 @@ def graph_ann_build(
 def _graph_ann_parts(
     spark: SparkSession, sf_dir: str, where: str | None = None
 ) -> dict:
-    """The build internals: returns {'edges', 'scored', 'r2', 'e'} so
-    incremental maintenance (``q_sim_graph_ann_add``) can reuse the
-    FROZEN layer routing and cell assignments without a rebuild."""
+    """The build internals: returns {'edges', 'scored', 'r2', 'e',
+    'ladder', 'l2_cells'} so incremental maintenance
+    (``q_sim_graph_ann_add`` / ``q_sim_graph_ann_compact``) can reuse
+    the FROZEN layer routing and cell assignments without a rebuild."""
     key = _GRAPH_ANN_CACHE.scoped_key(spark, sf_dir, repr(where))
     cached = _GRAPH_ANN_CACHE.get(key)
     if cached is not None:
