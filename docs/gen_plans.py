@@ -14,6 +14,19 @@ from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
 from ex_aws_firehose_spark.session import get_spark
 
 PICKS = {
+    "q_sim_graph_ann_batch": (
+        "Multi-query beam serving: the degree-bounded edge table is "
+        "probed by a broadcast of the <=Q*BEAM-row frontier each round; "
+        "candidate gathers are semi-join point lookups; the query frame "
+        "(<=4 rows) broadcasts into every scoring join - no shuffle "
+        "scales with corpus size."
+    ),
+    "q_embed_opq_rotate": (
+        "OPQ remap: the 64-row permutation broadcasts into the "
+        "component-frame join (no extra shuffle vs plain PQ); both "
+        "Lloyd arms are map-side-combined aggs to K*d centroid rows "
+        "with broadcast E-steps."
+    ),
     "q_sql_flagship": (
         "Five-table star join: three dimension joins broadcast, the "
         "lineitem⋈orders fact join shuffles on orderkey; aggregation is "
