@@ -4700,7 +4700,11 @@ def q_sim_graph_ann_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     base_w = f"vec_id % {INC_ADD_MOD} != {INC_ADD_MOD - 1}"
     parts = _graph_ann_parts(spark, sf_dir, where=base_w)
     appended = _graph_add_edges(spark, sf_dir, base_w, parts)
-    edges2 = parts["edges"].unionByName(appended).distinct()
+    # checkpoint: the beam loop re-reads the edge table every round —
+    # without this the union+distinct recomputes 5x
+    edges2 = (
+        parts["edges"].unionByName(appended).distinct().localCheckpoint()
+    )
     e_all = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") != 0)
