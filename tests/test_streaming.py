@@ -560,3 +560,33 @@ def test_crash_replay_ivm_join_state(spark, smoke_dir):
         .collect()
     }
     assert healed == truth
+
+
+def test_pin_new_mtimes_stamps_only_new_files(tmp_path):
+    """_pin_new_mtimes (ADVICE r12): each call stamps exactly the
+    parquet part files that appeared since the previous call, skips
+    hidden/metadata files, and leaves earlier batches' stamps intact —
+    the property that makes staged-batch drain order deterministic on
+    a coarse-mtime filesystem."""
+    import os
+
+    from ex_aws_firehose_spark.streaming.queries import (
+        _BATCH_EPOCH,
+        _pin_new_mtimes,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"a")
+    (src / "_SUCCESS").write_bytes(b"")
+    (src / ".part-0.parquet.crc").write_bytes(b"")
+    seen = _pin_new_mtimes(str(src), set(), _BATCH_EPOCH)
+    assert {os.path.basename(f) for f in seen} == {"part-0.parquet"}
+    (src / "part-1.parquet").write_bytes(b"b")
+    seen2 = _pin_new_mtimes(str(src), seen, _BATCH_EPOCH + 10)
+    assert {os.path.basename(f) for f in seen2} == {
+        "part-0.parquet",
+        "part-1.parquet",
+    }
+    assert os.path.getmtime(src / "part-0.parquet") == _BATCH_EPOCH
+    assert os.path.getmtime(src / "part-1.parquet") == _BATCH_EPOCH + 10
