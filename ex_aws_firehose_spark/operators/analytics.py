@@ -989,7 +989,7 @@ def q_timeseries_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MULTI_CP_ROUNDS = 3  # binary-segmentation rounds (k = 3 candidates)
-MCP_PEN = 2  # BIC-style penalty multiplier: lambda = PEN * sigma2 * log2(n)
+MCP_PEN = 2  # BIC-style multiplier: lambda = PEN * sigma2 * bitlength(n)
 
 
 def _multi_cp_oracle() -> str:
@@ -1136,7 +1136,9 @@ def q_timeseries_multi_changepoint(
     STOP RULE (VERDICT r12 ask #7 — data-chosen round count): per
     event type, chosen_k = argmin over k in 0..K of the penalized
     cost cost_0 − Σ_{r≤k} gain_r + k·λ with the BIC-style penalty
-    λ = MCP_PEN · (cost_0/n) · ⌊log₂n⌋ (house integer log; cost seed
+    λ = MCP_PEN · (cost_0/n) · (⌊log₂n⌋+1), the BIT LENGTH of n
+    (length(printf('%b',n)) / conv(...,2) on the two engines — one
+    more than the integer log, ADVICE r13; cost seed
     n·Σx²−S² exact in DECIMAL(38,0) / HUGEINT — cents² sums wrap
     int64 in exactly the regime a stop rule matters). Rounds past
     chosen_k are still emitted, flagged accepted=false. On this

@@ -3998,6 +3998,13 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRAPH_HUB_MOD = 16  # hub layer = vec_id % 16 (the deterministic sample)
 GRAPH_L2_MOD = 256  # hubs-of-hubs = vec_id % 256 (1/16 of the hub layer)
 GRAPH_L3_MOD = 4096  # third layer = vec_id % 4096; engages only when non-empty
+# The ladder's no-vector-left-cell-less invariant (every routed l3 cell
+# contains >= 1 l2 member) holds because every l3 center IS an l2 member
+# that self-routes — which requires the sample moduli to nest. A modulus
+# change breaking divisibility would silently drop vectors from the
+# routing (ADVICE r13), so the nesting is asserted at import:
+assert GRAPH_L3_MOD % GRAPH_L2_MOD == 0, "l3 centers must be l2 members"
+assert GRAPH_L2_MOD % GRAPH_HUB_MOD == 0, "l2 centers must be hubs"
 INC_ADD_MOD = 8  # vec_id % INC_ADD_MOD == INC_ADD_MOD-1 is the new batch
 GRAPH_ROUTE = 3  # descent multiplicity: parent cells kept per layer
 GRAPH_NCELL = 3  # Voronoi multiplicity: each vector joins 3 hub cells
@@ -15413,6 +15420,38 @@ def q_sim_graph_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     space is |wounded| × cell-mates (the same Σ|cell|² bucketed bound
     as the build, restricted to the wounded slice) — compaction cost
     scales with the DELETED fraction, not the corpus."""
+    c = _graph_compact_edges(spark, sf_dir)
+    edges, e = c["edges"], c["parts"]["e"]
+    tomb, kept, wounded, edges3 = (
+        c["tomb"], c["kept"], c["wounded"], c["edges3"]
+    )
+    ee2 = e.join(F.broadcast(tomb), "vec_id", "left_anti")
+    pool = _graph_beam_serve(spark, sf_dir, edges3, ee2, ee2)
+    n_scored = pool.agg(F.count("*").alias("n_scored"))
+    n_drop = (
+        edges.agg(F.count("*").alias("a"))
+        .crossJoin(kept.agg(F.count("*").alias("b")))
+        .select((F.col("a") - F.col("b")).alias("n_edges_dropped"))
+    )
+    n_wnd = wounded.agg(F.count("*").alias("n_wounded"))
+    n_after = edges3.agg(F.count("*").alias("n_edges_after"))
+    return (
+        pool.orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id", F.col("c").alias("cos_sim"))
+        .crossJoin(F.broadcast(n_scored))
+        .crossJoin(F.broadcast(n_drop))
+        .crossJoin(F.broadcast(n_wnd))
+        .crossJoin(F.broadcast(n_after))
+    )
+
+
+def _graph_compact_edges(spark: SparkSession, sf_dir: str) -> dict:
+    """The compaction's edge rebuild (kept ∪ relink ∪ reversed relink),
+    split from the key so the unwounded-edges-untouched law test can
+    materialize the ACTUAL after-graph it asserts over (ADVICE r13 —
+    asserting on the kept/wounded definitions alone was tautological).
+    Returns {'parts', 'edges', 'tomb', 'kept', 'wounded', 'edges3'}."""
     parts = _graph_ann_parts(spark, sf_dir)
     edges = parts["edges"]
     e = parts["e"]
@@ -15486,25 +15525,14 @@ def q_sim_graph_ann_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint()
     )
-    ee2 = e.join(F.broadcast(tomb), "vec_id", "left_anti")
-    pool = _graph_beam_serve(spark, sf_dir, edges3, ee2, ee2)
-    n_scored = pool.agg(F.count("*").alias("n_scored"))
-    n_drop = (
-        edges.agg(F.count("*").alias("a"))
-        .crossJoin(kept.agg(F.count("*").alias("b")))
-        .select((F.col("a") - F.col("b")).alias("n_edges_dropped"))
-    )
-    n_wnd = wounded.agg(F.count("*").alias("n_wounded"))
-    n_after = edges3.agg(F.count("*").alias("n_edges_after"))
-    return (
-        pool.orderBy(F.desc("c"), "vec_id")
-        .limit(TOPK)
-        .select("vec_id", F.col("c").alias("cos_sim"))
-        .crossJoin(F.broadcast(n_scored))
-        .crossJoin(F.broadcast(n_drop))
-        .crossJoin(F.broadcast(n_wnd))
-        .crossJoin(F.broadcast(n_after))
-    )
+    return {
+        "parts": parts,
+        "edges": edges,
+        "tomb": tomb,
+        "kept": kept,
+        "wounded": wounded,
+        "edges3": edges3,
+    }
 
 
 # ---------------------------------------------------------------------------
@@ -15552,13 +15580,13 @@ PREF_CHI2_CRIT_MILLI = 3841  # chi-square 0.95, 1 dof, in milli-units
                AS position_win_ppm,
            CAST(longer_wins * 1000000 // n_matches AS BIGINT)
                AS length_win_ppm,
-           CAST(CASE WHEN (2 * first_wins - n_matches)
+           CAST(CASE WHEN CAST(2 * first_wins - n_matches AS HUGEINT)
                           * (2 * first_wins - n_matches) * 1000
-                          > {PREF_CHI2_CRIT_MILLI} * n_matches
+                          > {PREF_CHI2_CRIT_MILLI} * CAST(n_matches AS HUGEINT)
                 THEN 1 ELSE 0 END AS BIGINT) AS position_biased,
-           CAST(CASE WHEN (2 * longer_wins - n_matches)
+           CAST(CASE WHEN CAST(2 * longer_wins - n_matches AS HUGEINT)
                           * (2 * longer_wins - n_matches) * 1000
-                          > {PREF_CHI2_CRIT_MILLI} * n_matches
+                          > {PREF_CHI2_CRIT_MILLI} * CAST(n_matches AS HUGEINT)
                 THEN 1 ELSE 0 END AS BIGINT) AS length_biased
     FROM per
     """,
@@ -15585,8 +15613,14 @@ def q_eval_pref_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (shared shape with the Bradley–Terry key — at scale the
     two audits run off one materialized match frame); everything
     after is a map-side-combinable agg to |contestants|+1 rows.
-    int64 holds to ~3e9 matches per cell ((2w−n)²·1000 ≲ 9e18 at
-    n ≈ 3e9 — the capacity-sweep bound class)."""
+    The (2w−n)²·1000 cross-multiply runs in DECIMAL(38,0) (Spark) /
+    HUGEINT (DuckDB) — the q_ab_srm_check escape hatch — because a
+    GENUINELY biased cell wraps int64 once |2w−n| exceeds ~9.6e7
+    (int64 only holds near the null, where |2w−n| ~ √n); in decimal
+    the flag is exact wherever the row is representable. The binding
+    int64 term is now the ppm numerator wins·1e6 — safe to ~9e12
+    matches per cell (the q_ab_srm_check output class; capacity
+    sweep entry in tests/test_property_capacity.py)."""
     e = load_table(spark, sf_dir, "events")
     cents = F.round(F.col("value") * 100).cast("long")
     wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -15634,14 +15668,16 @@ def q_eval_pref_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "length_win_ppm"
         ),
         F.expr(
-            "CAST(CASE WHEN (2 * first_wins - n_matches)"
-            " * (2 * first_wins - n_matches) * 1000"
-            f" > {crit} * n_matches THEN 1 ELSE 0 END AS BIGINT)"
+            "CAST(CASE WHEN CAST(2 * first_wins - n_matches"
+            " AS DECIMAL(38, 0)) * (2 * first_wins - n_matches) * 1000"
+            f" > {crit} * CAST(n_matches AS DECIMAL(38, 0))"
+            " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("position_biased"),
         F.expr(
-            "CAST(CASE WHEN (2 * longer_wins - n_matches)"
-            " * (2 * longer_wins - n_matches) * 1000"
-            f" > {crit} * n_matches THEN 1 ELSE 0 END AS BIGINT)"
+            "CAST(CASE WHEN CAST(2 * longer_wins - n_matches"
+            " AS DECIMAL(38, 0)) * (2 * longer_wins - n_matches) * 1000"
+            f" > {crit} * CAST(n_matches AS DECIMAL(38, 0))"
+            " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("length_biased"),
     )
 

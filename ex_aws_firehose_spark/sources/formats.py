@@ -2194,6 +2194,331 @@ def q_table_branch_fast_forward(
 
 
 # ---------------------------------------------------------------------------
+# Snapshot rollback + cherry-pick (the two Iceberg procedures completing
+# the branch toolbox next to fast-forward)
+# ---------------------------------------------------------------------------
+
+ROLLBACK_TO = 2  # main rolls back to this snapshot (incident response)
+
+
+def _rollback_oracle() -> str:
+    reflog_rows = ", ".join(
+        f"({s}, '{n}', '{t}', {c})" for s, n, t, c in SNAP_REF_LOG
+    )
+    return f"""
+    WITH g AS (
+        SELECT o_orderkey % {SNAP_GROUPS} AS commit_id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    reflog(seq, ref_name, ref_type, commit_id) AS (
+        VALUES {reflog_rows}
+    ),
+    resolved AS (
+        SELECT ref_name, ref_type, commit_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY ref_name
+                          ORDER BY seq DESC, commit_id DESC) AS rn
+            FROM reflog
+        ) WHERE rn = 1
+    ),
+    req(ref_name, target) AS (VALUES ('main', {ROLLBACK_TO}),
+                                     ('v1.0', 0)),
+    rb AS (
+        SELECT r.ref_name, r.ref_type,
+               CAST(r.commit_id AS BIGINT) AS from_commit_id,
+               CAST(CASE WHEN q.ref_name IS NOT NULL
+                         AND r.ref_type = 'branch'
+                         AND q.target < r.commit_id
+                    THEN q.target ELSE r.commit_id END AS BIGINT)
+                   AS to_commit_id,
+               CAST(CASE WHEN q.ref_name IS NOT NULL
+                         AND r.ref_type = 'branch'
+                         AND q.target < r.commit_id
+                    THEN 1 ELSE 0 END AS BIGINT) AS rolled_back,
+               CAST(CASE WHEN q.ref_name IS NOT NULL
+                         AND r.ref_type = 'tag'
+                    THEN 1 ELSE 0 END AS BIGINT) AS rejected_tag
+        FROM resolved r LEFT JOIN req q ON q.ref_name = r.ref_name
+    )
+    SELECT b.ref_name, b.ref_type, b.from_commit_id, b.to_commit_id,
+           b.rolled_back, b.rejected_tag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(g.cents) AS BIGINT) AS cents_total,
+           CAST({len(SNAP_REF_LOG)}
+                + (SELECT SUM(rolled_back) FROM rb) AS BIGINT)
+               AS n_reflog_rows_after
+    FROM rb b JOIN g ON g.commit_id <= b.to_commit_id
+    GROUP BY b.ref_name, b.ref_type, b.from_commit_id, b.to_commit_id,
+             b.rolled_back, b.rejected_tag
+    """
+
+
+@query(
+    "q_table_rollback",
+    oracle=_rollback_oracle(),
+    tags=("source", "maintenance", "manifest"),
+)
+def q_table_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT ROLLBACK over the ref log — the Iceberg
+    ``rollback_to_snapshot`` procedure (incident response: bad data
+    landed in commits {ROLLBACK_TO+1}..head, point the branch BACK):
+    'main' rolls back to snapshot {ROLLBACK_TO} by APPENDING a ref-log
+    entry that targets the OLDER commit — history is never rewritten
+    (the bad commits stay in the log, reachable by any audit read; a
+    later fast-forward can re-advance), exactly the append-only move
+    q_table_branch_fast_forward makes in the other direction. A
+    rollback request against a TAG ('v1.0') is REFUSED — tags are
+    immutable — mirrored in the rejected_tag proof column; the
+    unrequested 'audit' branch is untouched. The key then RE-RESOLVES
+    every ref from the base log UNION the appended entries (the
+    append is load-bearing: resolution reads it, not the in-memory
+    decision), and serves each ref's post-op aggregate from its
+    commit-log prefix. The oracle recomputes the decision table,
+    every prefix aggregate, and the append-only row count
+    (n_reflog_rows_after = {len(SNAP_REF_LOG)} + rollbacks) from the
+    raw table — a rollback that rewrote history (dropped rows) or
+    moved a tag hash-fails.
+
+    100 TB shape: the rollback is ONE appended metadata row; the
+    rolled-back branch's next read plans from a SHORTER commit
+    prefix (less I/O, not more); no data file is touched, deleted,
+    or rewritten — un-rollback is another one-row append.
+
+    Reference lifecycle pattern: q_table_branch_fast_forward
+    (sources/formats.py), q_meta_snapshot_refs resolution."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data, man = _stage_committed_table(spark, sf_dir)
+    refs_dir = _stage_ref_log(spark, sf_dir)
+    from pyspark.sql import Window
+
+    reflog = spark.read.parquet(refs_dir)
+    wr = Window.partitionBy("ref_name").orderBy(
+        F.desc("seq"), F.desc("commit_id")
+    )
+    resolved = (
+        reflog.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("ref_name", "ref_type", "commit_id", "seq")
+        .collect()  # metadata grain: one row per ref
+    )
+    requests = {"main": ROLLBACK_TO, "v1.0": 0}
+    max_seq = max(r.seq for r in resolved)
+    decisions, appended = {}, []
+    for r in resolved:
+        target = requests.get(r.ref_name)
+        rolls = (
+            target is not None
+            and r.ref_type == "branch"
+            and target < r.commit_id
+        )
+        rejected = target is not None and r.ref_type == "tag"
+        decisions[r.ref_name] = (
+            r.ref_type, r.commit_id, int(rolls), int(rejected)
+        )
+        if rolls:
+            appended.append((max_seq + 1, r.ref_name, "branch", target))
+    rb_dir = os.path.join(os.path.dirname(refs_dir), "refs-rollback")
+    os.makedirs(rb_dir, exist_ok=True)
+    if appended:
+        seqs, names, types, cids = zip(*appended)
+        pq.write_table(
+            pa.table(
+                {
+                    "seq": pa.array(seqs, pa.int64()),
+                    "ref_name": pa.array(names, pa.string()),
+                    "ref_type": pa.array(types, pa.string()),
+                    "commit_id": pa.array(cids, pa.int64()),
+                }
+            ),
+            os.path.join(rb_dir, "reflog-rollback.parquet"),
+        )
+    # Re-resolve from base log ∪ appended entries: the append is the
+    # operation; the served state must come from what a NEW reader of
+    # the log would see.
+    post = (
+        spark.read.parquet(refs_dir, rb_dir)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("ref_name", "commit_id")
+        .collect()
+    )
+    n_after = len(SNAP_REF_LOG) + len(appended)
+    log = spark.read.parquet(man)
+    out = None
+    for p in sorted(post, key=lambda x: x.ref_name):
+        rtype, from_id, rolled, rejected = decisions[p.ref_name]
+        paths = sorted(
+            row.path
+            for row in log.filter(F.col("commit_id") <= p.commit_id)
+            .select("path")
+            .collect()
+        )
+        t = spark.read.option("basePath", data).parquet(*paths)
+        part = t.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ).select(
+            F.lit(p.ref_name).alias("ref_name"),
+            F.lit(rtype).alias("ref_type"),
+            F.lit(from_id).cast("long").alias("from_commit_id"),
+            F.lit(p.commit_id).cast("long").alias("to_commit_id"),
+            F.lit(rolled).cast("long").alias("rolled_back"),
+            F.lit(rejected).cast("long").alias("rejected_tag"),
+            "n_rows",
+            "cents_total",
+            F.lit(n_after).cast("long").alias("n_reflog_rows_after"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+CHERRY_BASE = 1  # the 'hotfix' branch is created at this snapshot
+CHERRY_PICKS = (3, 1)  # commits replayed onto hotfix, in order
+
+
+def _cherry_pick_oracle() -> str:
+    # Replay the pick sequence over the slice sets driver-side: branch
+    # content starts as prefix <= CHERRY_BASE; a pick of commit c is
+    # applied iff c's file is not already in the branch file set.
+    content = set(range(CHERRY_BASE + 1))
+    rows = []
+    next_commit = SNAP_GROUPS
+    for c in CHERRY_PICKS:
+        if c in content:
+            rows.append((c, "rejected_contained", -1, 0, set(content)))
+        else:
+            content.add(c)
+            rows.append((c, "cherry_picked", next_commit, 1, set(content)))
+            next_commit += 1
+    sel = []
+    for c, outcome, cid, nf, snap in rows:
+        in_list = ", ".join(str(s) for s in sorted(snap))
+        sel.append(
+            f"""
+    SELECT CAST({c} AS BIGINT) AS pick_commit,
+           'hotfix' AS target_ref,
+           '{outcome}' AS outcome,
+           CAST({cid} AS BIGINT) AS new_commit_id,
+           CAST({nf} AS BIGINT) AS n_files_replayed,
+           CAST(0 AS BIGINT) AS n_conflicting_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS cents_total
+    FROM g WHERE commit_id IN ({in_list})"""
+        )
+    return f"""
+    WITH g AS (
+        SELECT o_orderkey % {SNAP_GROUPS} AS commit_id,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    {" UNION ALL ".join(sel)}
+    """
+
+
+@query(
+    "q_table_cherry_pick",
+    oracle=_cherry_pick_oracle(),
+    tags=("source", "maintenance", "manifest"),
+)
+def q_table_cherry_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHERRY-PICK onto a branch — the Iceberg ``cherrypick_snapshot``
+    procedure (replay ONE commit's files onto another branch as a new
+    commit, no data copy): a 'hotfix' branch is created at snapshot
+    {CHERRY_BASE}, then each pick in {CHERRY_PICKS} is validated and
+    applied in order. Pick of commit 3: its data FILE (never its
+    rows — the replay is metadata-only, one manifest entry
+    referencing the existing file) is appended to the branch as new
+    commit {SNAP_GROUPS}, after the q_table_commit_conflict-style
+    validation scan counts zero conflicting files (the branch holds
+    no file covering the picked key slice — commits partition by
+    o_orderkey % {SNAP_GROUPS}). Pick of commit 1 is REJECTED as
+    already contained: its file is in the branch's file set (the
+    double-apply guard — replaying a commit twice would double its
+    rows). Each request row serves the branch's POST-request
+    aggregate, read through the branch manifest (base prefix +
+    replayed entries); the oracle replays the same decision sequence
+    over raw slices — a pick that copied rows twice, skipped
+    validation, or mutated the source branch hash-fails.
+
+    100 TB shape: validation + replay are METADATA-grain (one
+    file-set membership probe + one manifest-row append — the
+    suffix-scan economics of q_table_commit_conflict); the picked
+    data file is shared between branches, never copied, so a
+    cherry-pick of a 1 TB commit moves ~100 bytes of metadata.
+
+    Reference lifecycle pattern: q_table_commit_conflict validation,
+    q_table_branch_fast_forward ref append (sources/formats.py)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data, man = _stage_committed_table(spark, sf_dir)
+    log = spark.read.parquet(man)
+    commit_paths = {
+        r.commit_id: r.path for r in log.collect()  # metadata grain
+    }
+    branch_files = {
+        c: p for c, p in commit_paths.items() if c <= CHERRY_BASE
+    }
+    pick_dir = _tracked_mkdtemp(prefix="cherry_pick_")
+    next_commit = SNAP_GROUPS
+    out = None
+    for c in CHERRY_PICKS:
+        picked_path = commit_paths[c]
+        contained = picked_path in branch_files.values()
+        if contained:
+            outcome, cid, nf = "rejected_contained", -1, 0
+        else:
+            # Conflict validation (the q_table_commit_conflict scan):
+            # a file already covering the picked slice would conflict.
+            # Slices are disjoint by construction, so this counts 0 —
+            # the proof column, not an assumption.
+            n_conf = sum(
+                1
+                for bc in branch_files
+                if bc % SNAP_GROUPS == c % SNAP_GROUPS
+            )
+            assert n_conf == 0
+            outcome, cid, nf = "cherry_picked", next_commit, 1
+            # metadata-only replay: the new manifest entry references
+            # the EXISTING data file
+            pq.write_table(
+                pa.table(
+                    {
+                        "commit_id": pa.array([cid], pa.int64()),
+                        "path": pa.array([picked_path], pa.string()),
+                    }
+                ),
+                os.path.join(pick_dir, f"commit-{cid}.parquet"),
+            )
+            branch_files[c] = picked_path
+            next_commit += 1
+        t = spark.read.option("basePath", data).parquet(
+            *sorted(set(branch_files.values()))
+        )
+        part = t.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("cents_total"),
+        ).select(
+            F.lit(c).cast("long").alias("pick_commit"),
+            F.lit("hotfix").alias("target_ref"),
+            F.lit(outcome).alias("outcome"),
+            F.lit(cid).cast("long").alias("new_commit_id"),
+            F.lit(nf).cast("long").alias("n_files_replayed"),
+            F.lit(0).cast("long").alias("n_conflicting_files"),
+            "n_rows",
+            "cents_total",
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Commit-log + ref-log compaction (Iceberg rewrite_manifests semantics)
 # ---------------------------------------------------------------------------
 

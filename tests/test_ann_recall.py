@@ -671,7 +671,6 @@ def test_graph_ann_compact_repairs_only_the_wounded(spark, sf_dir):
         .select("vec_id")
         .collect()
     }
-    # reconstruct edges3 the same way the key does, from its parts
     import pyspark.sql.functions as F
 
     kept = {
@@ -680,29 +679,39 @@ def test_graph_ann_compact_repairs_only_the_wounded(spark, sf_dir):
     wounded = {
         s for s, d in before if s not in tomb and d in tomb
     }
-    # run the key's compacted edge builder by re-deriving from before:
-    # the key is the oracle-checked artifact; here we check the laws
-    # on the before/after sets directly.
     rows = q_sim_graph_ann_compact(spark, sf_dir).collect()
     assert rows[0].n_wounded == len(wounded)
     assert rows[0].n_edges_dropped == len(before) - len(kept)
-    # (a) + (b) + (c) need the actual after-set; rebuild it exactly as
-    # the key does is the oracle's job — here derive from the counts
-    # and the kept/wounded structure:
-    assert rows[0].n_edges_after >= len(kept)
-    # unwounded edges untouched: every kept edge of an unwounded src
-    # is in the after-graph by construction (kept ⊆ edges3); law (b)
-    # reduces to: no unwounded vector LOST an edge, i.e. kept
-    # contains all its before-edges with live endpoints — true by the
-    # definition of kept; assert the definitional identity holds on
-    # the materialized sets:
+    # Materialize the ACTUAL after-graph through the key's own edge
+    # builder (ADVICE r13: asserting on the kept/wounded definitions
+    # alone was tautological — a relink step that clobbered an
+    # unwounded vector's edges would have passed).
+    from ex_aws_firehose_spark.operators.llm import _graph_compact_edges
+
+    after = {
+        (r.src, r.dst)
+        for r in _graph_compact_edges(spark, sf_dir)["edges3"].collect()
+    }
+    assert rows[0].n_edges_after == len(after)
+    # (a) zero tombstoned endpoints survive compaction
+    assert not any(s in tomb or d in tomb for s, d in after)
     unwounded = {
         s for s, _ in before if s not in tomb and s not in wounded
     }
+    # (b) unwounded vectors' OUTGOING edge sets byte-identical
+    # before/after, checked against the materialized after-set. A
+    # wounded vector's reversed relink may ADD an incoming edge at an
+    # unwounded dst, so the law is per-src on the srcs no relink
+    # touches: after-edges of an unwounded src ⊇ its kept edges, and
+    # any extras must be reversed relinks (dst wounded).
+    b_out, a_out = {}, {}
     for s, d in before:
-        if s in unwounded:
-            assert d not in tomb  # else s would be wounded
-            assert (s, d) in kept
+        b_out.setdefault(s, set()).add(d)
+    for s, d in after:
+        a_out.setdefault(s, set()).add(d)
+    for s in unwounded:
+        assert b_out[s] <= a_out.get(s, set())
+        assert all(d in wounded for d in a_out.get(s, set()) - b_out[s])
     # (c): wounded keep >=1 edge — their relink candidates include at
     # least one live cell-mate on this fixture
     asg_rows = (

@@ -56,6 +56,13 @@ BOUNDED = [
         5 * 10**6,
     ),
     (
+        "q_eval_pref_bias_audit",
+        "ppm numerator wins·1e6 (chi2 flag runs in DECIMAL(38))",
+        lambda n: n * 10**6,
+        9 * 10**12,
+        10**13,
+    ),
+    (
         "q_eval_auc",
         "ppm numerator (sum_mr2_pos − P(P+1))·1e6 ≈ (N²/2)·1e6",
         _balanced_auc_numerator,
