@@ -15980,3 +15980,275 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("sublinear"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Attribute-filtered graph-ANN beam search (the graph-route counterpart
+# of q_sim_ann_filtered's IVF pre/post decision table)
+# ---------------------------------------------------------------------------
+
+
+def _graph_beam_serve_labeled(
+    spark: SparkSession,
+    sf_dir: str,
+    edges: DataFrame,
+    aware: bool,
+) -> DataFrame:
+    """Beam search carrying the label column, with optionally
+    predicate-AWARE frontier selection: navigation is UNFILTERED
+    (non-matching candidates are scored, pooled, and may carry the
+    walk — filtering the traversal itself fragments the graph, the
+    documented failure mode every vector store warns about), but with
+    ``aware`` the per-round frontier ranks MATCHING candidates first
+    ((label match) DESC, cosine DESC, vec_id) so beam width
+    concentrates on the predicate's region once the walk reaches it.
+    ``aware=False`` is bit-identical to ``_graph_beam_serve`` plus a
+    label column. Returns the visited pool (vec_id, label, c)."""
+    el = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id", "label", "embedding", norm("embedding").alias("nrm")
+        )
+    )
+    full = load_table(spark, sf_dir, "embeddings")
+    qv = F.broadcast(
+        full.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("qv"), norm("embedding").alias("qnrm")
+        )
+    )
+    score = F.round(
+        dot(F.col("embedding"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")),
+        6,
+    )
+    match = (F.col("label") == ANN_FILTER_LABEL).cast("int")
+    if aware:
+        front_order = [F.desc("m"), F.desc("c"), F.col("vec_id")]
+    else:
+        front_order = [F.desc("c"), F.col("vec_id")]
+    pool = (
+        el.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0)
+        .crossJoin(qv)
+        .select("vec_id", "label", score.alias("c"))
+        .localCheckpoint()
+    )
+    frontier = (
+        pool.withColumn("m", match)
+        .orderBy(*front_order)
+        .limit(GRAPH_BEAM)
+        .select("vec_id")
+    )
+    for _ in range(GRAPH_ROUNDS):
+        cand = (
+            F.broadcast(frontier)
+            .join(edges, frontier.vec_id == edges.src)
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        new = (
+            cand.join(pool.select("vec_id"), "vec_id", "left_anti")
+            .join(el, "vec_id")
+            .crossJoin(qv)
+            .select("vec_id", "label", score.alias("c"))
+            .localCheckpoint()
+        )
+        pool = pool.unionByName(new).localCheckpoint()
+        frontier = (
+            new.withColumn("m", match)
+            .orderBy(*front_order)
+            .limit(GRAPH_BEAM)
+            .select("vec_id")
+        )
+    return pool
+
+
+def _graph_serve_labeled_ctes(prefix: str, aware: bool) -> tuple:
+    """DuckDB mirror of ``_graph_beam_serve_labeled``: the unrolled
+    beam chain with label-carrying pools and the aware/plain frontier
+    ORDER BY. Returns (ctes, final_pool_name)."""
+    cos_q = duck_cosine("el.embedding", "q.qv")
+    m = f"(CASE WHEN label = {ANN_FILTER_LABEL} THEN 1 ELSE 0 END)"
+    order = (
+        f"{m} DESC, c DESC, vec_id" if aware else "c DESC, vec_id"
+    )
+    p = prefix
+    ctes = [
+        f"""{p}pool0 AS MATERIALIZED (SELECT el.vec_id, el.label,
+               round({duck_cosine('el.embedding', 'q.qv')}, 6) AS c
+        FROM el CROSS JOIN q
+        WHERE el.vec_id % {GRAPH_HUB_MOD} = 0)""",
+        f"{p}f0 AS (SELECT vec_id FROM {p}pool0"
+        f" ORDER BY {order} LIMIT {GRAPH_BEAM})",
+    ]
+    for i in range(GRAPH_ROUNDS):
+        ctes.append(
+            f"""{p}new{i} AS MATERIALIZED (
+            SELECT el.vec_id, el.label, round({cos_q}, 6) AS c
+            FROM (SELECT DISTINCT ed.dst AS vec_id
+                  FROM {p}f{i} f JOIN edges ed ON ed.src = f.vec_id) cand
+            JOIN el USING (vec_id) CROSS JOIN q
+            WHERE cand.vec_id NOT IN (SELECT vec_id FROM {p}pool{i}))"""
+        )
+        ctes.append(
+            f"{p}pool{i + 1} AS MATERIALIZED (SELECT * FROM {p}pool{i}"
+            f" UNION ALL SELECT * FROM {p}new{i})"
+        )
+        ctes.append(
+            f"{p}f{i + 1} AS (SELECT vec_id FROM {p}new{i}"
+            f" ORDER BY {order} LIMIT {GRAPH_BEAM})"
+        )
+    return ctes, f"{p}pool{GRAPH_ROUNDS}"
+
+
+def _graph_filtered_oracle() -> str:
+    plain, plast = _graph_serve_labeled_ctes("pl", aware=False)
+    aw, alast = _graph_serve_labeled_ctes("aw", aware=True)
+    cos = duck_cosine("e.embedding", "q.qv")
+    ctes = _graph_build_ctes() + [
+        "el AS MATERIALIZED (SELECT vec_id, label, embedding"
+        " FROM embeddings WHERE vec_id <> 0)",
+        "q AS MATERIALIZED (SELECT embedding AS qv FROM embeddings"
+        " WHERE vec_id = 0)",
+        f"""truth AS MATERIALIZED (
+        SELECT e.vec_id FROM embeddings e CROSS JOIN q
+        WHERE e.label = {ANN_FILTER_LABEL} AND e.vec_id <> 0
+        ORDER BY round({cos}, 6) DESC, e.vec_id
+        LIMIT {TOPK})""",
+    ] + plain + aw + [
+        f"""post AS (SELECT vec_id FROM (
+            SELECT vec_id, label FROM {plast}
+            ORDER BY c DESC, vec_id LIMIT {TOPK}
+        ) WHERE label = {ANN_FILTER_LABEL})""",
+        f"""aware AS (SELECT vec_id FROM {alast}
+            WHERE label = {ANN_FILTER_LABEL}
+            ORDER BY c DESC, vec_id LIMIT {TOPK})""",
+        f"""u AS (
+        SELECT 'post_filter' AS strategy,
+               CAST((SELECT COUNT(*) FROM post) AS BIGINT) AS n_returned,
+               CAST((SELECT COUNT(*) FROM post
+                     WHERE vec_id IN (SELECT vec_id FROM truth))
+                    AS BIGINT) AS n_hits,
+               CAST((SELECT COUNT(*) FROM {plast}) AS BIGINT) AS n_scored
+        UNION ALL
+        SELECT 'aware_beam',
+               CAST((SELECT COUNT(*) FROM aware) AS BIGINT),
+               CAST((SELECT COUNT(*) FROM aware
+                     WHERE vec_id IN (SELECT vec_id FROM truth))
+                    AS BIGINT),
+               CAST((SELECT COUNT(*) FROM {alast}) AS BIGINT))""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT strategy, n_returned, n_hits,
+           CAST(100 * n_hits // {TOPK} AS BIGINT) AS recall_pct,
+           n_scored
+    FROM u ORDER BY strategy
+    """
+    )
+
+
+@query(
+    "q_sim_graph_ann_filtered",
+    oracle=_graph_filtered_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_graph_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED graph-ANN search — the graph-route
+    counterpart of q_sim_ann_filtered's IVF decision table (label =
+    {ANN_FILTER_LABEL} constraint, 1/10 selective): the SAME navigable
+    graph and ROUNDS×BEAM budget answered two ways. POST-filter (what
+    a filter-unaware index does): run the plain beam, take the
+    unfiltered top-k, drop non-matching — returns ~k/10 results.
+    AWARE beam (predicate-aware expansion): navigation stays
+    UNFILTERED — non-matching candidates are scored, pooled, and may
+    carry the walk, because restricting traversal itself fragments
+    the graph (the failure mode every vector store's filtered-search
+    doc warns about) — but each round's frontier ranks matching
+    candidates FIRST ((label match) DESC, cosine DESC), so beam width
+    concentrates on the predicate's region once reached, and the
+    result is the top-k of the MATCHING pool. Scored against the
+    exact filtered top-k; the recall-dominance law (aware ≥ post at
+    the same budget) is pinned in tests/test_ann_recall.py.
+
+    100 TB shape: identical to q_sim_graph_ann — entry scan over the
+    hub layer, ROUNDS broadcast-frontier expansions against the
+    degree-bounded edge table — plus one label column carried through
+    the point-gathers (a pushed-down dictionary column on the
+    vec_id-bucketed store). The aware frontier is the same
+    top-BEAM window with a 2-key sort; per-query work is unchanged:
+    O(hubs + ROUNDS·BEAM·degree) scores, filter selectivity paid in
+    RESULT quality, not extra I/O."""
+    edges = graph_ann_build(spark, sf_dir)
+    truth = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            (F.col("label") == ANN_FILTER_LABEL) & (F.col("vec_id") != 0)
+        )
+        .crossJoin(
+            F.broadcast(
+                load_table(spark, sf_dir, "embeddings")
+                .filter(F.col("vec_id") == 0)
+                .select(
+                    F.col("embedding").alias("qv"),
+                    norm("embedding").alias("qnrm"),
+                )
+            )
+        )
+        .select(
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("qv"))
+                / (norm("embedding") * F.col("qnrm")),
+                6,
+            ).alias("c"),
+        )
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    plain_pool = _graph_beam_serve_labeled(spark, sf_dir, edges, aware=False)
+    aware_pool = _graph_beam_serve_labeled(spark, sf_dir, edges, aware=True)
+    post = (
+        plain_pool.orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .filter(F.col("label") == ANN_FILTER_LABEL)
+        .select("vec_id")
+    )
+    aware = (
+        aware_pool.filter(F.col("label") == ANN_FILTER_LABEL)
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+    )
+
+    def score_arm(
+        name: str, picks: DataFrame, pool: DataFrame
+    ) -> DataFrame:
+        n_ret = picks.agg(F.count("*").alias("n_returned"))
+        n_hit = picks.join(truth, "vec_id", "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        n_sc = pool.agg(F.count("*").alias("n_scored"))
+        return (
+            F.broadcast(n_ret)
+            .crossJoin(F.broadcast(n_hit))
+            .crossJoin(F.broadcast(n_sc))
+            .select(
+                F.lit(name).alias("strategy"),
+                "n_returned",
+                "n_hits",
+                F.expr(f"CAST(100 * n_hits div {TOPK} AS LONG)").alias(
+                    "recall_pct"
+                ),
+                "n_scored",
+            )
+        )
+
+    return (
+        score_arm("post_filter", post, plain_pool)
+        .unionByName(score_arm("aware_beam", aware, aware_pool))
+        .orderBy("strategy")
+    )

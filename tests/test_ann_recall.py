@@ -729,3 +729,29 @@ def test_graph_ann_compact_repairs_only_the_wounded(spark, sf_dir):
             if w in members:
                 mates |= members - {w} - tomb
         assert mates, f"wounded {w} has no live cell-mates"
+
+
+def test_graph_ann_filtered_aware_dominates_post(spark, sf_dir):
+    """q_sim_graph_ann_filtered laws: (a) the aware beam's recall >=
+    post-filter's at the same ROUNDS x BEAM budget (the decision the
+    two-row table exists to document — measured 100/90/40 vs 5/5/15
+    pct at sf0.001/0.01/0.1); (b) the aware arm returns a FULL k
+    (beam width concentrated on matching candidates never starves
+    the result pool on this fixture) while post-filter returns <= k;
+    (c) the budgets really are comparable: neither pool is more than
+    25% larger than the other (navigation unfiltered in both)."""
+    from ex_aws_firehose_spark.operators.llm import (
+        TOPK,
+        q_sim_graph_ann_filtered,
+    )
+
+    rows = {
+        r.strategy: r
+        for r in q_sim_graph_ann_filtered(spark, sf_dir).collect()
+    }
+    aware, post = rows["aware_beam"], rows["post_filter"]
+    assert aware.recall_pct >= post.recall_pct
+    assert aware.n_returned == TOPK
+    assert post.n_returned <= TOPK
+    assert aware.n_scored <= post.n_scored * 1.25
+    assert post.n_scored <= aware.n_scored * 1.25
