@@ -16252,3 +16252,266 @@ def q_sim_graph_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(score_arm("aware_beam", aware, aware_pool))
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ/ADC-compressed graph serving (the HNSW+PQ byte-budget design: beam
+# expansion scores codes, exact rerank touches floats for the final pool)
+# ---------------------------------------------------------------------------
+
+
+def _graph_adc_oracle() -> str:
+    """DuckDB replay of both serving arms over the same graph: the
+    float beam (``_graph_serve_ctes`` chain) and the ADC beam — every
+    expansion round scores candidates by int64 LUT lookups over their
+    PQ codes (``_pq_ctes(ADC_M, ADC_K)``), the final pool's top
+    ``ADC_RERANK_POOL`` reranked by exact cosine. Byte accounting is
+    integer arithmetic over pool counts."""
+    cos = duck_cosine("e2.embedding", "q.qv")
+    serve, flast = _graph_serve_ctes()
+    pq = _pq_ctes(ADC_M, ADC_K)
+    ctes = _graph_build_ctes() + pq + serve + [
+        """qc AS (
+        SELECT subspace, pos, sv AS qsv FROM comp WHERE vec_id = 0
+    )""",
+        f"""lut AS MATERIALIZED (
+        SELECT c.subspace, c.code,
+               SUM((q.qsv - c.icv) * (q.qsv - c.icv)) AS l
+        FROM cent{PQ_ITERS - 1} c
+        JOIN qc q ON q.subspace = c.subspace AND q.pos = c.pos
+        GROUP BY c.subspace, c.code
+    )""",
+        f"""apool0 AS MATERIALIZED (
+        SELECT pc.vec_id, CAST(SUM(l.l) AS BIGINT) AS d
+        FROM asg{PQ_ITERS} pc
+        JOIN lut l ON l.subspace = pc.subspace AND l.code = pc.code
+        WHERE pc.vec_id IN (SELECT vec_id FROM hubs)
+        GROUP BY pc.vec_id
+    )""",
+        f"af0 AS (SELECT vec_id FROM apool0"
+        f" ORDER BY d, vec_id LIMIT {GRAPH_BEAM})",
+    ]
+    for i in range(GRAPH_ROUNDS):
+        ctes.append(
+            f"""anew{i} AS MATERIALIZED (
+            SELECT pc.vec_id, CAST(SUM(l.l) AS BIGINT) AS d
+            FROM (SELECT DISTINCT ed.dst AS vec_id
+                  FROM af{i} f JOIN edges ed ON ed.src = f.vec_id) c
+            JOIN asg{PQ_ITERS} pc ON pc.vec_id = c.vec_id
+            JOIN lut l ON l.subspace = pc.subspace AND l.code = pc.code
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM apool{i})
+            GROUP BY pc.vec_id)"""
+        )
+        ctes.append(
+            f"apool{i + 1} AS MATERIALIZED (SELECT * FROM apool{i}"
+            f" UNION ALL SELECT * FROM anew{i})"
+        )
+        ctes.append(
+            f"af{i + 1} AS (SELECT vec_id FROM anew{i}"
+            f" ORDER BY d, vec_id LIMIT {GRAPH_BEAM})"
+        )
+    alast = f"apool{GRAPH_ROUNDS}"
+    ctes += [
+        f"""ashort AS (SELECT vec_id FROM {alast}
+            ORDER BY d, vec_id LIMIT {ADC_RERANK_POOL})""",
+        f"""aserve AS (SELECT vec_id FROM (
+            SELECT e2.vec_id FROM embeddings e2
+            JOIN ashort s ON s.vec_id = e2.vec_id CROSS JOIN q
+            ORDER BY round({cos}, 6) DESC, e2.vec_id LIMIT {TOPK}))""",
+        f"""fserve AS (SELECT vec_id FROM {flast}
+            ORDER BY c DESC, vec_id LIMIT {TOPK})""",
+        f"""truth AS MATERIALIZED (SELECT vec_id FROM (
+            SELECT e2.vec_id FROM embeddings e2 CROSS JOIN q
+            WHERE e2.vec_id <> 0
+            ORDER BY round({cos}, 6) DESC, e2.vec_id LIMIT {TOPK}))""",
+        "dim AS (SELECT len(embedding) AS dlen FROM embeddings"
+        " WHERE vec_id = 0)",
+        f"""u AS (
+        SELECT 'adc_beam' AS strategy,
+               (SELECT COUNT(*) FROM {alast}) AS n_scored,
+               (SELECT COUNT(*) FROM {alast}) * {ADC_M}
+                 + LEAST((SELECT COUNT(*) FROM {alast}),
+                         {ADC_RERANK_POOL})
+                   * (SELECT dlen FROM dim) * 4 AS bytes_moved,
+               (SELECT COUNT(*) FROM aserve
+                WHERE vec_id IN (SELECT vec_id FROM truth)) AS n_hits
+        UNION ALL
+        SELECT 'float_beam',
+               (SELECT COUNT(*) FROM {flast}),
+               (SELECT COUNT(*) FROM {flast})
+                   * (SELECT dlen FROM dim) * 4,
+               (SELECT COUNT(*) FROM fserve
+                WHERE vec_id IN (SELECT vec_id FROM truth)))""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT strategy, CAST(n_scored AS BIGINT) AS n_scored,
+           CAST(bytes_moved AS BIGINT) AS bytes_moved,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(100 * n_hits // {TOPK} AS BIGINT) AS recall_pct
+    FROM u ORDER BY strategy
+    """
+    )
+
+
+@query(
+    "q_sim_graph_ann_adc",
+    oracle=_graph_adc_oracle(),
+    tags=("llm", "similarity"),
+)
+def q_sim_graph_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC-COMPRESSED graph serving — the HNSW+PQ memory/IO design
+    every billion-scale vector store ships (compressed vectors ride
+    the graph; floats are touched once, at the end): beam expansion
+    over the SAME navigable graph as q_sim_graph_ann, but every
+    candidate is scored by ASYMMETRIC DISTANCE — ADC_M int64 LUT
+    lookups over its PQ codes (q_sim_ivf_pq_adc's codebooks at
+    serving grade, M=32 × K=16) instead of a d-float cosine — and
+    only the final pool's top-ADC_RERANK_POOL candidates load their
+    true vectors for the exact rerank that produces the answer. The
+    two-row decision table (the q_embed_opq_rotate shape) prices both
+    arms at the same ROUNDS×BEAM budget: bytes_moved = pool·M for the
+    ADC walk + RERANK·d·4 for the rerank, vs pool·d·4 for the float
+    beam — ~5× fewer bytes here (d=64; 32× on production d=1024+
+    vectors), with recall@k measured against the exact top-k. Recall
+    floor + byte-dominance laws pinned in tests/test_ann_recall.py.
+
+    100 TB shape: the candidate point-gathers move M bytes/vector
+    instead of d·4 (the edge table and walk are unchanged — entry
+    scan over hubs, ROUNDS broadcast-frontier expansions); the LUT is
+    M·K rows broadcast once per query; the rerank is a
+    RERANK-row primary-key fetch of true vectors — the ONLY float
+    I/O. Distances are exact int64 (milli-quantized), so DuckDB
+    replays every walk decision bit-for-bit."""
+    edges = graph_ann_build(spark, sf_dir)
+    comp, cent, codes = pq_train(spark, sf_dir, ADC_M, ADC_K)
+    e0 = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") == 0
+    )
+    qcomp = (
+        e0.select(
+            F.size("embedding").alias("dlen"),
+            F.posexplode("embedding").alias("pos", "v"),
+        )
+        .select(
+            F.expr(f"CAST((pos * {ADC_M}) DIV dlen AS INT)").alias(
+                "subspace"
+            ),
+            "pos",
+            F.floor(F.col("v").cast("double") * 1000)
+            .cast("long")
+            .alias("qsv"),
+        )
+    )
+    dq = F.col("qsv") - F.col("icv")
+    lut = (
+        cent.join(F.broadcast(qcomp), ["subspace", "pos"])
+        .groupBy("subspace", "code")
+        .agg(F.sum(dq * dq).alias("l"))
+        .localCheckpoint()
+    )
+    codes_sc = codes.select("vec_id", "subspace", "code")
+
+    def adc_score(ids: DataFrame) -> DataFrame:
+        return (
+            ids.join(codes_sc, "vec_id")
+            .join(F.broadcast(lut), ["subspace", "code"])
+            .groupBy("vec_id")
+            .agg(F.sum("l").alias("d"))
+        )
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    apool = adc_score(
+        e.filter(F.col("vec_id") % GRAPH_HUB_MOD == 0).select("vec_id")
+    ).localCheckpoint()
+    frontier = apool.orderBy("d", "vec_id").limit(GRAPH_BEAM).select(
+        "vec_id"
+    )
+    for _ in range(GRAPH_ROUNDS):
+        cand = (
+            F.broadcast(frontier)
+            .join(edges, frontier.vec_id == edges.src)
+            .select(F.col("dst").alias("vec_id"))
+            .distinct()
+        )
+        new = adc_score(
+            cand.join(apool.select("vec_id"), "vec_id", "left_anti")
+        ).localCheckpoint()
+        apool = apool.unionByName(new).localCheckpoint()
+        frontier = new.orderBy("d", "vec_id").limit(GRAPH_BEAM).select(
+            "vec_id"
+        )
+    short = apool.orderBy("d", "vec_id").limit(ADC_RERANK_POOL).select(
+        "vec_id"
+    )
+    qv = F.broadcast(
+        e0.select(
+            F.col("embedding").alias("qv"), norm("embedding").alias("qnrm")
+        )
+    )
+    score = F.round(
+        dot(F.col("embedding"), F.col("qv")) / (F.col("nrm") * F.col("qnrm")),
+        6,
+    )
+    aserve = (
+        e.join(short, "vec_id", "left_semi")
+        .crossJoin(qv)
+        .select("vec_id", score.alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+    )
+    fpool = _graph_beam_serve(spark, sf_dir, edges, e, e)
+    fserve = (
+        fpool.orderBy(F.desc("c"), "vec_id").limit(TOPK).select("vec_id")
+    )
+    truth = (
+        e.crossJoin(qv)
+        .select("vec_id", score.alias("c"))
+        .orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id")
+        .localCheckpoint()
+    )
+    dim = F.broadcast(e0.select(F.size("embedding").alias("dlen")))
+
+    def arm(
+        name: str, pool_n: DataFrame, serve: DataFrame, adc: bool
+    ) -> DataFrame:
+        n_sc = pool_n.agg(F.count("*").alias("n_scored"))
+        n_hit = serve.join(truth, "vec_id", "left_semi").agg(
+            F.count("*").alias("n_hits")
+        )
+        if adc:
+            bytes_expr = (
+                f"n_scored * {ADC_M}"
+                f" + LEAST(n_scored, {ADC_RERANK_POOL}) * dlen * 4"
+            )
+        else:
+            bytes_expr = "n_scored * dlen * 4"
+        return (
+            F.broadcast(n_sc)
+            .crossJoin(F.broadcast(n_hit))
+            .crossJoin(dim)
+            .select(
+                F.lit(name).alias("strategy"),
+                "n_scored",
+                F.expr(f"CAST({bytes_expr} AS LONG)").alias("bytes_moved"),
+                "n_hits",
+                F.expr(f"CAST(100 * n_hits div {TOPK} AS LONG)").alias(
+                    "recall_pct"
+                ),
+            )
+        )
+
+    return (
+        arm("adc_beam", apool, aserve, adc=True)
+        .unionByName(arm("float_beam", fpool, fserve, adc=False))
+        .orderBy("strategy")
+    )

@@ -755,3 +755,25 @@ def test_graph_ann_filtered_aware_dominates_post(spark, sf_dir):
     assert post.n_returned <= TOPK
     assert aware.n_scored <= post.n_scored * 1.25
     assert post.n_scored <= aware.n_scored * 1.25
+
+
+def test_graph_ann_adc_byte_budget_and_recall(spark, sf_dir):
+    """q_sim_graph_ann_adc laws: (a) the ADC walk moves strictly fewer
+    bytes than the float beam at the same ROUNDS x BEAM budget
+    (measured 2.7-3.9x fewer at d=64; the margin grows linearly with
+    d); (b) rerank recovers the float beam's recall to within one
+    beam's tolerance (measured 100/100/60 vs 100/100/65 pct) and
+    stays above the ADC family's 55 pct absolute floor; (c) the two
+    pools are genuinely comparable (within 25%) — the byte win comes
+    from scoring codes, not from visiting less of the graph."""
+    from ex_aws_firehose_spark.operators.llm import q_sim_graph_ann_adc
+
+    rows = {
+        r.strategy: r for r in q_sim_graph_ann_adc(spark, sf_dir).collect()
+    }
+    adc, flt = rows["adc_beam"], rows["float_beam"]
+    assert adc.bytes_moved < flt.bytes_moved
+    assert adc.recall_pct >= 55
+    assert adc.recall_pct >= flt.recall_pct - 10
+    assert adc.n_scored <= flt.n_scored * 1.25
+    assert flt.n_scored <= adc.n_scored * 1.25
