@@ -4734,12 +4734,18 @@ def q_sim_graph_ann_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _graph_add_edges(
-    spark: SparkSession, sf_dir: str, base_where: str, parts: dict
+    spark: SparkSession,
+    sf_dir: str,
+    base_where: str,
+    parts: dict,
+    batch: DataFrame | None = None,
 ) -> DataFrame:
-    """The frozen-base edge append for a batch (the complement of
-    ``base_where``): routing → hub scoring → degree-bounded new→base
-    edges, symmetrized. Split out so the arrival-order-independence
-    law can run it per sub-batch."""
+    """The frozen-base edge append for a batch (``batch`` when given,
+    else the complement of ``base_where``): routing → hub scoring →
+    degree-bounded new→base edges, symmetrized. Split out so the
+    arrival-order-independence law can run it per sub-batch, and so
+    the streaming ingest loop (``q_stream_graph_upsert``) can insert
+    each micro-batch through the identical path."""
     e_base = parts["e"]
     l2 = e_base.filter(F.col("vec_id") % GRAPH_L2_MOD == 0).select(
         F.col("vec_id").alias("l2_id"),
@@ -4756,12 +4762,13 @@ def _graph_add_edges(
         F.col("embedding").alias("hvec"),
         F.col("nrm").alias("hnrm"),
     )
-    batch = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") != 0)
-        .filter(f"NOT ({base_where})")
-        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
-    )
+    if batch is None:
+        batch = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") != 0)
+            .filter(f"NOT ({base_where})")
+            .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+        )
     r2_nb, _ = _graph_route_l2(
         batch, l2, l3, parts["ladder"], l2_cells=parts["l2_cells"]
     )

@@ -3758,3 +3758,223 @@ def q_stream_graph_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# Streaming graph-ANN index INGEST loop (the last batch/stream asymmetry
+# in the index lifecycle: live inserts + serving in one checkpointed
+# stream)
+# ---------------------------------------------------------------------------
+
+
+def _stream_graph_upsert_oracle() -> str:
+    from ex_aws_firehose_spark.operators.llm import _graph_add_oracle
+
+    return _graph_add_oracle()
+
+
+def _graph_upsert_batch(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    parts: dict,
+    base_w: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    crash_flag: str | None = None,
+) -> None:
+    """One micro-batch of index maintenance + serving: (1) the batch's
+    vectors insert through the FROZEN-descent add path
+    (``_graph_add_edges`` — the same machinery as the batch add key,
+    so insert semantics are identical), their edge append and vec-id
+    roster committed copy-on-write to ``delta_v{batch_id}`` /
+    ``added_v{batch_id}``; (2) the SAME stream then serves the query
+    over base edges ∪ every delta committed so far, scoring base ∪
+    every vector added so far, and overwrites ``serve_v{batch_id}``.
+    Accumulated state is discovered from DISK (versions ≤ batch_id),
+    and every write is overwrite-mode — a replayed batch recomputes
+    the identical delta (insertion is deterministic given the frozen
+    base) and its commits are idempotent, the q_stream_ivm_join_delta
+    replay-heal contract. ``crash_flag``: fault hook firing AFTER the
+    index append, BEFORE serve/commit."""
+    import os
+
+    from ex_aws_firehose_spark.operators.llm import (
+        TOPK,
+        _graph_add_edges,
+        _graph_beam_serve,
+        norm,
+    )
+
+    nb = batch_df.select(
+        "vec_id", "embedding", norm("embedding").alias("nrm")
+    )
+    appended = _graph_add_edges(spark, sf_dir, base_w, parts, batch=nb)
+    appended.write.mode("overwrite").parquet(
+        os.path.join(root, f"delta_v{batch_id}")
+    )
+    nb.select("vec_id").write.mode("overwrite").parquet(
+        os.path.join(root, f"added_v{batch_id}")
+    )
+    if (
+        crash_flag is not None
+        and batch_id == 0
+        and os.path.exists(crash_flag)
+    ):
+        os.remove(crash_flag)
+        raise RuntimeError(
+            "injected crash: index appended, serve/commit pending"
+        )
+    versions = sorted(
+        int(d[len("delta_v"):])
+        for d in os.listdir(root)
+        if d.startswith("delta_v")
+        and int(d[len("delta_v"):]) <= batch_id
+    )
+    delta = spark.read.parquet(
+        *[os.path.join(root, f"delta_v{v}") for v in versions]
+    )
+    added = spark.read.parquet(
+        *[os.path.join(root, f"added_v{v}") for v in versions]
+    )
+    edges2 = (
+        parts["edges"].unionByName(delta).distinct().localCheckpoint()
+    )
+    e_added = (
+        load_table(spark, sf_dir, "embeddings")
+        .join(added, "vec_id", "left_semi")
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    score_e = parts["e"].unionByName(e_added)
+    pool = _graph_beam_serve(spark, sf_dir, edges2, score_e, parts["e"])
+    n_added = added.agg(F.count("*").alias("n_added"))
+    n_app = delta.distinct().agg(F.count("*").alias("n_edges_appended"))
+    total = pool.agg(F.count("*").alias("n_scored"))
+    (
+        pool.orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id", F.col("c").alias("cos_sim"))
+        .crossJoin(F.broadcast(n_added))
+        .crossJoin(F.broadcast(n_app))
+        .crossJoin(F.broadcast(total))
+        .write.mode("overwrite")
+        .parquet(os.path.join(root, f"serve_v{batch_id}"))
+    )
+
+
+def _graph_upsert_stream_run(
+    spark: SparkSession,
+    sf_dir: str,
+    root: str,
+    crash_flag: str | None = None,
+) -> None:
+    """Stage the new-vector batches, build the frozen base index, and
+    drain the checkpointed insert+serve stream."""
+    import os
+
+    from ex_aws_firehose_spark.operators.llm import (
+        INC_ADD_MOD,
+        _graph_ann_parts,
+    )
+
+    base_w = f"vec_id % {INC_ADD_MOD} != {INC_ADD_MOD - 1}"
+    parts = _graph_ann_parts(spark, sf_dir, where=base_w)
+    src = os.path.join(root, "src")
+    if not os.path.isdir(src):
+        nb_all = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") != 0)
+            .filter(f"NOT ({base_w})")
+            .select("vec_id", "embedding")
+        )
+        seen = set()
+        for i, half in enumerate(
+            (INC_ADD_MOD - 1, 2 * INC_ADD_MOD - 1)
+        ):
+            nb_all.filter(
+                F.col("vec_id") % (2 * INC_ADD_MOD) == half
+            ).coalesce(1).write.mode("append").parquet(src)
+            seen = _pin_new_mtimes(src, seen, _BATCH_EPOCH + i * 10)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    with stream_shuffle(spark):
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: _graph_upsert_batch(
+                    spark, sf_dir, root, parts, base_w, df, bid,
+                    crash_flag,
+                )
+            )
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+@query(
+    "q_stream_graph_upsert",
+    oracle=_stream_graph_upsert_oracle(),
+    tags=("streaming", "llm", "similarity", "index", "maintenance"),
+)
+def q_stream_graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING graph-index INGEST loop — the production vector-store
+    shape (continuous crawl ingest) and the last batch/stream
+    asymmetry in the index lifecycle: micro-batches of NEW vectors
+    INSERT into the frozen-base navigable graph via the exact
+    frozen-descent add path of q_sim_graph_ann_add (ladder routing
+    against frozen layers, candidate-bounded hub scoring,
+    degree-bounded new→base edge append — batch members never join
+    the layers), AND the same checkpointed stream SERVES the query
+    after every insert, over base edges ∪ all committed deltas with
+    base ∪ all added vectors scorable. Edge deltas and vec-id rosters
+    commit copy-on-write per micro-batch (delta_v{i}/added_v{i},
+    overwrite-mode), accumulated state is re-discovered from disk, so
+    a crash between the index append and the checkpoint commit heals
+    on replay — identical delta recomputed, idempotent overwrite —
+    pinned in tests/test_streaming.py next to the ivm-join heal.
+    Because inserts are ARRIVAL-ORDER-INDEPENDENT (new→base only, the
+    q_sim_graph_ann_add law), the post-drain serve is bit-identical
+    to the one-shot batch add — this key replays q_sim_graph_ann_add's
+    oracle VERBATIM (the q_stream_graph_serve equivalence pattern).
+
+    100 TB / online shape: per micro-batch the insert is O(batch) —
+    layer-codebook broadcasts for routing, candidate-join hub
+    scoring, one bounded-degree partition-local edge append; the base
+    index is never rewritten; serving cost is unchanged
+    (O(hubs + ROUNDS·BEAM·degree)). State on disk is the edge delta
+    (≤ (K1+K2)·2·|added| rows) — the index IS the state, no
+    state-store blowup with stream length."""
+    import os
+
+    root = _tracked_mkdtemp(prefix="graph_upsert_")
+    _graph_upsert_stream_run(spark, sf_dir, root)
+    last = _latest_state_version_prefixed_name(
+        root, "serve_v", "q_stream_graph_upsert"
+    )
+    return spark.read.parquet(os.path.join(root, f"serve_v{last}"))
+
+
+def _latest_state_version_prefixed_name(
+    root: str, prefix: str, key: str
+) -> int:
+    """Highest ``{prefix}<N>`` under a versioned foreachBatch root."""
+    import os
+
+    versions = (
+        [
+            int(d[len(prefix):])
+            for d in os.listdir(root)
+            if d.startswith(prefix)
+        ]
+        if os.path.isdir(root)
+        else []
+    )
+    if not versions:
+        raise RuntimeError(
+            f"{key}: the drain produced no {prefix}* commits under {root}"
+        )
+    return max(versions)

@@ -590,3 +590,39 @@ def test_pin_new_mtimes_stamps_only_new_files(tmp_path):
     }
     assert os.path.getmtime(src / "part-0.parquet") == _BATCH_EPOCH
     assert os.path.getmtime(src / "part-1.parquet") == _BATCH_EPOCH + 10
+
+
+def test_graph_upsert_crash_replay_heals(spark, sf_dir):
+    """q_stream_graph_upsert replay-heal contract: kill the stream
+    AFTER micro-batch 0's index append (delta_v0 + added_v0 on disk)
+    but BEFORE its serve write and checkpoint commit — the dangerous
+    half-ingested window. Restart from the same checkpoint: Spark
+    replays batch 0, the deterministic frozen-descent insert
+    recomputes the identical delta, the overwrite commits are
+    idempotent, and the final drained serve equals the one-shot batch
+    add key bit-for-bit (arrival-order independence + heal)."""
+    import tempfile
+
+    from ex_aws_firehose_spark.operators.llm import q_sim_graph_ann_add
+    from ex_aws_firehose_spark.streaming.queries import (
+        _graph_upsert_stream_run,
+        _latest_state_version_prefixed_name,
+    )
+
+    root = tempfile.mkdtemp(prefix="graph_upsert_heal_")
+    crash = os.path.join(root, "crash_armed")
+    open(crash, "w").close()
+    with pytest.raises(Exception, match="injected crash|terminated"):
+        _graph_upsert_stream_run(spark, sf_dir, root, crash_flag=crash)
+    assert os.path.isdir(os.path.join(root, "delta_v0"))
+    assert not os.path.isdir(os.path.join(root, "serve_v0"))
+
+    _graph_upsert_stream_run(spark, sf_dir, root)  # same checkpoint
+    last = _latest_state_version_prefixed_name(
+        root, "serve_v", "q_stream_graph_upsert"
+    )
+    healed = spark.read.parquet(os.path.join(root, f"serve_v{last}"))
+    want = q_sim_graph_ann_add(spark, sf_dir)
+    assert sorted(map(tuple, healed.collect())) == sorted(
+        map(tuple, want.collect())
+    )
