@@ -3337,6 +3337,16 @@ def q_sim_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 RP_PLANES = 8
 EMB_DIM = 64
 RP_COS = 0.15
+# Capacity-law scale branch (closes the round-5 watch item: 8 planes =
+# 256 buckets forever → in-bucket pairs ~n²/256): when the corpus holds
+# a vec_id divisible by RP_SCALE_MOD (an existence probe, metadata
+# grain — the GRAPH_L3_MOD gating pattern), the signature widens to
+# RP_SCALE_PLANES planes, dividing bucket occupancy by
+# 2^(RP_SCALE_PLANES - RP_PLANES). At the test SFs the gate frame is
+# empty, so hashes are unchanged; the law test monkeypatches the
+# modulus down to prove the branch binds and stays oracle-exact.
+RP_SCALE_MOD = 8192
+RP_SCALE_PLANES = 12
 
 
 def _rp_plane(j: int) -> list[float]:
@@ -3345,20 +3355,36 @@ def _rp_plane(j: int) -> list[float]:
     return [((131 * j + 17 * k) % 997 - 498) / 498.0 for k in range(EMB_DIM)]
 
 
-def _rp_oracle() -> str:
+def _rp_bucket_sql(n_planes: int) -> str:
     from ex_aws_firehose_spark.functions.vector import duck_dot
 
     terms = []
-    for j in range(RP_PLANES):
+    for j in range(n_planes):
         lit = "[" + ", ".join(repr(v) for v in _rp_plane(j)) + "]::DOUBLE[]"
         terms.append(
             f"(CASE WHEN {duck_dot('embedding', lit)} >= 0 "
             f"THEN {1 << j} ELSE 0 END)"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _rp_oracle() -> str:
+    # Two mutually exclusive EXISTS-gated branches (the GRAPH_L3_MOD
+    # ladder mirror): the scale gate widens the signature to
+    # RP_SCALE_PLANES planes when the corpus crosses RP_SCALE_MOD.
+    b8 = _rp_bucket_sql(RP_PLANES)
+    b12 = _rp_bucket_sql(RP_SCALE_PLANES)
     return f"""
-    WITH sig AS (
-        SELECT vec_id, embedding, {bucket} AS bucket FROM embeddings
+    WITH gate AS (
+        SELECT 1 AS x FROM embeddings
+        WHERE vec_id % {RP_SCALE_MOD} = 0 AND vec_id <> 0 LIMIT 1
+    ),
+    sig AS (
+        SELECT vec_id, embedding, {b8} AS bucket FROM embeddings
+        WHERE NOT EXISTS (SELECT 1 FROM gate)
+        UNION ALL
+        SELECT vec_id, embedding, {b12} AS bucket FROM embeddings
+        WHERE EXISTS (SELECT 1 FROM gate)
     )
     SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
            CAST(a.bucket AS BIGINT) AS bucket,
@@ -3558,14 +3584,30 @@ def q_sim_rp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Data-independent bucketing — unlike q_dedup_embedding's IVF labels,
     no trained codebook is needed.
 
-    Scale shape: the signature is a pure map (8 Catalyst dot-folds per
+    Scale shape: the signature is a pure map (Catalyst dot-folds per
     row, planes are inline literals — nothing broadcast, nothing
     shuffled); candidates come from a self-equi-join on the bucket key.
     More planes → smaller buckets → fewer candidates: the knob that
-    keeps the pair space linear at 100 TB."""
+    keeps the pair space linear at 100 TB — and it now turns ITSELF:
+    when the corpus holds a vec_id divisible by ``RP_SCALE_MOD`` (a
+    LIMIT-1 existence probe, metadata grain — the ``GRAPH_L3_MOD``
+    gating pattern), the signature widens to ``RP_SCALE_PLANES``
+    planes, dividing bucket occupancy 16×; below the gate the 8-plane
+    form is bit-identical to the pre-gate key (the round-5 capacity
+    watch, closed; branch-binding law in
+    tests/test_scale_shape.py)."""
     e = load_table(spark, sf_dir, "embeddings")
+    big = (
+        e.filter(
+            (F.col("vec_id") % RP_SCALE_MOD == 0) & (F.col("vec_id") != 0)
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+    n_planes = RP_SCALE_PLANES if big else RP_PLANES
     bucket = None
-    for j in range(RP_PLANES):
+    for j in range(n_planes):
         plane = F.array(*[F.lit(v) for v in _rp_plane(j)])
         bit = F.when(dot(F.col("embedding"), plane) >= 0, 1 << j).otherwise(0)
         bucket = bit if bucket is None else bucket + bit
@@ -6575,6 +6617,17 @@ def q_sim_grid_join_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DBSCAN_EPS_MILLI = 25
 DBSCAN_MINPTS = 4
+# Capacity-law scale branch (closes the round-5 watch item: fixed
+# ε-wide cells let per-cell occupancy grow with density — ×15.9 at the
+# 64× probe): when the corpus holds a vec_id divisible by
+# DBSCAN_SCALE_MOD (existence probe, metadata grain), the grid refines
+# to ⌈ε/2⌉-wide cells with a 5×5 probe fan-out — per-cell occupancy
+# drops ~4× (the skew/task-size bound) and the candidate box tightens
+# (65² vs 75² area) while the EXACT ε-box post-filter keeps the result
+# bit-identical; the invariance law binds the branch in
+# tests/test_scale_shape.py.
+DBSCAN_SCALE_MOD = 8192
+DBSCAN_SCALE_WIDTH = (DBSCAN_EPS_MILLI + 1) // 2
 
 
 @query(
@@ -6664,7 +6717,15 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     loses). The DuckDB oracle is the quadratic recursive closure —
     viable only at test SF, which is precisely why the engine side
     iterates. Isolated cores (no core neighbor) form singleton
-    clusters on both sides."""
+    clusters on both sides.
+
+    Density dial (round-5 watch, closed): cell width is ε below the
+    ``DBSCAN_SCALE_MOD`` existence gate and ⌈ε/2⌉ with a 5×5 fan-out
+    above it — the refinement changes CANDIDATE generation only (the
+    exact ε-box post-filter is unchanged), so the clustering is
+    bit-identical across the branch; per-cell occupancy (the skew /
+    max-task bound) drops ~4× each time density demands another
+    halving. Invariance law in tests/test_scale_shape.py."""
     e = load_table(spark, sf_dir, "embeddings")
     p = e.select(
         "vec_id",
@@ -6676,7 +6737,18 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     eps = DBSCAN_EPS_MILLI
-    cell = lambda c: F.expr(f"{c} div {eps}")  # noqa: E731
+    big = (
+        e.filter(
+            (F.col("vec_id") % DBSCAN_SCALE_MOD == 0)
+            & (F.col("vec_id") != 0)
+        )
+        .limit(1)
+        .count()
+        > 0
+    )
+    width = DBSCAN_SCALE_WIDTH if big else eps
+    rad = 2 if big else 1
+    cell = lambda c: F.expr(f"{c} div {width}")  # noqa: E731
     probe = p.select(
         F.col("vec_id").alias("va"),
         F.col("x").alias("ax"),
@@ -6688,8 +6760,8 @@ def q_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (cell("x") + dx).alias("cx"),
                         (cell("y") + dy).alias("cy"),
                     )
-                    for dx in (-1, 0, 1)
-                    for dy in (-1, 0, 1)
+                    for dx in range(-rad, rad + 1)
+                    for dy in range(-rad, rad + 1)
                 ]
             )
         ).alias("c"),

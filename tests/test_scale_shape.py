@@ -567,3 +567,73 @@ def test_graph_ann_ladder_routing_bounded_and_mirrored(spark):
         assert cand2.count() < n_vec * n_l2
     finally:
         llm.GRAPH_L2_MOD, llm.GRAPH_L3_MOD, llm._GRAPH_ANN_CACHE = saved
+
+
+def test_rp_lsh_scale_branch_binds_and_mirrors(spark):
+    """q_sim_rp_lsh's EXISTS-gated plane growth (round-5 capacity
+    watch, closed round 14): with RP_SCALE_MOD patched down so the
+    gate frame is non-empty at sf0.1, (a) the 12-plane signature must
+    stay bit-identical to the DuckDB oracle regenerated from the same
+    patched constants (both engines take the scale branch); (b) the
+    scale-branch pair set must be a SUBSET of the 8-plane run's —
+    bucket equality on 12 bits implies equality on the low 8, so
+    extra planes only shrink buckets (capacity without false
+    positives); (c) the branch really binds: at least one surviving
+    bucket id needs bits 8..11."""
+    import ex_aws_firehose_spark.operators.llm as llm
+    from ex_aws_firehose_spark.testing import (
+        compare_frames,
+        duckdb_connection,
+    )
+
+    sf10 = "/root/testdata/sf0.1"
+    base = {
+        (r.vec_a, r.vec_b)
+        for r in llm.q_sim_rp_lsh(spark, sf10).collect()
+    }
+    saved = llm.RP_SCALE_MOD
+    llm.RP_SCALE_MOD = 64
+    try:
+        spark_pdf = llm.q_sim_rp_lsh(spark, sf10).toPandas()
+        con = duckdb_connection(sf10)
+        try:
+            oracle_pdf = con.execute(llm._rp_oracle()).df()
+        finally:
+            con.close()
+        res = compare_frames("rp_lsh_scale", spark_pdf, oracle_pdf)
+        assert res.ok, res.detail
+        scaled = {
+            (int(a), int(b))
+            for a, b in zip(spark_pdf["vec_a"], spark_pdf["vec_b"])
+        }
+        assert scaled <= base
+        assert any(int(b) > 255 for b in spark_pdf["bucket"])
+    finally:
+        llm.RP_SCALE_MOD = saved
+
+
+def test_dbscan_grid_refinement_is_result_invariant(spark):
+    """q_dbscan_clusters' EXISTS-gated grid refinement (round-5
+    capacity watch, closed round 14): with DBSCAN_SCALE_MOD patched
+    down so the ⌈ε/2⌉-cell / 5×5-fan branch binds at sf0.1, the
+    clustering output must be IDENTICAL to the ε-cell run — the
+    refinement changes candidate generation only; the exact ε-box
+    post-filter fixes the pair set. This is the invariance that makes
+    the occupancy dial free to turn at any density."""
+    import ex_aws_firehose_spark.operators.llm as llm
+
+    sf10 = "/root/testdata/sf0.1"
+    base = {
+        (r.cluster_id, r.n_core, r.n_border)
+        for r in llm.q_dbscan_clusters(spark, sf10).collect()
+    }
+    saved = llm.DBSCAN_SCALE_MOD
+    llm.DBSCAN_SCALE_MOD = 64
+    try:
+        refined = {
+            (r.cluster_id, r.n_core, r.n_border)
+            for r in llm.q_dbscan_clusters(spark, sf10).collect()
+        }
+        assert refined == base
+    finally:
+        llm.DBSCAN_SCALE_MOD = saved
