@@ -4283,3 +4283,349 @@ def q_table_commit_conflict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "head_rows",
         "head_cents",
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental clustering maintenance (Delta liquid-clustering /
+# OPTIMIZE-incremental semantics: re-cluster ONLY the files whose
+# z-range overlap crossed the threshold; the clean majority is untouched)
+# ---------------------------------------------------------------------------
+
+INC_Z_SHIFT = 6  # z >> 6 → up to 64 z-contiguous files per rewrite pass
+INC_OVERLAP_MIN = 4  # files overlapping >= this many others get rewritten
+
+_INC_LAYOUT_CACHE: SessionCache = SessionCache()
+
+
+def _inc_z_cols(n: int):
+    """Clamped bucket + Morton columns under the TABLE-LEVEL clustering
+    spec (bounds from the base layout — appends outside the base range
+    clamp to the edge buckets, as a persisted spec must)."""
+    db = F.expr(
+        f"LEAST({n - 1}, GREATEST(0,"
+        f" (days - dmin) * {n} div (dmax - dmin + 1)))"
+    )
+    cb = F.expr(
+        f"LEAST({n - 1}, GREATEST(0,"
+        f" (o_custkey - cmin) * {n} div (cmax - cmin + 1)))"
+    )
+    return db, cb
+
+
+def _stage_incr_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the incremental-clustering fixture: a z-clustered BASE
+    (orders with o_orderkey % 4 != 0, one file per z >> INC_Z_SHIFT)
+    plus two UNCLUSTERED arrival-ordered appends (o_orderkey % 4 == 0,
+    split by % 8) — each append straddles the whole (date, custkey)
+    plane, the classic append-ruins-clustering shape. Every staged row
+    carries its z value under the table-level spec."""
+    import os
+
+    key = _INC_LAYOUT_CACHE.scoped_key(spark, sf_dir)
+    cached = _INC_LAYOUT_CACHE.get(key)
+    if cached is not None:
+        return cached
+    root = _tracked_mkdtemp(prefix="orders_incr_layout_")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        _cents("o_totalprice").alias("cents"),
+        F.datediff("o_orderdate", F.lit("1970-01-01").cast("date")).alias(
+            "days"
+        ),
+    )
+    base = o.filter(F.col("o_orderkey") % 4 != 0)
+    app = o.filter(F.col("o_orderkey") % 4 == 0)
+    n = 1 << ZORDER_BITS
+    bounds = F.broadcast(
+        base.agg(
+            F.min("days").alias("dmin"),
+            F.max("days").alias("dmax"),
+            F.min("o_custkey").alias("cmin"),
+            F.max("o_custkey").alias("cmax"),
+        ).localCheckpoint()
+    )
+    db, cb = _inc_z_cols(n)
+    z = _z_interleave_spark(db, cb)
+
+    def with_z(d: DataFrame) -> DataFrame:
+        return d.crossJoin(bounds).select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            "cents",
+            z.alias("z"),
+        )
+
+    with_z(base).withColumn(
+        "zf", F.shiftright("z", INC_Z_SHIFT)
+    ).repartition("zf").write.partitionBy("zf").parquet(
+        os.path.join(root, "clustered")
+    )
+    with_z(app).withColumn(
+        "af", F.when(F.col("o_orderkey") % 8 == 0, 0).otherwise(1)
+    ).repartition("af").write.partitionBy("af").parquet(
+        os.path.join(root, "appends")
+    )
+    _INC_LAYOUT_CACHE[key] = root
+    return root
+
+
+def _incr_cluster_oracle() -> str:
+    n = 1 << ZORDER_BITS
+    zsql = _z_interleave_sql("db", "cb")
+    stats = (
+        "MIN(z) AS zlo, MAX(z) AS zhi, MIN(o_orderdate) AS dlo,"
+        " MAX(o_orderdate) AS dhi, MIN(o_custkey) AS clo,"
+        " MAX(o_custkey) AS chi, CAST(COUNT(*) AS BIGINT) AS n_rows"
+    )
+    prune = (
+        f"NOT (dhi < TIMESTAMP '{_MP_LO}' OR dlo >= TIMESTAMP '{_MP_HI}')"
+        f" AND NOT (chi < {_Z_CK_LO} OR clo >= {_Z_CK_HI})"
+    )
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               date_diff('day', TIMESTAMP '1970-01-01', o_orderdate) AS days
+        FROM orders
+    ),
+    bounds AS (
+        SELECT MIN(days) dmin, MAX(days) dmax,
+               MIN(o_custkey) cmin, MAX(o_custkey) cmax
+        FROM o WHERE o_orderkey % 4 <> 0
+    ),
+    zrows AS (
+        SELECT t.*, {zsql} AS z FROM (
+            SELECT b.*,
+                   LEAST({n - 1}, GREATEST(0,
+                       (days - dmin) * {n} // (dmax - dmin + 1))) AS db,
+                   LEAST({n - 1}, GREATEST(0,
+                       (o_custkey - cmin) * {n} // (cmax - cmin + 1))) AS cb
+            FROM o b CROSS JOIN bounds
+        ) t
+    ),
+    tagged AS (
+        SELECT CASE WHEN o_orderkey % 4 <> 0
+                    THEN 'z' || CAST(z >> {INC_Z_SHIFT} AS VARCHAR)
+                    WHEN o_orderkey % 8 = 0 THEN 'a0' ELSE 'a1' END AS fid,
+               o_orderkey, o_custkey, o_orderdate, cents, z
+        FROM zrows
+    ),
+    allb AS (SELECT fid, {stats} FROM tagged GROUP BY fid),
+    ov AS (
+        SELECT a.fid, COUNT(*) AS c
+        FROM allb a JOIN allb b
+          ON a.fid <> b.fid AND a.zlo <= b.zhi AND b.zlo <= a.zhi
+        GROUP BY a.fid
+    ),
+    dirty AS (SELECT fid FROM ov WHERE c >= {INC_OVERLAP_MIN}),
+    clean AS (
+        SELECT * FROM allb WHERE fid NOT IN (SELECT fid FROM dirty)
+    ),
+    rfiles AS (
+        SELECT 'r' || CAST(z >> {INC_Z_SHIFT} AS VARCHAR) AS fid, {stats}
+        FROM tagged WHERE fid IN (SELECT fid FROM dirty)
+        GROUP BY 1
+    ),
+    after AS (SELECT * FROM clean UNION ALL SELECT * FROM rfiles),
+    rew AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS files_rewritten,
+               CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS rows_rewritten
+        FROM allb WHERE fid IN (SELECT fid FROM dirty)
+    ),
+    match AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS cents_total
+        FROM o
+        WHERE o_orderdate >= TIMESTAMP '{_MP_LO}'
+          AND o_orderdate < TIMESTAMP '{_MP_HI}'
+          AND o_custkey >= {_Z_CK_LO} AND o_custkey < {_Z_CK_HI}
+    ),
+    bscan AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS files_scanned,
+               CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS rows_scanned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM allb) AS files_total
+        FROM allb WHERE {prune}
+    ),
+    ascan AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS files_scanned,
+               CAST(COALESCE(SUM(n_rows), 0) AS BIGINT) AS rows_scanned,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM after) AS files_total
+        FROM after WHERE {prune}
+    )
+    SELECT 'after' AS stage, a.files_total, r.files_rewritten,
+           r.rows_rewritten, a.files_scanned, a.rows_scanned,
+           m.n_rows, m.cents_total
+    FROM ascan a CROSS JOIN rew r CROSS JOIN match m
+    UNION ALL
+    SELECT 'before', b.files_total, CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+           b.files_scanned, b.rows_scanned, m.n_rows, m.cents_total
+    FROM bscan b CROSS JOIN match m
+    """
+
+
+@query(
+    "q_layout_cluster_incremental",
+    oracle=_incr_cluster_oracle(),
+    tags=("source", "maintenance", "layout"),
+)
+def q_layout_cluster_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL clustering maintenance — the Delta liquid-clustering
+    / OPTIMIZE-incremental semantics that complete the layout story
+    next to full rewrite (q_layout_zorder_rewrite), compaction, and
+    manifest rewrite: a z-clustered base receives two UNCLUSTERED
+    arrival-ordered appends (each straddling the whole (date,
+    custkey) plane — the append-ruins-clustering shape); the
+    maintenance pass computes per-file z-ranges under the TABLE-LEVEL
+    clustering spec, counts pairwise z-range overlaps (metadata
+    grain, |files|² on ≤66 rows), and REWRITES ONLY the files
+    overlapping ≥ {INC_OVERLAP_MIN} others — the two appends; the
+    clean base files (z-disjoint by construction, overlap ≤ 2) are
+    never read or rewritten. The rewritten rows re-cut along the
+    Morton curve into narrow rectangles, so the 2-D probe prunes them
+    where before it had to scan both appends in full. The two-row
+    decision table (before/after) serves files/rows scanned,
+    files/rows rewritten, and the probe answer — invariant across the
+    pass, proving the rewrite lossless. The oracle recomputes the
+    spec, every file's stats, the overlap DECISION, and both scan
+    plans from raw orders — a pass that rewrote a clean file, missed
+    a dirty one, or lost rows hash-fails.
+
+    100 TB shape: the decision is |files|-row metadata (the z-range
+    interval self-join every OPTIMIZE planner runs); the rewrite
+    reads and writes ONLY the dirty fraction (measured here: 25% of
+    rows vs the full-table rewrite of q_layout_zorder_rewrite) — cost
+    scales with append churn, not table size; the clean majority's
+    files are never opened."""
+    import os
+
+    root = _stage_incr_layout(spark, sf_dir)
+    clustered = spark.read.parquet(os.path.join(root, "clustered"))
+    appends = spark.read.parquet(os.path.join(root, "appends"))
+    stats = [
+        F.min("z").alias("zlo"),
+        F.max("z").alias("zhi"),
+        F.min("o_orderdate").alias("dlo"),
+        F.max("o_orderdate").alias("dhi"),
+        F.min("o_custkey").alias("clo"),
+        F.max("o_custkey").alias("chi"),
+        F.count("*").alias("n_rows"),
+    ]
+    bman = clustered.groupBy(
+        F.concat(F.lit("z"), F.col("zf").cast("string")).alias("fid")
+    ).agg(*stats)
+    aman = appends.groupBy(
+        F.concat(F.lit("a"), F.col("af").cast("string")).alias("fid")
+    ).agg(*stats)
+    allb = bman.unionByName(aman).localCheckpoint()
+    ov = (
+        allb.alias("a")
+        .join(
+            allb.alias("b"),
+            (F.col("a.fid") != F.col("b.fid"))
+            & (F.col("a.zlo") <= F.col("b.zhi"))
+            & (F.col("b.zlo") <= F.col("a.zhi")),
+        )
+        .groupBy(F.col("a.fid").alias("fid"))
+        .agg(F.count("*").alias("c"))
+    )
+    dirty = ov.filter(F.col("c") >= INC_OVERLAP_MIN).select("fid")
+    dirty_fids = sorted(r.fid for r in dirty.collect())  # metadata grain
+    # Rewrite pass: read ONLY the dirty files' rows (partition-pruned
+    # dirs — clean files are never opened), re-cut on the z prefix.
+    dirs = [
+        os.path.join(root, "clustered", f"zf={fid[1:]}")
+        if fid.startswith("z")
+        else os.path.join(root, "appends", f"af={fid[1:]}")
+        for fid in dirty_fids
+    ]
+    rw_dir = os.path.join(root, "rewrite")
+    if dirs and not os.path.isdir(rw_dir):
+        drows = spark.read.parquet(*dirs)
+        drows.withColumn(
+            "zf", F.shiftright("z", INC_Z_SHIFT)
+        ).repartition("zf").write.partitionBy("zf").parquet(rw_dir)
+    rman = (
+        spark.read.parquet(rw_dir)
+        .groupBy(
+            F.concat(F.lit("r"), F.col("zf").cast("string")).alias("fid")
+        )
+        .agg(*stats)
+        if dirs
+        else allb.limit(0)
+    )
+    clean = allb.join(dirty, "fid", "left_anti")
+    after = clean.unionByName(rman).localCheckpoint()
+    lo = F.lit(_MP_LO).cast("timestamp")
+    hi = F.lit(_MP_HI).cast("timestamp")
+    overlap = ~(
+        (F.col("dhi") < lo)
+        | (F.col("dlo") >= hi)
+        | (F.col("chi") < F.lit(_Z_CK_LO))
+        | (F.col("clo") >= F.lit(_Z_CK_HI))
+    )
+
+    def scan_stats(man: DataFrame) -> DataFrame:
+        tot = man.agg(F.count("*").alias("files_total"))
+        sc = man.filter(overlap).agg(
+            F.count("*").alias("files_scanned"),
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows_scanned"),
+        )
+        return sc.crossJoin(F.broadcast(tot))
+    # probe answer from the AFTER layout's surviving files (clean base
+    # dirs + rewritten dirs), exact predicate applied post-scan
+    surviving = [r.fid for r in after.filter(overlap).select("fid").collect()]
+    sdirs = []
+    for fid in surviving:
+        if fid.startswith("z"):
+            sdirs.append(os.path.join(root, "clustered", f"zf={fid[1:]}"))
+        elif fid.startswith("r"):
+            sdirs.append(os.path.join(root, "rewrite", f"zf={fid[1:]}"))
+        else:
+            sdirs.append(os.path.join(root, "appends", f"af={fid[1:]}"))
+    pruned = (
+        spark.read.parquet(*sdirs) if sdirs else clustered.limit(0)
+    )
+    match = F.broadcast(
+        pruned.filter(
+            (F.col("o_orderdate") >= lo)
+            & (F.col("o_orderdate") < hi)
+            & (F.col("o_custkey") >= _Z_CK_LO)
+            & (F.col("o_custkey") < _Z_CK_HI)
+        ).agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(F.sum("cents"), F.lit(0)).alias("cents_total"),
+        )
+    )
+    rew = F.broadcast(
+        allb.join(dirty, "fid", "left_semi").agg(
+            F.count("*").alias("files_rewritten"),
+            F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows_rewritten"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    before_row = scan_stats(allb).crossJoin(match).select(
+        F.lit("before").alias("stage"),
+        "files_total",
+        zero.alias("files_rewritten"),
+        zero.alias("rows_rewritten"),
+        "files_scanned",
+        "rows_scanned",
+        "n_rows",
+        "cents_total",
+    )
+    after_row = scan_stats(after).crossJoin(rew).crossJoin(match).select(
+        F.lit("after").alias("stage"),
+        "files_total",
+        "files_rewritten",
+        "rows_rewritten",
+        "files_scanned",
+        "rows_scanned",
+        "n_rows",
+        "cents_total",
+    )
+    return after_row.unionByName(before_row).orderBy("stage")
