@@ -99,6 +99,13 @@ KEY_TABLE = {
     "q_sim_graph_ann_batch": "embeddings",
     "q_stream_graph_serve": "embeddings",
     "q_text_heaps_law": "documents",
+    # round-14 keys (VERDICT r13 asks #1-#5 + stretch)
+    "q_table_rollback": "orders",
+    "q_table_cherry_pick": "orders",
+    "q_sim_graph_ann_filtered": "embeddings",
+    "q_sim_graph_ann_adc": "embeddings",
+    "q_stream_graph_upsert": "embeddings",
+    "q_layout_cluster_incremental": "orders",
 }
 
 
