@@ -16594,3 +16594,85 @@ def q_sim_graph_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(arm("float_beam", fpool, fserve, adc=False))
         .orderBy("strategy")
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph-index persistence round-trip (the graph-route twin of
+# q_sim_index_persist's index-as-data contract)
+# ---------------------------------------------------------------------------
+
+_GRAPH_PERSIST_CACHE: SessionCache = SessionCache()
+GRAPH_PERSIST_BUCKETS = 16  # src-hash buckets of the edge table at rest
+
+
+def graph_persisted_edges_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Stage (once per session, sf) the navigable graph's ONE index
+    artifact — the symmetrized degree-bounded edge table — to parquet,
+    hash-bucketed by src (``pmod(src, GRAPH_PERSIST_BUCKETS)``
+    partition dirs): the layout every serving docstring in this family
+    assumes, where a beam round's point-gather prunes to the touched
+    buckets instead of scanning the table. Layer membership needs no
+    artifact — it is the deterministic ``vec_id % mod`` samples."""
+    import os
+    import tempfile
+
+    key = _GRAPH_PERSIST_CACHE.scoped_key(spark, sf_dir)
+    if key not in _GRAPH_PERSIST_CACHE:
+        edges = graph_ann_build(spark, sf_dir)
+        root = tempfile.mkdtemp(prefix="graph_index_")
+        (
+            edges.withColumn(
+                "bucket", F.pmod("src", F.lit(GRAPH_PERSIST_BUCKETS))
+            )
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .parquet(os.path.join(root, "edges"))
+        )
+        _GRAPH_PERSIST_CACHE[key] = root
+    return _GRAPH_PERSIST_CACHE[key]
+
+
+@query(
+    "q_sim_graph_ann_persist",
+    oracle=_graph_ann_oracle(),
+    tags=("llm", "similarity", "index"),
+)
+def q_sim_graph_ann_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-index PERSISTENCE round-trip — the deployment step that
+    completes the graph route's lifecycle parity with IVF
+    (q_sim_index_persist): the built edge table is WRITTEN to a
+    src-bucketed parquet layout, reloaded as an ordinary DataFrame,
+    and the SAME beam search serves from the reloaded index. The
+    oracle is q_sim_graph_ann's, verbatim: persisted serving must be
+    bit-identical to just-built serving, or the at-rest format lost
+    edges (the int64 id pairs and the bucket partitioning survive the
+    round-trip losslessly). Together with build / add / delete /
+    compact / batch / filtered / ADC / streaming-serve / streaming-
+    upsert, every lifecycle stage the IVF route ships now exists on
+    the graph route.
+
+    100 TB shape: the edge table IS the serving dataset —
+    ≤ (K1+K2+2·K3)·2·N rows, hash-bucketed by src so each beam
+    round's gather prunes to the ≤BEAM touched buckets (the layout
+    this family's serving docstrings assume, materialized here); the
+    build runs once, serving reads only this table plus the query
+    vector."""
+    import os
+
+    root = graph_persisted_edges_dir(spark, sf_dir)
+    edges = spark.read.parquet(os.path.join(root, "edges")).select(
+        "src", "dst"
+    )
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    pool = _graph_beam_serve(spark, sf_dir, edges, e, e)
+    total = pool.agg(F.count("*").alias("n_scored"))
+    return (
+        pool.orderBy(F.desc("c"), "vec_id")
+        .limit(TOPK)
+        .select("vec_id", F.col("c").alias("cos_sim"))
+        .crossJoin(F.broadcast(total))
+    )
