@@ -4552,13 +4552,7 @@ def q_sim_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     served by a vec_id-bucketed store at scale so the gather prunes to
     the touched buckets instead of scanning. Per-query work is
     O(hubs + ROUNDS·BEAM·degree) scores, independent of N."""
-    edges = graph_ann_build(spark, sf_dir)
-    e = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") != 0)
-        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
-    )
-    pool = _graph_beam_serve(spark, sf_dir, edges, e, e)
+    pool = _plain_beam_pool(spark, sf_dir)
     total = pool.agg(F.count("*").alias("n_scored"))
     return (
         pool.orderBy(F.desc("c"), "vec_id")
@@ -4566,6 +4560,33 @@ def q_sim_graph_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("c").alias("cos_sim"))
         .crossJoin(F.broadcast(total))
     )
+
+
+_PLAIN_POOL_CACHE: SessionCache = SessionCache()
+
+
+def _plain_beam_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The default-query beam pool over the full-base index, session-
+    cached: three serving keys consume this identical pool
+    (q_sim_graph_ann, the float arm of q_sim_graph_ann_adc, the
+    post-filter arm of q_sim_graph_ann_filtered via a label join) —
+    the walk's localCheckpointed rounds run once per (session, sf).
+    q_sim_graph_ann_persist deliberately does NOT use it: its pool
+    must derive from the RELOADED edge table or the round-trip proof
+    is vacuous."""
+    key = _PLAIN_POOL_CACHE.scoped_key(spark, sf_dir)
+    cached = _PLAIN_POOL_CACHE.get(key)
+    if cached is not None:
+        return cached
+    edges = graph_ann_build(spark, sf_dir)
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding", norm("embedding").alias("nrm"))
+    )
+    pool = _graph_beam_serve(spark, sf_dir, edges, e, e)
+    _PLAIN_POOL_CACHE[key] = pool
+    return pool
 
 
 def _graph_beam_serve(
@@ -16288,7 +16309,13 @@ def q_sim_graph_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .localCheckpoint()
     )
-    plain_pool = _graph_beam_serve_labeled(spark, sf_dir, edges, aware=False)
+    # the plain (filter-unaware) pool is the session-shared default
+    # walk — bit-identical to aware=False (same frontier order, label
+    # joined after the fact) and free when q_sim_graph_ann already ran
+    plain_pool = _plain_beam_pool(spark, sf_dir).join(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "label"),
+        "vec_id",
+    )
     aware_pool = _graph_beam_serve_labeled(spark, sf_dir, edges, aware=True)
     post = (
         plain_pool.orderBy(F.desc("c"), "vec_id")
@@ -16546,7 +16573,7 @@ def q_sim_graph_ann_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOPK)
         .select("vec_id")
     )
-    fpool = _graph_beam_serve(spark, sf_dir, edges, e, e)
+    fpool = _plain_beam_pool(spark, sf_dir)
     fserve = (
         fpool.orderBy(F.desc("c"), "vec_id").limit(TOPK).select("vec_id")
     )
