@@ -14,6 +14,22 @@ from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
 from ex_aws_firehose_spark.session import get_spark
 
 PICKS = {
+    "q_sim_graph_ann_adc": (
+        "ADC graph serving: every expansion round joins the candidates' "
+        "M-byte PQ codes against the broadcast M*K-row LUT (the floats "
+        "never load); the map-side-combinable groupBy(vec_id) sums "
+        "int64 subspace distances; only the final RERANK-pool rows "
+        "point-gather true vectors for the exact cosine top-k "
+        "(TakeOrderedAndProject)."
+    ),
+    "q_layout_cluster_incremental": (
+        "Incremental OPTIMIZE: the overlap decision is a |files|-row "
+        "interval self-join on the z-range manifest (metadata grain); "
+        "the rewrite reads ONLY the dirty partition dirs (clean files "
+        "never open) and is one repartition+partitionBy write of the "
+        "append fraction; the probe read plans from the pruned "
+        "manifest's surviving dirs."
+    ),
     "q_sim_graph_ann_batch": (
         "Multi-query beam serving: the degree-bounded edge table is "
         "probed by a broadcast of the <=Q*BEAM-row frontier each round; "
