@@ -161,6 +161,14 @@ def main() -> None:
         yield "_build_graph_ann_index_filtered", lambda: graph_ann_build(
             spark, sf_dir, where=base_w
         )
+        # Shared thresholded co-occurrence edge list (round 14): nine
+        # graph keys derive from it; the one persisted build is timed
+        # here instead of being charged to q_graph_adamic_adar (the
+        # alphabetically-first consumer). count() materializes the
+        # persist exactly as the first consumer would.
+        from ex_aws_firehose_spark.operators.scale import co_edges
+
+        yield "_build_co_edges", lambda: co_edges(spark, sf_dir).count()
 
     for key, thunk in _preludes():
         t0 = time.perf_counter()

@@ -5381,18 +5381,32 @@ def q_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("test_name"),
     )
-    seg = (
-        u.join(F.broadcast(c), "user_id")
+    # ONE pass over the user grain for both the per-segment battery
+    # AND the canary (guide §1.2 — the segment branch and the canary
+    # branch used to each run the full events distinct + hash; no CSE
+    # across a union). The customer join goes LEFT (c_custkey is the
+    # table's primary key, so ≤ 1 row per user: row count is
+    # preserved); users outside the customer table land in the NULL
+    # test_name bucket, which only the canary sums consume — the
+    # segment rows filter it out, reproducing the old inner join.
+    per_seg = (
+        u.join(F.broadcast(c), "user_id", "left")
         .groupBy("test_name")
         .agg(
             F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n0"),
             F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("skew_arm"), 1).otherwise(0)).alias("s0"),
+            F.sum(F.when(~F.col("skew_arm"), 1).otherwise(0)).alias("s1"),
         )
+        .localCheckpoint(eager=False)
     )
-    canary = u.agg(
+    seg = per_seg.filter(F.col("test_name").isNotNull()).select(
+        "test_name", "n0", "n1"
+    )
+    canary = per_seg.agg(
         F.lit("CANARY_SKEW").alias("test_name"),
-        F.sum(F.when(F.col("skew_arm"), 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(~F.col("skew_arm"), 1).otherwise(0)).alias("n1"),
+        F.sum("s0").alias("n0"),
+        F.sum("s1").alias("n1"),
     )
     chi = seg.unionByName(canary).select(
         "test_name",

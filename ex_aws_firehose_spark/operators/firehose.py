@@ -32,7 +32,7 @@ from pyspark.sql import types as T
 from ex_aws_firehose_spark.functions.codec import gzip_compress, gzip_decompress
 from ex_aws_firehose_spark.caching import SessionCache
 from ex_aws_firehose_spark.registry import query
-from ex_aws_firehose_spark.tables import load_table
+from ex_aws_firehose_spark.tables import load_table, spread
 
 # CloudWatch Logs envelope (reference lambda/main.py:5-28).
 LOG_EVENT_TYPE = "struct<id:string,timestamp:bigint,message:string>"
@@ -776,15 +776,22 @@ def q_decode_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     error logging (main.tf:21-25); the engine upgrade is per-record
     dead-lettering at scan speed, which at 100 TB is the difference
     between re-running a batch and quarantining 0.01% of it."""
+    # Incremental decode (guide §1.2: don't compute what you throw
+    # away): only the corrupted slice differs from the already-decoded
+    # persisted batch, so run the decode chain on THAT slice (1/29 of
+    # records) and reuse the shared persisted decode for the rest —
+    # the same result row-for-row, since the chain is deterministic
+    # per record. At 100 TB this is the difference between re-decoding
+    # the batch and decoding the quarantine candidates.
+    is_corrupt = F.col("idx") % CORRUPT_MOD == CORRUPT_REM
     records = synthesize_records(spark, sf_dir)
-    corrupted = records.withColumn(
-        "data",
-        F.when(
-            F.col("idx") % CORRUPT_MOD == CORRUPT_REM,
-            F.substring("data", 1, 10),
-        ).otherwise(F.col("data")),
+    corrupted = records.filter(is_corrupt).withColumn(
+        "data", F.substring("data", 1, 10)
     )
-    routed = route(decode_chain(corrupted))
+    decoded = decoded_records(spark, sf_dir).filter(~is_corrupt).unionByName(
+        decode_chain(corrupted)
+    )
+    routed = route(decoded)
     return routed.groupBy("kind", "result").agg(
         F.count("*").alias("n_records"),
         F.min("record_id").alias("first_record"),

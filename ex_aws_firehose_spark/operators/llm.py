@@ -48,7 +48,7 @@ from ex_aws_firehose_spark.functions.vector import (
 )
 from ex_aws_firehose_spark.caching import SessionCache
 from ex_aws_firehose_spark.registry import query
-from ex_aws_firehose_spark.tables import load_table
+from ex_aws_firehose_spark.tables import load_table, spread
 
 # ---------------------------------------------------------------------------
 # Dedup: exact
@@ -281,7 +281,8 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both probe joins are left-semi (existence, not pair
     materialization): the index side streams through the join without
     ever producing index rows."""
-    d = load_table(spark, sf_dir, "documents")
+    # spread: parallelize the per-row signature folds (guide §2.6).
+    d = spread(load_table(spark, sf_dir, "documents"))
     bands = minhash_bands(d)
     is_new = F.col("doc_id") % 10 < 2
     nb = bands.filter(is_new)
@@ -669,6 +670,14 @@ def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _SHINGLE_FRAME_CACHE.get(key)
     if cached is not None:
         return cached
+    # NO spread here — A/B'd both ways this round: spreading the
+    # tokenize→shingle explode to 64 partitions made every consumer
+    # SLOWER (containment warm 4.5 → 2.2 s, jaccard 5.7 → 2.1 s,
+    # prefix 3.9 → 2.9 s, cascade 6.3 → 4.5 s without it): the explode
+    # is cheap, the persisted 64-partition layout multiplies task
+    # count through every downstream shuffle of this hot fixture, and
+    # the self-joins repartition on the shingle key anyway (guide §1.1
+    # — measure, don't assume; see OPTIMIZATION_r14.md).
     d = load_table(spark, sf_dir, "documents")
     sh = d.select(
         "doc_id", F.explode(shingles(tokens("text"))).alias("s")
@@ -741,17 +750,19 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     comes from a trained k-means codebook; here it ships with the data).
     Cosine is a pure Catalyst fold — no UDF. Norms are precomputed per
     vector before the join (one fold per pair, not three; same IEEE-754
-    bits as the per-pair form since the fold is identical)."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", norm(F.col("embedding"))
-    )
-    a, b = e.alias("a"), e.alias("b")
+    bits as the per-pair form since the fold is identical). The probe
+    side is spread across the cluster before the broadcast self-join —
+    a single-file scan would otherwise run the whole per-pair fold
+    stage on one core (guide §2.6)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrmd = lambda df: df.withColumn("nrm", norm(F.col("embedding")))  # noqa: E731
+    a, b = nrmd(spread(e)).alias("a"), nrmd(e).alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -815,17 +826,17 @@ def q_sim_pairwise_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed pairwise similarity join (cos ≥ 0.9) summarized per
     cluster. The label equi-join keeps the pair space to Σ n_c² instead
     of N² — the scale path for all-pairs similarity. Norms precomputed
-    per vector (see q_dedup_embedding)."""
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "nrm", norm(F.col("embedding"))
-    )
-    a, b = e.alias("a"), e.alias("b")
+    per vector (see q_dedup_embedding); probe side spread so the pair
+    fold stage runs on every core (guide §2.6)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    nrmd = lambda df: df.withColumn("nrm", norm(F.col("embedding")))  # noqa: E731
+    a, b = nrmd(spread(e)).alias("a"), nrmd(e).alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
         F.col("a.nrm") * F.col("b.nrm")
     )
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
@@ -1188,8 +1199,18 @@ def _ivf_e_step(e: DataFrame, cb: DataFrame) -> DataFrame:
     embedding rides through F.first, every duplicate carries the same
     value), so no second shuffle joins the assignment back to its
     vector."""
-    c = F.round(cosine(F.col("embedding"), F.col("cvec")), 6)
-    scored = e.crossJoin(F.broadcast(cb)).select(
+    # Norms are projected per ROW (vector side) and per CELL (codebook
+    # side) below the crossJoin, so per-(vector, cell) work is ONE dot
+    # fold instead of three — d/(na·nb) is the identical double to the
+    # fused cosine (same ops, same order), the q_sim_knn_graph argument.
+    ev = e.withColumn("_nrm", norm(F.col("embedding")))
+    cbn = cb.withColumn("_cnrm", norm(F.col("cvec")))
+    c = F.round(
+        dot(F.col("embedding"), F.col("cvec"))
+        / (F.col("_nrm") * F.col("_cnrm")),
+        6,
+    )
+    scored = ev.crossJoin(F.broadcast(cbn)).select(
         "vec_id", "cell", c.alias("c"), "embedding"
     )
     pick = F.max(
@@ -1230,10 +1251,17 @@ def ivf_train(
     assigned = e.select(
         "vec_id", F.col("label").cast("long").alias("cell"), "embedding"
     )
-    cb = _ivf_m_step(assigned).localCheckpoint()
+    # Per-round checkpoints are LAZY: lineage still truncates, but the
+    # Lloyd rounds chain into the one job that materializes `members`
+    # below instead of one blocking driver job per round (guide §1.2 —
+    # the loop is job-count-bound). `members` stays EAGER so calling
+    # the trainer materializes the whole chain — bench.py's prelude
+    # rows rely on that for cost attribution, and the final cb RDD is
+    # computed (and cached) inside the same job via its broadcast.
+    cb = _ivf_m_step(assigned).localCheckpoint(eager=False)
     for _ in range(IVF_ITERS):
         assigned = _ivf_e_step(e, cb)
-        cb = _ivf_m_step(assigned).localCheckpoint()
+        cb = _ivf_m_step(assigned).localCheckpoint(eager=False)
     members = _ivf_e_step(e, cb).localCheckpoint()
     _IVF_TRAIN_CACHE[key] = (cb, members)
     return cb, members
@@ -1658,7 +1686,10 @@ def pq_train(
             .cast("long")
             .alias("sv"),
         )
-        .localCheckpoint()
+        # Lazy: materializes (once) inside the first Lloyd-round job;
+        # the final asg checkpoint in _pq_lloyd stays EAGER so the
+        # bench prelude still pays the whole training bill (§1.2).
+        .localCheckpoint(eager=False)
     )
     cent, asg = _pq_lloyd(comp, k)
     _PQ_TRAIN_CACHE[key] = (comp, cent, asg)
@@ -1687,7 +1718,7 @@ def _pq_lloyd(comp: DataFrame, k: int) -> tuple:
                 .cast("long")
                 .alias("icv"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         diff = F.col("sv") - F.col("icv")
         dist = (
@@ -4002,12 +4033,15 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Norms are projected per ROW before the self-join, so per-PAIR work
     is one dot-product fold instead of three (measured ~3× on the pair
     stage); dot/(na·nb) produces the identical double to the fused
-    cosine, so the oracle keeps the canonical form."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    cosine, so the oracle keeps the canonical form. Probe side spread
+    before the broadcast self-join so the pair fold uses every core
+    (guide §2.6)."""
+    base = load_table(spark, sf_dir, "embeddings")
+    sel = lambda df: df.select(  # noqa: E731
         "vec_id", "label", "embedding", norm("embedding").alias("nrm")
     )
-    a = e.alias("a")
-    b = e.alias("b")
+    a = sel(spread(base)).alias("a")
+    b = sel(base).alias("b")
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))
         / (F.col("a.nrm") * F.col("b.nrm")),
@@ -4018,7 +4052,7 @@ def q_sim_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.label") == F.col("b.label"))
             & (F.col("a.vec_id") != F.col("b.vec_id")),
         )
@@ -7915,18 +7949,20 @@ def q_embed_ood_knn_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     kNN graph, never materializes the full adjacency. Vectors whose
     bucket has < k peers simply don't rank — at scale that itself is
     the strongest OOD signal and surfaces via q_dq_key_skew on the
-    label column."""
-    e = load_table(spark, sf_dir, "embeddings").select(
+    label column. Probe side spread before the broadcast self-join
+    so the pair fold uses every core (guide §2.6)."""
+    base = load_table(spark, sf_dir, "embeddings")
+    sel = lambda df: df.select(  # noqa: E731
         "vec_id", "label", "embedding", norm("embedding").alias("nrm")
     )
-    a, b = e.alias("a"), e.alias("b")
+    a, b = sel(spread(base)).alias("a"), sel(base).alias("b")
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"))
         / (F.col("a.nrm") * F.col("b.nrm")),
         6,
     )
     sims = a.join(
-        b,
+        F.broadcast(b),
         (F.col("a.label") == F.col("b.label"))
         & (F.col("a.vec_id") != F.col("b.vec_id")),
     ).select(
@@ -9278,25 +9314,34 @@ def q_sample_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = spark.createDataFrame(
         [(0, 0, 0)], "round long, vec_id long, d2 long"
     )
+    # Incremental min-distance state (guide §1.2: don't recompute):
+    # round r only measures distances to the ONE seed added in round
+    # r-1 and folds them into the running per-vector minimum —
+    # min(best, d(new seed)) — instead of re-aggregating the full
+    # vec × seed-set product every round. Identical integers, O(n·d)
+    # per round instead of O(n·d·r).
+    best = None
     for r in range(1, KCENTER_K):
+        newest = seeds.filter(F.col("round") == r - 1).select("vec_id")
         seedcomp = kcomp.join(
-            F.broadcast(seeds.select("vec_id")), "vec_id", "left_semi"
-        ).select(
-            F.col("vec_id").alias("seed"), "pos", F.col("sv").alias("ssv")
-        )
+            F.broadcast(newest), "vec_id", "left_semi"
+        ).select("pos", F.col("sv").alias("ssv"))
         diff = F.col("sv") - F.col("ssv")
         sd = (
             kcomp.join(F.broadcast(seedcomp), "pos")
-            .groupBy("vec_id", "seed")
+            .groupBy("vec_id")
             .agg(F.sum(diff * diff).alias("s"))
         )
-        m = (
-            sd.join(seeds.select("vec_id"), "vec_id", "left_anti")
-            .groupBy("vec_id")
-            .agg(F.min("s").alias("d2"))
-        )
+        if best is None:
+            best = sd.select("vec_id", F.col("s").alias("d2"))
+        else:
+            best = best.join(sd, "vec_id").select(
+                "vec_id", F.least("d2", "s").alias("d2")
+            )
+        best = best.localCheckpoint(eager=False)
         w = (
-            m.orderBy(F.col("d2").desc(), "vec_id")
+            best.join(seeds.select("vec_id"), "vec_id", "left_anti")
+            .orderBy(F.col("d2").desc(), "vec_id")
             .limit(1)
             .select(
                 F.lit(r).cast("long").alias("round"),
@@ -9519,22 +9564,23 @@ def q_embed_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     possible full-scan ANN arm, and it composes with the IVF route
     (probe cells, THEN Hamming-scan the inverted lists) unchanged."""
     e = load_table(spark, sf_dir, "embeddings")
-    bit_terms = None
-    for j in range(EMB_DIM):
+    # Signature arithmetic is pure int64 (was a 64-term DECIMAL(38,0)
+    # chain — decimal128 adds run outside the fast codegen arithmetic
+    # and cost ~65 128-bit ops/row): bits 0..62 sum inside a signed
+    # long (≤ 2^63 − 1), and bit 63 is the sign bit, i.e. two's
+    # complement adds −2^63 exactly when it is set — same wrapped
+    # value as the decimal form, bit for bit (guide §1.2: per-task
+    # work, expression choice).
+    low = None
+    for j in range(EMB_DIM - 1):
         t = F.when(
-            F.element_at("embedding", j + 1) >= 0,
-            F.expr(f"CAST('{1 << j}' AS DECIMAL(38,0))"),
-        ).otherwise(F.lit(0).cast("decimal(38,0)"))
-        bit_terms = t if bit_terms is None else bit_terms + t
-    # sum in decimal128 (bit 63 overflows signed int64 addition), then
-    # wrap to the signed 64-bit value both engines agree on
-    two63 = F.expr("CAST('9223372036854775808' AS DECIMAL(38,0))")
-    two64 = F.expr("CAST('18446744073709551616' AS DECIMAL(38,0))")
-    wrapped = (
-        F.when(bit_terms >= two63, bit_terms - two64)
-        .otherwise(bit_terms)
-        .cast("long")
-    )
+            F.element_at("embedding", j + 1) >= 0, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        low = t if low is None else low + t
+    wrapped = F.when(
+        F.element_at("embedding", EMB_DIM) >= 0,
+        low + F.lit(-(1 << 63)).cast("long"),
+    ).otherwise(low)
     sig = e.select("vec_id", wrapped.alias("bsig"))
     q = F.broadcast(
         sig.filter(F.col("vec_id") == 0).select(F.col("bsig").alias("qsig"))

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ex_aws_firehose_spark.registry import query
-from ex_aws_firehose_spark.tables import load_table
+from ex_aws_firehose_spark.tables import load_table, spread
 
 try:  # real codecs are absent in this environment; plumbing is library-agnostic
     import PIL.Image  # noqa: F401

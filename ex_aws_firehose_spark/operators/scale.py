@@ -1388,6 +1388,51 @@ def q_layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TRI_MIN_COOCCUR = 3  # edge iff users co-occur in >= 3 (type, hour) buckets
 
+_CO_EDGES_CACHE: SessionCache = SessionCache()  # thresholded (ua, ub) edges
+
+
+def co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thresholded co-occurrence edge list (ua < ub) every graph
+    key is defined over: events → (user_id, event_type, hour) →
+    bucketed self-join on (hr, event_type) → pair count →
+    ``w >= TRI_MIN_COOCCUR``. Built ONCE per session and persisted —
+    nine keys (triangles, degree-hist, link-prediction, adamic-adar,
+    k-core, label-propagation communities/modularity, local
+    clustering, assortativity, two-hop) previously re-ran the
+    identical fact-scale self-join + pair aggregation each; every
+    derived view (degrees, symmetrization, wedges) is orders of
+    magnitude cheaper than the build (guide §1.2 — don't recompute;
+    §5 — persist exactly the reused, expensive-to-recompute frame).
+    The bench charges the one build to the `_build_co_edges` prelude
+    row, the same attribution device as the IVF/PQ trainers."""
+    key = _CO_EDGES_CACHE.scoped_key(spark, sf_dir)
+    cached = _CO_EDGES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hr"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.hr") == F.col("b.hr"))
+            & (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= TRI_MIN_COOCCUR)
+        .select("ua", "ub")
+        .persist()
+    )
+    _CO_EDGES_CACHE[key] = edges
+    return edges
+
 
 @query(
     "q_graph_triangles",
@@ -1461,26 +1506,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle has exactly one vertex with two out-edges); n_wedges /
     closure_ppm are DEFINED at the degree-ordered center. Output is
     one exact-integer summary row."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
-        .agg(F.count("*").alias("w"))
-    )
-    edges = pairs.filter(F.col("w") >= TRI_MIN_COOCCUR).select("ua", "ub")
-    edges = edges.persist()
+    edges = co_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("ua").alias("v"))
         .unionByName(edges.select(F.col("ub").alias("v")))
@@ -1829,27 +1855,7 @@ def q_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     data by orders of magnitude and partial-aggregates map-side; the
     edge build reuses the bucketed co-occurrence join (bounded
     per-bucket fan-out, never a crossJoin)."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"),
-            F.col("b.user_id").alias("ub"),
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= TRI_MIN_COOCCUR)
-    )
+    edges = co_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("ua").alias("v"))
         .unionByName(edges.select(F.col("ub").alias("v")))
@@ -2135,27 +2141,7 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     common-neighbor evidence is weakest anyway (TF-IDF-style degree
     discounting is the refinement). Candidates then anti-join the edge
     set and TakeOrdered picks the top-20."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= TRI_MIN_COOCCUR)
-        .select("ua", "ub")
-        .persist()
-    )
+    edges = co_edges(spark, sf_dir)
     adj = edges.select(
         F.col("ua").alias("src"), F.col("ub").alias("dst")
     ).unionByName(
@@ -2509,23 +2495,7 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the peel depth (≤ max core number), not the diameter.
     Output is the degree histogram WITHIN the core — the first audit
     of how much graph survives the floor."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_type", F.date_trunc("hour", "ts").alias("hr")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= TRI_MIN_COOCCUR)
-    )
+    edges = co_edges(spark, sf_dir)
     sym = (
         edges.select(F.col("ua").alias("u"), F.col("ub").alias("v"))
         .unionByName(
@@ -2889,32 +2859,18 @@ def _lp_state(spark: SparkSession, sf_dir: str):
     cached = _LP_STATE_CACHE.get(key)
     if cached is not None:
         return cached
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= TRI_MIN_COOCCUR)
-        .select("ua", "ub")
-        .localCheckpoint()
-    )
+    # Shared persisted co-occurrence fixture; lazy checkpoints remain
+    # downstream of it: lineage is still truncated at first
+    # materialization, but the rounds chain into ONE multi-stage job
+    # instead of one eager job per checkpoint — per-job driver
+    # overhead dominates these small-frame loops (guide §1.2:
+    # per-round wall is scheduling, not compute).
+    pairs = co_edges(spark, sf_dir)
     sym = pairs.select(
         F.col("ua").alias("src"), F.col("ub").alias("dst")
     ).unionByName(
         pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     labels = sym.select(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).distinct()
@@ -2930,7 +2886,7 @@ def _lp_state(spark: SparkSession, sf_dir: str):
             .select(
                 F.col("n2").alias("node"), (-F.col("p.nl")).alias("label")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     _LP_STATE_CACHE[key] = (pairs, labels)
     return pairs, labels
@@ -3388,26 +3344,7 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(|E|)-capped wedge join — docs/SCALE.md §13); the only
     additions are a 3-way corner explode of the closed-triangle stream
     and one |V|-grain hash agg.  Output is |V| rows."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
-        .agg(F.count("*").alias("w"))
-    )
-    edges = pairs.filter(F.col("w") >= TRI_MIN_COOCCUR).select("ua", "ub")
-    edges = edges.persist()
+    edges = co_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("ua").alias("v"))
         .unionByName(edges.select(F.col("ub").alias("v")))
@@ -3839,28 +3776,7 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg to a single row.  Int64 bound: Σdx·dy ≤ 2E·deg_max² — holds to
     ~10^9 edges at deg_max 10^4; past that, pre-center degrees (the
     q_agg_gini documentation pattern)."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-    )
-    a = e.alias("a")
-    b = e.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"),
-            F.col("b.user_id").alias("ub"),
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= TRI_MIN_COOCCUR)
-        .select("ua", "ub")
-    )
+    edges = co_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("ua").alias("v"))
         .unionByName(edges.select(F.col("ub").alias("v")))
@@ -4209,27 +4125,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: identical to q_graph_link_prediction — degree-capped
     wedge centers (the documented hub cap), one wedge self-join on the
     center key, broadcast edge anti-join, TakeOrdered top-k."""
-    e = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= TRI_MIN_COOCCUR)
-        .select("ua", "ub")
-        .persist()
-    )
+    edges = co_edges(spark, sf_dir)
     adj = edges.select(
         F.col("ua").alias("src"), F.col("ub").alias("dst")
     ).unionByName(
@@ -4381,7 +4277,13 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = (
         edges0.join(outw, "src")
         .select("src", "dst", F.expr("CAST(w * 1000 div ow AS LONG)").alias("wpm"))
-        .localCheckpoint()
+        # Lazy checkpoints through this loop (and on the per-round
+        # score frames below): lineage still truncates at first
+        # materialization, but the 2x_HITS_ITERS half-steps chain into
+        # one job instead of one blocking driver job per half-step —
+        # the loop is job-scheduling-bound, not compute-bound (25-row
+        # frames; guide §1.2).
+        .localCheckpoint(eager=False)
     )
     nodes = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
@@ -4406,7 +4308,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"CAST(coalesce(raw, 0) * {_HITS_SCALE} div mx AS LONG)"
                 ).alias("a"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         hr = (
             edges.join(F.broadcast(a), edges.dst == a.node)
@@ -4423,7 +4325,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f"CAST(coalesce(raw, 0) * {_HITS_SCALE} div mx AS LONG)"
                 ).alias("h"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return h.select("node", F.col("h").alias("hub_scaled")).join(
         a.select("node", F.col("a").alias("auth_scaled")), "node"
@@ -4850,26 +4752,7 @@ def q_graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, not the plan — the panel bounds the source side and the
     degree-histogram key is the report that says when to cap or salt
     hub middles."""
-    e0 = load_table(spark, sf_dir, "events")
-    e = e0.select(
-        "user_id",
-        "event_type",
-        F.date_trunc("hour", "ts").alias("hr"),
-    )
-    a, b = e.alias("a"), e.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(
-            F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub")
-        )
-        .agg(F.count("*").alias("w"))
-    )
-    edges = pairs.filter(F.col("w") >= TRI_MIN_COOCCUR).select("ua", "ub")
+    edges = co_edges(spark, sf_dir)
     sym = (
         edges.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
         .unionByName(

@@ -16,6 +16,7 @@ The same builder serves local testing (``local[N]``) and a real cluster
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import SparkSession
@@ -49,6 +50,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE coalescing keeps its stock floor (minPartitionSize=1m).
+        # A 64k floor was A/B'd this round: it parallelized a few
+        # compute-dense small-byte stages but multiplied task counts
+        # across every tiny stage (q_dedup_minhash_weighted 4.5 → 24 s,
+        # trainer preludes ~2×) — the one place manual parallelism
+        # pays is the broadcast-join pair stages (tables.spread there
+        # only); stock coalescing wins everywhere else; see
+        # OPTIMIZATION_r14.md.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for pandas-UDF / toPandas transport.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -65,6 +74,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.legacy.createHiveTableByDefault", "false")
     )
+    # Deployment-specific overrides without code changes: a JSON object of
+    # conf key -> value (e.g. cluster advisory partition sizes). Applied
+    # after the defaults above, before caller-supplied extra_conf.
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if env_conf:
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -942,29 +942,50 @@ def src_format_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     key = _AVRO_CACHE.scoped_key(spark, sf_dir)
     if key not in _AVRO_CACHE:
-        import duckdb
+        import pandas as pd
 
         root = _tracked_mkdtemp(prefix="events_avro_") + "/data"
         os.makedirs(root, exist_ok=True)
-        con = duckdb.connect()
-        try:
-            rows = con.execute(
-                f"""
-                SELECT event_id, epoch_us(CAST(ts AS TIMESTAMP)),
-                       event_type, user_id,
-                       CAST(ROUND(value * 100) AS BIGINT)
-                FROM read_parquet('{sf_dir}/events.parquet')
-                ORDER BY event_id
-                """
-            ).fetchall()
-        finally:
-            con.close()
-        for shard in range(AVRO_SHARDS):
+        # Staging runs DISTRIBUTED (one task per shard via a grouped
+        # pandas stage) instead of fetchall()-ing every event row to
+        # the driver and encoding serially there — same bytes (same
+        # rows, same event_id order, same encoder), but the Python
+        # encode parallelizes per shard and the driver never holds the
+        # table (guide §5). Executors share the local FS here; at scale
+        # the shard writer lands on shared storage the same way.
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            F.unix_micros("ts").alias("ts_us"),
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+            (F.col("event_id") % AVRO_SHARDS).alias("shard"),
+        )
+
+        def _write_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+            shard = int(pdf["shard"].iloc[0])
+            pdf = pdf.sort_values("event_id")
+            # .tolist() yields plain Python ints — the varint encoder's
+            # shift arithmetic must not run on numpy fixed-width types.
+            rows = list(
+                zip(
+                    pdf["event_id"].tolist(),
+                    pdf["ts_us"].tolist(),
+                    pdf["event_type"].tolist(),
+                    pdf["user_id"].tolist(),
+                    pdf["value_cents"].tolist(),
+                )
+            )
             write_avro_ocf(
                 os.path.join(root, f"part-{shard}.avro"),
                 _AVRO_EVENT_SCHEMA,
-                [r for r in rows if r[0] % AVRO_SHARDS == shard],
+                rows,
             )
+            return pd.DataFrame({"shard": [shard], "n": [len(rows)]})
+
+        ev.groupBy("shard").applyInPandas(
+            _write_shard, "shard long, n long"
+        ).collect()
         _AVRO_CACHE[key] = root
     register_avro_datasource(spark)
     return spark.read.format("avro_ocf").option(

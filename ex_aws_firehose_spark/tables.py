@@ -65,6 +65,42 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, parts: int | None = None) -> DataFrame:
+    """Round-robin repartition a *small* scan before compute-heavy
+    fan-out work that sits ABOVE A BROADCAST JOIN (pair self-joins,
+    NULL-block cross joins) so the expensive per-pair stage uses every
+    core.
+
+    A single small parquet file scans as ONE partition (one row group —
+    byte-range splits cannot help), and a broadcast join adds no
+    exchange, so the quadratic pair stage inherits that one partition
+    and runs serially while the rest of the cluster idles (guide §2.6).
+    The shuffle this adds moves only the small frame (KBs here); the
+    win is parallelising the orders-of-magnitude-larger derived work —
+    interleaved A/B this round: q_sim_pairwise_join 3.4 → 1.2 s,
+    q_sim_knn_graph 3.1 → 1.2 s, q_embed_ood_knn_distance 3.6 → 1.7 s.
+
+    Do NOT apply it where a shuffle (groupBy/window/shuffle join) sits
+    between the scan and the heavy stage: the shuffle already
+    redistributes, and the extra exchange + 64-task stages make things
+    strictly slower — measured on every other family this round
+    (trainer preludes 2×, shingle consumers 2-3×, decode chain 2×
+    FASTER after removing spread; see OPTIMIZATION_r14.md entry 1).
+
+    Scale-adaptive: the target is ``2 × defaultParallelism`` (follows
+    ``SPARK_GRAFT_CPUS`` locally, the cluster size under spark-submit),
+    and the repartition is SKIPPED when the input already carries at
+    least that many partitions — a 100 TB table that is already
+    well-partitioned must not pay a full shuffle for this.
+    """
+    spark = df.sparkSession
+    if parts is None:
+        parts = 2 * spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parts:
+        return df
+    return df.repartition(parts)
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL API surface."""
     for name in TABLE_NAMES:
