@@ -169,6 +169,27 @@ def main() -> None:
         from ex_aws_firehose_spark.operators.scale import co_edges
 
         yield "_build_co_edges", lambda: co_edges(spark, sf_dir).count()
+        # Round-14 shared dedup fixtures (same attribution device):
+        # the corpus minhash signature table, the shingle pair-count /
+        # cardinality frames, and the star-CC labels over the minhash
+        # pair graph — each previously rebuilt per consuming key.
+        from ex_aws_firehose_spark.operators.llm import (
+            minhash_sig_frame,
+            shingle_card,
+            shingle_pair_counts,
+            star_components,
+        )
+
+        yield "_build_minhash_sig", lambda: minhash_sig_frame(
+            spark, sf_dir
+        ).count()
+        yield "_build_shingle_pairs", lambda: (
+            shingle_pair_counts(spark, sf_dir).count(),
+            shingle_card(spark, sf_dir).count(),
+        )
+        yield "_build_star_components", lambda: star_components(
+            spark, sf_dir
+        )[0].count()
 
     for key, thunk in _preludes():
         t0 = time.perf_counter()

@@ -142,19 +142,27 @@ def _minhash_oracle() -> str:
 # in-session analog of materializing the candidate table once and
 # running every downstream dedup consumer off it.
 _MINHASH_PAIRS_CACHE: SessionCache = SessionCache()
+# The 12-permutation signature table itself is ALSO a shared artifact:
+# q_dedup_minhash, q_dedup_incremental and q_dedup_lsh_tuning each used
+# to re-run the tokenize→shingle→md5→12-fold map over the full corpus
+# (the most compute-dense per-row map in the dedup family, ~1-2 s per
+# re-run at sf0.1 on 32 cores). One persisted build per (session,
+# sf_dir) — the in-session analog of staging the signature table to
+# parquet at ingest, which is exactly what the incremental key's
+# docstring already assumes (guide §1.2: don't recompute).
+_MINHASH_SIG_CACHE: SessionCache = SessionCache()
 
 
-def minhash_bands(d: DataFrame) -> DataFrame:
-    """(doc_id, band, bsig) LSH band signatures for a (doc_id, text)
-    frame — the shared signature pipeline of q_dedup_minhash and the
-    streaming incremental dedup (q_stream_dedup_minhash). Pure per-row
-    array folds (zero shuffles); docs shorter than the shingle width
-    produce no rows. Expressions mirror _minhash_cte() bit-for-bit."""
+def _minhash_sig_cols(d: DataFrame) -> DataFrame:
+    """Per-row signature folds for a (doc_id, text) frame: (doc_id,
+    m0..m11). Pure map, zero shuffles; docs shorter than the shingle
+    width produce no rows. Expressions mirror _minhash_cte()
+    bit-for-bit."""
     hs = d.filter(F.size(tokens("text")) >= 3).select(
         "doc_id",
         F.transform(shingles(tokens("text")), lambda s: hex_hash(s)).alias("hs"),
     )
-    sig = hs.select(
+    return hs.select(
         "doc_id",
         *[
             F.array_min(
@@ -163,6 +171,27 @@ def minhash_bands(d: DataFrame) -> DataFrame:
             for j, (a, b) in enumerate(_SEEDS)
         ],
     )
+
+
+def minhash_sig_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus signature table (doc_id, m0..m11), built once per
+    (session, sf_dir) and persisted. Consumers re-band it per their own
+    (bands × rows) config — banding is a cheap explode over 12 already-
+    computed columns, so sharing the SIGNATURES (not the bands) keeps
+    every consumer free to choose its banding."""
+    key = _MINHASH_SIG_CACHE.scoped_key(spark, sf_dir)
+    cached = _MINHASH_SIG_CACHE.get(key)
+    if cached is None:
+        cached = _minhash_sig_cols(
+            load_table(spark, sf_dir, "documents")
+        ).persist()
+        _MINHASH_SIG_CACHE[key] = cached
+    return cached
+
+
+def _band_explode(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) from a signature frame, at the default
+    BANDS × ROWS_PER_BAND banding."""
     band_cols = [
         F.struct(
             F.lit(b).alias("band"),
@@ -175,6 +204,16 @@ def minhash_bands(d: DataFrame) -> DataFrame:
     return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", "bs.band", "bs.bsig")
+
+
+def minhash_bands(d: DataFrame) -> DataFrame:
+    """(doc_id, band, bsig) LSH band signatures for an ARBITRARY
+    (doc_id, text) frame — the input-driven form used by streaming
+    micro-batches (q_stream_dedup_minhash) and slice-level callers
+    (q_curate_dedup_cascade's exact-survivor set). Full-corpus callers
+    go through minhash_sig_frame instead so the signature map runs
+    once per session."""
+    return _band_explode(_minhash_sig_cols(d))
 
 
 @query("q_dedup_minhash", oracle=_minhash_oracle(), tags=("llm", "dedup"))
@@ -192,11 +231,12 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _MINHASH_PAIRS_CACHE.get(key)
     if cached is not None:
         return cached
-    d = load_table(spark, sf_dir, "documents")
     # Signature is computed per-row with array folds (no explode, no
     # groupBy): hash each shingle once, then take the min of each
-    # permutation over the array (minhash_bands). Zero shuffles until
-    # the band join — at 100 TB the signature stage is a pure map.
+    # permutation over the array (minhash_sig_frame — persisted and
+    # shared with q_dedup_incremental / q_dedup_lsh_tuning). Zero
+    # shuffles until the band join — at 100 TB the signature stage is
+    # a pure map over a staged signature table.
     # Docs shorter than the shingle width have no signature (matches the
     # oracle's GROUP BY over exploded shingles); the filter is on the
     # cheap token count, NOT the hash expression — filtering on
@@ -205,10 +245,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     #
     # One explicit exchange on the join key: both sides of the
     # self-join are the identical subtree, so Catalyst reuses this
-    # shuffle (ReusedExchange) instead of recomputing the whole
-    # hash+signature stage twice — signatures are computed exactly
-    # once, the scale-out analog of materializing them.
-    bands = minhash_bands(d).repartition("band", "bsig")
+    # shuffle (ReusedExchange) instead of recomputing the band explode
+    # twice over the persisted signatures.
+    bands = _band_explode(minhash_sig_frame(spark, sf_dir)).repartition(
+        "band", "bsig"
+    )
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
@@ -281,9 +322,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both probe joins are left-semi (existence, not pair
     materialization): the index side streams through the join without
     ever producing index rows."""
-    # spread: parallelize the per-row signature folds (guide §2.6).
-    d = spread(load_table(spark, sf_dir, "documents"))
-    bands = minhash_bands(d)
+    # Bands derive from the persisted session signature table — the
+    # per-row signature fold (which the round's earlier spread() tuning
+    # targeted) no longer runs here at all (guide §1.2: the cheapest
+    # map is the one you don't re-run; the banding explode left behind
+    # is trivial).
+    d = load_table(spark, sf_dir, "documents")
+    bands = _band_explode(minhash_sig_frame(spark, sf_dir))
     is_new = F.col("doc_id") % 10 < 2
     nb = bands.filter(is_new)
     ib = bands.filter(~is_new)
@@ -686,16 +731,32 @@ def shingle_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh
 
 
-@query("q_dedup_ngram_jaccard", oracle=_jaccard_oracle(), tags=("llm", "dedup"))
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact shingle-Jaccard similarity ≥ 0.5. Pair generation joins on
-    the shared shingle (only co-occurring pairs materialize — the join
-    key is the shingle, bounded by shingle document-frequency; at scale,
-    drop stop-shingles above a DF cap first)."""
+_SHINGLE_PAIRS_CACHE: SessionCache = SessionCache()
+_SHINGLE_CARD_CACHE: SessionCache = SessionCache()
+
+
+def shingle_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, shared): per-pair count of co-occurring distinct
+    shingles (doc_a < doc_b), generated through the shared-shingle
+    equi-join over the persisted shingle frame. Built ONCE per
+    (session, sf_dir) and persisted: q_dedup_ngram_jaccard,
+    q_dedup_containment and q_dedup_lsh_tuning's exact-truth set each
+    ran this IDENTICAL fact-scale self-join + pair aggregation — the
+    single heavy stage of the shingle family (guide §1.2: don't
+    recompute; §5: persist exactly the reused expensive frame; the
+    co_edges precedent in operators/scale.py). The pair frame is
+    orders of magnitude smaller than the join that built it (only
+    co-occurring pairs materialize), so persisting it is the
+    in-session analog of staging the pair table before a multi-metric
+    dedup pass. The bench charges the build to the
+    ``_build_shingle_pairs`` prelude row."""
+    key = _SHINGLE_PAIRS_CACHE.scoped_key(spark, sf_dir)
+    cached = _SHINGLE_PAIRS_CACHE.get(key)
+    if cached is not None:
+        return cached
     sh = shingle_frame(spark, sf_dir)
-    card = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
-    shared = (
+    pairs = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
@@ -705,7 +766,42 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").alias("shared"))
+        .persist()
     )
+    _SHINGLE_PAIRS_CACHE[key] = pairs
+    return pairs
+
+
+def shingle_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n): distinct-shingle count per document (the shingle
+    frame is distinct per doc by construction — shingles() applies
+    array_distinct — so COUNT(*) ≡ COUNT(DISTINCT s)). Tiny frame,
+    shared by every pair-metric consumer of shingle_pair_counts."""
+    key = _SHINGLE_CARD_CACHE.scoped_key(spark, sf_dir)
+    cached = _SHINGLE_CARD_CACHE.get(key)
+    if cached is not None:
+        return cached
+    card = (
+        shingle_frame(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    _SHINGLE_CARD_CACHE[key] = card
+    return card
+
+
+@query("q_dedup_ngram_jaccard", oracle=_jaccard_oracle(), tags=("llm", "dedup"))
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard similarity ≥ 0.5. Pair generation joins on
+    the shared shingle (only co-occurring pairs materialize — the join
+    key is the shingle, bounded by shingle document-frequency; at scale,
+    drop stop-shingles above a DF cap first). Pair counts and per-doc
+    cardinalities come from the session-shared fixtures
+    (shingle_pair_counts / shingle_card) — the same frames containment
+    and the LSH-tuning truth set consume, built once."""
+    shared = shingle_pair_counts(spark, sf_dir)
+    card = shingle_card(spark, sf_dir)
     ca = card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     cb = card.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = F.col("shared").cast("double") / (
@@ -1039,6 +1135,8 @@ def q_curate_dedup_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STAR_MAX_ROUNDS = 12
 
+_STAR_LABELS_CACHE: SessionCache = SessionCache()
+
 
 def star_components(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     """Alternating large-star/small-star connected components (Kiveris
@@ -1056,11 +1154,25 @@ def star_components(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
     near-dup chains. Same loop mechanics: localCheckpoint per round
     (lineage truncation), aggregate-only convergence (edge count +
     endpoint sum — each star op only ever lowers endpoints, so an
-    unchanged pair ⇔ fixpoint), no data collect."""
+    unchanged pair ⇔ fixpoint), no data collect.
+
+    The labels are built ONCE per (session, sf_dir) and persisted —
+    q_curate_dedup_keeper and q_dedup_clusters_star each re-ran the
+    whole multi-round loop (a driver-job-bound stage: ~2 jobs/round
+    over a tiny edge frame) for the identical label set (guide §1.2;
+    the co_edges precedent). The bench charges the one build to the
+    ``_build_star_components`` prelude row."""
+    key = _STAR_LABELS_CACHE.scoped_key(spark, sf_dir)
+    cached = _STAR_LABELS_CACHE.get(key)
+    if cached is not None:
+        return cached
     pairs = q_dedup_minhash(spark, sf_dir)
-    return star_components_from_edges(
+    labels, rounds = star_components_from_edges(
         pairs.selectExpr("doc_a AS a", "doc_b AS b")
     )
+    labels = labels.persist()
+    _STAR_LABELS_CACHE[key] = (labels, rounds)
+    return labels, rounds
 
 
 def star_components_from_edges(und_pairs: DataFrame) -> tuple[DataFrame, int]:
@@ -2639,7 +2751,19 @@ def q_curate_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep1"),
     )
     survivors = flags.filter("keep1").select("doc_id", "text")
-    bands = minhash_bands(survivors)
+    # Survivor band signatures come from the persisted session
+    # signature table (left-semi on the survivor ids) instead of
+    # re-running the tokenize→shingle→md5→12-fold map over the
+    # survivor slice — signatures are deterministic per doc, so the
+    # row set is identical (guide §1.2). The stage-ordering story is
+    # unchanged: at scale the signature table is the staged artifact
+    # and the exact stage prunes which rows of it the near stage
+    # probes.
+    bands = _band_explode(
+        minhash_sig_frame(spark, sf_dir).join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+    )
     probe = bands.select(
         F.col("band").alias("p_band"),
         F.col("bsig").alias("p_bsig"),
@@ -3840,30 +3964,20 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     collapsed), and hot shingles are the documented salt-or-drop knob.
     One pipeline serves both metrics; containment is a second
     HAVING-style predicate over the same pair counts — and both ops
-    read the SAME persisted shingle frame (shingle_frame), so the
-    tokenize+shingle pipeline runs once per session, not per metric.
-    (Docs under 3 tokens shingle to an empty array, which explode
-    drops — no explicit filter needed.)"""
-    sh = shingle_frame(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
+    now literally read the SAME persisted pair-count fixture
+    (shingle_pair_counts), so the heavy shared-shingle self-join runs
+    once per session, not per metric. (Docs under 3 tokens shingle to
+    an empty array, which explode drops — no explicit filter
+    needed.)"""
+    common = shingle_pair_counts(spark, sf_dir).withColumnRenamed(
+        "shared", "n_common"
     )
+    sizes = shingle_card(spark, sf_dir)
     sa = sizes.select(
-        F.col("doc_id").alias("sa_id"), F.col("n_sh").alias("n_a")
+        F.col("doc_id").alias("sa_id"), F.col("n").alias("n_a")
     )
     sb = sizes.select(
-        F.col("doc_id").alias("sb_id"), F.col("n_sh").alias("n_b")
+        F.col("doc_id").alias("sb_id"), F.col("n").alias("n_b")
     )
     least = F.least("n_a", "n_b")
     return (
@@ -10690,46 +10804,21 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula. Truth membership uses the cross-multiplied integer test
     3·shared ≥ n_a+n_b (Jaccard ≥ ½ exactly, no float).
 
-    100 TB shape: signatures are the shared pure-map fold (computed
-    once, persisted); each config adds only a band-bucket self-join on
-    its own high-cardinality key — candidate generation stays bucketed
-    for every config, never all-pairs. The truth set reuses the
-    persisted shingle frame's shared-shingle equi-join (DF-bounded at
-    scale by a stop-shingle cap). Counts are map-side-combined; the
-    sweep emits 4 rows."""
-    d = load_table(spark, sf_dir, "documents")
-    hs = d.filter(F.size(tokens("text")) >= 3).select(
-        "doc_id",
-        F.transform(
-            shingles(tokens("text")), lambda s: hex_hash(s)
-        ).alias("hs"),
-    )
-    sig = hs.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("hs"), lambda h: (F.lit(a) * h + F.lit(b)) % P
-                )
-            ).alias(f"m{j}")
-            for j, (a, b) in enumerate(_SEEDS)
-        ],
-    ).localCheckpoint(eager=False)
-
-    sh = shingle_frame(spark, sf_dir)
-    card = sh.groupBy("doc_id").agg(F.countDistinct("s").alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
+    100 TB shape: signatures are the shared pure-map fold (the
+    persisted session signature table — minhash_sig_frame, shared with
+    q_dedup_minhash / q_dedup_incremental); the exact-truth set derives
+    from the shared pair-count fixture (shingle_pair_counts ⋈
+    shingle_card) instead of re-running the shingle self-join; and ONE
+    exploded band frame carries every config (the config id rides the
+    band key), so the four per-config self-join→distinct→truth-join
+    subtrees collapse into ONE join pipeline — 4 Exchange chains → 1
+    (guide §2.4); candidate generation stays bucketed for every config,
+    never all-pairs. Counts are map-side-combined; the sweep emits 4
+    rows."""
+    sig = minhash_sig_frame(spark, sf_dir)
+    card = shingle_card(spark, sf_dir)
     truth = (
-        a.join(
-            b,
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("shared"))
+        shingle_pair_counts(spark, sf_dir)
         .join(
             card.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")),
             "doc_a",
@@ -10744,48 +10833,66 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth_n = truth.agg(F.count("*").alias("n_truth"))
 
-    out = None
-    for bb, rr in LSH_TUNE_CONFIGS:
-        band_cols = [
-            F.struct(
-                F.lit(bn).alias("band"),
-                F.concat_ws(
-                    "-", *[f"m{bn * rr + r}" for r in range(rr)]
-                ).alias("bsig"),
-            )
-            for bn in range(bb)
-        ]
-        bands = (
-            sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bs"))
-            .select("doc_id", "bs.band", "bs.bsig")
-            .repartition("band", "bsig")
+    band_cols = [
+        F.struct(
+            F.lit(bb).alias("cfg"),
+            F.lit(bn).alias("band"),
+            F.concat_ws(
+                "-", *[f"m{bn * rr + r}" for r in range(rr)]
+            ).alias("bsig"),
         )
-        ba, bbb = bands.alias("a"), bands.alias("b")
-        cand = (
-            ba.join(
-                bbb,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bsig") == F.col("b.bsig"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(
-                F.col("a.doc_id").alias("doc_a"),
-                F.col("b.doc_id").alias("doc_b"),
-            )
-            .distinct()
+        for bb, rr in LSH_TUNE_CONFIGS
+        for bn in range(bb)
+    ]
+    bands = (
+        sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bs"))
+        .select("doc_id", "bs.cfg", "bs.band", "bs.bsig")
+        .repartition("cfg", "band", "bsig")
+    )
+    ba, bbb = bands.alias("a"), bands.alias("b")
+    cand = (
+        ba.join(
+            bbb,
+            (F.col("a.cfg") == F.col("b.cfg"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        counts = cand.join(
+        .select(
+            F.col("a.cfg").alias("cfg"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # Truth pairs are unique (pair-grain aggregate), so the left join
+    # preserves candidate row count; a config with zero candidates
+    # simply has no group — the 4-row config frame below restores it
+    # with zeros, reproducing the old per-config global aggregates.
+    counts = (
+        cand.join(
             truth.withColumn("hit", F.lit(1)), ["doc_a", "doc_b"], "left"
-        ).agg(
+        )
+        .groupBy("cfg")
+        .agg(
             F.count("*").alias("n_candidates"),
             F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
-        ).select(
-            F.lit(bb).cast("long").alias("bands"),
-            F.lit(rr).cast("long").alias("rows_per_band"),
+        )
+    )
+    cfgs = spark.createDataFrame(
+        list(LSH_TUNE_CONFIGS), "bands long, rows_per_band long"
+    )
+    out = (
+        cfgs.join(
+            F.broadcast(counts), F.col("bands") == F.col("cfg"), "left"
+        )
+        .select(
+            "bands",
+            "rows_per_band",
             F.coalesce(F.col("n_candidates"), F.lit(0)).alias("n_candidates"),
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
         )
-        out = counts if out is None else out.unionByName(counts)
+    )
     return out.crossJoin(F.broadcast(truth_n)).select(
         "bands",
         "rows_per_band",

@@ -73,6 +73,24 @@ def _run_preludes(spark, sf_dir: str) -> dict[str, float]:
             "ex_aws_firehose_spark.operators.scale", fromlist=["co_edges"]
         ).co_edges(spark, sf_dir).count(),
     }
+
+    from ex_aws_firehose_spark.operators.llm import (
+        minhash_sig_frame,
+        shingle_card,
+        shingle_pair_counts,
+        star_components,
+    )
+
+    rows["_build_minhash_sig"] = lambda: minhash_sig_frame(
+        spark, sf_dir
+    ).count()
+    rows["_build_shingle_pairs"] = lambda: (
+        shingle_pair_counts(spark, sf_dir).count(),
+        shingle_card(spark, sf_dir).count(),
+    )
+    rows["_build_star_components"] = lambda: star_components(spark, sf_dir)[
+        0
+    ].count()
     out = {}
     for name, thunk in rows.items():
         t0 = time.perf_counter()
