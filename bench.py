@@ -169,6 +169,15 @@ def main() -> None:
         from ex_aws_firehose_spark.operators.scale import co_edges
 
         yield "_build_co_edges", lambda: co_edges(spark, sf_dir).count()
+        # Round-14: the degree-ordered wedge/closure chain over
+        # co_edges, shared by q_graph_triangles and
+        # q_graph_local_clustering (counting `closed` materializes the
+        # oriented → wedges → closed persists in one pass).
+        from ex_aws_firehose_spark.operators.scale import wedge_frames
+
+        yield "_build_wedges", lambda: wedge_frames(spark, sf_dir)[
+            "closed"
+        ].count()
         # Round-14 shared dedup fixtures (same attribution device):
         # the corpus minhash signature table, the shingle pair-count /
         # cardinality frames, and the star-CC labels over the minhash

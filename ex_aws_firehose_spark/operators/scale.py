@@ -397,17 +397,28 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     never flip a result. Dangling mass (nodes with no out-edges) is
     dropped, documented and mirrored on both sides.
 
-    Structure: the edge list is built once with three joins (dims
-    broadcast), localCheckpointed so the driver loop doesn't replay the
-    build, and each iteration is one broadcast join (ranks ⋈ edges) +
-    one hash aggregate on dst.
+    Structure (round 14): the edge list is built once with three joins
+    (dims broadcast) — the only fact-scale work — and the five damped
+    iterations then run as ONE ``aggregate(sequence(1, 5), …)``
+    expression over the collected (src, dst, w, ow) edge array: the
+    rank vector is a 25-slot array indexed by nation key, each step a
+    ``transform`` whose per-node credit folds the node's in-edges with
+    the identical per-edge floor division. The nation graph's state is
+    CONSTANT-size (|nodes| = 25 at every SF — nations, not users), so
+    the old per-iteration loop of 5 broadcast joins + 5 hash aggs
+    (~11 scheduler-bound stages of ≤ 625-row work, measured 3.5-4 s
+    warm) collapses into one projection (1.1-1.7 s warm, identical 25
+    output rows) — guide §8: decide with small rows; the lambda-bound
+    accumulator keeps the expression tree linear in ITERS where naive
+    per-step substitution explodes exponentially.
 
     100 TB shape: rank state is |nodes| rows and edges are |nodes|²
-    max — both tiny relative to the fact table that *built* them; the
-    expensive part (edge extraction) runs exactly once. For web-scale
-    graphs the same loop holds with edges hash-partitioned by src and
-    ranks co-partitioned, checkpointing every few iterations to cut
-    lineage (here localCheckpoint demonstrates the mechanism)."""
+    max — both metadata-grain relative to the fact table that *built*
+    them; the expensive part (edge extraction) runs exactly once and
+    stays a distributed join+agg. For web-scale graphs (|nodes| beyond
+    one array) the loop form applies: edges hash-partitioned by src,
+    ranks co-partitioned, checkpointing every few iterations — the
+    mechanism q_graph_hits / _lp_state still demonstrate."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -422,27 +433,32 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("ow"))
-    ew = edges.join(outw, "src").localCheckpoint()
+    ew = edges.join(outw, "src")
 
+    eagg = ew.agg(F.collect_list(F.struct("src", "dst", "w", "ow")).alias("E"))
     nodes = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("node")
     )
-    nodes_n = nodes.crossJoin(F.broadcast(nodes.agg(F.count("*").alias("n"))))
-    ranks = nodes_n.select("node", F.expr(f"{_PR_SCALE} div n").alias("rank"))
-    for _ in range(_PR_ITERS):
-        contrib = ranks.join(F.broadcast(ew), ranks.node == ew.src).select(
-            F.col("dst").alias("node"),
-            F.expr("(rank * w) div ow").alias("contrib"),
-        )
-        sums = contrib.groupBy("node").agg(F.sum("contrib").alias("s"))
-        ranks = nodes_n.join(sums, "node", "left").select(
-            "node",
-            (
-                F.expr(f"({_PR_SCALE} * 15) div (100 * n)")
-                + F.expr("(85 * coalesce(s, CAST(0 AS BIGINT))) div 100")
-            ).alias("rank"),
-        )
-    return ranks
+    nagg = nodes.agg(
+        F.sort_array(F.collect_list("node")).alias("NODES"),
+        F.count("*").alias("n"),
+    )
+    # element_at(r, src + 1) relies on NODES being the contiguous
+    # 0..n-1 nation keys (sorted) — the same identification the
+    # left-join form made through the node equi-join key.
+    fixpoint = (
+        f"aggregate(sequence(1, {_PR_ITERS}), "
+        f"transform(NODES, nd -> {_PR_SCALE} div n), "
+        "(r, it) -> transform(NODES, nd -> "
+        f"(({_PR_SCALE} * 15) div (100 * n)) + "
+        "(85 * aggregate(filter(E, e -> e.dst = nd), cast(0 as bigint), "
+        "(acc, e) -> acc + (element_at(r, cast(e.src as int) + 1) * e.w)"
+        " div e.ow)) div 100))"
+    )
+    row = eagg.crossJoin(F.broadcast(nagg)).withColumn("r", F.expr(fixpoint))
+    return row.select(
+        F.explode(F.arrays_zip("NODES", "r")).alias("z")
+    ).select(F.col("z.NODES").alias("node"), F.col("z.r").alias("rank"))
 
 
 # ---------------------------------------------------------------------------
@@ -1434,6 +1450,81 @@ def co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+_WEDGE_CACHE: SessionCache = SessionCache()  # oriented wedges + closures
+
+
+def wedge_frames(spark: SparkSession, sf_dir: str) -> dict:
+    """Degree-ordered wedge enumeration over :func:`co_edges`, built
+    once per session and persisted (round 14): ``oriented`` (each edge
+    pointed at its higher-(degree, id) endpoint), ``wedges`` (out-edge
+    pairs at each center) and ``closed`` (wedges whose third side is an
+    edge — one row per triangle, since co_edges rows are unique
+    (ua, ub) pairs). q_graph_triangles and q_graph_local_clustering
+    each re-ran this identical chain — the only heavy stages in both
+    keys (measured warm 1.8-2.6 s and 4.0-5.5 s respectively on the
+    probe host); their own derivations over the shared frames are
+    count-grain. The bench charges the one build to the
+    ``_build_wedges`` prelude row (the co_edges attribution device,
+    guide §1.2 — don't recompute; §5 — persist the reused frame)."""
+    key = _WEDGE_CACHE.scoped_key(spark, sf_dir)
+    cached = _WEDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
+    edges = co_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("ua").alias("v"))
+        .unionByName(edges.select(F.col("ub").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    da = deg.select(F.col("v").alias("ua"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("ub"), F.col("d").alias("db"))
+    oriented = (
+        edges.join(da, "ua")
+        .join(db, "ub")
+        .select(
+            F.when(F.col("da") <= F.col("db"), F.col("ua"))
+            .otherwise(F.col("ub"))
+            .alias("src"),
+            F.when(F.col("da") <= F.col("db"), F.col("ub"))
+            .otherwise(F.col("ua"))
+            .alias("dst"),
+        )
+        .persist()
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = (
+        o1.join(
+            o2,
+            (F.col("o1.src") == F.col("o2.src"))
+            & (F.col("o1.dst") < F.col("o2.dst")),
+        )
+        .select(
+            F.col("o1.src").alias("a"),
+            F.col("o1.dst").alias("b"),
+            F.col("o2.dst").alias("c"),
+        )
+        .persist()
+    )
+    e3 = edges.select(F.col("ua").alias("e_lo"), F.col("ub").alias("e_hi"))
+    # co_edges rows are unique (ua, ub) pairs (groupBy output), so this
+    # inner join matches each wedge at most once: its row count equals
+    # the left-semi count q_graph_triangles used to take, and the
+    # (a, b, c) triples are exactly q_graph_local_clustering's.
+    closed = (
+        wedges.join(
+            e3,
+            (F.col("e_lo") == F.least("b", "c"))
+            & (F.col("e_hi") == F.greatest("b", "c")),
+        )
+        .select("a", "b", "c")
+        .persist()
+    )
+    out = {"deg": deg, "oriented": oriented, "wedges": wedges, "closed": closed}
+    _WEDGE_CACHE[key] = out
+    return out
+
+
 @query(
     "q_graph_triangles",
     oracle=EVENTS_US
@@ -1506,50 +1597,17 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle has exactly one vertex with two out-edges); n_wedges /
     closure_ppm are DEFINED at the degree-ordered center. Output is
     one exact-integer summary row."""
+    # Round 14: the oriented/wedge/closure chain is the shared
+    # wedge_frames fixture (built once, persisted — it was also
+    # q_graph_local_clustering's entire cost); this key is now three
+    # count-grain aggs over the persisted frames. The closure count is
+    # unchanged: co_edges rows are unique (ua, ub), so the fixture's
+    # inner closure join has exactly the old left-semi cardinality.
     edges = co_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("ua").alias("v"))
-        .unionByName(edges.select(F.col("ub").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
-    da = deg.select(F.col("v").alias("ua"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("ub"), F.col("d").alias("db"))
-    oriented = (
-        edges.join(da, "ua")
-        .join(db, "ub")
-        .select(
-            F.when(F.col("da") <= F.col("db"), F.col("ua"))
-            .otherwise(F.col("ub"))
-            .alias("src"),
-            F.when(F.col("da") <= F.col("db"), F.col("ub"))
-            .otherwise(F.col("ua"))
-            .alias("dst"),
-        )
-    )
-    # Persist: both sides of the wedge self-join and nothing else read
-    # this frame — without it the deg joins run twice.
-    oriented = oriented.persist()
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (F.col("o1.dst") < F.col("o2.dst")),
-    ).select(
-        F.col("o1.src").alias("a"),
-        F.col("o1.dst").alias("b"),
-        F.col("o2.dst").alias("c"),
-    )
-    e3 = edges.alias("e3")
-    tri = wedges.join(
-        e3,
-        (F.col("e3.ua") == F.least("b", "c"))
-        & (F.col("e3.ub") == F.greatest("b", "c")),
-        "left_semi",
-    )
+    wf = wedge_frames(spark, sf_dir)
     n_edges = edges.agg(F.count("*").alias("n_edges"))
-    n_wedges = wedges.agg(F.count("*").alias("n_wedges"))
-    n_tri = tri.agg(F.count("*").alias("n_triangles"))
+    n_wedges = wf["wedges"].agg(F.count("*").alias("n_wedges"))
+    n_tri = wf["closed"].agg(F.count("*").alias("n_triangles"))
     out = (
         n_edges.crossJoin(n_wedges)
         .crossJoin(n_tri)
@@ -3344,46 +3402,12 @@ def q_graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(|E|)-capped wedge join — docs/SCALE.md §13); the only
     additions are a 3-way corner explode of the closed-triangle stream
     and one |V|-grain hash agg.  Output is |V| rows."""
-    edges = co_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("ua").alias("v"))
-        .unionByName(edges.select(F.col("ub").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("d"))
-    )
-    da = deg.select(F.col("v").alias("ua"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("ub"), F.col("d").alias("db"))
-    oriented = (
-        edges.join(da, "ua")
-        .join(db, "ub")
-        .select(
-            F.when(F.col("da") <= F.col("db"), F.col("ua"))
-            .otherwise(F.col("ub"))
-            .alias("src"),
-            F.when(F.col("da") <= F.col("db"), F.col("ub"))
-            .otherwise(F.col("ua"))
-            .alias("dst"),
-        )
-    )
-    oriented = oriented.persist()
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (F.col("o1.dst") < F.col("o2.dst")),
-    ).select(
-        F.col("o1.src").alias("a"),
-        F.col("o1.dst").alias("b"),
-        F.col("o2.dst").alias("c"),
-    )
-    e3 = edges.select(
-        F.col("ua").alias("e_lo"), F.col("ub").alias("e_hi")
-    )
-    closed = wedges.join(
-        e3,
-        (F.col("e_lo") == F.least("b", "c"))
-        & (F.col("e_hi") == F.greatest("b", "c")),
-    ).select("a", "b", "c")
+    # Round 14: the triangle enumeration is the shared wedge_frames
+    # fixture (see q_graph_triangles) — this key keeps only its own
+    # per-vertex credit agg and the degree join.
+    wf = wedge_frames(spark, sf_dir)
+    deg = wf["deg"]
+    closed = wf["closed"]
     pernode = (
         closed.select(F.col("a").alias("v"))
         .unionByName(closed.select(F.col("b").alias("v")))

@@ -72,6 +72,10 @@ def _run_preludes(spark, sf_dir: str) -> dict[str, float]:
         "_build_co_edges": lambda: __import__(
             "ex_aws_firehose_spark.operators.scale", fromlist=["co_edges"]
         ).co_edges(spark, sf_dir).count(),
+        "_build_wedges": lambda: __import__(
+            "ex_aws_firehose_spark.operators.scale",
+            fromlist=["wedge_frames"],
+        ).wedge_frames(spark, sf_dir)["closed"].count(),
     }
 
     from ex_aws_firehose_spark.operators.llm import (
