@@ -3198,21 +3198,32 @@ def _mk_oracle() -> str:
     )
 
 
-def _mk_step(flowing: DataFrame, scen: DataFrame) -> DataFrame:
-    """One Markov chain step for every scenario at once: the ≤35-row
-    state vector joins the ~150-row scenario-keyed edge table — the
-    edge side is explicitly broadcast (tests/test_plans.py pins
-    BroadcastHashJoin on THIS function's plan, since the registered
-    key's final plan only shows post-localCheckpoint lineage). The
-    (p * q) div _MK_EDGE_SCALE product is bounded by
-    _MK_SCALE × _MK_EDGE_SCALE = 1e18 < 2^63 regardless of data size."""
-    return flowing.join(
-        F.broadcast(scen),
-        (flowing.scenario == scen.scenario) & (flowing.state == scen.src),
-    ).select(
-        flowing.scenario.alias("scenario"),
-        F.col("dst").alias("state"),
-        F.expr(f"(p * q) div {_MK_EDGE_SCALE}").alias("p"),
+def _mk_fixpoint_expr(steps: int = _MK_STEPS) -> str:
+    """The whole bounded-horizon Markov fixpoint as ONE SQL expression
+    over a per-scenario row carrying ``E`` (array of (src, dst, q)
+    edge structs) and ``S`` (the sorted state universe): the state
+    vector is an |S|-slot bigint array, each step a ``transform`` in
+    which absorbing states ('purchase'/'END') keep their mass and every
+    state adds its in-flow Σ p[src]·q div _MK_EDGE_SCALE over non-
+    absorbing-source edges — exactly the old per-step broadcast-join +
+    groupBy-sum (integer + is associative/commutative, so fold order
+    cannot change a bit). The accumulator form (pagerank round 14)
+    keeps the expression tree linear in ``steps``; per-step products
+    are bounded by _MK_SCALE × _MK_EDGE_SCALE = 1e18 < 2^63 regardless
+    of data size. Tested for loop-equivalence in
+    tests/test_plans.py::test_markov_chain_is_single_expression."""
+    return (
+        f"aggregate(sequence(1, {steps}), "
+        f"transform(S, st -> IF(st = 'START', cast({_MK_SCALE} as bigint), "
+        "cast(0 as bigint))), "
+        "(r, it) -> transform(S, (st, i) -> "
+        "IF(st IN ('purchase', 'END'), element_at(r, i + 1), "
+        "cast(0 as bigint)) "
+        "+ aggregate("
+        "filter(E, e -> e.dst = st AND NOT e.src IN ('purchase', 'END')), "
+        "cast(0 as bigint), (acc, e) -> "
+        "acc + (element_at(r, cast(array_position(S, e.src) as int)) * e.q) "
+        f"div {_MK_EDGE_SCALE})))"
     )
 
 
@@ -3297,13 +3308,16 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    # ALL scenarios run in ONE scenario-keyed chain: the state vector is
-    # (scenario, state, p) — 35 rows — and every step is a single
-    # broadcast join + one agg for all five chains simultaneously, so the
-    # whole computation is 6 steps x 2 tiny stages and ONE action (the
-    # per-chain driver loop was measured at 11-17 s of stage scheduling;
-    # this form runs in ~2 s and is also the right 100 TB shape: batch
-    # the what-if scenarios, don't serialize them).
+    # ALL scenarios run as ONE expression (round 14, the pagerank
+    # lambda-accumulator form): the per-scenario edge set collapses to
+    # one row of (E, S) arrays — ≤30 edges, ≤8 states — and the whole
+    # 6-step fixpoint is a single `aggregate(sequence(1, 6), …)`
+    # projection, replacing the per-step broadcast join + hash agg loop
+    # (6 steps × 2 tiny scheduler-bound stages; measured warm
+    # 4.7-5.7 s → see OPTIMIZATION_r14.md). The chain state is
+    # CONSTANT-size at every SF — scenarios × |event types|, not users
+    # — so the expression form is also the right 100 TB shape; the
+    # fact-scale path/window build above is untouched.
     def scenario_edges(tag: str, removed_ch: str | None) -> DataFrame:
         if removed_ch is None:
             ec = ew
@@ -3319,25 +3333,24 @@ def q_attribution_markov_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     scen = scenario_edges("full", None)
     for c in _MK_CHANNELS:
         scen = scen.unionByName(scenario_edges(c, c))
-    scen = scen.localCheckpoint()
-    p = spark.createDataFrame(
-        [("full", "START", _MK_SCALE)]
-        + [(c, "START", _MK_SCALE) for c in _MK_CHANNELS],
-        "scenario string, state string, p long",
-    )
-    for _ in range(_MK_STEPS):
-        absorbed = p.filter(F.col("state").isin("purchase", "END"))
-        flowing = p.filter(~F.col("state").isin("purchase", "END"))
-        p = (
-            _mk_step(flowing, scen)
-            .unionByName(absorbed)
-            .groupBy("scenario", "state")
-            .agg(F.sum("p").alias("p"))
+    sa = (
+        scen.groupBy("scenario")
+        .agg(F.collect_list(F.struct("src", "dst", "q")).alias("E"))
+        .withColumn(
+            "S",
+            F.expr(
+                "array_sort(array_distinct(concat("
+                "transform(E, e -> e.src), transform(E, e -> e.dst), "
+                "array('START', 'purchase', 'END'))))"
+            ),
         )
-    conv = (
-        p.filter(F.col("state") == "purchase")
-        .groupBy("scenario")
-        .agg(F.sum("p").alias("p"))
+    )
+    conv = sa.select(
+        "scenario",
+        F.expr(
+            f"element_at({_mk_fixpoint_expr()}, "
+            "cast(array_position(S, 'purchase') as int))"
+        ).alias("p"),
     )
     scenarios = spark.createDataFrame(
         [("full",)] + [(c,) for c in _MK_CHANNELS], "scenario string"
@@ -4969,7 +4982,12 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     at these revenue scales; past that, shard users by hash into
     strata and POOL the moment sums (they add exactly).  100 TB
     shape: one user-grain agg (both period sums fold into one pass),
-    then all math on one moment row and a 2-row arm pivot."""
+    then all math on one moment row and a 2-row arm pivot.  The global
+    moments POOL the per-arm moment sums (round 14): `u` used to feed
+    two separate aggregations (global moments + arm sums) and Spark
+    does no CSE across branches, so the fact-scale user-grain pass ran
+    twice; arms partition users, integer sums add exactly, so one
+    per-arm pass carries everything."""
     e = load_table(spark, sf_dir, "events")
     u = e.groupBy("user_id").agg(
         F.expr(
@@ -4989,22 +5007,12 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x",
         "y",
     )
-    m = u.agg(
+    arms = u.groupBy("arm").agg(
         F.count("*").alias("n"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.expr("x * x")).alias("sxx"),
         F.sum(F.expr("x * y")).alias("sxy"),
-    ).select(
-        F.expr(
-            "CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) "
-            "AS LONG)"
-        ).alias("k_x1000")
-    )
-    arms = u.groupBy("arm").agg(
-        F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
     )
     w = arms.agg(
         F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
@@ -5013,8 +5021,22 @@ def q_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("arm") == 1, F.col("sx"))).alias("sx1"),
         F.max(F.when(F.col("arm") == 0, F.col("sy"))).alias("sy0"),
         F.max(F.when(F.col("arm") == 1, F.col("sy"))).alias("sy1"),
+        # pooled global moments: Σ over the arm partition of each
+        # per-arm integer sum — identical int64 values to the old
+        # direct global agg over u.
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+    ).withColumn(
+        "k_x1000",
+        F.expr(
+            "CAST((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) "
+            "AS LONG)"
+        ),
     )
-    return w.crossJoin(F.broadcast(m)).select(
+    return w.select(
         "n0",
         "n1",
         "k_x1000",

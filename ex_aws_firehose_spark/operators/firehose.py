@@ -788,8 +788,16 @@ def q_decode_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     corrupted = records.filter(is_corrupt).withColumn(
         "data", F.substring("data", 1, 10)
     )
+    # route() consumes `decoded` twice (the reassembly subtree and the
+    # join-back side); without a barrier the corrupt slice's Arrow
+    # decode re-runs per reference (no CSE across branches — measured
+    # full key 3.2-5.6 s warm vs ~2 s with the slice checkpointed,
+    # round 14). Checkpoint ONLY the 1/29 slice: the clean side is
+    # already the session-persisted decode, and at 100 TB the barrier
+    # holds quarantine candidates, not the batch.
+    corrupt_decoded = decode_chain(corrupted).localCheckpoint()
     decoded = decoded_records(spark, sf_dir).filter(~is_corrupt).unionByName(
-        decode_chain(corrupted)
+        corrupt_decoded
     )
     routed = route(decoded)
     return routed.groupBy("kind", "result").agg(

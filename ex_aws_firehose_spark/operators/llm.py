@@ -5349,7 +5349,13 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark ≥3.5): the DP early-exits (returns -1) once the running
     distance exceeds the 10% band, turning the O(n·m) worst case into
     O(n·threshold) on every rejected pair — and rejected pairs dominate
-    the survivors by orders of magnitude."""
+    the survivors by orders of magnitude. The threshold test sits LAST
+    in the join condition, spelled there directly: the old
+    join→withColumn→filter form let Catalyst push the filter into the
+    join condition PREPENDED, so the DP ran before the id-order/band
+    guards on every hash-matched pair (incl. the 5 000 self-pairs) —
+    measured warm 5.5-8.6 s vs 0.5-0.6 s with cheap conjuncts first
+    (round 14; conjuncts short-circuit left-to-right in codegen)."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
@@ -5359,7 +5365,9 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = d.alias("a"), d.alias("b")
     least_n = F.least(F.col("a.n"), F.col("b.n"))
     # dist*10 <= least_n  ⇔  dist <= floor(least_n/10): bound the DP at
-    # the band and accept any non-(-1) result.
+    # the band and accept any non-(-1) result. Re-evaluating it in the
+    # output projection costs one extra DP on each of the ~346
+    # SURVIVING pairs only.
     bdist = F.expr(
         "levenshtein(a.text, b.text, CAST(least(a.n, b.n) DIV 10 AS INT))"
     )
@@ -5368,10 +5376,10 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n") - F.col("b.n")) * 5 <= least_n),
+            & (F.abs(F.col("a.n") - F.col("b.n")) * 5 <= least_n)
+            & (bdist >= 0),
         )
         .withColumn("edit_dist", bdist.cast("long"))
-        .filter(F.col("edit_dist") >= 0)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),

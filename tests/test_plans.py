@@ -932,31 +932,78 @@ def test_bfs_and_shortest_path_loops_precompute(spark, sf_dir):
         assert "Scan ExistingRDD" in plan, (key, plan)
 
 
-def test_markov_chain_edges_broadcast(spark, sf_dir):
-    """Every chain step joins a ≤7-row state vector against the ≤30-row
-    transition table — all broadcast; the only exchanges allowed belong
-    to the one-time path/window build and the tiny final rollups."""
+def test_markov_chain_is_single_expression(spark, sf_dir):
+    """Round 14: the five what-if chains run as ONE aggregate()
+    expression over per-scenario (E, S) arrays — no per-step joins at
+    all. Gate (a) the registered key's plan stays join-sane, and (b)
+    the expression fixpoint is bit-identical to a straightforward
+    per-step loop reference on a synthetic edge set that exercises
+    branching, absorption into both 'purchase' and 'END', floor
+    division losing mass, and an unreachable state."""
+    from ex_aws_firehose_spark.operators.analytics import (
+        _MK_EDGE_SCALE,
+        _MK_SCALE,
+        _MK_STEPS,
+        _mk_fixpoint_expr,
+    )
     from ex_aws_firehose_spark.plans.audit import physical_plan
 
     plan = physical_plan(
         REGISTRY["q_attribution_markov_removal"].fn(spark, sf_dir)
     )
     assert "CartesianProduct" not in plan, plan
-    # The chain steps must actually BE broadcast joins, not merely
-    # non-cartesian — but the registered key's final plan only shows
-    # post-localCheckpoint lineage, so gate the step function itself
-    # (the exact code path the loop runs).
-    from ex_aws_firehose_spark.operators.analytics import _mk_step
 
-    flowing = spark.createDataFrame(
-        [("full", "START", 10**12)], "scenario string, state string, p long"
-    )
+    edges = [
+        ("START", "click", 700_000),
+        ("START", "view", 300_000),
+        ("click", "purchase", 333_333),
+        ("click", "END", 333_333),
+        ("click", "view", 333_334),
+        ("view", "click", 500_000),
+        ("view", "END", 500_000),
+        # state with in-flow but no out-edges: its mass must DIE
+        ("click", "stuck", 1),
+    ]
+    # reference: the old per-step dict loop (absorbing keeps mass,
+    # flowing mass redistributes with per-edge floor division)
+    p = {"START": _MK_SCALE}
+    for _ in range(_MK_STEPS):
+        nxt = {}
+        for st, mass in p.items():
+            if st in ("purchase", "END"):
+                nxt[st] = nxt.get(st, 0) + mass
+                continue
+            for src, dst, q in edges:
+                if src == st:
+                    nxt[dst] = nxt.get(dst, 0) + (mass * q) // _MK_EDGE_SCALE
+        p = nxt
     scen = spark.createDataFrame(
-        [("full", "START", "click", 500_000)],
+        [("t", s, d, q) for s, d, q in edges],
         "scenario string, src string, dst string, q long",
     )
-    step_plan = physical_plan(_mk_step(flowing, scen))
-    assert "BroadcastHashJoin" in step_plan, step_plan
+    from pyspark.sql import functions as F
+
+    sa = (
+        scen.groupBy("scenario")
+        .agg(F.collect_list(F.struct("src", "dst", "q")).alias("E"))
+        .withColumn(
+            "S",
+            F.expr(
+                "array_sort(array_distinct(concat("
+                "transform(E, e -> e.src), transform(E, e -> e.dst), "
+                "array('START', 'purchase', 'END'))))"
+            ),
+        )
+    )
+    row = sa.select("S", F.expr(_mk_fixpoint_expr()).alias("R")).collect()[0]
+    got = dict(zip(row["S"], row["R"]))
+    for st, mass in p.items():
+        assert got[st] == mass, (st, got, p)
+    for st, mass in got.items():
+        assert p.get(st, 0) == mass, (st, got, p)
+    # the fixpoint plan itself must be join-free (one projection)
+    fp_plan = physical_plan(sa.select(F.expr(_mk_fixpoint_expr())))
+    assert "Join" not in fp_plan, fp_plan
 
 
 # ---------------------------------------------------------------------------
