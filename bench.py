@@ -169,6 +169,12 @@ def main() -> None:
         from ex_aws_firehose_spark.operators.scale import co_edges
 
         yield "_build_co_edges", lambda: co_edges(spark, sf_dir).count()
+        # Round-14: the symmetrized adjacency over co_edges, shared by
+        # k-core / two-hop / link-prediction / adamic-adar /
+        # label-propagation / assortativity.
+        from ex_aws_firehose_spark.operators.scale import sym_edges
+
+        yield "_build_sym_edges", lambda: sym_edges(spark, sf_dir).count()
         # Round-14: the degree-ordered wedge/closure chain over
         # co_edges, shared by q_graph_triangles and
         # q_graph_local_clustering (counting `closed` materializes the

@@ -1450,6 +1450,38 @@ def co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges
 
 
+_SYM_EDGES_CACHE: SessionCache = SessionCache()  # symmetrized adjacency
+
+
+def sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SYMMETRIZED (src, dst) adjacency over :func:`co_edges` —
+    every undirected edge as both directed rows — built once per
+    session and persisted (round 14, parked item 3): five keys
+    (k-core, two-hop reach, link prediction, adamic-adar, the
+    label-propagation state behind communities/modularity, and the
+    assortativity moments) each re-derived the identical union from
+    the persisted edge list, two of them through an EAGER
+    localCheckpoint (a driver job per call). The union is cheap but
+    the per-key barrier + recompute is pure scheduler overhead on a
+    small frame (guide §1.2/§5 — persist exactly the reused frame).
+    The bench charges the one build to the ``_build_sym_edges``
+    prelude row (the co_edges attribution device)."""
+    key = _SYM_EDGES_CACHE.scoped_key(spark, sf_dir)
+    cached = _SYM_EDGES_CACHE.get(key)
+    if cached is not None:
+        return cached
+    edges = co_edges(spark, sf_dir)
+    sym = (
+        edges.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
+        .unionByName(
+            edges.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
+        )
+        .persist()
+    )
+    _SYM_EDGES_CACHE[key] = sym
+    return sym
+
+
 _WEDGE_CACHE: SessionCache = SessionCache()  # oriented wedges + closures
 
 
@@ -2200,11 +2232,7 @@ def q_graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     discounting is the refinement). Candidates then anti-join the edge
     set and TakeOrdered picks the top-20."""
     edges = co_edges(spark, sf_dir)
-    adj = edges.select(
-        F.col("ua").alias("src"), F.col("ub").alias("dst")
-    ).unionByName(
-        edges.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
-    )
+    adj = sym_edges(spark, sf_dir)  # shared persisted union (round 14)
     deg = adj.groupBy("src").agg(F.count("*").alias("d"))
     centers = (
         adj.join(deg, "src")
@@ -2553,13 +2581,11 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by the peel depth (≤ max core number), not the diameter.
     Output is the degree histogram WITHIN the core — the first audit
     of how much graph survives the floor."""
-    edges = co_edges(spark, sf_dir)
-    sym = (
-        edges.select(F.col("ua").alias("u"), F.col("ub").alias("v"))
-        .unionByName(
-            edges.select(F.col("ub").alias("u"), F.col("ua").alias("v"))
-        )
-        .localCheckpoint()
+    # Shared persisted symmetrized adjacency (round 14) — the old
+    # per-call union + EAGER localCheckpoint was a driver job per call
+    # over the same small frame.
+    sym = sym_edges(spark, sf_dir).select(
+        F.col("src").alias("u"), F.col("dst").alias("v")
     )
     alive = sym.select("u").distinct().localCheckpoint()
     n_alive = alive.count()
@@ -2917,18 +2943,14 @@ def _lp_state(spark: SparkSession, sf_dir: str):
     cached = _LP_STATE_CACHE.get(key)
     if cached is not None:
         return cached
-    # Shared persisted co-occurrence fixture; lazy checkpoints remain
-    # downstream of it: lineage is still truncated at first
-    # materialization, but the rounds chain into ONE multi-stage job
-    # instead of one eager job per checkpoint — per-job driver
-    # overhead dominates these small-frame loops (guide §1.2:
-    # per-round wall is scheduling, not compute).
+    # Shared persisted fixtures (co_edges + the round-14 symmetrized
+    # union); lazy checkpoints remain downstream: lineage is still
+    # truncated at first materialization, but the rounds chain into
+    # ONE multi-stage job instead of one eager job per checkpoint —
+    # per-job driver overhead dominates these small-frame loops
+    # (guide §1.2: per-round wall is scheduling, not compute).
     pairs = co_edges(spark, sf_dir)
-    sym = pairs.select(
-        F.col("ua").alias("src"), F.col("ub").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
-    ).localCheckpoint(eager=False)
+    sym = sym_edges(spark, sf_dir)
     labels = sym.select(
         F.col("src").alias("node"), F.col("src").alias("label")
     ).distinct()
@@ -3800,19 +3822,17 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg to a single row.  Int64 bound: Σdx·dy ≤ 2E·deg_max² — holds to
     ~10^9 edges at deg_max 10^4; past that, pre-center degrees (the
     q_agg_gini documentation pattern)."""
-    edges = co_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("ua").alias("v"))
-        .unionByName(edges.select(F.col("ub").alias("v")))
-        .groupBy("v")
-        .agg(F.count("*").alias("degree"))
+    # Round 14: the shared persisted symmetrized adjacency replaces the
+    # per-key endpoint union — each undirected edge appears as both
+    # directed rows, so joining degrees onto (src, dst) yields exactly
+    # the old ends ∪ swapped(ends) moment rows (same int64 sums).
+    adj = sym_edges(spark, sf_dir)
+    deg = adj.groupBy(F.col("src").alias("v")).agg(
+        F.count("*").alias("degree")
     )
-    da = deg.select(F.col("v").alias("ua"), F.col("degree").alias("dx"))
-    db = deg.select(F.col("v").alias("ub"), F.col("degree").alias("dy"))
-    ends = edges.join(F.broadcast(da), "ua").join(F.broadcast(db), "ub")
-    sym = ends.select("dx", "dy").unionByName(
-        ends.select(F.col("dy").alias("dx"), F.col("dx").alias("dy"))
-    )
+    da = deg.select(F.col("v").alias("src"), F.col("degree").alias("dx"))
+    db = deg.select(F.col("v").alias("dst"), F.col("degree").alias("dy"))
+    sym = adj.join(F.broadcast(da), "src").join(F.broadcast(db), "dst")
     s = sym.agg(
         F.count("*").alias("n"),
         F.sum("dx").alias("sx"),
@@ -4150,11 +4170,7 @@ def q_graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge centers (the documented hub cap), one wedge self-join on the
     center key, broadcast edge anti-join, TakeOrdered top-k."""
     edges = co_edges(spark, sf_dir)
-    adj = edges.select(
-        F.col("ua").alias("src"), F.col("ub").alias("dst")
-    ).unionByName(
-        edges.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
-    )
+    adj = sym_edges(spark, sf_dir)  # shared persisted union (round 14)
     deg = adj.groupBy("src").agg(F.count("*").alias("d"))
     centers = (
         adj.join(deg, "src")
@@ -4776,14 +4792,10 @@ def q_graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph, not the plan — the panel bounds the source side and the
     degree-histogram key is the report that says when to cap or salt
     hub middles."""
-    edges = co_edges(spark, sf_dir)
-    sym = (
-        edges.select(F.col("ua").alias("src"), F.col("ub").alias("dst"))
-        .unionByName(
-            edges.select(F.col("ub").alias("src"), F.col("ua").alias("dst"))
-        )
-        .localCheckpoint()
-    )
+    # Shared persisted symmetrized adjacency (round 14): the union +
+    # eager localCheckpoint ran per call; every reference below now
+    # reads the session-persisted frame.
+    sym = sym_edges(spark, sf_dir)
     deg = (
         sym.filter(F.col("src") % 5 == 0)
         .groupBy(F.col("src").alias("v"))

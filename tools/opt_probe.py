@@ -72,6 +72,9 @@ def _run_preludes(spark, sf_dir: str) -> dict[str, float]:
         "_build_co_edges": lambda: __import__(
             "ex_aws_firehose_spark.operators.scale", fromlist=["co_edges"]
         ).co_edges(spark, sf_dir).count(),
+        "_build_sym_edges": lambda: __import__(
+            "ex_aws_firehose_spark.operators.scale", fromlist=["sym_edges"]
+        ).sym_edges(spark, sf_dir).count(),
         "_build_wedges": lambda: __import__(
             "ex_aws_firehose_spark.operators.scale",
             fromlist=["wedge_frames"],
