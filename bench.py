@@ -28,6 +28,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from ex_aws_firehose_spark.registry import REGISTRY, load_all_operators
@@ -88,6 +90,78 @@ HEADLINE = [
 MAX_LINE = 1900  # hard budget: driver tail is 2000 chars
 
 
+def _warmup_codegen_battery(spark) -> None:
+    """One cheap representative plan per operator family, run under an
+    attributed ``_warmup_codegen`` prelude row BEFORE the timed loop.
+
+    Why (VERDICT r14 item 1 / OPTIMIZATION_r14.md entries 14-15):
+    first-use Catalyst analysis + whole-stage-codegen compilation of an
+    operator family lands on whichever early bench key touches the
+    family first — q_ab_fdr_bh (bench position 2) read 12-15 s in full
+    benches vs 0.9-1.0 s warm, purely from absorbing the agg/join
+    family's first-touch JIT. This battery runs each family once over
+    ~128 synthetic range rows (no testdata dependency, nothing reused
+    by any query — the cost is compilation, not data), so the charge
+    appears as its own named row instead of polluting early keys.
+    """
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    def noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    r = spark.range(128).select(
+        "id",
+        (F.col("id") % 7).alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("double").alias("x"),
+    )
+    s = spark.range(64).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("v")
+    )
+    # join + hash-agg family (broadcast build, then sort-merge)
+    noop(
+        r.join(F.broadcast(s), "k")
+        .groupBy("g")
+        .agg(F.sum("v"), F.avg("x"), F.count("*"))
+    )
+    noop(r.join(s.hint("merge"), "k").select("id", "v"))
+    # distinct-expand + object hash agg (collect_list)
+    noop(r.groupBy("g").agg(F.countDistinct("k"), F.collect_list("k")))
+    # window family: ranking + running frame over one partitioning
+    wr = W.partitionBy("g").orderBy("id")
+    noop(
+        r.select(
+            F.row_number().over(wr).alias("rn"),
+            F.sum("x").over(wr.rowsBetween(W.unboundedPreceding, 0)).alias("cs"),
+        )
+    )
+    # generate (explode) + higher-order array expression families
+    arr = F.sequence(F.lit(0), (F.col("id") % 4).cast("int"))
+    noop(r.select("g", F.posexplode(arr)).groupBy("pos").count())
+    noop(
+        r.select(
+            F.aggregate(arr, F.lit(0).cast("long"), lambda a, b: a + b).alias("s")
+        )
+    )
+    # expand (rollup), pivot, global sort + limit (TakeOrdered)
+    noop(r.rollup("g", "k").count())
+    noop(r.groupBy("g").pivot("k", list(range(7))).agg(F.sum("x")))
+    noop(r.orderBy(F.desc("x")).limit(5))
+    # Python boundary: ArrowEvalPython, FlatMapGroupsInPandas, MapInArrow
+    @F.pandas_udf("double")
+    def _twice(v: pd.Series) -> pd.Series:
+        return v * 2.0
+
+    noop(r.select(_twice("x")))
+    noop(
+        r.groupBy("g").applyInPandas(
+            lambda pdf: pdf[["g"]].head(1), schema="g string"
+        )
+    )
+    noop(r.select("id").mapInArrow(lambda it: it, schema="id long"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf_str = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -117,6 +191,11 @@ def main() -> None:
     # bill). The training frames are eager (localCheckpoint'd), so
     # calling the trainers materializes them.
     def _preludes():
+        # Attributed codegen warm-up battery (VERDICT r15 item 1):
+        # must run FIRST so the trainer preludes and early keys below
+        # don't absorb operator-family first-touch compilation.
+        yield "_warmup_codegen", lambda: _warmup_codegen_battery(spark)
+
         from ex_aws_firehose_spark.operators.llm import (
             ADC_K,
             ADC_M,

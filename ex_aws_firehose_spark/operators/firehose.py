@@ -440,56 +440,83 @@ def reingest(
     the reference's give-up path.
 
     The transform is deterministic, so a record's wire size is
-    identical on every attempt — each round therefore needs only one
-    running-sum window over the shrinking (idx, size) frame, never a
-    decode/route re-run (the reference re-invokes its Lambda per
-    attempt because it must; a relational engine reuses the routed
-    frame). Loop mechanics follow the iterative-algorithm pattern:
-    localCheckpoint per round to truncate lineage, a driver-side
-    scalar count as the early-exit, rounds after drain never run.
-    Per-round state is micro-batch-sized (the Dropped tail), so the
-    single-partition window stays the same bounded unit of work as
-    overflow_split itself."""
+    identical on every attempt, and round k delivers the MAXIMAL
+    PREFIX (input order) of the remaining tail whose running sum fits
+    the threshold — sizes are non-negative, so the running sum is
+    monotone and each round is exactly one step of greedy sequential
+    bin-packing. Round 15 (guide §1.2/§4.2): the whole attempt loop
+    therefore collapses into ONE sequential pass over the idx-sorted
+    Dropped tail — record r's delivery attempt is its greedy bin
+    index + 1; a record wider than the threshold never fits alone,
+    blocks everything behind it (the monotone running sum keeps every
+    later prefix over the threshold), and the loop would have spun to
+    the attempt bound delivering nothing, so the pass marks it and
+    every successor Dropped at ``max_attempts``; records packed past
+    bin ``max_attempts - 1`` likewise outlast the bound.
+    Bit-equivalence with the per-round loop is pinned by
+    tests/test_plans.py::test_reingest_fold_matches_loop.
+
+    Execution shape: the pass runs as a single-task ``mapInPandas``
+    over the tail sorted into one partition — the SAME serialization
+    bound the per-round ``Window.orderBy`` (global, partitionless)
+    already imposed, paid ONCE instead of per round. The old form
+    cost one pending.count() + one eager localCheckpoint (physical-
+    plan/RDD compile + blocking job each) per round — ~38 driver
+    barriers at sf0.1, where the tail outlasts the bound. (An
+    ``aggregate()`` expression fold was tried first and REJECTED:
+    appending to the lambda's accumulator array copies it per element
+    — O(n²) in the 8.8 k-row tail, measured slower than the loop.)"""
     sz = F.when(F.col("result") == "ProcessingFailed", F.lit(0)).otherwise(
         F.length("data") + F.length("record_id")
     )
     base = split_df.select("idx", "record_id", "result", sz.alias("sz"))
-    settled = [
-        base.filter(F.col("result") != "Dropped").select(
-            "record_id", F.col("result"), F.lit(1).alias("attempts")
-        )
-    ]
-    pending = (
-        base.filter(F.col("result") == "Dropped")
-        .select("idx", "record_id", "sz")
-        .localCheckpoint()
+    settled = base.filter(F.col("result") != "Dropped").select(
+        "record_id", F.col("result"), F.lit(1).alias("attempts")
     )
-    attempt = 1
-    w = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
-    while attempt < max_attempts and pending.count() > 0:
-        attempt += 1
-        cum = pending.withColumn("cum", F.sum("sz").over(w))
-        settled.append(
-            cum.filter(F.col("cum") <= threshold).select(
-                "record_id",
-                F.lit("Ok").alias("result"),
-                F.lit(attempt).alias("attempts"),
+    dropped = base.filter(F.col("result") == "Dropped").select(
+        "idx", "record_id", F.col("sz").cast("long").alias("sz")
+    )
+    last_bin = max_attempts - 1  # bins 1..max_attempts-1 deliver in bound
+
+    def pack(batches):
+        import pandas as pd
+
+        bin_no, run, blocked = 1, 0, False
+        for pdf in batches:
+            res, att = [], []
+            for szv in pdf["sz"]:
+                if blocked or szv > threshold:
+                    blocked = True
+                    res.append("Dropped")
+                    att.append(max_attempts)
+                    continue
+                if run + szv <= threshold:
+                    run += szv
+                else:
+                    bin_no += 1
+                    run = szv
+                if bin_no <= last_bin:
+                    res.append("Ok")
+                    att.append(bin_no + 1)
+                else:
+                    res.append("Dropped")
+                    att.append(max_attempts)
+            yield pd.DataFrame(
+                {
+                    "record_id": pdf["record_id"],
+                    "result": res,
+                    "attempts": pd.array(att, dtype="int32"),
+                }
             )
+
+    retried = (
+        dropped.repartition(1)
+        .sortWithinPartitions("idx")
+        .mapInPandas(
+            pack, schema="record_id string, result string, attempts int"
         )
-        pending = (
-            cum.filter(F.col("cum") > threshold)
-            .select("idx", "record_id", "sz")
-            .localCheckpoint()
-        )
-    leftover = pending.select(
-        "record_id",
-        F.lit("Dropped").alias("result"),
-        F.lit(attempt).alias("attempts"),
     )
-    out = settled[0]
-    for frame in settled[1:] + [leftover]:
-        out = out.unionByName(frame)
-    return out.select(
+    return settled.unionByName(retried).select(
         "record_id", F.col("result").alias("final_result"), "attempts"
     )
 

@@ -1214,3 +1214,59 @@ def test_ivm_join_delta_broadcasts_delta_sides(spark, sf_dir):
     plan = physical_plan(REGISTRY["q_ivm_join_delta"].fn(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 6, plan  # 3 deltas + 4 assembly
+
+
+def test_reingest_fold_matches_loop(spark, sf_dir):
+    """Round 15: the reingest attempt loop runs as ONE aggregate()
+    fold over the idx-sorted Dropped tail. Bit-equivalence against a
+    straightforward per-round loop reference (the round-14 execution:
+    per-round running sum, deliver the prefix that fits, give up at
+    the attempt bound) on a synthetic tail exercising: exact-threshold
+    fit, bin rollover, an over-threshold blocker that bricks the queue
+    behind it, and a queue long enough to outlast the attempt bound."""
+    from pyspark.sql import functions as F
+
+    from ex_aws_firehose_spark.operators.firehose import reingest
+
+    thr, max_att = 10, 5
+    # (idx, record_id, result, payload 'data' whose length drives sz)
+    rows = [
+        # settled rows keep their result at attempt 1
+        (0, "s1", "Ok", "xxxx"),
+        (1, "s2", "ProcessingFailed", "yyyy"),
+        # dropped tail: record_id length counts toward sz too
+        (2, "a", "Dropped", "x" * 4),     # sz 5, fits bin 1
+        (3, "b", "Dropped", "x" * 4),     # sz 5, closes bin 1 (== thr)
+        (4, "c", "Dropped", "x" * 6),     # sz 7, bin 2
+        (5, "d", "Dropped", "x" * 2),     # sz 3, bin 2 (== thr)
+        (6, "e", "Dropped", "x" * 8),     # sz 9, bin 3
+        (7, "f", "Dropped", "x" * 9),     # sz 10, bin 4 — attempt 5 = bound
+        (8, "g", "Dropped", "x" * 1),     # sz 2, bin 4 — outlasts? fits bin 4
+        (9, "h", "Dropped", "x" * 30),    # sz 31 > thr: BLOCKS
+        (10, "i", "Dropped", "x" * 1),    # behind the blocker: never moves
+    ]
+    split_df = spark.createDataFrame(
+        rows, "idx long, record_id string, result string, data string"
+    )
+    got = {
+        r["record_id"]: (r["final_result"], r["attempts"])
+        for r in reingest(split_df, max_attempts=max_att, threshold=thr).collect()
+    }
+
+    # reference: the literal per-round loop
+    pend = [(i, rid, len(d) + len(rid)) for i, rid, res, d in rows if res == "Dropped"]
+    exp = {rid: (res, 1) for _, rid, res, _d in rows if res != "Dropped"}
+    attempt = 1
+    while attempt < max_att and pend:
+        attempt += 1
+        cum, delivered, rest = 0, [], []
+        for i, rid, sz in pend:
+            cum += sz
+            (delivered if cum <= thr else rest).append((i, rid, sz))
+        for _i, rid, _sz in delivered:
+            exp[rid] = ("Ok", attempt)
+        pend = rest
+    for _i, rid, _sz in pend:
+        exp[rid] = ("Dropped", attempt)
+
+    assert got == exp, (got, exp)
