@@ -6248,6 +6248,14 @@ def q_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle keeps the naive pairwise self-join, so the hash
     match proves the bitmask algebra equals brute force."""
     d = load_table(spark, sf_dir, "documents")
+    # NOT checkpointed (round 15, measured and left): this ≤63-row
+    # source↔bit table feeds four subtrees, so the plan re-derives the
+    # scan+distinct 4× — but both eager (median 1.7 → 2.8 s warm) and
+    # lazy (→ ~2.2 s) localCheckpoints measured SLOWER than the
+    # redundant derivations: the subtrees are column-pruned projections
+    # that run in parallel inside the one job, while a checkpoint adds
+    # a barrier/RDD boundary every consumer waits on. Same family of
+    # negative result as the r15 LocalRelation trainer experiment.
     srcs = (
         d.select("source")
         .distinct()
@@ -9646,22 +9654,29 @@ def q_curate_span_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("span_tokens").alias("stripped"))
     )
-    surv_stats = (
-        surv.select("doc_id", "source", F.size(tokens("text")).alias("nt"))
+    # One stats pass over the keeper-window scan (round 15, guide
+    # §2.4): the all-docs and survivor aggregates fold into a single
+    # conditional groupBy — the old form ran the survivor window
+    # subtree a second time for surv_stats plus a third documents scan
+    # for all_stats. per_doc only holds survivor docs (strippable ⊆
+    # survivors), so the left join + `when(_keep, …)` aggregates are
+    # exactly the two old branches.
+    stats = (
+        d.withColumn("_keep", F.col("doc_id") == F.min("doc_id").over(w_th))
+        .select("doc_id", "source", "_keep", F.size(tokens("text")).alias("nt"))
         .join(per_doc, "doc_id", "left")
         .groupBy("source")
         .agg(
-            F.count("*").alias("n_survivors"),
-            F.sum("nt").alias("surv_tokens"),
-            F.coalesce(F.sum("stripped"), F.lit(0)).alias("tokens_stripped"),
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("tokens_in"),
+            F.count(F.when(F.col("_keep"), 1)).alias("n_survivors"),
+            F.sum(F.when(F.col("_keep"), F.col("nt"))).alias("surv_tokens"),
+            F.coalesce(
+                F.sum(F.when(F.col("_keep"), F.col("stripped"))), F.lit(0)
+            ).alias("tokens_stripped"),
         )
     )
-    all_stats = (
-        d.select("source", F.size(tokens("text")).alias("nt"))
-        .groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum("nt").alias("tokens_in"))
-    )
-    return all_stats.join(surv_stats, "source").select(
+    return stats.select(
         "source",
         "n_docs",
         (F.col("n_docs") - F.col("n_survivors")).alias("n_exact_dropped"),

@@ -26,6 +26,7 @@ partition explodes.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window
@@ -2239,28 +2240,63 @@ def q_grouped_map_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     each run), which is also what you'd ship at 100 TB if the group
     cardinality is low: applyInPandas requires each group to fit one
     executor's memory, fine for per-user days, fatal for per-tenant
-    events — know the group-size bound before reaching for it."""
+    events — know the group-size bound before reaching for it.
+
+    Round 15 (guide §4 — amortize the per-group Python overhead): the
+    grouped map runs over HASH BUCKETS of users, not single users —
+    per-user groups made Spark materialize one pandas frame (plus one
+    Arrow batch + schema handshake) per user, ~2 ms × 1500 users =
+    3.2 s of pure per-group overhead on a 0.5 s data problem
+    (decomposed round 15). Each bucket's frame computes every
+    contained user's streaks in one vectorized pass (day-delta run
+    breaks → run lengths → per-user sum/max — the same
+    gaps-and-islands arithmetic, exact integer day math, identical
+    rows). The group-size bound discussion above still applies — a
+    bucket must fit in executor memory, and the bucket count is the
+    parallelism knob."""
     e = load_table(spark, sf_dir, "events")
     days = e.select(
         "user_id", F.to_date("ts").alias("day")
     ).distinct()
 
-    def streak(pdf: pd.DataFrame) -> pd.DataFrame:
-        ds = sorted(pdf["day"])
-        best = cur = 1
-        for a, b in zip(ds, ds[1:]):
-            cur = cur + 1 if (b - a).days == 1 else 1
-            best = max(best, cur)
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_active_days": [len(ds)],
-                "longest_streak": [best],
-            }
+    def streaks(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", "day"])
+        uid = pdf["user_id"].to_numpy()
+        # unit-safe day ordinal: astype('datetime64[D]') converts from
+        # whatever unit Arrow handed over (date32 → [s]/[ns] varies by
+        # pandas version); a raw int64 cast would be unit-dependent
+        day = (
+            pd.to_datetime(pdf["day"])
+            .to_numpy()
+            .astype("datetime64[D]")
+            .astype("int64")
         )
+        # a new run starts at a user change or a non-consecutive day
+        new_run = np.ones(len(uid), dtype=bool)
+        new_run[1:] = (uid[1:] != uid[:-1]) | (day[1:] != day[:-1] + 1)
+        runs = (
+            pd.DataFrame({"user_id": uid, "run": new_run.cumsum()})
+            .groupby(["user_id", "run"], sort=False)
+            .size()
+            .reset_index(name="len")
+        )
+        out = (
+            runs.groupby("user_id", sort=False)
+            .agg(
+                n_active_days=("len", "sum"),
+                longest_streak=("len", "max"),
+            )
+            .reset_index()
+        )
+        return out.astype("int64")
 
-    return days.groupBy("user_id").applyInPandas(
-        streak, schema="user_id long, n_active_days long, longest_streak long"
+    return (
+        days.withColumn("b", F.col("user_id") % 64)
+        .groupBy("b")
+        .applyInPandas(
+            streaks,
+            schema="user_id long, n_active_days long, longest_streak long",
+        )
     )
 
 

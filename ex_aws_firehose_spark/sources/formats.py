@@ -200,6 +200,12 @@ def src_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = _tracked_mkdtemp(prefix="orders_part_") + "/data"
         (
             load_table(spark, sf_dir, "orders")
+            # NOT clustered by the partition column (round 15, measured
+            # and left): repartition("o_orderpriority") was A/B'd
+            # wall-clock-flat (2.34 vs 2.37 s staged-cold) and 5
+            # distinct values would collapse the write to 5 tasks — a
+            # skew hazard at scale that the q_join_dpp treatment (83
+            # month values) does not have.
             .write.partitionBy("o_orderpriority")
             .parquet(path)
         )
@@ -334,6 +340,9 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _SINK_PART_CACHE:
         path = _tracked_mkdtemp(prefix="events_sink_") + "/data"
         e = load_table(spark, sf_dir, "events")
+        # NOT clustered by event_type before the write (round 15,
+        # measured and left): A/B'd flat (1.89 vs 2.04 s staged-cold)
+        # and ~10 distinct types would collapse the write to 10 tasks.
         e.write.partitionBy("event_type").parquet(path)
         reprocessed = e.filter(F.col("event_type") == "click").withColumn(
             "value", F.col("value") * 2
