@@ -12767,6 +12767,55 @@ def q_curate_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BT_ROUNDS = 3
 
 
+def _bt_fold(pairs: DataFrame, tot: DataFrame) -> DataFrame:
+    """The Bradley–Terry MM iteration as ONE aggregate() expression
+    (round 15, guide §8 — the r14 pagerank/markov device): the rounds
+    used to run as ~3 tiny broadcast-join jobs + a crossJoin renorm
+    each (~9 driver jobs over a ≤|contestants|² state); the unrolled
+    iteration now folds over the collected pair/total arrays (state
+    reaches the expression via collect_list — no driver collect).
+    Bit-exact with the loop: identical per-term `g·10⁶ div (r_i+r_j)`
+    truncation, integer sums are order-free, and the renorm's Σr binds
+    through a 1-element transform() (a let, so the updated array is
+    computed once per round). Pinned by
+    tests/test_plans.py::test_bradley_terry_fold_matches_loop."""
+    arrs = (
+        pairs.groupBy()
+        .agg(F.collect_list(F.struct("i", "j", "g")).alias("ps"))
+        .crossJoin(
+            F.broadcast(
+                tot.groupBy().agg(
+                    F.collect_list(F.struct("i", "wins")).alias("ts")
+                )
+            )
+        )
+    )
+    fold = f"""
+    aggregate(
+      sequence(1, {_BT_ROUNDS}),
+      transform(ts, t -> struct(t.i AS i, CAST(1000000 AS BIGINT) AS r)),
+      (st, _x) -> transform(
+        array(
+          transform(ts, t -> struct(t.i AS i,
+            (1000000 * t.wins) div aggregate(
+              filter(ps, p -> p.i = t.i),
+              CAST(0 AS BIGINT),
+              (acc, p) -> acc + p.g * 1000000 div (
+                element_at(map_from_entries(st), t.i)
+                + element_at(map_from_entries(st), p.j))
+            ) AS r))
+        ),
+        u -> transform(u, e -> struct(e.i AS i,
+          e.r * 5000000 div aggregate(
+            u, CAST(0 AS BIGINT), (a, x) -> a + x.r) AS r))
+      )[0]
+    )
+    """
+    return arrs.select(F.explode(F.expr(fold)).alias("s")).select(
+        F.col("s.i").alias("i"), F.col("s.r").alias("r")
+    )
+
+
 def _bt_oracle() -> str:
     head = """
     WITH seq AS (
@@ -12866,29 +12915,7 @@ def q_eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = pairs.groupBy("i").agg(
         F.sum("g").alias("games"), F.sum("wi").alias("wins")
     ).localCheckpoint()
-    r = tot.select("i", F.lit(1000000).cast("long").alias("r"))
-    for _ in range(_BT_ROUNDS):
-        ri = r.select(F.col("i").alias("ri_i"), F.col("r").alias("ri_r"))
-        rj = r.select(F.col("i").alias("rj_i"), F.col("r").alias("rj_r"))
-        u = (
-            pairs.join(F.broadcast(ri), pairs.i == ri.ri_i)
-            .join(F.broadcast(rj), pairs.j == rj.rj_i)
-            .join(F.broadcast(tot), "i")
-            .groupBy("i", "wins")
-            .agg(
-                F.sum(
-                    F.expr("g * 1000000 div (ri_r + rj_r)")
-                ).alias("denom")
-            )
-            .select(
-                "i", F.expr("1000000 * wins div denom").alias("r")
-            )
-        )
-        s = u.agg(F.sum("r").alias("s"))
-        r = (
-            u.crossJoin(F.broadcast(s))
-            .select("i", F.expr("r * 5000000 div s").alias("r"))
-        )
+    r = _bt_fold(pairs, tot)
     return (
         tot.join(r, "i")
         .select(

@@ -1270,3 +1270,51 @@ def test_reingest_fold_matches_loop(spark, sf_dir):
         exp[rid] = ("Dropped", attempt)
 
     assert got == exp, (got, exp)
+
+
+def test_bradley_terry_fold_matches_loop(spark, sf_dir):
+    """Round 15: the BT MM rounds run as ONE aggregate() expression
+    (_bt_fold). Bit-equivalence against the literal per-round loop
+    (the round-14 execution: per-i integer-div denominators, mean-1e6
+    renormalization) on a synthetic tournament with asymmetric win
+    counts, an undefeated contestant, and a winless one — the shapes
+    where integer-div truncation differences would show."""
+    from pyspark.sql import functions as F
+
+    from ex_aws_firehose_spark.operators.llm import _BT_ROUNDS, _bt_fold
+
+    rows = [  # (i, j, g, wi): g games of i vs j, wi wins for i
+        # asymmetric but non-degenerate (every contestant wins some
+        # games — a winless contestant drives its rating to 0 and the
+        # MM update itself divides by zero, in the loop and the fold
+        # alike, so that regime is outside the operator's domain)
+        ("a", "b", 50, 41), ("b", "a", 50, 9),
+        ("a", "c", 30, 12), ("c", "a", 30, 18),
+        ("b", "c", 70, 33), ("c", "b", 70, 37),
+        ("c", "d", 20, 11), ("d", "c", 20, 9),
+        ("b", "d", 15, 8), ("d", "b", 15, 7),
+    ]
+    pairs = spark.createDataFrame(rows, "i string, j string, g long, wi long")
+    tot = pairs.groupBy("i").agg(
+        F.sum("g").alias("games"), F.sum("wi").alias("wins")
+    )
+    got = {r["i"]: r["r"] for r in _bt_fold(pairs, tot).collect()}
+
+    # reference: the literal per-round loop in plain integer python
+    g = {(i, j): gg for i, j, gg, _w in rows}
+    wins = {r["i"]: r["wins"] for r in tot.collect()}
+    rat = {i: 1_000_000 for i in wins}
+    for _ in range(_BT_ROUNDS):
+        u = {
+            i: 1_000_000 * wins[i]
+            // sum(
+                gg * 1_000_000 // (rat[i] + rat[j])
+                for (pi, j), gg in g.items()
+                if pi == i
+            )
+            for i in wins
+        }
+        s = sum(u.values())
+        rat = {i: u[i] * 5_000_000 // s for i in u}
+
+    assert got == rat, (got, rat)
